@@ -1,0 +1,22 @@
+"""confluent_ksql_charm_spark — a PySpark-native engine with the query and
+data-processing capabilities of the Confluent KSQL server deployed by the
+`narindergupta/confluent-ksql-charm` reference (see SURVEY.md; the reference
+checkout at /root/reference is empty — all parity claims are against the
+public KSQL 5.x surface).
+
+Spark-first: the KSQL dialect front end lowers statements to Spark SQL on
+registered temp views; Catalyst/Tungsten do all planning and execution.
+"""
+
+from .engine import EngineConfig, KsqlSparkEngine, StatementResult
+from .metastore import MetaStore, SourceMeta
+
+__all__ = [
+    "KsqlSparkEngine",
+    "EngineConfig",
+    "StatementResult",
+    "MetaStore",
+    "SourceMeta",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,8 @@
+"""KSQL 5.x dialect front end: lexer → clause parser → Spark SQL translator."""
+
+from .lexer import split_statements, tokenize
+from .parser import parse_statement
+from .translator import SourceInfo, translate_select
+
+__all__ = ["tokenize", "split_statements", "parse_statement",
+           "translate_select", "SourceInfo"]

@@ -1,0 +1,198 @@
+"""KSQL 5.x function library → Spark SQL expression rewrites.
+
+Each KSQL builtin (reference: `[ksql:ksql-engine/.../function/udf/...]`,
+`[docs: KSQL Function Reference 5.x]` — see SURVEY.md §3.8; the reference
+checkout is empty so per-file cites are public-knowledge tags) maps to a
+*translation-table entry* producing a native Spark SQL expression. Nothing
+here becomes a Python UDF — every rewrite stays inside Catalyst/whole-stage
+codegen, which is the whole point of the Spark-first design.
+
+Handlers receive the already-rewritten argument SQL strings and return a
+Spark SQL expression string.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+Handler = Callable[[list[str]], str]
+
+
+def _mask(s: str) -> str:
+    # KSQL MASK: uppercase->X, lowercase->x, digit->n, other chars kept.
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{s}, '[A-Z]', 'X'), '[a-z]', 'x'), '[0-9]', 'n')"
+    )
+
+
+def _mask_fn(args: list[str]) -> str:
+    return _mask(args[0])
+
+
+def _mask_left(args: list[str]) -> str:
+    s, n = args[0], args[1]
+    return f"concat({_mask(f'substring({s}, 1, {n})')}, substring({s}, ({n}) + 1))"
+
+
+def _mask_right(args: list[str]) -> str:
+    s, n = args[0], args[1]
+    keep = f"greatest(length({s}) - ({n}), 0)"
+    return f"concat(substring({s}, 1, {keep}), {_mask(f'substring({s}, {keep} + 1)')})"
+
+
+def _mask_keep_left(args: list[str]) -> str:
+    s, n = args[0], args[1]
+    return f"concat(substring({s}, 1, {n}), {_mask(f'substring({s}, ({n}) + 1)')})"
+
+
+def _mask_keep_right(args: list[str]) -> str:
+    s, n = args[0], args[1]
+    keep = f"greatest(length({s}) - ({n}), 0)"
+    return f"concat({_mask(f'substring({s}, 1, {keep})')}, substring({s}, {keep} + 1))"
+
+
+def _geo_distance(args: list[str]) -> str:
+    lat1, lon1, lat2, lon2 = args[0], args[1], args[2], args[3]
+    radius = "6371.0"
+    if len(args) > 4:
+        unit = args[4].strip().strip("'").upper()
+        if unit in ("MI", "MILES"):
+            radius = "3959.0"
+    return (
+        f"({radius} * 2 * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+    )
+
+
+def _split(args: list[str]) -> str:
+    # KSQL SPLIT takes a *literal* delimiter; Spark split() takes a regex.
+    s, delim = args[0], args[1]
+    m = re.fullmatch(r"'(.*)'", delim, re.DOTALL)
+    if m:
+        escaped = re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\1", m.group(1))
+        delim = "'" + escaped + "'"
+    return f"split({s}, {delim})"
+
+
+def _stringtotimestamp(args: list[str]) -> str:
+    # KSQL returns BIGINT epoch-millis. Format dialect: Java
+    # SimpleDateFormat ~= Spark datetime patterns for the common letters.
+    s, fmt = args[0], args[1]
+    return f"unix_millis(to_timestamp({s}, {fmt}))"
+
+
+def _timestamptostring(args: list[str]) -> str:
+    ms, fmt = args[0], args[1]
+    return f"date_format(timestamp_millis({ms}), {fmt})"
+
+
+def _stringtodate(args: list[str]) -> str:
+    # KSQL returns epoch-days as INTEGER.
+    s, fmt = args[0], args[1]
+    return f"datediff(to_date({s}, {fmt}), date'1970-01-01')"
+
+
+def _datetostring(args: list[str]) -> str:
+    d, fmt = args[0], args[1]
+    return f"date_format(date_add(date'1970-01-01', cast({d} as int)), {fmt})"
+
+
+def _topk(args: list[str]) -> str:
+    c, k = args[0], args[1]
+    # KSQL TOPK: array of the k largest values per group, descending.
+    return f"slice(sort_array(collect_list({c}), false), 1, {k})"
+
+
+def _topkdistinct(args: list[str]) -> str:
+    c, k = args[0], args[1]
+    return f"slice(sort_array(collect_set({c}), false), 1, {k})"
+
+
+def _histogram(args: list[str]) -> str:
+    # KSQL HISTOGRAM(col): MAP<value, BIGINT count> per group. Expressed with
+    # higher-order functions so it stays JVM-side. O(distinct * n) per group
+    # — fine for the low-cardinality columns HISTOGRAM targets; the scalable
+    # two-phase (explode + two-level groupBy) variant lives in
+    # operators/aggregates.py for wide groups.
+    c = args[0]
+    lst = f"collect_list({c})"
+    return (
+        f"map_from_entries(transform(array_distinct(sort_array({lst})), "
+        f"v -> struct(v, cast(size(filter({lst}, x -> x <=> v)) as bigint))))"
+    )
+
+
+def _substring(args: list[str]) -> str:
+    # KSQL 5.x SUBSTRING is 1-based (matching Java's String.substring shifted
+    # semantics was the pre-5.1 legacy; 5.1+ documents 1-based). Spark is
+    # 1-based — pass through.
+    return f"substring({', '.join(args)})"
+
+
+def _array_contains(args: list[str]) -> str:
+    return f"array_contains({args[0]}, {args[1]})"
+
+
+# name -> simple Spark function rename (argument-preserving)
+RENAMES: dict[str, str] = {
+    "LCASE": "lower",
+    "UCASE": "upper",
+    "LEN": "length",
+    "TRIM": "trim",
+    "CONCAT": "concat",
+    "REPLACE": "replace",
+    "IFNULL": "coalesce",
+    "EXTRACTJSONFIELD": "get_json_object",
+    "ABS": "abs",
+    "CEIL": "ceil",
+    "FLOOR": "floor",
+    "ROUND": "round",
+    "SQRT": "sqrt",
+    "EXP": "exp",
+    "LN": "ln",
+    "RANDOM": "rand",
+    "COALESCE": "coalesce",
+    "ARRAYLENGTH": "size",
+}
+
+HANDLERS: dict[str, Handler] = {
+    "MASK": _mask_fn,
+    "MASK_LEFT": _mask_left,
+    "MASK_RIGHT": _mask_right,
+    "MASK_KEEP_LEFT": _mask_keep_left,
+    "MASK_KEEP_RIGHT": _mask_keep_right,
+    "GEO_DISTANCE": _geo_distance,
+    "SPLIT": _split,
+    "STRINGTOTIMESTAMP": _stringtotimestamp,
+    "TIMESTAMPTOSTRING": _timestamptostring,
+    "STRINGTODATE": _stringtodate,
+    "DATETOSTRING": _datetostring,
+    "TOPK": _topk,
+    "TOPKDISTINCT": _topkdistinct,
+    "HISTOGRAM": _histogram,
+    "SUBSTRING": _substring,
+    "ARRAYCONTAINS": _array_contains,
+}
+
+#: Aggregate KSQL functions that force a GROUP BY context (used by the
+#: translator to validate; COUNT/SUM/... pass through by name).
+AGGREGATES = {
+    "COUNT", "SUM", "MIN", "MAX", "AVG", "TOPK", "TOPKDISTINCT",
+    "HISTOGRAM", "COLLECT_LIST", "COLLECT_SET", "COUNT_DISTINCT",
+}
+
+
+def rewrite_call(name: str, args: list[str]) -> str | None:
+    """Rewrite one KSQL function call; None = not a KSQL-mapped name."""
+    up = name.upper()
+    if up == "COUNT_DISTINCT":
+        return f"count(distinct {args[0]})"
+    if up in RENAMES:
+        return f"{RENAMES[up]}({', '.join(args)})"
+    if up in HANDLERS:
+        return HANDLERS[up](args)
+    return None

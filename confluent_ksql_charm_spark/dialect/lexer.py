@@ -1,0 +1,137 @@
+"""Tokenizer for the KSQL 5.x dialect.
+
+The reference grammar is `SqlBase.g4` in the Confluent KSQL server the
+charm deploys (see SURVEY.md §3.1 — `[ksql:ksql-parser/.../SqlBase.g4]`,
+public knowledge; /root/reference is empty, so no file:line cites are
+possible). The 5.x surface is small enough that a hand-rolled regex
+tokenizer + recursive-descent clause parser covers it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# Token kinds
+STRING = "STRING"      # 'single quoted', '' escapes a quote (SQL style)
+NUMBER = "NUMBER"
+IDENT = "IDENT"        # bare or `backquoted`
+OP = "OP"              # operators and punctuation
+ARROW = "ARROW"        # ->  (KSQL struct-field access)
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>--[^\n]*)
+    | (?P<string>'(?:[^']|'')*')
+    | (?P<number>\d+\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?|\.\d+)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)
+    | (?P<arrow>->)
+    | (?P<op><=|>=|<>|!=|\|\||=>|[-+*/%=<>(),.;\[\]{}])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str
+    text: str
+
+    @property
+    def upper(self) -> str:
+        return self.text.upper()
+
+    def is_kw(self, *words: str) -> bool:
+        return self.kind == IDENT and self.text.upper() in words
+
+    def __repr__(self) -> str:  # compact for debugging
+        return f"{self.kind}:{self.text}"
+
+
+def tokenize(sql: str) -> list[Token]:
+    """Lex a statement into tokens, dropping whitespace and comments."""
+    out: list[Token] = []
+    pos = 0
+    n = len(sql)
+    while pos < n:
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            raise ValueError(f"KSQL lex error at offset {pos}: {sql[pos:pos + 30]!r}")
+        pos = m.end()
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        text = m.group()
+        kind = {
+            "string": STRING,
+            "number": NUMBER,
+            "ident": IDENT,
+            "arrow": ARROW,
+            "op": OP,
+        }[m.lastgroup]
+        out.append(Token(kind, text))
+    return out
+
+
+def split_statements(text: str) -> list[str]:
+    """Split a script on ';' outside string literals (KSQL RUN SCRIPT)."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == ";":
+            s = "".join(buf).strip()
+            if s:
+                stmts.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    s = "".join(buf).strip()
+    if s:
+        stmts.append(s)
+    return stmts
+
+
+def render(tokens: list[Token | str]) -> str:
+    """Render a token list back to SQL text.
+
+    '.' binds tight (qualified names / struct access); everything else is
+    space-separated — Spark's SQL parser is whitespace-tolerant.
+    """
+    parts: list[str] = []
+    texts = [t.text if isinstance(t, Token) else t for t in tokens]
+    for i, text in enumerate(texts):
+        if text == ".":
+            parts.append(".")
+        elif parts and parts[-1].endswith("."):
+            parts[-1] = parts[-1] + text
+        elif parts and text == "(" and i > 0 and re.match(r"^[A-Za-z_][\w.]*$", texts[i - 1]):
+            # function call: no space between name and '('
+            parts[-1] = parts[-1] + "("
+        else:
+            parts.append(text)
+    out = ""
+    for p in parts:
+        if not out:
+            out = p
+        elif p in (",", ")", "]"):
+            out += p
+        elif out.endswith(("(", "[")):
+            out += p
+        else:
+            out += " " + p
+    return out

@@ -1,0 +1,444 @@
+"""Clause-level parser for KSQL 5.x statements.
+
+Covers the statement surface in SURVEY.md §3.1 (reference grammar:
+`[ksql:ksql-parser/.../SqlBase.g4]`, public knowledge — /root/reference is
+empty). Produces dataclass specs the translator lowers to Spark SQL; the
+deliberate design is *clause extraction + expression token rewriting*, not a
+full AST — KSQL 5.x has no subqueries, no set ops, and 2-way joins only, so
+clause granularity is sufficient and keeps the front end small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .lexer import IDENT, NUMBER, OP, STRING, Token, tokenize
+
+# ----------------------------------------------------------------- specs
+
+
+@dataclass
+class WindowSpec:
+    kind: str                 # TUMBLING | HOPPING | SESSION
+    size: str                 # Spark interval string, e.g. "30 seconds"
+    advance: str | None = None
+
+
+@dataclass
+class JoinSpec:
+    join_type: str            # inner | left | full
+    source: str               # registered source name
+    alias: str | None
+    within: str | None        # Spark interval string (stream-stream only)
+    within_before: str | None # asymmetric WITHIN (before, after)
+    on: list[Token] = field(default_factory=list)
+
+
+@dataclass
+class SelectSpec:
+    select_items: list[tuple[list[Token], str | None]]  # (expr tokens, alias)
+    source: str
+    source_alias: str | None
+    joins: list[JoinSpec]
+    window: WindowSpec | None
+    where: list[Token]
+    group_by: list[list[Token]]
+    having: list[Token]
+    partition_by: list[Token]
+    limit: int | None
+    emit_changes: bool
+    distinct: bool = False
+
+
+@dataclass
+class CreateSourceSpec:
+    kind: str                             # STREAM | TABLE
+    name: str
+    columns: list[tuple[str, str]]        # (name, ksql type string)
+    props: dict[str, str]                 # WITH(...) properties, upper keys
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateAsSpec:
+    kind: str                             # STREAM | TABLE
+    name: str
+    props: dict[str, str]
+    select: SelectSpec
+    if_not_exists: bool = False
+
+
+@dataclass
+class InsertIntoSpec:
+    target: str
+    select: SelectSpec
+
+
+@dataclass
+class SimpleSpec:
+    """SHOW/DESCRIBE/DROP/TERMINATE/EXPLAIN/SET/UNSET/PRINT/RUN SCRIPT."""
+    verb: str
+    args: list[str]
+
+
+_UNITS = {
+    "MILLISECOND": "milliseconds", "MILLISECONDS": "milliseconds",
+    "SECOND": "seconds", "SECONDS": "seconds",
+    "MINUTE": "minutes", "MINUTES": "minutes",
+    "HOUR": "hours", "HOURS": "hours",
+    "DAY": "days", "DAYS": "days",
+}
+
+_CLAUSE_STARTS = {"WHERE", "GROUP", "HAVING", "PARTITION", "LIMIT", "EMIT", "WINDOW"}
+
+
+class _Cursor:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, ahead: int = 0) -> Token | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def eof(self) -> bool:
+        return self.i >= len(self.toks)
+
+    def expect_kw(self, *words: str) -> Token:
+        t = self.peek()
+        if t is None or not t.is_kw(*words):
+            raise ValueError(f"expected {'/'.join(words)}, got {t}")
+        return self.next()
+
+    def expect_op(self, op: str) -> Token:
+        t = self.peek()
+        if t is None or t.kind != OP or t.text != op:
+            raise ValueError(f"expected {op!r}, got {t}")
+        return self.next()
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t is not None and t.is_kw(*words)
+
+    def at_op(self, op: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == OP and t.text == op
+
+
+def _ident_text(t: Token) -> str:
+    return t.text.strip("`")
+
+
+def parse_statement(
+    sql: str,
+) -> CreateSourceSpec | CreateAsSpec | InsertIntoSpec | SelectSpec | SimpleSpec:
+    toks = tokenize(sql.strip().rstrip(";"))
+    if not toks:
+        raise ValueError("empty statement")
+    cur = _Cursor(toks)
+    head = cur.peek()
+    assert head is not None
+    up = head.upper
+    if up == "CREATE":
+        return _parse_create(cur)
+    if up == "INSERT":
+        return _parse_insert(cur)
+    if up == "SELECT":
+        return parse_select(cur)
+    if up in ("SHOW", "LIST", "DESCRIBE", "DROP", "TERMINATE", "EXPLAIN",
+              "SET", "UNSET", "PRINT", "RUN"):
+        cur.next()
+        rest = [t.text for t in toks[cur.i:]]
+        return SimpleSpec(verb=up, args=rest)
+    raise ValueError(f"unsupported statement: {sql[:60]!r}")
+
+
+def _parse_with_props(cur: _Cursor) -> dict[str, str]:
+    props: dict[str, str] = {}
+    cur.expect_op("(")
+    while not cur.at_op(")"):
+        key = _ident_text(cur.next()).upper()
+        cur.expect_op("=")
+        val_t = cur.next()
+        val = val_t.text
+        if val_t.kind == STRING:
+            val = val[1:-1].replace("''", "'")
+        props[key] = val
+        if cur.at_op(","):
+            cur.next()
+    cur.expect_op(")")
+    return props
+
+
+def _parse_type(cur: _Cursor) -> str:
+    """Parse a KSQL type (possibly parameterized) as raw text."""
+    parts = [cur.next().text]
+    # ARRAY<...>, MAP<...>, STRUCT<...>, DECIMAL(p,s)
+    if cur.at_op("<"):
+        depth = 0
+        while True:
+            t = cur.next()
+            parts.append(t.text)
+            if t.kind == OP and t.text == "<":
+                depth += 1
+            elif t.kind == OP and t.text == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+    elif cur.at_op("("):
+        while True:
+            t = cur.next()
+            parts.append(t.text)
+            if t.kind == OP and t.text == ")":
+                break
+    return "".join(parts)
+
+
+def _parse_create(cur: _Cursor) -> CreateSourceSpec | CreateAsSpec:
+    cur.expect_kw("CREATE")
+    kind_t = cur.expect_kw("STREAM", "TABLE")
+    kind = kind_t.upper
+    if_not_exists = False
+    if cur.at_kw("IF"):
+        cur.next(); cur.expect_kw("NOT"); cur.expect_kw("EXISTS")
+        if_not_exists = True
+    name = _ident_text(cur.next())
+
+    if cur.at_op("("):  # declared-schema source
+        cur.next()
+        cols: list[tuple[str, str]] = []
+        while not cur.at_op(")"):
+            cname = _ident_text(cur.next())
+            ctype = _parse_type(cur)
+            cols.append((cname, ctype))
+            if cur.at_op(","):
+                cur.next()
+        cur.expect_op(")")
+        props: dict[str, str] = {}
+        if cur.at_kw("WITH"):
+            cur.next()
+            props = _parse_with_props(cur)
+        return CreateSourceSpec(kind, name, cols, props, if_not_exists)
+
+    props = {}
+    if cur.at_kw("WITH"):
+        cur.next()
+        props = _parse_with_props(cur)
+    cur.expect_kw("AS")
+    sel = parse_select(cur)
+    return CreateAsSpec(kind, name, props, sel, if_not_exists)
+
+
+def _parse_insert(cur: _Cursor) -> InsertIntoSpec:
+    cur.expect_kw("INSERT")
+    cur.expect_kw("INTO")
+    target = _ident_text(cur.next())
+    sel = parse_select(cur)
+    return InsertIntoSpec(target, sel)
+
+
+def _take_expr_until(cur: _Cursor, stop_kws: set[str], stop_comma: bool = False) -> list[Token]:
+    """Collect tokens until a top-level stop keyword / comma / EOF."""
+    out: list[Token] = []
+    depth = 0
+    while not cur.eof():
+        t = cur.peek()
+        assert t is not None
+        if depth == 0:
+            if t.kind == IDENT and t.upper in stop_kws:
+                break
+            if stop_comma and t.kind == OP and t.text == ",":
+                break
+        if t.kind == OP and t.text in ("(", "["):
+            depth += 1
+        elif t.kind == OP and t.text in (")", "]"):
+            if depth == 0:
+                break
+            depth -= 1
+        out.append(cur.next())
+    return out
+
+
+_SELECT_STOPS = {"FROM"}
+_FROM_STOPS = _CLAUSE_STARTS | {"JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "ON", "WITHIN"}
+
+
+def parse_select(cur: _Cursor) -> SelectSpec:
+    cur.expect_kw("SELECT")
+    distinct = False
+    if cur.at_kw("DISTINCT"):
+        cur.next()
+        distinct = True
+
+    select_items: list[tuple[list[Token], str | None]] = []
+    while True:
+        expr = _take_expr_until(cur, {"FROM", "AS"}, stop_comma=True)
+        alias: str | None = None
+        if cur.at_kw("AS"):
+            cur.next()
+            alias = _ident_text(cur.next())
+        elif (not cur.eof() and not cur.at_op(",") and not cur.at_kw("FROM")
+              and cur.peek().kind == IDENT
+              and cur.peek().upper not in _CLAUSE_STARTS):
+            # implicit alias: `expr name`
+            alias = _ident_text(cur.next())
+        select_items.append((expr, alias))
+        if cur.at_op(","):
+            cur.next()
+            continue
+        break
+
+    cur.expect_kw("FROM")
+    source = _ident_text(cur.next())
+    source_alias: str | None = None
+    if (not cur.eof() and cur.peek().kind == IDENT
+            and cur.peek().upper not in _FROM_STOPS):
+        if cur.at_kw("AS"):
+            cur.next()
+        source_alias = _ident_text(cur.next())
+
+    joins: list[JoinSpec] = []
+    while cur.at_kw("JOIN", "LEFT", "FULL", "INNER", "RIGHT"):
+        joins.append(_parse_join(cur))
+
+    window: WindowSpec | None = None
+    if cur.at_kw("WINDOW"):
+        cur.next()
+        window = _parse_window(cur)
+
+    where: list[Token] = []
+    if cur.at_kw("WHERE"):
+        cur.next()
+        where = _take_expr_until(cur, _CLAUSE_STARTS - {"WINDOW"})
+
+    group_by: list[list[Token]] = []
+    if cur.at_kw("GROUP"):
+        cur.next()
+        cur.expect_kw("BY")
+        while True:
+            g = _take_expr_until(cur, _CLAUSE_STARTS, stop_comma=True)
+            group_by.append(g)
+            if cur.at_op(","):
+                cur.next()
+                continue
+            break
+
+    having: list[Token] = []
+    if cur.at_kw("HAVING"):
+        cur.next()
+        having = _take_expr_until(cur, _CLAUSE_STARTS)
+
+    partition_by: list[Token] = []
+    if cur.at_kw("PARTITION"):
+        cur.next()
+        cur.expect_kw("BY")
+        partition_by = _take_expr_until(cur, _CLAUSE_STARTS)
+
+    limit: int | None = None
+    if cur.at_kw("LIMIT"):
+        cur.next()
+        limit = int(cur.next().text)
+
+    emit_changes = False
+    if cur.at_kw("EMIT"):
+        cur.next()
+        cur.expect_kw("CHANGES")
+        emit_changes = True
+        if cur.at_kw("LIMIT"):
+            cur.next()
+            limit = int(cur.next().text)
+
+    if not cur.eof():
+        raise ValueError(f"trailing tokens in SELECT: {cur.toks[cur.i:cur.i + 5]}")
+
+    return SelectSpec(
+        select_items=select_items, source=source, source_alias=source_alias,
+        joins=joins, window=window, where=where, group_by=group_by,
+        having=having, partition_by=partition_by, limit=limit,
+        emit_changes=emit_changes, distinct=distinct,
+    )
+
+
+def _parse_interval(cur: _Cursor) -> str:
+    n = cur.next().text
+    unit_t = cur.next()
+    unit = _UNITS.get(unit_t.upper)
+    if unit is None:
+        raise ValueError(f"bad time unit {unit_t.text!r}")
+    return f"{n} {unit}"
+
+
+def _parse_join(cur: _Cursor) -> JoinSpec:
+    join_type = "inner"
+    if cur.at_kw("LEFT"):
+        cur.next()
+        join_type = "left"
+        if cur.at_kw("OUTER"):
+            cur.next()
+    elif cur.at_kw("FULL"):
+        cur.next()
+        join_type = "full"
+        if cur.at_kw("OUTER"):
+            cur.next()
+    elif cur.at_kw("INNER"):
+        cur.next()
+    elif cur.at_kw("RIGHT"):
+        # not in KSQL 5.x; accept for convenience
+        cur.next()
+        join_type = "right"
+        if cur.at_kw("OUTER"):
+            cur.next()
+    cur.expect_kw("JOIN")
+    src = _ident_text(cur.next())
+    alias: str | None = None
+    if (not cur.eof() and cur.peek().kind == IDENT
+            and cur.peek().upper not in _FROM_STOPS):
+        if cur.at_kw("AS"):
+            cur.next()
+        alias = _ident_text(cur.next())
+    within = within_before = None
+    if cur.at_kw("WITHIN"):
+        cur.next()
+        if cur.at_op("("):
+            # asymmetric: WITHIN (before, after)
+            cur.next()
+            within_before = _parse_interval(cur)
+            cur.expect_op(",")
+            within = _parse_interval(cur)
+            cur.expect_op(")")
+        else:
+            within = _parse_interval(cur)
+    cur.expect_kw("ON")
+    on = _take_expr_until(cur, _CLAUSE_STARTS | {"JOIN", "LEFT", "FULL", "INNER", "RIGHT"})
+    return JoinSpec(join_type, src, alias, within, within_before, on)
+
+
+def _parse_window(cur: _Cursor) -> WindowSpec:
+    kind = cur.expect_kw("TUMBLING", "HOPPING", "SESSION").upper
+    cur.expect_op("(")
+    size: str | None = None
+    advance: str | None = None
+    if kind == "SESSION":
+        size = _parse_interval(cur)
+    else:
+        while not cur.at_op(")"):
+            if cur.at_kw("SIZE"):
+                cur.next()
+                size = _parse_interval(cur)
+            elif cur.at_kw("ADVANCE"):
+                cur.next()
+                cur.expect_kw("BY")
+                advance = _parse_interval(cur)
+            elif cur.at_op(","):
+                cur.next()
+            else:
+                raise ValueError(f"bad WINDOW clause near {cur.peek()}")
+    cur.expect_op(")")
+    if size is None:
+        raise ValueError("WINDOW requires SIZE")
+    return WindowSpec(kind, size, advance)

@@ -1,0 +1,232 @@
+"""Lower parsed KSQL specs to Spark SQL text.
+
+This is the "physical planner boundary" of the dialect front end: we emit
+declarative Spark SQL and let Catalyst do analysis/optimization/physical
+planning (SURVEY.md §5 — KSQL 5.x itself has a syntax-directed planner with
+no rewrites, so Catalyst strictly dominates it; zero custom rules needed).
+
+Scale notes baked in here:
+- windowed aggs lower to `window()`/`session_window()` group keys →
+  Spark's native streaming-compatible windowing, partial aggregation free;
+- stream-stream WITHIN joins lower to an equi-join + time-band predicate —
+  Catalyst plans a sort-merge/broadcast equi-join with the band as a
+  post-join filter, never a cross join;
+- PARTITION BY lowers to a REPARTITION hint (KSQL's repartition topic
+  analogue) only when explicitly requested.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from . import functions as flib
+from .lexer import ARROW, IDENT, NUMBER, OP, STRING, Token, render, tokenize
+from .parser import JoinSpec, SelectSpec, WindowSpec
+
+
+@dataclass
+class SourceInfo:
+    """Registry metadata the translator needs (engine MetaStore row)."""
+    name: str
+    view: str                  # Spark temp-view name
+    ts_col: str | None = None  # ROWTIME analogue
+    key_col: str | None = None # ROWKEY analogue
+
+
+class TranslationContext:
+    def __init__(self, resolve, window: WindowSpec | None = None,
+                 rowtime_expr: str | None = None, rowkey_expr: str | None = None):
+        self.resolve = resolve
+        self.window = window
+        self.rowtime_expr = rowtime_expr
+        self.rowkey_expr = rowkey_expr
+
+    def window_alias(self) -> str:
+        return "session_window" if self.window and self.window.kind == "SESSION" else "window"
+
+
+# ------------------------------------------------------- expression rewrite
+
+def rewrite_expr(tokens: list[Token], ctx: TranslationContext) -> str:
+    """Token-level KSQL→Spark expression rewrite (recursive on call args)."""
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        # struct access: a->b  →  a.b
+        if t.kind == ARROW:
+            out.append(".")
+            i += 1
+            continue
+        # array/map index: x[i] — KSQL arrays 0-based, Spark element_at 1-based
+        if t.kind == OP and t.text == "[" and out and not out[-1].endswith(("(", ",", "[")):
+            j, depth = i + 1, 1
+            while j < n and depth:
+                if tokens[j].kind == OP and tokens[j].text == "[":
+                    depth += 1
+                elif tokens[j].kind == OP and tokens[j].text == "]":
+                    depth -= 1
+                j += 1
+            inner = tokens[i + 1:j - 1]
+            idx = rewrite_expr(inner, ctx)
+            base = out.pop()
+            if len(inner) == 1 and inner[0].kind == STRING:
+                out.append(f"element_at({base}, {idx})")          # map key
+            elif len(inner) == 1 and inner[0].kind == NUMBER:
+                out.append(f"element_at({base}, {int(idx) + 1})")  # 0-based literal
+            else:
+                out.append(f"element_at({base}, ({idx}) + 1)")
+            i = j
+            continue
+        if t.kind == IDENT:
+            up = t.upper
+            nxt = tokens[i + 1] if i + 1 < n else None
+            is_call = nxt is not None and nxt.kind == OP and nxt.text == "("
+            if not is_call:
+                if up == "ROWTIME" and ctx.rowtime_expr:
+                    out.append(ctx.rowtime_expr)
+                    i += 1
+                    continue
+                if up == "ROWKEY" and ctx.rowkey_expr:
+                    out.append(ctx.rowkey_expr)
+                    i += 1
+                    continue
+                out.append(t.text.strip("`") if t.text.startswith("`") else t.text)
+                i += 1
+                continue
+            # function call — find matching ')', split top-level args
+            j, depth = i + 2, 1
+            args_tokens: list[list[Token]] = [[]]
+            while j < n and depth:
+                tj = tokens[j]
+                if tj.kind == OP and tj.text == "(":
+                    depth += 1
+                elif tj.kind == OP and tj.text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                elif tj.kind == OP and tj.text == "," and depth == 1:
+                    args_tokens.append([])
+                    j += 1
+                    continue
+                args_tokens[-1].append(tj)
+                j += 1
+            if args_tokens == [[]]:
+                args_tokens = []
+            if up in ("WINDOWSTART", "WINDOWEND") and not args_tokens:
+                if ctx.window is None:
+                    raise ValueError(f"{up}() outside a WINDOW query")
+                bound = "start" if up == "WINDOWSTART" else "end"
+                out.append(f"unix_millis({ctx.window_alias()}.{bound})")
+                i = j
+                continue
+            # DISTINCT inside an aggregate, e.g. COUNT(DISTINCT x)
+            prefix = ""
+            if args_tokens and args_tokens[0] and args_tokens[0][0].is_kw("DISTINCT"):
+                prefix = "distinct "
+                args_tokens[0] = args_tokens[0][1:]
+            args = [rewrite_expr(a, ctx) for a in args_tokens]
+            rewritten = flib.rewrite_call(t.text, args)
+            if rewritten is None:
+                rewritten = f"{t.text}({prefix}{', '.join(args)})"
+            elif prefix:
+                raise ValueError(f"DISTINCT not supported inside {t.text}")
+            out.append(rewritten)
+            i = j
+            continue
+        out.append(t.text)
+        i += 1
+    return render(out)
+
+
+def rewrite_expr_sql(sql: str, ctx: TranslationContext) -> str:
+    return rewrite_expr(tokenize(sql), ctx)
+
+
+# ------------------------------------------------------- SELECT lowering
+
+def _window_group_expr(w: WindowSpec, ts_col: str) -> str:
+    if w.kind == "TUMBLING":
+        return f"window({ts_col}, '{w.size}')"
+    if w.kind == "HOPPING":
+        adv = w.advance or w.size
+        return f"window({ts_col}, '{w.size}', '{adv}')"
+    if w.kind == "SESSION":
+        return f"session_window({ts_col}, '{w.size}')"
+    raise ValueError(w.kind)
+
+
+def translate_select(spec: SelectSpec, resolve) -> str:
+    """Lower a SelectSpec to one Spark SQL statement string."""
+    src = resolve(spec.source)
+    src_ref = src.view + (f" AS {spec.source_alias}" if spec.source_alias else "")
+    src_prefix = spec.source_alias or src.view
+
+    rowtime = f"unix_millis({src_prefix}.{src.ts_col})" if src.ts_col else None
+    rowkey = f"{src_prefix}.{src.key_col}" if src.key_col else None
+    ctx = TranslationContext(resolve, spec.window, rowtime, rowkey)
+
+    from_parts = [src_ref]
+    for j in spec.joins:
+        from_parts.append(_translate_join(j, spec, resolve, ctx))
+
+    select_sqls: list[str] = []
+    star = False
+    for toks, alias in spec.select_items:
+        if len(toks) == 1 and toks[0].kind == OP and toks[0].text == "*":
+            select_sqls.append("*")
+            star = True
+            continue
+        e = rewrite_expr(toks, ctx)
+        if alias:
+            e += f" AS {alias}"
+        select_sqls.append(e)
+    if star and spec.window is not None:
+        raise ValueError("SELECT * with WINDOW is ambiguous; list columns")
+
+    group_sqls = [rewrite_expr(g, ctx) for g in spec.group_by]
+    if spec.window is not None:
+        if not spec.group_by:
+            raise ValueError("WINDOW requires GROUP BY (KSQL semantics)")
+        if src.ts_col is None:
+            raise ValueError(f"source {spec.source} has no timestamp column for WINDOW")
+        group_sqls.append(_window_group_expr(spec.window, f"{src_prefix}.{src.ts_col}"))
+
+    hint = ""
+    if spec.partition_by:
+        part = rewrite_expr(spec.partition_by, ctx)
+        hint = f"/*+ REPARTITION({part}) */ "
+
+    sql = "SELECT " + hint + ("DISTINCT " if spec.distinct else "") + ", ".join(select_sqls)
+    sql += "\nFROM " + "\n".join(from_parts)
+    if spec.where:
+        sql += "\nWHERE " + rewrite_expr(spec.where, ctx)
+    if group_sqls:
+        sql += "\nGROUP BY " + ", ".join(group_sqls)
+    if spec.having:
+        sql += "\nHAVING " + rewrite_expr(spec.having, ctx)
+    if spec.limit is not None:
+        sql += f"\nLIMIT {spec.limit}"
+    return sql
+
+
+def _translate_join(j: JoinSpec, spec: SelectSpec, resolve, ctx: TranslationContext) -> str:
+    right = resolve(j.source)
+    right_ref = right.view + (f" AS {j.alias}" if j.alias else "")
+    jt = {"inner": "JOIN", "left": "LEFT JOIN", "full": "FULL OUTER JOIN",
+          "right": "RIGHT JOIN"}[j.join_type]
+    cond = rewrite_expr(j.on, ctx)
+    if j.within:
+        left = resolve(spec.source)
+        if left.ts_col is None or right.ts_col is None:
+            raise ValueError("WITHIN join requires timestamp columns on both sides")
+        lref = spec.source_alias or left.view
+        rref = j.alias or right.view
+        before = j.within_before or j.within
+        cond += (
+            f" AND {rref}.{right.ts_col} >= {lref}.{left.ts_col} - INTERVAL {before}"
+            f" AND {rref}.{right.ts_col} <= {lref}.{left.ts_col} + INTERVAL {j.within}"
+        )
+    return f"{jt} {right_ref} ON {cond}"

@@ -1,0 +1,377 @@
+"""KsqlSparkEngine — the KSQL-capability engine, Spark-first.
+
+Lifecycle parity with the reference stack (SURVEY.md §1, §4): the charm
+(`[charm:reactive/ksql.py]` — deploy automation) configures and starts a
+KSQL server whose engine executes statements through parse → analyze →
+logical plan → Kafka Streams topology. Here the pipeline is:
+
+    KSQL text → dialect parser (parser.py) → Spark SQL (translator.py)
+              → Catalyst (analyze/optimize/physical) → DataFrame
+
+i.e. we keep only the dialect front end and the MetaStore; planning and
+execution are Catalyst/Tungsten (SURVEY.md §5: KSQL 5.x has a
+syntax-directed planner with zero rewrite rules, so Spark strictly
+dominates — no custom rules required for parity).
+
+Batch vs streaming: every registered source can be batch (parquet et al —
+also the DuckDB-oracle path) or streaming (`readStream`); the SAME
+translated SQL runs in both modes because it is expressed on temp views.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dialect.lexer import split_statements
+from .dialect.parser import (
+    CreateAsSpec,
+    CreateSourceSpec,
+    InsertIntoSpec,
+    SelectSpec,
+    SimpleSpec,
+    parse_statement,
+)
+from .dialect.translator import SourceInfo, translate_select
+from .metastore import MetaStore, SourceMeta
+from .operators.table import latest_per_key
+from .sources.parquet import read_parquet
+
+# KSQL type → Spark SQL DDL type (SURVEY.md §2.2)
+_TYPE_MAP = {
+    "BOOLEAN": "boolean",
+    "INTEGER": "int",
+    "INT": "int",
+    "BIGINT": "bigint",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "STRING": "string",
+}
+
+
+def ksql_type_to_spark(t: str) -> str:
+    up = t.strip().upper()
+    if up in _TYPE_MAP:
+        return _TYPE_MAP[up]
+    m = re.fullmatch(r"ARRAY<(.+)>", up, re.IGNORECASE | re.DOTALL)
+    if m:
+        return f"array<{ksql_type_to_spark(m.group(1))}>"
+    m = re.fullmatch(r"MAP<([^,]+),(.+)>", up, re.IGNORECASE | re.DOTALL)
+    if m:
+        return f"map<{ksql_type_to_spark(m.group(1))},{ksql_type_to_spark(m.group(2))}>"
+    m = re.fullmatch(r"STRUCT<(.+)>", t.strip(), re.IGNORECASE | re.DOTALL)
+    if m:
+        fields = []
+        depth = 0
+        cur = ""
+        for ch in m.group(1) + ",":
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            if ch == "," and depth == 0:
+                name, _, ftype = cur.strip().partition(" ")
+                fields.append(f"{name}:{ksql_type_to_spark(ftype)}")
+                cur = ""
+            else:
+                cur += ch
+        return f"struct<{','.join(fields)}>"
+    m = re.fullmatch(r"DECIMAL\((\d+),(\d+)\)", up)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    raise ValueError(f"unsupported KSQL type: {t}")
+
+
+@dataclass
+class StatementResult:
+    kind: str                      # CSAS | CTAS | SELECT | DDL | INFO | ...
+    name: Optional[str] = None
+    df: Optional[DataFrame] = None
+    message: Optional[str] = None
+    rows: Optional[list] = None
+    plan: Optional[str] = None
+
+
+@dataclass
+class EngineConfig:
+    """Engine tunables — the charm `config.yaml` analogue (SURVEY.md §1)."""
+    data_dir: Optional[str] = None           # topic name → f"{data_dir}/{topic}.parquet"
+    service_id: str = "ksql_spark_engine"
+    checkpoint_dir: Optional[str] = None     # streaming checkpoints
+    properties: dict[str, str] = field(default_factory=dict)  # SET'able
+
+
+class KsqlSparkEngine:
+    def __init__(self, spark: SparkSession, data_dir: str | None = None,
+                 config: EngineConfig | None = None, streaming: bool = False):
+        self.spark = spark
+        self.config = config or EngineConfig()
+        if data_dir:
+            self.config.data_dir = data_dir
+        self.metastore = MetaStore()
+        self.streaming = streaming
+        self.queries: dict[str, Any] = {}   # query id → QueryHandle
+        self._qid = 0
+
+    # ------------------------------------------------------------ sources
+
+    def register_source(
+        self,
+        name: str,
+        *,
+        path: str | None = None,
+        df: DataFrame | None = None,
+        key: str | None = None,
+        timestamp: str | None = None,
+        kind: str = "STREAM",
+        value_format: str = "PARQUET",
+        schema_ddl: str | None = None,
+        tiebreak: list[str] | None = None,
+        props: dict | None = None,
+    ) -> SourceMeta:
+        """Register a named STREAM/TABLE over a path or existing DataFrame."""
+        if df is None:
+            if path is None:
+                raise ValueError("need path or df")
+            df = self._read(path, value_format, schema_ddl)
+        changelog = None
+        if kind == "TABLE":
+            changelog = df
+            order = [c for c in ([timestamp] if timestamp else []) + (tiebreak or [])
+                     if c is not None]
+            if not order:
+                raise ValueError("TABLE registration needs timestamp and/or tiebreak")
+            if key is None:
+                raise ValueError("TABLE registration needs a key column")
+            df = latest_per_key(df, key, order)
+        view = self._view_name(name)
+        df.createOrReplaceTempView(view)
+        meta = SourceMeta(
+            name=name, kind=kind, df=df, view=view, key_col=key,
+            ts_col=timestamp, value_format=value_format.upper(),
+            props=props or {}, changelog_df=changelog,
+        )
+        self.metastore.put(meta)
+        return meta
+
+    def register_dir(self, sf_dir: str, tables: dict[str, dict] | None = None) -> None:
+        """Register every parquet table in a directory (test harness path)."""
+        import glob
+        import os
+        if tables is None:
+            tables = {os.path.splitext(os.path.basename(p))[0]: {}
+                      for p in glob.glob(f"{sf_dir}/*.parquet")}
+        for name, kw in tables.items():
+            self.register_source(name, path=f"{sf_dir}/{name}.parquet", **kw)
+
+    def _read(self, path: str, value_format: str, schema_ddl: str | None) -> DataFrame:
+        fmt = value_format.upper()
+        reader = self.spark.readStream if self.streaming else self.spark.read
+        if fmt in ("PARQUET", "KAFKA", "AVRO"):
+            # batch/oracle path substitutes parquet for topics (SURVEY.md §3.2)
+            if schema_ddl and self.streaming:
+                return reader.schema(schema_ddl).parquet(path)
+            return read_parquet(self.spark, path, streaming=self.streaming)
+        if fmt == "JSON":
+            r = reader.schema(schema_ddl) if schema_ddl else reader
+            return r.json(path)
+        if fmt == "DELIMITED":
+            r = reader.schema(schema_ddl) if schema_ddl else reader.option("inferSchema", True)
+            return r.option("header", False).csv(path)
+        raise ValueError(f"unsupported VALUE_FORMAT {value_format}")
+
+    def _view_name(self, name: str) -> str:
+        return f"ksql_{self.config.service_id}_{name}".lower()
+
+    def _resolve(self, name: str) -> SourceInfo:
+        m = self.metastore.get(name)
+        return SourceInfo(name=m.name, view=m.view, ts_col=m.ts_col, key_col=m.key_col)
+
+    # ------------------------------------------------------------ execute
+
+    def execute(self, text: str) -> list[StatementResult]:
+        return [self._execute_one(s) for s in split_statements(text)]
+
+    def sql(self, select_text: str) -> DataFrame:
+        """Run one KSQL SELECT and return the DataFrame."""
+        res = self._execute_one(select_text)
+        if res.df is None:
+            raise ValueError(f"statement produced no DataFrame: {select_text[:60]}")
+        return res.df
+
+    def explain_sql(self, select_text: str) -> str:
+        """Translated Spark SQL for a KSQL SELECT (debug/EXPLAIN surface)."""
+        spec = parse_statement(select_text)
+        if isinstance(spec, CreateAsSpec):
+            spec = spec.select
+        if isinstance(spec, InsertIntoSpec):
+            spec = spec.select
+        if not isinstance(spec, SelectSpec):
+            raise ValueError("not a query")
+        return translate_select(spec, self._resolve)
+
+    def _execute_one(self, stmt: str) -> StatementResult:
+        spec = parse_statement(stmt)
+        if isinstance(spec, SelectSpec):
+            df = self.spark.sql(translate_select(spec, self._resolve))
+            return StatementResult(kind="SELECT", df=df)
+        if isinstance(spec, CreateAsSpec):
+            return self._create_as(spec, stmt)
+        if isinstance(spec, CreateSourceSpec):
+            return self._create_source(spec)
+        if isinstance(spec, InsertIntoSpec):
+            return self._insert_into(spec)
+        if isinstance(spec, SimpleSpec):
+            return self._simple(spec)
+        raise ValueError(f"unhandled statement {stmt[:60]}")
+
+    def _create_source(self, spec: CreateSourceSpec) -> StatementResult:
+        if spec.if_not_exists and self.metastore.has(spec.name):
+            return StatementResult(kind="DDL", name=spec.name, message="exists")
+        topic = spec.props.get("KAFKA_TOPIC", spec.name)
+        fmt = spec.props.get("VALUE_FORMAT", "PARQUET")
+        path = spec.props.get("PATH")
+        if path is None:
+            if self.config.data_dir is None:
+                raise ValueError("no data_dir configured; cannot resolve topic → path")
+            ext = {"JSON": "json", "DELIMITED": "csv"}.get(fmt.upper(), "parquet")
+            path = f"{self.config.data_dir}/{topic}.{ext}"
+        schema_ddl = ", ".join(
+            f"{c} {ksql_type_to_spark(t)}" for c, t in spec.columns
+        ) or None
+        ts = spec.props.get("TIMESTAMP")
+        key = spec.props.get("KEY")
+        self.register_source(
+            spec.name, path=path, key=key, timestamp=ts, kind=spec.kind,
+            value_format=fmt, schema_ddl=schema_ddl, props=spec.props,
+            tiebreak=[c for c in [spec.props.get("TIEBREAK")] if c],
+        )
+        return StatementResult(kind="DDL", name=spec.name,
+                               message=f"{spec.kind} {spec.name} created")
+
+    def _derived_meta(self, spec: CreateAsSpec, df: DataFrame, stmt: str) -> SourceMeta:
+        sel = spec.select
+        cols = set(df.columns)
+        key = spec.props.get("KEY")
+        if key is None and sel.partition_by and len(sel.partition_by) == 1:
+            cand = sel.partition_by[0].text
+            key = cand if cand in cols else None
+        if key is None and sel.group_by:
+            first = sel.group_by[0]
+            if len(first) == 1 and first[0].text in cols:
+                key = first[0].text
+        src_meta = self.metastore.get(sel.source)
+        ts = spec.props.get("TIMESTAMP")
+        if ts is None and src_meta.ts_col in cols:
+            ts = src_meta.ts_col
+        view = self._view_name(spec.name)
+        df.createOrReplaceTempView(view)
+        return SourceMeta(
+            name=spec.name, kind=spec.kind, df=df, view=view, key_col=key,
+            ts_col=ts, value_format=spec.props.get("VALUE_FORMAT", "PARQUET"),
+            props=spec.props, query_text=stmt,
+        )
+
+    def _create_as(self, spec: CreateAsSpec, stmt: str) -> StatementResult:
+        if spec.if_not_exists and self.metastore.has(spec.name):
+            return StatementResult(kind="DDL", name=spec.name, message="exists")
+        df = self.spark.sql(translate_select(spec.select, self._resolve))
+        meta = self._derived_meta(spec, df, stmt)
+        self.metastore.put(meta)
+        self._qid += 1
+        qid = f"{'CTAS' if spec.kind == 'TABLE' else 'CSAS'}_{spec.name.upper()}_{self._qid}"
+        if df.isStreaming:
+            from .streaming.query import start_persistent_query
+            handle = start_persistent_query(self, qid, meta, spec.props)
+            self.queries[qid] = handle
+        else:
+            self.queries[qid] = StatementResult(kind="BATCH_QUERY", name=spec.name, df=df)
+        return StatementResult(kind="CSAS" if spec.kind == "STREAM" else "CTAS",
+                               name=spec.name, df=df, message=qid)
+
+    def _insert_into(self, spec: InsertIntoSpec) -> StatementResult:
+        target = self.metastore.get(spec.target)
+        add = self.spark.sql(translate_select(spec.select, self._resolve))
+        # KSQL INSERT INTO: second query appending into an existing stream;
+        # schemas must match by name (SURVEY.md §3.1) → unionByName.
+        merged = target.df.unionByName(add.select(*target.df.columns))
+        merged.createOrReplaceTempView(target.view)
+        target.df = merged
+        return StatementResult(kind="INSERT", name=spec.target, df=merged)
+
+    # ----------------------------------------------------------- metadata
+
+    def _simple(self, spec: SimpleSpec) -> StatementResult:
+        verb = spec.verb
+        args = [a for a in spec.args if a.upper() != "EXTENDED"]
+        obj = (args[0].upper() if args else "")
+        if verb in ("SHOW", "LIST"):
+            if obj in ("STREAMS", "TABLES"):
+                kind = obj[:-1]
+                return StatementResult(kind="INFO", rows=self.metastore.names(kind))
+            if obj == "TOPICS":
+                return StatementResult(kind="INFO", rows=self.metastore.names())
+            if obj == "QUERIES":
+                return StatementResult(kind="INFO", rows=sorted(self.queries))
+            if obj == "FUNCTIONS":
+                from .dialect import functions as flib
+                rows = sorted(set(flib.RENAMES) | set(flib.HANDLERS) | flib.AGGREGATES)
+                return StatementResult(kind="INFO", rows=rows)
+            raise ValueError(f"SHOW {obj} unsupported")
+        if verb == "DESCRIBE":
+            m = self.metastore.get(args[0].strip("`"))
+            rows = [(f.name, f.dataType.simpleString()) for f in m.df.schema.fields]
+            return StatementResult(kind="INFO", name=m.name, rows=rows,
+                                   message=f"{m.kind} key={m.key_col} ts={m.ts_col}")
+        if verb == "EXPLAIN":
+            qid = args[0] if args else ""
+            q = self.queries.get(qid)
+            if q is not None and getattr(q, "df", None) is not None:
+                plan = q.df._jdf.queryExecution().explainString(
+                    self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+                return StatementResult(kind="INFO", name=qid, plan=plan)
+            raise KeyError(f"unknown query id {qid}")
+        if verb == "DROP":
+            # DROP STREAM/TABLE [IF EXISTS] name [DELETE TOPIC]
+            names = [a for a in args[1:] if a.upper() not in
+                     ("IF", "EXISTS", "DELETE", "TOPIC")]
+            name = names[0].strip("`")
+            if self.metastore.has(name):
+                m = self.metastore.drop(name)
+                self.spark.catalog.dropTempView(m.view)
+                return StatementResult(kind="DDL", name=name, message="dropped")
+            return StatementResult(kind="DDL", name=name, message="not found")
+        if verb == "TERMINATE":
+            qid = args[0]
+            q = self.queries.pop(qid, None)
+            if q is not None and hasattr(q, "stop"):
+                q.stop()
+            return StatementResult(kind="DDL", name=qid, message="terminated")
+        if verb == "SET":
+            # SET 'prop' = 'value'
+            text = " ".join(args)
+            m = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'", text)
+            if not m:
+                raise ValueError(f"bad SET: {text}")
+            self.config.properties[m.group(1)] = m.group(2)
+            return StatementResult(kind="DDL", message=f"set {m.group(1)}")
+        if verb == "UNSET":
+            prop = " ".join(args).strip().strip("'")
+            self.config.properties.pop(prop, None)
+            return StatementResult(kind="DDL", message=f"unset {prop}")
+        if verb == "PRINT":
+            name = args[0].strip("'").strip("`")
+            m = self.metastore.get(name)
+            return StatementResult(kind="SELECT", df=m.df)
+        if verb == "RUN":
+            # RUN SCRIPT 'file'
+            path = " ".join(args[1:]).strip().strip("'")
+            with open(path) as f:
+                results = self.execute(f.read())
+            return StatementResult(kind="INFO", rows=[r.kind for r in results],
+                                   message=f"ran {path}")
+        raise ValueError(f"unsupported statement verb {verb}")

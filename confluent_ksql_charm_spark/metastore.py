@@ -1,0 +1,63 @@
+"""Engine registry — the analogue of KSQL's MetaStore.
+
+Reference: `[ksql:ksqldb-metastore/.../MetaStoreImpl.java]` (public
+knowledge; /root/reference is empty — SURVEY.md §0). KSQL keeps a map of
+name → {KsqlStream | KsqlTable} with schema + key field + timestamp
+extraction policy + serde. Here each row wraps a Spark DataFrame (already
+schema-carrying) plus the KSQL-specific metadata Catalyst doesn't track:
+which column is the ROWKEY, which is the ROWTIME, and whether the relation
+has STREAM (append) or TABLE (changelog/upsert) semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class SourceMeta:
+    name: str
+    kind: str                      # STREAM | TABLE
+    df: DataFrame                  # semantic relation (TABLE → latest-per-key)
+    view: str                      # Spark temp view name
+    key_col: Optional[str] = None  # ROWKEY analogue
+    ts_col: Optional[str] = None   # ROWTIME analogue
+    value_format: str = "PARQUET"
+    props: dict = field(default_factory=dict)
+    changelog_df: Optional[DataFrame] = None  # raw append log for TABLEs
+    query_text: Optional[str] = None          # for derived (CSAS/CTAS) sources
+
+
+class MetaStore:
+    def __init__(self) -> None:
+        self._sources: dict[str, SourceMeta] = {}
+
+    def put(self, meta: SourceMeta, *, replace: bool = True) -> None:
+        key = meta.name.lower()
+        if not replace and key in self._sources:
+            raise ValueError(f"source {meta.name} already exists")
+        self._sources[key] = meta
+
+    def get(self, name: str) -> SourceMeta:
+        meta = self._sources.get(name.lower())
+        if meta is None:
+            raise KeyError(f"unknown stream/table: {name}")
+        return meta
+
+    def drop(self, name: str) -> SourceMeta:
+        return self._sources.pop(name.lower())
+
+    def has(self, name: str) -> bool:
+        return name.lower() in self._sources
+
+    def names(self, kind: str | None = None) -> list[str]:
+        return sorted(
+            m.name for m in self._sources.values()
+            if kind is None or m.kind == kind
+        )
+
+    def __iter__(self):
+        return iter(self._sources.values())

@@ -1,0 +1,3 @@
+from .table import latest_per_key
+
+__all__ = ["latest_per_key"]

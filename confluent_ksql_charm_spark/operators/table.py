@@ -1,0 +1,38 @@
+"""TABLE (changelog → latest-per-key) semantics.
+
+KSQL TABLE = latest value per key of a changelog topic (reference:
+`[ksql:ksqldb-metastore/.../KsqlTable.java]`, SURVEY.md §2.1). The batch
+materialization is "latest row per key with deterministic tiebreak".
+
+Scale design: implemented with `max_by(struct(cols), struct(order))` —
+a hash aggregate with map-side partial aggregation, i.e. ONE shuffle of
+pre-combined partials, no window-function sort. At 100 TB this beats the
+row_number()-over-window formulation (full sort within partitions) by a
+wide margin; both shuffle on the key, only this one combines before the
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    order_cols: list[str] | str,
+) -> DataFrame:
+    """Latest row per key; `order_cols` are tiebroken left-to-right DESC."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    ordering = F.struct(*[F.col(c) for c in order_cols])
+    out_cols = [f"__row.{c}" for c in df.columns]
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.max_by(payload, ordering).alias("__row"))
+        .select(*[F.col(c).alias(c.split(".", 1)[1]) for c in out_cols])
+    )

@@ -1,0 +1,1 @@
+"""LLM-data-pipeline operators (SURVEY.md §3.11 — north-star extensions)."""

@@ -1,0 +1,1 @@
+"""Source/sink builders (Kafka, parquet, JSON, CSV) — SURVEY.md §3.2."""

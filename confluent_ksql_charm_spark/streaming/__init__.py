@@ -1,0 +1,3 @@
+from .query import QueryHandle, start_persistent_query
+
+__all__ = ["QueryHandle", "start_persistent_query"]

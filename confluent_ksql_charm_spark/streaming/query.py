@@ -1,0 +1,84 @@
+"""Persistent-query lifecycle for streaming mode.
+
+KSQL persistent queries (CSAS/CTAS) run forever, identified by a query id,
+restartable via the command topic (`[ksql:ksqldb-rest-app/.../CommandRunner]`
+— public knowledge, SURVEY.md §2.1/§4.1). The Spark analogue: a
+`StreamingQuery` with a checkpoint location providing restart durability.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Optional
+
+from pyspark.sql.streaming import StreamingQuery
+
+if TYPE_CHECKING:
+    from ..engine import KsqlSparkEngine
+    from ..metastore import SourceMeta
+
+
+@dataclass
+class QueryHandle:
+    query_id: str
+    name: str
+    df: object
+    streaming_query: Optional[StreamingQuery] = None
+
+    def stop(self) -> None:
+        if self.streaming_query is not None:
+            self.streaming_query.stop()
+
+    @property
+    def status(self):
+        if self.streaming_query is None:
+            return {"status": "BATCH"}
+        return self.streaming_query.status
+
+    def await_termination(self, timeout: float | None = None):
+        if self.streaming_query is not None:
+            return self.streaming_query.awaitTermination(timeout)
+        return None
+
+    def process_all_available(self) -> None:
+        if self.streaming_query is not None:
+            self.streaming_query.processAllAvailable()
+
+
+def start_persistent_query(engine: "KsqlSparkEngine", qid: str,
+                           meta: "SourceMeta", props: dict) -> QueryHandle:
+    """Start writeStream for a streaming CSAS/CTAS.
+
+    Sink resolution (batch harness uses memory sink; production path would
+    be format('kafka') with the topic from WITH(KAFKA_TOPIC=...)):
+      - WITH (SINK='memory')  → in-memory table named after the stream
+      - WITH (SINK='parquet', SINK_PATH='...') → files
+      - default               → memory sink (local testing)
+    """
+    df = meta.df
+    sink = props.get("SINK", "memory").lower()
+    ckpt = props.get("CHECKPOINT") or (
+        f"{engine.config.checkpoint_dir}/{qid}" if engine.config.checkpoint_dir else None
+    )
+    mode = props.get("OUTPUT_MODE", "update" if meta.kind == "TABLE" else "append")
+    writer = df.writeStream.outputMode(mode).queryName(meta.view)
+    if ckpt:
+        writer = writer.option("checkpointLocation", ckpt)
+    if sink == "memory":
+        writer = writer.format("memory")
+    elif sink == "parquet":
+        writer = writer.format("parquet").option("path", props["SINK_PATH"])
+        if mode != "append":
+            writer = writer.outputMode("append")
+    elif sink == "kafka":
+        writer = (writer.format("kafka")
+                  .option("kafka.bootstrap.servers", props.get("BOOTSTRAP_SERVERS", "localhost:9092"))
+                  .option("topic", props.get("KAFKA_TOPIC", meta.name)))
+    elif sink == "console":
+        writer = writer.format("console")
+    else:
+        raise ValueError(f"unsupported SINK {sink}")
+    if props.get("TRIGGER", "").lower() == "availablenow":
+        writer = writer.trigger(availableNow=True)
+    sq = writer.start()
+    return QueryHandle(query_id=qid, name=meta.name, df=df, streaming_query=sq)

@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("ksql-spark-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def engine(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark, data_dir=SF_DIR)
+    eng.register_source("events", path=f"{SF_DIR}/events.parquet",
+                        key="user_id", timestamp="ts")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        eng.register_source(t, path=f"{SF_DIR}/{t}.parquet")
+    return eng
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()

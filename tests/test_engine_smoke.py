@@ -1,0 +1,43 @@
+"""Phase-0 end-to-end slice: registry + CSAS + projection/filter."""
+
+from __future__ import annotations
+
+
+def test_csas_projection_filter(engine):
+    res = engine.execute(
+        "CREATE STREAM errors AS "
+        "SELECT event_id, user_id, value FROM events WHERE event_type = 'error';"
+    )
+    assert res[0].kind == "CSAS"
+    df = res[0].df
+    assert df.columns == ["event_id", "user_id", "value"]
+    n = df.count()
+    assert n > 0
+    # derived stream is itself queryable
+    df2 = engine.sql("SELECT COUNT(*) AS n FROM errors")
+    assert df2.collect()[0]["n"] == n
+
+
+def test_select_where_like_between_case(engine):
+    df = engine.sql(
+        "SELECT event_id, event_type, "
+        "CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS bucket "
+        "FROM events WHERE event_type LIKE '%err%' AND value BETWEEN 0 AND 1000000"
+    )
+    rows = df.collect()
+    assert all(r["bucket"] in ("high", "low") for r in rows)
+
+
+def test_rowtime_rowkey(engine):
+    df = engine.sql("SELECT ROWKEY AS k, ROWTIME AS t FROM events LIMIT 5")
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(isinstance(r["t"], int) for r in rows)  # epoch millis BIGINT
+
+
+def test_show_describe(engine):
+    streams = engine.execute("SHOW STREAMS;")[0].rows
+    assert "events" in streams
+    d = engine.execute("DESCRIBE events;")[0]
+    cols = [c for c, _ in d.rows]
+    assert "event_id" in cols and "ts" in cols
