@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises the KSQL-capability engine in
+``confluent_ksql_charm_spark`` (dialect front end → Spark SQL → Catalyst)
+or one of the north-star pipeline operators (SURVEY.md §3.11). Each has a
+DuckDB oracle in ``oracle_sql()`` unless genuinely non-SQL-expressible
+(hash-based sketches, session windows, heuristics) — those get rows-only
+checks per the contract.
+
+Comparison conventions (driver hashes values after sorting columns by
+name): every timestamp is exposed as epoch-millis BIGINT (KSQL-faithful:
+ROWTIME is BIGINT millis); floating-point aggregates are rounded; arrays
+are rendered as deterministic comma-joined strings.
 """
 
 from __future__ import annotations
@@ -12,27 +18,594 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+_ENGINES: dict = {}
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings")
+
+
+def _eng(spark: SparkSession, sf_dir: str):
+    """Engine with the full testdata registry (cached per session+dir)."""
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    key = (id(spark), sf_dir)
+    if key in _ENGINES:
+        return _ENGINES[key]
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    eng = KsqlSparkEngine(spark, data_dir=sf_dir)
+    eng.register_source("events", path=f"{sf_dir}/events.parquet",
+                        key="user_id", timestamp="ts")
+    for t in _TABLES:
+        if t != "events":
+            eng.register_source(t, path=f"{sf_dir}/{t}.parquet")
+    # TABLE view of the events changelog: latest row per user
+    eng.register_source("user_state", df=eng.metastore.get("events").df,
+                        key="user_id", timestamp="ts", tiebreak=["event_id"],
+                        kind="TABLE")
+    # customer as a keyed dimension TABLE (static snapshot)
+    eng.register_source("customer_t", df=eng.metastore.get("customer").df,
+                        key="c_custkey", kind="TABLE")
+    _ENGINES[key] = eng
+    return eng
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _eng(spark, sf_dir).metastore.get("documents").df
+
+
+# --------------------------------------------------------------------------
+# entry — flagship smoke query (driver runs on sf0.001)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CTAS aggregation over the events stream via the engine."""
+    eng = _eng(spark, "/root/testdata/sf0.001")
+    eng.execute(
+        "CREATE TABLE user_error_stats AS "
+        "SELECT user_id, COUNT(*) AS n_errors, ROUND(SUM(value), 2) AS total_value "
+        "FROM events WHERE event_type = 'error' GROUP BY user_id;"
+    )
+    return eng.sql("SELECT user_id, n_errors, total_value FROM user_error_stats")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_project_filter(spark, sf):
+    eng = _eng(spark, sf)
+    eng.execute(
+        "CREATE STREAM errors_pf AS "
+        "SELECT event_id, user_id, value FROM events WHERE event_type = 'error';"
+    )
+    return eng.sql("SELECT event_id, user_id, ROUND(value, 4) AS value FROM errors_pf")
+
+
+def _q_case_when_cast(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(l_quantity AS BIGINT) AS qty_int, "
+        "ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge, "
+        "CASE WHEN l_quantity > 30 THEN 'bulk' "
+        "     WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS size_class "
+        "FROM lineitem WHERE l_returnflag <> 'A' AND l_discount BETWEEN 0.02 AND 0.08"
+    )
+
+
+def _q_string_funcs(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT c_custkey, LCASE(c_name) AS lname, UCASE(c_mktsegment) AS useg, "
+        "LEN(c_name) AS name_len, TRIM(CONCAT(c_name, ' ')) AS trimmed, "
+        "REPLACE(c_name, 'Customer', 'Cust') AS repl, "
+        "SUBSTRING(c_name, 1, 8) AS sub8, "
+        "SPLIT(c_name, '#')[1] AS after_hash, "
+        "IFNULL(c_mktsegment, 'none') AS seg FROM customer"
+    )
+
+
+def _q_mask_funcs(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT c_custkey, MASK(c_name) AS m, MASK_LEFT(c_name, 4) AS ml, "
+        "MASK_RIGHT(c_name, 4) AS mr, MASK_KEEP_LEFT(c_name, 4) AS mkl, "
+        "MASK_KEEP_RIGHT(c_name, 4) AS mkr FROM customer"
+    )
+
+
+def _q_json_extract(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT event_id, EXTRACTJSONFIELD(props, '$.k') AS k_str "
+        "FROM events WHERE props IS NOT NULL"
+    )
+
+
+def _q_datetime_funcs(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT event_id, ROWTIME AS ts_ms, "
+        "TIMESTAMPTOSTRING(ROWTIME, 'yyyy-MM-dd HH:mm') AS ts_str, "
+        "STRINGTOTIMESTAMP(TIMESTAMPTOSTRING(ROWTIME, 'yyyy-MM-dd HH:mm'), "
+        "'yyyy-MM-dd HH:mm') AS ts_roundtrip_ms FROM events"
+    )
+
+
+def _q_math_funcs(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS adisc, "
+        "CEIL(l_quantity) AS cq, FLOOR(l_extendedprice) AS fp, "
+        "ROUND(SQRT(l_extendedprice), 4) AS sq, "
+        "ROUND(LN(l_extendedprice + 1), 4) AS lnp, "
+        "ROUND(GEO_DISTANCE(40.7, -74.0, 51.5, -0.1), 1) AS nyc_lon_km "
+        "FROM lineitem WHERE l_linenumber = 1"
+    )
+
+
+def _q_pricing_summary(spark, sf):
+    # TPC-H Q1-style pricing summary: GROUP BY + the full agg set + HAVING
+    return _eng(spark, sf).sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+        "ROUND(MIN(l_extendedprice), 2) AS min_price, "
+        "ROUND(MAX(l_extendedprice), 2) AS max_price, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus HAVING COUNT(*) > 10"
+    )
+
+
+def _q_topk(spark, sf):
+    df = _eng(spark, sf).sql(
+        "SELECT event_type, TOPK(value, 5) AS top5 FROM events GROUP BY event_type"
+    )
+    return df.select(
+        "event_type",
+        F.array_join(
+            F.transform("top5", lambda x: F.round(x, 3).cast("string")), ","
+        ).alias("top5_csv"),
+    )
+
+
+def _q_topkdistinct(spark, sf):
+    df = _eng(spark, sf).sql(
+        "SELECT p_brand, TOPKDISTINCT(p_size, 3) AS top3 FROM part GROUP BY p_brand"
+    )
+    return df.select(
+        "p_brand",
+        F.array_join(F.transform("top3", lambda x: x.cast("string")), ",")
+        .alias("top3_csv"),
+    )
+
+
+def _q_histogram(spark, sf):
+    df = _eng(spark, sf).sql(
+        "SELECT lang, HISTOGRAM(source) AS h FROM documents GROUP BY lang"
+    )
+    return df.select("lang", F.explode("h").alias("source", "cnt"))
+
+
+def _q_collect_set_csv(spark, sf):
+    df = _eng(spark, sf).sql(
+        "SELECT user_id, COLLECT_SET(event_type) AS types FROM events GROUP BY user_id"
+    )
+    return df.select(
+        "user_id", F.array_join(F.sort_array("types"), ",").alias("types_csv")
+    )
+
+
+def _q_tumbling_window(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT event_type, WINDOWSTART() AS ws, WINDOWEND() AS we, "
+        "COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+        "FROM events WINDOW TUMBLING (SIZE 1 HOUR) GROUP BY event_type"
+    )
+
+
+def _q_hopping_window(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT event_type, WINDOWSTART() AS ws, COUNT(*) AS n "
+        "FROM events WINDOW HOPPING (SIZE 1 HOUR, ADVANCE BY 30 MINUTES) "
+        "GROUP BY event_type"
+    )
+
+
+def _q_session_window(spark, sf):
+    # No DuckDB oracle (session merge is iterative) → rows-only check.
+    return _eng(spark, sf).sql(
+        "SELECT user_id, WINDOWSTART() AS ws, COUNT(*) AS n "
+        "FROM events WINDOW SESSION (10 MINUTES) GROUP BY user_id"
+    )
+
+
+def _q_latest_per_key(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT user_id, event_id, ROWTIME AS ts_ms, event_type, "
+        "ROUND(value, 4) AS value FROM user_state"
+    )
+
+
+def _q_stream_table_join(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, "
+        "ROUND(e.value, 4) AS value "
+        "FROM events e LEFT JOIN customer_t c ON e.user_id = c.c_custkey "
+        "WHERE e.event_type = 'purchase'"
+    )
+
+
+def _q_table_table_join(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT u.user_id, u.event_type AS last_type, c.c_name, "
+        "ROUND(c.c_acctbal, 2) AS acctbal "
+        "FROM user_state u JOIN customer_t c ON u.user_id = c.c_custkey"
+    )
+
+
+def _q_stream_stream_join(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT a.event_id AS signup_id, b.event_id AS purchase_id, a.user_id "
+        "FROM events a JOIN events b WITHIN 5 MINUTES ON a.user_id = b.user_id "
+        "WHERE a.event_type = 'signup' AND b.event_type = 'purchase'"
+    )
+
+
+def _q_insert_into(spark, sf):
+    eng = _eng(spark, sf)
+    eng.execute(
+        "CREATE STREAM sig_pur AS SELECT event_id, user_id, ROUND(value, 4) AS value "
+        "FROM events WHERE event_type = 'signup';"
+        "INSERT INTO sig_pur SELECT event_id, user_id, ROUND(value, 4) AS value "
+        "FROM events WHERE event_type = 'purchase';"
+    )
+    return eng.sql("SELECT event_id, user_id, value FROM sig_pur")
+
+
+def _q_dedup_exact(spark, sf):
+    from confluent_ksql_charm_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf), ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _q_ngram_jaccard(spark, sf):
+    # Exact 3-gram Jaccard on a deterministic candidate set (adjacent ids) —
+    # oracles the similarity math; candidate *generation* is the LSH path
+    # (rows-only, see minhash_near_dup).
+    from confluent_ksql_charm_spark.pipeline.dedup import jaccard_for_pairs
+
+    docs = _docs(spark, sf)
+    pairs = docs.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 1).alias("id_b"))
+    out = jaccard_for_pairs(docs, pairs, "doc_id", "text", shingle_k=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_embedding_topk(spark, sf):
+    from confluent_ksql_charm_spark.pipeline.similarity import cosine_topk
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = cosine_topk(emb.where(F.col("vec_id") != 0), [float(x) for x in qvec], k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_token_stats(spark, sf):
+    from confluent_ksql_charm_spark.pipeline.text import token_count
+
+    docs = _docs(spark, sf)
+    per_doc = docs.select("lang", token_count("text").alias("n_tok"),
+                          F.col("n_chars"))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def _q_text_quality(spark, sf):
+    from confluent_ksql_charm_spark.pipeline.text import alpha_ratio, punct_ratio
+
+    docs = _docs(spark, sf)
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
+    )
+
+
+def _q_minhash_near_dup(spark, sf):
+    # Hash-based LSH (xxhash64) — not oracle-expressible; rows-only.
+    from confluent_ksql_charm_spark.pipeline.dedup import near_dup_pairs
+
+    return near_dup_pairs(_docs(spark, sf), "doc_id", "text", threshold=0.5)
+
+
+def _q_simhash_near_dup(spark, sf):
+    # Hash-based sketch — rows-only.
+    from confluent_ksql_charm_spark.pipeline.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(spark, sf), "doc_id", "text",
+                                  max_hamming=4)
+
+
+def _q_doc_fingerprint(spark, sf):
+    # xxhash64-based — rows-only; stable across runs (deterministic hash).
+    from confluent_ksql_charm_spark.pipeline.text import fingerprint64
+
+    return _docs(spark, sf).select("doc_id", fingerprint64("text").alias("fp"))
+
+
+def _q_lang_guess(spark, sf):
+    # Heuristic stopword scorer — rows-only.
+    from confluent_ksql_charm_spark.pipeline.text import guess_language
+
+    return _docs(spark, sf).select("doc_id", "lang",
+                                   guess_language("text").alias("lang_guess"))
+
+
+def _q_ann_lsh(spark, sf):
+    # Approximate variant of embedding_topk — rows-only (bucket pruning
+    # changes the candidate set; exact recall checked in unit tests).
+    from confluent_ksql_charm_spark.pipeline.similarity import lsh_bucket_topk
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = lsh_bucket_topk(emb.where(F.col("vec_id") != 0),
+                          [float(x) for x in qvec], k=10, bits=8,
+                          probe_hamming=8)  # full probe = exact; scale knob
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_multimodal_features(spark, sf):
+    from confluent_ksql_charm_spark.pipeline.multimodal import (
+        attach_fake_media, extract_features)
+
+    media = attach_fake_media(_docs(spark, sf))
+    feats = extract_features(media, decode_stub=True)
+    return feats.select("doc_id", "media_type", "n_bytes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "project_filter": _q_project_filter,
+        "case_when_cast": _q_case_when_cast,
+        "string_funcs": _q_string_funcs,
+        "mask_funcs": _q_mask_funcs,
+        "json_extract": _q_json_extract,
+        "datetime_funcs": _q_datetime_funcs,
+        "math_funcs": _q_math_funcs,
+        "pricing_summary": _q_pricing_summary,
+        "topk_per_group": _q_topk,
+        "topkdistinct_per_group": _q_topkdistinct,
+        "histogram": _q_histogram,
+        "collect_set_csv": _q_collect_set_csv,
+        "tumbling_window": _q_tumbling_window,
+        "hopping_window": _q_hopping_window,
+        "session_window": _q_session_window,
+        "latest_per_key": _q_latest_per_key,
+        "stream_table_join": _q_stream_table_join,
+        "table_table_join": _q_table_table_join,
+        "stream_stream_join_within": _q_stream_stream_join,
+        "insert_into_union": _q_insert_into,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_cosine_topk": _q_embedding_topk,
+        "token_stats_by_lang": _q_token_stats,
+        "text_quality": _q_text_quality,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "lang_guess": _q_lang_guess,
+        "ann_lsh_topk": _q_ann_lsh,
+        "multimodal_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "project_filter": (
+            "SELECT event_id, user_id, ROUND(value, 4) AS value "
+            "FROM events WHERE event_type = 'error'"
+        ),
+        "case_when_cast": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(l_quantity AS BIGINT) AS qty_int, "
+            "ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge, "
+            "CASE WHEN l_quantity > 30 THEN 'bulk' "
+            "     WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS size_class "
+            "FROM lineitem WHERE l_returnflag <> 'A' "
+            "AND l_discount BETWEEN 0.02 AND 0.08"
+        ),
+        "string_funcs": (
+            "SELECT c_custkey, lower(c_name) AS lname, upper(c_mktsegment) AS useg, "
+            "length(c_name) AS name_len, trim(concat(c_name, ' ')) AS trimmed, "
+            "replace(c_name, 'Customer', 'Cust') AS repl, "
+            "substring(c_name, 1, 8) AS sub8, "
+            "string_split(c_name, '#')[2] AS after_hash, "
+            "coalesce(c_mktsegment, 'none') AS seg FROM customer"
+        ),
+        "mask_funcs": (
+            "WITH m AS (SELECT c_custkey, c_name AS s, length(c_name) AS n "
+            "FROM customer) "
+            "SELECT c_custkey, "
+            "regexp_replace(regexp_replace(regexp_replace(s, '[A-Z]', 'X', 'g'), "
+            "'[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS m, "
+            "concat(regexp_replace(regexp_replace(regexp_replace("
+            "substring(s, 1, 4), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), "
+            "'[0-9]', 'n', 'g'), substring(s, 5)) AS ml, "
+            "concat(substring(s, 1, greatest(n - 4, 0)), "
+            "regexp_replace(regexp_replace(regexp_replace("
+            "substring(s, greatest(n - 4, 0) + 1), '[A-Z]', 'X', 'g'), "
+            "'[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')) AS mr, "
+            "concat(substring(s, 1, 4), "
+            "regexp_replace(regexp_replace(regexp_replace(substring(s, 5), "
+            "'[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')) AS mkl, "
+            "concat(regexp_replace(regexp_replace(regexp_replace("
+            "substring(s, 1, greatest(n - 4, 0)), '[A-Z]', 'X', 'g'), "
+            "'[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'), "
+            "substring(s, greatest(n - 4, 0) + 1)) AS mkr FROM m"
+        ),
+        "json_extract": (
+            "SELECT event_id, json_extract_string(props, '$.k') AS k_str "
+            "FROM events WHERE props IS NOT NULL"
+        ),
+        "datetime_funcs": (
+            "SELECT event_id, epoch_ms(ts) AS ts_ms, "
+            "strftime(ts, '%Y-%m-%d %H:%M') AS ts_str, "
+            "epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M'), "
+            "'%Y-%m-%d %H:%M')) AS ts_roundtrip_ms FROM events"
+        ),
+        "math_funcs": (
+            "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS adisc, "
+            "CAST(CEIL(l_quantity) AS BIGINT) AS cq, "
+            "CAST(FLOOR(l_extendedprice) AS BIGINT) AS fp, "
+            "ROUND(SQRT(l_extendedprice), 4) AS sq, "
+            "ROUND(LN(l_extendedprice + 1), 4) AS lnp, "
+            "ROUND(6371.0 * 2 * ASIN(SQRT(POW(SIN(RADIANS(51.5 - 40.7) / 2), 2) + "
+            "COS(RADIANS(40.7)) * COS(RADIANS(51.5)) * "
+            "POW(SIN(RADIANS(-0.1 - (-74.0)) / 2), 2))), 1) AS nyc_lon_km "
+            "FROM lineitem WHERE l_linenumber = 1"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+            "ROUND(MIN(l_extendedprice), 2) AS min_price, "
+            "ROUND(MAX(l_extendedprice), 2) AS max_price, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "HAVING COUNT(*) > 10"
+        ),
+        "topk_per_group": (
+            "WITH ranked AS (SELECT event_type, value, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rn "
+            "FROM events) "
+            "SELECT event_type, string_agg(CAST(ROUND(value, 3) AS VARCHAR), ',' "
+            "ORDER BY value DESC) AS top5_csv "
+            "FROM ranked WHERE rn <= 5 GROUP BY event_type"
+        ),
+        "topkdistinct_per_group": (
+            "WITH d AS (SELECT DISTINCT p_brand, p_size FROM part), "
+            "ranked AS (SELECT p_brand, p_size, "
+            "row_number() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rn "
+            "FROM d) "
+            "SELECT p_brand, string_agg(CAST(p_size AS VARCHAR), ',' "
+            "ORDER BY p_size DESC) AS top3_csv "
+            "FROM ranked WHERE rn <= 3 GROUP BY p_brand"
+        ),
+        "histogram": (
+            "SELECT lang, source, COUNT(*) AS cnt "
+            "FROM documents GROUP BY lang, source"
+        ),
+        "collect_set_csv": (
+            "SELECT user_id, string_agg(DISTINCT event_type, ',' "
+            "ORDER BY event_type) AS types_csv FROM events GROUP BY user_id"
+        ),
+        "tumbling_window": (
+            "SELECT event_type, "
+            "(epoch_ms(ts) // 3600000) * 3600000 AS ws, "
+            "(epoch_ms(ts) // 3600000) * 3600000 + 3600000 AS we, "
+            "COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+            "FROM events GROUP BY event_type, ws, we"
+        ),
+        "hopping_window": (
+            "SELECT event_type, ws, COUNT(*) AS n FROM ("
+            "SELECT e.event_type, gs.ws FROM events e, LATERAL ("
+            "SELECT unnest(generate_series("
+            "((epoch_ms(e.ts) - 3600000) // 1800000 + 1) * 1800000, "
+            "(epoch_ms(e.ts) // 1800000) * 1800000, 1800000)) AS ws) gs"
+            ") GROUP BY event_type, ws"
+        ),
+        "latest_per_key": (
+            "SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, "
+            "ROUND(value, 4) AS value FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "stream_table_join": (
+            "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, "
+            "ROUND(e.value, 4) AS value "
+            "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey "
+            "WHERE e.event_type = 'purchase'"
+        ),
+        "table_table_join": (
+            "WITH u AS (SELECT * FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) = 1) "
+            "SELECT u.user_id, u.event_type AS last_type, c.c_name, "
+            "ROUND(c.c_acctbal, 2) AS acctbal "
+            "FROM u JOIN customer c ON u.user_id = c.c_custkey"
+        ),
+        "stream_stream_join_within": (
+            "SELECT a.event_id AS signup_id, b.event_id AS purchase_id, a.user_id "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND epoch_us(b.ts) >= epoch_us(a.ts) - 300000000 "
+            "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 "
+            "WHERE a.event_type = 'signup' AND b.event_type = 'purchase'"
+        ),
+        "insert_into_union": (
+            "SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "
+            "WHERE event_type = 'signup' "
+            "UNION ALL "
+            "SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "
+            "WHERE event_type = 'purchase'"
+        ),
+        "dedup_exact": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1"
+        ),
+        "ngram_jaccard": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) >= 3 "
+            "THEN [array_to_string(t[i:i+2], ' ') "
+            "FOR i IN generate_series(1, length(t) - 2)] "
+            "ELSE [array_to_string(t, ' ')] END) AS s FROM toks) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "ROUND(length(list_intersect(a.s, b.s)) * 1.0 / "
+            "(length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))), 4) "
+            "AS jaccard "
+            "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"
+        ),
+        "embedding_cosine_topk": (
+            "SELECT vec_id, ROUND(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
+            "LIMIT 10"
+        ),
+        "token_stats_by_lang": (
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT) "
+            "AS total_tokens, "
+            "ROUND(AVG(length(string_split_regex(trim(text), '\\s+'))), 4) "
+            "AS avg_tokens, "
+            "ROUND(AVG(n_chars), 4) AS avg_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "text_quality": (
+            "SELECT doc_id, "
+            "ROUND(CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
+            "* 1.0 / length(text) ELSE 0 END, 4) AS punct_ratio, "
+            "ROUND(CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+            "* 1.0 / length(text) ELSE 0 END, 4) AS alpha_ratio "
+            "FROM documents"
+        ),
+        "multimodal_features": (
+            "SELECT doc_id, 'image/fake' AS media_type, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+        ),
+        # rows-only (no oracle): session_window, minhash_near_dup,
+        # simhash_near_dup, doc_fingerprint, lang_guess, ann_lsh_topk
+    }

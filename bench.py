@@ -1,0 +1,80 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Protocol (BASELINE.md): one warm-up run, then median of 3 timed runs per
+query; timing materializes the full result via a count-collapsing
+`write.format("noop")`-equivalent (df.count() after a no-op cache-free
+plan — we use count() which executes the whole plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "tumbling_window",
+    "latest_per_key",
+    "stream_table_join",
+    "stream_stream_join_within",
+    "topk_per_group",
+    "dedup_exact",
+    "minhash_near_dup",
+    "embedding_cosine_topk",
+    "token_stats_by_lang",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ksql-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        runs = []
+        for i in range(4):  # 1 warm-up + 3 timed
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            if i > 0:
+                runs.append(dt)
+        timings[name] = round(statistics.median(runs), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -278,6 +278,8 @@ def parse_select(cur: _Cursor) -> SelectSpec:
     select_items: list[tuple[list[Token], str | None]] = []
     while True:
         expr = _take_expr_until(cur, {"FROM", "AS"}, stop_comma=True)
+        if not expr:
+            raise ValueError(f"empty select expression near {cur.peek()}")
         alias: str | None = None
         if cur.at_kw("AS"):
             cur.next()

@@ -71,12 +71,13 @@ def rewrite_expr(tokens: list[Token], ctx: TranslationContext) -> str:
             inner = tokens[i + 1:j - 1]
             idx = rewrite_expr(inner, ctx)
             base = out.pop()
+            # try_element_at: KSQL returns NULL out-of-bounds (ANSI-safe)
             if len(inner) == 1 and inner[0].kind == STRING:
-                out.append(f"element_at({base}, {idx})")          # map key
+                out.append(f"try_element_at({base}, {idx})")          # map key
             elif len(inner) == 1 and inner[0].kind == NUMBER:
-                out.append(f"element_at({base}, {int(idx) + 1})")  # 0-based literal
+                out.append(f"try_element_at({base}, {int(idx) + 1})")  # 0-based
             else:
-                out.append(f"element_at({base}, ({idx}) + 1)")
+                out.append(f"try_element_at({base}, ({idx}) + 1)")
             i = j
             continue
         if t.kind == IDENT:
@@ -191,7 +192,12 @@ def translate_select(spec: SelectSpec, resolve) -> str:
         if not spec.group_by:
             raise ValueError("WINDOW requires GROUP BY (KSQL semantics)")
         if src.ts_col is None:
-            raise ValueError(f"source {spec.source} has no timestamp column for WINDOW")
+            raise ValueError(
+                f"source {spec.source} has no timestamp column for WINDOW — "
+                "declare one with WITH (TIMESTAMP='col') or register_source("
+                "timestamp=...); KSQL's implicit ROWTIME is the Kafka record "
+                "timestamp, which a file-backed stream does not carry"
+            )
         group_sqls.append(_window_group_expr(spec.window, f"{src_prefix}.{src.ts_col}"))
 
     hint = ""

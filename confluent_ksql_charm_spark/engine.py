@@ -140,14 +140,15 @@ class KsqlSparkEngine:
             df = self._read(path, value_format, schema_ddl)
         changelog = None
         if kind == "TABLE":
-            changelog = df
             order = [c for c in ([timestamp] if timestamp else []) + (tiebreak or [])
                      if c is not None]
-            if not order:
-                raise ValueError("TABLE registration needs timestamp and/or tiebreak")
-            if key is None:
-                raise ValueError("TABLE registration needs a key column")
-            df = latest_per_key(df, key, order)
+            if order:
+                # changelog topic → latest-per-key materialization
+                if key is None:
+                    raise ValueError("TABLE registration needs a key column")
+                changelog = df
+                df = latest_per_key(df, key, order)
+            # else: static dimension snapshot, already one row per key
         view = self._view_name(name)
         df.createOrReplaceTempView(view)
         meta = SourceMeta(

@@ -1,0 +1,273 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star extension (SURVEY.md §3.11) — no reference analogue. Every
+operator here is designed for the 100 TB path:
+
+- everything is expression-only (higher-order functions, `xxhash64`) —
+  JVM-side, whole-stage codegen, no Python UDFs;
+- near-dup candidate generation is MinHash + LSH banding: shingle →
+  signature → band-hash → *equi-join on band bucket* — never an O(n²)
+  cross join; the only shuffles are the band groupBy and the final
+  pair-dedup, both on well-distributed hash keys;
+- huge buckets (degenerate near-identical corpora) are capped via a
+  per-bucket limit to bound the quadratic within-bucket pair expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def shingles_col(text: str | Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (word n-grams) of a text column."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def exact_dedup(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
+    """One representative row (min id) per distinct value of `on`.
+
+    Hash-aggregate with map-side partial combine: one shuffle on the
+    dedup key — the canonical exact-dedup plan at any scale.
+    """
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(*on)
+        .agg(F.min_by(payload, F.col(id_col)).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
+    )
+
+
+def minhash_signature(text: str | Column, num_hashes: int = 64,
+                      shingle_k: int = 3) -> Column:
+    """MinHash signature: per seed i, min over shingles of a seeded hash.
+
+    Each shingle STRING is hashed once (xxhash64); the per-seed variants
+    re-hash only the resulting 8-byte long (xxhash64(h, i)) — ~10× cheaper
+    than hashing the string num_hashes times, same independence properties.
+    """
+    base = F.transform(shingles_col(text, shingle_k), lambda s: F.xxhash64(s))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(base, lambda h: F.xxhash64(h, i))),
+    )
+
+
+def with_minhash(df: DataFrame, text_col: str, num_hashes: int = 64,
+                 shingle_k: int = 3, out_col: str = "minhash",
+                 id_col: str | None = None) -> DataFrame:
+    """Attach a MinHash signature column.
+
+    Scale shape: explode shingles → xxhash64 each shingle string ONCE →
+    one hash-aggregate per id with `num_hashes` vectorized `min` columns
+    (seed variants re-hash only the 8-byte long). Map-side partial `min`
+    combines before the single shuffle on the id — at 100 TB the shuffle
+    carries |ids|·num_hashes longs, not the shingle sets.
+
+    (A per-row higher-order-function formulation avoids the shuffle but
+    Catalyst inlines the shared shingle-hash array into the per-seed
+    lambda — re-hashing every string num_hashes times. Measured ~10×
+    slower; hence the explode+agg shape.)
+    """
+    if id_col is None:
+        id_col = df.columns[0]
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes,
+                              shingle_k=shingle_k, out_col=out_col)
+    return df.join(sigs, id_col)
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
+                       num_hashes: int = 64, shingle_k: int = 3,
+                       out_col: str = "minhash") -> DataFrame:
+    """(id, signature) only — the minimal relation LSH banding needs."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(shingles_col(text_col, shingle_k)).alias("__sh"),
+    ).select(id_col, F.xxhash64("__sh").alias("__h"))
+    mins = [F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+            for i in range(num_hashes)]
+    return exploded.groupBy(id_col).agg(*mins).select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(out_col),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) via MinHash LSH banding.
+
+    rows = num_hashes / bands hashes per band; two docs collide in a band
+    iff that slice of their signatures matches exactly. Output columns:
+    ``id_a, id_b`` (distinct). `max_bucket` caps pathological buckets
+    (bounds within-bucket pair blowup; capped buckets are still covered
+    by their other bands).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col,
+                             num_hashes=num_hashes, shingle_k=shingle_k)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice(F.col("minhash"), b * rows + 1, rows),
+                        lambda h: h.cast("string"))), b).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, max_bucket)
+             .alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.filter(
+                F.flatten(F.transform(
+                    F.col("ids"),
+                    lambda a: F.transform(F.col("ids"), lambda b: F.struct(
+                        a.alias("id_a"), b.alias("id_b"))),
+                )),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) pairs.
+
+    Two broadcast-or-shuffle equi-joins against the (small) pair list —
+    never quadratic in the corpus.
+    """
+    # Shingle ONLY documents that appear in a candidate pair (semi-join
+    # pre-filter) — the pair list is tiny relative to the corpus, so this
+    # skips shingling ~all of the 100 TB.
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    sh = df.join(ids, id_col, "left_semi").select(
+        F.col(id_col), shingles_col(text_col, shingle_k).alias("sh")
+    )
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("sh_a", "sh_b"))
+             / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                   threshold: float = 0.7, num_hashes: int = 64,
+                   bands: int = 16, shingle_k: int = 3) -> DataFrame:
+    """LSH candidates → exact-Jaccard verification → pairs ≥ threshold."""
+    # cache: the candidate list is consumed 3× downstream (two id scans +
+    # the verify join) and is tiny relative to the corpus — caching avoids
+    # re-running the whole LSH pipeline per consumer.
+    cands = lsh_candidate_pairs(df, id_col, text_col,
+                                num_hashes=num_hashes, bands=bands,
+                                shingle_k=shingle_k).cache()
+    scored = jaccard_for_pairs(df, cands, id_col, text_col, shingle_k=shingle_k)
+    return scored.where(F.col("jaccard") >= threshold)
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str,
+               out_col: str = "sim") -> DataFrame:
+    """64-bit SimHash per row: bit k set iff sum over distinct token
+    hashes of ±1 (sign of hash-bit k) is positive.
+
+    Scale shape: explode tokens → ONE hash-aggregate on the id (64
+    vectorized integer sums, map-side partial combine) → bit-assembly
+    projection. No per-row O(64·tokens) recomputation, no UDFs.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("__tok"),
+    ).select(id_col, F.xxhash64("__tok").alias("__h"))
+    bit_sums = [
+        F.sum(
+            F.shiftrightunsigned(F.col("__h"), k).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__b{k}")
+        for k in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for k in range(64):
+        bit = F.when(F.col(f"__b{k}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), k)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return agg.select(F.col(id_col), sim.alias(out_col))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs by blocking on 16-bit quadrants.
+
+    Pigeonhole: hamming ≤ 3 ⇒ at least one of the four 16-bit quadrants
+    is identical → equi-join per quadrant, verify hamming distance. No
+    cross join; each quadrant join shuffles on a 16-bit-key hash.
+    """
+    sh = simhash_df(df, id_col, text_col).withColumnRenamed(id_col, "id")
+    quads = sh.select(
+        "id", "sim",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftrightunsigned(F.col("sim"), q * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("qv"),
+            )
+            for q in range(4)
+        ])).alias("qq"),
+    ).select("id", "sim", "qq.q", "qq.qv")
+    a = quads.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "q", "qv")
+    b = quads.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), "q", "qv")
+    pairs = (
+        a.join(b, ["q", "qv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+        .withColumn("hamming", F.bit_count(
+            F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

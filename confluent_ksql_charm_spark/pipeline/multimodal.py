@@ -1,0 +1,110 @@
+"""Multimodal (image/audio/video) column plumbing — SURVEY.md §3.11.
+
+Media payloads are opaque `binary` columns with a typed metadata struct.
+The Spark-side plumbing (schema, partition-friendly batch iteration via
+`mapInPandas`, Arrow batch shape) is real and tested; the actual codec
+work is STUBBED (`decode_stub=True` → deterministic fake features;
+`decode_stub=False` → NotImplementedError) because no image/audio
+libraries exist in this container. Swapping in a real decoder means
+replacing only the body of `_extract_one`.
+
+Scale notes: `mapInPandas` streams Arrow record batches per partition —
+constant memory per executor regardless of table size; media bytes never
+pass through the driver. Control batch size with
+`spark.sql.execution.arrow.maxRecordsPerBatch` when payloads are large.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_DDL = (
+    "media_type string, width int, height int, duration_ms bigint, codec string"
+)
+
+FEATURE_SCHEMA_DDL = (
+    "doc_id bigint, media_type string, n_bytes bigint, "
+    "sha_bucket int, feat array<float>"
+)
+
+
+def attach_fake_media(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Build a media-shaped relation from text rows (test fixture):
+    payload = utf-8 bytes of the text, metadata struct typed as real
+    media metadata would be."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            (F.length(text_col) % 1024).cast("int").alias("width"),
+            (F.length(text_col) % 768).cast("int").alias("height"),
+            F.lit(0).cast("bigint").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _extract_one(payload: bytes, media_type: str, decode_stub: bool) -> list[float]:
+    if not decode_stub:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg — not available in this "
+            "container; run with decode_stub=True for deterministic fakes"
+        )
+    # Deterministic fake "feature": 4 moments of the byte histogram.
+    if not payload:
+        return [0.0, 0.0, 0.0, 0.0]
+    n = len(payload)
+    s1 = sum(payload) / n
+    s2 = sum(b * b for b in payload) / n
+    return [float(n), float(s1), float(s2), float(s2 - s1 * s1)]
+
+
+def extract_features(media: DataFrame, *, decode_stub: bool = True,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Decode/feature-extract media payloads via mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _extract_one(p, m, decode_stub)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "sha_bucket": [
+                    (int.from_bytes(p[:4], "big") if p else 0) % 64
+                    for p in pdf["payload"]
+                ],
+                "feat": feats,
+            })
+
+    flat = media.select(
+        F.col(id_col), F.col("payload"), F.col("meta.media_type").alias("media_type")
+    )
+    return flat.mapInPandas(run, schema=FEATURE_SCHEMA_DDL)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling *plan*: one row per (doc, frame_ts) — the explode is
+    expression-side; actual frame decode would chain extract_features."""
+    return media.select(
+        F.col(id_col),
+        F.col("meta"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0).cast("bigint")),
+                F.lit(every_ms).cast("bigint"),
+            )
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,132 @@
+"""Embedding similarity search (SURVEY.md §3.11 north-star extension).
+
+Scale design:
+- `cosine_topk`: brute-force scan vs ONE query vector — embarrassingly
+  parallel map + a size-k top-k (Spark `orderBy(...).limit(k)` lowers to
+  TakeOrderedAndProject: per-partition k-heaps, no global sort/shuffle of
+  the full table). The dot product is `aggregate(zip_with(...))` —
+  expression-only, JVM-side.
+- `lsh_bucket_topk`: random-hyperplane LSH variant — signs of projections
+  onto deterministic pseudo-random hyperplanes form a bucket id; the scan
+  is restricted to buckets within `probe` Hamming distance of the query
+  bucket. At 100 TB this prunes the candidate set by ~2^bits/probed.
+- `knn_self_join`: all-pairs top-k via LSH bucket equi-join (for dedup /
+  clustering) — never a cross join.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k rows by cosine similarity to `query_vec`."""
+    q = _vec_lit(query_vec)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    scored = df.select(
+        F.col(id_col),
+        (dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn)))
+        .alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random Gaussian hyperplanes (Box–Muller on a
+    seeded LCG — no numpy dependency at plan-build time needed, but use
+    numpy when available for clarity)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).tolist()
+
+
+def signed_projection_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit b = sign(vec · plane_b)."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        bucket = bucket + F.when(
+            dot(vec_col, _vec_lit(plane)) > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
+                    bits: int = 8, vec_col: str = "embedding",
+                    id_col: str = "vec_id", probe_hamming: int = 1,
+                    seed: int = 42) -> DataFrame:
+    """Approximate top-k: scan only LSH buckets near the query's bucket.
+
+    Returns the same schema as `cosine_topk` (id, cosine); recall depends
+    on bits/probe_hamming. Bucket pruning happens in a WHERE on a
+    precomputable bucket column — at scale this column would be
+    partition/bucket metadata enabling partition pruning.
+    """
+    planes = _hyperplanes(len(query_vec), bits, seed)
+    qbucket = 0
+    for b, plane in enumerate(planes):
+        if sum(p * float(x) for p, x in zip(plane, query_vec)) > 0:
+            qbucket |= 1 << b
+    bucketed = df.withColumn("__bucket", signed_projection_bucket(F.col(vec_col), planes))
+    cand = bucketed.where(
+        F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def knn_self_join(df: DataFrame, k: int = 5, *, bits: int = 8,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  seed: int = 42) -> DataFrame:
+    """Approximate k-NN per row via LSH bucket equi-join.
+
+    Pairs are generated only within identical buckets (equi-join on the
+    bucket id — shuffle, not cross join), then per-row top-k by cosine.
+    """
+    from pyspark.sql.window import Window
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col),
+        signed_projection_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+                        "__bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+                        "__bucket")
+    pairs = (
+        a.join(b, "__bucket")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.col("id_b"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators (SURVEY.md §3.11 north-star extension).
+
+All expression-only (regex + higher-order functions) — JVM-side,
+codegen-friendly, no Python in the hot path. Each helper returns a Column
+so operators compose into one projection over the scan (single pass,
+filters/columns still push down to parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+# Tiny per-language stopword lists for the n-gram/stopword-overlap
+# language-ID heuristic. Deliberately small — this is a heuristic scorer,
+# not a model; real corpora would ship fuller lists.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "are"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "una", "por", "con"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "dans", "pour"],
+}
+
+
+def token_count(text: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """BPE-ish subword count: words + digit runs + punctuation singletons,
+    approximated as count of `\\w+`-ish chunks plus non-space symbols."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.size(F.filter(F.split(c, r"[^A-Za-z0-9]+"), lambda t: t != ""))
+    symbols = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return words + symbols
+
+
+def punct_ratio(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: str | Column) -> Column:
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t).cast("long")) / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: str | Column, lang: str = "en") -> Column:
+    toks = tokens_col(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: length, alpha ratio, word shape."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    wl = mean_word_length(c)
+    shape_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + alpha_ratio(c) + shape_score) / 3.0, 6)
+
+
+def language_scores(text: str | Column) -> Column:
+    """Map lang → stopword-overlap score (the language-ID heuristic)."""
+    entries = [
+        F.struct(F.lit(lang).alias("key"), stopword_ratio(text, lang).alias("value"))
+        for lang in sorted(STOPWORDS)
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def guess_language(text: str | Column) -> Column:
+    """argmax of language_scores; 'und' when no stopword hits at all."""
+    toks = tokens_col(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+        cond = score > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint64(text: str | Column, shingle_k: int = 5) -> Column:
+    """Deterministic 64-bit document fingerprint: min xxhash64 over
+    k-token shingles (a 1-hash MinHash — robust to token reordering at
+    the shingle level, cheap to compute and compare)."""
+    from .dedup import shingles_col
+
+    return F.array_min(
+        F.transform(shingles_col(text, shingle_k), lambda s: F.xxhash64(s))
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat block as columns (single projection)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subword_tokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        alpha_ratio(c).alias("alpha_ratio"),
+        quality_score(c).alias("quality"),
+        guess_language(c).alias("lang_guess"),
+        fingerprint64(c).alias("fingerprint"),
+    )

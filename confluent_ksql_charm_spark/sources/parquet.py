@@ -43,7 +43,7 @@ def read_parquet(spark: SparkSession, path: str, *, streaming: bool = False) -> 
     reader = spark.readStream if streaming else spark.read
     df = reader.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(
-            c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
-        )
+        # `div` = integer division — ns values exceed double's 53-bit mantissa,
+        # so float division here would corrupt timestamps by ±1ms
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

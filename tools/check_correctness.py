@@ -1,0 +1,126 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry at the given SF against its `oracle_sql()`
+DuckDB equivalent: row count + column names + order-insensitive value
+comparison (column-name-sorted, rows sorted, mild float tolerance).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def approx_eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return abs(a - b) <= 1e-4 * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(approx_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, float) and isinstance(b, int) or (
+            isinstance(a, int) and isinstance(b, float)):
+        return float(a) == float(b)
+    return a == b
+
+
+def main():
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, "
+                  f"{time.time() - t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+            n_fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(orows)}")
+            n_fail += 1
+            continue
+        _, ns = norm_rows(scols, srows)
+        _, no = norm_rows(ocols, orows)
+        bad = None
+        for i, (a, b) in enumerate(zip(ns, no)):
+            if not approx_eq(a, b):
+                bad = (i, a, b)
+                break
+        if bad:
+            print(f"FAIL {name}: first value mismatch at sorted-row {bad[0]}:\n"
+                  f"  spark:  {bad[1]}\n  oracle: {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {time.time() - t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
