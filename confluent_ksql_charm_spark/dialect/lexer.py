@@ -116,7 +116,10 @@ def render(tokens: list[Token | str]) -> str:
     texts = [t.text if isinstance(t, Token) else t for t in tokens]
     for i, text in enumerate(texts):
         if text == ".":
-            parts.append(".")
+            if parts:
+                parts[-1] = parts[-1] + "."
+            else:
+                parts.append(".")
         elif parts and parts[-1].endswith("."):
             parts[-1] = parts[-1] + text
         elif parts and text == "(" and i > 0 and re.match(r"^[A-Za-z_][\w.]*$", texts[i - 1]):

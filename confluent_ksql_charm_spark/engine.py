@@ -106,6 +106,8 @@ class EngineConfig:
 
 
 class KsqlSparkEngine:
+    _instances = 0
+
     def __init__(self, spark: SparkSession, data_dir: str | None = None,
                  config: EngineConfig | None = None, streaming: bool = False):
         self.spark = spark
@@ -116,6 +118,10 @@ class KsqlSparkEngine:
         self.streaming = streaming
         self.queries: dict[str, Any] = {}   # query id → QueryHandle
         self._qid = 0
+        # temp views live in the session-wide namespace; suffix with an
+        # instance id so two engines on one session never collide
+        KsqlSparkEngine._instances += 1
+        self._ns = f"{self.config.service_id}_{KsqlSparkEngine._instances}"
 
     # ------------------------------------------------------------ sources
 
@@ -132,12 +138,17 @@ class KsqlSparkEngine:
         schema_ddl: str | None = None,
         tiebreak: list[str] | None = None,
         props: dict | None = None,
+        watermark: str | None = None,
     ) -> SourceMeta:
         """Register a named STREAM/TABLE over a path or existing DataFrame."""
         if df is None:
             if path is None:
                 raise ValueError("need path or df")
             df = self._read(path, value_format, schema_ddl)
+        if watermark:
+            if timestamp is None:
+                raise ValueError("WATERMARK requires a TIMESTAMP column")
+            df = df.withWatermark(timestamp, watermark)
         changelog = None
         if kind == "TABLE":
             order = [c for c in ([timestamp] if timestamp else []) + (tiebreak or [])
@@ -173,9 +184,8 @@ class KsqlSparkEngine:
         fmt = value_format.upper()
         reader = self.spark.readStream if self.streaming else self.spark.read
         if fmt in ("PARQUET", "KAFKA", "AVRO"):
-            # batch/oracle path substitutes parquet for topics (SURVEY.md §3.2)
-            if schema_ddl and self.streaming:
-                return reader.schema(schema_ddl).parquet(path)
+            # batch/oracle path substitutes parquet for topics (SURVEY.md §3.2);
+            # read_parquet handles streaming schemas + ns-timestamp rebuild
             return read_parquet(self.spark, path, streaming=self.streaming)
         if fmt == "JSON":
             r = reader.schema(schema_ddl) if schema_ddl else reader
@@ -186,7 +196,7 @@ class KsqlSparkEngine:
         raise ValueError(f"unsupported VALUE_FORMAT {value_format}")
 
     def _view_name(self, name: str) -> str:
-        return f"ksql_{self.config.service_id}_{name}".lower()
+        return f"ksql_{self._ns}_{name}".lower()
 
     def _resolve(self, name: str) -> SourceInfo:
         m = self.metastore.get(name)
@@ -250,6 +260,7 @@ class KsqlSparkEngine:
             spec.name, path=path, key=key, timestamp=ts, kind=spec.kind,
             value_format=fmt, schema_ddl=schema_ddl, props=spec.props,
             tiebreak=[c for c in [spec.props.get("TIEBREAK")] if c],
+            watermark=spec.props.get("WATERMARK"),
         )
         return StatementResult(kind="DDL", name=spec.name,
                                message=f"{spec.kind} {spec.name} created")

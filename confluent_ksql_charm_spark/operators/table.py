@@ -4,12 +4,13 @@ KSQL TABLE = latest value per key of a changelog topic (reference:
 `[ksql:ksqldb-metastore/.../KsqlTable.java]`, SURVEY.md §2.1). The batch
 materialization is "latest row per key with deterministic tiebreak".
 
-Scale design: implemented with `max_by(struct(cols), struct(order))` —
-a hash aggregate with map-side partial aggregation, i.e. ONE shuffle of
-pre-combined partials, no window-function sort. At 100 TB this beats the
-row_number()-over-window formulation (full sort within partitions) by a
-wide margin; both shuffle on the key, only this one combines before the
-shuffle.
+Scale design: implemented with `max_by(struct(cols), struct(order))`.
+The struct payload forces SortAggregate (not HashAggregate — struct
+buffers aren't mutable-buffer types), but the decisive property holds:
+`partial_max_by` runs BEFORE the exchange, so the shuffle carries at
+most one row per key per input partition. The row_number()-over-window
+alternative shuffles EVERY row then sorts — at 100 TB that is the
+difference between shuffling ~|keys|·|partitions| rows and ~|data|.
 """
 
 from __future__ import annotations

@@ -17,31 +17,72 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _ns_timestamp_cols(path: str) -> list[str]:
+def _arrow_schema(path: str):
     import pyarrow.parquet as pq
-    import pyarrow as pa
 
     f = path
     if os.path.isdir(path):
         members = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not members:
-            return []
+            return None
         f = members[0]
-    schema = pq.read_schema(f)
-    out = []
-    for field in schema:
-        t = field.type
-        if pa.types.is_timestamp(t) and t.unit == "ns":
-            out.append(field.name)
-    return out
+    return pq.read_schema(f)
+
+
+def _arrow_to_spark_ddl(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t):
+        # ns → read as long (nanosAsLong), rebuilt to timestamp post-scan
+        return "long" if t.unit == "ns" else "timestamp"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_arrow_to_spark_ddl(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_arrow_to_spark_ddl(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    raise ValueError(f"unmapped arrow type {t}")
+
+
+def _ns_timestamp_cols(schema) -> list[str]:
+    import pyarrow as pa
+
+    return [f.name for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
 
 
 def read_parquet(spark: SparkSession, path: str, *, streaming: bool = False) -> DataFrame:
-    ns_cols = _ns_timestamp_cols(path)
+    schema = _arrow_schema(path)
+    ns_cols = _ns_timestamp_cols(schema) if schema is not None else []
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream if streaming else spark.read
-    df = reader.parquet(path)
+    if streaming:
+        # readStream needs an explicit schema and a directory; single files
+        # are handled via pathGlobFilter so the registry path contract
+        # (one file per topic) works in both modes.
+        ddl = ", ".join(
+            f"`{f.name}` {_arrow_to_spark_ddl(f.type)}" for f in schema
+        )
+        reader = spark.readStream.schema(ddl)
+        if os.path.isfile(path):
+            reader = reader.option("pathGlobFilter", os.path.basename(path))
+            path = os.path.dirname(path)
+        df = reader.parquet(path)
+    else:
+        df = spark.read.parquet(path)
     for c in ns_cols:
         # `div` = integer division — ns values exceed double's 53-bit mantissa,
         # so float division here would corrupt timestamps by ±1ms

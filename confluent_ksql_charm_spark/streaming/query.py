@@ -61,7 +61,10 @@ def start_persistent_query(engine: "KsqlSparkEngine", qid: str,
         f"{engine.config.checkpoint_dir}/{qid}" if engine.config.checkpoint_dir else None
     )
     mode = props.get("OUTPUT_MODE", "update" if meta.kind == "TABLE" else "append")
-    writer = df.writeStream.outputMode(mode).queryName(meta.view)
+    # queryName must differ from the derived source's temp view (that view
+    # is the *streaming* relation used for CSAS chaining; the memory sink's
+    # table — named by the lower-cased query id — is the materialization)
+    writer = df.writeStream.outputMode(mode).queryName(qid.lower())
     if ckpt:
         writer = writer.option("checkpointLocation", ckpt)
     if sink == "memory":

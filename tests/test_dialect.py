@@ -1,0 +1,170 @@
+"""Dialect unit tests — QueryTranslationTest pattern (SURVEY.md §6.1):
+each case = input rows + KSQL statement(s) + expected output rows, run
+through the real engine (no mocking), mirroring the reference's
+functional-test corpus (`[ksql:query-validation-tests]`, public knowledge).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from confluent_ksql_charm_spark.dialect.lexer import split_statements, tokenize
+from confluent_ksql_charm_spark.dialect.parser import parse_statement
+from confluent_ksql_charm_spark.dialect.translator import (
+    SourceInfo,
+    TranslationContext,
+    rewrite_expr_sql,
+)
+
+
+def _rw(expr: str, **kw) -> str:
+    ctx = TranslationContext(resolve=None, **kw)
+    return rewrite_expr_sql(expr, ctx)
+
+
+class TestExpressionRewrites:
+    def test_struct_access(self):
+        assert _rw("s->f->g") == "s.f.g"
+
+    def test_array_index_zero_based(self):
+        assert _rw("arr[0]") == "try_element_at(arr, 1)"
+        assert _rw("arr[2]") == "try_element_at(arr, 3)"
+
+    def test_map_key(self):
+        assert _rw("m['k']") == "try_element_at(m, 'k')"
+
+    def test_function_renames(self):
+        assert _rw("LCASE(x)") == "lower(x)"
+        assert _rw("UCASE(x)") == "upper(x)"
+        assert _rw("LEN(x)") == "length(x)"
+        assert _rw("IFNULL(a, b)") == "coalesce(a, b)"
+
+    def test_nested_calls(self):
+        assert _rw("LCASE(UCASE(TRIM(x)))") == "lower(upper(trim(x)))"
+
+    def test_split_literal_delim_is_regex_escaped(self):
+        assert _rw("SPLIT(s, '.')") == "split(s, '\\.')"
+        assert _rw("SPLIT(s, '|')") == "split(s, '\\|')"
+
+    def test_mask(self):
+        out = _rw("MASK(name)")
+        assert "regexp_replace" in out and "'[A-Z]', 'X'" in out
+
+    def test_count_distinct(self):
+        assert _rw("COUNT_DISTINCT(x)") == "count(distinct x)"
+        assert _rw("COUNT(DISTINCT x)").lower() == "count(distinct x)"
+
+    def test_datetime(self):
+        assert _rw("STRINGTOTIMESTAMP(s, 'yyyy')") == \
+            "unix_millis(to_timestamp(s, 'yyyy'))"
+        assert _rw("TIMESTAMPTOSTRING(1000, 'yyyy')") == \
+            "date_format(timestamp_millis(1000), 'yyyy')"
+
+    def test_rowtime_rowkey(self):
+        out = _rw("ROWTIME + ROWKEY", rowtime_expr="unix_millis(e.ts)",
+                  rowkey_expr="e.user_id")
+        assert out == "unix_millis(e.ts) + e.user_id"
+
+    def test_case_insensitive_keywords(self):
+        assert _rw("lcase(x)") == "lower(x)"
+
+
+class TestStatementParsing:
+    def test_split_statements_respects_strings(self):
+        stmts = split_statements("SELECT ';' FROM a; SELECT 1 FROM b")
+        assert len(stmts) == 2
+
+    def test_csas_with_props(self):
+        spec = parse_statement(
+            "CREATE STREAM s WITH (KAFKA_TOPIC='t', PARTITIONS=3) AS "
+            "SELECT a FROM src;")
+        assert spec.kind == "STREAM" and spec.name == "s"
+        assert spec.props["KAFKA_TOPIC"] == "t"
+
+    def test_create_source_schema(self):
+        spec = parse_statement(
+            "CREATE TABLE t (a BIGINT, b ARRAY<DOUBLE>, c MAP<VARCHAR, INT>, "
+            "d STRUCT<x INT, y VARCHAR>) WITH (KAFKA_TOPIC='x', KEY='a');")
+        assert [c for c, _ in spec.columns] == ["a", "b", "c", "d"]
+        assert spec.columns[1][1].upper() == "ARRAY<DOUBLE>"
+
+    def test_window_clauses(self):
+        spec = parse_statement(
+            "SELECT k, COUNT(*) FROM s WINDOW HOPPING (SIZE 30 SECONDS, "
+            "ADVANCE BY 10 SECONDS) GROUP BY k;")
+        assert spec.window.kind == "HOPPING"
+        assert spec.window.size == "30 seconds"
+        assert spec.window.advance == "10 seconds"
+
+    def test_join_within(self):
+        spec = parse_statement(
+            "SELECT a.x FROM s1 a LEFT JOIN s2 b WITHIN 1 HOURS ON a.k = b.k;")
+        j = spec.joins[0]
+        assert j.join_type == "left" and j.within == "1 hours"
+
+    def test_join_within_asymmetric(self):
+        spec = parse_statement(
+            "SELECT a.x FROM s1 a JOIN s2 b WITHIN (10 SECONDS, 20 SECONDS) "
+            "ON a.k = b.k;")
+        j = spec.joins[0]
+        assert j.within_before == "10 seconds" and j.within == "20 seconds"
+
+    def test_emit_changes_and_limit(self):
+        spec = parse_statement("SELECT a FROM s EMIT CHANGES LIMIT 7;")
+        assert spec.emit_changes and spec.limit == 7
+
+    def test_rejects_empty_select(self):
+        with pytest.raises(ValueError):
+            parse_statement("SELECT FROM s")
+
+    def test_rejects_garbage(self):
+        with pytest.raises(ValueError):
+            parse_statement("FLURB x FROM y")
+
+
+class TestEndToEndCorpus:
+    """Input rows + statement + expected rows, through the real engine."""
+
+    @pytest.fixture()
+    def corpus_engine(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(spark)
+        df = spark.createDataFrame(
+            [(1, "a", 10.0, '{"x": 1}', [1.0, 2.0]),
+             (2, "b", 20.0, '{"x": 2}', [3.0, 4.0]),
+             (3, "a", 30.0, None, [5.0, 6.0])],
+            "id bigint, k string, v double, j string, arr array<double>")
+        eng.register_source("t", df=df, key="k")
+        return eng
+
+    def test_filter_projection(self, corpus_engine):
+        rows = corpus_engine.sql(
+            "SELECT id, v FROM t WHERE k = 'a'").collect()
+        assert sorted((r.id, r.v) for r in rows) == [(1, 10.0), (3, 30.0)]
+
+    def test_scalar_chain(self, corpus_engine):
+        rows = corpus_engine.sql(
+            "SELECT id, UCASE(CONCAT(k, '!')) AS s, arr[1] AS second, "
+            "EXTRACTJSONFIELD(j, '$.x') AS jx FROM t").collect()
+        by_id = {r.id: r for r in rows}
+        assert by_id[1].s == "A!" and by_id[1].second == 2.0
+        assert by_id[1].jx == "1" and by_id[3].jx is None
+
+    def test_agg_having(self, corpus_engine):
+        rows = corpus_engine.sql(
+            "SELECT k, SUM(v) AS total FROM t GROUP BY k HAVING SUM(v) > 25"
+        ).collect()
+        assert [(r.k, r.total) for r in rows] == [("a", 40.0)]
+
+    def test_case_between(self, corpus_engine):
+        rows = corpus_engine.sql(
+            "SELECT id, CASE WHEN v BETWEEN 15 AND 25 THEN 'mid' "
+            "ELSE 'out' END AS b FROM t").collect()
+        assert {r.id: r.b for r in rows} == {1: "out", 2: "mid", 3: "out"}
+
+    def test_insert_into_appends(self, corpus_engine):
+        corpus_engine.execute(
+            "CREATE STREAM only_a AS SELECT id, k FROM t WHERE k = 'a';"
+            "INSERT INTO only_a SELECT id, k FROM t WHERE k = 'b';")
+        assert corpus_engine.sql("SELECT id FROM only_a").count() == 3

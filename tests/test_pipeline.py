@@ -1,0 +1,176 @@
+"""Pipeline-operator quality tests: planted near-dups must be found,
+unrelated docs must not be; similarity math sanity; multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill in the afternoon sun")
+    near = base.replace("afternoon", "evening")          # 1-token change
+    other = ("completely different content about distributed query engines "
+             "and columnar execution with vectorized operators at scale")
+    rows = [(1, base), (2, near), (3, other),
+            (4, "tiny"), (5, base)]                       # 5 = exact dup of 1
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self, docs):
+        from confluent_ksql_charm_spark.pipeline.dedup import exact_dedup
+
+        out = exact_dedup(docs, ["text"], "doc_id")
+        ids = {r.doc_id for r in out.collect()}
+        assert 1 in ids and 5 not in ids and len(ids) == 4
+
+    def test_minhash_finds_planted_pair(self, docs):
+        from confluent_ksql_charm_spark.pipeline.dedup import near_dup_pairs
+
+        pairs = {(r.id_a, r.id_b) for r in
+                 near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+        assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+        assert not any(3 in p or 4 in p for p in pairs)
+
+    def test_jaccard_exact_dup_is_one(self, docs):
+        from confluent_ksql_charm_spark.pipeline.dedup import jaccard_for_pairs
+
+        pairs = docs.sparkSession.createDataFrame(
+            [(1, 5), (1, 3)], "id_a bigint, id_b bigint")
+        j = {(r.id_a, r.id_b): r.jaccard
+             for r in jaccard_for_pairs(docs, pairs, "doc_id", "text").collect()}
+        assert j[(1, 5)] == 1.0
+        assert j[(1, 3)] < 0.05
+
+    def test_simhash_exact_dup_zero_hamming(self, docs):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            simhash_df, simhash_near_dup_pairs)
+
+        sims = {r.doc_id: r.sim for r in
+                simhash_df(docs, "doc_id", "text").collect()}
+        assert sims[1] == sims[5]
+        pairs = {(r.id_a, r.id_b): r.hamming for r in
+                 simhash_near_dup_pairs(docs, "doc_id", "text",
+                                        max_hamming=10).collect()}
+        assert pairs.get((1, 5)) == 0
+        assert (1, 3) not in pairs
+
+    def test_shingles(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import shingles_col
+
+        df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+        got = [r[0] for r in df.select(shingles_col("t", 3)).collect()]
+        assert got[0] == ["a b c", "b c d"]
+        assert got[1] == ["a b"]          # shorter than k → whole text
+
+
+class TestSimilarity:
+    def test_cosine_topk_self_first(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import cosine_topk
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+             (4, [-1.0, 0.0])],
+            "vec_id bigint, embedding array<float>")
+        out = cosine_topk(df, [1.0, 0.0], k=3).collect()
+        assert [r.vec_id for r in out] == [1, 2, 3]
+        assert abs(out[0].cosine - 1.0) < 1e-6
+        assert out[2].cosine == pytest.approx(0.0, abs=1e-6)
+
+    def test_lsh_full_probe_matches_exact(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, lsh_bucket_topk)
+
+        import random
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        q = rows[0][1]
+        exact = [r.vec_id for r in cosine_topk(df, q, k=5).collect()]
+        approx = [r.vec_id for r in
+                  lsh_bucket_topk(df, q, k=5, bits=8, probe_hamming=8).collect()]
+        assert approx == exact            # full probe = brute force
+
+    def test_knn_self_join_finds_neighbors(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import knn_self_join
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [-1.0, 0.0])],
+            "vec_id bigint, embedding array<float>")
+        out = knn_self_join(df, k=1, bits=2)
+        got = {(r.id_a, r.id_b) for r in out.collect()}
+        assert (1, 2) in got or (2, 1) in got
+
+
+class TestText:
+    def test_stats_values(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            punct_ratio, token_count)
+
+        df = spark.createDataFrame([("Hello, world! Yes.",)], "t string")
+        r = df.select(token_count("t").alias("n"),
+                      F.round(punct_ratio("t"), 3).alias("p")).first()
+        assert r.n == 3
+        assert r.p == pytest.approx(3 / 18, abs=1e-3)
+
+    def test_guess_language(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import guess_language
+
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog are in the house"),
+             (2, "der Hund ist nicht mit der Katze zu Hause"),
+             (3, "xyzzy plugh")],
+            "id bigint, t string")
+        got = {r.id: r.g for r in
+               df.select("id", guess_language("t").alias("g")).collect()}
+        assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+
+    def test_fingerprint_deterministic_and_order_sensitive(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import fingerprint64
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "g f e d c b a")],
+            "id bigint, t string")
+        fp = {r.id: r.f for r in
+              df.select("id", fingerprint64("t").alias("f")).collect()}
+        assert fp[1] == fp[2]
+        assert fp[1] != fp[3]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from confluent_ksql_charm_spark.pipeline.multimodal import (
+            attach_fake_media, extract_features)
+
+        docs = spark.createDataFrame([(1, "abcd"), (2, "")],
+                                     "doc_id bigint, text string")
+        media = attach_fake_media(docs)
+        out = {r.doc_id: r for r in
+               extract_features(media, decode_stub=True).collect()}
+        assert out[1].n_bytes == 4
+        assert out[2].n_bytes == 0
+        assert len(out[1].feat) == 4 and out[1].feat[0] == 4.0
+
+    def test_decode_stub_false_raises(self, spark):
+        from confluent_ksql_charm_spark.pipeline.multimodal import (
+            attach_fake_media, extract_features)
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with pytest.raises(Exception):
+            extract_features(attach_fake_media(docs),
+                             decode_stub=False).collect()
+
+    def test_frame_sample_plan(self, spark):
+        from confluent_ksql_charm_spark.pipeline.multimodal import (
+            frame_sample_plan)
+
+        media = spark.createDataFrame(
+            [(1, ("video/fake", 0, 0, 3500, "f"))],
+            "doc_id bigint, meta struct<media_type:string,width:int,"
+            "height:int,duration_ms:bigint,codec:string>")
+        out = frame_sample_plan(media, every_ms=1000)
+        assert [r.frame_ts_ms for r in out.collect()] == [0, 1000, 2000, 3000]

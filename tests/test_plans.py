@@ -1,0 +1,96 @@
+"""Physical-plan shape assertions — the 100 TB posture (SURVEY.md §5).
+
+These tests pin the *plan*, not the answer: filters reach the parquet
+scan, unused columns are pruned, small dimensions broadcast, global
+top-k lowers to TakeOrderedAndProject (per-partition heaps, no full
+sort), and aggregates keep map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+class TestScanEfficiency:
+    def test_filter_pushdown_reaches_parquet(self, engine):
+        df = engine.sql("SELECT event_id FROM events WHERE user_id = 5")
+        plan = _formatted(df)
+        assert "PushedFilters" in plan
+        assert "user_id" in plan.split("PushedFilters")[1][:200]
+
+    def test_column_pruning(self, engine):
+        df = engine.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity > 10")
+        plan = _formatted(df)
+        read_schema = plan.split("ReadSchema")[1][:250]
+        assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+        assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+    def test_whole_stage_codegen(self, engine):
+        df = engine.sql(
+            "SELECT l_returnflag, SUM(l_quantity) AS s FROM lineitem "
+            "GROUP BY l_returnflag")
+        df.collect()  # finalize the AQE plan — codegen spans appear then
+        assert "codegen id" in _formatted(df)
+
+
+class TestJoinStrategy:
+    def test_dim_join_broadcasts(self, engine):
+        df = engine.sql(
+            "SELECT e.event_id, c.c_name FROM events e "
+            "JOIN customer c ON e.user_id = c.c_custkey")
+        assert "BroadcastHashJoin" in _plan(df)
+
+    def test_within_join_is_equi_not_cross(self, engine):
+        df = engine.sql(
+            "SELECT a.event_id FROM events a JOIN events b "
+            "WITHIN 1 MINUTES ON a.user_id = b.user_id")
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+class TestAggregation:
+    def test_partial_aggregation_present(self, engine):
+        df = engine.sql(
+            "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id")
+        plan = _plan(df)
+        # two HashAggregate levels: partial (map-side) + final
+        assert plan.count("HashAggregate") >= 2
+
+    def test_latest_per_key_uses_agg_not_window_sort(self, engine):
+        meta = engine.metastore.get("events")
+        from confluent_ksql_charm_spark.operators.table import latest_per_key
+
+        df = latest_per_key(meta.df, "user_id", ["ts", "event_id"])
+        plan = _formatted(df)
+        assert "Aggregate" in plan          # hash/object-hash/sort aggregate
+        assert "Window" not in plan         # no sort-based window function
+
+
+class TestTopK:
+    def test_global_topk_is_take_ordered(self, engine):
+        from confluent_ksql_charm_spark.pipeline.similarity import cosine_topk
+
+        emb = engine.metastore.get("embeddings").df
+        q = [0.1] * len(emb.select("embedding").first()[0])
+        df = cosine_topk(emb, q, k=10)
+        assert "TakeOrderedAndProject" in _plan(df)
+
+
+class TestDedupPlans:
+    def test_lsh_no_cartesian(self, engine):
+        from confluent_ksql_charm_spark.pipeline.dedup import near_dup_pairs
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(near_dup_pairs(docs, "doc_id", "text"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan

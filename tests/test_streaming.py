@@ -1,0 +1,96 @@
+"""Structured Streaming mode: the same KSQL statements over readStream.
+
+KSQL persistent-query parity (SURVEY.md §3.9, §4.1): CSAS/CTAS start a
+StreamingQuery; TERMINATE stops it; output modes map EMIT-CHANGES
+semantics. Tests use availableNow triggers + memory sinks so runs are
+bounded and assertable against the batch engine.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def seng(spark, tmp_path):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark, data_dir=SF_DIR, streaming=True)
+    eng.config.checkpoint_dir = str(tmp_path / "ckpt")
+    eng.register_source("events", path=f"{SF_DIR}/events.parquet",
+                        key="user_id", timestamp="ts")
+    return eng
+
+
+def test_streaming_source_is_streaming(seng):
+    assert seng.metastore.get("events").df.isStreaming
+
+
+def test_streaming_csas_filter(spark, seng, engine):
+    res = seng.execute(
+        "CREATE STREAM s_errors WITH (SINK='memory', TRIGGER='availablenow') AS "
+        "SELECT event_id, user_id, value FROM events WHERE event_type = 'error';"
+    )[0]
+    qid = res.message
+    handle = seng.queries[qid]
+    handle.streaming_query.awaitTermination(120)
+    got = spark.table(qid.lower()).count()
+    want = engine.sql(
+        "SELECT event_id FROM events WHERE event_type = 'error'"
+    ).count()
+    assert got == want > 0
+
+
+def test_streaming_ctas_windowed_agg(spark, seng, engine):
+    res = seng.execute(
+        "CREATE TABLE s_win WITH (SINK='memory', TRIGGER='availablenow', "
+        "OUTPUT_MODE='complete') AS "
+        "SELECT event_type, WINDOWSTART() AS ws, COUNT(*) AS n "
+        "FROM events WINDOW TUMBLING (SIZE 1 HOUR) GROUP BY event_type;"
+    )[0]
+    qid = res.message
+    seng.queries[qid].streaming_query.awaitTermination(120)
+    got = {tuple(r) for r in spark.table(qid.lower()).collect()}
+    want = {tuple(r) for r in engine.sql(
+        "SELECT event_type, WINDOWSTART() AS ws, COUNT(*) AS n "
+        "FROM events WINDOW TUMBLING (SIZE 1 HOUR) GROUP BY event_type"
+    ).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_streaming_show_queries_and_terminate(spark, seng):
+    res = seng.execute(
+        "CREATE STREAM s_term WITH (SINK='memory', TRIGGER='availablenow') AS "
+        "SELECT event_id FROM events;"
+    )[0]
+    qid = res.message
+    assert qid in seng.execute("SHOW QUERIES;")[0].rows
+    seng.queries[qid].streaming_query.awaitTermination(120)
+    seng.execute(f"TERMINATE {qid};")
+    assert qid not in seng.execute("SHOW QUERIES;")[0].rows
+
+
+def test_streaming_watermark_append_window(spark, seng, engine):
+    # WATERMARK + append mode: windows finalize once the watermark passes —
+    # with availableNow over a finite file, all but the tail window emit.
+    seng.execute(
+        "CREATE STREAM ev_wm (event_id BIGINT) WITH (KAFKA_TOPIC='events', "
+        "TIMESTAMP='ts', WATERMARK='1 MINUTES');"
+    )
+    res = seng.execute(
+        "CREATE TABLE s_wm WITH (SINK='memory', TRIGGER='availablenow', "
+        "OUTPUT_MODE='append') AS "
+        "SELECT event_type, WINDOWSTART() AS ws, COUNT(*) AS n "
+        "FROM ev_wm WINDOW TUMBLING (SIZE 1 HOUR) GROUP BY event_type;"
+    )[0]
+    seng.queries[res.message].streaming_query.awaitTermination(120)
+    got = spark.table(res.message.lower()).count()
+    exact = engine.sql(
+        "SELECT event_type, WINDOWSTART() AS ws, COUNT(*) AS n "
+        "FROM events WINDOW TUMBLING (SIZE 1 HOUR) GROUP BY event_type"
+    ).count()
+    # every finalized window matches the batch computation; only the last
+    # open window(s) may be withheld
+    assert 0 < got <= exact
