@@ -129,6 +129,25 @@ def _q_datetime_funcs(spark, sf):
     )
 
 
+def _q_date_convert(spark, sf):
+    # STRINGTODATE / DATETOSTRING — KSQL carries dates as INT epoch-days
+    return _eng(spark, sf).sql(
+        "SELECT event_id, "
+        "STRINGTODATE(TIMESTAMPTOSTRING(ROWTIME, 'yyyy-MM-dd'), 'yyyy-MM-dd') "
+        "AS epoch_days, "
+        "DATETOSTRING(STRINGTODATE(TIMESTAMPTOSTRING(ROWTIME, 'yyyy-MM-dd'), "
+        "'yyyy-MM-dd'), 'yyyy-MM-dd') AS roundtrip FROM events"
+    )
+
+
+def _q_array_funcs(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT doc_id, SPLIT(text, ' ')[0] AS first_tok, "
+        "ARRAYLENGTH(SPLIT(text, ' ')) AS n_tok, "
+        "ARRAYCONTAINS(SPLIT(text, ' '), 'spark') AS has_spark FROM documents"
+    )
+
+
 def _q_math_funcs(spark, sf):
     return _eng(spark, sf).sql(
         "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS adisc, "
@@ -379,6 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_funcs": _q_mask_funcs,
         "json_extract": _q_json_extract,
         "datetime_funcs": _q_datetime_funcs,
+        "date_convert": _q_date_convert,
+        "array_funcs": _q_array_funcs,
         "math_funcs": _q_math_funcs,
         "pricing_summary": _q_pricing_summary,
         "topk_per_group": _q_topk,
@@ -460,6 +481,17 @@ def oracle_sql() -> dict[str, str]:
             "strftime(ts, '%Y-%m-%d %H:%M') AS ts_str, "
             "epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M'), "
             "'%Y-%m-%d %H:%M')) AS ts_roundtrip_ms FROM events"
+        ),
+        "date_convert": (
+            "SELECT event_id, "
+            "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_days, "
+            "strftime(CAST(ts AS DATE), '%Y-%m-%d') AS roundtrip FROM events"
+        ),
+        "array_funcs": (
+            "SELECT doc_id, string_split(text, ' ')[1] AS first_tok, "
+            "CAST(length(string_split(text, ' ')) AS INT) AS n_tok, "
+            "list_contains(string_split(text, ' '), 'spark') AS has_spark "
+            "FROM documents"
         ),
         "math_funcs": (
             "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS adisc, "

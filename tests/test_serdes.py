@@ -1,0 +1,69 @@
+"""Serde paths (SURVEY.md §3.2): JSON and DELIMITED sources with declared
+schemas — the KSQL `VALUE_FORMAT` surface over file-backed topics."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def data_dir(tmp_path, spark):
+    rows = [
+        {"id": 1, "name": "alpha", "score": 1.5},
+        {"id": 2, "name": "beta", "score": 2.5},
+        {"id": 3, "name": None, "score": 3.5},
+    ]
+    with open(tmp_path / "t_json.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    with open(tmp_path / "t_csv.csv", "w") as f:
+        f.write("1,alpha,1.5\n2,beta,2.5\n3,,3.5\n")
+    return str(tmp_path)
+
+
+def test_json_source_with_declared_schema(spark, data_dir):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark, data_dir=data_dir)
+    eng.execute(
+        "CREATE STREAM j (id BIGINT, name VARCHAR, score DOUBLE) "
+        "WITH (KAFKA_TOPIC='t_json', VALUE_FORMAT='JSON');"
+    )
+    rows = eng.sql("SELECT id, UCASE(name) AS n, score FROM j").collect()
+    by_id = {r.id: r for r in rows}
+    assert by_id[1].n == "ALPHA" and by_id[3].n is None
+    assert eng.metastore.get("j").df.schema.simpleString() == \
+        "struct<id:bigint,name:string,score:double>"
+
+
+def test_delimited_source_with_declared_schema(spark, data_dir):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark, data_dir=data_dir)
+    eng.execute(
+        "CREATE STREAM c (id BIGINT, name VARCHAR, score DOUBLE) "
+        "WITH (KAFKA_TOPIC='t_csv', VALUE_FORMAT='DELIMITED');"
+    )
+    rows = eng.sql("SELECT id, name, score FROM c WHERE score > 2").collect()
+    assert sorted(r.id for r in rows) == [2, 3]
+
+
+def test_explicit_path_property(spark, data_dir):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark)  # no data_dir: PATH must be explicit
+    eng.execute(
+        f"CREATE STREAM p (id BIGINT, name VARCHAR, score DOUBLE) "
+        f"WITH (PATH='{data_dir}/t_json.json', VALUE_FORMAT='JSON');"
+    )
+    assert eng.sql("SELECT id FROM p").count() == 3
+
+
+def test_missing_data_dir_errors(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark)
+    with pytest.raises(ValueError, match="data_dir"):
+        eng.execute("CREATE STREAM x (id BIGINT) WITH (KAFKA_TOPIC='nope');")

@@ -1,0 +1,70 @@
+"""BASELINE.md protocol step 3: per-query wall-clock, Spark engine vs the
+DuckDB oracle on identical parquet — DuckDB is the de-facto single-node
+comparison point for the 2× criterion.
+
+Usage: python tools/bench_vs_duckdb.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def median_time(fn, n=3):
+    fn()  # warm-up
+    runs = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        runs.append(time.time() - t0)
+    return round(statistics.median(runs), 3)
+
+
+def main():
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    out = {}
+    for name, fn in qs.items():
+        spark_t = median_time(lambda: fn(spark, SF_DIR).count())
+        if name in oracles:
+            duck_t = median_time(lambda: con.execute(oracles[name]).fetchall())
+        else:
+            duck_t = None
+        ratio = round(spark_t / duck_t, 2) if duck_t else None
+        out[name] = {"spark": spark_t, "duckdb": duck_t, "ratio": ratio}
+        print(f"{name:28s} spark={spark_t:7.3f}s duckdb="
+              f"{duck_t if duck_t is not None else '—':>7} ratio={ratio}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
