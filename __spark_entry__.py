@@ -269,6 +269,40 @@ def _q_stream_stream_join(spark, sf):
     )
 
 
+def _q_full_outer_join(spark, sf):
+    # TABLE-TABLE FULL OUTER (SURVEY.md §3.4): latest-events vs customers
+    return _eng(spark, sf).sql(
+        "SELECT u.user_id, c.c_custkey, u.event_type AS last_type, c.c_name "
+        "FROM user_state u FULL OUTER JOIN customer_t c "
+        "ON u.user_id = c.c_custkey"
+    )
+
+
+def _q_collect_list(spark, sf):
+    df = _eng(spark, sf).sql(
+        "SELECT l_orderkey, COLLECT_LIST(l_linenumber) AS lines "
+        "FROM lineitem GROUP BY l_orderkey"
+    )
+    return df.select(
+        "l_orderkey",
+        F.array_join(F.transform(F.sort_array("lines"),
+                                 lambda x: x.cast("string")), ",")
+        .alias("lines_csv"),
+    )
+
+
+def _q_partition_by(spark, sf):
+    # KSQL PARTITION BY = re-key the output stream (repartition topic
+    # analogue). Values are unchanged — the oracle checks content; the
+    # REPARTITION hint's effect is asserted in tests/test_plans.py.
+    eng = _eng(spark, sf)
+    eng.execute(
+        "CREATE STREAM events_by_type AS SELECT event_id, user_id, event_type, "
+        "ROUND(value, 4) AS value FROM events PARTITION BY event_type;"
+    )
+    return eng.sql("SELECT event_id, user_id, event_type, value FROM events_by_type")
+
+
 def _q_insert_into(spark, sf):
     eng = _eng(spark, sf)
     eng.execute(
@@ -413,6 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_table_join": _q_stream_table_join,
         "table_table_join": _q_table_table_join,
         "stream_stream_join_within": _q_stream_stream_join,
+        "full_outer_join": _q_full_outer_join,
+        "collect_list_csv": _q_collect_list,
+        "partition_by_rekey": _q_partition_by,
         "insert_into_union": _q_insert_into,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -582,6 +619,22 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) >= epoch_us(a.ts) - 300000000 "
             "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 "
             "WHERE a.event_type = 'signup' AND b.event_type = 'purchase'"
+        ),
+        "full_outer_join": (
+            "WITH u AS (SELECT * FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) = 1) "
+            "SELECT u.user_id, c.c_custkey, u.event_type AS last_type, c.c_name "
+            "FROM u FULL OUTER JOIN customer c ON u.user_id = c.c_custkey"
+        ),
+        "collect_list_csv": (
+            "SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' "
+            "ORDER BY l_linenumber) AS lines_csv "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "partition_by_rekey": (
+            "SELECT event_id, user_id, event_type, ROUND(value, 4) AS value "
+            "FROM events"
         ),
         "insert_into_union": (
             "SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "

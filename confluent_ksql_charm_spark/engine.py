@@ -122,6 +122,14 @@ class KsqlSparkEngine:
         # instance id so two engines on one session never collide
         KsqlSparkEngine._instances += 1
         self._ns = f"{self.config.service_id}_{KsqlSparkEngine._instances}"
+        from .functions.udf import UdfRegistry
+        self.udfs = UdfRegistry(spark)
+
+    def register_udf(self, name: str, fn, return_type: str,
+                     *, vectorized: bool = False) -> None:
+        """KSQL custom-function parity (SURVEY.md §3.10): `name` becomes
+        callable from any KSQL statement on this session."""
+        self.udfs.register(name, fn, return_type, vectorized=vectorized)
 
     # ------------------------------------------------------------ sources
 
@@ -245,6 +253,30 @@ class KsqlSparkEngine:
             return StatementResult(kind="DDL", name=spec.name, message="exists")
         topic = spec.props.get("KAFKA_TOPIC", spec.name)
         fmt = spec.props.get("VALUE_FORMAT", "PARQUET")
+        if "BOOTSTRAP_SERVERS" in spec.props:
+            # real Kafka topic (production path; batch harness uses parquet)
+            from .sources.kafka import decode_kafka_records, kafka_reader
+
+            records = kafka_reader(
+                self.spark, topic, spec.props["BOOTSTRAP_SERVERS"],
+                streaming=self.streaming,
+                starting_offsets=self.config.properties.get(
+                    "auto.offset.reset", "earliest"),
+            )
+            schema_ddl = ", ".join(
+                f"{c} {ksql_type_to_spark(t)}" for c, t in spec.columns
+            ) or None
+            ts_col = spec.props.get("TIMESTAMP", "rowtime")
+            key = spec.props.get("KEY")
+            df = decode_kafka_records(records, fmt, schema_ddl,
+                                      key_col=key, ts_col=ts_col)
+            self.register_source(
+                spec.name, df=df, key=key, timestamp=ts_col, kind=spec.kind,
+                value_format=fmt, props=spec.props,
+                watermark=spec.props.get("WATERMARK"),
+            )
+            return StatementResult(kind="DDL", name=spec.name,
+                                   message=f"{spec.kind} {spec.name} created (kafka)")
         path = spec.props.get("PATH")
         if path is None:
             if self.config.data_dir is None:
@@ -331,7 +363,8 @@ class KsqlSparkEngine:
                 return StatementResult(kind="INFO", rows=sorted(self.queries))
             if obj == "FUNCTIONS":
                 from .dialect import functions as flib
-                rows = sorted(set(flib.RENAMES) | set(flib.HANDLERS) | flib.AGGREGATES)
+                rows = sorted(set(flib.RENAMES) | set(flib.HANDLERS)
+                              | flib.AGGREGATES | set(self.udfs.names()))
                 return StatementResult(kind="INFO", rows=rows)
             raise ValueError(f"SHOW {obj} unsupported")
         if verb == "DESCRIBE":

@@ -1,0 +1,3 @@
+from .udf import UdfRegistry
+
+__all__ = ["UdfRegistry"]

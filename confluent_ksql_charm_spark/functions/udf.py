@@ -1,0 +1,56 @@
+"""User-defined function surface — KSQL `@Udf`-annotation parity
+(SURVEY.md §3.10; `[ksql:ksql-engine/.../function/UdfLoader.java]`,
+`[docs: KSQL custom functions 5.0+]`).
+
+The reference loads annotated Java classes from `ksql.extension.dir` at
+startup; here registration is programmatic. Functions land in the Spark
+session's function registry, so they resolve from BOTH the DataFrame API
+and any KSQL statement (the dialect passes unknown function names
+through to Spark SQL, and Spark resolution is case-insensitive — KSQL
+semantics preserved).
+
+Performance contract, stated loudly: a row-at-a-time Python UDF is the
+slow path (per-row serialization). `vectorized=True` registers an
+Arrow-batched pandas UDF — the only acceptable form in a 100 TB hot
+path. Builtins (§3.8) never come through here; they are pure Catalyst
+expression rewrites.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+
+class UdfRegistry:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._udfs: dict[str, str] = {}   # name → kind
+
+    def register(self, name: str, fn: Callable, return_type: str,
+                 *, vectorized: bool = False) -> None:
+        lname = name.lower()
+        if vectorized:
+            from pyspark.sql.functions import pandas_udf
+
+            self.spark.udf.register(lname, pandas_udf(fn, return_type))
+            self._udfs[lname] = "pandas_udf"
+        else:
+            self.spark.udf.register(lname, fn, return_type)
+            self._udfs[lname] = "python_udf"
+
+    def register_grouped_agg(self, name: str, fn: Callable,
+                             return_type: str) -> None:
+        """UDAF parity: a pandas grouped-aggregate UDF (series → scalar)."""
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        udf = pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
+        self.spark.udf.register(name.lower(), udf)
+        self._udfs[name.lower()] = "pandas_grouped_agg"
+
+    def names(self) -> list[str]:
+        return sorted(self._udfs)
+
+    def describe(self) -> dict[str, str]:
+        return dict(self._udfs)

@@ -1,0 +1,114 @@
+"""Kafka source + serde decode — the reference's ONLY source (SURVEY.md
+§3.2; `[docs: CREATE STREAM WITH (KAFKA_TOPIC=...)]`).
+
+Two halves:
+- `kafka_reader`: builds the (read|readStream).format("kafka") scan.
+  Requires the spark-sql-kafka connector package on the classpath; this
+  container ships without it, so the missing-DataSource error is caught
+  and re-raised with the exact --packages coordinate to add. The scan
+  parallelism is one Spark partition per Kafka topic-partition — the same
+  unit of parallelism Kafka Streams uses, so 100 TB posture matches the
+  reference's by construction.
+- `decode_kafka_records`: the serde layer. Takes a Kafka-record-shaped
+  relation (key/value binary, timestamp, partition, offset — the schema
+  the connector produces) and applies VALUE_FORMAT decoding to columns:
+  JSON → from_json, DELIMITED → from_csv, KAFKA → primitive cast. All
+  JVM-side expressions; testable without a broker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: schema of the connector's output — used by tests to fabricate records
+KAFKA_RECORD_DDL = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+_CONNECTOR_HINT = (
+    "the Kafka connector is not on the classpath; start Spark with "
+    "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+    "(batch/oracle runs substitute parquet for topics and do not need it)"
+)
+
+
+def kafka_reader(spark: SparkSession, topic: str, bootstrap_servers: str, *,
+                 streaming: bool = True,
+                 starting_offsets: str = "earliest") -> DataFrame:
+    reader = (spark.readStream if streaming else spark.read).format("kafka") \
+        .option("kafka.bootstrap.servers", bootstrap_servers) \
+        .option("subscribe", topic) \
+        .option("startingOffsets", starting_offsets)
+    try:
+        return reader.load()
+    except Exception as e:  # DATA_SOURCE_NOT_FOUND
+        msg = str(e).lower()
+        if "kafka" in msg and ("not found" in msg or "failed to find" in msg
+                               or "DATA_SOURCE" in str(e)):
+            raise RuntimeError(_CONNECTOR_HINT) from e
+        raise
+
+
+def decode_kafka_records(
+    records: DataFrame,
+    value_format: str,
+    schema_ddl: str | None,
+    *,
+    key_col: str | None = None,
+    key_type: str = "string",
+    ts_col: str = "rowtime",
+) -> DataFrame:
+    """Serde: kafka-record relation → typed columns.
+
+    Output: declared value columns + `ts_col` (record timestamp — the
+    ROWTIME basis) + optional key column cast from the record key.
+    """
+    fmt = value_format.upper()
+    val = F.col("value").cast("string")
+    if fmt == "JSON":
+        if not schema_ddl:
+            raise ValueError("JSON decoding requires a declared schema")
+        parsed = records.withColumn("__v", F.from_json(val, schema_ddl))
+        cols = [F.col(f"__v.{f.split()[0]}") for f in _fields(schema_ddl)]
+    elif fmt == "DELIMITED":
+        if not schema_ddl:
+            raise ValueError("DELIMITED decoding requires a declared schema")
+        parsed = records.withColumn("__v", F.from_csv(val, schema_ddl))
+        cols = [F.col(f"__v.{f.split()[0]}") for f in _fields(schema_ddl)]
+    elif fmt == "KAFKA":
+        # primitive value: single declared column, cast straight from bytes
+        if schema_ddl and "," in schema_ddl:
+            raise ValueError("VALUE_FORMAT='KAFKA' carries one primitive value")
+        name, _, vtype = (schema_ddl or "value string").strip().partition(" ")
+        parsed = records
+        cols = [val.cast(vtype or "string").alias(name)]
+    elif fmt == "AVRO":
+        raise NotImplementedError(
+            "AVRO decode needs spark-avro + a schema-registry client; "
+            "declare the schema and use from_avro(value, json_schema) — "
+            "not wired up in this container"
+        )
+    else:
+        raise ValueError(f"unsupported VALUE_FORMAT {value_format}")
+    out = [F.col("timestamp").alias(ts_col)]
+    if key_col:
+        out.append(F.col("key").cast("string").cast(key_type).alias(key_col))
+    return parsed.select(*cols, *out)
+
+
+def _fields(schema_ddl: str) -> list[str]:
+    fields, depth, cur = [], 0, ""
+    for ch in schema_ddl + ",":
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            if cur.strip():
+                fields.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    return fields

@@ -1,0 +1,83 @@
+"""Kafka serde layer over record-shaped relations — no broker needed.
+
+The connector's output schema is fixed (KAFKA_RECORD_DDL); the serde is
+pure column expressions, so fabricated records exercise exactly the code
+the production Kafka path runs.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from confluent_ksql_charm_spark.sources.kafka import (
+    KAFKA_RECORD_DDL,
+    decode_kafka_records,
+)
+
+TS = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _records(spark, values: list[bytes], keys: list[bytes | None] = None):
+    keys = keys or [None] * len(values)
+    rows = [
+        (k, v, "t", 0, i, TS + datetime.timedelta(seconds=i), 0)
+        for i, (k, v) in enumerate(zip(keys, values))
+    ]
+    return spark.createDataFrame(rows, KAFKA_RECORD_DDL)
+
+
+def test_json_decode(spark):
+    recs = _records(
+        spark,
+        [b'{"id": 1, "name": "a", "score": 1.5}',
+         b'{"id": 2, "name": null, "score": 2.5}',
+         b'not json at all'],
+        keys=[b"k1", b"k2", b"k3"],
+    )
+    out = decode_kafka_records(recs, "JSON", "id bigint, name string, score double",
+                               key_col="k", ts_col="ts")
+    rows = out.collect()
+    assert out.columns == ["id", "name", "score", "ts", "k"]
+    assert rows[0].id == 1 and rows[0].k == "k1" and rows[0].ts == TS
+    assert rows[1].name is None
+    assert rows[2].id is None          # malformed JSON → nulls, not a crash
+
+
+def test_delimited_decode(spark):
+    recs = _records(spark, [b"1,a,1.5", b"2,b,2.5"])
+    out = decode_kafka_records(recs, "DELIMITED",
+                               "id bigint, name string, score double")
+    rows = out.collect()
+    assert [r.id for r in rows] == [1, 2]
+    assert rows[1].name == "b"
+
+
+def test_primitive_kafka_decode(spark):
+    recs = _records(spark, [b"42", b"7"])
+    out = decode_kafka_records(recs, "KAFKA", "n bigint")
+    assert sorted(r.n for r in out.collect()) == [7, 42]
+
+
+def test_rowtime_is_record_timestamp(spark):
+    recs = _records(spark, [b'{"id": 1}'])
+    out = decode_kafka_records(recs, "JSON", "id bigint")
+    assert out.collect()[0].rowtime == TS
+
+
+def test_avro_unwired_raises(spark):
+    recs = _records(spark, [b"x"])
+    with pytest.raises(NotImplementedError, match="AVRO"):
+        decode_kafka_records(recs, "AVRO", "id bigint")
+
+
+def test_missing_connector_error(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark)
+    with pytest.raises(Exception, match="kafka|connector|packages"):
+        eng.execute(
+            "CREATE STREAM k (id BIGINT) WITH (KAFKA_TOPIC='t', "
+            "BOOTSTRAP_SERVERS='localhost:9092', VALUE_FORMAT='JSON');"
+        )

@@ -1,0 +1,49 @@
+"""UDF/UDAF surface (SURVEY.md §3.10): user functions callable from KSQL."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def test_scalar_udf_in_ksql(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark)
+    df = spark.createDataFrame([(1, "ab"), (2, "cde")], "id bigint, s string")
+    eng.register_source("t", df=df)
+    eng.register_udf("shout", lambda s: s.upper() + "!", "string")
+    rows = eng.sql("SELECT id, SHOUT(s) AS x FROM t").collect()
+    assert {r.id: r.x for r in rows} == {1: "AB!", 2: "CDE!"}
+
+
+def test_vectorized_udf_in_ksql(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark)
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id bigint, v double")
+    eng.register_source("t", df=df)
+    eng.register_udf("vsquare", lambda s: s * s, "double", vectorized=True)
+    rows = eng.sql("SELECT id, VSQUARE(v) AS sq FROM t").collect()
+    assert {r.id: r.sq for r in rows} == {1: 4.0, 2: 9.0}
+
+
+def test_grouped_agg_udaf(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double")
+    eng.register_source("t", df=df)
+    eng.udfs.register_grouped_agg("vrange",
+                                  lambda s: float(s.max() - s.min()), "double")
+    rows = eng.sql("SELECT k, VRANGE(v) AS r FROM t GROUP BY k").collect()
+    assert {r.k: r.r for r in rows} == {"a": 2.0, "b": 0.0}
+
+
+def test_show_functions_includes_udf(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark)
+    eng.register_udf("myfn", lambda x: x, "string")
+    fns = eng.execute("SHOW FUNCTIONS;")[0].rows
+    assert "myfn" in fns and "MASK" in fns and "TOPK" in fns
