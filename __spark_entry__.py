@@ -230,7 +230,8 @@ def _q_hopping_window(spark, sf):
 
 
 def _q_session_window(spark, sf):
-    # No DuckDB oracle (session merge is iterative) → rows-only check.
+    # Oracled via gaps-and-islands SQL (break on gap >= 10 min, matching
+    # Spark's half-open session intervals — verified exact at sf0.01).
     return _eng(spark, sf).sql(
         "SELECT user_id, WINDOWSTART() AS ws, COUNT(*) AS n "
         "FROM events WINDOW SESSION (10 MINUTES) GROUP BY user_id"
@@ -593,6 +594,17 @@ def oracle_sql() -> dict[str, str]:
             "(epoch_ms(e.ts) // 1800000) * 1800000, 1800000)) AS ws) gs"
             ") GROUP BY event_type, ws"
         ),
+        "session_window": (
+            "WITH t1 AS (SELECT user_id, epoch_ms(ts) AS t FROM events), "
+            "t2 AS (SELECT user_id, t, "
+            "CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 600000 "
+            "OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL "
+            "THEN 1 ELSE 0 END AS brk FROM t1), "
+            "t3 AS (SELECT user_id, t, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY t ROWS UNBOUNDED PRECEDING) AS island FROM t2) "
+            "SELECT user_id, MIN(t) AS ws, COUNT(*) AS n FROM t3 "
+            "GROUP BY user_id, island"
+        ),
         "latest_per_key": (
             "SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type, "
             "ROUND(value, 4) AS value FROM events "
@@ -691,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 'image/fake' AS media_type, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
         ),
-        # rows-only (no oracle): session_window, minhash_near_dup,
-        # simhash_near_dup, doc_fingerprint, lang_guess, ann_lsh_topk
+        # rows-only (no oracle — hash-sketch or heuristic internals):
+        # minhash_near_dup, simhash_near_dup, doc_fingerprint, lang_guess,
+        # ann_lsh_topk
     }

@@ -70,11 +70,15 @@ def _geo_distance(args: list[str]) -> str:
 
 def _split(args: list[str]) -> str:
     # KSQL SPLIT takes a *literal* delimiter; Spark split() takes a regex.
+    # Two escaping layers: regex-escape the delimiter, then double the
+    # backslashes because Spark SQL string literals themselves consume
+    # one level of backslash escaping ('\.' in SQL text reaches the regex
+    # engine as '.', which would split on every character).
     s, delim = args[0], args[1]
     m = re.fullmatch(r"'(.*)'", delim, re.DOTALL)
     if m:
         escaped = re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\1", m.group(1))
-        delim = "'" + escaped + "'"
+        delim = "'" + escaped.replace("\\", "\\\\") + "'"
     return f"split({s}, {delim})"
 
 

@@ -1,0 +1,76 @@
+"""Skew-resilient operators for heavy-hitter keys (100 TB posture).
+
+At 100 TB a handful of hot keys (a viral user_id, an empty-string lang
+tag) can pin one shuffle partition while 999 executors idle. Two
+mitigations compose with everything else in this engine:
+
+1. AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+   default) — handles *joins* at runtime; nothing to build.
+2. Salted two-phase aggregation (here) — handles *aggregations* whose
+   functions decompose into partial/merge pairs. groupBy(key) becomes
+   groupBy(key, salt) → partials, then groupBy(key) → merge. The first
+   shuffle spreads each hot key over `salt_buckets` reducers; the second
+   shuffle carries only |keys|·buckets pre-combined rows.
+
+Note Spark's hash aggregate already does map-side partial combine, which
+absorbs most skew when upstream partitions are *input-balanced*; salting
+matters when a single reducer's merge work itself is the bottleneck
+(e.g. collect_list/TOPK state on a hot key) or after a skewed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (partial_fn, merge_fn) pairs for decomposable aggregates
+_DECOMPOSE = {
+    "count": (F.count, F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+    "collect_set": (F.collect_set,
+                    lambda c: F.array_distinct(F.flatten(F.collect_list(c)))),
+    "collect_list": (F.collect_list, lambda c: F.flatten(F.collect_list(c))),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    aggs: output_name → (agg_fn_name, input_col); agg_fn_name one of
+    count/sum/min/max/collect_set/collect_list (avg = sum+count composed
+    by the caller so merge stays exact).
+    """
+    salt = (F.crc32(F.concat_ws("\x00", *[F.col(k).cast("string") for k in keys],
+                                F.monotonically_increasing_id().cast("string")))
+            % salt_buckets).alias("__salt")
+    partial_exprs = []
+    merge_exprs = []
+    for out, (fn_name, col) in aggs.items():
+        partial_fn, merge_fn = _DECOMPOSE[fn_name]
+        partial_exprs.append(partial_fn(F.col(col)).alias(f"__p_{out}"))
+        merge_exprs.append(merge_fn(F.col(f"__p_{out}")).alias(out))
+    return (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*partial_exprs)
+        .groupBy(*keys)
+        .agg(*merge_exprs)
+    )
+
+
+def top_keys(df: DataFrame, keys: list[str], n: int = 100) -> DataFrame:
+    """Heavy-hitter report: the n hottest keys with counts — the input to
+    a decision about salting / filtering / special-casing."""
+    return (
+        df.groupBy(*keys).count()
+        .orderBy(F.desc("count"))
+        .limit(n)
+    )

@@ -43,8 +43,10 @@ class TestExpressionRewrites:
         assert _rw("LCASE(UCASE(TRIM(x)))") == "lower(upper(trim(x)))"
 
     def test_split_literal_delim_is_regex_escaped(self):
-        assert _rw("SPLIT(s, '.')") == "split(s, '\\.')"
-        assert _rw("SPLIT(s, '|')") == "split(s, '\\|')"
+        # doubled backslash: one level for the SQL string literal, one for
+        # the regex engine
+        assert _rw("SPLIT(s, '.')") == "split(s, '\\\\.')"
+        assert _rw("SPLIT(s, '|')") == "split(s, '\\\\|')"
 
     def test_mask(self):
         out = _rw("MASK(name)")

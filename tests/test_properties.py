@@ -1,0 +1,85 @@
+"""Property tests (hypothesis): dialect rewrites vs independent Python
+reference implementations, batched through one Spark job per example set.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                           blacklist_characters="'\\`"),
+    min_size=0, max_size=30,
+)
+
+
+def _py_mask(s: str) -> str:
+    return re.sub(r"[0-9]", "n", re.sub(r"[a-z]", "x", re.sub(r"[A-Z]", "X", s)))
+
+
+@pytest.fixture(scope="module")
+def prop_engine(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    return KsqlSparkEngine(spark)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=40))
+def test_mask_matches_reference(prop_engine, strings):
+    spark = prop_engine.spark
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strings)],
+                               "id bigint, s string")
+    prop_engine.register_source("prop_t", df=df)
+    rows = prop_engine.sql(
+        "SELECT id, MASK(s) AS m, MASK_KEEP_LEFT(s, 2) AS mkl FROM prop_t"
+    ).collect()
+    for r in rows:
+        s = strings[r.id]
+        assert r.m == _py_mask(s), (s, r.m)
+        assert r.mkl == s[:2] + _py_mask(s[2:]), (s, r.mkl)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.text(alphabet="abcXY ", min_size=0, max_size=20),
+        st.sampled_from([",", ".", "|", " ", "##"]),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1, max_size=30,
+))
+def test_split_index_matches_reference(prop_engine, cases):
+    """SPLIT delimiter is literal (regex-escaped) and [i] is 0-based with
+    NULL out-of-bounds — both must match Python str.split semantics."""
+    spark = prop_engine.spark
+    df = spark.createDataFrame(
+        [(i, s, d, idx) for i, (s, d, idx) in enumerate(cases)],
+        "id bigint, s string, d string, idx int")
+    prop_engine.register_source("prop_s", df=df)
+    out = {}
+    for delim in {d for _, d, _ in cases}:
+        for idx in {i for _, _, i in cases}:
+            rows = prop_engine.sql(
+                f"SELECT id, SPLIT(s, '{delim}')[{idx}] AS tok FROM prop_s "
+                f"WHERE d = '{delim}' AND idx = {idx}"
+            ).collect()
+            out.update({r.id: r.tok for r in rows})
+    for i, (s, d, idx) in enumerate(cases):
+        parts = s.split(d)
+        want = parts[idx] if idx < len(parts) else None
+        assert out[i] == want, (s, d, idx, out[i], want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(TEXT)
+def test_statement_splitter_preserves_statements(stmt_text):
+    from confluent_ksql_charm_spark.dialect.lexer import split_statements
+
+    base = f"SELECT '{stmt_text}' FROM a"
+    stmts = split_statements(base + "; SELECT 1 FROM b;")
+    assert len(stmts) == 2
+    assert stmts[0] == base

@@ -1,0 +1,54 @@
+"""Salted aggregation: same answers as plain groupBy, two-phase plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salted_agg_matches_plain(spark):
+    from confluent_ksql_charm_spark.operators.skew import salted_agg
+
+    # skewed: one hot key with 5000 rows, 50 cold keys with 10 each
+    hot = spark.range(5000).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    cold = spark.range(500).select(
+        F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("k"),
+        F.col("id").alias("v"))
+    df = hot.unionByName(cold)
+
+    got = {r.k: (r.n, r.total, r.mx) for r in salted_agg(
+        df, ["k"],
+        {"n": ("count", "v"), "total": ("sum", "v"), "mx": ("max", "v")},
+        salt_buckets=8).collect()}
+    want = {r.k: (r.n, r.total, r.mx) for r in
+            df.groupBy("k").agg(F.count("v").alias("n"),
+                                F.sum("v").alias("total"),
+                                F.max("v").alias("mx")).collect()}
+    assert got == want
+
+
+def test_salted_collect_set(spark):
+    from confluent_ksql_charm_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 1), ("b", 3)], "k string, v int")
+    got = {r.k: sorted(r.vals) for r in salted_agg(
+        df, ["k"], {"vals": ("collect_set", "v")}, salt_buckets=4).collect()}
+    assert got == {"a": [1, 2], "b": [3]}
+
+
+def test_two_shuffles_in_plan(spark):
+    from confluent_ksql_charm_spark.operators.skew import salted_agg
+
+    df = spark.range(100).select(F.lit("k").alias("k"), F.col("id").alias("v"))
+    out = salted_agg(df, ["k"], {"n": ("count", "v")}, salt_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2   # salt-phase + merge-phase
+
+
+def test_top_keys(spark):
+    from confluent_ksql_charm_spark.operators.skew import top_keys
+
+    df = spark.createDataFrame(
+        [("x",)] * 10 + [("y",)] * 3 + [("z",)], "k string")
+    rows = top_keys(df, ["k"], n=2).collect()
+    assert [(r.k, r["count"]) for r in rows] == [("x", 10), ("y", 3)]
