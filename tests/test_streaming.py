@@ -94,3 +94,17 @@ def test_streaming_watermark_append_window(spark, seng, engine):
     # every finalized window matches the batch computation; only the last
     # open window(s) may be withheld
     assert 0 < got <= exact
+
+
+def test_transient_push_query_streaming(spark, seng):
+    rows = seng.push_query(
+        "SELECT event_id, value FROM events WHERE event_type = 'error' LIMIT 5")
+    assert len(rows) == 5
+    assert all(r.event_id is not None for r in rows)
+
+
+def test_explain_statement_text(spark, seng, engine):
+    res = engine.execute(
+        "EXPLAIN SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id;")[0]
+    assert "translated Spark SQL" in res.plan
+    assert "HashAggregate" in res.plan or "Aggregate" in res.plan
