@@ -533,7 +533,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "date_convert": (
             "SELECT event_id, "
-            "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_days, "
+            "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) "
+            "AS epoch_days, "
             "strftime(CAST(ts AS DATE), '%Y-%m-%d') AS roundtrip FROM events"
         ),
         "array_funcs": (

@@ -105,6 +105,23 @@ def _datetostring(args: list[str]) -> str:
     return f"date_format(date_add(date'1970-01-01', cast({d} as int)), {fmt})"
 
 
+def _url_part(part: str):
+    def handler(args: list[str]) -> str:
+        return f"parse_url({args[0]}, '{part}')"
+    return handler
+
+
+def _url_extract_port(args: list[str]) -> str:
+    # parse_url has no PORT part; KSQL returns INT (null if absent).
+    # try_cast: no-port URLs regex-extract '' which ANSI cast rejects.
+    return (f"try_cast(regexp_extract({args[0]}, "
+            f"'^[a-z]+://[^/:?#]+:([0-9]+)', 1) as int)")
+
+
+def _url_extract_fragment(args: list[str]) -> str:
+    return f"parse_url({args[0]}, 'REF')"
+
+
 def _topk(args: list[str]) -> str:
     c, k = args[0], args[1]
     # KSQL TOPK: array of the k largest values per group, descending.
@@ -161,6 +178,9 @@ RENAMES: dict[str, str] = {
     "RANDOM": "rand",
     "COALESCE": "coalesce",
     "ARRAYLENGTH": "size",
+    # URL family (late-5.x KSQL surface) — Spark 3.5+ builtins
+    "URL_ENCODE_PARAM": "url_encode",
+    "URL_DECODE_PARAM": "url_decode",
 }
 
 HANDLERS: dict[str, Handler] = {
@@ -180,6 +200,13 @@ HANDLERS: dict[str, Handler] = {
     "HISTOGRAM": _histogram,
     "SUBSTRING": _substring,
     "ARRAYCONTAINS": _array_contains,
+    "URL_EXTRACT_HOST": _url_part("HOST"),
+    "URL_EXTRACT_PATH": _url_part("PATH"),
+    "URL_EXTRACT_PROTOCOL": _url_part("PROTOCOL"),
+    "URL_EXTRACT_QUERY": _url_part("QUERY"),
+    "URL_EXTRACT_FRAGMENT": _url_extract_fragment,
+    "URL_EXTRACT_PORT": _url_extract_port,
+    "URL_EXTRACT_PARAMETER": lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
 }
 
 #: Aggregate KSQL functions that force a GROUP BY context (used by the

@@ -149,10 +149,26 @@ class KsqlSparkEngine:
         watermark: str | None = None,
     ) -> SourceMeta:
         """Register a named STREAM/TABLE over a path or existing DataFrame."""
+        kwargs_props = props or {}
         if df is None:
             if path is None:
                 raise ValueError("need path or df")
             df = self._read(path, value_format, schema_ddl)
+        ts_format = kwargs_props.get("TIMESTAMP_FORMAT")
+        if timestamp is not None and timestamp in df.columns:
+            # WITH (TIMESTAMP='col' [, TIMESTAMP_FORMAT='...']): KSQL event-
+            # time extraction — string cols parse via the format, BIGINT
+            # cols are epoch-millis, native timestamps pass through.
+            dt = dict(df.dtypes)[timestamp]
+            if dt == "string":
+                # try_to_timestamp: KSQL nulls the event time on parse
+                # failure instead of failing the query (ANSI to_timestamp
+                # would throw on the first malformed record)
+                parsed = (F.try_to_timestamp(F.col(timestamp), F.lit(ts_format))
+                          if ts_format else F.try_to_timestamp(F.col(timestamp)))
+                df = df.withColumn(timestamp, parsed)
+            elif dt in ("bigint", "int"):
+                df = df.withColumn(timestamp, F.timestamp_millis(F.col(timestamp)))
         if watermark:
             if timestamp is None:
                 raise ValueError("WATERMARK requires a TIMESTAMP column")

@@ -170,3 +170,29 @@ class TestEndToEndCorpus:
             "CREATE STREAM only_a AS SELECT id, k FROM t WHERE k = 'a';"
             "INSERT INTO only_a SELECT id, k FROM t WHERE k = 'b';")
         assert corpus_engine.sql("SELECT id FROM only_a").count() == 3
+
+
+class TestUrlFunctions:
+    def test_url_family(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(spark)
+        df = spark.createDataFrame(
+            [(1, "https://spark.apache.org:8080/docs/latest?q=sql&lang=en#frag")],
+            "id bigint, u string")
+        eng.register_source("urls", df=df)
+        r = eng.sql(
+            "SELECT URL_EXTRACT_HOST(u) AS h, URL_EXTRACT_PATH(u) AS p, "
+            "URL_EXTRACT_PROTOCOL(u) AS pr, URL_EXTRACT_QUERY(u) AS q, "
+            "URL_EXTRACT_FRAGMENT(u) AS f, URL_EXTRACT_PORT(u) AS port, "
+            "URL_EXTRACT_PARAMETER(u, 'lang') AS lang, "
+            "URL_DECODE_PARAM(URL_ENCODE_PARAM('a b&c')) AS rt FROM urls"
+        ).first()
+        assert r.h == "spark.apache.org"
+        assert r.p == "/docs/latest"
+        assert r.pr == "https"
+        assert r.q == "q=sql&lang=en"
+        assert r.f == "frag"
+        assert r.port == 8080
+        assert r.lang == "en"
+        assert r.rt == "a b&c"

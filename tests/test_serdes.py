@@ -67,3 +67,32 @@ def test_missing_data_dir_errors(spark):
     eng = KsqlSparkEngine(spark)
     with pytest.raises(ValueError, match="data_dir"):
         eng.execute("CREATE STREAM x (id BIGINT) WITH (KAFKA_TOPIC='nope');")
+
+
+def test_timestamp_format_string_column(spark, tmp_path):
+    import json as _json
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    with open(tmp_path / "tsrc.json", "w") as f:
+        for i, t in enumerate(["01/02/2024 10:00", "01/02/2024 11:30"]):
+            f.write(_json.dumps({"id": i, "evt": t}) + "\n")
+    eng = KsqlSparkEngine(spark, data_dir=str(tmp_path))
+    eng.execute(
+        "CREATE STREAM tsrc (id BIGINT, evt VARCHAR) WITH "
+        "(KAFKA_TOPIC='tsrc', VALUE_FORMAT='JSON', TIMESTAMP='evt', "
+        "TIMESTAMP_FORMAT='dd/MM/yyyy HH:mm');"
+    )
+    rows = eng.sql("SELECT id, ROWTIME AS t FROM tsrc").collect()
+    by_id = {r.id: r.t for r in rows}
+    assert by_id[1] - by_id[0] == 90 * 60 * 1000  # 90 min in epoch millis
+
+
+def test_bigint_timestamp_is_epoch_millis(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark)
+    df = spark.createDataFrame([(1, 1704067200000), (2, 1704067260000)],
+                               "id bigint, ms bigint")
+    eng.register_source("b", df=df, timestamp="ms")
+    rows = eng.sql("SELECT id, ROWTIME AS t FROM b").collect()
+    assert {r.id: r.t for r in rows} == {1: 1704067200000, 2: 1704067260000}
