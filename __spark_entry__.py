@@ -270,6 +270,40 @@ def _q_stream_stream_join(spark, sf):
     )
 
 
+def _q_q3_style_chain(spark, sf):
+    # TPC-H Q3 shape via KSQL's 2-way-join chaining (CSAS intermediate):
+    # customer⋈orders → ⋈lineitem → revenue per order. Broadcast the
+    # customer dim; the big join shuffles on l_orderkey only.
+    eng = _eng(spark, sf)
+    eng.execute(
+        "CREATE STREAM bldg_orders AS "
+        "SELECT o.o_orderkey AS okey, o.o_custkey AS ckey FROM orders o "
+        "JOIN customer_t c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O';"
+    )
+    return eng.sql(
+        "SELECT b.okey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) "
+        "AS revenue, COUNT(*) AS n_lines "
+        "FROM lineitem l JOIN bldg_orders b ON l.l_orderkey = b.okey "
+        "GROUP BY b.okey HAVING COUNT(*) > 1"
+    )
+
+
+def _q_dim_chain(spark, sf):
+    # dimension chain: customer → nation → region through CSAS hops
+    eng = _eng(spark, sf)
+    eng.execute(
+        "CREATE STREAM cust_nation AS SELECT c.c_custkey AS ckey, "
+        "n.n_name AS nation, n.n_regionkey AS rkey "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey;"
+    )
+    return eng.sql(
+        "SELECT r.r_name AS region, cn.nation, COUNT(*) AS n_cust "
+        "FROM cust_nation cn JOIN region r ON cn.rkey = r.r_regionkey "
+        "GROUP BY r.r_name, cn.nation"
+    )
+
+
 def _q_full_outer_join(spark, sf):
     # TABLE-TABLE FULL OUTER (SURVEY.md §3.4): latest-events vs customers
     return _eng(spark, sf).sql(
@@ -459,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_table_join": _q_stream_table_join,
         "table_table_join": _q_table_table_join,
         "stream_stream_join_within": _q_stream_stream_join,
+        "q3_style_chain": _q_q3_style_chain,
+        "dim_chain": _q_dim_chain,
         "full_outer_join": _q_full_outer_join,
         "collect_list_csv": _q_collect_list,
         "partition_by_rekey": _q_partition_by,
@@ -643,6 +679,22 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) >= epoch_us(a.ts) - 300000000 "
             "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 "
             "WHERE a.event_type = 'signup' AND b.event_type = 'purchase'"
+        ),
+        "q3_style_chain": (
+            "SELECT o.o_orderkey AS okey, "
+            "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+            "COUNT(*) AS n_lines "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O' "
+            "GROUP BY o.o_orderkey HAVING COUNT(*) > 1"
+        ),
+        "dim_chain": (
+            "SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_cust "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name, n.n_name"
         ),
         "full_outer_join": (
             "WITH u AS (SELECT * FROM events "

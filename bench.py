@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "q3_style_chain",
     "pricing_summary",
     "tumbling_window",
     "latest_per_key",

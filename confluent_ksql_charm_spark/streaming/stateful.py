@@ -1,0 +1,78 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+SURVEY.md §3.9/§3.11: the escape hatch for semantics the built-in
+streaming operators can't express. The reference implements these as
+Kafka Streams Processors over RocksDB state stores; the Spark analogue
+is `applyInPandasWithState` — per-key state with timeout-based eviction,
+Arrow-batched.
+
+`streaming_dedup_by_key`: emit only the FIRST record per key (exact
+streaming dedup with TTL). Built-in `dropDuplicates` on a stream keeps
+state forever without a watermark and supports only event-time TTL via
+`dropDuplicatesWithinWatermark`; this operator uses processing-time TTL —
+the shape a 100 TB ingest dedup wants (bounded state, no event-time
+requirement). State per key is one boolean — the state store carries
+|distinct keys in TTL window| entries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """First-record-per-key over a stream.
+
+    ttl_ms=None (default): state lives for the query's lifetime
+    (GroupStateTimeout.NoTimeout) — use for bounded replays and
+    availableNow triggers. ttl_ms set: processing-time eviction for
+    continuous streams — NOTE this schedules timer-driven empty
+    micro-batches, so an availableNow query will NOT self-terminate;
+    drive it with processAllAvailable() + stop().
+    """
+    out_schema = df.schema
+    state_schema = "seen boolean"
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+               else GroupStateTimeout.NoTimeout)
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            # key already emitted within TTL → swallow everything
+            for _ in pdfs:
+                pass
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        state.update((True,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if first is not None:
+            yield first
+
+    return (
+        df.groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

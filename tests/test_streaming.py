@@ -108,3 +108,38 @@ def test_explain_statement_text(spark, seng, engine):
         "EXPLAIN SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id;")[0]
     assert "translated Spark SQL" in res.plan
     assert "HashAggregate" in res.plan or "Aggregate" in res.plan
+
+
+def test_stateful_streaming_dedup(spark, seng, tmp_path):
+    from confluent_ksql_charm_spark.streaming.stateful import (
+        streaming_dedup_by_key)
+
+    events = seng.metastore.get("events").df
+    deduped = streaming_dedup_by_key(events, ["user_id"])  # NoTimeout
+    sq = (deduped.writeStream.format("memory").queryName("dedup_t")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck"))
+          .trigger(availableNow=True).start())
+    assert sq.awaitTermination(120)     # NoTimeout → availableNow terminates
+    got = spark.table("dedup_t")
+    n_users = got.select("user_id").distinct().count()
+    assert got.count() == n_users > 0   # exactly one row per user
+
+
+def test_streaming_stream_stream_within_join(spark, seng, engine):
+    # same WITHIN statement on the streaming engine: inner stream-stream
+    # join with a time band (bounded output via availableNow)
+    res = seng.execute(
+        "CREATE STREAM ss_join WITH (SINK='memory', TRIGGER='availablenow') AS "
+        "SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id "
+        "FROM events a JOIN events b WITHIN 1 MINUTES ON a.user_id = b.user_id "
+        "WHERE a.event_type = 'signup' AND b.event_type = 'purchase';"
+    )[0]
+    seng.queries[res.message].streaming_query.awaitTermination(180)
+    got = spark.table(res.message.lower()).count()
+    want = engine.sql(
+        "SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id "
+        "FROM events a JOIN events b WITHIN 1 MINUTES ON a.user_id = b.user_id "
+        "WHERE a.event_type = 'signup' AND b.event_type = 'purchase'"
+    ).count()
+    assert got == want
