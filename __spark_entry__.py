@@ -174,6 +174,25 @@ def _q_pricing_summary(spark, sf):
     )
 
 
+def _q_count_distinct(spark, sf):
+    return _eng(spark, sf).sql(
+        "SELECT event_type, COUNT_DISTINCT(user_id) AS n_users, "
+        "COUNT(*) AS n_events FROM events GROUP BY event_type"
+    )
+
+
+def _q_groupby_expr(spark, sf):
+    # expression grouping keys (CASE + CAST) — KSQL GROUP BY expressions
+    return _eng(spark, sf).sql(
+        "SELECT CASE WHEN l_discount > 0.05 THEN 'disc' ELSE 'full' END AS px, "
+        "CAST(l_quantity AS BIGINT) % 10 AS qmod, "
+        "COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total "
+        "FROM lineitem "
+        "GROUP BY CASE WHEN l_discount > 0.05 THEN 'disc' ELSE 'full' END, "
+        "CAST(l_quantity AS BIGINT) % 10"
+    )
+
+
 def _q_topk(spark, sf):
     df = _eng(spark, sf).sql(
         "SELECT event_type, TOPK(value, 5) AS top5 FROM events GROUP BY event_type"
@@ -482,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs": _q_array_funcs,
         "math_funcs": _q_math_funcs,
         "pricing_summary": _q_pricing_summary,
+        "count_distinct": _q_count_distinct,
+        "groupby_expr": _q_groupby_expr,
         "topk_per_group": _q_topk,
         "topkdistinct_per_group": _q_topkdistinct,
         "histogram": _q_histogram,
@@ -601,6 +622,16 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus "
             "HAVING COUNT(*) > 10"
+        ),
+        "count_distinct": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
+            "COUNT(*) AS n_events FROM events GROUP BY event_type"
+        ),
+        "groupby_expr": (
+            "SELECT CASE WHEN l_discount > 0.05 THEN 'disc' ELSE 'full' END "
+            "AS px, CAST(l_quantity AS BIGINT) % 10 AS qmod, "
+            "COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total "
+            "FROM lineitem GROUP BY px, qmod"
         ),
         "topk_per_group": (
             "WITH ranked AS (SELECT event_type, value, "

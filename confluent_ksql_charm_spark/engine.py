@@ -412,6 +412,9 @@ class KsqlSparkEngine:
                 return StatementResult(kind="INFO", rows=self.metastore.names())
             if obj == "QUERIES":
                 return StatementResult(kind="INFO", rows=sorted(self.queries))
+            if obj == "PROPERTIES":
+                return StatementResult(
+                    kind="INFO", rows=sorted(self.config.properties.items()))
             if obj == "FUNCTIONS":
                 from .dialect import functions as flib
                 rows = sorted(set(flib.RENAMES) | set(flib.HANDLERS)
@@ -419,6 +422,18 @@ class KsqlSparkEngine:
                 return StatementResult(kind="INFO", rows=rows)
             raise ValueError(f"SHOW {obj} unsupported")
         if verb == "DESCRIBE":
+            if args and args[0].upper() == "FUNCTION":
+                from .dialect import functions as flib
+                fname = args[1].upper()
+                if fname in flib.RENAMES:
+                    desc = f"builtin → Spark `{flib.RENAMES[fname]}`"
+                elif fname in flib.HANDLERS:
+                    desc = "builtin → composed Spark expression"
+                elif fname.lower() in self.udfs.names():
+                    desc = f"user-defined ({self.udfs.describe()[fname.lower()]})"
+                else:
+                    raise KeyError(f"unknown function {fname}")
+                return StatementResult(kind="INFO", name=fname, message=desc)
             m = self.metastore.get(args[0].strip("`"))
             rows = [(f.name, f.dataType.simpleString()) for f in m.df.schema.fields]
             return StatementResult(kind="INFO", name=m.name, rows=rows,
@@ -452,10 +467,13 @@ class KsqlSparkEngine:
             return StatementResult(kind="DDL", name=name, message="not found")
         if verb == "TERMINATE":
             qid = args[0]
-            q = self.queries.pop(qid, None)
-            if q is not None and hasattr(q, "stop"):
-                q.stop()
-            return StatementResult(kind="DDL", name=qid, message="terminated")
+            ids = list(self.queries) if qid.upper() == "ALL" else [qid]
+            for one in ids:
+                q = self.queries.pop(one, None)
+                if q is not None and hasattr(q, "stop"):
+                    q.stop()
+            return StatementResult(kind="DDL", name=qid,
+                                   message=f"terminated {len(ids)}")
         if verb == "SET":
             # SET 'prop' = 'value'
             text = " ".join(args)

@@ -41,3 +41,18 @@ def test_show_describe(engine):
     d = engine.execute("DESCRIBE events;")[0]
     cols = [c for c, _ in d.rows]
     assert "event_id" in cols and "ts" in cols
+
+
+def test_show_properties_describe_function_terminate_all(engine):
+    engine.execute("SET 'auto.offset.reset'='latest';")
+    props = engine.execute("SHOW PROPERTIES;")[0].rows
+    assert ("auto.offset.reset", "latest") in props
+    d = engine.execute("DESCRIBE FUNCTION LCASE;")[0]
+    assert "lower" in d.message
+    d2 = engine.execute("DESCRIBE FUNCTION MASK;")[0]
+    assert "composed" in d2.message
+    engine.execute("CREATE STREAM tall1 AS SELECT event_id FROM events;"
+                   "CREATE STREAM tall2 AS SELECT user_id FROM events;")
+    assert len(engine.execute("SHOW QUERIES;")[0].rows) >= 2
+    engine.execute("TERMINATE ALL;")
+    assert engine.execute("SHOW QUERIES;")[0].rows == []
