@@ -174,6 +174,30 @@ def _q_pricing_summary(spark, sf):
     )
 
 
+def _q_salted_agg(spark, sf):
+    # skew-resilient two-phase aggregation — must equal plain GROUP BY
+    from confluent_ksql_charm_spark.operators.skew import salted_agg
+
+    events = _eng(spark, sf).metastore.get("events").df
+    out = salted_agg(events, ["event_type"],
+                     {"n": ("count", "value"), "mx": ("max", "value")},
+                     salt_buckets=16)
+    return out.select("event_type", "n", F.round("mx", 4).alias("mx"))
+
+
+def _q_scalable_topk(spark, sf):
+    # salted two-phase TOPK — must equal the single-phase TOPK aggregate
+    from confluent_ksql_charm_spark.operators.aggregates import grouped_topk
+
+    events = _eng(spark, sf).metastore.get("events").df
+    out = grouped_topk(events, ["event_type"], "value", k=5)
+    return out.select(
+        "event_type",
+        F.array_join(F.transform("topk", lambda x: F.round(x, 3).cast("string")),
+                     ",").alias("top5_csv"),
+    )
+
+
 def _q_count_distinct(spark, sf):
     return _eng(spark, sf).sql(
         "SELECT event_type, COUNT_DISTINCT(user_id) AS n_users, "
@@ -501,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs": _q_array_funcs,
         "math_funcs": _q_math_funcs,
         "pricing_summary": _q_pricing_summary,
+        "skew_salted_agg": _q_salted_agg,
+        "scalable_topk": _q_scalable_topk,
         "count_distinct": _q_count_distinct,
         "groupby_expr": _q_groupby_expr,
         "topk_per_group": _q_topk,
@@ -622,6 +648,18 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus "
             "HAVING COUNT(*) > 10"
+        ),
+        "skew_salted_agg": (
+            "SELECT event_type, COUNT(value) AS n, "
+            "ROUND(MAX(value), 4) AS mx FROM events GROUP BY event_type"
+        ),
+        "scalable_topk": (
+            "WITH ranked AS (SELECT event_type, value, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY value DESC) "
+            "AS rn FROM events) "
+            "SELECT event_type, string_agg(CAST(ROUND(value, 3) AS VARCHAR), "
+            "',' ORDER BY value DESC) AS top5_csv "
+            "FROM ranked WHERE rn <= 5 GROUP BY event_type"
         ),
         "count_distinct": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "

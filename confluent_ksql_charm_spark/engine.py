@@ -384,6 +384,13 @@ class KsqlSparkEngine:
             handle = start_persistent_query(self, qid, meta, spec.props)
             self.queries[qid] = handle
         else:
+            if spec.props.get("SINK", "").lower() == "parquet":
+                # batch materialization — the sink-topic analogue: write
+                # the result and re-register the relation over the files
+                path = spec.props["SINK_PATH"]
+                df.write.mode("overwrite").parquet(path)
+                meta.df = self.spark.read.parquet(path)
+                meta.df.createOrReplaceTempView(meta.view)
             self.queries[qid] = StatementResult(kind="BATCH_QUERY", name=spec.name, df=df)
         return StatementResult(kind="CSAS" if spec.kind == "STREAM" else "CTAS",
                                name=spec.name, df=df, message=qid)

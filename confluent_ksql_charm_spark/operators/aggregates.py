@@ -1,0 +1,53 @@
+"""Scalable variants of the KSQL aggregate functions whose expression
+forms trade asymptotics for streaming-compatibility (SURVEY.md §3.5).
+
+- HISTOGRAM's dialect rewrite is O(distinct² per group) inside one
+  aggregate expression (fine for the low-cardinality columns it targets,
+  and usable under streaming GROUP BY). `histogram` here is the two-level
+  groupBy form: linear work, two partial-aggregated shuffles — the 100 TB
+  shape for high-cardinality value columns.
+- TOPK's rewrite collects the whole group before slicing — aggregation
+  state is the group. `grouped_topk` is the salted two-phase form: top-k
+  per (group, salt bucket) first, then a merge of ≤ buckets·k values per
+  group. Aggregation state never exceeds bucket-size + k values, both
+  phases keep map-side partial aggregation, and a hot group's phase-1
+  work spreads across `buckets` reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram(df: DataFrame, group_cols: list[str], value_col: str,
+              out_col: str = "histogram") -> DataFrame:
+    """Map value→count per group; linear, two partial-agg shuffles."""
+    counts = (
+        df.groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return (
+        counts.groupBy(*group_cols)
+        .agg(F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col(value_col),
+                                                 F.col("__cnt"))))
+        ).alias(out_col))
+    )
+
+
+def grouped_topk(df: DataFrame, group_cols: list[str], value_col: str,
+                 k: int, out_col: str = "topk", buckets: int = 32) -> DataFrame:
+    """TOPK(value, k) per group, salted two-phase (bounded state)."""
+    salt = (F.crc32(F.col(value_col).cast("string")) % buckets).alias("__salt")
+    phase1 = (
+        df.select(*group_cols, value_col).withColumn("__salt", salt)
+        .groupBy(*group_cols, "__salt")
+        .agg(F.slice(F.sort_array(F.collect_list(F.col(value_col)), False),
+                     1, k).alias("__part"))
+    )
+    return (
+        phase1.groupBy(*group_cols)
+        .agg(F.slice(F.sort_array(F.flatten(F.collect_list("__part")), False),
+                     1, k).alias(out_col))
+    )

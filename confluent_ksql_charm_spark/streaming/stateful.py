@@ -25,6 +25,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def streaming_dedup_within_watermark(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Event-time streaming dedup: duplicates of a key arriving within the
+    watermark delay are dropped; state evicted as the watermark advances
+    (bounded by event-time skew, not wall clock). The built-in
+    `dropDuplicatesWithinWatermark` covers this — prefer it when an
+    event-time column exists; `streaming_dedup_by_key` is the
+    processing-time/stateful fallback."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
+
+
 def streaming_dedup_by_key(
     df: DataFrame,
     key_cols: list[str],

@@ -56,3 +56,15 @@ def test_show_properties_describe_function_terminate_all(engine):
     assert len(engine.execute("SHOW QUERIES;")[0].rows) >= 2
     engine.execute("TERMINATE ALL;")
     assert engine.execute("SHOW QUERIES;")[0].rows == []
+
+
+def test_batch_csas_parquet_materialization(engine, tmp_path):
+    out = str(tmp_path / "mat")
+    engine.execute(
+        f"CREATE STREAM mat_err WITH (SINK='parquet', SINK_PATH='{out}') AS "
+        "SELECT event_id, user_id FROM events WHERE event_type = 'error';"
+    )
+    spark = engine.spark
+    on_disk = spark.read.parquet(out).count()
+    assert on_disk > 0
+    assert engine.sql("SELECT COUNT(*) AS n FROM mat_err").first()["n"] == on_disk

@@ -52,3 +52,25 @@ def test_top_keys(spark):
         [("x",)] * 10 + [("y",)] * 3 + [("z",)], "k string")
     rows = top_keys(df, ["k"], n=2).collect()
     assert [(r.k, r["count"]) for r in rows] == [("x", 10), ("y", 3)]
+
+
+def test_grouped_topk_matches_single_phase(spark):
+    from confluent_ksql_charm_spark.operators.aggregates import grouped_topk
+    import random
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [("k%d" % (i % 3), rng.random() * 100) for i in range(500)],
+        "k string, v double")
+    got = {r.k: r.topk for r in grouped_topk(df, ["k"], "v", k=5).collect()}
+    want = {r.k: r.t for r in df.groupBy("k").agg(
+        F.slice(F.sort_array(F.collect_list("v"), False), 1, 5).alias("t")
+    ).collect()}
+    assert got == want
+
+
+def test_histogram_operator(spark):
+    from confluent_ksql_charm_spark.operators.aggregates import histogram
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")], "g string, v string")
+    got = {r.g: r.histogram for r in histogram(df, ["g"], "v").collect()}
+    assert got == {"a": {"x": 2, "y": 1}, "b": {"z": 1}}

@@ -143,3 +143,19 @@ def test_streaming_stream_stream_within_join(spark, seng, engine):
         "WHERE a.event_type = 'signup' AND b.event_type = 'purchase'"
     ).count()
     assert got == want
+
+
+def test_event_time_dedup_within_watermark(spark, seng, tmp_path):
+    from confluent_ksql_charm_spark.streaming.stateful import (
+        streaming_dedup_within_watermark)
+
+    events = seng.metastore.get("events").df
+    dd = streaming_dedup_within_watermark(events, ["user_id"], "ts",
+                                          "365 days")
+    sq = (dd.writeStream.format("memory").queryName("wm_dedup")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ckwm"))
+          .trigger(availableNow=True).start())
+    assert sq.awaitTermination(120)
+    got = spark.table("wm_dedup")
+    assert got.count() == got.select("user_id").distinct().count() > 0
