@@ -196,3 +196,36 @@ class TestUrlFunctions:
         assert r.port == 8080
         assert r.lang == "en"
         assert r.rt == "a b&c"
+
+
+class TestPredicateAndTypeEdges:
+    def test_in_list_and_not_like(self, corpus_engine_edges):
+        eng = corpus_engine_edges
+        rows = eng.sql(
+            "SELECT id FROM edge_t WHERE k IN ('a', 'c') AND k NOT LIKE 'z%'"
+        ).collect()
+        assert sorted(r.id for r in rows) == [1, 3]
+
+    def test_decimal_cast(self, corpus_engine_edges):
+        df = corpus_engine_edges.sql(
+            "SELECT id, CAST(v AS DECIMAL(10, 2)) AS d FROM edge_t")
+        assert dict(df.dtypes)["d"] == "decimal(10,2)"
+        assert float(df.where("id = 1").first().d) == 10.12
+
+    def test_is_not_null_and_coalesce(self, corpus_engine_edges):
+        rows = corpus_engine_edges.sql(
+            "SELECT id, IFNULL(j, 'missing') AS jj FROM edge_t "
+            "WHERE k IS NOT NULL").collect()
+        assert {r.id: r.jj for r in rows}[3] == "missing"
+
+
+@pytest.fixture()
+def corpus_engine_edges(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 10.123, "x"), (2, "b", 20.5, "y"), (3, "c", 30.9, None)],
+        "id bigint, k string, v double, j string")
+    eng.register_source("edge_t", df=df)
+    return eng

@@ -159,3 +159,15 @@ def test_event_time_dedup_within_watermark(spark, seng, tmp_path):
     assert sq.awaitTermination(120)
     got = spark.table("wm_dedup")
     assert got.count() == got.select("user_id").distinct().count() > 0
+
+
+def test_emit_changes_statement_streaming(spark, seng):
+    # EMIT CHANGES (5.x push-query marker) parses and runs as update-mode
+    res = seng.execute(
+        "CREATE TABLE emit_t WITH (SINK='memory', TRIGGER='availablenow', "
+        "OUTPUT_MODE='update') AS "
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
+        "EMIT CHANGES;"
+    )[0]
+    seng.queries[res.message].streaming_query.awaitTermination(120)
+    assert spark.table(res.message.lower()).count() > 0
