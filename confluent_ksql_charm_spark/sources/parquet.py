@@ -29,12 +29,13 @@ def _arrow_schema(path: str):
     return pq.read_schema(f)
 
 
-def _arrow_to_spark_ddl(t) -> str:
+def _arrow_to_spark_ddl(t, as_long: bool = False) -> str:
     import pyarrow as pa
 
     if pa.types.is_timestamp(t):
-        # ns → read as long (nanosAsLong), rebuilt to timestamp post-scan
-        return "long" if t.unit == "ns" else "timestamp"
+        # INT64-nanos → read as long (nanosAsLong), rebuilt post-scan;
+        # INT96/micros/millis → native timestamp
+        return "long" if as_long else "timestamp"
     if pa.types.is_int64(t):
         return "bigint"
     if pa.types.is_int32(t):
@@ -57,16 +58,36 @@ def _arrow_to_spark_ddl(t) -> str:
     raise ValueError(f"unmapped arrow type {t}")
 
 
-def _ns_timestamp_cols(schema) -> list[str]:
+def _ns_timestamp_cols(schema, path: str) -> list[str]:
+    """Columns stored as INT64 TIMESTAMP(NANOS) — the only shape Spark's
+    reader rejects. INT96 timestamps ALSO surface as timestamp[ns] in the
+    arrow schema but Spark reads them natively; distinguishing requires
+    the parquet physical type."""
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    return [f.name for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    f = path
+    if os.path.isdir(path):
+        members = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not members:
+            return []
+        f = members[0]
+    candidates = {fld.name for fld in schema
+                  if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns"}
+    if not candidates:
+        return []
+    pqschema = pq.ParquetFile(f).schema
+    out = []
+    for i in range(len(pqschema)):
+        col = pqschema.column(i)
+        if col.name in candidates and col.physical_type == "INT64":
+            out.append(col.name)
+    return out
 
 
 def read_parquet(spark: SparkSession, path: str, *, streaming: bool = False) -> DataFrame:
     schema = _arrow_schema(path)
-    ns_cols = _ns_timestamp_cols(schema) if schema is not None else []
+    ns_cols = _ns_timestamp_cols(schema, path) if schema is not None else []
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if streaming:
@@ -74,7 +95,8 @@ def read_parquet(spark: SparkSession, path: str, *, streaming: bool = False) -> 
         # are handled via pathGlobFilter so the registry path contract
         # (one file per topic) works in both modes.
         ddl = ", ".join(
-            f"`{f.name}` {_arrow_to_spark_ddl(f.type)}" for f in schema
+            f"`{f.name}` {_arrow_to_spark_ddl(f.type, as_long=f.name in ns_cols)}"
+            for f in schema
         )
         reader = spark.readStream.schema(ddl)
         if os.path.isfile(path):

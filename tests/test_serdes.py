@@ -96,3 +96,20 @@ def test_bigint_timestamp_is_epoch_millis(spark):
     eng.register_source("b", df=df, timestamp="ms")
     rows = eng.sql("SELECT id, ROWTIME AS t FROM b").collect()
     assert {r.id: r.t for r in rows} == {1: 1704067200000, 2: 1704067260000}
+
+
+def test_spark_written_parquet_roundtrip(spark, tmp_path):
+    """Regression: Spark-written timestamps (INT96/micros) must NOT be
+    mistaken for INT64-nanos by the ns-rebuild logic (pyarrow reports
+    INT96 as timestamp[ns] too)."""
+    from confluent_ksql_charm_spark.sources.parquet import read_parquet
+
+    src = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "id bigint, t string"
+    ).selectExpr("id", "CAST(t AS TIMESTAMP) AS ts")
+    out = str(tmp_path / "w")
+    src.write.parquet(out)
+    df = read_parquet(spark, out)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() == 1
+    assert str(df.first().ts) == "2024-01-01 10:00:00"
