@@ -17,6 +17,14 @@ __all__ = [
     "StatementResult",
     "MetaStore",
     "SourceMeta",
+    "KsqlRestServer",
 ]
+
+
+def __getattr__(name):
+    if name == "KsqlRestServer":  # lazy: avoid importing http machinery eagerly
+        from .server import KsqlRestServer
+        return KsqlRestServer
+    raise AttributeError(name)
 
 __version__ = "0.1.0"

@@ -31,6 +31,7 @@ class SourceInfo:
     view: str                  # Spark temp-view name
     ts_col: str | None = None  # ROWTIME analogue
     key_col: str | None = None # ROWKEY analogue
+    columns: list[str] | None = None  # user-visible columns (no __hidden)
 
 
 class TranslationContext:
@@ -159,8 +160,14 @@ def _window_group_expr(w: WindowSpec, ts_col: str) -> str:
     raise ValueError(w.kind)
 
 
-def translate_select(spec: SelectSpec, resolve) -> str:
-    """Lower a SelectSpec to one Spark SQL statement string."""
+def translate_select(spec: SelectSpec, resolve,
+                     extra_select: list[tuple[str, str]] | None = None) -> str:
+    """Lower a SelectSpec to one Spark SQL statement string.
+
+    extra_select: (expression, alias) pairs appended to the projection —
+    used by the engine for implicit column propagation (KSQL's ROWTIME
+    travels with every derived stream even when not selected).
+    """
     src = resolve(spec.source)
     src_ref = src.view + (f" AS {spec.source_alias}" if spec.source_alias else "")
     src_prefix = spec.source_alias or src.view
@@ -177,8 +184,13 @@ def translate_select(spec: SelectSpec, resolve) -> str:
     star = False
     for toks, alias in spec.select_items:
         if len(toks) == 1 and toks[0].kind == OP and toks[0].text == "*":
-            select_sqls.append("*")
             star = True
+            # expand * to the source's USER-VISIBLE columns (hidden
+            # __rowtime-style columns stay hidden, KSQL-style)
+            if not spec.joins and src.columns:
+                select_sqls.extend(f"{src_prefix}.{c}" for c in src.columns)
+            else:
+                select_sqls.append("*")
             continue
         e = rewrite_expr(toks, ctx)
         if alias:
@@ -186,6 +198,8 @@ def translate_select(spec: SelectSpec, resolve) -> str:
         select_sqls.append(e)
     if star and spec.window is not None:
         raise ValueError("SELECT * with WINDOW is ambiguous; list columns")
+    for expr, alias in (extra_select or []):
+        select_sqls.append(f"{expr} AS {alias}")
 
     group_sqls = [rewrite_expr(g, ctx) for g in spec.group_by]
     if spec.window is not None:

@@ -103,6 +103,28 @@ class EngineConfig:
     service_id: str = "ksql_spark_engine"
     checkpoint_dir: Optional[str] = None     # streaming checkpoints
     properties: dict[str, str] = field(default_factory=dict)  # SET'able
+    listener_port: int = 8088                # charm default KSQL port
+
+    @classmethod
+    def from_charm_config(cls, cfg: dict) -> "EngineConfig":
+        """Map charm config.yaml option names (SURVEY.md §1 table) onto the
+        engine: ksql-server-port/listeners → listener_port, service-id →
+        service_id, bootstrap/state dirs → data/checkpoint dirs. Unknown
+        keys (JVM heap, snap channel …) are deployment-only → ignored."""
+        port = cfg.get("ksql-server-port") or cfg.get("port") or 8088
+        listeners = cfg.get("listeners")
+        if listeners and ":" in str(listeners):
+            try:
+                port = int(str(listeners).rsplit(":", 1)[1].strip("/"))
+            except ValueError:
+                pass
+        return cls(
+            data_dir=cfg.get("data-dir") or cfg.get("data_dir"),
+            service_id=str(cfg.get("service-id", cfg.get("ksql.service.id",
+                                                         "ksql_spark_engine"))),
+            checkpoint_dir=cfg.get("state-dir") or cfg.get("checkpoint_dir"),
+            listener_port=int(port),
+        )
 
 
 class KsqlSparkEngine:
@@ -224,7 +246,10 @@ class KsqlSparkEngine:
 
     def _resolve(self, name: str) -> SourceInfo:
         m = self.metastore.get(name)
-        return SourceInfo(name=m.name, view=m.view, ts_col=m.ts_col, key_col=m.key_col)
+        return SourceInfo(name=m.name, view=m.view, ts_col=m.ts_col,
+                          key_col=m.key_col,
+                          columns=[c for c in m.df.columns
+                                   if not c.startswith("__")])
 
     # ------------------------------------------------------------ execute
 
@@ -363,6 +388,8 @@ class KsqlSparkEngine:
         ts = spec.props.get("TIMESTAMP")
         if ts is None and src_meta.ts_col in cols:
             ts = src_meta.ts_col
+        if ts is None and "__rowtime" in df.columns:
+            ts = "__rowtime"
         view = self._view_name(spec.name)
         df.createOrReplaceTempView(view)
         return SourceMeta(
@@ -371,10 +398,30 @@ class KsqlSparkEngine:
             props=spec.props, query_text=stmt,
         )
 
+    def _rowtime_extra(self, sel: SelectSpec) -> list[tuple[str, str]]:
+        """KSQL parity: ROWTIME travels with every derived STREAM even when
+        not selected — propagate the source event-time column as a hidden
+        __rowtime. Skipped for aggregations (KSQL's agg output ts is an
+        implementation detail; windowed aggs expose WINDOWSTART/WINDOWEND)."""
+        if sel.group_by or sel.window is not None or sel.distinct:
+            return []
+        src = self.metastore.get(sel.source)
+        if src.ts_col is None:
+            return []
+        selected = {a for _, a in sel.select_items if a}
+        selected |= {t[0].text for t, a in sel.select_items
+                     if not a and len(t) == 1}
+        if src.ts_col in selected or "__rowtime" in selected:
+            return []
+        prefix = sel.source_alias or self._view_name(sel.source)
+        return [(f"{prefix}.{src.ts_col}", "__rowtime")]
+
     def _create_as(self, spec: CreateAsSpec, stmt: str) -> StatementResult:
         if spec.if_not_exists and self.metastore.has(spec.name):
             return StatementResult(kind="DDL", name=spec.name, message="exists")
-        df = self.spark.sql(translate_select(spec.select, self._resolve))
+        extra = self._rowtime_extra(spec.select) if spec.kind == "STREAM" else []
+        df = self.spark.sql(translate_select(spec.select, self._resolve,
+                                             extra_select=extra))
         meta = self._derived_meta(spec, df, stmt)
         self.metastore.put(meta)
         self._qid += 1
@@ -392,12 +439,16 @@ class KsqlSparkEngine:
                 meta.df = self.spark.read.parquet(path)
                 meta.df.createOrReplaceTempView(meta.view)
             self.queries[qid] = StatementResult(kind="BATCH_QUERY", name=spec.name, df=df)
+        visible = df.drop(*[c for c in df.columns if c.startswith("__")])
         return StatementResult(kind="CSAS" if spec.kind == "STREAM" else "CTAS",
-                               name=spec.name, df=df, message=qid)
+                               name=spec.name, df=visible, message=qid)
 
     def _insert_into(self, spec: InsertIntoSpec) -> StatementResult:
         target = self.metastore.get(spec.target)
-        add = self.spark.sql(translate_select(spec.select, self._resolve))
+        extra = (self._rowtime_extra(spec.select)
+                 if "__rowtime" in target.df.columns else [])
+        add = self.spark.sql(translate_select(spec.select, self._resolve,
+                                              extra_select=extra))
         # KSQL INSERT INTO: second query appending into an existing stream;
         # schemas must match by name (SURVEY.md §3.1) → unionByName.
         merged = target.df.unionByName(add.select(*target.df.columns))
@@ -442,7 +493,9 @@ class KsqlSparkEngine:
                     raise KeyError(f"unknown function {fname}")
                 return StatementResult(kind="INFO", name=fname, message=desc)
             m = self.metastore.get(args[0].strip("`"))
-            rows = [(f.name, f.dataType.simpleString()) for f in m.df.schema.fields]
+            rows = [(f.name, f.dataType.simpleString())
+                    for f in m.df.schema.fields
+                    if not f.name.startswith("__")]
             return StatementResult(kind="INFO", name=m.name, rows=rows,
                                    message=f"{m.kind} key={m.key_col} ts={m.ts_col}")
         if verb == "EXPLAIN":

@@ -1,0 +1,121 @@
+"""REST surface — parity with the KSQL server endpoints the charm exposes.
+
+Reference (public knowledge, SURVEY.md §1/§4): the charm configures
+`listeners=http://0.0.0.0:8088`; clients talk to
+  POST /ksql   — DDL/CSAS/CTAS/metadata statements → JSON results
+  POST /query  — transient push query → streamed rows
+  GET  /info   — server metadata (the charm's smoke check curls this)
+  GET  /healthcheck
+This is a thin stdlib-HTTP wrapper over KsqlSparkEngine — request
+handling is sequential per server (Spark drivers are effectively
+single-tenant here); production deployments would front it with a real
+ASGI server, but the wire contract is what matters for parity.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from .engine import KsqlSparkEngine, StatementResult
+
+
+def _result_to_json(res: StatementResult) -> dict[str, Any]:
+    out: dict[str, Any] = {"type": res.kind}
+    if res.name:
+        out["name"] = res.name
+    if res.message:
+        out["message"] = res.message
+    if res.rows is not None:
+        out["rows"] = [list(r) if isinstance(r, tuple) else r for r in res.rows]
+    if res.plan:
+        out["plan"] = res.plan
+    if res.df is not None and res.kind in ("CSAS", "CTAS", "INSERT"):
+        out["schema"] = res.df.schema.simpleString()
+    return out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: KsqlSparkEngine  # set by server factory
+
+    def log_message(self, fmt, *args):  # silence default stderr logging
+        pass
+
+    def _send(self, code: int, payload: Any) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/info":
+            eng = self.engine
+            self._send(200, {
+                "KsqlServerInfo": {
+                    "version": "spark-engine-0.1.0",
+                    "ksqlServiceId": eng.config.service_id,
+                    "sparkVersion": eng.spark.version,
+                    "streams": eng.metastore.names("STREAM"),
+                    "tables": eng.metastore.names("TABLE"),
+                }
+            })
+        elif self.path == "/healthcheck":
+            self._send(200, {"isHealthy": True})
+        else:
+            self._send(404, {"error": "not found"})
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        try:
+            req = json.loads(self.rfile.read(length) or b"{}")
+        except json.JSONDecodeError:
+            self._send(400, {"error": "invalid JSON body"})
+            return
+        ksql = req.get("ksql", "")
+        if not ksql:
+            self._send(400, {"error": "missing 'ksql' field"})
+            return
+        try:
+            if self.path == "/ksql":
+                results = self.engine.execute(ksql)
+                self._send(200, [_result_to_json(r) for r in results])
+            elif self.path == "/query":
+                limit = req.get("limit")
+                rows = self.engine.push_query(ksql, limit=limit)
+                cols = list(rows[0].asDict().keys()) if rows else []
+                self._send(200, {
+                    "columns": cols,
+                    "rows": [[row[c] for c in cols] for row in rows],
+                })
+            else:
+                self._send(404, {"error": "not found"})
+        except Exception as e:  # statement errors → 400 with message (KSQL style)
+            self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+
+class KsqlRestServer:
+    """Embeds the engine behind the KSQL REST contract."""
+
+    def __init__(self, engine: KsqlSparkEngine, host: str = "127.0.0.1",
+                 port: int = 8088):
+        handler = type("BoundHandler", (_Handler,), {"engine": engine})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> "KsqlRestServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

@@ -1,0 +1,89 @@
+"""REST surface tests — the wire contract the charm's smoke test curls."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+    from confluent_ksql_charm_spark.server import KsqlRestServer
+
+    eng = KsqlSparkEngine(spark, data_dir="/root/testdata/sf0.001")
+    eng.register_source("events", path="/root/testdata/sf0.001/events.parquet",
+                        key="user_id", timestamp="ts")
+    srv = KsqlRestServer(eng, port=0).start()   # ephemeral port
+    yield srv
+    srv.stop()
+
+
+def _post(server, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(server, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}{path}") as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_info_and_healthcheck(server):
+    code, body = _get(server, "/info")
+    assert code == 200
+    assert body["KsqlServerInfo"]["streams"] == ["events"]
+    code, body = _get(server, "/healthcheck")
+    assert code == 200 and body["isHealthy"]
+
+
+def test_post_ksql_csas_and_show(server):
+    code, body = _post(server, "/ksql", {
+        "ksql": "CREATE STREAM rest_errors AS SELECT event_id, value "
+                "FROM events WHERE event_type = 'error'; SHOW STREAMS;"})
+    assert code == 200
+    assert body[0]["type"] == "CSAS" and body[0]["name"] == "rest_errors"
+    assert "rest_errors" in body[1]["rows"]
+
+
+def test_post_query_rows(server):
+    code, body = _post(server, "/query", {
+        "ksql": "SELECT event_id, ROWTIME AS t FROM events LIMIT 3"})
+    assert code == 200
+    assert body["columns"] == ["event_id", "t"]
+    assert len(body["rows"]) == 3
+
+
+def test_bad_statement_is_400(server):
+    code, body = _post(server, "/ksql", {"ksql": "FLURB"})
+    assert code == 400 and "error" in body
+
+
+def test_missing_field_is_400(server):
+    code, body = _post(server, "/ksql", {})
+    assert code == 400
+
+
+def test_engine_config_from_charm_config():
+    from confluent_ksql_charm_spark import EngineConfig
+
+    cfg = EngineConfig.from_charm_config({
+        "listeners": "http://0.0.0.0:9099",
+        "service-id": "prod_ksql",
+        "state-dir": "/tmp/state",
+        "jvm-heap": "4g",          # deployment-only → ignored
+    })
+    assert cfg.listener_port == 9099
+    assert cfg.service_id == "prod_ksql"
+    assert cfg.checkpoint_dir == "/tmp/state"
