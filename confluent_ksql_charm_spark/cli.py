@@ -1,0 +1,96 @@
+"""Interactive CLI — parity with the `ksql>` REPL (reference: ksql-cli,
+a JLine REPL posting statements to the REST server; SURVEY.md §4.3).
+
+Usage:
+    python -m confluent_ksql_charm_spark.cli [--data-dir DIR] [--streaming]
+        [--master local[*]] [-e "STATEMENT; ..."] [-f script.sql]
+
+Statements accumulate until a ';' terminator (multi-line, like ksql-cli).
+`-e`/`-f` run non-interactively (the CI/charm-smoke path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _print_result(res) -> None:
+    if res.df is not None and res.kind in ("SELECT",):
+        res.df.show(20, truncate=False)
+        return
+    if res.rows is not None:
+        for r in res.rows:
+            print(" ", r)
+        return
+    if res.plan:
+        print(res.plan)
+        return
+    bits = [res.kind]
+    if res.name:
+        bits.append(res.name)
+    if res.message:
+        bits.append(f"— {res.message}")
+    print(" ".join(bits))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ksql-spark")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--master", default="local[*]")
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("-e", "--execute", default=None,
+                    help="run statements and exit")
+    ap.add_argument("-f", "--file", default=None,
+                    help="run a statement script and exit")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .engine import KsqlSparkEngine
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("ksql-spark-cli")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = KsqlSparkEngine(spark, data_dir=args.data_dir,
+                             streaming=args.streaming)
+
+    def run(text: str) -> None:
+        try:
+            for res in engine.execute(text):
+                _print_result(res)
+        except Exception as e:
+            print(f"ERROR: {type(e).__name__}: {e}", file=sys.stderr)
+
+    if args.file:
+        with open(args.file) as f:
+            run(f.read())
+        return 0
+    if args.execute:
+        run(args.execute)
+        return 0
+
+    print("ksql-spark CLI — statements end with ';'. exit/quit to leave.")
+    buf: list[str] = []
+    while True:
+        try:
+            prompt = "ksql> " if not buf else "   -> "
+            line = input(prompt)
+        except EOFError:
+            break
+        if not buf and line.strip().lower() in ("exit", "quit", "exit;", "quit;"):
+            break
+        buf.append(line)
+        if line.rstrip().endswith(";"):
+            run("\n".join(buf))
+            buf = []
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,33 @@
+"""CLI (-e non-interactive mode) — the ksql-cli analogue (SURVEY.md §4.3)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def test_cli_execute_mode():
+    out = subprocess.run(
+        [sys.executable, "-m", "confluent_ksql_charm_spark.cli",
+         "--data-dir", "/root/testdata/sf0.001", "--master", "local[2]",
+         "-e",
+         "CREATE STREAM ev (event_id BIGINT, ts BIGINT, event_type VARCHAR) "
+         "WITH (KAFKA_TOPIC='events', TIMESTAMP='ts'); "
+         "SHOW STREAMS; "
+         "SELECT COUNT(*) AS n FROM ev;"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "STREAM ev created" in out.stdout
+    assert "ev" in out.stdout
+    assert "1000" in out.stdout          # count at sf0.001
+
+
+def test_cli_error_goes_to_stderr():
+    out = subprocess.run(
+        [sys.executable, "-m", "confluent_ksql_charm_spark.cli",
+         "--master", "local[2]", "-e", "SELECT x FROM missing;"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0           # REPL-style: errors reported, not fatal
+    assert "unknown stream/table" in out.stderr
