@@ -171,3 +171,28 @@ def test_emit_changes_statement_streaming(spark, seng):
     )[0]
     seng.queries[res.message].streaming_query.awaitTermination(120)
     assert spark.table(res.message.lower()).count() > 0
+
+
+def test_csas_parquet_sink_exactly_once_restart(spark, tmp_path):
+    # same checkpoint + availableNow re-run → file sink stays exactly-once
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    for _ in range(2):
+        eng = KsqlSparkEngine(spark, data_dir="/root/testdata/sf0.001",
+                              streaming=True)
+        eng.register_source("events",
+                            path="/root/testdata/sf0.001/events.parquet",
+                            key="user_id", timestamp="ts")
+        res = eng.execute(
+            f"CREATE STREAM eo WITH (SINK='parquet', SINK_PATH='{out}', "
+            f"CHECKPOINT='{ck}', TRIGGER='availablenow') AS "
+            "SELECT event_id, user_id FROM events WHERE event_type = 'error';"
+        )[0]
+        eng.queries[res.message].streaming_query.awaitTermination(120)
+    batch = KsqlSparkEngine(spark, data_dir="/root/testdata/sf0.001")
+    batch.register_source("events",
+                          path="/root/testdata/sf0.001/events.parquet")
+    want = batch.sql(
+        "SELECT event_id FROM events WHERE event_type = 'error'").count()
+    assert spark.read.parquet(out).count() == want   # no duplicates
