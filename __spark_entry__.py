@@ -148,6 +148,27 @@ def _q_array_funcs(spark, sf):
     )
 
 
+def _q_url_funcs(spark, sf):
+    # URL family over synthesized URLs (testdata has no URL column); every
+    # URL carries host/port/path/query so engine-vs-oracle edges agree
+    return _eng(spark, sf).sql(
+        "SELECT c_custkey, "
+        "URL_EXTRACT_HOST(CONCAT('https://shop', CAST(c_custkey % 10 AS STRING), "
+        "'.example.com:', CAST(8000 + c_custkey % 100 AS STRING), '/seg/', "
+        "LCASE(c_mktsegment), '?seg=', c_mktsegment, '&id=', "
+        "CAST(c_custkey AS STRING))) AS host, "
+        "URL_EXTRACT_PORT(CONCAT('https://shop', CAST(c_custkey % 10 AS STRING), "
+        "'.example.com:', CAST(8000 + c_custkey % 100 AS STRING), '/seg/', "
+        "LCASE(c_mktsegment), '?seg=', c_mktsegment, '&id=', "
+        "CAST(c_custkey AS STRING))) AS port, "
+        "URL_EXTRACT_PARAMETER(CONCAT('https://shop', "
+        "CAST(c_custkey % 10 AS STRING), '.example.com:', "
+        "CAST(8000 + c_custkey % 100 AS STRING), '/seg/', LCASE(c_mktsegment), "
+        "'?seg=', c_mktsegment, '&id=', CAST(c_custkey AS STRING)), 'id') AS pid "
+        "FROM customer"
+    )
+
+
 def _q_math_funcs(spark, sf):
     return _eng(spark, sf).sql(
         "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS adisc, "
@@ -523,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_funcs": _q_datetime_funcs,
         "date_convert": _q_date_convert,
         "array_funcs": _q_array_funcs,
+        "url_funcs": _q_url_funcs,
         "math_funcs": _q_math_funcs,
         "pricing_summary": _q_pricing_summary,
         "skew_salted_agg": _q_salted_agg,
@@ -625,6 +647,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(string_split(text, ' ')) AS INT) AS n_tok, "
             "list_contains(string_split(text, ' '), 'spark') AS has_spark "
             "FROM documents"
+        ),
+        "url_funcs": (
+            "WITH u AS (SELECT c_custkey, concat('https://shop', "
+            "CAST(c_custkey % 10 AS VARCHAR), '.example.com:', "
+            "CAST(8000 + c_custkey % 100 AS VARCHAR), '/seg/', "
+            "lower(c_mktsegment), '?seg=', c_mktsegment, '&id=', "
+            "CAST(c_custkey AS VARCHAR)) AS url FROM customer) "
+            "SELECT c_custkey, "
+            "regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host, "
+            "CAST(regexp_extract(url, '^[a-z]+://[^/:?#]+:([0-9]+)', 1) AS INT) "
+            "AS port, "
+            "regexp_extract(url, '[?&]id=([^&#]*)', 1) AS pid FROM u"
         ),
         "math_funcs": (
             "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS adisc, "
