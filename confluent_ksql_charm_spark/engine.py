@@ -300,8 +300,14 @@ class KsqlSparkEngine:
             return df.take(limit) if limit else df.collect()
         self._qid += 1
         name = f"transient_{self._ns}_{self._qid}".lower()
-        sq = (df.writeStream.format("memory").queryName(name)
-              .outputMode("append").trigger(availableNow=True).start())
+        writer = df.writeStream.format("memory").queryName(name) \
+            .trigger(availableNow=True)
+        try:
+            sq = writer.outputMode("append").start()
+        except Exception:
+            # aggregating push query without a watermark: KSQL emits the
+            # changelog — 'complete' is the bounded-replay equivalent
+            sq = writer.outputMode("complete").start()
         try:
             sq.awaitTermination(timeout)
         finally:
@@ -451,6 +457,12 @@ class KsqlSparkEngine:
                                               extra_select=extra))
         # KSQL INSERT INTO: second query appending into an existing stream;
         # schemas must match by name (SURVEY.md §3.1) → unionByName.
+        # Hidden columns (__rowtime) the inserted query cannot provide
+        # (ts-less source) are null-filled, KSQL's missing-timestamp value.
+        for c in target.df.columns:
+            if c.startswith("__") and c not in add.columns:
+                dtype = dict(target.df.dtypes)[c]
+                add = add.withColumn(c, F.lit(None).cast(dtype))
         merged = target.df.unionByName(add.select(*target.df.columns))
         merged.createOrReplaceTempView(target.view)
         target.df = merged
