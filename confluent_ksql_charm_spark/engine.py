@@ -300,14 +300,14 @@ class KsqlSparkEngine:
             return df.take(limit) if limit else df.collect()
         self._qid += 1
         name = f"transient_{self._ns}_{self._qid}".lower()
-        writer = df.writeStream.format("memory").queryName(name) \
-            .trigger(availableNow=True)
-        try:
-            sq = writer.outputMode("append").start()
-        except Exception:
-            # aggregating push query without a watermark: KSQL emits the
-            # changelog — 'complete' is the bounded-replay equivalent
-            sq = writer.outputMode("complete").start()
+        # KSQL push queries on aggregations emit the changelog; the bounded-
+        # replay equivalent is 'complete' (ALL groups/windows — append would
+        # withhold windows still open at the final watermark). Decide from
+        # the analyzed plan so unrelated start failures aren't masked.
+        analyzed = str(df._jdf.queryExecution().analyzed())
+        mode = "complete" if "Aggregate" in analyzed else "append"
+        sq = (df.writeStream.format("memory").queryName(name)
+              .outputMode(mode).trigger(availableNow=True).start())
         try:
             sq.awaitTermination(timeout)
         finally:
@@ -451,18 +451,33 @@ class KsqlSparkEngine:
 
     def _insert_into(self, spec: InsertIntoSpec) -> StatementResult:
         target = self.metastore.get(spec.target)
-        extra = (self._rowtime_extra(spec.select)
-                 if "__rowtime" in target.df.columns else [])
-        add = self.spark.sql(translate_select(spec.select, self._resolve,
+        sel = spec.select
+        extra: list[tuple[str, str]] = []
+        if "__rowtime" in target.df.columns:
+            # Propagate the insert-source's event time into the target's
+            # hidden rowtime whenever it exists — INCLUDING when the ts
+            # column is also selected explicitly (unlike CSAS, where a
+            # selected ts makes the hidden copy redundant).
+            src = self.metastore.get(sel.source)
+            if (src.ts_col is not None and not sel.group_by
+                    and sel.window is None and not sel.distinct):
+                prefix = sel.source_alias or self._view_name(sel.source)
+                extra = [(f"{prefix}.{src.ts_col}", "__rowtime")]
+        add = self.spark.sql(translate_select(sel, self._resolve,
                                               extra_select=extra))
         # KSQL INSERT INTO: second query appending into an existing stream;
         # schemas must match by name (SURVEY.md §3.1) → unionByName.
-        # Hidden columns (__rowtime) the inserted query cannot provide
-        # (ts-less source) are null-filled, KSQL's missing-timestamp value.
-        for c in target.df.columns:
-            if c.startswith("__") and c not in add.columns:
-                dtype = dict(target.df.dtypes)[c]
-                add = add.withColumn(c, F.lit(None).cast(dtype))
+        # Hidden columns a ts-less/aggregating insert cannot provide are
+        # filled with the statement's ingestion time — KSQL's ROWTIME is
+        # never null (producer/ingestion timestamp fallback).
+        if any(c.startswith("__") and c not in add.columns
+               for c in target.df.columns):
+            import datetime as _dt
+            ingest = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            dtypes = dict(target.df.dtypes)
+            for c in target.df.columns:
+                if c.startswith("__") and c not in add.columns:
+                    add = add.withColumn(c, F.lit(ingest).cast(dtypes[c]))
         merged = target.df.unionByName(add.select(*target.df.columns))
         merged.createOrReplaceTempView(target.view)
         target.df = merged

@@ -196,3 +196,41 @@ def test_csas_parquet_sink_exactly_once_restart(spark, tmp_path):
     want = batch.sql(
         "SELECT event_id FROM events WHERE event_type = 'error'").count()
     assert spark.read.parquet(out).count() == want   # no duplicates
+
+
+def test_push_query_windowed_agg_emits_all_windows(spark, tmp_path):
+    # KSQL push-query changelog semantics: ALL windows, even those still
+    # open at the final watermark (complete-mode replay, not append)
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    from tests.conftest import SF_DIR
+
+    seng = KsqlSparkEngine(spark, data_dir=SF_DIR, streaming=True)
+    seng.register_source("events", path=f"{SF_DIR}/events.parquet",
+                         key="user_id", timestamp="ts", watermark="1 minutes")
+    rows = seng.push_query(
+        "SELECT event_type, WINDOWSTART() AS ws, COUNT(*) AS n "
+        "FROM events WINDOW TUMBLING (SIZE 1 HOUR) GROUP BY event_type")
+    batch = KsqlSparkEngine(spark, data_dir=SF_DIR)
+    batch.register_source("events", path=f"{SF_DIR}/events.parquet",
+                          key="user_id", timestamp="ts")
+    want = batch.sql(
+        "SELECT event_type, WINDOWSTART() AS ws, COUNT(*) AS n "
+        "FROM events WINDOW TUMBLING (SIZE 1 HOUR) GROUP BY event_type"
+    ).count()
+    assert len(rows) == want   # nothing withheld
+
+
+def test_insert_into_preserves_explicit_ts_rowtime(engine):
+    engine.execute(
+        "CREATE STREAM rt_t AS SELECT event_id, value FROM events "
+        "WHERE event_type = 'error';"
+        # inserted query selects the ts column explicitly — real event
+        # times must flow into the hidden rowtime, not get null/now-filled
+        "INSERT INTO rt_t SELECT event_id, value FROM events "
+        "WHERE event_type = 'signup';")
+    n_2024 = engine.sql(
+        "SELECT COUNT(*) AS n FROM rt_t WHERE ROWTIME < 1735689600000"
+    ).first().n  # < 2025-01-01: all testdata event times are in 2024
+    total = engine.sql("SELECT COUNT(*) AS n FROM rt_t").first().n
+    assert n_2024 == total > 0
