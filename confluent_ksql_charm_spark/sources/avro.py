@@ -1,0 +1,355 @@
+"""AVRO serde — KSQL's flagship value format (SURVEY.md §3.2;
+`[docs: VALUE_FORMAT='AVRO' + Confluent Schema Registry]`).
+
+KSQL's Avro path is: Confluent wire format (1 magic byte ``0x00`` +
+4-byte big-endian schema id) framing an Avro *binary-encoded* record
+whose schema lives in the Schema Registry. In KSQL the declared stream
+columns ARE the record fields, so here the Avro schema is derived from
+the stream's declared DDL schema (`ddl_to_avro`) instead of a registry
+lookup — same information, no network dependency.
+
+Two decode paths, chosen at call time:
+
+- **JVM fast path** — when the ``spark-avro`` module is on the
+  classpath, ``from_avro(value, json_schema)`` runs the decode inside
+  whole-stage codegen (zero Python). This is the 100 TB path: add
+  ``--packages org.apache.spark:spark-avro_2.13:<ver>`` on a real
+  cluster.
+- **Arrow-batched Python fallback** — this container ships without
+  spark-avro, so a pure-Python binary decoder runs as a pandas UDF
+  (Arrow transfer, one call per ~10k-row batch, not per row). Slower
+  than JVM but still distributed and batch-vectorized at the transfer
+  layer; the codec itself is the Avro 1.x binary spec (zigzag varints,
+  block-encoded arrays/maps, union indexes).
+
+The encoder half exists so serde round-trips are testable without a
+broker or registry — mirroring how the JSON/DELIMITED paths fabricate
+Kafka-record relations in tests.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import io
+import json
+import struct as _struct
+from typing import Any, Callable
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.column import Column
+
+CONFLUENT_MAGIC = b"\x00"
+_FRAME_LEN = 5  # magic + 4-byte schema id
+
+# ---------------------------------------------------------------------------
+# DDL/StructType → Avro schema (what the registry would hold for this stream)
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES: dict[type, Any] = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+
+
+def ddl_to_avro(schema: T.StructType | str, name: str = "KsqlDataSourceSchema",
+                namespace: str = "io.confluent.ksql.avro_schemas") -> dict:
+    """Derive the Avro record schema KSQL would register for a stream.
+
+    Every field is the KSQL-style nullable union ``["null", T]`` with
+    null default — KSQL columns are always nullable.
+    """
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    return {
+        "type": "record", "name": name, "namespace": namespace,
+        "fields": [
+            {"name": f.name, "type": ["null", _avro_type(f.dataType)],
+             "default": None}
+            for f in schema.fields
+        ],
+    }
+
+
+def _avro_type(dt: T.DataType) -> Any:
+    for cls, avro in _PRIMITIVES.items():
+        if isinstance(dt, cls):
+            return avro
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DecimalType):
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": dt.precision, "scale": dt.scale}
+    if isinstance(dt, T.ArrayType):
+        return {"type": "array", "items": ["null", _avro_type(dt.elementType)]}
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError("Avro maps require string keys")
+        return {"type": "map", "values": ["null", _avro_type(dt.valueType)]}
+    if isinstance(dt, T.StructType):
+        return ddl_to_avro(dt, name=f"Nested_{id(dt) & 0xFFFF:x}")
+    raise ValueError(f"no Avro mapping for Spark type {dt.simpleString()}")
+
+
+# ---------------------------------------------------------------------------
+# Binary decoder (Avro 1.x spec: zigzag varints, block collections, unions)
+# ---------------------------------------------------------------------------
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated Avro varint")
+        acc |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError("truncated Avro bytes")
+    return data
+
+
+def _read_blocks(buf: io.BytesIO, read_item: Callable[[], Any]) -> list:
+    out = []
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            return out
+        if n < 0:          # negative count → a byte-size prefix follows
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            out.append(read_item())
+
+
+def _decoder(schema: Any) -> Callable[[io.BytesIO], Any]:
+    """Compile an Avro schema (parsed JSON) into a decode closure."""
+    if isinstance(schema, list):                      # union
+        branches = [_decoder(s) for s in schema]
+        return lambda buf: branches[_read_long(buf)](buf)
+    if isinstance(schema, dict):
+        t, logical = schema["type"], schema.get("logicalType")
+        if t == "record":
+            fields = [(f["name"], _decoder(f["type"]))
+                      for f in schema["fields"]]
+            return lambda buf: {n: d(buf) for n, d in fields}
+        if t == "array":
+            item = _decoder(schema["items"])
+            return lambda buf: _read_blocks(buf, lambda: item(buf))
+        if t == "map":
+            val = _decoder(schema["values"])
+            return lambda buf: dict(_read_blocks(
+                buf, lambda: (_read_bytes(buf).decode(), val(buf))))
+        if t == "enum":
+            symbols = schema["symbols"]
+            return lambda buf: symbols[_read_long(buf)]
+        if t == "fixed":
+            size = schema["size"]
+            return lambda buf: buf.read(size)
+        if logical == "date":
+            return lambda buf: (_dt.date(1970, 1, 1)
+                                + _dt.timedelta(days=_read_long(buf)))
+        if logical in ("timestamp-micros", "timestamp-millis"):
+            unit = 1 if logical == "timestamp-micros" else 1000
+            return lambda buf: (_dt.datetime(1970, 1, 1)
+                                + _dt.timedelta(
+                                    microseconds=_read_long(buf) * unit))
+        if logical == "decimal":
+            scale = schema.get("scale", 0)
+            return lambda buf: _decimal.Decimal(
+                int.from_bytes(_read_bytes(buf), "big", signed=True)
+            ).scaleb(-scale)
+        schema = t                                    # plain wrapped type
+    if schema == "null":
+        return lambda buf: None
+    if schema == "boolean":
+        return lambda buf: buf.read(1) == b"\x01"
+    if schema in ("int", "long"):
+        return _read_long
+    if schema == "float":
+        return lambda buf: _struct.unpack("<f", buf.read(4))[0]
+    if schema == "double":
+        return lambda buf: _struct.unpack("<d", buf.read(8))[0]
+    if schema == "bytes":
+        return _read_bytes
+    if schema == "string":
+        return lambda buf: _read_bytes(buf).decode("utf-8")
+    raise ValueError(f"unsupported Avro type {schema!r}")
+
+
+def decode_record(schema: dict, payload: bytes, *,
+                  framing: str = "confluent") -> dict:
+    """Decode one Avro binary record. ``framing='confluent'`` strips the
+    5-byte Schema Registry header (and validates the magic byte)."""
+    if framing == "confluent":
+        if len(payload) < _FRAME_LEN or payload[:1] != CONFLUENT_MAGIC:
+            raise ValueError("not Confluent-framed Avro (magic byte != 0)")
+        payload = payload[_FRAME_LEN:]
+    return _decoder(schema)(io.BytesIO(payload))
+
+
+# ---------------------------------------------------------------------------
+# Binary encoder (tests + fixture fabrication; mirrors the decoder)
+# ---------------------------------------------------------------------------
+
+def _write_long(out: io.BytesIO, v: int) -> None:
+    v = (v << 1) ^ (v >> 63) if v >= 0 else ((-v - 1) << 1) | 1  # zigzag
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _encode(schema: Any, value: Any, out: io.BytesIO) -> None:
+    if isinstance(schema, list):                      # union: null-vs-value
+        for i, branch in enumerate(schema):
+            if (value is None) == (branch == "null"):
+                _write_long(out, i)
+                return _encode(branch, value, out)
+        raise ValueError("no matching union branch")
+    if isinstance(schema, dict):
+        t, logical = schema["type"], schema.get("logicalType")
+        if t == "record":
+            for f in schema["fields"]:
+                _encode(f["type"], value.get(f["name"]), out)
+            return
+        if t == "array":
+            if value:
+                _write_long(out, len(value))
+                for item in value:
+                    _encode(schema["items"], item, out)
+            return _write_long(out, 0)
+        if t == "map":
+            if value:
+                _write_long(out, len(value))
+                for k, v in value.items():
+                    _encode("string", k, out)
+                    _encode(schema["values"], v, out)
+            return _write_long(out, 0)
+        if t == "enum":
+            return _write_long(out, schema["symbols"].index(value))
+        if t == "fixed":
+            return out.write(value)
+        if logical == "date":
+            return _write_long(out, (value - _dt.date(1970, 1, 1)).days)
+        if logical in ("timestamp-micros", "timestamp-millis"):
+            unit = 1 if logical == "timestamp-micros" else 1000
+            delta = value - _dt.datetime(1970, 1, 1)
+            us = (delta.days * 86_400_000_000 + delta.seconds * 1_000_000
+                  + delta.microseconds)
+            return _write_long(out, us // unit)
+        if logical == "decimal":
+            unscaled = int(value.scaleb(schema.get("scale", 0)))
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            _write_long(out, n)
+            return out.write(unscaled.to_bytes(n, "big", signed=True))
+        schema = t
+    if schema == "null":
+        return
+    if schema == "boolean":
+        return out.write(b"\x01" if value else b"\x00")
+    if schema in ("int", "long"):
+        return _write_long(out, int(value))
+    if schema == "float":
+        return out.write(_struct.pack("<f", value))
+    if schema == "double":
+        return out.write(_struct.pack("<d", value))
+    if schema == "bytes":
+        _write_long(out, len(value))
+        return out.write(value)
+    if schema == "string":
+        data = value.encode("utf-8")
+        _write_long(out, len(data))
+        return out.write(data)
+    raise ValueError(f"unsupported Avro type {schema!r}")
+
+
+def encode_record(schema: dict, value: dict, *, framing: str = "confluent",
+                  schema_id: int = 1) -> bytes:
+    out = io.BytesIO()
+    if framing == "confluent":
+        out.write(CONFLUENT_MAGIC)
+        out.write(schema_id.to_bytes(4, "big"))
+    _encode(schema, value, out)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Spark column: JVM from_avro when available, Arrow-batched UDF otherwise
+# ---------------------------------------------------------------------------
+
+_JVM_AVRO: bool | None = None
+
+
+def _jvm_avro_available() -> bool:
+    """True when the spark-avro module is on the session's classpath.
+
+    from_avro raises AVRO_NOT_LOADED only at analysis time, so probe the
+    classpath directly (once per process) to pick the decode path
+    eagerly."""
+    global _JVM_AVRO
+    if _JVM_AVRO is None:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        try:
+            # the expression class from_avro compiles to — present only
+            # with the full spark-avro module (a stub AvroFileFormat
+            # ships in sql/core, so probing that is not enough)
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.avro.AvroDataToCatalyst")
+            _JVM_AVRO = True
+        except Exception:
+            _JVM_AVRO = False
+    return _JVM_AVRO
+
+
+def avro_decode_column(schema_ddl: str, *, framing: str = "confluent",
+                       value_col: str = "value") -> Column:
+    """Column expression decoding Avro ``value_col`` → struct of the
+    declared fields. Prefers the JVM spark-avro path; falls back to the
+    pure-Python Arrow-batched codec when the module is absent."""
+    spark_schema = T._parse_datatype_string(schema_ddl)
+    avro_schema = ddl_to_avro(spark_schema)
+    payload = (F.expr(f"substring({value_col}, {_FRAME_LEN + 1}, "
+                      f"length({value_col}) - {_FRAME_LEN})")
+               if framing == "confluent" else F.col(value_col))
+    if _jvm_avro_available():
+        from pyspark.sql.avro.functions import from_avro
+        return from_avro(payload, json.dumps(avro_schema))
+
+    from pyspark.sql.functions import pandas_udf
+
+    result_type = T.StructType(spark_schema.fields)
+    names = [f.name for f in spark_schema.fields]
+    dec = _decoder(avro_schema)
+
+    @pandas_udf(returnType=result_type)
+    def _avro_udf(vals: pd.Series) -> pd.DataFrame:
+        rows = [dec(io.BytesIO(v)) if v is not None else dict.fromkeys(names)
+                for v in vals]
+        return pd.DataFrame(rows, columns=names)
+
+    return _avro_udf(payload)

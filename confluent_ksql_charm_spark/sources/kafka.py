@@ -59,6 +59,7 @@ def decode_kafka_records(
     key_col: str | None = None,
     key_type: str = "string",
     ts_col: str = "rowtime",
+    framing: str = "confluent",
 ) -> DataFrame:
     """Serde: kafka-record relation → typed columns.
 
@@ -85,11 +86,15 @@ def decode_kafka_records(
         parsed = records
         cols = [val.cast(vtype or "string").alias(name)]
     elif fmt == "AVRO":
-        raise NotImplementedError(
-            "AVRO decode needs spark-avro + a schema-registry client; "
-            "declare the schema and use from_avro(value, json_schema) — "
-            "not wired up in this container"
-        )
+        # Confluent-framed Avro binary (KSQL's schema-registry format).
+        # JVM from_avro when spark-avro is loaded; Arrow-batched Python
+        # codec otherwise — see sources/avro.py.
+        if not schema_ddl:
+            raise ValueError("AVRO decoding requires a declared schema")
+        from .avro import avro_decode_column
+        parsed = records.withColumn(
+            "__v", avro_decode_column(schema_ddl, framing=framing))
+        cols = [F.col(f"__v.{f.split()[0]}") for f in _fields(schema_ddl)]
     else:
         raise ValueError(f"unsupported VALUE_FORMAT {value_format}")
     out = [F.col("timestamp").alias(ts_col)]

@@ -66,10 +66,66 @@ def test_rowtime_is_record_timestamp(spark):
     assert out.collect()[0].rowtime == TS
 
 
-def test_avro_unwired_raises(spark):
-    recs = _records(spark, [b"x"])
-    with pytest.raises(NotImplementedError, match="AVRO"):
-        decode_kafka_records(recs, "AVRO", "id bigint")
+class TestAvro:
+    DDL = ("id bigint, name string, score double, ok boolean, "
+           "tags array<string>, attrs map<string,bigint>")
+
+    def _payloads(self):
+        from confluent_ksql_charm_spark.sources.avro import (
+            ddl_to_avro, encode_record)
+        schema = ddl_to_avro(self.DDL)
+        rows = [
+            {"id": 1, "name": "a", "score": 1.5, "ok": True,
+             "tags": ["x", "y"], "attrs": {"k": 7}},
+            {"id": 2, "name": None, "score": -2.5, "ok": False,
+             "tags": [], "attrs": {}},
+            {"id": None, "name": "©µ", "score": None, "ok": None,
+             "tags": ["a", None, "b"], "attrs": {"n": None}},
+        ]
+        return schema, rows, [encode_record(schema, r) for r in rows]
+
+    def test_confluent_framed_decode(self, spark):
+        _, rows, payloads = self._payloads()
+        out = decode_kafka_records(_records(spark, payloads), "AVRO", self.DDL)
+        got = out.orderBy("rowtime").collect()
+        assert got[0].id == 1 and got[0].tags == ["x", "y"] \
+            and got[0].attrs == {"k": 7}
+        assert got[1].name is None and got[1].score == -2.5
+        assert got[2].id is None and got[2].name == "©µ" \
+            and got[2].tags == ["a", None, "b"]
+
+    def test_magic_byte_validated(self):
+        from confluent_ksql_charm_spark.sources.avro import (
+            ddl_to_avro, decode_record)
+        with pytest.raises(ValueError, match="magic"):
+            decode_record(ddl_to_avro("id bigint"), b"\x01\x00\x00\x00\x01")
+
+    def test_raw_framing_roundtrip(self):
+        from confluent_ksql_charm_spark.sources.avro import (
+            ddl_to_avro, decode_record, encode_record)
+        schema = ddl_to_avro("v decimal(10,2), d date, t timestamp")
+        row = {"v": __import__("decimal").Decimal("-123.45"),
+               "d": datetime.date(2024, 3, 1),
+               "t": datetime.datetime(2024, 3, 1, 12, 30, 0, 123456)}
+        payload = encode_record(schema, row, framing="raw")
+        assert decode_record(schema, payload, framing="raw") == row
+
+    def test_negative_block_count_arrays(self):
+        # spec: writers may emit negative block counts with a byte-size
+        # prefix; our encoder never does, so craft one by hand
+        import io
+        from confluent_ksql_charm_spark.sources.avro import (
+            _decoder, _write_long)
+        out = io.BytesIO()
+        _write_long(out, -2)           # 2 items, size-prefixed block
+        body = io.BytesIO()
+        for v in (10, 20):
+            _write_long(body, v)
+        _write_long(out, len(body.getvalue()))
+        out.write(body.getvalue())
+        _write_long(out, 0)            # end of blocks
+        dec = _decoder({"type": "array", "items": "long"})
+        assert dec(io.BytesIO(out.getvalue())) == [10, 20]
 
 
 def test_missing_connector_error(spark):
