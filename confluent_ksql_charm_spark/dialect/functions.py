@@ -134,16 +134,25 @@ def _topkdistinct(args: list[str]) -> str:
 
 
 def _histogram(args: list[str]) -> str:
-    # KSQL HISTOGRAM(col): MAP<value, BIGINT count> per group. Expressed with
-    # higher-order functions so it stays JVM-side. O(distinct * n) per group
-    # — fine for the low-cardinality columns HISTOGRAM targets; the scalable
-    # two-phase (explode + two-level groupBy) variant lives in
-    # operators/aggregates.py for wide groups.
+    # KSQL HISTOGRAM(col): MAP<value, BIGINT count> per group, keys ascending.
+    # Run-length over the sorted collected list: a position p is a run end
+    # iff s[p] <=> s[p+1] fails (try_element_at past the end yields NULL, so
+    # the last position is always a boundary); entry count = this end minus
+    # the previous end. transform(array(x), v -> ...) is the let-binding
+    # idiom — s and ends are each computed once, keeping the whole aggregate
+    # O(n log n) per group instead of the naive O(n * distinct), while
+    # remaining a single JVM-side expression (streaming-GROUP-BY-compatible,
+    # composes with other aggregates in the same SELECT). slice(sequence(0,
+    # n), 2, n) = [1..n] but safely empty when the group is all-NULL
+    # (collect_list drops NULLs; sequence(1, 0) would count backwards).
     c = args[0]
-    lst = f"collect_list({c})"
     return (
-        f"map_from_entries(transform(array_distinct(sort_array({lst})), "
-        f"v -> struct(v, cast(size(filter({lst}, x -> x <=> v)) as bigint))))"
+        f"element_at(transform(array(sort_array(collect_list({c}))), s -> "
+        "element_at(transform(array(filter(slice(sequence(0, size(s)), 2, "
+        "size(s)), p -> NOT (element_at(s, p) <=> try_element_at(s, p + 1)))), "
+        "ends -> map_from_entries(transform(ends, (e, i) -> struct("
+        "element_at(s, e), cast(e - if(i = 0, 0, element_at(ends, i)) "
+        "as bigint))))), 1)), 1)"
     )
 
 

@@ -83,3 +83,28 @@ def test_statement_splitter_preserves_statements(stmt_text):
     stmts = split_statements(base + "; SELECT 1 FROM b;")
     assert len(stmts) == 2
     assert stmts[0] == base
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.one_of(st.none(), st.text(alphabet="abπ", max_size=2))),
+    min_size=1, max_size=60,
+))
+def test_histogram_matches_counter(prop_engine, rows_in):
+    """Dialect HISTOGRAM (run-length-over-sorted-list form) == Counter,
+    NULLs dropped, keys ascending, across group shapes incl. all-NULL."""
+    from collections import Counter
+
+    spark = prop_engine.spark
+    df = spark.createDataFrame(rows_in, "g int, v string")
+    prop_engine.register_source("prop_h", df=df)
+    got = {r.g: r.h for r in prop_engine.sql(
+        "SELECT g, HISTOGRAM(v) AS h FROM prop_h GROUP BY g").collect()}
+    want: dict[int, Counter] = {}
+    for g, v in rows_in:
+        want.setdefault(g, Counter())
+        if v is not None:
+            want[g][v] += 1
+    for g, c in want.items():
+        assert got[g] == dict(c), (g, got[g], dict(c))
