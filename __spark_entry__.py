@@ -148,6 +148,21 @@ def _q_array_funcs(spark, sf):
     )
 
 
+def _q_json_array_contains(spark, sf):
+    # JSON-string overload of ARRAYCONTAINS (KSQL JsonArrayContains):
+    # synthesized JSON arrays exercise bigint + string element dispatch
+    # and the malformed-JSON → FALSE edge (props is a JSON object, not
+    # an array, for every row).
+    return _eng(spark, sf).sql(
+        "SELECT event_id, "
+        "ARRAYCONTAINS(CONCAT('[', CAST(event_id % 7 AS STRING), ', "
+        "', CAST(event_id % 5 AS STRING), ']'), 3) AS has3, "
+        "ARRAYCONTAINS(CONCAT('[\"', event_type, '\", \"view\"]'), 'click') "
+        "AS clickish, "
+        "ARRAYCONTAINS(props, 3) AS not_an_array FROM events"
+    )
+
+
 def _q_url_funcs(spark, sf):
     # URL family over synthesized URLs (testdata has no URL column); every
     # URL carries host/port/path/query so engine-vs-oracle edges agree
@@ -544,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_funcs": _q_datetime_funcs,
         "date_convert": _q_date_convert,
         "array_funcs": _q_array_funcs,
+        "json_array_contains": _q_json_array_contains,
         "url_funcs": _q_url_funcs,
         "math_funcs": _q_math_funcs,
         "pricing_summary": _q_pricing_summary,
@@ -647,6 +663,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(string_split(text, ' ')) AS INT) AS n_tok, "
             "list_contains(string_split(text, ' '), 'spark') AS has_spark "
             "FROM documents"
+        ),
+        "json_array_contains": (
+            "SELECT event_id, "
+            "json_contains(concat('[', CAST(event_id % 7 AS VARCHAR), ', ', "
+            "CAST(event_id % 5 AS VARCHAR), ']'), '3') AS has3, "
+            "json_contains(concat('[\"', event_type, '\", \"view\"]'), "
+            "'\"click\"') AS clickish, "
+            "false AS not_an_array FROM events"
         ),
         "url_funcs": (
             "WITH u AS (SELECT c_custkey, concat('https://shop', "

@@ -32,21 +32,98 @@ class SourceInfo:
     ts_col: str | None = None  # ROWTIME analogue
     key_col: str | None = None # ROWKEY analogue
     columns: list[str] | None = None  # user-visible columns (no __hidden)
+    col_types: dict[str, str] | None = None  # lower(name) → simpleString
 
 
 class TranslationContext:
     def __init__(self, resolve, window: WindowSpec | None = None,
-                 rowtime_expr: str | None = None, rowkey_expr: str | None = None):
+                 rowtime_expr: str | None = None, rowkey_expr: str | None = None,
+                 col_types: dict[str, str] | None = None):
         self.resolve = resolve
         self.window = window
         self.rowtime_expr = rowtime_expr
         self.rowkey_expr = rowkey_expr
+        # lower("col") and lower("alias.col") → Spark simpleString; fed by
+        # translate_select from every source in scope. Best-effort: used for
+        # overload dispatch (ARRAYCONTAINS), never required for correctness
+        # of single-typed functions.
+        self.col_types = col_types if col_types is not None else {}
+
+    def add_source_types(self, prefix: str, info: SourceInfo) -> None:
+        for name, t in (info.col_types or {}).items():
+            self.col_types[f"{prefix.lower()}.{name}"] = t
+            self.col_types.setdefault(name, t)
 
     def window_alias(self) -> str:
         return "session_window" if self.window and self.window.kind == "SESSION" else "window"
 
 
 # ------------------------------------------------------- expression rewrite
+
+#: dialect functions statically known to return VARCHAR (for overload
+#: dispatch when the argument is not a bare column or literal)
+_STRING_FUNCS = {
+    "EXTRACTJSONFIELD", "CONCAT", "TRIM", "LCASE", "UCASE", "REPLACE",
+    "SUBSTRING", "MASK", "MASK_LEFT", "MASK_RIGHT", "MASK_KEEP_LEFT",
+    "MASK_KEEP_RIGHT", "TIMESTAMPTOSTRING", "DATETOSTRING",
+    "URL_EXTRACT_HOST", "URL_EXTRACT_PATH", "URL_EXTRACT_PROTOCOL",
+    "URL_EXTRACT_QUERY", "URL_EXTRACT_FRAGMENT", "URL_EXTRACT_PARAMETER",
+    "URL_ENCODE_PARAM", "URL_DECODE_PARAM",
+}
+
+
+def _static_type(tokens: list[Token], ctx: TranslationContext) -> str | None:
+    """Best-effort static type of an argument expression: a Spark
+    simpleString ('string', 'bigint', 'array<string>', ...) or None.
+    Covers the shapes KSQL overloaded functions dispatch on — literals,
+    bare/qualified columns, and known string-returning function calls."""
+    if not tokens:
+        return None
+    t0 = tokens[0]
+    if len(tokens) == 1:
+        if t0.kind == STRING:
+            return "string"
+        if t0.kind == NUMBER:
+            return ("double" if any(c in t0.text for c in ".eE")
+                    else "bigint")
+        if t0.kind == IDENT:
+            if t0.upper in ("TRUE", "FALSE"):
+                return "boolean"
+            return ctx.col_types.get(t0.text.strip("`").lower())
+    if (len(tokens) == 3 and t0.kind == IDENT and tokens[1].kind == OP
+            and tokens[1].text == "." and tokens[2].kind == IDENT):
+        key = f"{t0.text.strip('`').lower()}.{tokens[2].text.strip('`').lower()}"
+        return ctx.col_types.get(key)
+    if (t0.kind == IDENT and len(tokens) > 1 and tokens[1].kind == OP
+            and tokens[1].text == "(" and tokens[-1].text == ")"):
+        if t0.upper in _STRING_FUNCS:
+            return "string"
+        if t0.upper == "SPLIT":
+            return "array<string>"
+    return None
+
+
+#: Spark simpleString → from_json element type for the JSON-array variant
+_JSON_ELEM = {"string": "string", "bigint": "bigint", "int": "bigint",
+              "smallint": "bigint", "tinyint": "bigint", "double": "double",
+              "float": "double", "boolean": "boolean"}
+
+
+def _rewrite_array_contains(args_tokens: list[list[Token]], args: list[str],
+                            ctx: TranslationContext) -> str:
+    """KSQL ARRAYCONTAINS is overloaded: a JSON-array VARCHAR or a real
+    ARRAY first argument (`[docs: KSQL 5.x ARRAYCONTAINS]`). Dispatch on
+    the statically-known type; unknown types keep the ARRAY reading.
+    The JSON variant parses with the element type implied by the probe
+    argument and returns FALSE (not NULL) on malformed JSON, matching
+    KSQL's JsonArrayContains."""
+    first = _static_type(args_tokens[0], ctx)
+    if first == "string":
+        probe = _static_type(args_tokens[1], ctx) or "string"
+        elem = _JSON_ELEM.get(probe.split("(")[0], "string")
+        return (f"coalesce(array_contains(from_json({args[0]}, "
+                f"'array<{elem}>'), {args[1]}), false)")
+    return f"array_contains({args[0]}, {args[1]})"
 
 def rewrite_expr(tokens: list[Token], ctx: TranslationContext) -> str:
     """Token-level KSQL→Spark expression rewrite (recursive on call args)."""
@@ -130,6 +207,10 @@ def rewrite_expr(tokens: list[Token], ctx: TranslationContext) -> str:
                 prefix = "distinct "
                 args_tokens[0] = args_tokens[0][1:]
             args = [rewrite_expr(a, ctx) for a in args_tokens]
+            if up == "ARRAYCONTAINS" and len(args) == 2 and not prefix:
+                out.append(_rewrite_array_contains(args_tokens, args, ctx))
+                i = j
+                continue
             rewritten = flib.rewrite_call(t.text, args)
             if rewritten is None:
                 rewritten = f"{t.text}({prefix}{', '.join(args)})"
@@ -175,6 +256,7 @@ def translate_select(spec: SelectSpec, resolve,
     rowtime = f"unix_millis({src_prefix}.{src.ts_col})" if src.ts_col else None
     rowkey = f"{src_prefix}.{src.key_col}" if src.key_col else None
     ctx = TranslationContext(resolve, spec.window, rowtime, rowkey)
+    ctx.add_source_types(src_prefix, src)
 
     from_parts = [src_ref]
     for j in spec.joins:
@@ -235,6 +317,7 @@ def translate_select(spec: SelectSpec, resolve,
 def _translate_join(j: JoinSpec, spec: SelectSpec, resolve, ctx: TranslationContext) -> str:
     right = resolve(j.source)
     right_ref = right.view + (f" AS {j.alias}" if j.alias else "")
+    ctx.add_source_types(j.alias or right.view, right)
     jt = {"inner": "JOIN", "left": "LEFT JOIN", "full": "FULL OUTER JOIN",
           "right": "RIGHT JOIN"}[j.join_type]
     cond = rewrite_expr(j.on, ctx)

@@ -249,7 +249,10 @@ class KsqlSparkEngine:
         return SourceInfo(name=m.name, view=m.view, ts_col=m.ts_col,
                           key_col=m.key_col,
                           columns=[c for c in m.df.columns
-                                   if not c.startswith("__")])
+                                   if not c.startswith("__")],
+                          col_types={f.name.lower(): f.dataType.simpleString()
+                                     for f in m.df.schema.fields
+                                     if not f.name.startswith("__")})
 
     # ------------------------------------------------------------ execute
 

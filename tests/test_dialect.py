@@ -229,3 +229,46 @@ def corpus_engine_edges(spark):
         "id bigint, k string, v double, j string")
     eng.register_source("edge_t", df=df)
     return eng
+
+
+class TestArrayContainsOverload:
+    """ARRAYCONTAINS dispatches on the static type of its first argument:
+    VARCHAR → KSQL JsonArrayContains (FALSE on malformed/NULL JSON),
+    ARRAY → plain membership (NULL array → NULL, Spark/KSQL array form)."""
+
+    @pytest.fixture()
+    def ac_engine(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(spark)
+        df = spark.createDataFrame(
+            [(1, "[1, 2, 3]", '["a","b"]', ["x", "y"]),
+             (2, "not json", "[]", ["z"]),
+             (3, None, '["a"]', None),
+             (4, "[1.5]", '[true, false]', [])],
+            "id int, nums string, tags string, arr array<string>")
+        eng.register_source("ac", df=df)
+        return eng
+
+    def test_json_string_variants(self, ac_engine):
+        got = {r.id: (r.n3, r.ta) for r in ac_engine.sql(
+            "SELECT id, ARRAYCONTAINS(nums, 3) AS n3, "
+            "ARRAYCONTAINS(tags, 'a') AS ta FROM ac").collect()}
+        assert got[1] == (True, True)
+        assert got[2] == (False, False)   # malformed JSON → FALSE, not NULL
+        assert got[3] == (False, True)    # NULL json string → FALSE
+        assert got[4] == (False, False)   # int probe vs [1.5] / bool array
+
+    def test_array_variant_untouched(self, ac_engine):
+        got = {r.id: r.ax for r in ac_engine.sql(
+            "SELECT id, ARRAYCONTAINS(arr, 'x') AS ax FROM ac").collect()}
+        assert got[1] is True and got[2] is False and got[4] is False
+        assert got[3] is None             # NULL array keeps array semantics
+
+    def test_literal_and_bool_probes(self, ac_engine):
+        r = ac_engine.sql(
+            "SELECT ARRAYCONTAINS('[1.5, 2.5]', 1.5) AS d, "
+            "ARRAYCONTAINS('[true]', TRUE) AS b, "
+            "ARRAYCONTAINS(CONCAT('[', '\"q\"', ']'), 'q') AS c FROM ac "
+            "LIMIT 1").first()
+        assert r.d is True and r.b is True and r.c is True
