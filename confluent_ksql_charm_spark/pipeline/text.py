@@ -13,14 +13,32 @@ from pyspark.sql import functions as F
 
 from .dedup import tokens_col
 
-# Tiny per-language stopword lists for the n-gram/stopword-overlap
-# language-ID heuristic. Deliberately small — this is a heuristic scorer,
-# not a model; real corpora would ship fuller lists.
+# Per-language signal tables for the language-ID heuristic: stopword
+# lists, characteristic character n-grams (space-padded to capture word
+# boundaries), and diacritic classes. Deliberately small — this is a
+# heuristic scorer, not a model; real corpora would ship fuller profiles.
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "are"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
     "es": ["el", "la", "de", "que", "y", "en", "los", "una", "por", "con"],
     "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "dans", "pour"],
+}
+
+#: characteristic character n-grams (lowercase; leading/trailing spaces
+#: are word boundaries — the text is padded before matching)
+CHAR_NGRAMS: dict[str, list[str]] = {
+    "en": [" th", "ing ", "tion", " of ", "ed ", " is ", " are ", "ally"],
+    "de": ["sch", "ich", "ein", "ung ", "cht ", " ge", "en ", " zu "],
+    "es": ["ción", "ado ", " es ", " y ", " en ", "nte ", "ar ", " se "],
+    "fr": ["eau", "ait ", " est ", " aux", "oir", " ce", "ent ", " qu"],
+}
+
+#: diacritics that are near-unambiguous language markers
+DIACRITICS: dict[str, str] = {
+    "en": "",
+    "de": "äöüß",
+    "es": "ñáéíóú¿¡",
+    "fr": "çèêëàâîôûœ",
 }
 
 
@@ -78,23 +96,48 @@ def quality_score(text: str | Column) -> Column:
     return F.round((len_score + alpha_ratio(c) + shape_score) / 3.0, 6)
 
 
+def _language_score(text: Column, lang: str) -> Column:
+    """Combined per-language evidence, all JVM-side string ops:
+
+    - stopword overlap (fraction of tokens; strongest word-level signal),
+    - characteristic character-n-gram rate (occurrences per character,
+      counted via length-delta of literal removal — no regex engine),
+    - diacritic rate (near-unambiguous single-character markers).
+
+    Weights put one stopword ≈ a few n-gram hits ≈ one diacritic, tuned
+    on the multilingual unit corpus (tests/test_pipeline.py)."""
+    lc = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    n = F.greatest(F.length(lc), F.lit(1))
+    ngram_hits = None
+    for g in CHAR_NGRAMS[lang]:
+        occ = (F.length(lc) - F.length(F.replace(lc, F.lit(g)))) / len(g)
+        ngram_hits = occ if ngram_hits is None else ngram_hits + occ
+    score = F.lit(3.0) * stopword_ratio(text, lang) + ngram_hits * 10.0 / n
+    if DIACRITICS[lang]:
+        dia = F.length(F.regexp_replace(lc, f"[^{DIACRITICS[lang]}]", ""))
+        score = score + dia * F.lit(30.0) / n
+    return score
+
+
 def language_scores(text: str | Column) -> Column:
-    """Map lang → stopword-overlap score (the language-ID heuristic)."""
+    """Map lang → combined n-gram/stopword/diacritic score."""
+    c = F.col(text) if isinstance(text, str) else text
     entries = [
-        F.struct(F.lit(lang).alias("key"), stopword_ratio(text, lang).alias("value"))
+        F.struct(F.lit(lang).alias("key"),
+                 F.round(_language_score(c, lang), 6).alias("value"))
         for lang in sorted(STOPWORDS)
     ]
     return F.map_from_entries(F.array(*entries))
 
 
 def guess_language(text: str | Column) -> Column:
-    """argmax of language_scores; 'und' when no stopword hits at all."""
-    toks = tokens_col(text)
+    """argmax of language_scores; 'und' below the evidence floor (junk,
+    code, or too-short text should not get a confident label)."""
+    c = F.col(text) if isinstance(text, str) else text
     best_lang = F.lit("und")
-    best_score = F.lit(0.0)
+    best_score = F.lit(0.05)  # evidence floor
     for lang in sorted(STOPWORDS):
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+        score = _language_score(c, lang)
         cond = score > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, score).otherwise(best_score)

@@ -120,14 +120,31 @@ class TestText:
     def test_guess_language(self, spark):
         from confluent_ksql_charm_spark.pipeline.text import guess_language
 
+        cases = [
+            ("en", "the cat and the dog are in the house"),
+            ("en", "Information processing is essential for understanding "
+                   "modern computation."),
+            ("de", "der Hund ist nicht mit der Katze zu Hause"),
+            ("de", "Die Verarbeitung von Informationen ist für das "
+                   "Verständnis wichtig."),
+            ("de", "Größenänderungen müssen berücksichtigt werden."),
+            ("es", "El rápido zorro marrón salta sobre el perro perezoso "
+                   "y corre al bosque."),
+            ("es", "¿Dónde está la biblioteca? ¡Qué bonito día!"),
+            ("fr", "Le renard brun rapide saute par-dessus le chien "
+                   "paresseux et court dans la forêt."),
+            ("fr", "C'est une belle journée à Paris, n'est-ce pas ?"),
+            ("und", "xyzzy plugh"),
+            ("und", "10110 01010 11 0x7fce3a"),
+        ]
         df = spark.createDataFrame(
-            [(1, "the cat and the dog are in the house"),
-             (2, "der Hund ist nicht mit der Katze zu Hause"),
-             (3, "xyzzy plugh")],
-            "id bigint, t string")
-        got = {r.id: r.g for r in
-               df.select("id", guess_language("t").alias("g")).collect()}
-        assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+            [(i, w, t) for i, (w, t) in enumerate(cases)],
+            "id bigint, want string, t string")
+        got = {r.id: (r.want, r.g) for r in
+               df.select("id", "want",
+                         guess_language("t").alias("g")).collect()}
+        for i, (want, g) in got.items():
+            assert g == want, (cases[i][1], want, g)
 
     def test_fingerprint_deterministic_and_order_sensitive(self, spark):
         from confluent_ksql_charm_spark.pipeline.text import fingerprint64
