@@ -540,6 +540,18 @@ def _q_ann_lsh(spark, sf):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_ann_ivf(spark, sf):
+    # IVF variant (KMeans|| coarse quantizer) — rows-only: kmeans cell
+    # assignment isn't oracle-expressible; exactness at full probe and
+    # recall on clustered data are unit-tested (tests/test_pipeline.py).
+    from confluent_ksql_charm_spark.pipeline.similarity import ivf_topk
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    out = ivf_topk(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf),
+                   k=10, nlist=8, nprobe=8)  # full probe = exact; scale knob
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_multimodal_features(spark, sf):
     from confluent_ksql_charm_spark.pipeline.multimodal import (
         attach_fake_media, extract_features)
@@ -594,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_guess": _q_lang_guess,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "multimodal_features": _q_multimodal_features,
     }
 

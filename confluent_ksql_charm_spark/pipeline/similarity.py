@@ -130,3 +130,57 @@ def knn_self_join(df: DataFrame, k: int = 5, *, bits: int = 8,
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
+              seed: int = 42, sample_fraction: float | None = None):
+    """IVF coarse quantizer: KMeans|| over L2-normalized vectors.
+
+    Returns ``(assigned_df, centers)`` — the input with an ``__cell``
+    nearest-centroid column, and the centroid coordinates (list of lists).
+    Normalizing first makes L2 cell assignment equivalent to cosine cell
+    assignment (spherical k-means), so probing order matches the cosine
+    ranking the queries use.
+
+    Scale shape: training runs distributed (KMeans||), optionally on a
+    `sample_fraction` of rows — at 100 TB fit on a sample once, persist
+    the centers, and make ``__cell`` a partition column of the stored
+    index so a query's probe prunes partitions instead of filtering a
+    full scan. Assignment is a JVM `model.transform`, no Python per row.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = df.withColumn("__n", norm(F.col(vec_col))).withColumn(
+        "__unit",
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
+    ).drop("__n")
+    featurized = unit.withColumn("__features", array_to_vector(F.col("__unit")))
+    train = (featurized.sample(sample_fraction, seed=seed)
+             if sample_fraction else featurized)
+    model = KMeans(k=nlist, seed=seed, featuresCol="__features",
+                   predictionCol="__cell").fit(train)
+    assigned = (model.transform(featurized)
+                .drop("__features", "__unit"))
+    centers = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
+             nlist: int = 16, nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id", seed: int = 42,
+             sample_fraction: float | None = None) -> DataFrame:
+    """Approximate top-k by cosine via IVF: scan only the `nprobe` cells
+    whose centroids are nearest the query. ``nprobe == nlist`` degrades
+    to exact brute force (the recall-vs-cost knob)."""
+    assigned, centers = ivf_index(df, nlist=nlist, vec_col=vec_col,
+                                  seed=seed, sample_fraction=sample_fraction)
+    qn = math.sqrt(sum(float(x) ** 2 for x in query_vec)) or 1.0
+    q = [float(x) / qn for x in query_vec]
+    by_dist = sorted(
+        range(len(centers)),
+        key=lambda c: sum((a - b) ** 2 for a, b in zip(centers[c], q)),
+    )
+    cells = by_dist[:nprobe]
+    cand = assigned.where(F.col("__cell").isin(cells)).drop("__cell")
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -95,6 +95,38 @@ class TestSimilarity:
                   lsh_bucket_topk(df, q, k=5, bits=8, probe_hamming=8).collect()]
         assert approx == exact            # full probe = brute force
 
+    def test_ivf_full_probe_matches_exact(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, ivf_topk)
+
+        import random
+        rng = random.Random(11)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        q = rows[0][1]
+        exact = {r.vec_id for r in cosine_topk(df, q, k=5).collect()}
+        full = {r.vec_id for r in
+                ivf_topk(df, q, k=5, nlist=4, nprobe=4).collect()}
+        assert full == exact              # nprobe == nlist → brute force
+
+    def test_ivf_partial_probe_recall(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, ivf_topk)
+
+        import random
+        rng = random.Random(12)
+        # clustered data (what IVF assumes): 4 centers, tight noise
+        centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+        rows = [(i, [c + rng.gauss(0, 0.05) for c in centers[i % 4]])
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        q = rows[0][1]
+        exact = {r.vec_id for r in cosine_topk(df, q, k=10).collect()}
+        got = {r.vec_id for r in
+               ivf_topk(df, q, k=10, nlist=4, nprobe=1).collect()}
+        # the query's own cluster is one cell: 1-probe should see ~all
+        assert len(got & exact) / 10 >= 0.8
+
     def test_knn_self_join_finds_neighbors(self, spark):
         from confluent_ksql_charm_spark.pipeline.similarity import knn_self_join
 
