@@ -498,6 +498,22 @@ def _q_text_quality(spark, sf):
     )
 
 
+def _q_embedding_near_dup(spark, sf):
+    # Banded hyperplane-LSH candidates → exact-cosine verify. Precision is
+    # exact by construction; the band/bit choice (16×2) puts miss
+    # probability at cosine≥0.45 below 2e-4 per pair, and the fixed seed
+    # makes the result deterministic — verified exact vs the n² oracle on
+    # this data. (The synthetic embeddings are near-orthogonal, so the
+    # interesting threshold is 0.45, not the 0.95 a real corpus would use.)
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        embedding_near_dup_pairs)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    out = embedding_near_dup_pairs(emb, threshold=0.45, num_bands=16,
+                                   bits_per_band=2)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_minhash_near_dup(spark, sf):
     # Hash-based LSH (xxhash64) — not oracle-expressible; rows-only.
     from confluent_ksql_charm_spark.pipeline.dedup import near_dup_pairs
@@ -601,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_embedding_topk,
         "token_stats_by_lang": _q_token_stats,
         "text_quality": _q_text_quality,
+        "embedding_near_dup": _q_embedding_near_dup,
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -883,6 +900,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
             "LIMIT 10"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.45"
         ),
         "token_stats_by_lang": (
             "SELECT lang, COUNT(*) AS n_docs, "

@@ -132,6 +132,92 @@ def knn_self_join(df: DataFrame, k: int = 5, *, bits: int = 8,
     )
 
 
+def banded_lsh_pairs(df: DataFrame, *, num_bands: int = 8,
+                     bits_per_band: int = 4, vec_col: str = "embedding",
+                     id_col: str = "vec_id", seed: int = 42,
+                     max_bucket: int = 200) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded hyperplane LSH.
+
+    The sign bits of `num_bands * bits_per_band` random projections are
+    split into bands; two vectors are candidates iff some band's bits
+    match exactly (equi-join on (band, bucket) — a shuffle, never a cross
+    join). For angle θ the per-band collision probability is
+    (1 - θ/π)^bits_per_band, so recall at cosine ≥ 0.95 with 8×4 defaults
+    is ≈ 1 - (1 - 0.65)^8 ≈ 0.9998. `max_bucket` caps degenerate buckets
+    (e.g. the all-zeros region); capped ids stay covered by other bands.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, num_bands * bits_per_band, seed)
+    bands = F.array(*[
+        F.struct(
+            F.lit(band).alias("band"),
+            signed_projection_bucket(
+                F.col(vec_col),
+                planes[band * bits_per_band:(band + 1) * bits_per_band],
+            ).alias("bucket"),
+        )
+        for band in range(num_bands)
+    ])
+    banded = (df.select(F.col(id_col), F.explode(bands).alias("bb"))
+              .select(id_col, "bb.band", "bb.bucket"))
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, max_bucket)
+             .alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    return grouped.select(
+        F.explode(
+            F.filter(
+                F.flatten(F.transform(
+                    F.col("ids"),
+                    lambda a: F.transform(F.col("ids"), lambda b: F.struct(
+                        a.alias("id_a"), b.alias("id_b"))),
+                )),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+
+
+def cosine_for_pairs(df: DataFrame, pairs: DataFrame, *,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine for given (id_a, id_b) pairs — two equi-joins against
+    the (small) pair list behind a semi-join pre-filter, never quadratic
+    in the corpus."""
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    vecs = df.join(ids, id_col, "left_semi").select(F.col(id_col),
+                                                    F.col(vec_col))
+    a = (vecs.withColumnRenamed(id_col, "id_a")
+         .withColumnRenamed(vec_col, "__vec_a"))
+    b = (vecs.withColumnRenamed(id_col, "id_b")
+         .withColumnRenamed(vec_col, "__vec_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b",
+                cosine(F.col("__vec_a"), F.col("__vec_b")).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs(df: DataFrame, *, threshold: float = 0.95,
+                             num_bands: int = 8, bits_per_band: int = 4,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup: LSH candidates → exact-cosine verify →
+    pairs ≥ threshold (the embedding analogue of dedup.near_dup_pairs).
+    Precision is exact by construction (every emitted pair carries its
+    true cosine); recall is the banding probability in banded_lsh_pairs."""
+    cands = banded_lsh_pairs(df, num_bands=num_bands,
+                             bits_per_band=bits_per_band, vec_col=vec_col,
+                             id_col=id_col, seed=seed).cache()
+    scored = cosine_for_pairs(df, cands, vec_col=vec_col, id_col=id_col)
+    return scored.where(F.col("cosine") >= threshold)
+
+
 def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
               seed: int = 42, sample_fraction: float | None = None):
     """IVF coarse quantizer: KMeans|| over L2-normalized vectors.

@@ -127,6 +127,37 @@ class TestSimilarity:
         # the query's own cluster is one cell: 1-probe should see ~all
         assert len(got & exact) / 10 >= 0.8
 
+    def test_embedding_near_dup_recall_and_precision(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine, embedding_near_dup_pairs)
+
+        import random
+        rng = random.Random(3)
+        # base corpus + planted near-dups of the first 5 vectors
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+        for i in range(5):
+            rows.append((100 + i,
+                         [x + rng.gauss(0, 0.01) for x in rows[i][1]]))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        got = {(r.id_a, r.id_b): r.cosine
+               for r in embedding_near_dup_pairs(
+                   df, threshold=0.98, num_bands=16, bits_per_band=2).collect()}
+        # recall: every planted pair found
+        for i in range(5):
+            assert (i, 100 + i) in got
+        # precision: emitted cosines are the true cosines ≥ threshold
+        a = df.alias("a"); b = df.alias("b")
+        exact = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+                 .select(F.col("a.vec_id").alias("id_a"),
+                         F.col("b.vec_id").alias("id_b"),
+                         cosine(F.col("a.embedding"),
+                                F.col("b.embedding")).alias("cosine"))
+                 .where(F.col("cosine") >= 0.98))
+        truth = {(r.id_a, r.id_b): r.cosine for r in exact.collect()}
+        assert set(got) <= set(truth)
+        for k, v in got.items():
+            assert v == pytest.approx(truth[k], abs=1e-9)
+
     def test_knn_self_join_finds_neighbors(self, spark):
         from confluent_ksql_charm_spark.pipeline.similarity import knn_self_join
 
