@@ -498,6 +498,23 @@ def _q_text_quality(spark, sf):
     )
 
 
+def _q_doc_quality(spark, sf):
+    # The full quality-scoring block from pipeline.text: BPE-ish subword
+    # count, stopword ratio (en), mean word length, composite quality —
+    # all expression-only (regex + higher-order functions), one projection.
+    from confluent_ksql_charm_spark.pipeline.text import (
+        bpe_ish_token_count, mean_word_length, quality_score, stopword_ratio)
+
+    docs = _docs(spark, sf)
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).alias("n_subword"),
+        F.round(stopword_ratio(F.col("text"), "en"), 4).alias("stopword_ratio"),
+        F.round(mean_word_length(F.col("text")), 4).alias("mean_word_len"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
 def _q_embedding_near_dup(spark, sf):
     # Banded hyperplane-LSH candidates → exact-cosine verify. Precision is
     # exact by construction; the band/bit choice (16×2) puts miss
@@ -617,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_embedding_topk,
         "token_stats_by_lang": _q_token_stats,
         "text_quality": _q_text_quality,
+        "doc_quality": _q_doc_quality,
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
@@ -900,6 +918,32 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
             "LIMIT 10"
+        ),
+        "doc_quality": (
+            "WITH t AS (SELECT doc_id, text, "
+            "string_split_regex(trim(text), '\\s+') AS toks, "
+            "CASE WHEN length(string_split_regex(trim(text), '\\s+')) > 0 THEN "
+            "list_sum(list_transform(string_split_regex(trim(text), '\\s+'), "
+            "x -> length(x))) * 1.0 / "
+            "length(string_split_regex(trim(text), '\\s+')) ELSE 0 END AS wl "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(length(list_filter(string_split_regex(text, "
+            "'[^A-Za-z0-9]+'), x -> x <> '')) "
+            "+ length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
+            "AS INT) AS n_subword, "
+            "ROUND(CASE WHEN length(toks) > 0 THEN "
+            "length(list_filter(toks, x -> list_contains("
+            "['the','and','of','to','in','is','that','for','with','are'], "
+            "lower(x)))) * 1.0 / length(toks) ELSE 0 END, 4) AS stopword_ratio, "
+            "ROUND(wl, 4) AS mean_word_len, "
+            "ROUND((least(length(text) / 200.0, 1.0) "
+            "+ CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 "
+            "/ length(text) ELSE 0 END "
+            "+ CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) "
+            "/ 3.0, 4) AS quality "
+            "FROM t"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
