@@ -51,6 +51,45 @@ def shingles_col(text: str | Column, k: int = 3) -> Column:
     )
 
 
+def bucketed_pairs(banded: DataFrame, bucket_cols: list[str], id_col: str,
+                   *, max_bucket: int = 200) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from bucket-membership rows.
+
+    Two scale-critical choices:
+
+    - Each bucket is capped at `max_bucket` members, ordered by a hash of
+      (id, bucket key) — NOT by id. An id-ordered cap would drop the same
+      high ids from every band, so cap losses would be correlated across
+      bands and those documents would silently lose LSH coverage; hash
+      ordering makes each band's cap an independent sample.
+    - Pair expansion is a self equi-join on the bucket key (whole-stage
+      codegen hash join) rather than a per-bucket nested array transform:
+      the quadratic work runs in generated code, and no bucket-sized
+      arrays are materialized. Never a cross join.
+    """
+    keys = [F.col(c) for c in bucket_cols]
+    capped = F.transform(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct(
+                F.xxhash64(F.col(id_col), *keys).alias("o"),
+                F.col(id_col).alias("id")))),
+            1, max_bucket),
+        lambda s: s["id"],
+    )
+    members = (
+        banded.groupBy(*bucket_cols).agg(capped.alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(*bucket_cols, F.explode("ids").alias("__bid"))
+    )
+    a = members.select(*bucket_cols, F.col("__bid").alias("id_a"))
+    b = members.select(*bucket_cols, F.col("__bid").alias("id_b"))
+    return (
+        a.join(b, bucket_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
 def exact_dedup(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
     """One representative row (min id) per distinct value of `on`.
 
@@ -155,25 +194,8 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    grouped = (
-        banded.groupBy("band", "bucket")
-        .agg(F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, max_bucket)
-             .alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    pairs = grouped.select(
-        F.explode(
-            F.filter(
-                F.flatten(F.transform(
-                    F.col("ids"),
-                    lambda a: F.transform(F.col("ids"), lambda b: F.struct(
-                        a.alias("id_a"), b.alias("id_b"))),
-                )),
-                lambda p: p["id_a"] < p["id_b"],
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
-    return pairs
+    return bucketed_pairs(banded, ["band", "bucket"], id_col,
+                          max_bucket=max_bucket)
 
 
 def jaccard_for_pairs(

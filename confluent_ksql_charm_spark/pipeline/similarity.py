@@ -38,6 +38,43 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cosine_batch_udf():
+    """Arrow-batched cosine over two array columns (numpy float64).
+
+    The expression form (`aggregate(zip_with(...))`) is a higher-order
+    function Catalyst evaluates per element outside codegen — fine for one
+    query vector, but a verify step scoring millions of candidate PAIRS
+    pays ~dim lambda evaluations per pair. The Pandas UDF moves that inner
+    loop into one vectorized einsum per Arrow batch. Same float64 math as
+    the expression form (summation order differs below rounding)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):
+        av = np.array(a.tolist(), dtype=np.float64)
+        bv = np.array(b.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", av, bv)
+        den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
+
+    # real class objects (pandas is function-local, so inline string
+    # hints would not resolve during pandas_udf type inference)
+    _cos.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                            "return": pd.Series}
+    return pandas_udf(_cos, "double")
+
+
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Vectorized cosine for pair-scoring hot paths; falls back to the
+    expression form when Arrow/pandas is unavailable."""
+    try:
+        return _cosine_batch_udf()(a, b)
+    except ImportError:  # pragma: no cover — pyarrow/pandas are baked in
+        return cosine(a, b)
+
+
 def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
@@ -144,7 +181,15 @@ def banded_lsh_pairs(df: DataFrame, *, num_bands: int = 8,
     join). For angle θ the per-band collision probability is
     (1 - θ/π)^bits_per_band, so recall at cosine ≥ 0.95 with 8×4 defaults
     is ≈ 1 - (1 - 0.65)^8 ≈ 0.9998. `max_bucket` caps degenerate buckets
-    (e.g. the all-zeros region); capped ids stay covered by other bands.
+    (e.g. the all-zeros region); capped ids stay covered by other bands
+    (caps are hash-ordered per band — see dedup.bucketed_pairs).
+
+    Regime note: hyperplane LSH prunes when the threshold is HIGH (0.9+,
+    the real near-dup setting — few, tiny buckets). At low thresholds on
+    near-orthogonal corpora (e.g. 0.45 on random vectors) similar and
+    dissimilar pairs are barely separable, so either recall drops (few
+    bits → giant buckets → caps bite) or the candidate set approaches all
+    pairs (many bands) — brute force is the honest tool there.
     """
     dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, num_bands * bits_per_band, seed)
@@ -160,24 +205,10 @@ def banded_lsh_pairs(df: DataFrame, *, num_bands: int = 8,
     ])
     banded = (df.select(F.col(id_col), F.explode(bands).alias("bb"))
               .select(id_col, "bb.band", "bb.bucket"))
-    grouped = (
-        banded.groupBy("band", "bucket")
-        .agg(F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, max_bucket)
-             .alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    return grouped.select(
-        F.explode(
-            F.filter(
-                F.flatten(F.transform(
-                    F.col("ids"),
-                    lambda a: F.transform(F.col("ids"), lambda b: F.struct(
-                        a.alias("id_a"), b.alias("id_b"))),
-                )),
-                lambda p: p["id_a"] < p["id_b"],
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
+    from .dedup import bucketed_pairs
+
+    return bucketed_pairs(banded, ["band", "bucket"], id_col,
+                          max_bucket=max_bucket)
 
 
 def cosine_for_pairs(df: DataFrame, pairs: DataFrame, *,
@@ -198,7 +229,8 @@ def cosine_for_pairs(df: DataFrame, pairs: DataFrame, *,
     return (
         pairs.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b",
-                cosine(F.col("__vec_a"), F.col("__vec_b")).alias("cosine"))
+                cosine_batch(F.col("__vec_a"), F.col("__vec_b"))
+                .alias("cosine"))
     )
 
 
