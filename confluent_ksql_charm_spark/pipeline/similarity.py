@@ -113,6 +113,34 @@ def signed_projection_bucket(vec_col: Column, planes: list[list[float]]) -> Colu
     return bucket
 
 
+def _band_buckets_udf(num_bands: int, bits_per_band: int, seed: int):
+    """Arrow-batched per-band LSH buckets: ONE numpy matmul per batch
+    computes all `num_bands * bits_per_band` projections (the expression
+    form evaluates one interpreted higher-order dot per plane per row —
+    ~dim·bits lambda steps each). Bit order and plane construction match
+    `signed_projection_bucket` over `_hyperplanes` exactly, so both paths
+    yield identical buckets; planes are re-derived from the seed on each
+    worker (no broadcast needed, dim read off the batch)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _buckets(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(v.tolist(), dtype=np.float64)
+        planes = np.random.RandomState(seed).randn(
+            num_bands * bits_per_band, mat.shape[1])
+        signs = (mat @ planes.T) > 0
+        weights = (np.int64(1) << np.arange(bits_per_band, dtype=np.int64))
+        buckets = signs.reshape(
+            len(mat), num_bands, bits_per_band).astype(np.int64) @ weights
+        return pd.Series(list(buckets))
+
+    _buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_buckets, "array<long>")
+
+
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
                     bits: int = 8, vec_col: str = "embedding",
                     id_col: str = "vec_id", probe_hamming: int = 1,
@@ -191,20 +219,26 @@ def banded_lsh_pairs(df: DataFrame, *, num_bands: int = 8,
     bits → giant buckets → caps bite) or the candidate set approaches all
     pairs (many bands) — brute force is the honest tool there.
     """
-    dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, num_bands * bits_per_band, seed)
-    bands = F.array(*[
-        F.struct(
-            F.lit(band).alias("band"),
-            signed_projection_bucket(
-                F.col(vec_col),
-                planes[band * bits_per_band:(band + 1) * bits_per_band],
-            ).alias("bucket"),
-        )
-        for band in range(num_bands)
-    ])
-    banded = (df.select(F.col(id_col), F.explode(bands).alias("bb"))
-              .select(id_col, "bb.band", "bb.bucket"))
+    try:
+        buckets = _band_buckets_udf(num_bands, bits_per_band, seed)
+        banded = df.select(
+            F.col(id_col),
+            F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"))
+    except ImportError:  # pragma: no cover — expression fallback
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, num_bands * bits_per_band, seed)
+        bands = F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                signed_projection_bucket(
+                    F.col(vec_col),
+                    planes[band * bits_per_band:(band + 1) * bits_per_band],
+                ).alias("bucket"),
+            )
+            for band in range(num_bands)
+        ])
+        banded = (df.select(F.col(id_col), F.explode(bands).alias("bb"))
+                  .select(id_col, "bb.band", "bb.bucket"))
     from .dedup import bucketed_pairs
 
     return bucketed_pairs(banded, ["band", "bucket"], id_col,
