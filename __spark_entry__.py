@@ -562,8 +562,8 @@ def _q_lang_guess(spark, sf):
 
 
 def _q_ann_lsh(spark, sf):
-    # Approximate variant of embedding_topk — rows-only (bucket pruning
-    # changes the candidate set; exact recall checked in unit tests).
+    # ANN variant of embedding_topk, run at FULL probe (provably exact →
+    # shares the brute-force oracle); partial-probe recall is unit-tested.
     from confluent_ksql_charm_spark.pipeline.similarity import lsh_bucket_topk
 
     emb = _eng(spark, sf).metastore.get("embeddings").df
@@ -574,9 +574,10 @@ def _q_ann_lsh(spark, sf):
 
 
 def _q_ann_ivf(spark, sf):
-    # IVF variant (KMeans|| coarse quantizer) — rows-only: kmeans cell
-    # assignment isn't oracle-expressible; exactness at full probe and
-    # recall on clustered data are unit-tested (tests/test_pipeline.py).
+    # IVF variant (KMeans|| coarse quantizer), run at FULL probe
+    # (nprobe=nlist → every cell scanned → provably exact → shares the
+    # brute-force oracle); clustered-data recall at partial probe is
+    # unit-tested (tests/test_pipeline.py).
     from confluent_ksql_charm_spark.pipeline.similarity import ivf_topk
 
     emb = _eng(spark, sf).metastore.get("embeddings").df
@@ -976,7 +977,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 'image/fake' AS media_type, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
         ),
+        # ann variants run at FULL probe in queries() (probe_hamming=bits,
+        # nprobe=nlist), where both are provably exact — so they share the
+        # brute-force top-k oracle. Partial-probe recall is unit-tested.
+        "ann_lsh_topk": (
+            "SELECT vec_id, ROUND(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
+            "LIMIT 10"
+        ),
+        "ann_ivf_topk": (
+            "SELECT vec_id, ROUND(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
+            "LIMIT 10"
+        ),
         # rows-only (no oracle — hash-sketch or heuristic internals):
-        # minhash_near_dup, simhash_near_dup, doc_fingerprint, lang_guess,
-        # ann_lsh_topk
+        # minhash_near_dup, simhash_near_dup, doc_fingerprint, lang_guess
     }
