@@ -442,9 +442,21 @@ class KsqlSparkEngine:
         else:
             if spec.props.get("SINK", "").lower() == "parquet":
                 # batch materialization — the sink-topic analogue: write
-                # the result and re-register the relation over the files
+                # the result and re-register the relation over the files.
+                # WITH (PARTITIONS=n) is KSQL's sink-topic partition
+                # count; the Spark analogue is a hash layout on the sink
+                # key — repartition(n, key) so each output file holds one
+                # hash slice of the key space (co-located downstream
+                # reads), exactly like a keyed Kafka topic's partitions.
                 path = spec.props["SINK_PATH"]
-                df.write.mode("overwrite").parquet(path)
+                out = df
+                nparts = spec.props.get("PARTITIONS")
+                if nparts:
+                    from pyspark.sql import functions as F
+                    out = (df.repartition(int(nparts), F.col(meta.key_col))
+                           if meta.key_col and meta.key_col in df.columns
+                           else df.repartition(int(nparts)))
+                out.write.mode("overwrite").parquet(path)
                 meta.df = self.spark.read.parquet(path)
                 meta.df.createOrReplaceTempView(meta.view)
             self.queries[qid] = StatementResult(kind="BATCH_QUERY", name=spec.name, df=df)

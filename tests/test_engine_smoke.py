@@ -58,6 +58,28 @@ def test_show_properties_describe_function_terminate_all(engine):
     assert engine.execute("SHOW QUERIES;")[0].rows == []
 
 
+def test_batch_csas_partitions_hash_layout(engine, tmp_path):
+    # WITH (PARTITIONS=n) → n hash-sliced files on the sink key, the
+    # keyed-Kafka-topic analogue.
+    out = str(tmp_path / "mat_parts")
+    engine.execute(
+        f"CREATE STREAM mat_parts WITH (SINK='parquet', SINK_PATH='{out}', "
+        "PARTITIONS='4', KEY='user_id') AS "
+        "SELECT event_id, user_id FROM events;"
+    )
+    import glob
+
+    from pyspark.sql import functions as F
+
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 4
+    # hash layout: every user_id lives in exactly one file
+    scanned = (engine.spark.read.parquet(out)
+               .withColumn("f", F.input_file_name()))
+    per_file = scanned.groupBy("user_id").agg(F.countDistinct("f").alias("nf"))
+    assert per_file.where(F.col("nf") > 1).count() == 0
+
+
 def test_batch_csas_parquet_materialization(engine, tmp_path):
     out = str(tmp_path / "mat")
     engine.execute(

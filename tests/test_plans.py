@@ -86,6 +86,43 @@ class TestTopK:
         assert "TakeOrderedAndProject" in _plan(df)
 
 
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_shuffle(self, spark, tmp_path):
+        """The co-located-join scale path: two tables bucketed on the join
+        key join with ZERO Exchange nodes — at 100 TB this is the
+        difference between re-shuffling both fact tables per join and a
+        local per-bucket merge. (CSAS PARTITIONS=n gives the file-layout
+        half; Spark's bucket metadata via saveAsTable completes it.)"""
+        from pyspark.sql import functions as F
+
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        lineitem = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet")
+        for name, df, key in (("t_bkt_orders", orders, "o_orderkey"),
+                              ("t_bkt_lineitem", lineitem, "l_orderkey")):
+            (df.write.mode("overwrite")
+             .bucketBy(8, key).sortBy(key)
+             .option("path", str(tmp_path / name))
+             .saveAsTable(name))
+        try:
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j = (spark.table("t_bkt_orders")
+                     .join(spark.table("t_bkt_lineitem"),
+                           F.col("o_orderkey") == F.col("l_orderkey"))
+                     .select("o_orderkey", "l_quantity"))
+                plan = _plan(j)
+                assert "SortMergeJoin" in plan
+                assert "Exchange" not in plan
+                assert j.count() == lineitem.count()
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+            spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
+
+
 class TestDedupPlans:
     def test_lsh_no_cartesian(self, engine):
         from confluent_ksql_charm_spark.pipeline.dedup import near_dup_pairs
