@@ -96,6 +96,29 @@ def test_streaming_watermark_append_window(spark, seng, engine):
     assert 0 < got <= exact
 
 
+def test_streaming_session_window_matches_batch(spark, seng, engine):
+    # SESSION windows in streaming mode (session_window group key +
+    # watermark for state cleanup); with availableNow + complete mode the
+    # finite file yields exactly the batch gaps-and-islands result.
+    seng.execute(
+        "CREATE STREAM ev_sess (event_id BIGINT) WITH (KAFKA_TOPIC='events', "
+        "TIMESTAMP='ts', WATERMARK='1 MINUTES');"
+    )
+    res = seng.execute(
+        "CREATE TABLE s_sess WITH (SINK='memory', TRIGGER='availablenow', "
+        "OUTPUT_MODE='complete') AS "
+        "SELECT user_id, WINDOWSTART() AS ws, COUNT(*) AS n "
+        "FROM ev_sess WINDOW SESSION (10 MINUTES) GROUP BY user_id;"
+    )[0]
+    seng.queries[res.message].streaming_query.awaitTermination(120)
+    got = {tuple(r) for r in spark.table(res.message.lower()).collect()}
+    want = {tuple(r) for r in engine.sql(
+        "SELECT user_id, WINDOWSTART() AS ws, COUNT(*) AS n "
+        "FROM events WINDOW SESSION (10 MINUTES) GROUP BY user_id"
+    ).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_transient_push_query_streaming(spark, seng):
     rows = seng.push_query(
         "SELECT event_id, value FROM events WHERE event_type = 'error' LIMIT 5")
