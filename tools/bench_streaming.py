@@ -1,0 +1,144 @@
+"""BASELINE.md streaming-throughput protocol (reproducible).
+
+Builds a 1M-record events file (sf0.1 events unioned x10, time- and
+key-shifted so windows and join keys scale too), then measures
+end-to-end wall — query start-up + checkpoint init + ONE availableNow
+micro-batch over the whole file — for four pipelines:
+
+- stateless filter+project (CSAS)
+- tumbling-window aggregate (CTAS)
+- session-window aggregate (CTAS)
+- stream-stream self-join WITHIN a band
+
+records/s = input records / wall (worst case: start-up in the
+denominator; steady-state per-batch throughput is higher).
+
+Usage: python tools/bench_streaming.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1/events.parquet"
+BIG = "/tmp/bench_stream_events.parquet"
+COPIES = 10
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_big_file() -> int:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if os.path.exists(BIG):
+        return pq.read_metadata(BIG).num_rows
+    t = pq.read_table(SRC)
+    n = t.num_rows
+    day_ns = 86_400_000_000_000
+    parts = []
+    for i in range(COPIES):
+        shifted = t.set_column(
+            t.schema.get_field_index("ts"), "ts",
+            pc.add(t.column("ts").cast(pa.int64()),
+                   pa.scalar(i * day_ns)).cast(pa.timestamp("ns")))
+        shifted = shifted.set_column(
+            t.schema.get_field_index("event_id"), "event_id",
+            pc.add(t.column("event_id"), pa.scalar(i * n)))
+        # shift user_id too: key cardinality grows with volume (the
+        # realistic corpus shape, same as the 10x batch protocol) — this
+        # keeps per-key state-list length constant, which is what the
+        # streaming symmetric-hash-join probe cost depends on
+        shifted = shifted.set_column(
+            t.schema.get_field_index("user_id"), "user_id",
+            pc.add(t.column("user_id"), pa.scalar(i * 10_000_000)))
+        parts.append(shifted)
+    big = pa.concat_tables(parts)
+    pq.write_table(big, BIG)
+    return big.num_rows
+
+
+# stream-stream join state commit writes `partitions x 4 state-store
+# files` per batch; at 2M state rows the commit, not the probe, dominates
+# locally — 8 partitions halves wall vs 32. Aggregations are fine at CPUS.
+JOIN_SHUFFLE_PARTITIONS = "8"
+
+PIPELINES = {
+    "stateless_filter_project": (
+        "CREATE STREAM b_stateless WITH (SINK='parquet', SINK_PATH='{out}', "
+        "TRIGGER='availablenow') AS "
+        "SELECT event_id, user_id, value FROM bigev "
+        "WHERE event_type = 'error';"
+    ),
+    "tumbling_window_agg": (
+        "CREATE TABLE b_tumble WITH (SINK='parquet', SINK_PATH='{out}', "
+        "TRIGGER='availablenow', OUTPUT_MODE='append') AS "
+        "SELECT event_type, WINDOWSTART() AS ws, COUNT(*) AS n, "
+        "SUM(value) AS sv FROM bigev WINDOW TUMBLING (SIZE 1 HOUR) "
+        "GROUP BY event_type;"
+    ),
+    "session_window_agg": (
+        "CREATE TABLE b_sess WITH (SINK='parquet', SINK_PATH='{out}', "
+        "TRIGGER='availablenow', OUTPUT_MODE='append') AS "
+        "SELECT user_id, WINDOWSTART() AS ws, COUNT(*) AS n "
+        "FROM bigev WINDOW SESSION (10 MINUTES) GROUP BY user_id;"
+    ),
+    "stream_stream_join_within": (
+        "CREATE STREAM b_ssj WITH (SINK='parquet', SINK_PATH='{out}', "
+        "TRIGGER='availablenow') AS "
+        "SELECT a.event_id AS ea, b.event_id AS eb, a.user_id "
+        "FROM bigev a JOIN bigev b WITHIN 10 SECONDS "
+        "ON a.user_id = b.user_id;"
+    ),
+}
+
+
+def main():
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    n = build_big_file()
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for name, stmt in PIPELINES.items():
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       JOIN_SHUFFLE_PARTITIONS if "join" in name else CPUS)
+        work = tempfile.mkdtemp(prefix=f"bench_stream_{name}_")
+        eng = KsqlSparkEngine(spark, streaming=True)
+        eng.config.checkpoint_dir = f"{work}/ckpt"
+        eng.register_source("bigev", path=BIG, key="user_id", timestamp="ts",
+                            watermark="1 MINUTES")
+        t0 = time.time()
+        res = eng.execute(stmt.format(out=f"{work}/sink"))[0]
+        eng.queries[res.message].streaming_query.awaitTermination(600)
+        wall = time.time() - t0
+        rows_out = spark.read.parquet(f"{work}/sink").count()
+        out[name] = {"wall_s": round(wall, 2),
+                     "records_per_s": round(n / wall),
+                     "rows_out": rows_out}
+        print(f"{name:28s} wall={wall:6.2f}s in={n} out={rows_out} "
+              f"-> {n / wall / 1e6:.2f}M rec/s")
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
