@@ -195,6 +195,20 @@ def _q_math_funcs(spark, sf):
     )
 
 
+def _q_conditional_agg(spark, sf):
+    # Function COMPOSITION through the dialect: conditional aggregation
+    # over JSON-extracted casts — SUM(CASE...), SUM(CAST(EXTRACTJSONFIELD)),
+    # MAX(CASE...) in one GROUP BY (the KSQL pivot-style idiom).
+    return _eng(spark, sf).sql(
+        "SELECT user_id, "
+        "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err, "
+        "SUM(CAST(EXTRACTJSONFIELD(props, '$.k') AS BIGINT)) AS k_sum, "
+        "ROUND(MAX(CASE WHEN event_type = 'error' THEN value ELSE NULL END),"
+        " 4) AS max_err_value "
+        "FROM events GROUP BY user_id"
+    )
+
+
 def _q_pricing_summary(spark, sf):
     # TPC-H Q1-style pricing summary: GROUP BY + the full agg set + HAVING
     return _eng(spark, sf).sql(
@@ -608,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_array_contains": _q_json_array_contains,
         "url_funcs": _q_url_funcs,
         "math_funcs": _q_math_funcs,
+        "conditional_agg": _q_conditional_agg,
         "pricing_summary": _q_pricing_summary,
         "skew_salted_agg": _q_salted_agg,
         "scalable_topk": _q_scalable_topk,
@@ -743,6 +758,16 @@ def oracle_sql() -> dict[str, str]:
             "COS(RADIANS(40.7)) * COS(RADIANS(51.5)) * "
             "POW(SIN(RADIANS(-0.1 - (-74.0)) / 2), 2))), 1) AS nyc_lon_km "
             "FROM lineitem WHERE l_linenumber = 1"
+        ),
+        "conditional_agg": (
+            "SELECT user_id, "
+            "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_err, "
+            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS k_sum, "
+            "ROUND(MAX(CASE WHEN event_type = 'error' THEN value "
+            "ELSE NULL END), 4) AS max_err_value "
+            "FROM events GROUP BY user_id"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
