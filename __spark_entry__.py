@@ -512,6 +512,19 @@ def _q_text_quality(spark, sf):
     )
 
 
+def _q_incremental_dedup(spark, sf):
+    # Batch-ingest dedup: "new" docs (doc_id >= 250) anti-joined against
+    # the "corpus" (doc_id < 250) on text hash — the corpus side reduces
+    # to 8-byte hashes before the join.
+    from confluent_ksql_charm_spark.pipeline.dedup import incremental_exact
+
+    docs = _docs(spark, sf)
+    new = docs.where(F.col("doc_id") >= 250)
+    seen = docs.where(F.col("doc_id") < 250)
+    return (incremental_exact(new, seen, ["text"])
+            .select("doc_id", "lang", "n_chars"))
+
+
 def _q_doc_quality(spark, sf):
     # The full quality-scoring block from pipeline.text: BPE-ish subword
     # count, stopword ratio (en), mean word length, composite quality —
@@ -650,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_embedding_topk,
         "token_stats_by_lang": _q_token_stats,
         "text_quality": _q_text_quality,
+        "incremental_dedup": _q_incremental_dedup,
         "doc_quality": _q_doc_quality,
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_near_dup": _q_minhash_near_dup,
@@ -944,6 +958,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
             "LIMIT 10"
+        ),
+        "incremental_dedup": (
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+            "WHERE d.doc_id >= 250 AND NOT EXISTS ("
+            "SELECT 1 FROM documents s WHERE s.doc_id < 250 "
+            "AND s.text = d.text)"
         ),
         "doc_quality": (
             "WITH t AS (SELECT doc_id, text, "

@@ -104,6 +104,73 @@ def exact_dedup(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
     )
 
 
+def incremental_exact(new_df: DataFrame, seen_df: DataFrame,
+                      on: list[str]) -> DataFrame:
+    """Rows of `new_df` whose `on`-value does not appear in `seen_df` —
+    the batch-ingest primitive: dedup TODAY's crawl against the corpus.
+
+    Plan shape: LEFT ANTI join on xxhash64(on) — the corpus side reduces
+    to an 8-byte hash column (projected BEFORE the join, so the scan
+    never carries corpus payloads), and the join is a plain equi-shuffle
+    on well-distributed hashes. The corpus is typically >> the batch, so
+    at scale the batch side broadcasts. 64-bit collisions (~2^-64 per
+    pair) discard a row at worst — acceptable for dedup; use the full
+    `on` columns as the join key where that is not.
+    """
+    key = F.xxhash64(*[F.col(c) for c in on])
+    seen = seen_df.select(key.alias("__k")).distinct()
+    return (new_df.withColumn("__k", key)
+            .join(seen, "__k", "left_anti")
+            .drop("__k"))
+
+
+def incremental_near_dup(new_df: DataFrame, seen_df: DataFrame,
+                         id_col: str, text_col: str, *,
+                         threshold: float = 0.7, num_hashes: int = 64,
+                         bands: int = 16, shingle_k: int = 3) -> DataFrame:
+    """`new_df` rows with NO near-duplicate in `seen_df` (MinHash LSH).
+
+    Asymmetric banding: both sides are signed and banded, but candidates
+    are only (new × seen) bucket collisions — never seen × seen (the
+    corpus never self-joins, which is what makes this incremental: the
+    quadratic-ish work is proportional to the batch, not the corpus).
+    Candidates are verified with exact Jaccard against the union before
+    filtering, so precision is exact. `id_col` must be unique ACROSS both
+    inputs (the verify join resolves texts by id).
+    """
+    rows = num_hashes // bands
+
+    def banded(df):
+        sig = minhash_signatures(df, id_col, text_col,
+                                 num_hashes=num_hashes, shingle_k=shingle_k)
+        return sig.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(F.concat_ws(",", F.transform(
+                            F.slice(F.col("minhash"), b * rows + 1, rows),
+                            lambda h: h.cast("string"))), b).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(id_col, "bb.band", "bb.bucket")
+
+    new_banded = banded(new_df).withColumnRenamed(id_col, "id_a")
+    seen_banded = banded(seen_df).withColumnRenamed(id_col, "id_b")
+    cands = (new_banded.join(seen_banded, ["band", "bucket"])
+             .select("id_a", "id_b").distinct())
+    union = new_df.select(id_col, text_col).unionByName(
+        seen_df.select(id_col, text_col))
+    scored = jaccard_for_pairs(union, cands, id_col, text_col,
+                               shingle_k=shingle_k)
+    dup_new_ids = (scored.where(F.col("jaccard") >= threshold)
+                   .select(F.col("id_a").alias(id_col)).distinct())
+    return new_df.join(dup_new_ids, id_col, "left_anti")
+
+
 def minhash_signature(text: str | Column, num_hashes: int = 64,
                       shingle_k: int = 3) -> Column:
     """MinHash signature: per seed i, min over shingles of a seeded hash.

@@ -1,0 +1,55 @@
+"""Dataset-maintenance operators (SURVEY.md §3.11 north-star extension).
+
+Streaming sinks and incremental ingests produce many small parquet files;
+at 100 TB the file count, not the byte count, becomes the scan bottleneck
+(driver-side listing, per-file open cost, tiny row groups defeating
+column-chunk IO). Compaction is the standing maintenance op every
+training-data pipeline runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parquet_file_stats(spark: SparkSession, path: str) -> dict:
+    """File count / total bytes / mean file size for a parquet directory.
+
+    Driver-side listing — fine for one directory level; at real scale
+    this information comes from the table format's metadata layer instead
+    of a filesystem walk.
+    """
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        sizes += [os.path.getsize(os.path.join(root, f))
+                  for f in files if f.endswith(".parquet")]
+    total = sum(sizes)
+    return {"files": len(sizes), "bytes": total,
+            "mean_bytes": total // len(sizes) if sizes else 0}
+
+
+def compact_parquet(spark: SparkSession, path: str, out_path: str, *,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    sort_within_by: list[str] | None = None) -> dict:
+    """Rewrite a small-file parquet directory into ~target-sized files.
+
+    The file count is computed from the CURRENT total byte size (not row
+    counts — compression survives the rewrite, so bytes predict bytes).
+    `coalesce` is used when shrinking the partition count (no shuffle —
+    each output file concatenates input splits); `repartition` only when
+    growing. `sort_within_by` optionally clusters rows within each output
+    file (`sortWithinPartitions` — a local sort, no exchange) so
+    downstream range predicates prune row groups via min/max stats.
+    """
+    stats = parquet_file_stats(spark, path)
+    n_out = max(1, round(stats["bytes"] / target_file_bytes))
+    df = spark.read.parquet(path)
+    n_in = df.rdd.getNumPartitions()
+    out = df.coalesce(n_out) if n_out <= n_in else df.repartition(n_out)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(out_path)
+    after = parquet_file_stats(spark, out_path)
+    return {"before": stats, "after": after, "target_files": n_out}

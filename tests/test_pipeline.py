@@ -68,6 +68,70 @@ class TestDedup:
         assert got[1] == ["a b"]          # shorter than k → whole text
 
 
+class TestIncremental:
+    def test_incremental_exact_drops_seen(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import incremental_exact
+
+        seen = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], "id bigint, text string")
+        new = spark.createDataFrame(
+            [(10, "alpha beta"), (11, "fresh text"), (12, "gamma delta"),
+             (13, "another new one")], "id bigint, text string")
+        out = incremental_exact(new, seen, ["text"])
+        assert {r.id for r in out.collect()} == {11, 13}
+        # schema passthrough, helper column dropped
+        assert out.columns == new.columns
+
+    def test_incremental_near_dup_drops_near_matches(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            incremental_near_dup)
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        seen = spark.createDataFrame(
+            [(1, base), (2, "completely unrelated corpus document about "
+                            "spark physical plans and shuffle exchanges")],
+            "id bigint, text string")
+        new = spark.createDataFrame(
+            [(10, base.replace("lazy", "sleepy")),   # near-dup of 1
+             (11, "entirely novel content with no overlap whatsoever "
+                  "to anything stored so far in the corpus at all")],
+            "id bigint, text string")
+        out = incremental_near_dup(new, seen, "id", "text", threshold=0.5)
+        assert {r.id for r in out.collect()} == {11}
+
+    def test_incremental_near_dup_cost_proportional_to_batch(self, spark):
+        # the corpus must never self-join: no seen x seen candidate pairs
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            incremental_near_dup)
+
+        seen = spark.createDataFrame(
+            [(i, f"corpus doc {i} shares all of its words corpus doc")
+             for i in range(20)], "id bigint, text string")
+        new = spark.createDataFrame(
+            [(100, "one single new document unlike the corpus")],
+            "id bigint, text string")
+        out = incremental_near_dup(new, seen, "id", "text", threshold=0.5)
+        assert {r.id for r in out.collect()} == {100}
+
+
+class TestMaintenance:
+    def test_compact_small_files(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.maintenance import (
+            compact_parquet, parquet_file_stats)
+
+        src = str(tmp_path / "small")
+        (spark.range(10000).withColumnRenamed("id", "k")
+         .repartition(64).write.parquet(src))
+        assert parquet_file_stats(spark, src)["files"] == 64
+        out = str(tmp_path / "compacted")
+        res = compact_parquet(spark, src, out,
+                              target_file_bytes=10_000_000,
+                              sort_within_by=["k"])
+        assert res["after"]["files"] == 1
+        assert spark.read.parquet(out).count() == 10000
+
+
 class TestSimilarity:
     def test_cosine_topk_self_first(self, spark):
         from confluent_ksql_charm_spark.pipeline.similarity import cosine_topk
