@@ -68,6 +68,44 @@ class TestDedup:
         assert got[1] == ["a b"]          # shorter than k → whole text
 
 
+class TestBucketedPairs:
+    def test_matches_bruteforce_when_uncapped(self, spark):
+        from itertools import combinations
+
+        from confluent_ksql_charm_spark.pipeline.dedup import bucketed_pairs
+
+        rows = [(b, bucket, i)
+                for b in range(3) for bucket in range(2)
+                for i in range((b + bucket) % 3 + 2)]
+        df = spark.createDataFrame(rows, "band int, bucket long, id bigint")
+        got = {(r.id_a, r.id_b) for r in
+               bucketed_pairs(df, ["band", "bucket"], "id",
+                              max_bucket=100).collect()}
+        want = set()
+        for b in range(3):
+            for bucket in range(2):
+                ids = [i for bb, bk, i in rows if bb == b and bk == bucket]
+                want |= {tuple(sorted(p)) for p in combinations(ids, 2)}
+        assert got == want
+
+    def test_cap_bounds_pairs_and_decorrelates_across_bands(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import bucketed_pairs
+
+        n, cap = 30, 5
+        # same 30 ids in one bucket of each of 8 bands
+        rows = [(b, 0, i) for b in range(8) for i in range(n)]
+        df = spark.createDataFrame(rows, "band int, bucket long, id bigint")
+        got = {(r.id_a, r.id_b) for r in
+               bucketed_pairs(df, ["band", "bucket"], "id",
+                              max_bucket=cap).collect()}
+        # per band at most C(cap,2)=10 pairs; 8 hash-ordered caps sample
+        # DIFFERENT subsets, so the union must exceed one band's yield
+        # (an id-ordered cap would give exactly 10 identical pairs)
+        assert 10 < len(got) <= 80
+        # ...and high ids are not systematically excluded
+        assert any(a >= cap or b >= cap for a, b in got)
+
+
 class TestIncremental:
     def test_incremental_exact_drops_seen(self, spark):
         from confluent_ksql_charm_spark.pipeline.dedup import incremental_exact
