@@ -45,6 +45,52 @@ class QueryHandle:
             self.streaming_query.processAllAvailable()
 
 
+def make_upsert_batch_fn(path: str, key_cols: list[str]):
+    """foreachBatch upsert into a key-addressed parquet table — the Spark
+    analogue of KSQL materializing a TABLE's changelog into a compacted
+    topic: each micro-batch's update-mode rows (latest state per changed
+    key) replace that key's row in the table.
+
+    Merge = unionByName(old, new) → one hash-aggregate keeping the
+    new-priority row per key (max_by on a priority tag): one shuffle on
+    the key, no join. The rewrite goes to a temp dir then swaps in —
+    a re-run of the same batch after a crash re-merges identical data,
+    so the table converges (idempotent upsert). At production scale this
+    sink maps to a table format with real atomic commits (Delta/Iceberg
+    MERGE) or a compacted Kafka topic; the per-batch merge plan is the
+    same.
+    """
+    from pyspark.sql import functions as F
+
+    def upsert(batch_df, _batch_id):
+        import os
+        import shutil
+
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cols = batch_df.columns
+        new = batch_df.withColumn("__pri", F.lit(1))
+        if os.path.exists(path):
+            old = spark.read.parquet(path).withColumn("__pri", F.lit(0))
+            all_rows = old.unionByName(new)
+        else:
+            all_rows = new
+        payload = F.struct(*[F.col(c) for c in cols], F.col("__pri"))
+        merged = (
+            all_rows.groupBy(*key_cols)
+            .agg(F.max_by(payload, F.col("__pri")).alias("__row"))
+            .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
+        )
+        tmp = path + ".__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
+    return upsert
+
+
 def start_persistent_query(engine: "KsqlSparkEngine", qid: str,
                            meta: "SourceMeta", props: dict) -> QueryHandle:
     """Start writeStream for a streaming CSAS/CTAS.
@@ -53,6 +99,8 @@ def start_persistent_query(engine: "KsqlSparkEngine", qid: str,
     be format('kafka') with the topic from WITH(KAFKA_TOPIC=...)):
       - WITH (SINK='memory')  → in-memory table named after the stream
       - WITH (SINK='parquet', SINK_PATH='...') → files
+      - WITH (SINK='upsert_parquet', SINK_PATH='...') → key-compacted
+        table materialization (foreachBatch upsert; TABLE parity)
       - default               → memory sink (local testing)
     """
     df = meta.df
@@ -73,6 +121,15 @@ def start_persistent_query(engine: "KsqlSparkEngine", qid: str,
         writer = writer.format("parquet").option("path", props["SINK_PATH"])
         if mode != "append":
             writer = writer.outputMode("append")
+    elif sink == "upsert_parquet":
+        key_csv = props.get("KEY") or meta.key_col or ""
+        key_cols = [c.strip() for c in key_csv.split(",") if c.strip()]
+        if not key_cols:
+            raise ValueError(
+                "SINK='upsert_parquet' needs a key: WITH (KEY='col') or a "
+                "keyed TABLE (GROUP BY / PARTITION BY key)")
+        writer = writer.foreachBatch(
+            make_upsert_batch_fn(props["SINK_PATH"], key_cols))
     elif sink == "kafka":
         writer = (writer.format("kafka")
                   .option("kafka.bootstrap.servers", props.get("BOOTSTRAP_SERVERS", "localhost:9092"))

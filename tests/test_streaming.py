@@ -119,6 +119,53 @@ def test_streaming_session_window_matches_batch(spark, seng, engine):
     assert got == want and len(got) > 0
 
 
+def test_upsert_parquet_table_sink(spark, seng, engine, tmp_path):
+    # TABLE → file materialization must be an UPSERT (compacted-changelog
+    # parity), not an append of every update.
+    out = str(tmp_path / "tbl")
+    res = seng.execute(
+        f"CREATE TABLE s_up WITH (SINK='upsert_parquet', SINK_PATH='{out}', "
+        "TRIGGER='availablenow', OUTPUT_MODE='update') AS "
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id;"
+    )[0]
+    seng.queries[res.message].streaming_query.awaitTermination(120)
+    got = {(r.user_id, r.n) for r in spark.read.parquet(out).collect()}
+    want = {(r.user_id, r.n) for r in engine.sql(
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
+    ).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_upsert_merge_across_batches(spark, tmp_path):
+    # the merge itself: second batch replaces keys it carries, keeps the
+    # rest — one row per key, new value wins
+    from confluent_ksql_charm_spark.streaming.query import (
+        make_upsert_batch_fn)
+
+    path = str(tmp_path / "upsert_tbl")
+    fn = make_upsert_batch_fn(path, ["k"])
+    b1 = spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                               "k bigint, s string, v bigint")
+    b2 = spark.createDataFrame([(2, "b2", 21), (3, "c", 30)],
+                               "k bigint, s string, v bigint")
+    fn(b1, 0)
+    fn(b2, 1)
+    got = {(r.k, r.s, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a", 10), (2, "b2", 21), (3, "c", 30)}
+
+
+def test_upsert_sink_requires_key(spark, seng, tmp_path):
+    import pytest as _pytest
+
+    out = str(tmp_path / "nokey")
+    with _pytest.raises(ValueError, match="needs a key"):
+        seng.execute(
+            f"CREATE STREAM s_nokey WITH (SINK='upsert_parquet', "
+            f"SINK_PATH='{out}', TRIGGER='availablenow') AS "
+            "SELECT event_id FROM events;"
+        )
+
+
 def test_transient_push_query_streaming(spark, seng):
     rows = seng.push_query(
         "SELECT event_id, value FROM events WHERE event_type = 'error' LIMIT 5")
