@@ -437,7 +437,13 @@ class KsqlSparkEngine:
         qid = f"{'CTAS' if spec.kind == 'TABLE' else 'CSAS'}_{spec.name.upper()}_{self._qid}"
         if df.isStreaming:
             from .streaming.query import start_persistent_query
-            handle = start_persistent_query(self, qid, meta, spec.props)
+            try:
+                handle = start_persistent_query(self, qid, meta, spec.props)
+            except Exception:
+                # failed start must not leave a half-registered relation
+                # (KSQL likewise rejects the whole statement)
+                self.metastore.drop(spec.name)
+                raise
             self.queries[qid] = handle
         else:
             if spec.props.get("SINK", "").lower() == "parquet":

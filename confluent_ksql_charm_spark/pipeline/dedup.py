@@ -127,7 +127,8 @@ def incremental_exact(new_df: DataFrame, seen_df: DataFrame,
 def incremental_near_dup(new_df: DataFrame, seen_df: DataFrame,
                          id_col: str, text_col: str, *,
                          threshold: float = 0.7, num_hashes: int = 64,
-                         bands: int = 16, shingle_k: int = 3) -> DataFrame:
+                         bands: int = 16, shingle_k: int = 3,
+                         seen_signatures: DataFrame | None = None) -> DataFrame:
     """`new_df` rows with NO near-duplicate in `seen_df` (MinHash LSH).
 
     Asymmetric banding: both sides are signed and banded, but candidates
@@ -137,12 +138,18 @@ def incremental_near_dup(new_df: DataFrame, seen_df: DataFrame,
     Candidates are verified with exact Jaccard against the union before
     filtering, so precision is exact. `id_col` must be unique ACROSS both
     inputs (the verify join resolves texts by id).
+
+    `seen_signatures`: optionally pass the corpus's persisted
+    `minhash_signatures` output (id, minhash) instead of re-hashing the
+    whole corpus on every ingest — at 100 TB the signature table (a few
+    hundred bytes/doc) is maintained alongside the corpus and only the
+    BATCH is ever re-shingled.
     """
     rows = num_hashes // bands
 
-    def banded(df):
-        sig = minhash_signatures(df, id_col, text_col,
-                                 num_hashes=num_hashes, shingle_k=shingle_k)
+    def banded(df, sig=None):
+        sig = sig if sig is not None else minhash_signatures(
+            df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
         return sig.select(
             F.col(id_col),
             F.explode(
@@ -159,7 +166,8 @@ def incremental_near_dup(new_df: DataFrame, seen_df: DataFrame,
         ).select(id_col, "bb.band", "bb.bucket")
 
     new_banded = banded(new_df).withColumnRenamed(id_col, "id_a")
-    seen_banded = banded(seen_df).withColumnRenamed(id_col, "id_b")
+    seen_banded = banded(seen_df, seen_signatures).withColumnRenamed(
+        id_col, "id_b")
     cands = (new_banded.join(seen_banded, ["band", "bucket"])
              .select("id_a", "id_b").distinct())
     union = new_df.select(id_col, text_col).unionByName(

@@ -138,6 +138,25 @@ class TestIncremental:
         out = incremental_near_dup(new, seen, "id", "text", threshold=0.5)
         assert {r.id for r in out.collect()} == {11}
 
+    def test_incremental_near_dup_with_persisted_signatures(self, spark):
+        # corpus signatures computed once, reused across ingests
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            incremental_near_dup, minhash_signatures)
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        seen = spark.createDataFrame(
+            [(1, base)], "id bigint, text string")
+        sigs = minhash_signatures(seen, "id", "text")
+        new = spark.createDataFrame(
+            [(10, base.replace("lazy", "sleepy")),
+             (11, "entirely novel content with no overlap whatsoever "
+                  "to anything stored so far in the corpus at all")],
+            "id bigint, text string")
+        out = incremental_near_dup(new, seen, "id", "text", threshold=0.5,
+                                   seen_signatures=sigs)
+        assert {r.id for r in out.collect()} == {11}
+
     def test_incremental_near_dup_cost_proportional_to_batch(self, spark):
         # the corpus must never self-join: no seen x seen candidate pairs
         from confluent_ksql_charm_spark.pipeline.dedup import (
