@@ -164,6 +164,8 @@ def test_upsert_sink_requires_key(spark, seng, tmp_path):
             f"SINK_PATH='{out}', TRIGGER='availablenow') AS "
             "SELECT event_id FROM events;"
         )
+    # the failed statement must not leave a half-registered relation
+    assert not seng.metastore.has("s_nokey")
 
 
 def test_transient_push_query_streaming(spark, seng):
