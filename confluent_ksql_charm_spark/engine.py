@@ -535,6 +535,8 @@ class KsqlSparkEngine:
                     desc = f"builtin → Spark `{flib.RENAMES[fname]}`"
                 elif fname in flib.HANDLERS:
                     desc = "builtin → composed Spark expression"
+                elif fname in flib.AGGREGATES:
+                    desc = "builtin aggregate (GROUP BY context)"
                 elif fname.lower() in self.udfs.names():
                     desc = f"user-defined ({self.udfs.describe()[fname.lower()]})"
                 else:

@@ -51,6 +51,9 @@ def test_show_properties_describe_function_terminate_all(engine):
     assert "lower" in d.message
     d2 = engine.execute("DESCRIBE FUNCTION MASK;")[0]
     assert "composed" in d2.message
+    # every name SHOW FUNCTIONS lists must DESCRIBE (incl. aggregates)
+    for fn in engine.execute("SHOW FUNCTIONS;")[0].rows:
+        assert engine.execute(f"DESCRIBE FUNCTION {fn};")[0].message
     engine.execute("CREATE STREAM tall1 AS SELECT event_id FROM events;"
                    "CREATE STREAM tall2 AS SELECT user_id FROM events;")
     assert len(engine.execute("SHOW QUERIES;")[0].rows) >= 2
