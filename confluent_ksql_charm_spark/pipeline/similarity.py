@@ -113,6 +113,50 @@ def signed_projection_bucket(vec_col: Column, planes: list[list[float]]) -> Colu
     return bucket
 
 
+def lsh_plan(n_rows: int, threshold: float = 0.95, *,
+             miss_prob: float = 1e-4,
+             max_projections: int = 1024) -> tuple[int, int]:
+    """Choose (num_bands, bits_per_band) for banded hyperplane LSH.
+
+    The recall constraint fixes the band count once bits are chosen
+    (per-band collision p = p_bit^bits with p_bit = 1 - θ/π; bands =
+    ceil(ln miss / ln(1-p))); bits then trade band count against the
+    candidate volume from *orthogonal* pairs (collision p ≈ 0.5^bits per
+    band). Too few bits is the classic footgun: 2^bits buckets per band
+    must exceed n_rows/target-bucket-size or every bucket saturates its
+    cap and recall silently collapses (observed: 4 bits at 20k vectors →
+    16 buckets of ~1250 → 18% recall). This planner minimizes
+    estimated candidates + banding rows subject to the recall target.
+
+    Beyond ~1M rows the default `max_projections` saturates and the
+    orthogonal-pair candidate estimate grows — raise the cap (the matmul
+    stays cheap) or pre-partition the corpus (IVF-cell it and run
+    near-dup per cell) before banding.
+    """
+    import math
+
+    p_bit = 1 - math.acos(threshold) / math.pi
+    all_pairs = n_rows * (n_rows - 1) / 2
+    best = None
+    for bits in range(4, 33):
+        band_p = p_bit ** bits
+        if band_p >= 1.0:
+            bands = 1
+        else:
+            bands = max(1, math.ceil(math.log(miss_prob)
+                                     / math.log(1 - band_p)))
+        if bands * bits > max_projections:
+            continue
+        est_candidates = bands * (0.5 ** bits) * all_pairs
+        cost = est_candidates + n_rows * bands
+        if best is None or cost < best[0]:
+            best = (cost, bands, bits)
+    if best is None:
+        raise ValueError("no feasible LSH plan under max_projections — "
+                         "lower the recall target or raise the cap")
+    return best[1], best[2]
+
+
 def _band_buckets_udf(num_bands: int, bits_per_band: int, seed: int):
     """Arrow-batched per-band LSH buckets: ONE numpy matmul per batch
     computes all `num_bands * bits_per_band` projections (the expression
@@ -269,14 +313,22 @@ def cosine_for_pairs(df: DataFrame, pairs: DataFrame, *,
 
 
 def embedding_near_dup_pairs(df: DataFrame, *, threshold: float = 0.95,
-                             num_bands: int = 8, bits_per_band: int = 4,
+                             num_bands: int | None = None,
+                             bits_per_band: int | None = None,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              seed: int = 42) -> DataFrame:
     """Embedding-cosine near-dup: LSH candidates → exact-cosine verify →
     pairs ≥ threshold (the embedding analogue of dedup.near_dup_pairs).
     Precision is exact by construction (every emitted pair carries its
-    true cosine); recall is the banding probability in banded_lsh_pairs."""
+    true cosine); recall is the banding probability in banded_lsh_pairs.
+
+    With band params unset, `lsh_plan(count, threshold)` sizes them from
+    the corpus (one count job) — passing too-few bits for the corpus size
+    is the silent-recall-collapse footgun the planner exists to prevent.
+    """
+    if num_bands is None or bits_per_band is None:
+        num_bands, bits_per_band = lsh_plan(df.count(), threshold)
     cands = banded_lsh_pairs(df, num_bands=num_bands,
                              bits_per_band=bits_per_band, vec_col=vec_col,
                              id_col=id_col, seed=seed).cache()

@@ -248,6 +248,19 @@ class TestSimilarity:
         # the query's own cluster is one cell: 1-probe should see ~all
         assert len(got & exact) / 10 >= 0.8
 
+    def test_lsh_plan_scales_buckets_with_corpus(self):
+        from confluent_ksql_charm_spark.pipeline.similarity import lsh_plan
+
+        bands_s, bits_s = lsh_plan(1000, 0.95)
+        bands_l, bits_l = lsh_plan(100_000, 0.95)
+        # bucket count (2^bits) must grow with the corpus
+        assert bits_l > bits_s
+        # recall math: miss = (1 - p_bit^bits)^bands <= target
+        import math
+        p_bit = 1 - math.acos(0.95) / math.pi
+        for bands, bits in ((bands_s, bits_s), (bands_l, bits_l)):
+            assert (1 - p_bit ** bits) ** bands <= 1e-4 * 1.01
+
     def test_embedding_near_dup_recall_and_precision(self, spark):
         from confluent_ksql_charm_spark.pipeline.similarity import (
             cosine, embedding_near_dup_pairs)
