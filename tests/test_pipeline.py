@@ -68,6 +68,32 @@ class TestDedup:
         assert got[1] == ["a b"]          # shorter than k → whole text
 
 
+class TestComposition:
+    def test_full_curation_chain_single_action(self, spark):
+        """The realistic training-data flow composes as ONE lazy plan:
+        exact dedup → quality gate → per-language stats. No intermediate
+        materialization, one action at the end."""
+        from confluent_ksql_charm_spark.pipeline.dedup import exact_dedup
+        from confluent_ksql_charm_spark.pipeline.text import (
+            alpha_ratio, quality_score, token_count)
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        deduped = exact_dedup(docs, ["text"], "doc_id")
+        gated = deduped.where(quality_score(F.col("text")) > 0.5)
+        stats = (gated.groupBy("lang")
+                 .agg(F.count("*").alias("n"),
+                      F.sum(token_count(F.col("text"))).alias("toks"),
+                      F.round(F.avg(alpha_ratio(F.col("text"))), 4)
+                      .alias("alpha")))
+        rows = stats.collect()
+        assert len(rows) > 0
+        assert all(r.n > 0 and r.toks > 0 for r in rows)
+        # the chain stays lazy: two shuffles total (dedup agg + stats agg)
+        plan = stats._jdf.queryExecution().executedPlan().toString()
+        import re
+        assert len(re.findall(r"Exchange", plan)) <= 4  # 2 aggs x partial/final
+
+
 class TestBucketedPairs:
     def test_matches_bruteforce_when_uncapped(self, spark):
         from itertools import combinations
