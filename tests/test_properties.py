@@ -108,3 +108,31 @@ def test_histogram_matches_counter(prop_engine, rows_in):
             want[g][v] += 1
     for g, c in want.items():
         assert got[g] == dict(c), (g, got[g], dict(c))
+
+
+# --- parser robustness: arbitrary/mutated statements fail CLEANLY -------
+
+_STMT_FRAGMENTS = st.lists(st.sampled_from([
+    "SELECT", "CREATE", "STREAM", "TABLE", "FROM", "WHERE", "GROUP", "BY",
+    "WINDOW", "TUMBLING", "SESSION", "JOIN", "WITHIN", "ON", "AS", "WITH",
+    "events", "user_id", "COUNT(*)", "SUM(value)", "(", ")", ",", "=",
+    "'x'", "42", "1 HOUR", "HAVING", "EMIT", "CHANGES", "PARTITION",
+    "INSERT", "INTO", "DROP", "*", ";", "->", "[0]", "CASE", "WHEN",
+]), min_size=1, max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_STMT_FRAGMENTS)
+def test_parser_fails_cleanly_on_arbitrary_statements(frags):
+    """Malformed statements must raise ValueError/KeyError (clean dialect
+    errors) — never hang, IndexError, AttributeError, or similar
+    internals leaking out of the front end."""
+    from confluent_ksql_charm_spark.dialect.lexer import split_statements
+    from confluent_ksql_charm_spark.dialect.parser import parse_statement
+
+    stmt = " ".join(frags)
+    try:
+        for s in split_statements(stmt):
+            parse_statement(s)
+    except (ValueError, KeyError):
+        pass  # clean rejection is correct for malformed input
