@@ -4,8 +4,8 @@ Every entry in ``queries()`` exercises the KSQL-capability engine in
 ``confluent_ksql_charm_spark`` (dialect front end → Spark SQL → Catalyst)
 or one of the north-star pipeline operators (SURVEY.md §3.11). Each has a
 DuckDB oracle in ``oracle_sql()`` unless genuinely non-SQL-expressible
-(hash-based sketches, session windows, heuristics) — those get rows-only
-checks per the contract.
+(hash-based sketches and heuristics: minhash/simhash/fingerprint/
+lang_guess) — those get rows-only checks per the contract.
 
 Comparison conventions (driver hashes values after sorting columns by
 name): every timestamp is exposed as epoch-millis BIGINT (KSQL-faithful:
