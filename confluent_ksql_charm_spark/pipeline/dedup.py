@@ -52,35 +52,60 @@ def shingles_col(text: str | Column, k: int = 3) -> Column:
 
 
 def bucketed_pairs(banded: DataFrame, bucket_cols: list[str], id_col: str,
-                   *, max_bucket: int = 200) -> DataFrame:
+                   *, max_bucket: int | None = 200) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from bucket-membership rows.
 
-    Two scale-critical choices:
+    Three scale-critical choices:
 
-    - Each bucket is capped at `max_bucket` members, ordered by a hash of
-      (id, bucket key) — NOT by id. An id-ordered cap would drop the same
-      high ids from every band, so cap losses would be correlated across
-      bands and those documents would silently lose LSH coverage; hash
-      ordering makes each band's cap an independent sample.
     - Pair expansion is a self equi-join on the bucket key (whole-stage
       codegen hash join) rather than a per-bucket nested array transform:
       the quadratic work runs in generated code, and no bucket-sized
       arrays are materialized. Never a cross join.
+    - Only buckets EXCEEDING `max_bucket` pay the capping machinery: a
+      cheap count-aggregate finds them, the (tiny, degenerate-tail)
+      heavy-bucket list broadcasts, and light rows join directly — the
+      no-heavy-buckets common case costs one small agg, not a
+      collect_list/explode over every bucket. `max_bucket=None` skips
+      sizing entirely (for corpora known to be pre-deduped).
+    - Heavy buckets are sampled ordered by a hash of (id, bucket key) —
+      NOT by id. An id-ordered cap would drop the same high ids from
+      every band, so cap losses would be correlated across bands and
+      those documents would silently lose LSH coverage; hash ordering
+      makes each band's cap an independent sample.
     """
     keys = [F.col(c) for c in bucket_cols]
-    capped = F.transform(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct(
-                F.xxhash64(F.col(id_col), *keys).alias("o"),
-                F.col(id_col).alias("id")))),
-            1, max_bucket),
-        lambda s: s["id"],
-    )
-    members = (
-        banded.groupBy(*bucket_cols).agg(capped.alias("ids"))
-        .where(F.size("ids") > 1)
-        .select(*bucket_cols, F.explode("ids").alias("__bid"))
-    )
+    rows = banded.select(*bucket_cols, F.col(id_col).alias("__bid"))
+    if max_bucket is None:
+        members = rows
+    else:
+        # Cap ONLY the buckets that need it. The membership relation is
+        # tiny (id × bands rows of longs) → cache it, pay one cheap
+        # count-aggregate to find heavy buckets, and DECIDE driver-side
+        # (AQE-style runtime adaptivity): the common no-heavy-buckets
+        # case then runs the pure direct self-join with zero extra
+        # operators in the pair plan.
+        rows = rows.cache()
+        heavy = (rows.groupBy(*bucket_cols).count()
+                 .where(F.col("count") > max_bucket)
+                 .select(*bucket_cols))
+        if heavy.isEmpty():
+            members = rows
+        else:
+            light = rows.join(F.broadcast(heavy), bucket_cols, "left_anti")
+            capped = F.transform(
+                F.slice(
+                    F.sort_array(F.collect_list(F.struct(
+                        F.xxhash64(F.col("__bid"), *keys).alias("o"),
+                        F.col("__bid").alias("id")))),
+                    1, max_bucket),
+                lambda s: s["id"],
+            )
+            heavy_sampled = (
+                rows.join(F.broadcast(heavy), bucket_cols, "left_semi")
+                .groupBy(*bucket_cols).agg(capped.alias("ids"))
+                .select(*bucket_cols, F.explode("ids").alias("__bid"))
+            )
+            members = light.unionByName(heavy_sampled)
     a = members.select(*bucket_cols, F.col("__bid").alias("id_a"))
     b = members.select(*bucket_cols, F.col("__bid").alias("id_b"))
     return (
