@@ -154,6 +154,21 @@ def test_upsert_merge_across_batches(spark, tmp_path):
     assert got == {(1, "a", 10), (2, "b2", 21), (3, "c", 30)}
 
 
+def test_upsert_batch_rerun_is_idempotent(spark, tmp_path):
+    # crash-recovery contract: re-applying the same batch converges
+    from confluent_ksql_charm_spark.streaming.query import (
+        make_upsert_batch_fn)
+
+    path = str(tmp_path / "upsert_idem")
+    fn = make_upsert_batch_fn(path, ["k"])
+    b = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    fn(b, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    fn(b, 0)  # replayed after a simulated failure
+    again = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert once == again == [(1, 10), (2, 20)]
+
+
 def test_upsert_sink_requires_key(spark, seng, tmp_path):
     import pytest as _pytest
 
