@@ -373,12 +373,20 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
              nlist: int = 16, nprobe: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id", seed: int = 42,
-             sample_fraction: float | None = None) -> DataFrame:
+             sample_fraction: float | None = None,
+             index: tuple | None = None) -> DataFrame:
     """Approximate top-k by cosine via IVF: scan only the `nprobe` cells
     whose centroids are nearest the query. ``nprobe == nlist`` degrades
-    to exact brute force (the recall-vs-cost knob)."""
-    assigned, centers = ivf_index(df, nlist=nlist, vec_col=vec_col,
-                                  seed=seed, sample_fraction=sample_fraction)
+    to exact brute force (the recall-vs-cost knob).
+
+    `index`: a prebuilt ``ivf_index(...)`` result. Pass it on every query
+    after building ONCE — refitting the quantizer per query is the
+    anti-pattern (a deployed index is built at ingest and amortized over
+    all probes; the per-call fit here is only the zero-setup default).
+    """
+    assigned, centers = index if index is not None else ivf_index(
+        df, nlist=nlist, vec_col=vec_col, seed=seed,
+        sample_fraction=sample_fraction)
     qn = math.sqrt(sum(float(x) ** 2 for x in query_vec)) or 1.0
     q = [float(x) / qn for x in query_vec]
     by_dist = sorted(
