@@ -201,7 +201,13 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     for b, plane in enumerate(planes):
         if sum(p * float(x) for p, x in zip(plane, query_vec)) > 0:
             qbucket |= 1 << b
-    bucketed = df.withColumn("__bucket", signed_projection_bucket(F.col(vec_col), planes))
+    try:  # Arrow matmul (one band of `bits` planes); expression fallback
+        bucketed = df.withColumn(
+            "__bucket",
+            F.element_at(_band_buckets_udf(1, bits, seed)(F.col(vec_col)), 1))
+    except ImportError:  # pragma: no cover
+        bucketed = df.withColumn(
+            "__bucket", signed_projection_bucket(F.col(vec_col), planes))
     cand = bucketed.where(
         F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
     )
