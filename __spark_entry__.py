@@ -775,8 +775,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "math_funcs": (
             "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS adisc, "
-            "CAST(CEIL(l_quantity) AS BIGINT) AS cq, "
-            "CAST(FLOOR(l_extendedprice) AS BIGINT) AS fp, "
+            "CEIL(l_quantity) AS cq, "
+            "FLOOR(l_extendedprice) AS fp, "
             "ROUND(SQRT(l_extendedprice), 4) AS sq, "
             "ROUND(LN(l_extendedprice + 1), 4) AS lnp, "
             "ROUND(6371.0 * 2 * ASIN(SQRT(POW(SIN(RADIANS(51.5 - 40.7) / 2), 2) + "

@@ -178,9 +178,6 @@ RENAMES: dict[str, str] = {
     "IFNULL": "coalesce",
     "EXTRACTJSONFIELD": "get_json_object",
     "ABS": "abs",
-    "CEIL": "ceil",
-    "FLOOR": "floor",
-    "ROUND": "round",
     "SQRT": "sqrt",
     "EXP": "exp",
     "LN": "ln",
@@ -193,6 +190,14 @@ RENAMES: dict[str, str] = {
 }
 
 HANDLERS: dict[str, Handler] = {
+    # KSQL 5.x math type semantics (Java Math.* signatures), which Spark's
+    # builtins deviate from: CEIL/FLOOR(DOUBLE) return DOUBLE (Spark's
+    # return LONG); 1-arg ROUND is Math.round → BIGINT (Spark's returns
+    # DOUBLE). 2-arg ROUND(x, scale) keeps Spark/ksqlDB display rounding.
+    "CEIL": lambda a: f"CAST(ceil({a[0]}) AS DOUBLE)",
+    "FLOOR": lambda a: f"CAST(floor({a[0]}) AS DOUBLE)",
+    "ROUND": lambda a: (f"CAST(round({a[0]}) AS BIGINT)" if len(a) == 1
+                        else f"round({', '.join(a)})"),
     "MASK": _mask_fn,
     "MASK_LEFT": _mask_left,
     "MASK_RIGHT": _mask_right,

@@ -272,3 +272,20 @@ class TestArrayContainsOverload:
             "ARRAYCONTAINS(CONCAT('[', '\"q\"', ']'), 'q') AS c FROM ac "
             "LIMIT 1").first()
         assert r.d is True and r.b is True and r.c is True
+
+
+class TestMathTypeSemantics:
+    """KSQL 5.x math functions follow Java Math.* signatures — types are
+    part of parity: CEIL/FLOOR(DOUBLE) → DOUBLE, 1-arg ROUND → BIGINT."""
+
+    def test_ceil_floor_round_types_and_values(self, engine):
+        df = engine.sql(
+            "SELECT CEIL(value) AS c, FLOOR(value) AS f, ROUND(value) AS r, "
+            "ROUND(value, 2) AS r2 FROM events LIMIT 1")
+        types = dict(df.dtypes)
+        assert types["c"] == "double" and types["f"] == "double"
+        assert types["r"] == "bigint" and types["r2"] == "double"
+        row = engine.sql(
+            "SELECT CEIL(2.3) AS c, FLOOR(2.7) AS f, ROUND(2.5) AS r "
+            "FROM events LIMIT 1").first()
+        assert row.c == 3.0 and row.f == 2.0 and row.r == 3
