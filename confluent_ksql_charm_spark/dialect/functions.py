@@ -86,7 +86,9 @@ def _stringtotimestamp(args: list[str]) -> str:
     # KSQL returns BIGINT epoch-millis. Format dialect: Java
     # SimpleDateFormat ~= Spark datetime patterns for the common letters.
     s, fmt = args[0], args[1]
-    return f"unix_millis(to_timestamp({s}, {fmt}))"
+    # try_to_timestamp: a malformed string nulls the row (KSQL record-
+    # level error semantics), instead of ANSI-aborting the whole query
+    return f"unix_millis(try_to_timestamp({s}, {fmt}))"
 
 
 def _timestamptostring(args: list[str]) -> str:

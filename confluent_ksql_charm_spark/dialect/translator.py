@@ -211,6 +211,22 @@ def rewrite_expr(tokens: list[Token], ctx: TranslationContext) -> str:
                 out.append(_rewrite_array_contains(args_tokens, args, ctx))
                 i = j
                 continue
+            if up == "CAST" and len(args) == 1 and not prefix:
+                # KSQL error semantics are RECORD-level: a value that fails
+                # to cast poisons that row (skipped + processing-log), not
+                # the whole query. Spark ANSI CAST aborts the query on the
+                # first bad row — try_cast (NULL for the bad value) is the
+                # faithful mapping; valid values behave identically.
+                # KSQL type names map to Spark's (VARCHAR has no bare form
+                # in Spark SQL).
+                expr, _, ty = args[0].rpartition(" AS ")
+                ty_up = ty.strip().upper()
+                ty = {"VARCHAR": "STRING", "INT": "INT",
+                      "INTEGER": "INT"}.get(ty_up, ty)
+                out.append(f"try_cast({expr} AS {ty})" if expr
+                           else f"try_cast({args[0]})")
+                i = j
+                continue
             rewritten = flib.rewrite_call(t.text, args)
             if rewritten is None:
                 rewritten = f"{t.text}({prefix}{', '.join(args)})"

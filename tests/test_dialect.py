@@ -58,7 +58,7 @@ class TestExpressionRewrites:
 
     def test_datetime(self):
         assert _rw("STRINGTOTIMESTAMP(s, 'yyyy')") == \
-            "unix_millis(to_timestamp(s, 'yyyy'))"
+            "unix_millis(try_to_timestamp(s, 'yyyy'))"
         assert _rw("TIMESTAMPTOSTRING(1000, 'yyyy')") == \
             "date_format(timestamp_millis(1000), 'yyyy')"
 
@@ -289,3 +289,33 @@ class TestMathTypeSemantics:
             "SELECT CEIL(2.3) AS c, FLOOR(2.7) AS f, ROUND(2.5) AS r "
             "FROM events LIMIT 1").first()
         assert row.c == 3.0 and row.f == 2.0 and row.r == 3
+
+
+class TestRecordLevelErrorSemantics:
+    """KSQL poisons the ROW on an eval error (skip + processing-log), not
+    the query. The dialect maps CAST → try_cast and timestamp parsing →
+    try_to_timestamp so one bad value nulls that row instead of aborting
+    the whole (ANSI-mode) Spark job."""
+
+    def test_bad_cast_nulls_row_not_query(self, engine):
+        rows = engine.sql(
+            "SELECT CAST(event_type AS INTEGER) AS x FROM events LIMIT 5"
+        ).collect()
+        assert all(r.x is None for r in rows)   # 'error'/'click'... → NULL
+
+    def test_bad_timestamp_parse_nulls_row(self, engine):
+        r = engine.sql(
+            "SELECT STRINGTOTIMESTAMP(event_type, 'yyyy-MM-dd') AS x "
+            "FROM events LIMIT 1").first()
+        assert r.x is None
+
+    def test_varchar_cast_maps_to_string(self, engine):
+        df = engine.sql("SELECT CAST(value AS VARCHAR) AS x FROM events "
+                        "LIMIT 1")
+        assert dict(df.dtypes)["x"] == "string"
+
+    def test_valid_casts_unchanged(self, engine):
+        r = engine.sql(
+            "SELECT CAST('12' AS INTEGER) AS i, CAST(value AS BIGINT) AS b "
+            "FROM events LIMIT 1").first()
+        assert r.i == 12 and isinstance(r.b, int)
