@@ -97,9 +97,12 @@ def _timestamptostring(args: list[str]) -> str:
 
 
 def _stringtodate(args: list[str]) -> str:
-    # KSQL returns epoch-days as INTEGER.
+    # KSQL returns epoch-days as INTEGER; malformed input nulls the row
+    # (record-level error semantics — no bare try_to_date in Spark SQL,
+    # so parse via try_to_timestamp and truncate).
     s, fmt = args[0], args[1]
-    return f"datediff(to_date({s}, {fmt}), date'1970-01-01')"
+    return (f"datediff(to_date(try_to_timestamp({s}, {fmt})), "
+            "date'1970-01-01')")
 
 
 def _datetostring(args: list[str]) -> str:
