@@ -103,6 +103,111 @@ def _static_type(tokens: list[Token], ctx: TranslationContext) -> str | None:
     return None
 
 
+def _operand_start(tokens: list[Token], end: int) -> int | None:
+    """Start index of the operand expression ending at tokens[end-1]
+    (walking backward over one primary + its postfix groups and qualifier
+    chains). None = shape not understood (be conservative, don't fold)."""
+    j = end
+    if j == 0:
+        return None
+    t = tokens[j - 1]
+    if t.kind == OP and t.text in (")", "]"):
+        while j > 0 and tokens[j - 1].kind == OP and \
+                tokens[j - 1].text in (")", "]"):
+            close = tokens[j - 1].text
+            open_ = "(" if close == ")" else "["
+            depth, j = 1, j - 1
+            while depth and j > 0:
+                j -= 1
+                tk = tokens[j]
+                if tk.kind == OP and tk.text == close:
+                    depth += 1
+                elif tk.kind == OP and tk.text == open_:
+                    depth -= 1
+        if j > 0 and tokens[j - 1].kind == IDENT:
+            j -= 1
+    elif t.kind in (IDENT, STRING, NUMBER):
+        j -= 1
+    else:
+        return None
+    while (j >= 2 and tokens[j - 2].kind == IDENT
+           and ((tokens[j - 1].kind == OP and tokens[j - 1].text == ".")
+                or tokens[j - 1].kind == ARROW)):
+        j -= 2
+    return j
+
+
+def _operand_end(tokens: list[Token], start: int) -> int | None:
+    """End index (exclusive) of the operand expression starting at
+    tokens[start] (one primary + postfix call/index/accessor chain)."""
+    n = len(tokens)
+    if start >= n:
+        return None
+    t = tokens[start]
+    j = start
+    if t.kind == OP and t.text == "(":
+        depth, j = 1, j + 1
+        while j < n and depth:
+            if tokens[j].kind == OP and tokens[j].text == "(":
+                depth += 1
+            elif tokens[j].kind == OP and tokens[j].text == ")":
+                depth -= 1
+            j += 1
+    elif t.kind in (IDENT, STRING, NUMBER):
+        j += 1
+        while j < n:
+            tj = tokens[j]
+            if tj.kind == OP and tj.text in ("(", "["):
+                open_ = tj.text
+                close = ")" if open_ == "(" else "]"
+                depth, j = 1, j + 1
+                while j < n and depth:
+                    if tokens[j].kind == OP and tokens[j].text == open_:
+                        depth += 1
+                    elif tokens[j].kind == OP and tokens[j].text == close:
+                        depth -= 1
+                    j += 1
+            elif ((tj.kind == OP and tj.text == ".") or tj.kind == ARROW) \
+                    and j + 1 < n and tokens[j + 1].kind == IDENT:
+                j += 2
+            else:
+                break
+    else:
+        return None
+    return j
+
+
+def _fold_string_concat(tokens: list[Token],
+                        ctx: "TranslationContext") -> list[Token]:
+    """KSQL 5.x '+' on VARCHAR concatenates (ExpressionTypeManager widens
+    VARCHAR + VARCHAR → VARCHAR). Fold ``L + R`` into ``CONCAT(L, R)``
+    tokens whenever either operand is STATICALLY string-typed (string
+    literal, string column per ctx.col_types, known string function) —
+    arithmetic '+' is untouched, and unknown shapes are left alone
+    (conservative: no type info → no fold)."""
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(tokens):
+            if not (t.kind == OP and t.text == "+"):
+                continue
+            ls = _operand_start(tokens, i)
+            re_ = _operand_end(tokens, i + 1)
+            if ls is None or re_ is None or ls >= i:
+                continue
+            left, right = tokens[ls:i], tokens[i + 1:re_]
+            if not left or not right:
+                continue
+            if (_static_type(left, ctx) == "string"
+                    or _static_type(right, ctx) == "string"):
+                folded = ([Token(IDENT, "CONCAT"), Token(OP, "(")] + left
+                          + [Token(OP, ",")] + right + [Token(OP, ")")])
+                tokens = tokens[:ls] + folded + tokens[re_:]
+                changed = True
+                break
+    return tokens
+
+
 #: Spark simpleString → from_json element type for the JSON-array variant
 _JSON_ELEM = {"string": "string", "bigint": "bigint", "int": "bigint",
               "smallint": "bigint", "tinyint": "bigint", "double": "double",
@@ -127,6 +232,7 @@ def _rewrite_array_contains(args_tokens: list[list[Token]], args: list[str],
 
 def rewrite_expr(tokens: list[Token], ctx: TranslationContext) -> str:
     """Token-level KSQL→Spark expression rewrite (recursive on call args)."""
+    tokens = _fold_string_concat(tokens, ctx)
     out: list[str] = []
     i = 0
     n = len(tokens)

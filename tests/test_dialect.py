@@ -319,3 +319,27 @@ class TestRecordLevelErrorSemantics:
             "SELECT CAST('12' AS INTEGER) AS i, CAST(value AS BIGINT) AS b "
             "FROM events LIMIT 1").first()
         assert r.i == 12 and isinstance(r.b, int)
+
+
+class TestStringConcatPlus:
+    """KSQL 5.x '+' concatenates VARCHAR operands (ExpressionTypeManager
+    widens VARCHAR + VARCHAR → VARCHAR); Spark ANSI '+' is numeric-only,
+    so the translator statically folds string '+' chains into concat."""
+
+    def test_column_plus_literal(self, engine):
+        r = engine.sql("SELECT event_type + '!' AS x FROM events LIMIT 1")
+        assert r.first().x.endswith("!")
+
+    def test_chain_and_function_operands(self, engine):
+        r = engine.sql(
+            "SELECT 'a' + UCASE(event_type) + '_z' AS x, "
+            "'u' + CAST(user_id AS VARCHAR) AS y FROM events LIMIT 1"
+        ).first()
+        assert r.x.startswith("a") and r.x.endswith("_z") and r.x[1:-2].isupper()
+        assert r.y.startswith("u") and r.y[1:].isdigit()
+
+    def test_numeric_plus_untouched(self, engine):
+        r = engine.sql(
+            "SELECT event_id + 1 AS i, value + 1.5 AS d FROM events "
+            "WHERE event_id = 0 LIMIT 1").first()
+        assert r.i == 1 and isinstance(r.d, float)
