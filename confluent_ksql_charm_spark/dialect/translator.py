@@ -89,6 +89,8 @@ def _static_type(tokens: list[Token], ctx: TranslationContext) -> str | None:
         if t0.kind == IDENT:
             if t0.upper in ("TRUE", "FALSE"):
                 return "boolean"
+            if t0.upper == "ROWTIME":
+                return "bigint"  # epoch-millis system column
             return ctx.col_types.get(t0.text.strip("`").lower())
     if (len(tokens) == 3 and t0.kind == IDENT and tokens[1].kind == OP
             and tokens[1].text == "." and tokens[2].kind == IDENT):
@@ -208,6 +210,32 @@ def _fold_string_concat(tokens: list[Token],
     return tokens
 
 
+_INT_TYPES = {"int", "bigint", "smallint", "tinyint"}
+
+
+def _fold_int_division(tokens: list[Token],
+                       ctx: "TranslationContext") -> list[Token]:
+    """KSQL 5.x division on integer operands is Java integer division
+    (INT / INT → INT). Spark's ``/`` always yields DOUBLE, so fold ``/``
+    to the infix ``div`` operator when BOTH operands are statically
+    integer-typed (result widens to BIGINT — Spark's div type — which is
+    the one tolerated deviation). Unknown or floating operands keep
+    ``/`` untouched."""
+    out = list(tokens)
+    for i in range(len(out)):
+        t = out[i]
+        if not (t.kind == OP and t.text == "/"):
+            continue
+        ls = _operand_start(out, i)
+        re_ = _operand_end(out, i + 1)
+        if ls is None or re_ is None or ls >= i:
+            continue
+        if (_static_type(out[ls:i], ctx) in _INT_TYPES
+                and _static_type(out[i + 1:re_], ctx) in _INT_TYPES):
+            out[i] = Token(IDENT, "div")
+    return out
+
+
 #: Spark simpleString → from_json element type for the JSON-array variant
 _JSON_ELEM = {"string": "string", "bigint": "bigint", "int": "bigint",
               "smallint": "bigint", "tinyint": "bigint", "double": "double",
@@ -233,6 +261,7 @@ def _rewrite_array_contains(args_tokens: list[list[Token]], args: list[str],
 def rewrite_expr(tokens: list[Token], ctx: TranslationContext) -> str:
     """Token-level KSQL→Spark expression rewrite (recursive on call args)."""
     tokens = _fold_string_concat(tokens, ctx)
+    tokens = _fold_int_division(tokens, ctx)
     out: list[str] = []
     i = 0
     n = len(tokens)

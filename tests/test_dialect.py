@@ -343,3 +343,21 @@ class TestStringConcatPlus:
             "SELECT event_id + 1 AS i, value + 1.5 AS d FROM events "
             "WHERE event_id = 0 LIMIT 1").first()
         assert r.i == 1 and isinstance(r.d, float)
+
+
+class TestIntegerDivision:
+    """KSQL 5.x division of integer operands is Java integer division;
+    Spark's '/' is always DOUBLE — the translator folds to `div` when
+    both operand types are statically integral."""
+
+    def test_int_div_int_truncates(self, engine):
+        r = engine.sql("SELECT user_id / 3 AS a, 7 / 2 AS c, "
+                       "ROWTIME / 3600000 AS h FROM events LIMIT 1")
+        types = dict(r.dtypes)
+        assert types["a"] == "bigint" and types["c"] == "bigint"
+        assert types["h"] == "bigint"
+        assert r.first().c == 3
+
+    def test_double_division_untouched(self, engine):
+        r = engine.sql("SELECT value / 2 AS b FROM events LIMIT 1")
+        assert dict(r.dtypes)["b"] == "double"
