@@ -169,13 +169,23 @@ class KsqlSparkEngine:
         tiebreak: list[str] | None = None,
         props: dict | None = None,
         watermark: str | None = None,
+        static: bool = False,
     ) -> SourceMeta:
-        """Register a named STREAM/TABLE over a path or existing DataFrame."""
+        """Register a named STREAM/TABLE over a path or existing DataFrame.
+
+        `static=True` (streaming mode only): read the source as a BATCH
+        relation even though the engine is streaming — a dimension
+        snapshot. Joins against it become Spark stream-static joins: each
+        micro-batch joins the (broadcastable) batch side directly, with
+        NO join state held, instead of a stateful stream-stream join.
+        The standard enrichment shape at scale.
+        """
         kwargs_props = props or {}
         if df is None:
             if path is None:
                 raise ValueError("need path or df")
-            df = self._read(path, value_format, schema_ddl)
+            df = self._read(path, value_format, schema_ddl,
+                            force_batch=static)
         ts_format = kwargs_props.get("TIMESTAMP_FORMAT")
         if timestamp is not None and timestamp in df.columns:
             # WITH (TIMESTAMP='col' [, TIMESTAMP_FORMAT='...']): KSQL event-
@@ -226,13 +236,15 @@ class KsqlSparkEngine:
         for name, kw in tables.items():
             self.register_source(name, path=f"{sf_dir}/{name}.parquet", **kw)
 
-    def _read(self, path: str, value_format: str, schema_ddl: str | None) -> DataFrame:
+    def _read(self, path: str, value_format: str, schema_ddl: str | None,
+              force_batch: bool = False) -> DataFrame:
         fmt = value_format.upper()
-        reader = self.spark.readStream if self.streaming else self.spark.read
+        streaming = self.streaming and not force_batch
+        reader = self.spark.readStream if streaming else self.spark.read
         if fmt in ("PARQUET", "KAFKA", "AVRO"):
             # batch/oracle path substitutes parquet for topics (SURVEY.md §3.2);
             # read_parquet handles streaming schemas + ns-timestamp rebuild
-            return read_parquet(self.spark, path, streaming=self.streaming)
+            return read_parquet(self.spark, path, streaming=streaming)
         if fmt == "JSON":
             r = reader.schema(schema_ddl) if schema_ddl else reader
             return r.json(path)

@@ -119,6 +119,30 @@ def test_streaming_session_window_matches_batch(spark, seng, engine):
     assert got == want and len(got) > 0
 
 
+def test_stream_static_dimension_join(spark, seng, engine, tmp_path):
+    # enrichment against a STATIC dimension snapshot: a stream-static
+    # join — per-batch join against the batch relation, NO join state.
+    seng.register_source("cust_dim", path=f"{SF_DIR}/customer.parquet",
+                         kind="TABLE", static=True)
+    res = seng.execute(
+        "CREATE STREAM s_enrich WITH (SINK='memory', "
+        "TRIGGER='availablenow') AS "
+        "SELECT e.event_id, e.user_id, c.c_name FROM events e "
+        "JOIN cust_dim c ON e.user_id = c.c_custkey;"
+    )[0]
+    q = seng.queries[res.message].streaming_query
+    q.awaitTermination(120)
+    got = spark.table(res.message.lower()).count()
+    engine.register_source("cust_dim_b", path=f"{SF_DIR}/customer.parquet",
+                           kind="TABLE")
+    want = engine.sql(
+        "SELECT e.event_id, e.user_id, c.c_name FROM events e "
+        "JOIN cust_dim_b c ON e.user_id = c.c_custkey").count()
+    assert got == want > 0
+    # no stateful join operator ran (stream-static, not stream-stream)
+    assert all(not p["stateOperators"] for p in q.recentProgress)
+
+
 def test_upsert_parquet_table_sink(spark, seng, engine, tmp_path):
     # TABLE → file materialization must be an UPSERT (compacted-changelog
     # parity), not an append of every update.
