@@ -390,6 +390,9 @@ class KsqlSparkEngine:
             value_format=fmt, schema_ddl=schema_ddl, props=spec.props,
             tiebreak=[c for c in [spec.props.get("TIEBREAK")] if c],
             watermark=spec.props.get("WATERMARK"),
+            # WITH (STATIC='true'): batch dimension snapshot in streaming
+            # mode → stream-static joins, zero join state
+            static=spec.props.get("STATIC", "").lower() == "true",
         )
         return StatementResult(kind="DDL", name=spec.name,
                                message=f"{spec.kind} {spec.name} created")

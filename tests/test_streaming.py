@@ -122,8 +122,9 @@ def test_streaming_session_window_matches_batch(spark, seng, engine):
 def test_stream_static_dimension_join(spark, seng, engine, tmp_path):
     # enrichment against a STATIC dimension snapshot: a stream-static
     # join — per-batch join against the batch relation, NO join state.
-    seng.register_source("cust_dim", path=f"{SF_DIR}/customer.parquet",
-                         kind="TABLE", static=True)
+    seng.execute(
+        "CREATE TABLE cust_dim (c_custkey BIGINT, c_name VARCHAR) WITH "
+        "(KAFKA_TOPIC='customer', VALUE_FORMAT='PARQUET', STATIC='true');")
     res = seng.execute(
         "CREATE STREAM s_enrich WITH (SINK='memory', "
         "TRIGGER='availablenow') AS "
