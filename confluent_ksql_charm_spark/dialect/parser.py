@@ -102,6 +102,8 @@ class _Cursor:
         return self.toks[j] if j < len(self.toks) else None
 
     def next(self) -> Token:
+        if self.i >= len(self.toks):
+            raise ValueError("unexpected end of statement")
         t = self.toks[self.i]
         self.i += 1
         return t

@@ -136,3 +136,26 @@ def test_parser_fails_cleanly_on_arbitrary_statements(frags):
             parse_statement(s)
     except (ValueError, KeyError):
         pass  # clean rejection is correct for malformed input
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(TEXT, st.integers(-10**6, 10**6),
+                          st.integers(1, 10**6)),
+                min_size=1, max_size=30))
+def test_plus_and_division_type_semantics(prop_engine, rows_in):
+    """KSQL operator typing vs Python reference: string '+' concatenates,
+    integer '/' truncates like Java (for non-negative // semantics we
+    compare against int(a/b) — Java rounds toward zero)."""
+    spark = prop_engine.spark
+    df = spark.createDataFrame(
+        [(i, s, a, b) for i, (s, a, b) in enumerate(rows_in)],
+        "id bigint, s string, a bigint, b bigint")
+    prop_engine.register_source("prop_ops", df=df)
+    rows = prop_engine.sql(
+        "SELECT id, s + '_x' AS cat, a / b AS q, a + b AS add "
+        "FROM prop_ops").collect()
+    for r in rows:
+        s, a, b = rows_in[r.id]
+        assert r.cat == s + "_x"
+        assert r.q == int(a / b)      # toward-zero division, Java-style
+        assert r.add == a + b
