@@ -244,5 +244,9 @@ def rewrite_call(name: str, args: list[str]) -> str | None:
     if up in RENAMES:
         return f"{RENAMES[up]}({', '.join(args)})"
     if up in HANDLERS:
-        return HANDLERS[up](args)
+        try:
+            return HANDLERS[up](args)
+        except IndexError:
+            # clean dialect error, not an internal crash (fuzz-found)
+            raise ValueError(f"wrong number of arguments to {up}") from None
     return None

@@ -159,3 +159,33 @@ def test_plus_and_division_type_semantics(prop_engine, rows_in):
         assert r.cat == s + "_x"
         assert r.q == int(a / b)      # toward-zero division, Java-style
         assert r.add == a + b
+
+
+_EXPR_FRAGMENTS = st.lists(st.sampled_from([
+    "s", "a", "v", "arr", "'lit'", "42", "3.5", "+", "-", "*", "/", "%",
+    "(", ")", "[0]", "CONCAT", "UCASE", "(s)", "CAST", "AS", "INTEGER",
+    "VARCHAR", ",", "CASE", "WHEN", "THEN", "ELSE", "END", "AND", "OR",
+    "NOT", "=", "<>", "<", ">", "ROWTIME", "SPLIT", "ARRAYCONTAINS",
+    "->", "f", ".", "IS", "NULL", "TRUE", "FALSE", "BETWEEN", "LIKE",
+    "IN", "EXTRACTJSONFIELD", "'$.k'", "MASK",
+]), min_size=1, max_size=12)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_EXPR_FRAGMENTS)
+def test_expression_rewriter_fails_cleanly(frags):
+    """The expression rewriter (incl. the concat/div fold passes and
+    function handlers) must reject malformed input with clean dialect
+    errors — no IndexError/AttributeError internals (fuzz-found: 0-arg
+    calls to multi-arg handlers used to IndexError)."""
+    from confluent_ksql_charm_spark.dialect.translator import (
+        TranslationContext, rewrite_expr_sql)
+
+    ctx = TranslationContext(resolve=lambda n: n,
+                             col_types={"s": "string", "a": "bigint",
+                                        "v": "double",
+                                        "arr": "array<string>"})
+    try:
+        rewrite_expr_sql(" ".join(frags), ctx)
+    except (ValueError, KeyError):
+        pass
