@@ -84,10 +84,16 @@ def _q_project_filter(spark, sf):
 
 
 def _q_case_when_cast(spark, sf):
+    # Money math in DECIMAL(12,4): the triple product lands at (38,12) /
+    # (36,12) on Spark / DuckDB with no precision truncation, so ROUND(x,2)
+    # is bit-identical on both engines (ROUND on a binary DOUBLE diverges on
+    # half-cent ties — Spark rounds the decimal rendering, DuckDB the double).
     return _eng(spark, sf).sql(
         "SELECT l_orderkey, l_linenumber, "
         "CAST(l_quantity AS BIGINT) AS qty_int, "
-        "ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge, "
+        "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4)) "
+        "* (1 - CAST(l_discount AS DECIMAL(12,4))) "
+        "* (1 + CAST(l_tax AS DECIMAL(12,4))), 2) AS DOUBLE) AS charge, "
         "CASE WHEN l_quantity > 30 THEN 'bulk' "
         "     WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS size_class "
         "FROM lineitem WHERE l_returnflag <> 'A' AND l_discount BETWEEN 0.02 AND 0.08"
@@ -375,7 +381,8 @@ def _q_q3_style_chain(spark, sf):
         "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O';"
     )
     return eng.sql(
-        "SELECT b.okey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) "
+        "SELECT b.okey, CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) "
+        "* (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) "
         "AS revenue, COUNT(*) AS n_lines "
         "FROM lineitem l JOIN bldg_orders b ON l.l_orderkey = b.okey "
         "GROUP BY b.okey HAVING COUNT(*) > 1"
@@ -687,6 +694,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _duck_mask(expr: str) -> str:
+    """DuckDB equivalent of KSQL MASK defaults (X/x/n, other chars → '-')."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{expr}, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), "
+        "'[0-9]', 'n', 'g'), '[^Xxn]', '-', 'g')"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "project_filter": (
@@ -696,7 +712,9 @@ def oracle_sql() -> dict[str, str]:
         "case_when_cast": (
             "SELECT l_orderkey, l_linenumber, "
             "CAST(l_quantity AS BIGINT) AS qty_int, "
-            "ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge, "
+            "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4)) "
+            "* (1 - CAST(l_discount AS DECIMAL(12,4))) "
+            "* (1 + CAST(l_tax AS DECIMAL(12,4))), 2) AS DOUBLE) AS charge, "
             "CASE WHEN l_quantity > 30 THEN 'bulk' "
             "     WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS size_class "
             "FROM lineitem WHERE l_returnflag <> 'A' "
@@ -714,21 +732,12 @@ def oracle_sql() -> dict[str, str]:
             "WITH m AS (SELECT c_custkey, c_name AS s, length(c_name) AS n "
             "FROM customer) "
             "SELECT c_custkey, "
-            "regexp_replace(regexp_replace(regexp_replace(s, '[A-Z]', 'X', 'g'), "
-            "'[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS m, "
-            "concat(regexp_replace(regexp_replace(regexp_replace("
-            "substring(s, 1, 4), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), "
-            "'[0-9]', 'n', 'g'), substring(s, 5)) AS ml, "
+            f"{_duck_mask('s')} AS m, "
+            f"concat({_duck_mask('substring(s, 1, 4)')}, substring(s, 5)) AS ml, "
             "concat(substring(s, 1, greatest(n - 4, 0)), "
-            "regexp_replace(regexp_replace(regexp_replace("
-            "substring(s, greatest(n - 4, 0) + 1), '[A-Z]', 'X', 'g'), "
-            "'[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')) AS mr, "
-            "concat(substring(s, 1, 4), "
-            "regexp_replace(regexp_replace(regexp_replace(substring(s, 5), "
-            "'[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')) AS mkl, "
-            "concat(regexp_replace(regexp_replace(regexp_replace("
-            "substring(s, 1, greatest(n - 4, 0)), '[A-Z]', 'X', 'g'), "
-            "'[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'), "
+            f"{_duck_mask('substring(s, greatest(n - 4, 0) + 1)')}) AS mr, "
+            f"concat(substring(s, 1, 4), {_duck_mask('substring(s, 5)')}) AS mkl, "
+            f"concat({_duck_mask('substring(s, 1, greatest(n - 4, 0))')}, "
             "substring(s, greatest(n - 4, 0) + 1)) AS mkr FROM m"
         ),
         "json_extract": (
@@ -908,7 +917,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q3_style_chain": (
             "SELECT o.o_orderkey AS okey, "
-            "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+            "CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4)) "
+            "* (1 - CAST(l.l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue, "
             "COUNT(*) AS n_lines "
             "FROM lineitem l "
             "JOIN orders o ON l.l_orderkey = o.o_orderkey "

@@ -20,10 +20,11 @@ Handler = Callable[[list[str]], str]
 
 
 def _mask(s: str) -> str:
-    # KSQL MASK: uppercase->X, lowercase->x, digit->n, other chars kept.
+    # KSQL MASK defaults: uppercase->X, lowercase->x, digit->n, other->'-'
+    # (e.g. MASK('My Test $123') = 'Xx-Xxxx--nnn' per the KSQL 5.x docs).
     return (
-        "regexp_replace(regexp_replace(regexp_replace("
-        f"{s}, '[A-Z]', 'X'), '[a-z]', 'x'), '[0-9]', 'n')"
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"{s}, '[A-Z]', 'X'), '[a-z]', 'x'), '[0-9]', 'n'), '[^Xxn]', '-')"
     )
 
 

@@ -352,14 +352,29 @@ def rewrite_expr(tokens: list[Token], ctx: TranslationContext) -> str:
                 # the whole query. Spark ANSI CAST aborts the query on the
                 # first bad row — try_cast (NULL for the bad value) is the
                 # faithful mapping; valid values behave identically.
-                # KSQL type names map to Spark's (VARCHAR has no bare form
-                # in Spark SQL).
-                expr, _, ty = args[0].rpartition(" AS ")
-                ty_up = ty.strip().upper()
-                ty = {"VARCHAR": "STRING", "INT": "INT",
-                      "INTEGER": "INT"}.get(ty_up, ty)
-                out.append(f"try_cast({expr} AS {ty})" if expr
-                           else f"try_cast({args[0]})")
+                # The expr/type split happens at the TOKEN level (KSQL is
+                # case-insensitive: 'cast(x as varchar)' must map the same
+                # as CAST(X AS VARCHAR)); bare VARCHAR has no Spark form.
+                toks = args_tokens[0]
+                depth = 0
+                split = None
+                for k, tok in enumerate(toks):
+                    if tok.text in ("(", "["):
+                        depth += 1
+                    elif tok.text in (")", "]"):
+                        depth -= 1
+                    elif depth == 0 and tok.is_kw("AS"):
+                        split = k  # last top-level AS is the type separator
+                if split is not None:
+                    expr = rewrite_expr(toks[:split], ctx)
+                    ty_toks = toks[split + 1:]
+                    ty = render(ty_toks)
+                    if len(ty_toks) == 1:
+                        ty = {"VARCHAR": "STRING",
+                              "INTEGER": "INT"}.get(ty_toks[0].upper, ty)
+                    out.append(f"try_cast({expr} AS {ty})")
+                else:
+                    out.append(f"try_cast({args[0]})")
                 i = j
                 continue
             rewritten = flib.rewrite_call(t.text, args)

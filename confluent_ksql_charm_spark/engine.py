@@ -324,9 +324,16 @@ class KsqlSparkEngine:
         sq = (df.writeStream.format("memory").queryName(name)
               .outputMode(mode).trigger(availableNow=True).start())
         try:
-            sq.awaitTermination(timeout)
+            finished = sq.awaitTermination(timeout)
         finally:
             sq.stop()
+        if not finished:
+            # The bounded replay did not drain within the timeout; the rows
+            # in the sink are a PREFIX of the result, not the result —
+            # returning them silently would look like a complete answer.
+            raise TimeoutError(
+                f"push query did not complete within {timeout}s "
+                f"(partial results discarded; raise timeout=)")
         out = self.spark.table(name)
         return out.take(limit) if limit else out.collect()
 

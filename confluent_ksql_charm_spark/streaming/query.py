@@ -66,6 +66,9 @@ def make_upsert_batch_fn(path: str, key_cols: list[str]):
         import os
         import shutil
 
+        old_aside = path + ".__old__"
+        if not os.path.exists(path) and os.path.exists(old_aside):
+            os.rename(old_aside, path)  # recover from a crash mid-swap
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -82,11 +85,18 @@ def make_upsert_batch_fn(path: str, key_cols: list[str]):
             .agg(F.max_by(payload, F.col("__pri")).alias("__row"))
             .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
         )
+        # Swap via rename-aside: every crash point leaves either the old or
+        # the new table intact under `path` or `path.__old__` (a plain
+        # rmtree(path)+rename(tmp) has a window where BOTH copies are gone).
         tmp = path + ".__tmp__"
         merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old_aside):
+            shutil.rmtree(old_aside)  # leftover from a previous crash
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.rename(path, old_aside)
         os.rename(tmp, path)
+        if os.path.exists(old_aside):
+            shutil.rmtree(old_aside)
 
     return upsert
 

@@ -17,7 +17,10 @@ TEXT = st.text(
 
 
 def _py_mask(s: str) -> str:
-    return re.sub(r"[0-9]", "n", re.sub(r"[a-z]", "x", re.sub(r"[A-Z]", "X", s)))
+    # KSQL defaults: X/x/n for upper/lower/digit, '-' for everything else.
+    masked = re.sub(
+        r"[0-9]", "n", re.sub(r"[a-z]", "x", re.sub(r"[A-Z]", "X", s)))
+    return re.sub(r"[^Xxn]", "-", masked)
 
 
 @pytest.fixture(scope="module")

@@ -2,7 +2,9 @@
 
 Runs every `queries()` entry at the given SF against its `oracle_sql()`
 DuckDB equivalent: row count + column names + order-insensitive value
-comparison (column-name-sorted, rows sorted, mild float tolerance).
+comparison (column-name-sorted, rows sorted, EXACT values after the same
+round(x, 6) normalization the driver applies — no tolerance: a 1e-4
+relative tolerance here masked two driver hash failures in round 1).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -39,12 +41,15 @@ def norm_rows(cols, rows):
 
 
 def approx_eq(a, b):
-    if isinstance(a, float) and isinstance(b, float):
-        return abs(a - b) <= 1e-4 * max(1.0, abs(a), abs(b))
+    """Exact comparison (post-normalization) — matches the driver's hash.
+
+    The only leniency kept is int-vs-float type coercion (1 == 1.0), which
+    the driver's value rendering also collapses.
+    """
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(approx_eq(x, y) for x, y in zip(a, b))
-    if isinstance(a, float) and isinstance(b, int) or (
-            isinstance(a, int) and isinstance(b, float)):
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not (
+            isinstance(a, bool) or isinstance(b, bool)):
         return float(a) == float(b)
     return a == b
 
