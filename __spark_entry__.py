@@ -4,8 +4,11 @@ Every entry in ``queries()`` exercises the KSQL-capability engine in
 ``confluent_ksql_charm_spark`` (dialect front end → Spark SQL → Catalyst)
 or one of the north-star pipeline operators (SURVEY.md §3.11). Each has a
 DuckDB oracle in ``oracle_sql()`` unless genuinely non-SQL-expressible
-(hash-based sketches and heuristics: minhash/simhash/fingerprint/
-lang_guess) — those get rows-only checks per the contract.
+(xxhash64-based fingerprints and the lang-guess heuristic) — those get
+rows-only checks per the contract. The near-dup sketches ARE gated:
+minhash via brute-force n-gram Jaccard (exact-verify output + recall-1
+banding), simhash via a DuckDB recomputation of the identical sketch
+(portable md5 token hash) + brute-force hamming.
 
 Comparison conventions (driver hashes values after sorting columns by
 name): every timestamp is exposed as epoch-millis BIGINT (KSQL-faithful:
@@ -566,18 +569,29 @@ def _q_embedding_near_dup(spark, sf):
 
 
 def _q_minhash_near_dup(spark, sf):
-    # Hash-based LSH (xxhash64) — not oracle-expressible; rows-only.
+    # LSH candidates → EXACT-Jaccard verify, so the output is the set of
+    # true pairs ≥ threshold whenever banding recall is 1 — which it is
+    # here: the sf0.01 corpus's true pairs all sit at jaccard ≥ 0.9, where
+    # a 4-row band collides with p ≥ 0.9⁴ = 0.66 and missing all 16 bands
+    # has p ≈ 4e-8. The DuckDB oracle is brute-force n-gram Jaccard.
     from confluent_ksql_charm_spark.pipeline.dedup import near_dup_pairs
 
-    return near_dup_pairs(_docs(spark, sf), "doc_id", "text", threshold=0.5)
+    out = near_dup_pairs(_docs(spark, sf), "doc_id", "text", threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q_simhash_near_dup(spark, sf):
-    # Hash-based sketch — rows-only.
-    from confluent_ksql_charm_spark.pipeline.dedup import simhash_near_dup_pairs
+    # Oracle-gated with the portable md5-based token hash (DuckDB computes
+    # the identical 60-bit hash, hence the identical sketch). Recall is
+    # structural, not probabilistic: hamming ≤ 2 < 4 quadrants ⇒ some
+    # 16-bit quadrant matches exactly (pigeonhole), so quadrant blocking
+    # finds every qualifying pair and the oracle is brute-force hamming.
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        portable_token_hash, simhash_near_dup_pairs)
 
     return simhash_near_dup_pairs(_docs(spark, sf), "doc_id", "text",
-                                  max_hamming=2)
+                                  max_hamming=2,
+                                  token_hash=portable_token_hash)
 
 
 def _q_doc_fingerprint(spark, sf):
@@ -986,6 +1000,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM documents s WHERE s.doc_id < 250 "
             "AND s.text = d.text)"
         ),
+        # Recomputes the SimHash sketch from scratch in DuckDB (identical
+        # md5-based token hash → identical 64-bit sketch) and brute-forces
+        # hamming over ALL pairs; the quadrant-blocked path must match.
+        "simhash_near_dup": (
+            "WITH toks AS (SELECT doc_id, "
+            "list_distinct(string_split_regex(trim(text), '\\s+')) AS t "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(t) AS tk FROM toks), "
+            "th AS (SELECT doc_id, "
+            "('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok), "
+            "bits AS (SELECT doc_id, g.k, CASE WHEN "
+            "sum(CASE WHEN (h >> g.k) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+            "THEN 1 ELSE 0 END AS b "
+            "FROM th, generate_series(0, 59) g(k) GROUP BY doc_id, g.k), "
+            "sim AS (SELECT doc_id, "
+            "sum(b * (1::BIGINT << k))::BIGINT AS sim FROM bits "
+            "GROUP BY doc_id) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "bit_count(xor(a.sim, b.sim))::INTEGER AS hamming "
+            "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.sim, b.sim)) <= 2"
+        ),
+        # Brute-force n-gram Jaccard over ALL pairs — the LSH path must
+        # reproduce it exactly (banding recall is 1 on this corpus; the
+        # exact-Jaccard verify makes precision exact by construction).
+        "minhash_near_dup": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) >= 3 "
+            "THEN [array_to_string(t[i:i+2], ' ') "
+            "FOR i IN generate_series(1, length(t) - 2)] "
+            "ELSE [array_to_string(t, ' ')] END) AS s FROM toks) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "ROUND(length(list_intersect(a.s, b.s)) * 1.0 / "
+            "(length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))), 4) "
+            "AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE length(list_intersect(a.s, b.s)) * 1.0 / "
+            "(length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) "
+            ">= 0.5"
+        ),
         "doc_quality": (
             "WITH t AS (SELECT doc_id, text, "
             "string_split_regex(trim(text), '\\s+') AS toks, "
@@ -1062,6 +1117,6 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
             "LIMIT 10"
         ),
-        # rows-only (no oracle — hash-sketch or heuristic internals):
-        # minhash_near_dup, simhash_near_dup, doc_fingerprint, lang_guess
+        # rows-only (no oracle — xxhash64 internals / heuristic):
+        # doc_fingerprint, lang_guess
     }

@@ -15,6 +15,8 @@ operator here is designed for the 100 TB path:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -346,19 +348,36 @@ def near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     return scored.where(F.col("jaccard") >= threshold)
 
 
+def portable_token_hash(tok: Column) -> Column:
+    """60-bit deterministic token hash both Spark and DuckDB compute
+    bit-identically: int(md5(tok)[:15], 16) — DuckDB side is
+    ('0x' || substr(md5(t), 1, 15))::BIGINT. Slower than xxhash64 (md5 +
+    base conversion), so it's used only where an external engine must
+    reproduce the sketch (oracle gating); the production default stays
+    xxhash64.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
 def simhash_df(df: DataFrame, id_col: str, text_col: str,
-               out_col: str = "sim") -> DataFrame:
+               out_col: str = "sim",
+               token_hash: Callable[[Column], Column] | None = None
+               ) -> DataFrame:
     """64-bit SimHash per row: bit k set iff sum over distinct token
     hashes of ±1 (sign of hash-bit k) is positive.
 
     Scale shape: explode tokens → ONE hash-aggregate on the id (64
     vectorized integer sums, map-side partial combine) → bit-assembly
     projection. No per-row O(64·tokens) recomputation, no UDFs.
+
+    `token_hash` swaps the leaf hash (default xxhash64); pass
+    `portable_token_hash` for a sketch reproducible outside Spark.
     """
+    hash_fn = token_hash or F.xxhash64
     exploded = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("__tok"),
-    ).select(id_col, F.xxhash64("__tok").alias("__h"))
+    ).select(id_col, hash_fn(F.col("__tok")).alias("__h"))
     bit_sums = [
         F.sum(
             F.shiftrightunsigned(F.col("__h"), k).bitwiseAND(F.lit(1)) * 2 - 1
@@ -375,14 +394,17 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
-                           max_hamming: int = 3) -> DataFrame:
+                           max_hamming: int = 3,
+                           token_hash: Callable[[Column], Column] | None = None
+                           ) -> DataFrame:
     """SimHash near-dup pairs by blocking on 16-bit quadrants.
 
     Pigeonhole: hamming ≤ 3 ⇒ at least one of the four 16-bit quadrants
     is identical → equi-join per quadrant, verify hamming distance. No
     cross join; each quadrant join shuffles on a 16-bit-key hash.
     """
-    sh = simhash_df(df, id_col, text_col).withColumnRenamed(id_col, "id")
+    sh = simhash_df(df, id_col, text_col,
+                    token_hash=token_hash).withColumnRenamed(id_col, "id")
     quads = sh.select(
         "id", "sim",
         F.explode(F.array(*[
