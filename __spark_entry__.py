@@ -372,6 +372,35 @@ def _q_stream_stream_join(spark, sf):
     )
 
 
+def _q_left_outer_join_within(spark, sf):
+    # KSQL LEFT [OUTER] JOIN ... WITHIN: every left row survives; right
+    # columns are NULL when no match lands inside the ±5 min band.
+    eng = _eng(spark, sf)
+    eng.execute("CREATE STREAM signups_loj AS SELECT event_id, user_id, ts "
+                "FROM events WHERE event_type = 'signup';")
+    eng.execute("CREATE STREAM purchases_loj AS SELECT event_id, user_id, ts "
+                "FROM events WHERE event_type = 'purchase';")
+    return eng.sql(
+        "SELECT a.event_id AS signup_id, b.event_id AS purchase_id, a.user_id "
+        "FROM signups_loj a LEFT JOIN purchases_loj b WITHIN 5 MINUTES "
+        "ON a.user_id = b.user_id"
+    )
+
+
+def _q_full_outer_join_within(spark, sf):
+    eng = _eng(spark, sf)
+    eng.execute("CREATE STREAM signups_foj AS SELECT event_id, user_id, ts "
+                "FROM events WHERE event_type = 'signup';")
+    eng.execute("CREATE STREAM purchases_foj AS SELECT event_id, user_id, ts "
+                "FROM events WHERE event_type = 'purchase';")
+    return eng.sql(
+        "SELECT a.event_id AS signup_id, b.event_id AS purchase_id, "
+        "COALESCE(a.user_id, b.user_id) AS user_id "
+        "FROM signups_foj a FULL OUTER JOIN purchases_foj b WITHIN 5 MINUTES "
+        "ON a.user_id = b.user_id"
+    )
+
+
 def _q_q3_style_chain(spark, sf):
     # TPC-H Q3 shape via KSQL's 2-way-join chaining (CSAS intermediate):
     # customer⋈orders → ⋈lineitem → revenue per order. Broadcast the
@@ -684,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_table_join": _q_stream_table_join,
         "table_table_join": _q_table_table_join,
         "stream_stream_join_within": _q_stream_stream_join,
+        "left_outer_join_within": _q_left_outer_join_within,
+        "full_outer_join_within": _q_full_outer_join_within,
         "q3_style_chain": _q_q3_style_chain,
         "dim_chain": _q_dim_chain,
         "full_outer_join": _q_full_outer_join,
@@ -928,6 +959,28 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) >= epoch_us(a.ts) - 300000000 "
             "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 "
             "WHERE a.event_type = 'signup' AND b.event_type = 'purchase'"
+        ),
+        "left_outer_join_within": (
+            "WITH s AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'signup'), "
+            "p AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT a.event_id AS signup_id, b.event_id AS purchase_id, "
+            "a.user_id "
+            "FROM s a LEFT JOIN p b ON a.user_id = b.user_id "
+            "AND epoch_us(b.ts) >= epoch_us(a.ts) - 300000000 "
+            "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000"
+        ),
+        "full_outer_join_within": (
+            "WITH s AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'signup'), "
+            "p AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT a.event_id AS signup_id, b.event_id AS purchase_id, "
+            "COALESCE(a.user_id, b.user_id) AS user_id "
+            "FROM s a FULL JOIN p b ON a.user_id = b.user_id "
+            "AND epoch_us(b.ts) >= epoch_us(a.ts) - 300000000 "
+            "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000"
         ),
         "q3_style_chain": (
             "SELECT o.o_orderkey AS okey, "

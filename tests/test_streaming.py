@@ -257,6 +257,56 @@ def test_streaming_stream_stream_within_join(spark, seng, engine):
     assert got == want
 
 
+def test_streaming_left_outer_within_join_emits_on_watermark_close(spark, tmp_path):
+    # LEFT JOIN ... WITHIN on the streaming engine: matched rows emit
+    # eagerly; unmatched left rows emit only once the watermark passes the
+    # end of their join band (a.ts + band). Bounded availableNow replay →
+    # every unmatched row whose band closed before the final watermark
+    # MUST be in the sink; rows near the end of the stream may be withheld.
+    import datetime as dt
+
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    sf = "/root/testdata/sf0.001"
+    out, ck = str(tmp_path / "loj_out"), str(tmp_path / "loj_ck")
+    stmt = (
+        "SELECT a.event_id AS a_id, b.event_id AS b_id "
+        "FROM events a LEFT JOIN events b WITHIN 1 MINUTES "
+        "ON a.user_id = b.user_id AND b.event_type = 'purchase' "
+        "WHERE a.event_type = 'signup'"
+    )
+    seng = KsqlSparkEngine(spark, data_dir=sf, streaming=True)
+    seng.register_source("events", path=f"{sf}/events.parquet",
+                         key="user_id", timestamp="ts", watermark="10 seconds")
+    res = seng.execute(
+        f"CREATE STREAM loj WITH (SINK='parquet', SINK_PATH='{out}', "
+        f"CHECKPOINT='{ck}', TRIGGER='availablenow') AS {stmt};")[0]
+    seng.queries[res.message].streaming_query.awaitTermination(180)
+
+    batch = KsqlSparkEngine(spark, data_dir=sf)
+    batch.register_source("events", path=f"{sf}/events.parquet",
+                          key="user_id", timestamp="ts")
+    want = {(r.a_id, r.b_id) for r in batch.sql(stmt).collect()}
+    got = {(r.a_id, r.b_id) for r in spark.read.parquet(out).collect()}
+
+    assert got <= want
+    # inner matches are never withheld
+    assert {p for p in got if p[1] is not None} == \
+           {p for p in want if p[1] is not None}
+    # unmatched rows whose band closed before the final watermark all emit:
+    # final watermark = max(ts) - 10s; band end = a.ts + 60s (+1s slack)
+    ev = batch.metastore.get("events").df
+    import pyspark.sql.functions as F
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(seconds=71)
+    ts_by_id = {r.event_id: r.ts for r in
+                ev.where("event_type = 'signup'").select("event_id", "ts").collect()}
+    must_emit = {p for p in want if p[1] is None and ts_by_id[p[0]] < cutoff}
+    got_unmatched = {p for p in got if p[1] is None}
+    assert must_emit <= got_unmatched
+    assert must_emit  # the assertion above is not vacuous on this corpus
+
+
 def test_event_time_dedup_within_watermark(spark, seng, tmp_path):
     from confluent_ksql_charm_spark.streaming.stateful import (
         streaming_dedup_within_watermark)
