@@ -185,29 +185,51 @@ def _band_buckets_udf(num_bands: int, bits_per_band: int, seed: int):
     return pandas_udf(_buckets, "array<long>")
 
 
+def lsh_index(df: DataFrame, *, bits: int = 8, vec_col: str = "embedding",
+              seed: int = 42) -> DataFrame:
+    """Bucketed relation for `lsh_bucket_topk`: the input plus a
+    deterministic ``__bucket`` column.
+
+    Build ONCE per corpus, `.cache()` (or write out with ``__bucket`` as a
+    partition column so probes prune partitions instead of re-projecting
+    100 TB per query), then pass as ``index=`` to every probe — the
+    deployed-index pattern `ivf_index` already follows.
+    """
+    try:  # Arrow matmul (one band of `bits` planes); expression fallback
+        return df.withColumn(
+            "__bucket",
+            F.element_at(_band_buckets_udf(1, bits, seed)(F.col(vec_col)), 1))
+    except ImportError:  # pragma: no cover
+        dim = len(df.select(vec_col).first()[0])
+        return df.withColumn(
+            "__bucket",
+            signed_projection_bucket(F.col(vec_col),
+                                     _hyperplanes(dim, bits, seed)))
+
+
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
                     bits: int = 8, vec_col: str = "embedding",
                     id_col: str = "vec_id", probe_hamming: int = 1,
-                    seed: int = 42) -> DataFrame:
+                    seed: int = 42,
+                    index: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: scan only LSH buckets near the query's bucket.
 
     Returns the same schema as `cosine_topk` (id, cosine); recall depends
     on bits/probe_hamming. Bucket pruning happens in a WHERE on a
     precomputable bucket column — at scale this column would be
     partition/bucket metadata enabling partition pruning.
+
+    `index`: a prebuilt `lsh_index(df, bits=..., seed=...)` result (same
+    bits/seed); per-probe cost then drops to the bucket filter + top-k
+    instead of re-projecting the whole corpus per query.
     """
     planes = _hyperplanes(len(query_vec), bits, seed)
     qbucket = 0
     for b, plane in enumerate(planes):
         if sum(p * float(x) for p, x in zip(plane, query_vec)) > 0:
             qbucket |= 1 << b
-    try:  # Arrow matmul (one band of `bits` planes); expression fallback
-        bucketed = df.withColumn(
-            "__bucket",
-            F.element_at(_band_buckets_udf(1, bits, seed)(F.col(vec_col)), 1))
-    except ImportError:  # pragma: no cover
-        bucketed = df.withColumn(
-            "__bucket", signed_projection_bucket(F.col(vec_col), planes))
+    bucketed = index if index is not None else lsh_index(
+        df, bits=bits, vec_col=vec_col, seed=seed)
     cand = bucketed.where(
         F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
     )
@@ -250,7 +272,8 @@ def knn_self_join(df: DataFrame, k: int = 5, *, bits: int = 8,
 def banded_lsh_pairs(df: DataFrame, *, num_bands: int = 8,
                      bits_per_band: int = 4, vec_col: str = "embedding",
                      id_col: str = "vec_id", seed: int = 42,
-                     max_bucket: int = 200) -> DataFrame:
+                     max_bucket: int = 200,
+                     banded: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded hyperplane LSH.
 
     The sign bits of `num_bands * bits_per_band` random projections are
@@ -268,10 +291,34 @@ def banded_lsh_pairs(df: DataFrame, *, num_bands: int = 8,
     dissimilar pairs are barely separable, so either recall drops (few
     bits → giant buckets → caps bite) or the candidate set approaches all
     pairs (many bands) — brute force is the honest tool there.
+
+    `banded`: a prebuilt `banded_lsh_index(...)` relation (same params) —
+    pass it to amortize the projection/banding over many calls.
+    """
+    if banded is None:
+        banded = banded_lsh_index(df, num_bands=num_bands,
+                                  bits_per_band=bits_per_band,
+                                  vec_col=vec_col, id_col=id_col, seed=seed)
+    from .dedup import bucketed_pairs
+
+    return bucketed_pairs(banded, ["band", "bucket"], id_col,
+                          max_bucket=max_bucket)
+
+
+def banded_lsh_index(df: DataFrame, *, num_bands: int = 8,
+                     bits_per_band: int = 4, vec_col: str = "embedding",
+                     id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+    """The (id, band, bucket) banding relation behind `banded_lsh_pairs`.
+
+    Build once per corpus and `.cache()`/persist (bucket-partitioned at
+    scale), then pass as ``banded=`` to `banded_lsh_pairs` /
+    ``index=`` to `embedding_near_dup_pairs` — repeated near-dup runs
+    (threshold sweeps, incremental batches) skip the projection matmul
+    and banding shuffle entirely.
     """
     try:
         buckets = _band_buckets_udf(num_bands, bits_per_band, seed)
-        banded = df.select(
+        return df.select(
             F.col(id_col),
             F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"))
     except ImportError:  # pragma: no cover — expression fallback
@@ -287,12 +334,8 @@ def banded_lsh_pairs(df: DataFrame, *, num_bands: int = 8,
             )
             for band in range(num_bands)
         ])
-        banded = (df.select(F.col(id_col), F.explode(bands).alias("bb"))
-                  .select(id_col, "bb.band", "bb.bucket"))
-    from .dedup import bucketed_pairs
-
-    return bucketed_pairs(banded, ["band", "bucket"], id_col,
-                          max_bucket=max_bucket)
+        return (df.select(F.col(id_col), F.explode(bands).alias("bb"))
+                .select(id_col, "bb.band", "bb.bucket"))
 
 
 def cosine_for_pairs(df: DataFrame, pairs: DataFrame, *,
@@ -323,7 +366,8 @@ def embedding_near_dup_pairs(df: DataFrame, *, threshold: float = 0.95,
                              bits_per_band: int | None = None,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id",
-                             seed: int = 42) -> DataFrame:
+                             seed: int = 42,
+                             index: DataFrame | None = None) -> DataFrame:
     """Embedding-cosine near-dup: LSH candidates → exact-cosine verify →
     pairs ≥ threshold (the embedding analogue of dedup.near_dup_pairs).
     Precision is exact by construction (every emitted pair carries its
@@ -332,14 +376,84 @@ def embedding_near_dup_pairs(df: DataFrame, *, threshold: float = 0.95,
     With band params unset, `lsh_plan(count, threshold)` sizes them from
     the corpus (one count job) — passing too-few bits for the corpus size
     is the silent-recall-collapse footgun the planner exists to prevent.
+
+    `index`: a prebuilt (cached/persisted) `banded_lsh_index(...)` built
+    with the SAME band params/seed — repeated calls then skip the
+    projection and banding work.
     """
     if num_bands is None or bits_per_band is None:
         num_bands, bits_per_band = lsh_plan(df.count(), threshold)
     cands = banded_lsh_pairs(df, num_bands=num_bands,
                              bits_per_band=bits_per_band, vec_col=vec_col,
-                             id_col=id_col, seed=seed).cache()
+                             id_col=id_col, seed=seed, banded=index).cache()
     scored = cosine_for_pairs(df, cands, vec_col=vec_col, id_col=id_col)
     return scored.where(F.col("cosine") >= threshold)
+
+
+def cosine_all_pairs(df: DataFrame, threshold: float, *,
+                     block_size: int = 2048, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via blocked dense matmul.
+
+    The honest tool for the low-threshold / near-orthogonal regime where
+    LSH cannot prune (banded_lsh_pairs docstring): the corpus is hashed
+    into ⌈n/block_size⌉ blocks, every block PAIR becomes one Arrow group,
+    and each group scores its pair with ONE BLAS matmul — peak-FLOP dense
+    compute instead of a quadratic pair-join shuffle of vector copies.
+
+    Scale shape: work and shuffle are Θ(n·nblocks) rows = Θ(n²/block_size)
+    — all-pairs is inherently quadratic; blocking turns it into
+    nblocks(nblocks+1)/2 independent matmul tasks sized to fit executor
+    memory (block_size² floats per task). Use LSH when the threshold is
+    high enough to prune; use this when it is not.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = df.count()
+    nblocks = max(1, -(-n // block_size))
+    blocks = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__vec"),
+        (F.abs(F.xxhash64(F.col(id_col))) % nblocks).alias("__b"))
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
+        "bi long, bj long")
+    # replicate each block into every block-pair group it belongs to
+    left = blocks.join(bp, blocks["__b"] == bp["bi"]).select(
+        "bi", "bj", "__id", "__vec", F.lit(0).alias("__side"))
+    right = blocks.join(bp.where(F.col("bi") != F.col("bj")),
+                        blocks["__b"] == bp["bj"]).select(
+        "bi", "bj", "__id", "__vec", F.lit(1).alias("__side"))
+    tagged = left.unionByName(right)
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        same = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        a = pdf[pdf["__side"] == 0]
+        b = a if same else pdf[pdf["__side"] == 1]
+        av = np.array(a["__vec"].tolist(), dtype=np.float64)
+        bv = av if same else np.array(b["__vec"].tolist(), dtype=np.float64)
+        av = av / np.linalg.norm(av, axis=1, keepdims=True)
+        bv = av if same else bv / np.linalg.norm(bv, axis=1, keepdims=True)
+        sims = av @ bv.T
+        ia, jb = np.nonzero(sims >= threshold)
+        ids_a = a["__id"].to_numpy()[ia]
+        ids_b = b["__id"].to_numpy()[jb]
+        if same:
+            # both orders present in the matmul → keep the upper triangle
+            keep = ids_a < ids_b
+            ids_a, ids_b, cos = ids_a[keep], ids_b[keep], sims[ia, jb][keep]
+        else:
+            # each unordered pair appears exactly once (block membership is
+            # hash-based, NOT id-ordered) → canonicalize, never filter
+            cos = sims[ia, jb]
+            ids_a, ids_b = (np.minimum(ids_a, ids_b),
+                            np.maximum(ids_a, ids_b))
+        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cosine": cos})
+
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        _score, "id_a long, id_b long, cosine double")
 
 
 def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",

@@ -318,6 +318,50 @@ class TestSimilarity:
         for k, v in got.items():
             assert v == pytest.approx(truth[k], abs=1e-9)
 
+    def test_cosine_all_pairs_multiblock_matches_bruteforce(self, spark):
+        # block_size small enough to force MANY blocks: cross-block pairs
+        # whose hash-assigned block order opposes their id order must be
+        # canonicalized, not dropped (regression: a filter instead of a
+        # min/max canonicalization silently lost ~10% of pairs)
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine, cosine_all_pairs)
+
+        import random
+        rng = random.Random(5)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        got = {(r.id_a, r.id_b): r.cosine
+               for r in cosine_all_pairs(df, 0.6, block_size=16).collect()}
+        a = df.alias("a"); b = df.alias("b")
+        exact = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+                 .select(F.col("a.vec_id").alias("id_a"),
+                         F.col("b.vec_id").alias("id_b"),
+                         cosine(F.col("a.embedding"),
+                                F.col("b.embedding")).alias("cosine"))
+                 .where(F.col("cosine") >= 0.6))
+        truth = {(r.id_a, r.id_b): r.cosine for r in exact.collect()}
+        assert set(got) == set(truth) and truth   # nothing lost, nothing extra
+        for k, v in got.items():
+            assert v == pytest.approx(truth[k], abs=1e-9)
+
+    def test_lsh_index_probe_matches_inline_bucketing(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            lsh_bucket_topk, lsh_index)
+
+        import random
+        rng = random.Random(9)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        q = rows[3][1]
+        idx = lsh_index(df, bits=8).cache()
+        with_idx = [r.vec_id for r in
+                    lsh_bucket_topk(df, q, k=5, bits=8, probe_hamming=2,
+                                    index=idx).collect()]
+        inline = [r.vec_id for r in
+                  lsh_bucket_topk(df, q, k=5, bits=8,
+                                  probe_hamming=2).collect()]
+        assert with_idx == inline
+
     def test_knn_self_join_finds_neighbors(self, spark):
         from confluent_ksql_charm_spark.pipeline.similarity import knn_self_join
 
