@@ -231,6 +231,10 @@ def _parse_create(cur: _Cursor) -> CreateSourceSpec | CreateAsSpec:
     if cur.at_kw("WITH"):
         cur.next()
         props = _parse_with_props(cur)
+    if cur.peek() is None:
+        # no column list and no AS SELECT: schema-inference DDL (KSQL 5.x
+        # registry flow — `CREATE STREAM s WITH (VALUE_FORMAT='AVRO', ...)`)
+        return CreateSourceSpec(kind, name, [], props, if_not_exists)
     cur.expect_kw("AS")
     sel = parse_select(cur)
     return CreateAsSpec(kind, name, props, sel, if_not_exists)

@@ -21,7 +21,7 @@ translated SQL runs in both modes because it is expressed on temp views.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +50,11 @@ _TYPE_MAP = {
     "DOUBLE": "double",
     "VARCHAR": "string",
     "STRING": "string",
+    # extended surface reached via Avro schema inference (registry path)
+    "FLOAT": "float",
+    "BINARY": "binary",
+    "TIMESTAMP": "timestamp",
+    "DATE": "date",
 }
 
 
@@ -357,6 +362,26 @@ class KsqlSparkEngine:
             return StatementResult(kind="DDL", name=spec.name, message="exists")
         topic = spec.props.get("KAFKA_TOPIC", spec.name)
         fmt = spec.props.get("VALUE_FORMAT", "PARQUET")
+        if not spec.columns and fmt.upper() == "AVRO":
+            # KSQL 5.x registry inference: AVRO source with no column list
+            # derives its columns from the topic's value schema. The
+            # registry here is a local dir (WITH (SCHEMA_REGISTRY='/dir')
+            # or engine config) — same lookup contract as the HTTP one.
+            from .sources.avro import LocalSchemaRegistry
+
+            reg_dir = (spec.props.get("SCHEMA_REGISTRY")
+                       or self.config.properties.get("schema.registry.dir"))
+            if not reg_dir:
+                raise ValueError(
+                    "AVRO source without a column list requires schema "
+                    "inference: set WITH (SCHEMA_REGISTRY='<dir>') or the "
+                    "'schema.registry.dir' engine property")
+            from .sources.kafka import _fields as _split_ddl_fields
+
+            inferred = LocalSchemaRegistry(reg_dir).value_schema_ddl(topic)
+            spec = replace(spec, columns=[
+                (f.split(maxsplit=1)[0], f.split(maxsplit=1)[1])
+                for f in _split_ddl_fields(inferred)])
         if "BOOTSTRAP_SERVERS" in spec.props:
             # real Kafka topic (production path; batch harness uses parquet)
             from .sources.kafka import decode_kafka_records, kafka_reader

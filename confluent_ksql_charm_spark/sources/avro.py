@@ -104,6 +104,87 @@ def _avro_type(dt: T.DataType) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Avro record schema → Spark DDL (the registry-INFERENCE direction: KSQL 5.x
+# `VALUE_FORMAT='AVRO'` with no column list resolves the topic's value
+# schema from the Schema Registry and derives the stream columns from it)
+# ---------------------------------------------------------------------------
+
+def avro_to_ddl(schema: dict) -> str:
+    """Inverse of `ddl_to_avro`: Avro record schema → Spark DDL string."""
+    if schema.get("type") != "record":
+        raise ValueError("schema inference needs an Avro record schema")
+    return ", ".join(
+        f"{f['name']} {_avro_type_to_spark(f['type'])}"
+        for f in schema["fields"])
+
+
+def _avro_type_to_spark(avro: Any) -> str:
+    if isinstance(avro, list):  # union — KSQL only emits ["null", T]
+        non_null = [t for t in avro if t != "null"]
+        if len(non_null) != 1:
+            raise ValueError(f"unsupported Avro union {avro!r} "
+                             "(only [null, T] nullable unions)")
+        return _avro_type_to_spark(non_null[0])
+    if isinstance(avro, str):
+        prim = {"boolean": "BOOLEAN", "int": "INT", "long": "BIGINT",
+                "float": "FLOAT", "double": "DOUBLE", "string": "STRING",
+                "bytes": "BINARY"}
+        if avro not in prim:
+            raise ValueError(f"no Spark mapping for Avro type {avro!r}")
+        return prim[avro]
+    logical = avro.get("logicalType")
+    if logical == "date":
+        return "DATE"
+    if logical in ("timestamp-millis", "timestamp-micros"):
+        return "TIMESTAMP"
+    if logical == "decimal":
+        return f"DECIMAL({avro['precision']},{avro['scale']})"
+    kind = avro.get("type")
+    if kind == "array":
+        return f"ARRAY<{_avro_type_to_spark(avro['items'])}>"
+    if kind == "map":
+        return f"MAP<STRING,{_avro_type_to_spark(avro['values'])}>"
+    if kind == "record":
+        inner = ", ".join(
+            f"{f['name']}: {_avro_type_to_spark(f['type'])}"
+            for f in avro["fields"])
+        return f"STRUCT<{inner}>"
+    if kind in ("enum",):
+        return "STRING"
+    raise ValueError(f"no Spark mapping for Avro type {avro!r}")
+
+
+class LocalSchemaRegistry:
+    """Filesystem emulation of the Confluent Schema Registry's read path.
+
+    Subjects follow TopicNameStrategy (`<topic>-value`); the schema for a
+    subject lives at ``<root>/<subject>.avsc`` (raw Avro JSON). Covers the
+    KSQL 5.x flow `CREATE STREAM s WITH (KAFKA_TOPIC='t',
+    VALUE_FORMAT='AVRO');` — no column list, schema inferred — without a
+    network dependency; a production deployment swaps this class for an
+    HTTP client with the same two methods.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def schema(self, subject: str) -> dict:
+        import os
+
+        path = os.path.join(self.root, f"{subject}.avsc")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"subject {subject!r} not found in schema registry "
+                f"{self.root!r} (expected {path})")
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def value_schema_ddl(self, topic: str) -> str:
+        """Spark DDL for the topic's value subject (TopicNameStrategy)."""
+        return avro_to_ddl(self.schema(f"{topic}-value"))
+
+
+# ---------------------------------------------------------------------------
 # Binary decoder (Avro 1.x spec: zigzag varints, block collections, unions)
 # ---------------------------------------------------------------------------
 
@@ -324,6 +405,54 @@ def _jvm_avro_available() -> bool:
         except Exception:
             _JVM_AVRO = False
     return _JVM_AVRO
+
+
+def avro_encode_column(schema_ddl: str, *, framing: str = "confluent",
+                       schema_id: int = 1) -> Column:
+    """Column expression encoding a struct of the declared fields into
+    Avro binary (Confluent-framed by default) — the SINK half of the
+    serde. Mirrors `avro_decode_column`: JVM ``to_avro`` when spark-avro
+    is present, Arrow-batched pure-Python encoder otherwise.
+    """
+    spark_schema = T._parse_datatype_string(schema_ddl)
+    avro_schema = ddl_to_avro(spark_schema)
+    names = [f.name for f in spark_schema.fields]
+    struct_col = F.struct(*[F.col(n) for n in names])
+    if _jvm_avro_available():
+        from pyspark.sql.avro.functions import to_avro
+        body = to_avro(struct_col, json.dumps(avro_schema))
+        if framing == "confluent":
+            frame = CONFLUENT_MAGIC + _struct.pack(">I", schema_id)
+            return F.concat(F.lit(frame), body)
+        return body
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(returnType=T.BinaryType())
+    def _avro_enc(vals: pd.DataFrame) -> pd.Series:
+        vals = vals.astype(object).where(pd.notna(vals), None)
+        out = []
+        for row in vals.to_dict("records"):
+            out.append(encode_record(avro_schema, _pyify(row),
+                                     framing=framing, schema_id=schema_id))
+        return pd.Series(out)
+
+    return _avro_enc(struct_col)
+
+
+def _pyify(v: Any) -> Any:
+    """numpy/pandas containers → plain Python for the binary encoder."""
+    import numpy as np
+
+    if isinstance(v, dict):
+        return {k: _pyify(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return [_pyify(x) for x in v]
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    return v
 
 
 def avro_decode_column(schema_ddl: str, *, framing: str = "confluent",

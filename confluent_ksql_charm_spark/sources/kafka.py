@@ -103,6 +103,39 @@ def decode_kafka_records(
     return parsed.select(*cols, *out)
 
 
+def encode_kafka_records(df: DataFrame, value_format: str, *,
+                         key_col: str | None = None,
+                         framing: str = "confluent") -> DataFrame:
+    """Serde SINK half: typed columns → kafka-sink-shaped relation
+    (``key binary, value binary``) in the declared VALUE_FORMAT — the
+    exact inverse of `decode_kafka_records`, so encode→decode round-trips
+    byte-for-byte (contract-tested without a broker).
+    """
+    fmt = value_format.upper()
+    cols = [c for c in df.columns if c != key_col]
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields if f.name in cols)
+    if fmt == "JSON":
+        value = F.to_json(F.struct(*cols)).cast("binary")
+    elif fmt == "DELIMITED":
+        value = F.to_csv(F.struct(*cols)).cast("binary")
+    elif fmt == "KAFKA":
+        if len(cols) != 1:
+            raise ValueError("VALUE_FORMAT='KAFKA' carries one primitive value")
+        value = F.col(cols[0]).cast("string").cast("binary")
+    elif fmt == "AVRO":
+        from .avro import avro_encode_column
+        value = avro_encode_column(ddl, framing=framing)
+    else:
+        raise ValueError(f"unsupported VALUE_FORMAT {value_format}")
+    out = [value.alias("value")]
+    if key_col:
+        out.insert(0, F.col(key_col).cast("string").cast("binary").alias("key"))
+    else:
+        out.insert(0, F.lit(None).cast("binary").alias("key"))
+    return df.select(*out)
+
+
 def _fields(schema_ddl: str) -> list[str]:
     fields, depth, cur = [], 0, ""
     for ch in schema_ddl + ",":

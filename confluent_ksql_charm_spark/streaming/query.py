@@ -141,9 +141,19 @@ def start_persistent_query(engine: "KsqlSparkEngine", qid: str,
         writer = writer.foreachBatch(
             make_upsert_batch_fn(props["SINK_PATH"], key_cols))
     elif sink == "kafka":
-        writer = (writer.format("kafka")
+        # serde-encode rows into the topic's VALUE_FORMAT (KSQL writes the
+        # stream's declared format, not raw columns)
+        from ..sources.kafka import encode_kafka_records
+
+        encoded = encode_kafka_records(
+            df, props.get("VALUE_FORMAT", "JSON"),
+            key_col=props.get("KEY") or meta.key_col)
+        writer = (encoded.writeStream.outputMode(mode).queryName(qid.lower())
+                  .format("kafka")
                   .option("kafka.bootstrap.servers", props.get("BOOTSTRAP_SERVERS", "localhost:9092"))
                   .option("topic", props.get("KAFKA_TOPIC", meta.name)))
+        if ckpt:
+            writer = writer.option("checkpointLocation", ckpt)
     elif sink == "console":
         writer = writer.format("console")
     else:

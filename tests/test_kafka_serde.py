@@ -128,6 +128,141 @@ class TestAvro:
         assert dec(io.BytesIO(out.getvalue())) == [10, 20]
 
 
+class TestSchemaRegistryInference:
+    """KSQL 5.x registry flow: AVRO source with NO column list infers its
+    schema from the (local) registry — SURVEY.md §2.3."""
+
+    AVSC = {
+        "type": "record", "name": "KsqlDataSourceSchema",
+        "fields": [
+            {"name": "id", "type": ["null", "long"], "default": None},
+            {"name": "name", "type": ["null", "string"], "default": None},
+            {"name": "score", "type": ["null", "double"], "default": None},
+            {"name": "tags",
+             "type": ["null", {"type": "array", "items": ["null", "string"]}],
+             "default": None},
+        ],
+    }
+
+    def _registry(self, tmp_path, topic="orders_avro"):
+        import json
+        reg = tmp_path / "registry"
+        reg.mkdir()
+        (reg / f"{topic}-value.avsc").write_text(json.dumps(self.AVSC))
+        return str(reg)
+
+    def test_avro_to_ddl_roundtrips_ddl_to_avro(self):
+        from confluent_ksql_charm_spark.sources.avro import (
+            avro_to_ddl, ddl_to_avro)
+        ddl = ("id bigint, name string, ok boolean, v decimal(10,2), "
+               "tags array<string>, attrs map<string,bigint>, "
+               "nested struct<a: bigint, b: string>")
+        got = avro_to_ddl(ddl_to_avro(ddl))
+        from pyspark.sql.types import _parse_datatype_string
+        assert _parse_datatype_string(got) == _parse_datatype_string(ddl)
+
+    def test_registry_lookup_and_decode(self, spark, tmp_path):
+        # full inference path: registry dir → DDL → decode real payloads
+        from confluent_ksql_charm_spark.sources.avro import (
+            LocalSchemaRegistry, encode_record)
+        reg = self._registry(tmp_path)
+        ddl = LocalSchemaRegistry(reg).value_schema_ddl("orders_avro")
+        rows = [{"id": 1, "name": "a", "score": 0.5, "tags": ["x"]},
+                {"id": 2, "name": None, "score": None, "tags": []}]
+        payloads = [encode_record(self.AVSC, r) for r in rows]
+        out = decode_kafka_records(_records(spark, payloads), "AVRO", ddl)
+        got = out.orderBy("rowtime").collect()
+        assert got[0].id == 1 and got[0].tags == ["x"]
+        assert got[1].name is None and got[1].score is None
+
+    def test_engine_create_stream_without_columns(self, spark, tmp_path):
+        # engine statement path: CREATE STREAM ... VALUE_FORMAT='AVRO'
+        # with no column list resolves columns via SCHEMA_REGISTRY
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        reg = self._registry(tmp_path, topic="events_avro")
+        eng = KsqlSparkEngine(spark, data_dir=str(tmp_path))
+        df = spark.createDataFrame(
+            [(1, "a", 0.5, ["x"])], "id bigint, name string, score double, "
+            "tags array<string>")
+        df.write.parquet(str(tmp_path / "events_avro.parquet"))
+        eng.execute(
+            "CREATE STREAM inferred WITH (KAFKA_TOPIC='events_avro', "
+            f"VALUE_FORMAT='AVRO', SCHEMA_REGISTRY='{reg}');")
+        desc = eng.execute("DESCRIBE inferred;")[0]
+        blob = " ".join(str(r) for r in (desc.rows or [desc.message]))
+        assert "id" in blob and "tags" in blob
+        got = eng.sql("SELECT id, name FROM inferred").collect()
+        assert got[0].id == 1
+
+    def test_missing_subject_errors(self, tmp_path):
+        from confluent_ksql_charm_spark.sources.avro import LocalSchemaRegistry
+        reg = self._registry(tmp_path)
+        with pytest.raises(ValueError, match="not found in schema registry"):
+            LocalSchemaRegistry(reg).value_schema_ddl("nope")
+
+    def test_no_registry_configured_errors(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(spark, data_dir="/tmp")
+        with pytest.raises(ValueError, match="SCHEMA_REGISTRY"):
+            eng.execute("CREATE STREAM s WITH (KAFKA_TOPIC='t', "
+                        "VALUE_FORMAT='AVRO');")
+
+
+class TestSinkSourceRoundTrip:
+    """Contract: encode_kafka_records (the sink serde) → decode_kafka_records
+    (the source serde) reproduces the typed rows, and re-encoding the
+    decoded rows reproduces the SAME BYTES — all four serdes, no broker."""
+
+    DDL = "id bigint, name string, score double"
+    ROWS = [(1, "a", 1.5), (2, None, -2.5), (3, "©µ", None)]
+
+    def _roundtrip(self, spark, fmt, ddl=None, rows=None, key_col=None):
+        from confluent_ksql_charm_spark.sources.kafka import (
+            encode_kafka_records)
+        ddl, rows = ddl or self.DDL, rows or self.ROWS
+        df = spark.createDataFrame(rows, ddl)
+        enc = encode_kafka_records(df, fmt, key_col=key_col)
+        payloads = [r.value for r in enc.collect()]
+        dec = decode_kafka_records(_records(spark, payloads), fmt, ddl)
+        back = dec.orderBy("rowtime").drop("rowtime")
+        assert [tuple(r) for r in back.collect()] == \
+               [tuple(r) for r in df.collect()]
+        # byte-level: re-encoding the decoded rows gives identical payloads
+        re_enc = [r.value for r in
+                  encode_kafka_records(back, fmt).collect()]
+        assert re_enc == payloads
+
+    def test_json_roundtrip(self, spark):
+        self._roundtrip(spark, "JSON")
+
+    def test_delimited_roundtrip(self, spark):
+        self._roundtrip(spark, "DELIMITED")
+
+    def test_kafka_primitive_roundtrip(self, spark):
+        self._roundtrip(spark, "KAFKA", ddl="v bigint",
+                        rows=[(7,), (42,), (-1,)])
+
+    def test_avro_roundtrip(self, spark):
+        self._roundtrip(
+            spark, "AVRO",
+            ddl="id bigint, name string, tags array<string>, "
+                "attrs map<string,bigint>",
+            rows=[(1, "a", ["x", "y"], {"k": 7}),
+                  (2, None, [], {}),
+                  (3, "©µ", ["a", None], {"n": None})])
+
+    def test_key_column_carried(self, spark):
+        from confluent_ksql_charm_spark.sources.kafka import (
+            encode_kafka_records)
+        df = spark.createDataFrame(self.ROWS, self.DDL)
+        enc = encode_kafka_records(df, "JSON", key_col="id").collect()
+        assert [r.key for r in enc] == [b"1", b"2", b"3"]
+        # key column is NOT duplicated into the value payload
+        assert all(b'"id"' not in r.value for r in enc)
+
+
 def test_missing_connector_error(spark):
     from confluent_ksql_charm_spark import KsqlSparkEngine
 
