@@ -372,6 +372,25 @@ def _q_stream_stream_join(spark, sf):
     )
 
 
+def _q_decimal_agg_join(spark, sf):
+    # DECIMAL(p,s) as a first-class column type: a CSAS declares DECIMAL
+    # columns, which then flow through arithmetic, a dim join, and SUM —
+    # exact decimal math end-to-end on both engines (late-5.x surface).
+    eng = _eng(spark, sf)
+    eng.execute(
+        "CREATE STREAM li_dec AS SELECT l_orderkey, l_suppkey, "
+        "CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec, "
+        "CAST(l_discount AS DECIMAL(4,2)) AS disc_dec FROM lineitem;"
+    )
+    return eng.sql(
+        "SELECT s.s_nationkey AS nation_key, COUNT(*) AS n_items, "
+        "CAST(ROUND(SUM(d.price_dec * (1 - d.disc_dec)), 2) AS DOUBLE) "
+        "AS net_revenue "
+        "FROM li_dec d JOIN supplier s ON d.l_suppkey = s.s_suppkey "
+        "GROUP BY s.s_nationkey"
+    )
+
+
 def _q_left_outer_join_within(spark, sf):
     # KSQL LEFT [OUTER] JOIN ... WITHIN: every left row survives; right
     # columns are NULL when no match lands inside the ±5 min band.
@@ -745,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_table_join": _q_table_table_join,
         "stream_stream_join_within": _q_stream_stream_join,
         "left_outer_join_within": _q_left_outer_join_within,
+        "decimal_agg_join": _q_decimal_agg_join,
         "full_outer_join_within": _q_full_outer_join_within,
         "q3_style_chain": _q_q3_style_chain,
         "dim_chain": _q_dim_chain,
@@ -991,6 +1011,14 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) >= epoch_us(a.ts) - 300000000 "
             "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 "
             "WHERE a.event_type = 'signup' AND b.event_type = 'purchase'"
+        ),
+        "decimal_agg_join": (
+            "SELECT s.s_nationkey AS nation_key, COUNT(*) AS n_items, "
+            "CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) "
+            "* (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) "
+            "AS net_revenue "
+            "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "GROUP BY s.s_nationkey"
         ),
         "left_outer_join_within": (
             "WITH s AS (SELECT event_id, user_id, ts FROM events "

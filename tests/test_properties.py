@@ -174,6 +174,80 @@ _EXPR_FRAGMENTS = st.lists(st.sampled_from([
 ]), min_size=1, max_size=12)
 
 
+# --- join/window clause grammar: valid combos LOWER, mutations fail CLEANLY
+
+_JOIN_WINDOW_FRAGMENTS = st.lists(st.sampled_from([
+    "SELECT", "a.user_id", "COUNT(*)", "WINDOWSTART()", ",", "FROM",
+    "events", "a", "b", "LEFT", "FULL", "OUTER", "INNER", "JOIN",
+    "WITHIN", "(", ")", "5", "MINUTES", "1 HOUR", "BEFORE", "GRACE",
+    "ON", "a.user_id = b.user_id", "WINDOW", "TUMBLING", "HOPPING",
+    "SESSION", "SIZE", "ADVANCE", "BY", "GROUP", "EMIT", "CHANGES",
+    "PARTITION", "=", "AND",
+]), min_size=2, max_size=14)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_JOIN_WINDOW_FRAGMENTS)
+def test_join_window_grammar_fails_cleanly(frags):
+    """Mutated join/window clauses must raise clean dialect errors —
+    the last two front-end bugs were fuzz-found, so the join/window
+    grammar gets its own permanent fuzz."""
+    from confluent_ksql_charm_spark.dialect.parser import parse_statement
+
+    try:
+        parse_statement(" ".join(frags))
+    except (ValueError, KeyError):
+        pass
+
+
+_UNITS_ST = st.sampled_from(["MILLISECONDS", "SECONDS", "MINUTES", "HOURS", "DAYS"])
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    jt=st.sampled_from(["", "LEFT ", "LEFT OUTER ", "FULL ", "FULL OUTER ",
+                        "INNER "]),
+    n1=st.integers(1, 999), u1=_UNITS_ST,
+    n2=st.integers(1, 999), u2=_UNITS_ST,
+    asym=st.booleans(),
+    wkind=st.sampled_from([None, "TUMBLING", "HOPPING", "SESSION"]),
+    wn=st.integers(1, 48), wu=_UNITS_ST,
+)
+def test_valid_join_window_combinations_lower(jt, n1, u1, n2, u2, asym,
+                                              wkind, wn, wu):
+    """Every VALID (join type × WITHIN form × window kind × unit) combo
+    must parse AND lower to Spark SQL without error (translator included,
+    via a stub resolve) — grammar holes surface here, not in users."""
+    from confluent_ksql_charm_spark.dialect.parser import parse_statement
+    from confluent_ksql_charm_spark.dialect.translator import (
+        SourceInfo, translate_select)
+
+    within = (f"WITHIN ({n1} {u1}, {n2} {u2})" if asym
+              else f"WITHIN {n1} {u1}")
+    if wkind is None:
+        win, agg, grp = "", "COUNT(*) AS n", "GROUP BY a.user_id"
+        sel = "a.user_id"
+    elif wkind == "HOPPING":
+        win = f"WINDOW HOPPING (SIZE {wn} {wu}, ADVANCE BY {max(1, wn // 2)} {wu})"
+        agg, grp, sel = "COUNT(*) AS n", "GROUP BY a.user_id", "a.user_id"
+    elif wkind == "SESSION":
+        win = f"WINDOW SESSION ({wn} {wu})"
+        agg, grp, sel = "COUNT(*) AS n", "GROUP BY a.user_id", "a.user_id"
+    else:
+        win = f"WINDOW TUMBLING (SIZE {wn} {wu})"
+        agg, grp, sel = "COUNT(*) AS n", "GROUP BY a.user_id", "a.user_id"
+    stmt = (f"SELECT {sel}, {agg} FROM events a {jt}JOIN events b {within} "
+            f"ON a.user_id = b.user_id {win} {grp}")
+    spec = parse_statement(stmt)
+
+    def resolve(name):
+        return SourceInfo(name=name, view=f"v_{name}", ts_col="ts",
+                          key_col="user_id")
+
+    sql = translate_select(spec, resolve)
+    assert "JOIN" in sql and "INTERVAL" in sql
+
+
 @settings(max_examples=300, deadline=None)
 @given(_EXPR_FRAGMENTS)
 def test_expression_rewriter_fails_cleanly(frags):

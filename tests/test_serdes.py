@@ -98,6 +98,28 @@ def test_bigint_timestamp_is_epoch_millis(spark):
     assert {r.id: r.t for r in rows} == {1: 1704067200000, 2: 1704067260000}
 
 
+def test_declared_decimal_column_through_agg(spark, tmp_path):
+    # DECIMAL(p,s) as a DECLARED DDL column type (late-5.x): the column
+    # parses as decimal from a DELIMITED source, keeps exact semantics
+    # through arithmetic and SUM, and DESCRIBEs as DECIMAL
+    from decimal import Decimal
+
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    (tmp_path / "pay.csv").write_text("1,12.34\n2,0.01\n1,87.66\n")
+    eng = KsqlSparkEngine(spark)
+    eng.execute(
+        "CREATE STREAM pay (uid BIGINT, amount DECIMAL(10,2)) WITH ("
+        f"VALUE_FORMAT='DELIMITED', PATH='{tmp_path / 'pay.csv'}');"
+    )
+    rows = {r.uid: r.total for r in
+            eng.sql("SELECT uid, SUM(amount) AS total FROM pay "
+                    "GROUP BY uid").collect()}
+    assert rows == {1: Decimal("100.00"), 2: Decimal("0.01")}
+    schema = eng.sql("SELECT amount FROM pay").schema
+    assert schema["amount"].dataType.simpleString() == "decimal(10,2)"
+
+
 def test_spark_written_parquet_roundtrip(spark, tmp_path):
     """Regression: Spark-written timestamps (INT96/micros) must NOT be
     mistaken for INT64-nanos by the ns-rebuild logic (pyarrow reports
