@@ -372,6 +372,31 @@ def _q_stream_stream_join(spark, sf):
     )
 
 
+def _q_train_val_test_split(spark, sf):
+    # Deterministic corpus splitting: label = f(doc_id, salt) via the
+    # portable md5 unit-hash, so DuckDB reproduces membership exactly.
+    # Weights are binary-exact (0.75/0.125/0.125) so the cumulative
+    # thresholds are bit-identical literals on both engines.
+    from confluent_ksql_charm_spark.pipeline.sampling import (
+        deterministic_split)
+
+    out = deterministic_split(_docs(spark, sf), "doc_id",
+                              {"train": 0.75, "val": 0.125, "test": 0.125})
+    return out.select("doc_id", "lang", "split")
+
+
+def _q_stratified_lang_sample(spark, sf):
+    # Per-language keep-rates in ONE scan (rebalancing a multilingual
+    # corpus) — membership keyed on doc_id, reproducible outside Spark.
+    from confluent_ksql_charm_spark.pipeline.sampling import (
+        stratified_sample)
+
+    out = stratified_sample(_docs(spark, sf), "doc_id",
+                            {"en": 0.5, "de": 0.25}, "lang",
+                            default_fraction=0.125)
+    return out.select("doc_id", "lang")
+
+
 def _q_decimal_agg_join(spark, sf):
     # DECIMAL(p,s) as a first-class column type: a CSAS declares DECIMAL
     # columns, which then flow through arithmetic, a dim join, and SUM —
@@ -765,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join_within": _q_stream_stream_join,
         "left_outer_join_within": _q_left_outer_join_within,
         "decimal_agg_join": _q_decimal_agg_join,
+        "train_val_test_split": _q_train_val_test_split,
+        "stratified_lang_sample": _q_stratified_lang_sample,
         "full_outer_join_within": _q_full_outer_join_within,
         "q3_style_chain": _q_q3_style_chain,
         "dim_chain": _q_dim_chain,
@@ -1011,6 +1038,20 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) >= epoch_us(a.ts) - 300000000 "
             "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 "
             "WHERE a.event_type = 'signup' AND b.event_type = 'purchase'"
+        ),
+        "train_val_test_split": (
+            "SELECT doc_id, lang, CASE WHEN u < 0.75 THEN 'train' "
+            "WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split FROM ("
+            "SELECT doc_id, lang, "
+            "('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 13))"
+            "::BIGINT / 4503599627370496.0 AS u FROM documents)"
+        ),
+        "stratified_lang_sample": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+            "('0x' || substr(md5(doc_id::VARCHAR || ':stratified'), 1, 13))"
+            "::BIGINT / 4503599627370496.0 AS u FROM documents) "
+            "WHERE u < CASE WHEN lang = 'en' THEN 0.5 "
+            "WHEN lang = 'de' THEN 0.25 ELSE 0.125 END"
         ),
         "decimal_agg_join": (
             "SELECT s.s_nationkey AS nation_key, COUNT(*) AS n_items, "

@@ -1,0 +1,105 @@
+"""Deterministic splitting & sampling for training-data pipelines.
+
+A 100 TB corpus needs train/val/test assignment that is (a) stable across
+runs and cluster sizes, (b) a pure projection — no shuffle, no state, no
+sort — and (c) reproducible OUTSIDE Spark so downstream systems agree on
+membership. Everything here hashes a key column through the portable
+md5-based hash (same construction `dedup.portable_token_hash` uses, so
+DuckDB/any engine reproduces assignments bit-identically) and maps it to
+a uniform double in [0, 1).
+
+Scale shape: all operators are expression-only projections (one
+whole-stage-codegen span, zero shuffle, zero driver work) — they
+scale linearly with the scan and compose with any downstream operator.
+`sample_fraction` beats `df.sample()` for pipeline use because membership
+is a FUNCTION OF THE ROW KEY, not of RNG state: re-runs, retries, and
+incremental batches select the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^52 — the unit-interval denominator for a 52-bit hash prefix (exact
+#: in a double, so engine-side comparisons are bit-identical everywhere)
+_DENOM = float(1 << 52)
+
+
+def unit_hash(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform double in [0, 1) from a key column.
+
+    Portable construction: ``int(md5(key || ':' || salt)[:13], 16) / 2^52``
+    — 13 hex chars = 52 bits, exactly representable in a double. The same
+    expression in DuckDB is ``('0x' || substr(md5(...), 1, 13))::BIGINT /
+    2^52`` (oracle-verified bit-identical).
+
+    `salt` decorrelates independent decisions on the same key (e.g. a
+    split and a downsample must not reuse one hash, or the 10% sample
+    would all land in 'train').
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    keyed = F.concat(c.cast("string"), F.lit(":" + salt))
+    return (F.conv(F.substring(F.md5(keyed), 1, 13), 16, 10)
+            .cast("bigint") / F.lit(_DENOM))
+
+
+def deterministic_split(df: DataFrame, key_col: str,
+                        weights: dict[str, float], *,
+                        salt: str = "split",
+                        out_col: str = "split") -> DataFrame:
+    """Assign every row a split label with the given weights.
+
+    Assignment is a pure function of (key, salt): stable under re-runs,
+    repartitioning, incremental appends, and reproducible outside Spark.
+    Weights must sum to 1 (±1e-9); label order follows dict order, so the
+    cumulative thresholds — and therefore membership — are deterministic.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = unit_hash(key_col, salt)
+    expr: Column | None = None
+    acc = 0.0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        acc += w
+        cond = u < F.lit(acc)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def sample_fraction(df: DataFrame, key_col: str, fraction: float, *,
+                    salt: str = "sample") -> DataFrame:
+    """Deterministic ~`fraction` sample: rows whose unit_hash < fraction.
+
+    Unlike ``df.sample()``, membership is keyed — retries and incremental
+    batches pick the same rows, and an outside engine can reproduce the
+    exact sample for audit.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(unit_hash(key_col, salt) < F.lit(fraction))
+
+
+def stratified_sample(df: DataFrame, key_col: str,
+                      fractions: dict[str, float], stratum_col: str, *,
+                      salt: str = "stratified",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language rates for
+    rebalancing a multilingual corpus). `fractions` maps stratum value →
+    keep-fraction; unlisted strata keep `default_fraction`.
+
+    One projection + one filter — no per-stratum jobs, no shuffle. At
+    100 TB this is the difference between a single scan and |strata|
+    scans of the corpus.
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0,1]")
+    frac: Column = F.lit(float(default_fraction))
+    for s, f in fractions.items():
+        frac = F.when(F.col(stratum_col) == s, F.lit(float(f))).otherwise(frac)
+    return df.where(unit_hash(key_col, salt) < frac)

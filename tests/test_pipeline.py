@@ -458,3 +458,67 @@ class TestMultimodal:
             "height:int,duration_ms:bigint,codec:string>")
         out = frame_sample_plan(media, every_ms=1000)
         assert [r.frame_ts_ms for r in out.collect()] == [0, 1000, 2000, 3000]
+
+
+class TestSampling:
+    def test_split_partitions_and_is_deterministic(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            deterministic_split)
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "k")
+        w = {"train": 0.75, "val": 0.125, "test": 0.125}
+        a = deterministic_split(df, "k", w).collect()
+        b = deterministic_split(df.repartition(13), "k", w).collect()
+        # every row labeled, labels stable under repartitioning
+        assert {r.k: r.split for r in a} == {r.k: r.split for r in b}
+        from collections import Counter
+        c = Counter(r.split for r in a)
+        assert set(c) == {"train", "val", "test"}
+        assert abs(c["train"] / 2000 - 0.75) < 0.04      # ~binomial noise
+        assert abs(c["val"] / 2000 - 0.125) < 0.03
+
+    def test_split_weights_must_sum_to_one(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            deterministic_split)
+
+        df = spark.range(3).withColumnRenamed("id", "k")
+        with pytest.raises(ValueError, match="sum to 1"):
+            deterministic_split(df, "k", {"a": 0.5, "b": 0.4})
+
+    def test_sample_fraction_keyed_membership(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            sample_fraction)
+
+        df = spark.range(0, 4000).withColumnRenamed("id", "k")
+        s1 = {r.k for r in sample_fraction(df, "k", 0.25).collect()}
+        s2 = {r.k for r in sample_fraction(df.repartition(7), "k", 0.25).collect()}
+        assert s1 == s2                       # keyed, not RNG-state-based
+        assert abs(len(s1) / 4000 - 0.25) < 0.03
+        # different salts decorrelate
+        s3 = {r.k for r in sample_fraction(df, "k", 0.25, salt="other").collect()}
+        assert s3 != s1
+
+    def test_stratified_rates_per_stratum(self, spark):
+        from collections import Counter
+
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            stratified_sample)
+
+        rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)]
+        df = spark.createDataFrame(rows, "k bigint, lang string")
+        out = stratified_sample(df, "k", {"en": 0.5, "de": 0.25}, "lang",
+                                default_fraction=0.0)
+        c = Counter(r.lang for r in out.collect())
+        assert abs(c["en"] / 1000 - 0.5) < 0.06
+        assert abs(c["de"] / 1000 - 0.25) < 0.06
+        assert c.get("fr", 0) == 0            # default fraction honored
+
+    def test_sampling_is_pure_projection(self, spark):
+        # scale contract: no shuffle, no Python — one codegen projection
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            deterministic_split)
+
+        df = spark.range(0, 100).withColumnRenamed("id", "k")
+        plan = deterministic_split(df, "k", {"a": 0.5, "b": 0.5}) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
