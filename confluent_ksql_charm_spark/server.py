@@ -65,6 +65,17 @@ class _Handler(BaseHTTPRequestHandler):
             })
         elif self.path == "/healthcheck":
             self._send(200, {"isHealthy": True})
+        elif self.path == "/status":
+            # KSQL 5.x GET /status: command-status map. Execution here is
+            # synchronous (a statement either registered or raised), so
+            # every registered entity reports SUCCESS.
+            eng = self.engine
+            statuses = {}
+            for kind, getter in (("stream", "STREAM"), ("table", "TABLE")):
+                for n in eng.metastore.names(getter):
+                    statuses[f"{kind}/{n.upper()}/create"] = {
+                        "status": "SUCCESS", "message": "registered"}
+            self._send(200, {"commandStatuses": statuses})
         else:
             self._send(404, {"error": "not found"})
 

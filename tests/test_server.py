@@ -48,6 +48,13 @@ def test_info_and_healthcheck(server):
     assert code == 200 and body["isHealthy"]
 
 
+def test_status_reports_registered_entities(server):
+    code, body = _get(server, "/status")
+    assert code == 200
+    statuses = body["commandStatuses"]
+    assert statuses["stream/EVENTS/create"]["status"] == "SUCCESS"
+
+
 def test_post_ksql_csas_and_show(server):
     code, body = _post(server, "/ksql", {
         "ksql": "CREATE STREAM rest_errors AS SELECT event_id, value "
