@@ -673,6 +673,19 @@ def _q_minhash_near_dup(spark, sf):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark, sf):
+    # Near-dup pairs (recall-1 banding at this corpus size, exact-Jaccard
+    # verified — see minhash_near_dup) → large-star/small-star connected
+    # components → per-doc cluster label (singletons label themselves).
+    # Oracle: DuckDB recursive CTE transitive closure over the identical
+    # brute-force Jaccard pair set.
+    from confluent_ksql_charm_spark.pipeline.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf), "doc_id", "text",
+                          threshold=0.5).withColumnRenamed("cluster",
+                                                           "cluster_id")
+
+
 def _q_simhash_near_dup(spark, sf):
     # Oracle-gated with the portable md5-based token hash (DuckDB computes
     # the identical 60-bit hash, hence the identical sketch). Recall is
@@ -810,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_all_pairs": _q_embedding_all_pairs,
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
+        "dedup_clusters": _q_dedup_clusters,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_guess": _q_lang_guess,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1194,6 +1208,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE length(list_intersect(a.s, b.s)) * 1.0 / "
             "(length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) "
             ">= 0.5"
+        ),
+        "dedup_clusters": (
+            # brute-force Jaccard pairs (as minhash_near_dup) → recursive
+            # transitive closure → min reachable id per node; singletons
+            # (docs in no pair) cluster to themselves via the left join.
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) >= 3 "
+            "THEN [array_to_string(t[i:i+2], ' ') "
+            "FOR i IN generate_series(1, length(t) - 2)] "
+            "ELSE [array_to_string(t, ' ')] END) AS s FROM toks), "
+            "prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE length(list_intersect(a.s, b.s)) * 1.0 / "
+            "(length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) "
+            ">= 0.5), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM prs "
+            "UNION SELECT id_b, id_a FROM prs), "
+            "reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) "
+            "UNION SELECT e.u, reach.r FROM edges e "
+            "JOIN reach ON e.v = reach.u), "
+            "comp AS (SELECT u AS doc_id, MIN(r) AS c FROM reach GROUP BY u) "
+            "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster_id "
+            "FROM documents d LEFT JOIN comp USING (doc_id)"
         ),
         "doc_quality": (
             "WITH t AS (SELECT doc_id, text, "

@@ -348,6 +348,105 @@ def near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     return scored.where(F.col("jaccard") >= threshold)
 
 
+def connected_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """Component label (= min node id in the component) for every node of
+    an undirected edge list ``(id_a, id_b)``. Output: ``(id, cluster)``.
+
+    This is the alternating large-star / small-star algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond"), which converges
+    in O(log n) rounds on ANY graph shape — not O(diameter) like naive
+    label propagation, so a pathological near-dup chain (doc1~doc2~doc3~…)
+    cannot force thousands of shuffles at corpus scale:
+
+    - large-star: every node connects its strictly-larger neighbors to
+      the minimum of its closed neighborhood. Expressed as one
+      hash-aggregate (per-node min) + one equi-join back to the edges —
+      no adjacency arrays are ever materialized, so a celebrity node with
+      10⁸ neighbors costs a partial-combine `min`, not a 10⁸-element
+      `collect_list`.
+    - small-star: with each edge directed high→low, every node connects
+      its smaller neighbors (and itself) to the neighborhood minimum.
+      Same agg+join shape.
+
+    Each round ends in `localCheckpoint` — the iterative plan would
+    otherwise grow exponentially and re-execute every prior round per
+    action. Convergence = the (count, xor-of-edge-hashes) signature of
+    the edge set is unchanged under a full round; computing it rides the
+    same job that materializes the checkpoint, so the check costs no
+    extra pass over the data.
+    """
+    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+             .where(F.col("a") != F.col("b")).distinct())
+
+    def signature(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold, not sum: order-independent, overflow-free
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+        mins = (sym.groupBy("a").agg(F.min("b").alias("__mb"))
+                .select("a", F.least("__mb", "a").alias("m")))
+        return (sym.join(mins, "a")
+                .where(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .where(F.col("a") != F.col("b")).distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # direct every edge high → low, so all of a's neighbors are ≤ a
+        d = e.select(F.greatest("a", "b").alias("a"),
+                     F.least("a", "b").alias("b"))
+        mins = d.groupBy("a").agg(F.min("b").alias("m"))
+        nbr = (d.join(mins, "a")
+               .where(F.col("b") != F.col("m"))
+               .select(F.col("b").alias("a"), F.col("m").alias("b")))
+        self_edge = mins.select(F.col("a"), F.col("m").alias("b"))
+        return (nbr.unionByName(self_edge)
+                .where(F.col("a") != F.col("b")).distinct())
+
+    edges = edges.localCheckpoint()
+    sig = signature(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # Converged edge set is a star forest: (member → component min) for
+    # every non-root member. Roots label themselves.
+    roots = edges.select(F.col("b").alias("a"), F.col("b")).distinct()
+    return (edges.unionByName(roots).distinct()
+            .select(F.col("a").alias("id"), F.col("b").alias("cluster")))
+
+
+def dedup_clusters(df: DataFrame, id_col: str, text_col: str, *,
+                   threshold: float = 0.7, num_hashes: int = 64,
+                   bands: int = 16, shingle_k: int = 3) -> DataFrame:
+    """Cluster assignment for every document: near-dup pairs (MinHash LSH
+    + exact-Jaccard verify) → connected components → left join back, so
+    singletons keep their own id as cluster. Output: (id_col, cluster).
+
+    This is the full corpus-dedup primitive: `GROUP BY cluster` +
+    `min_by` afterwards keeps one representative per near-dup group. The
+    join back to the corpus is on the id — at 100 TB the component
+    relation is tiny next to the corpus (only docs appearing in a pair),
+    so it broadcasts.
+    """
+    prs = near_dup_pairs(df, id_col, text_col, threshold=threshold,
+                         num_hashes=num_hashes, bands=bands,
+                         shingle_k=shingle_k)
+    comp = connected_components(prs.select("id_a", "id_b"))
+    return (df.select(F.col(id_col))
+            .join(F.broadcast(comp.withColumnRenamed("id", id_col)),
+                  id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("cluster", F.col(id_col)).alias("cluster")))
+
+
 def portable_token_hash(tok: Column) -> Column:
     """60-bit deterministic token hash both Spark and DuckDB compute
     bit-identically: int(md5(tok)[:15], 16) — DuckDB side is

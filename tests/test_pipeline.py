@@ -68,6 +68,50 @@ class TestDedup:
         assert got[1] == ["a b"]          # shorter than k → whole text
 
 
+class TestConnectedComponents:
+    def test_chain_clique_and_pair(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            connected_components)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5),        # 5-node chain
+             (10, 11), (11, 12), (10, 12),          # triangle
+             (20, 21),                              # isolated pair
+             (2, 1)],                               # duplicate reversed edge
+            ["id_a", "id_b"])
+        got = {(r["id"], r["cluster"])
+               for r in connected_components(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                       (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # a 64-node chain has diameter 63; naive propagation needs 63
+        # rounds, large-star/small-star must label it within max_iter=8
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            connected_components)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], ["id_a", "id_b"])
+        out = connected_components(pairs, max_iter=8)
+        assert {r["cluster"] for r in out.collect()} == {0}
+        assert out.count() == 65
+
+    def test_empty_pairs(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            connected_components)
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(pairs).count() == 0
+
+    def test_dedup_clusters_singletons_self_label(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import dedup_clusters
+        rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta theta"),
+                (3, "totally different words nothing shared here at all")]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        got = {(r["id"], r["cluster"])
+               for r in dedup_clusters(df, "id", "text",
+                                       threshold=0.8).collect()}
+        assert got == {(1, 1), (2, 1), (3, 3)}
+
+
 class TestComposition:
     def test_full_curation_chain_single_action(self, spark):
         """The realistic training-data flow composes as ONE lazy plan:
