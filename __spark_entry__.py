@@ -686,6 +686,21 @@ def _q_dedup_clusters(spark, sf):
                                                            "cluster_id")
 
 
+def _q_decontaminate(spark, sf):
+    # Benchmark-overlap decontamination: docs sharing any distinct
+    # 5-token gram with the benchmark slice (doc_id % 5 == 0).
+    # keyed="text" keeps raw gram strings so DuckDB replays the join
+    # bit-identically; production default is xxhash64 keys.
+    from confluent_ksql_charm_spark.pipeline.contamination import (
+        flag_contaminated)
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return flag_contaminated(corpus, bench, "doc_id", "text",
+                             n=5, keyed="text")
+
+
 def _q_simhash_near_dup(spark, sf):
     # Oracle-gated with the portable md5-based token hash (DuckDB computes
     # the identical 60-bit hash, hence the identical sketch). Recall is
@@ -824,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
         "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_guess": _q_lang_guess,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1232,6 +1248,20 @@ def oracle_sql() -> dict[str, str]:
             "comp AS (SELECT u AS doc_id, MIN(r) AS c FROM reach GROUP BY u) "
             "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster_id "
             "FROM documents d LEFT JOIN comp USING (doc_id)"
+        ),
+        "decontaminate": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) >= 5 "
+            "THEN [array_to_string(t[i:i+4], ' ') "
+            "FOR i IN generate_series(1, length(t) - 4)] "
+            "ELSE [array_to_string(t, ' ')] END) AS s FROM toks), "
+            "bg AS (SELECT DISTINCT unnest(s) AS gram FROM sh "
+            "WHERE doc_id % 5 = 0), "
+            "dg AS (SELECT doc_id, unnest(s) AS gram FROM sh "
+            "WHERE doc_id % 5 <> 0) "
+            "SELECT dg.doc_id, COUNT(*) AS shared_grams "
+            "FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id"
         ),
         "doc_quality": (
             "WITH t AS (SELECT doc_id, text, "

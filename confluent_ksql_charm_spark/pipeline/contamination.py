@@ -1,0 +1,85 @@
+"""Benchmark decontamination for training-data pipelines.
+
+North-star extension (SURVEY.md §3.11) — no reference analogue (the
+public KSQL 5.x surface has nothing like it; cited per SURVEY §0, the
+reference directory itself is empty).
+
+The task: given a (huge) training corpus and a (small) evaluation
+benchmark, find every training document that shares at least one
+n-token gram with any benchmark document — the canonical "13-gram
+overlap" decontamination filter, here with n as a parameter.
+
+100 TB shape:
+
+- The benchmark side is tiny (benchmarks are MBs, corpora are TBs), so
+  its distinct-gram relation is collected into a broadcast hash join —
+  the corpus is never shuffled for the join.
+- The corpus side explodes per-document DISTINCT grams, inner-joins the
+  broadcast gram set, and hash-aggregates a per-document count with
+  map-side partial combine; the only shuffle is the final per-doc-id
+  count, which carries ids of *contaminated docs only* (the join already
+  dropped clean grams).
+- In production the join key is `xxhash64(gram)` — 8-byte keys instead
+  of gram strings (`keyed="hash"`). `keyed="text"` keeps the raw gram
+  string so an external engine can replay the join bit-identically
+  (the DuckDB oracle path); collision risk of the hash path is ~2⁻⁶⁴
+  per gram pair and only ever ADDS a flagged doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import ensure_parallelism, shingles_col
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int,
+               keyed: str) -> DataFrame:
+    rows = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(shingles_col(text_col, n)).alias("gram"),
+    )
+    if keyed == "hash":
+        rows = rows.select(id_col, F.xxhash64("gram").alias("gram"))
+    return rows
+
+
+def benchmark_grams(bench: DataFrame, text_col: str, *, n: int = 8,
+                    keyed: str = "hash") -> DataFrame:
+    """Distinct n-gram relation of the benchmark — persist this once per
+    benchmark release and reuse across every corpus sweep."""
+    c = shingles_col(text_col, n)
+    out = bench.select(F.explode(c).alias("gram")).distinct()
+    if keyed == "hash":
+        out = out.select(F.xxhash64("gram").alias("gram")).distinct()
+    return out
+
+
+def flag_contaminated(docs: DataFrame, bench: DataFrame, id_col: str,
+                      text_col: str, *, n: int = 8,
+                      keyed: str = "hash",
+                      bench_grams: DataFrame | None = None) -> DataFrame:
+    """(id, shared_grams) for every corpus doc sharing ≥ 1 distinct
+    n-gram with the benchmark. Anti-join the result against the corpus
+    to drop contaminated docs.
+
+    `bench_grams`: pass a persisted `benchmark_grams` output to skip
+    re-shingling the benchmark per call.
+    """
+    grams = bench_grams if bench_grams is not None else benchmark_grams(
+        bench, text_col, n=n, keyed=keyed)
+    doc_grams = _gram_rows(docs, id_col, text_col, n, keyed)
+    return (doc_grams.join(F.broadcast(grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("shared_grams")))
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
+                  text_col: str, *, n: int = 8,
+                  keyed: str = "hash") -> DataFrame:
+    """Corpus minus contaminated docs (broadcast anti-join on the
+    flagged-id relation, which is far smaller than the corpus)."""
+    flagged = flag_contaminated(docs, bench, id_col, text_col,
+                                n=n, keyed=keyed).select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

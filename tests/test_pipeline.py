@@ -112,6 +112,53 @@ class TestConnectedComponents:
         assert got == {(1, 1), (2, 1), (3, 3)}
 
 
+class TestContamination:
+    def test_flag_and_decontaminate(self, spark):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            decontaminate, flag_contaminated)
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            ["id", "text"])
+        docs = spark.createDataFrame(
+            [(1, "xx quick brown fox jumps yy"),     # shares a 4-gram
+             (2, "completely unrelated training text with no overlap"),
+             (3, "quick brown fox jumps over plus extra tokens")],
+            ["id", "text"])
+        flagged = {r["id"]: r["shared_grams"]
+                   for r in flag_contaminated(docs, bench, "id", "text",
+                                              n=4).collect()}
+        assert set(flagged) == {1, 3}
+        assert flagged[3] >= 2   # two distinct shared 4-grams
+        clean = decontaminate(docs, bench, "id", "text", n=4)
+        assert [r["id"] for r in clean.collect()] == [2]
+
+    def test_hash_and_text_keys_agree(self, spark):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            flag_contaminated)
+        bench = spark.createDataFrame(
+            [(9, "alpha beta gamma delta epsilon")], ["id", "text"])
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta zeta"),
+             (2, "nothing in common at all")], ["id", "text"])
+        a = {(r["id"], r["shared_grams"]) for r in flag_contaminated(
+            docs, bench, "id", "text", n=3, keyed="hash").collect()}
+        b = {(r["id"], r["shared_grams"]) for r in flag_contaminated(
+            docs, bench, "id", "text", n=3, keyed="text").collect()}
+        assert a == b
+
+    def test_persisted_benchmark_grams(self, spark):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            benchmark_grams, flag_contaminated)
+        bench = spark.createDataFrame(
+            [(9, "one two three four five")], ["id", "text"])
+        docs = spark.createDataFrame(
+            [(1, "zero one two three four")], ["id", "text"])
+        grams = benchmark_grams(bench, "text", n=3)
+        out = flag_contaminated(docs, bench, "id", "text", n=3,
+                                bench_grams=grams).collect()
+        assert [(r["id"], r["shared_grams"]) for r in out] == [(1, 2)]
+
+
 class TestComposition:
     def test_full_curation_chain_single_action(self, spark):
         """The realistic training-data flow composes as ONE lazy plan:
