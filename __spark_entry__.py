@@ -701,6 +701,26 @@ def _q_decontaminate(spark, sf):
                              n=5, keyed="text")
 
 
+def _q_pii_redact(spark, sf):
+    # PII spans are injected deterministically (both engines build the
+    # identical text), then redacted by the shared Java-regex/RE2-subset
+    # patterns; counts are per kind on progressively redacted text.
+    from confluent_ksql_charm_spark.pipeline.pii import redact_pii
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-1234 from 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end"),
+        ).alias("text"))
+    return redact_pii(d, "text", with_counts=True)
+
+
 def _q_simhash_near_dup(spark, sf):
     # Oracle-gated with the portable md5-based token hash (DuckDB computes
     # the identical 60-bit hash, hence the identical sketch). Recall is
@@ -840,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
+        "pii_redact": _q_pii_redact,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_guess": _q_lang_guess,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1262,6 +1283,30 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 5 <> 0) "
             "SELECT dg.doc_id, COUNT(*) AS shared_grams "
             "FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id"
+        ),
+        "pii_redact": (
+            "WITH d AS (SELECT doc_id, text || ' contact user' || doc_id "
+            "|| '@example.com or 555-' "
+            "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') "
+            "|| '-1234 from 10.2.' || CAST(doc_id % 256 AS VARCHAR) "
+            "|| '.7 end' AS text FROM documents), "
+            "s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) "
+            "AS n_email, regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t1 FROM d), "
+            "s2 AS (SELECT doc_id, n_email, "
+            "CAST(len(regexp_extract_all(t1, "
+            "'\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone, "
+            "regexp_replace(t1, '\\b\\d{3}-\\d{3}-\\d{4}\\b', "
+            "'<PHONE>', 'g') AS t2 FROM s1), "
+            "s3 AS (SELECT doc_id, n_email, n_phone, "
+            "CAST(len(regexp_extract_all(t2, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) "
+            "AS n_ip, regexp_replace(t2, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "'<IP>', 'g') AS text FROM s2) "
+            "SELECT doc_id, text, n_email, n_phone, n_ip FROM s3"
         ),
         "doc_quality": (
             "WITH t AS (SELECT doc_id, text, "

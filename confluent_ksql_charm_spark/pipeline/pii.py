@@ -1,0 +1,62 @@
+"""PII detection and redaction for training-data pipelines.
+
+North-star extension (SURVEY.md §3.11) — no reference analogue (public
+KSQL 5.x has only the MASK family, which obscures a whole column; this
+redacts PII *spans inside free text*).
+
+Everything here is a chain of `regexp_replace` / `regexp_extract_all`
+expressions — JVM-side, whole-stage codegen, zero UDFs, no shuffle at
+all (pure per-row projection): the 100 TB cost is exactly one scan.
+Patterns are deliberately written in the common subset of Java regex
+and RE2 (no lookbehind, no backrefs) so external engines (and the
+DuckDB oracle) replay them bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Order matters and is part of the contract: emails are redacted before
+# IPs so a digit-heavy mailbox/domain can't be partially re-matched by
+# the later numeric patterns.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_col(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_count_cols(text: str | Column) -> dict[str, Column]:
+    """Per-kind match counts. Counts are taken on the PROGRESSIVELY
+    redacted text (same order as `redact_col`), so a span never counts
+    under two kinds — n_phone counts matches the email pass left behind,
+    etc. This makes counts consistent with what redaction replaces."""
+    c = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    for kind, pat, token in PII_PATTERNS:
+        # idx=0: count whole-pattern matches (patterns carry no groups)
+        out[f"n_{kind}"] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        c = F.regexp_replace(c, pat, token)
+    return out
+
+
+def redact_pii(df: DataFrame, text_col: str, *,
+               out_col: str | None = None,
+               with_counts: bool = True) -> DataFrame:
+    """Replace email / phone / IPv4 spans with typed tokens; optionally
+    attach per-kind match counts. Pure projection — composes with any
+    downstream operator without changing partitioning."""
+    out_col = out_col or text_col
+    proj = df
+    if with_counts:
+        for name, col in pii_count_cols(text_col).items():
+            proj = proj.withColumn(name, col)
+    return proj.withColumn(out_col, redact_col(text_col))

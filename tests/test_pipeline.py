@@ -159,6 +159,39 @@ class TestContamination:
         assert [(r["id"], r["shared_grams"]) for r in out] == [(1, 2)]
 
 
+class TestPii:
+    def test_redact_all_kinds(self, spark):
+        from confluent_ksql_charm_spark.pipeline.pii import redact_pii
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-corp.io, call 555-123-4567, host 10.0.0.1."),
+             (2, "no pii here")],
+            ["id", "text"])
+        rows = {r["id"]: r for r in redact_pii(df, "text").collect()}
+        assert rows[1]["text"] == (
+            "mail <EMAIL>, call <PHONE>, host <IP>.")
+        assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ip"]) \
+            == (1, 1, 1)
+        assert rows[2]["text"] == "no pii here"
+        assert (rows[2]["n_email"], rows[2]["n_phone"], rows[2]["n_ip"]) \
+            == (0, 0, 0)
+
+    def test_email_not_double_counted_as_ip(self, spark):
+        # digit-heavy mailbox@dotted-quad domain: the email pass consumes
+        # it, so the ip count (taken after redaction) stays 0
+        from confluent_ksql_charm_spark.pipeline.pii import redact_pii
+        df = spark.createDataFrame([(1, "u123@10.0.0.io end")], ["id", "text"])
+        r = redact_pii(df, "text").collect()[0]
+        assert r["text"] == "<EMAIL> end"
+        assert (r["n_email"], r["n_ip"]) == (1, 0)
+
+    def test_out_col_preserves_original(self, spark):
+        from confluent_ksql_charm_spark.pipeline.pii import redact_pii
+        df = spark.createDataFrame([(1, "x@y.io")], ["id", "text"])
+        r = redact_pii(df, "text", out_col="clean",
+                       with_counts=False).collect()[0]
+        assert r["text"] == "x@y.io" and r["clean"] == "<EMAIL>"
+
+
 class TestComposition:
     def test_full_curation_chain_single_action(self, spark):
         """The realistic training-data flow composes as ONE lazy plan:
