@@ -721,6 +721,15 @@ def _q_pii_redact(spark, sf):
     return redact_pii(d, "text", with_counts=True)
 
 
+def _q_bm25_topk(spark, sf):
+    # Okapi BM25 top-10 for a 3-term query; scores rounded to 4 decimals
+    # and tie-broken by doc_id so the result SET is engine-independent.
+    from confluent_ksql_charm_spark.pipeline.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf), ["vector", "hash", "merge"],
+                     "doc_id", "text", k=10)
+
+
 def _q_simhash_near_dup(spark, sf):
     # Oracle-gated with the portable md5-based token hash (DuckDB computes
     # the identical 60-bit hash, hence the identical sketch). Recall is
@@ -861,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
+        "bm25_topk": _q_bm25_topk,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_guess": _q_lang_guess,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1307,6 +1317,26 @@ def oracle_sql() -> dict[str, str]:
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
             "'<IP>', 'g') AS text FROM s2) "
             "SELECT doc_id, text, n_email, n_phone, n_ip FROM s3"
+        ),
+        "bm25_topk": (
+            "WITH tk AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "st AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl "
+            "FROM tk), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf, "
+            "ANY_VALUE(dl) AS dl FROM (SELECT doc_id, len(toks) AS dl, "
+            "unnest(toks) AS term FROM tk) "
+            "WHERE term IN ('vector', 'hash', 'merge') "
+            "GROUP BY doc_id, term), "
+            "dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "sc AS (SELECT tf.doc_id, "
+            "ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) "
+            "* (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl "
+            "/ st.avgdl)) AS s "
+            "FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN st) "
+            "SELECT doc_id, ROUND(SUM(s), 4) AS score FROM sc "
+            "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"
         ),
         "doc_quality": (
             "WITH t AS (SELECT doc_id, text, "

@@ -1,0 +1,84 @@
+"""BM25 ranked retrieval over a document corpus.
+
+North-star extension (SURVEY.md §3.11) — no reference analogue in the
+public KSQL 5.x surface. Used in training-data pipelines for relevance
+filtering ("keep docs matching curated seed queries") and corpus QA.
+
+100 TB shape (the reason this is NOT the textbook inverted-index build):
+
+- Term statistics are computed ONLY for the query's terms: the corpus
+  token stream is filtered by a literal IN-list *before* any shuffle, so
+  the per-(doc, term) tf relation is |matching docs| × |query terms| —
+  not the full inverted index. Catalyst pushes the lowercase+split+
+  filter into the scan projection; one hash-aggregate with map-side
+  combine produces tf.
+- Global scalars (N, avgdl) come from one tiny aggregate joined back on
+  a constant key — a broadcast hash join of a single row, never a
+  driver-side collect and never a cartesian node in the plan.
+- Per-term df rides the tf relation (second tiny aggregate). Everything
+  downstream (idf, the BM25 kernel, the final top-k) is expression-only;
+  the top-k is `ORDER BY … LIMIT k` → Spark's TakeOrderedAndProject
+  (per-partition heaps, no global sort).
+
+To build a *persistent* index instead (probe many queries cheaply),
+call `doc_term_stats` with `terms=None` and write the result bucketed
+by term; per-query probing is then a broadcast semi-join on the term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def search_tokens(text: str | Column) -> Column:
+    """Lowercased alphanumeric tokens; empties removed. Kept to the
+    Java-regex/RE2 common subset so external engines replay it."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda x: x != "")
+
+
+def doc_term_stats(docs: DataFrame, id_col: str, text_col: str,
+                   terms: list[str] | None = None) -> DataFrame:
+    """(id, term, tf, dl): term frequency + document length. With
+    `terms` given, tokens are filtered before the aggregate (the scale
+    path); with None this is a full inverted-index build."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(search_tokens(text_col)).alias("dl"),
+        F.explode(search_tokens(text_col)).alias("term"),
+    )
+    if terms is not None:
+        toks = toks.where(F.col("term").isin(terms))
+    return (toks.groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], id_col: str,
+              text_col: str, *, k: int = 10, k1: float = 1.2,
+              b: float = 0.75) -> DataFrame:
+    """Top-k docs by Okapi BM25 against a bag of query terms.
+    Output: (id_col, score) — score rounded to 4 decimals, ties broken
+    by id so the result SET is deterministic across engines."""
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(search_tokens(text_col))).alias("avgdl"),
+    ).withColumn("__j", F.lit(1))
+
+    tf = doc_term_stats(docs, id_col, text_col, query_terms)
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (tf.join(F.broadcast(df_t), "term")
+              .withColumn("__j", F.lit(1))
+              .join(F.broadcast(stats), "__j"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    kernel = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    per_term = scored.select(F.col(id_col), (idf * kernel).alias("s"))
+    return (per_term.groupBy(id_col)
+            .agg(F.round(F.sum("s"), 4).alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(k))

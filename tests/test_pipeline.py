@@ -192,6 +192,41 @@ class TestPii:
         assert r["text"] == "x@y.io" and r["clean"] == "<EMAIL>"
 
 
+class TestSearch:
+    def test_bm25_ranks_denser_match_higher(self, spark):
+        from confluent_ksql_charm_spark.pipeline.search import bm25_topk
+        docs = spark.createDataFrame(
+            [(1, "spark spark spark filler filler filler"),
+             (2, "spark filler filler filler filler filler"),
+             (3, "nothing relevant here at all six")],
+            ["id", "text"])
+        out = bm25_topk(docs, ["spark"], "id", "text", k=3).collect()
+        assert [r["id"] for r in out] == [1, 2]   # doc 3 never matches
+        assert out[0]["score"] > out[1]["score"] > 0
+
+    def test_bm25_multi_term_sums(self, spark):
+        from confluent_ksql_charm_spark.pipeline.search import bm25_topk
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gap gap gap gap"),
+             (2, "alpha gap gap gap gap gap"),
+             (3, "beta gap gap gap gap gap")],
+            ["id", "text"])
+        out = {r["id"]: r["score"]
+               for r in bm25_topk(docs, ["alpha", "beta"],
+                                  "id", "text", k=3).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1] > out[2] and out[1] > out[3]
+
+    def test_full_inverted_index_build(self, spark):
+        from confluent_ksql_charm_spark.pipeline.search import doc_term_stats
+        docs = spark.createDataFrame([(1, "a b a"), (2, "b c")],
+                                     ["id", "text"])
+        rows = {(r["id"], r["term"]): (r["tf"], r["dl"])
+                for r in doc_term_stats(docs, "id", "text").collect()}
+        assert rows == {(1, "a"): (2, 3), (1, "b"): (1, 3),
+                        (2, "b"): (1, 2), (2, "c"): (1, 2)}
+
+
 class TestComposition:
     def test_full_curation_chain_single_action(self, spark):
         """The realistic training-data flow composes as ONE lazy plan:
