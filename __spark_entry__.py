@@ -730,6 +730,15 @@ def _q_bm25_topk(spark, sf):
                      "doc_id", "text", k=10)
 
 
+def _q_shuffle_shard(spark, sf):
+    # Deterministic export shuffle: portable-hash permutation → shard +
+    # dense within-shard position; DuckDB recomputes the identical hash.
+    from confluent_ksql_charm_spark.pipeline.sampling import shuffle_shard
+
+    return shuffle_shard(_docs(spark, sf).select("doc_id"),
+                         "doc_id", 8).select("doc_id", "shard", "pos")
+
+
 def _q_simhash_near_dup(spark, sf):
     # Oracle-gated with the portable md5-based token hash (DuckDB computes
     # the identical 60-bit hash, hence the identical sketch). Recall is
@@ -871,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
         "bm25_topk": _q_bm25_topk,
+        "shuffle_shard": _q_shuffle_shard,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_guess": _q_lang_guess,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1337,6 +1347,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN st) "
             "SELECT doc_id, ROUND(SUM(s), 4) AS score FROM sc "
             "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "shuffle_shard": (
+            "WITH h AS (SELECT doc_id, ('0x' || substr(md5("
+            "CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 13))::BIGINT AS hh "
+            "FROM documents) "
+            "SELECT doc_id, CAST(hh % 8 AS INT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY hh % 8 "
+            "ORDER BY hh, doc_id) - 1 AS INT) AS pos FROM h"
         ),
         "doc_quality": (
             "WITH t AS (SELECT doc_id, text, "

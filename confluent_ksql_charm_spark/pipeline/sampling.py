@@ -71,6 +71,43 @@ def deterministic_split(df: DataFrame, key_col: str,
     return df.withColumn(out_col, expr)
 
 
+def shuffle_shard(df: DataFrame, key_col: str, num_shards: int, *,
+                  salt: str = "shuffle",
+                  shard_col: str = "shard",
+                  pos_col: str = "pos") -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export:
+    every row gets a `shard` in [0, num_shards) and a dense 0-based
+    `pos` within its shard, both pure functions of (key, salt).
+
+    Why not `df.orderBy(rand())`: RNG order is neither reproducible
+    across retries nor auditable. Here the permutation IS the portable
+    key hash — any engine can recompute which shard/position a document
+    landed in, and an incremental re-export with the same salt places
+    unchanged documents identically within their shard prefix.
+
+    Scale shape: shard assignment is a pure projection; the position is
+    `row_number() OVER (PARTITION BY shard ORDER BY hash, key)` — one
+    hash-partition shuffle on the shard id followed by a per-shard sort,
+    exactly the physical layout the export write needs anyway
+    (`partitionBy(shard)` + sorted files), so the window costs nothing
+    extra. Shards should be sized so one shard fits an executor's sort
+    spill budget (num_shards ≳ corpus_bytes / 1 GiB).
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    from pyspark.sql import Window
+
+    h = (F.conv(F.substring(F.md5(F.concat(
+        F.col(key_col).cast("string"), F.lit(":" + salt))), 1, 13), 16, 10)
+        .cast("bigint"))
+    with_shard = df.withColumn("__h", h).withColumn(
+        shard_col, F.pmod(F.col("__h"), F.lit(num_shards)).cast("int"))
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), F.col(key_col))
+    return (with_shard
+            .withColumn(pos_col, F.row_number().over(w) - 1)
+            .drop("__h"))
+
+
 def sample_fraction(df: DataFrame, key_col: str, fraction: float, *,
                     salt: str = "sample") -> DataFrame:
     """Deterministic ~`fraction` sample: rows whose unit_hash < fraction.

@@ -227,6 +227,39 @@ class TestSearch:
                         (2, "b"): (1, 2), (2, "c"): (1, 2)}
 
 
+class TestShuffleShard:
+    def test_dense_positions_and_stability(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import shuffle_shard
+        df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+        out = shuffle_shard(df, "id", 4)
+        rows = [(r["id"], r["shard"], r["pos"]) for r in out.collect()]
+        assert len(rows) == 100
+        by_shard: dict[int, list[int]] = {}
+        for _, s, p in rows:
+            by_shard.setdefault(s, []).append(p)
+        for s, ps in by_shard.items():
+            assert sorted(ps) == list(range(len(ps)))   # dense, 0-based
+        # deterministic: a second run (and a repartitioned input) agrees
+        again = shuffle_shard(df.repartition(7), "id", 4)
+        assert {(r["id"], r["shard"], r["pos"])
+                for r in again.collect()} == set(rows)
+
+    def test_salt_changes_permutation(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import shuffle_shard
+        df = spark.createDataFrame([(i,) for i in range(50)], ["id"])
+        a = {(r["id"], r["shard"]) for r in
+             shuffle_shard(df, "id", 4).collect()}
+        b = {(r["id"], r["shard"]) for r in
+             shuffle_shard(df, "id", 4, salt="epoch2").collect()}
+        assert a != b
+
+    def test_bad_num_shards(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import shuffle_shard
+        df = spark.createDataFrame([(1,)], ["id"])
+        with pytest.raises(ValueError):
+            shuffle_shard(df, "id", 0)
+
+
 class TestComposition:
     def test_full_curation_chain_single_action(self, spark):
         """The realistic training-data flow composes as ONE lazy plan:
