@@ -155,6 +155,122 @@ def fingerprint64(text: str | Column, shingle_k: int = 5) -> Column:
     )
 
 
+def ngrams_col(text: str | Column, n: int) -> Column:
+    """All word n-grams (NON-distinct — repetition analysis needs the
+    multiset; contrast ``dedup.shingles_col`` which dedups for MinHash)."""
+    toks = tokens_col(text)
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def dup_token_ratio(text: str | Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 - distinct/total). Gopher-rule style repetition signal; pure
+    expression, no shuffle."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(toks))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_ratio(text: str | Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are duplicates (1 - distinct/total).
+    The Gopher 'duplicate n-gram fraction' family, expression-only."""
+    grams = ngrams_col(text, n)
+    cnt = F.size(grams)
+    return F.when(
+        cnt > 0, (cnt - F.size(F.array_distinct(grams))) / cnt
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     ngram_ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Per-document repetition profile + most-frequent-token stats.
+
+    Two shapes fused into one result:
+
+    - duplicate-token / duplicate-n-gram ratios are **pure expressions**
+      (array_distinct over the token array) — they ride the scan, no
+      shuffle, and stay inside whole-stage codegen;
+    - the top-token block (most frequent token, its share of the doc)
+      needs a per-(doc, token) count → explode + two-level aggregation.
+      The first groupBy pre-aggregates on (id, token) with map-side
+      combine, so the second shuffle carries one row per distinct token
+      per doc, not one per token occurrence. At 100 TB both shuffles key
+      on doc id — no global hotspot, bounded by document length.
+
+    Ties on the top token break to the lexicographically smallest token
+    so output is deterministic and oracle-comparable.
+    """
+    c = F.col(text_col)
+    expr_part = df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        F.round(dup_token_ratio(c), 4).alias("dup_token_ratio"),
+        *[
+            F.round(dup_ngram_ratio(c, n), 4).alias(f"dup_{n}gram_ratio")
+            for n in ngram_ns
+        ],
+    )
+    per_tok = (
+        df.select(F.col(id_col), F.explode(tokens_col(c)).alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    top = (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("__tok"),
+                F.struct(F.col("__cnt"), _neg_lex(F.col("__tok"))),
+            ).alias("top_token"),
+            F.max("__cnt").alias("top_token_count"),
+            F.sum("__cnt").alias("__total"),
+        )
+        .select(
+            F.col(id_col),
+            "top_token",
+            "top_token_count",
+            F.round(F.col("top_token_count") / F.col("__total"), 4)
+            .alias("top_token_fraction"),
+        )
+    )
+    return expr_part.join(top, id_col, "left")
+
+
+def _neg_lex(tok: Column) -> Column:
+    """Order-inverting key for strings built from bounded tokens: bitwise
+    NOT of each byte, so max_by picks the lexicographically SMALLEST token
+    among count ties. Tokens here are ASCII word characters (tokens_col
+    splits on whitespace; corpus is \\w+), for which per-byte complement
+    inverts the ordering exactly."""
+    return F.transform(
+        F.split(tok, ""), lambda ch: F.lit(255) - F.ascii(ch)
+    )
+
+
+def repetition_keep(text: str | Column, *,
+                    max_dup_token_ratio: float = 0.6,
+                    max_dup_2gram_ratio: float = 0.4,
+                    min_tokens: int = 5) -> Column:
+    """Boolean Gopher-style repetition gate (keep = not too repetitive),
+    composable with quality_score into a single scan-side filter."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        (token_count(c) >= min_tokens)
+        & (dup_token_ratio(c) <= max_dup_token_ratio)
+        & (dup_ngram_ratio(c, 2) <= max_dup_2gram_ratio)
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat block as columns (single projection)."""
     c = F.col(text_col)
