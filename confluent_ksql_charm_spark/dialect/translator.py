@@ -306,6 +306,13 @@ def rewrite_expr(tokens: list[Token], ctx: TranslationContext) -> str:
                     out.append(ctx.rowkey_expr)
                     i += 1
                     continue
+                if up in ("WINDOWSTART", "WINDOWEND") and ctx.window is not None:
+                    # bare pseudo-column form (ksqlDB style), same semantics
+                    # as the WINDOWSTART()/WINDOWEND() call form
+                    bound = "start" if up == "WINDOWSTART" else "end"
+                    out.append(f"unix_millis({ctx.window_alias()}.{bound})")
+                    i += 1
+                    continue
                 out.append(t.text.strip("`") if t.text.startswith("`") else t.text)
                 i += 1
                 continue

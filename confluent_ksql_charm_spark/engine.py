@@ -191,6 +191,9 @@ class KsqlSparkEngine:
                 raise ValueError("need path or df")
             df = self._read(path, value_format, schema_ddl,
                             force_batch=static)
+        else:
+            from .sources.parquet import normalize_ntz
+            df = normalize_ntz(df)
         ts_format = kwargs_props.get("TIMESTAMP_FORMAT")
         if timestamp is not None and timestamp in df.columns:
             # WITH (TIMESTAMP='col' [, TIMESTAMP_FORMAT='...']): KSQL event-

@@ -104,9 +104,32 @@ def read_parquet(spark: SparkSession, path: str, *, streaming: bool = False) -> 
             path = os.path.dirname(path)
         df = reader.parquet(path)
     else:
+        # Spark 4.x infers tz-less parquet timestamps as TIMESTAMP_NTZ
+        # (spark.sql.parquet.inferTimestampNTZ.enabled defaults true); the
+        # engine's temporal surface (ROWTIME, unix_millis, windows) is
+        # TIMESTAMP(LTZ)-typed, so read tz-less micros/millis the classic
+        # way: raw micros-since-epoch as UTC instants.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
     for c in ns_cols:
         # `div` = integer division — ns values exceed double's 53-bit mantissa,
         # so float division here would corrupt timestamps by ±1ms
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (LTZ).
+
+    The engine's temporal surface (ROWTIME epoch-millis, unix_millis,
+    window bounds) is TIMESTAMP-typed; Spark 4.x may surface tz-less
+    parquet as NTZ. Session tz is UTC engine-wide, so the cast is a no-op
+    on the underlying micros — one projection, pushdown-safe.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -1,0 +1,95 @@
+"""Regression: tz-less parquet timestamps (TIMESTAMP_NTZ inference).
+
+The driver regenerated testdata with `ts: timestamp[us]` (no timezone).
+Spark 4.x infers that as TIMESTAMP_NTZ (`spark.sql.parquet.
+inferTimestampNTZ.enabled` defaults true), and every `unix_millis(...)`
+the translator emits (ROWTIME, WINDOWSTART/END, STRINGTOTIMESTAMP) is
+TIMESTAMP-only → DATATYPE_MISMATCH. `read_parquet` must normalize every
+timestamp shape — us-NTZ, ns-INT64, ms — to TIMESTAMP(LTZ), UTC-epoch
+semantics identical to DuckDB's epoch_ms over the same file.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from confluent_ksql_charm_spark import KsqlSparkEngine
+from confluent_ksql_charm_spark.sources.parquet import normalize_ntz, read_parquet
+
+TS = [dt.datetime(2024, 1, 1, 0, 0, 0), dt.datetime(2024, 1, 1, 2, 30, 0)]
+EXPECT_MS = [1704067200000, 1704076200000]
+
+
+def _write(tmpdir, unit, name):
+    path = f"{tmpdir}/{name}.parquet"
+    tbl = pa.table({
+        "k": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array(TS, type=pa.timestamp(unit)),
+        "v": pa.array([1.0, 2.0]),
+    })
+    pq.write_table(tbl, path)
+    return path
+
+
+@pytest.mark.parametrize("unit", ["ms", "us", "ns"])
+def test_read_parquet_all_units_yield_ltz_timestamp(spark, tmp_path, unit):
+    path = _write(tmp_path, unit, f"u_{unit}")
+    df = read_parquet(spark, path)
+    assert dict(df.dtypes)["ts"] == "timestamp", unit
+    got = [r.ms for r in
+           df.selectExpr("unix_millis(ts) AS ms").orderBy("ms").collect()]
+    assert got == EXPECT_MS, unit
+
+
+def test_engine_rowtime_resolves_on_ntz_micros(spark, tmp_path):
+    path = _write(tmp_path, "us", "ev")
+    eng = KsqlSparkEngine(spark)
+    eng.register_source("ntz_events", path=path, key="k", timestamp="ts")
+    rows = eng.sql(
+        "SELECT k, ROWTIME AS rt FROM ntz_events"
+    ).orderBy("k").collect()
+    assert [r.rt for r in rows] == EXPECT_MS
+
+
+def test_engine_tumbling_window_on_ntz_micros(spark, tmp_path):
+    path = _write(tmp_path, "us", "ev2")
+    eng = KsqlSparkEngine(spark)
+    eng.register_source("ntz_events2", path=path, key="k", timestamp="ts")
+    rows = eng.sql(
+        "SELECT k, WINDOWSTART AS ws, COUNT(*) AS n FROM ntz_events2 "
+        "WINDOW TUMBLING (SIZE 1 HOURS) GROUP BY k"
+    ).orderBy("k").collect()
+    assert len(rows) == 2
+    assert rows[0].ws == 1704067200000
+    assert rows[1].ws == 1704074400000  # 02:30 falls in the 02:00 window
+
+
+def test_register_source_df_path_normalizes_ntz(spark, tmp_path):
+    path = _write(tmp_path, "us", "ev3")
+    # Read WITH NTZ inference on — simulates a caller handing in an NTZ frame
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        raw = spark.read.parquet(path)
+        assert dict(raw.dtypes)["ts"] == "timestamp_ntz"  # precondition
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    eng = KsqlSparkEngine(spark)
+    eng.register_source("ntz_df", df=raw, key="k", timestamp="ts")
+    rows = eng.sql("SELECT k, ROWTIME AS rt FROM ntz_df").orderBy("k").collect()
+    assert [r.rt for r in rows] == EXPECT_MS
+
+
+def test_normalize_ntz_noop_on_ltz(spark):
+    df = spark.sql("SELECT timestamp_millis(0) AS ts, 1 AS k")
+    out = normalize_ntz(df)
+    assert out is df  # no projection added when nothing to fix
+
+
+def test_testdata_events_rowtime(engine):
+    """The real driver-generated events table must resolve ROWTIME."""
+    n = engine.sql("SELECT ROWTIME FROM events LIMIT 5").count()
+    assert n == 5
