@@ -103,45 +103,58 @@ def _q_case_when_cast(spark, sf):
     )
 
 
-def _q_string_funcs(spark, sf):
+# One synthesized URL expression shared by the dialect and oracle sides of
+# string_mask_url_funcs (testdata has no URL column)
+_URL_KSQL = (
+    "CONCAT('https://shop', CAST(c_custkey % 10 AS STRING), '.example.com:', "
+    "CAST(8000 + c_custkey % 100 AS STRING), '/seg/', LCASE(c_mktsegment), "
+    "'?seg=', c_mktsegment, '&id=', CAST(c_custkey AS STRING))"
+)
+
+
+def _q_string_mask_url_funcs(spark, sf):
+    # Consolidated scalar-string surface (string + MASK family + URL family)
+    # in one customer projection — one registry slot, same coverage as the
+    # former string_funcs / mask_funcs / url_funcs entries.
     return _eng(spark, sf).sql(
         "SELECT c_custkey, LCASE(c_name) AS lname, UCASE(c_mktsegment) AS useg, "
         "LEN(c_name) AS name_len, TRIM(CONCAT(c_name, ' ')) AS trimmed, "
         "REPLACE(c_name, 'Customer', 'Cust') AS repl, "
         "SUBSTRING(c_name, 1, 8) AS sub8, "
         "SPLIT(c_name, '#')[1] AS after_hash, "
-        "IFNULL(c_mktsegment, 'none') AS seg FROM customer"
-    )
-
-
-def _q_mask_funcs(spark, sf):
-    return _eng(spark, sf).sql(
-        "SELECT c_custkey, MASK(c_name) AS m, MASK_LEFT(c_name, 4) AS ml, "
+        "IFNULL(c_mktsegment, 'none') AS seg, "
+        "MASK(c_name) AS m, MASK_LEFT(c_name, 4) AS ml, "
         "MASK_RIGHT(c_name, 4) AS mr, MASK_KEEP_LEFT(c_name, 4) AS mkl, "
-        "MASK_KEEP_RIGHT(c_name, 4) AS mkr FROM customer"
+        "MASK_KEEP_RIGHT(c_name, 4) AS mkr, "
+        f"URL_EXTRACT_HOST({_URL_KSQL}) AS host, "
+        f"URL_EXTRACT_PORT({_URL_KSQL}) AS port, "
+        f"URL_EXTRACT_PARAMETER({_URL_KSQL}, 'id') AS pid "
+        "FROM customer"
     )
 
 
-def _q_json_extract(spark, sf):
+def _q_json_funcs(spark, sf):
+    # EXTRACTJSONFIELD + the JSON-string ARRAYCONTAINS overload (bigint +
+    # string element dispatch and the malformed-JSON → FALSE edge: props is
+    # a JSON object, not an array, for every row).
     return _eng(spark, sf).sql(
-        "SELECT event_id, EXTRACTJSONFIELD(props, '$.k') AS k_str "
-        "FROM events WHERE props IS NOT NULL"
+        "SELECT event_id, EXTRACTJSONFIELD(props, '$.k') AS k_str, "
+        "ARRAYCONTAINS(CONCAT('[', CAST(event_id % 7 AS STRING), ', "
+        "', CAST(event_id % 5 AS STRING), ']'), 3) AS has3, "
+        "ARRAYCONTAINS(CONCAT('[\"', event_type, '\", \"view\"]'), 'click') "
+        "AS clickish, "
+        "ARRAYCONTAINS(props, 3) AS not_an_array FROM events"
     )
 
 
 def _q_datetime_funcs(spark, sf):
+    # TIMESTAMPTOSTRING/STRINGTOTIMESTAMP roundtrip + STRINGTODATE/
+    # DATETOSTRING (KSQL carries dates as INT epoch-days) in one projection
     return _eng(spark, sf).sql(
         "SELECT event_id, ROWTIME AS ts_ms, "
         "TIMESTAMPTOSTRING(ROWTIME, 'yyyy-MM-dd HH:mm') AS ts_str, "
         "STRINGTOTIMESTAMP(TIMESTAMPTOSTRING(ROWTIME, 'yyyy-MM-dd HH:mm'), "
-        "'yyyy-MM-dd HH:mm') AS ts_roundtrip_ms FROM events"
-    )
-
-
-def _q_date_convert(spark, sf):
-    # STRINGTODATE / DATETOSTRING — KSQL carries dates as INT epoch-days
-    return _eng(spark, sf).sql(
-        "SELECT event_id, "
+        "'yyyy-MM-dd HH:mm') AS ts_roundtrip_ms, "
         "STRINGTODATE(TIMESTAMPTOSTRING(ROWTIME, 'yyyy-MM-dd'), 'yyyy-MM-dd') "
         "AS epoch_days, "
         "DATETOSTRING(STRINGTODATE(TIMESTAMPTOSTRING(ROWTIME, 'yyyy-MM-dd'), "
@@ -154,42 +167,6 @@ def _q_array_funcs(spark, sf):
         "SELECT doc_id, SPLIT(text, ' ')[0] AS first_tok, "
         "ARRAYLENGTH(SPLIT(text, ' ')) AS n_tok, "
         "ARRAYCONTAINS(SPLIT(text, ' '), 'spark') AS has_spark FROM documents"
-    )
-
-
-def _q_json_array_contains(spark, sf):
-    # JSON-string overload of ARRAYCONTAINS (KSQL JsonArrayContains):
-    # synthesized JSON arrays exercise bigint + string element dispatch
-    # and the malformed-JSON → FALSE edge (props is a JSON object, not
-    # an array, for every row).
-    return _eng(spark, sf).sql(
-        "SELECT event_id, "
-        "ARRAYCONTAINS(CONCAT('[', CAST(event_id % 7 AS STRING), ', "
-        "', CAST(event_id % 5 AS STRING), ']'), 3) AS has3, "
-        "ARRAYCONTAINS(CONCAT('[\"', event_type, '\", \"view\"]'), 'click') "
-        "AS clickish, "
-        "ARRAYCONTAINS(props, 3) AS not_an_array FROM events"
-    )
-
-
-def _q_url_funcs(spark, sf):
-    # URL family over synthesized URLs (testdata has no URL column); every
-    # URL carries host/port/path/query so engine-vs-oracle edges agree
-    return _eng(spark, sf).sql(
-        "SELECT c_custkey, "
-        "URL_EXTRACT_HOST(CONCAT('https://shop', CAST(c_custkey % 10 AS STRING), "
-        "'.example.com:', CAST(8000 + c_custkey % 100 AS STRING), '/seg/', "
-        "LCASE(c_mktsegment), '?seg=', c_mktsegment, '&id=', "
-        "CAST(c_custkey AS STRING))) AS host, "
-        "URL_EXTRACT_PORT(CONCAT('https://shop', CAST(c_custkey % 10 AS STRING), "
-        "'.example.com:', CAST(8000 + c_custkey % 100 AS STRING), '/seg/', "
-        "LCASE(c_mktsegment), '?seg=', c_mktsegment, '&id=', "
-        "CAST(c_custkey AS STRING))) AS port, "
-        "URL_EXTRACT_PARAMETER(CONCAT('https://shop', "
-        "CAST(c_custkey % 10 AS STRING), '.example.com:', "
-        "CAST(8000 + c_custkey % 100 AS STRING), '/seg/', LCASE(c_mktsegment), "
-        "'?seg=', c_mktsegment, '&id=', CAST(c_custkey AS STRING)), 'id') AS pid "
-        "FROM customer"
     )
 
 
@@ -234,34 +211,22 @@ def _q_pricing_summary(spark, sf):
 
 
 def _q_salted_agg(spark, sf):
-    # skew-resilient two-phase aggregation — must equal plain GROUP BY
+    # skew-resilient two-phase aggregation (must equal plain GROUP BY)
+    # joined with the dialect's COUNT_DISTINCT/COUNT over the same key —
+    # one per-event-type profile, two formerly-separate registry slots.
     from confluent_ksql_charm_spark.operators.skew import salted_agg
 
-    events = _eng(spark, sf).metastore.get("events").df
+    eng = _eng(spark, sf)
+    events = eng.metastore.get("events").df
     out = salted_agg(events, ["event_type"],
                      {"n": ("count", "value"), "mx": ("max", "value")},
                      salt_buckets=16)
-    return out.select("event_type", "n", F.round("mx", 4).alias("mx"))
-
-
-def _q_scalable_topk(spark, sf):
-    # salted two-phase TOPK — must equal the single-phase TOPK aggregate
-    from confluent_ksql_charm_spark.operators.aggregates import grouped_topk
-
-    events = _eng(spark, sf).metastore.get("events").df
-    out = grouped_topk(events, ["event_type"], "value", k=5)
-    return out.select(
-        "event_type",
-        F.array_join(F.transform("topk", lambda x: F.round(x, 3).cast("string")),
-                     ",").alias("top5_csv"),
-    )
-
-
-def _q_count_distinct(spark, sf):
-    return _eng(spark, sf).sql(
+    cd = eng.sql(
         "SELECT event_type, COUNT_DISTINCT(user_id) AS n_users, "
         "COUNT(*) AS n_events FROM events GROUP BY event_type"
     )
+    return (out.select("event_type", "n", F.round("mx", 4).alias("mx"))
+            .join(cd, "event_type"))
 
 
 def _q_groupby_expr(spark, sf):
@@ -277,15 +242,27 @@ def _q_groupby_expr(spark, sf):
 
 
 def _q_topk(spark, sf):
-    df = _eng(spark, sf).sql(
+    # dialect TOPK joined with the salted two-phase grouped_topk — the two
+    # paths must agree exactly, so one entry oracles both.
+    from confluent_ksql_charm_spark.operators.aggregates import grouped_topk
+
+    eng = _eng(spark, sf)
+    df = eng.sql(
         "SELECT event_type, TOPK(value, 5) AS top5 FROM events GROUP BY event_type"
     )
-    return df.select(
+    dialect = df.select(
         "event_type",
         F.array_join(
             F.transform("top5", lambda x: F.round(x, 3).cast("string")), ","
         ).alias("top5_csv"),
     )
+    events = eng.metastore.get("events").df
+    salted = grouped_topk(events, ["event_type"], "value", k=5).select(
+        "event_type",
+        F.array_join(F.transform("topk", lambda x: F.round(x, 3).cast("string")),
+                     ",").alias("top5_salted_csv"),
+    )
+    return dialect.join(salted, "event_type")
 
 
 def _q_topkdistinct(spark, sf):
@@ -372,29 +349,25 @@ def _q_stream_stream_join(spark, sf):
     )
 
 
-def _q_train_val_test_split(spark, sf):
+def _q_corpus_split_sample(spark, sf):
     # Deterministic corpus splitting: label = f(doc_id, salt) via the
     # portable md5 unit-hash, so DuckDB reproduces membership exactly.
     # Weights are binary-exact (0.75/0.125/0.125) so the cumulative
     # thresholds are bit-identical literals on both engines.
     from confluent_ksql_charm_spark.pipeline.sampling import (
-        deterministic_split)
+        deterministic_split, stratified_sample)
 
-    out = deterministic_split(_docs(spark, sf), "doc_id",
-                              {"train": 0.75, "val": 0.125, "test": 0.125})
-    return out.select("doc_id", "lang", "split")
-
-
-def _q_stratified_lang_sample(spark, sf):
-    # Per-language keep-rates in ONE scan (rebalancing a multilingual
-    # corpus) — membership keyed on doc_id, reproducible outside Spark.
-    from confluent_ksql_charm_spark.pipeline.sampling import (
-        stratified_sample)
-
-    out = stratified_sample(_docs(spark, sf), "doc_id",
-                            {"en": 0.5, "de": 0.25}, "lang",
-                            default_fraction=0.125)
-    return out.select("doc_id", "lang")
+    docs = _docs(spark, sf)
+    split = deterministic_split(docs, "doc_id",
+                                {"train": 0.75, "val": 0.125, "test": 0.125}
+                                ).select("doc_id", "lang", "split")
+    # per-language keep-rates in ONE scan (rebalancing a multilingual
+    # corpus) — membership keyed on doc_id, reproducible outside Spark
+    samp = stratified_sample(docs, "doc_id", {"en": 0.5, "de": 0.25}, "lang",
+                             default_fraction=0.125
+                             ).select("doc_id", F.lit(True).alias("sampled"))
+    return (split.join(samp, "doc_id", "left")
+            .withColumn("sampled", F.coalesce("sampled", F.lit(False))))
 
 
 def _q_decimal_agg_join(spark, sf):
@@ -584,17 +557,6 @@ def _q_token_stats(spark, sf):
     )
 
 
-def _q_text_quality(spark, sf):
-    from confluent_ksql_charm_spark.pipeline.text import alpha_ratio, punct_ratio
-
-    docs = _docs(spark, sf)
-    return docs.select(
-        "doc_id",
-        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
-        F.round(alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
-    )
-
-
 def _q_incremental_dedup(spark, sf):
     # Batch-ingest dedup: "new" docs (doc_id >= 250) anti-joined against
     # the "corpus" (doc_id < 250) on text hash — the corpus side reduces
@@ -609,15 +571,19 @@ def _q_incremental_dedup(spark, sf):
 
 
 def _q_doc_quality(spark, sf):
-    # The full quality-scoring block from pipeline.text: BPE-ish subword
-    # count, stopword ratio (en), mean word length, composite quality —
-    # all expression-only (regex + higher-order functions), one projection.
+    # The full quality-scoring block from pipeline.text: punct/alpha ratios,
+    # BPE-ish subword count, stopword ratio (en), mean word length,
+    # composite quality — all expression-only (regex + higher-order
+    # functions), one projection over documents.
     from confluent_ksql_charm_spark.pipeline.text import (
-        bpe_ish_token_count, mean_word_length, quality_score, stopword_ratio)
+        alpha_ratio, bpe_ish_token_count, mean_word_length, punct_ratio,
+        quality_score, stopword_ratio)
 
     docs = _docs(spark, sf)
     return docs.select(
         "doc_id",
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
         bpe_ish_token_count(F.col("text")).alias("n_subword"),
         F.round(stopword_ratio(F.col("text"), "en"), 4).alias("stopword_ratio"),
         F.round(mean_word_length(F.col("text")), 4).alias("mean_word_len"),
@@ -647,18 +613,16 @@ def _q_embedding_near_dup(spark, sf):
     bands, bits, idx = _ANN_INDEXES[key]
     out = embedding_near_dup_pairs(emb, threshold=0.45, num_bands=bands,
                                    bits_per_band=bits, index=idx)
-    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
-
-
-def _q_embedding_all_pairs(spark, sf):
+    lsh = out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     # EXACT all-pairs cosine via blocked dense matmul (Arrow groups, one
-    # BLAS matmul per block pair) — the honest tool at low thresholds
-    # where LSH cannot prune; complements embedding_near_dup (LSH path).
+    # BLAS matmul per block pair) — the honest tool at low thresholds where
+    # LSH cannot prune. Joined with the LSH path: the two must agree on the
+    # pair set AND the value, so one entry oracles both.
     from confluent_ksql_charm_spark.pipeline.similarity import cosine_all_pairs
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
-    out = cosine_all_pairs(emb, 0.45, block_size=512)
-    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    exact = cosine_all_pairs(emb, 0.45, block_size=512).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine_exact"))
+    return lsh.join(exact, ["id_a", "id_b"])
 
 
 def _q_minhash_near_dup(spark, sf):
@@ -753,19 +717,17 @@ def _q_simhash_near_dup(spark, sf):
                                   token_hash=portable_token_hash)
 
 
-def _q_doc_fingerprint(spark, sf):
-    # xxhash64-based — rows-only; stable across runs (deterministic hash).
-    from confluent_ksql_charm_spark.pipeline.text import fingerprint64
+def _q_text_signals(spark, sf):
+    # xxhash64 fingerprint + language-ID heuristic — rows-only by design
+    # (xxhash64 internals / heuristic aren't SQL-expressible in DuckDB);
+    # both are deterministic and unit-tested (determinism + 13-case corpus).
+    from confluent_ksql_charm_spark.pipeline.text import (
+        fingerprint64, guess_language)
 
-    return _docs(spark, sf).select("doc_id", fingerprint64("text").alias("fp"))
-
-
-def _q_lang_guess(spark, sf):
-    # Heuristic stopword scorer — rows-only.
-    from confluent_ksql_charm_spark.pipeline.text import guess_language
-
-    return _docs(spark, sf).select("doc_id", "lang",
-                                   guess_language("text").alias("lang_guess"))
+    return _docs(spark, sf).select(
+        "doc_id", "lang",
+        guess_language("text").alias("lang_guess"),
+        fingerprint64("text").alias("fp"))
 
 
 _ANN_INDEXES: dict = {}
@@ -825,23 +787,45 @@ def _q_multimodal_features(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Exactly 50 entries (the driver's correctness harness checks 50), so
+    # every operator gets a CORRECTNESS row each round. Same-row-set entries
+    # are consolidated (string+mask+url; datetime+date; json pair; quality
+    # block; topk dialect+salted; salted-agg+count-distinct; LSH+exact
+    # embedding near-dup; split+stratified-sample; fingerprint+lang-guess)
+    # — coverage unchanged, one slot each. Least-proven ops lead the order.
     return {
+        # newest / least-proven first (insurance if the cap ever shrinks)
+        "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
+        "pii_redact": _q_pii_redact,
+        "bm25_topk": _q_bm25_topk,
+        "shuffle_shard": _q_shuffle_shard,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "multimodal_features": _q_multimodal_features,
+        "text_signals": _q_text_signals,
+        # pipeline operators
+        "dedup_exact": _q_dedup_exact,
+        "incremental_dedup": _q_incremental_dedup,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_cosine_topk": _q_embedding_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "corpus_split_sample": _q_corpus_split_sample,
+        "token_stats_by_lang": _q_token_stats,
+        "doc_quality": _q_doc_quality,
+        # KSQL dialect surface
         "project_filter": _q_project_filter,
         "case_when_cast": _q_case_when_cast,
-        "string_funcs": _q_string_funcs,
-        "mask_funcs": _q_mask_funcs,
-        "json_extract": _q_json_extract,
+        "string_mask_url_funcs": _q_string_mask_url_funcs,
+        "json_funcs": _q_json_funcs,
         "datetime_funcs": _q_datetime_funcs,
-        "date_convert": _q_date_convert,
         "array_funcs": _q_array_funcs,
-        "json_array_contains": _q_json_array_contains,
-        "url_funcs": _q_url_funcs,
         "math_funcs": _q_math_funcs,
         "conditional_agg": _q_conditional_agg,
         "pricing_summary": _q_pricing_summary,
         "skew_salted_agg": _q_salted_agg,
-        "scalable_topk": _q_scalable_topk,
-        "count_distinct": _q_count_distinct,
         "groupby_expr": _q_groupby_expr,
         "topk_per_group": _q_topk,
         "topkdistinct_per_group": _q_topkdistinct,
@@ -855,37 +839,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_table_join": _q_table_table_join,
         "stream_stream_join_within": _q_stream_stream_join,
         "left_outer_join_within": _q_left_outer_join_within,
-        "decimal_agg_join": _q_decimal_agg_join,
-        "train_val_test_split": _q_train_val_test_split,
-        "stratified_lang_sample": _q_stratified_lang_sample,
         "full_outer_join_within": _q_full_outer_join_within,
+        "decimal_agg_join": _q_decimal_agg_join,
         "q3_style_chain": _q_q3_style_chain,
         "dim_chain": _q_dim_chain,
         "full_outer_join": _q_full_outer_join,
         "collect_list_csv": _q_collect_list,
         "partition_by_rekey": _q_partition_by,
         "insert_into_union": _q_insert_into,
-        "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "embedding_cosine_topk": _q_embedding_topk,
-        "token_stats_by_lang": _q_token_stats,
-        "text_quality": _q_text_quality,
-        "incremental_dedup": _q_incremental_dedup,
-        "doc_quality": _q_doc_quality,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_all_pairs": _q_embedding_all_pairs,
-        "minhash_near_dup": _q_minhash_near_dup,
-        "simhash_near_dup": _q_simhash_near_dup,
-        "dedup_clusters": _q_dedup_clusters,
-        "decontaminate": _q_decontaminate,
-        "pii_redact": _q_pii_redact,
-        "bm25_topk": _q_bm25_topk,
-        "shuffle_shard": _q_shuffle_shard,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "lang_guess": _q_lang_guess,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -915,38 +876,44 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_returnflag <> 'A' "
             "AND l_discount BETWEEN 0.02 AND 0.08"
         ),
-        "string_funcs": (
-            "SELECT c_custkey, lower(c_name) AS lname, upper(c_mktsegment) AS useg, "
-            "length(c_name) AS name_len, trim(concat(c_name, ' ')) AS trimmed, "
-            "replace(c_name, 'Customer', 'Cust') AS repl, "
-            "substring(c_name, 1, 8) AS sub8, "
-            "string_split(c_name, '#')[2] AS after_hash, "
-            "coalesce(c_mktsegment, 'none') AS seg FROM customer"
-        ),
-        "mask_funcs": (
-            "WITH m AS (SELECT c_custkey, c_name AS s, length(c_name) AS n "
-            "FROM customer) "
-            "SELECT c_custkey, "
+        "string_mask_url_funcs": (
+            "WITH m AS (SELECT c_custkey, c_mktsegment, c_name AS s, "
+            "length(c_name) AS n, concat('https://shop', "
+            "CAST(c_custkey % 10 AS VARCHAR), '.example.com:', "
+            "CAST(8000 + c_custkey % 100 AS VARCHAR), '/seg/', "
+            "lower(c_mktsegment), '?seg=', c_mktsegment, '&id=', "
+            "CAST(c_custkey AS VARCHAR)) AS url FROM customer) "
+            "SELECT c_custkey, lower(s) AS lname, upper(c_mktsegment) AS useg, "
+            "length(s) AS name_len, trim(concat(s, ' ')) AS trimmed, "
+            "replace(s, 'Customer', 'Cust') AS repl, "
+            "substring(s, 1, 8) AS sub8, "
+            "string_split(s, '#')[2] AS after_hash, "
+            "coalesce(c_mktsegment, 'none') AS seg, "
             f"{_duck_mask('s')} AS m, "
             f"concat({_duck_mask('substring(s, 1, 4)')}, substring(s, 5)) AS ml, "
             "concat(substring(s, 1, greatest(n - 4, 0)), "
             f"{_duck_mask('substring(s, greatest(n - 4, 0) + 1)')}) AS mr, "
             f"concat(substring(s, 1, 4), {_duck_mask('substring(s, 5)')}) AS mkl, "
             f"concat({_duck_mask('substring(s, 1, greatest(n - 4, 0))')}, "
-            "substring(s, greatest(n - 4, 0) + 1)) AS mkr FROM m"
+            "substring(s, greatest(n - 4, 0) + 1)) AS mkr, "
+            "regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host, "
+            "CAST(regexp_extract(url, '^[a-z]+://[^/:?#]+:([0-9]+)', 1) AS INT) "
+            "AS port, "
+            "regexp_extract(url, '[?&]id=([^&#]*)', 1) AS pid FROM m"
         ),
-        "json_extract": (
-            "SELECT event_id, json_extract_string(props, '$.k') AS k_str "
-            "FROM events WHERE props IS NOT NULL"
+        "json_funcs": (
+            "SELECT event_id, json_extract_string(props, '$.k') AS k_str, "
+            "json_contains(concat('[', CAST(event_id % 7 AS VARCHAR), ', ', "
+            "CAST(event_id % 5 AS VARCHAR), ']'), '3') AS has3, "
+            "json_contains(concat('[\"', event_type, '\", \"view\"]'), "
+            "'\"click\"') AS clickish, "
+            "false AS not_an_array FROM events"
         ),
         "datetime_funcs": (
             "SELECT event_id, epoch_ms(ts) AS ts_ms, "
             "strftime(ts, '%Y-%m-%d %H:%M') AS ts_str, "
             "epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M'), "
-            "'%Y-%m-%d %H:%M')) AS ts_roundtrip_ms FROM events"
-        ),
-        "date_convert": (
-            "SELECT event_id, "
+            "'%Y-%m-%d %H:%M')) AS ts_roundtrip_ms, "
             "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) "
             "AS epoch_days, "
             "strftime(CAST(ts AS DATE), '%Y-%m-%d') AS roundtrip FROM events"
@@ -956,26 +923,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(string_split(text, ' ')) AS INT) AS n_tok, "
             "list_contains(string_split(text, ' '), 'spark') AS has_spark "
             "FROM documents"
-        ),
-        "json_array_contains": (
-            "SELECT event_id, "
-            "json_contains(concat('[', CAST(event_id % 7 AS VARCHAR), ', ', "
-            "CAST(event_id % 5 AS VARCHAR), ']'), '3') AS has3, "
-            "json_contains(concat('[\"', event_type, '\", \"view\"]'), "
-            "'\"click\"') AS clickish, "
-            "false AS not_an_array FROM events"
-        ),
-        "url_funcs": (
-            "WITH u AS (SELECT c_custkey, concat('https://shop', "
-            "CAST(c_custkey % 10 AS VARCHAR), '.example.com:', "
-            "CAST(8000 + c_custkey % 100 AS VARCHAR), '/seg/', "
-            "lower(c_mktsegment), '?seg=', c_mktsegment, '&id=', "
-            "CAST(c_custkey AS VARCHAR)) AS url FROM customer) "
-            "SELECT c_custkey, "
-            "regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host, "
-            "CAST(regexp_extract(url, '^[a-z]+://[^/:?#]+:([0-9]+)', 1) AS INT) "
-            "AS port, "
-            "regexp_extract(url, '[?&]id=([^&#]*)', 1) AS pid FROM u"
         ),
         "math_funcs": (
             "SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS adisc, "
@@ -1012,18 +959,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "skew_salted_agg": (
             "SELECT event_type, COUNT(value) AS n, "
-            "ROUND(MAX(value), 4) AS mx FROM events GROUP BY event_type"
-        ),
-        "scalable_topk": (
-            "WITH ranked AS (SELECT event_type, value, "
-            "row_number() OVER (PARTITION BY event_type ORDER BY value DESC) "
-            "AS rn FROM events) "
-            "SELECT event_type, string_agg(CAST(ROUND(value, 3) AS VARCHAR), "
-            "',' ORDER BY value DESC) AS top5_csv "
-            "FROM ranked WHERE rn <= 5 GROUP BY event_type"
-        ),
-        "count_distinct": (
-            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users, "
+            "ROUND(MAX(value), 4) AS mx, "
+            "COUNT(DISTINCT user_id) AS n_users, "
             "COUNT(*) AS n_events FROM events GROUP BY event_type"
         ),
         "groupby_expr": (
@@ -1033,11 +970,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY px, qmod"
         ),
         "topk_per_group": (
+            # dialect TOPK and the salted two-phase grouped_topk must agree,
+            # so the oracle emits the identical csv under both names
             "WITH ranked AS (SELECT event_type, value, "
             "row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rn "
             "FROM events) "
             "SELECT event_type, string_agg(CAST(ROUND(value, 3) AS VARCHAR), ',' "
-            "ORDER BY value DESC) AS top5_csv "
+            "ORDER BY value DESC) AS top5_csv, "
+            "string_agg(CAST(ROUND(value, 3) AS VARCHAR), ',' "
+            "ORDER BY value DESC) AS top5_salted_csv "
             "FROM ranked WHERE rn <= 5 GROUP BY event_type"
         ),
         "topkdistinct_per_group": (
@@ -1110,19 +1051,16 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 "
             "WHERE a.event_type = 'signup' AND b.event_type = 'purchase'"
         ),
-        "train_val_test_split": (
-            "SELECT doc_id, lang, CASE WHEN u < 0.75 THEN 'train' "
-            "WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split FROM ("
+        "corpus_split_sample": (
+            "SELECT doc_id, lang, CASE WHEN us < 0.75 THEN 'train' "
+            "WHEN us < 0.875 THEN 'val' ELSE 'test' END AS split, "
+            "ut < CASE WHEN lang = 'en' THEN 0.5 "
+            "WHEN lang = 'de' THEN 0.25 ELSE 0.125 END AS sampled FROM ("
             "SELECT doc_id, lang, "
             "('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 13))"
-            "::BIGINT / 4503599627370496.0 AS u FROM documents)"
-        ),
-        "stratified_lang_sample": (
-            "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+            "::BIGINT / 4503599627370496.0 AS us, "
             "('0x' || substr(md5(doc_id::VARCHAR || ':stratified'), 1, 13))"
-            "::BIGINT / 4503599627370496.0 AS u FROM documents) "
-            "WHERE u < CASE WHEN lang = 'en' THEN 0.5 "
-            "WHEN lang = 'de' THEN 0.25 ELSE 0.125 END"
+            "::BIGINT / 4503599627370496.0 AS ut FROM documents)"
         ),
         "decimal_agg_join": (
             "SELECT s.s_nationkey AS nation_key, COUNT(*) AS n_items, "
@@ -1365,6 +1303,12 @@ def oracle_sql() -> dict[str, str]:
             "length(string_split_regex(trim(text), '\\s+')) ELSE 0 END AS wl "
             "FROM documents) "
             "SELECT doc_id, "
+            "ROUND(CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
+            "* 1.0 / length(text) ELSE 0 END, 4) AS punct_ratio, "
+            "ROUND(CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+            "* 1.0 / length(text) ELSE 0 END, 4) AS alpha_ratio, "
             "CAST(length(list_filter(string_split_regex(text, "
             "'[^A-Za-z0-9]+'), x -> x <> '')) "
             "+ length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
@@ -1383,17 +1327,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM t"
         ),
         "embedding_near_dup": (
+            # LSH-candidates path (cosine) and blocked exact matmul path
+            # (cosine_exact) joined — both must equal the brute-force value
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-            "CAST(b.embedding AS DOUBLE[])), 4) AS cosine "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-            "CAST(b.embedding AS DOUBLE[])) >= 0.45"
-        ),
-        "embedding_all_pairs": (
-            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS cosine, "
             "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-            "CAST(b.embedding AS DOUBLE[])), 4) AS cosine "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS cosine_exact "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.45"
@@ -1406,16 +1346,6 @@ def oracle_sql() -> dict[str, str]:
             "AS avg_tokens, "
             "ROUND(AVG(n_chars), 4) AS avg_chars "
             "FROM documents GROUP BY lang"
-        ),
-        "text_quality": (
-            "SELECT doc_id, "
-            "ROUND(CASE WHEN length(text) > 0 THEN "
-            "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) "
-            "* 1.0 / length(text) ELSE 0 END, 4) AS punct_ratio, "
-            "ROUND(CASE WHEN length(text) > 0 THEN "
-            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
-            "* 1.0 / length(text) ELSE 0 END, 4) AS alpha_ratio "
-            "FROM documents"
         ),
         "multimodal_features": (
             "SELECT doc_id, 'image/fake' AS media_type, "
@@ -1441,5 +1371,5 @@ def oracle_sql() -> dict[str, str]:
             "LIMIT 10"
         ),
         # rows-only (no oracle — xxhash64 internals / heuristic):
-        # doc_fingerprint, lang_guess
+        # text_signals
     }
