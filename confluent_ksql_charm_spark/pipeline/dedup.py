@@ -81,12 +81,18 @@ def bucketed_pairs(banded: DataFrame, bucket_cols: list[str], id_col: str,
         members = rows
     else:
         # Cap ONLY the buckets that need it. The membership relation is
-        # tiny (id × bands rows of longs) → cache it, pay one cheap
-        # count-aggregate to find heavy buckets, and DECIDE driver-side
-        # (AQE-style runtime adaptivity): the common no-heavy-buckets
-        # case then runs the pure direct self-join with zero extra
-        # operators in the pair plan.
-        rows = rows.cache()
+        # tiny (id × bands rows of longs) → materialize it ONCE with an
+        # eager localCheckpoint, pay one cheap count-aggregate to find
+        # heavy buckets, and DECIDE driver-side (AQE-style runtime
+        # adaptivity): the common no-heavy-buckets case then runs the
+        # pure direct self-join with zero extra operators in the pair
+        # plan. Checkpoint, not cache: cache leaves the full upstream
+        # pipeline (shingle → hash → 64-min agg) statically duplicated
+        # in every consumer branch — under memory pressure or eviction
+        # the corpus would be re-scanned per branch; the checkpoint
+        # truncates the plan so all three consumers (heavy probe, both
+        # self-join sides) read the materialized relation by contract.
+        rows = rows.localCheckpoint()
         heavy = (rows.groupBy(*bucket_cols).count()
                  .where(F.col("count") > max_bucket)
                  .select(*bucket_cols))
@@ -270,6 +276,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 200,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) via MinHash LSH banding.
 
@@ -278,10 +285,16 @@ def lsh_candidate_pairs(
     ``id_a, id_b`` (distinct). `max_bucket` caps pathological buckets
     (bounds within-bucket pair blowup; capped buckets are still covered
     by their other bands).
+
+    `signatures`: optionally pass a persisted `minhash_signatures` output
+    (id, minhash) — at 100 TB the signature table (a few hundred bytes
+    per doc) is maintained alongside the corpus, so a dedup run reads it
+    instead of re-shingling everything (same deployed-index pattern as
+    the ANN `index=` parameters).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col,
-                             num_hashes=num_hashes, shingle_k=shingle_k)
+    sig = signatures if signatures is not None else minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -315,7 +328,10 @@ def jaccard_for_pairs(
     """
     # Shingle ONLY documents that appear in a candidate pair (semi-join
     # pre-filter) — the pair list is tiny relative to the corpus, so this
-    # skips shingling ~all of the 100 TB.
+    # skips shingling ~all of the 100 TB. ensure_parallelism spreads the
+    # surviving subset across the cluster (a local parquet file arrives
+    # as 1 partition and would serialize the shingle+intersect work);
+    # it's a no-op at scale where the scan already has >> slots partitions.
     ids = (pairs.select(F.col("id_a").alias(id_col))
            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
            .distinct())
@@ -336,14 +352,22 @@ def jaccard_for_pairs(
 
 def near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                    threshold: float = 0.7, num_hashes: int = 64,
-                   bands: int = 16, shingle_k: int = 3) -> DataFrame:
-    """LSH candidates → exact-Jaccard verification → pairs ≥ threshold."""
+                   bands: int = 16, shingle_k: int = 3,
+                   signatures: DataFrame | None = None) -> DataFrame:
+    """LSH candidates → exact-Jaccard verification → pairs ≥ threshold.
+
+    `signatures`: optional persisted (id, minhash) relation — see
+    `lsh_candidate_pairs`.
+    """
     # cache: the candidate list is consumed 3× downstream (two id scans +
-    # the verify join) and is tiny relative to the corpus — caching avoids
-    # re-running the whole LSH pipeline per consumer.
+    # the verify join) and is tiny. The expensive part of its lineage (the
+    # signature pipeline) is already checkpoint-truncated inside
+    # bucketed_pairs, so an eviction re-runs only the cheap band self-join
+    # — cache avoids an extra eager materialization job here.
     cands = lsh_candidate_pairs(df, id_col, text_col,
                                 num_hashes=num_hashes, bands=bands,
-                                shingle_k=shingle_k).cache()
+                                shingle_k=shingle_k,
+                                signatures=signatures).cache()
     scored = jaccard_for_pairs(df, cands, id_col, text_col, shingle_k=shingle_k)
     return scored.where(F.col("jaccard") >= threshold)
 
@@ -425,7 +449,8 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str, *,
                    threshold: float = 0.7, num_hashes: int = 64,
-                   bands: int = 16, shingle_k: int = 3) -> DataFrame:
+                   bands: int = 16, shingle_k: int = 3,
+                   signatures: DataFrame | None = None) -> DataFrame:
     """Cluster assignment for every document: near-dup pairs (MinHash LSH
     + exact-Jaccard verify) → connected components → left join back, so
     singletons keep their own id as cluster. Output: (id_col, cluster).
@@ -438,7 +463,7 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str, *,
     """
     prs = near_dup_pairs(df, id_col, text_col, threshold=threshold,
                          num_hashes=num_hashes, bands=bands,
-                         shingle_k=shingle_k)
+                         shingle_k=shingle_k, signatures=signatures)
     comp = connected_components(prs.select("id_a", "id_b"))
     return (df.select(F.col(id_col))
             .join(F.broadcast(comp.withColumnRenamed("id", id_col)),
