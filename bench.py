@@ -30,6 +30,7 @@ HEADLINE = [
     "topk_per_group",
     "dedup_exact",
     "minhash_near_dup",
+    "dedup_clusters",
     "embedding_cosine_topk",
     "token_stats_by_lang",
 ]

@@ -372,7 +372,8 @@ def near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     return scored.where(F.col("jaccard") >= threshold)
 
 
-def connected_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+def connected_components(pairs: DataFrame, *, max_iter: int = 25,
+                         _rounds_out: list | None = None) -> DataFrame:
     """Component label (= min node id in the component) for every node of
     an undirected edge list ``(id_a, id_b)``. Output: ``(id, cluster)``.
 
@@ -395,20 +396,30 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     Each round ends in `localCheckpoint` — the iterative plan would
     otherwise grow exponentially and re-execute every prior round per
     action. Convergence = the (count, xor-of-edge-hashes) signature of
-    the edge set is unchanged under a full round; computing it rides the
-    same job that materializes the checkpoint, so the check costs no
-    extra pass over the data.
+    the edge set is unchanged under a full round; it is computed via
+    `DataFrame.observe`, so the metrics ride the SAME job that
+    materializes the checkpoint — exactly ONE Spark action per round,
+    zero extra passes over the edge set.
+
+    `_rounds_out`: internal/test hook — when a list is passed, the number
+    of rounds executed is appended (O(log n) convergence assertion).
     """
     edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
              .where(F.col("a") != F.col("b")).distinct())
 
-    def signature(e: DataFrame) -> tuple[int, int]:
-        row = e.agg(
+    from pyspark.sql import Observation
+
+    def checkpoint_with_signature(e: DataFrame) -> tuple[DataFrame, tuple]:
+        obs = Observation()
+        observed = e.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             # xor-fold, not sum: order-independent, overflow-free
             F.bit_xor(F.xxhash64("a", "b")).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
+        )
+        out = observed.localCheckpoint()  # the round's single action
+        row = obs.get
+        return out, (row["n"], row["h"])
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.unionByName(e.select(F.col("b").alias("a"),
@@ -432,14 +443,16 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
         return (nbr.unionByName(self_edge)
                 .where(F.col("a") != F.col("b")).distinct())
 
-    edges = edges.localCheckpoint()
-    sig = signature(edges)
+    edges, sig = checkpoint_with_signature(edges)
+    rounds = 0
     for _ in range(max_iter):
-        edges = small_star(large_star(edges)).localCheckpoint()
-        new_sig = signature(edges)
+        edges, new_sig = checkpoint_with_signature(small_star(large_star(edges)))
+        rounds += 1
         if new_sig == sig:
             break
         sig = new_sig
+    if _rounds_out is not None:
+        _rounds_out.append(rounds)
     # Converged edge set is a star forest: (member → component min) for
     # every non-root member. Roots label themselves.
     roots = edges.select(F.col("b").alias("a"), F.col("b")).distinct()

@@ -100,6 +100,28 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert connected_components(pairs).count() == 0
 
+    def test_10k_path_graph_log_rounds(self, spark):
+        # 10k-node path graph: diameter 9999 — naive label propagation
+        # would need ~10k shuffle rounds; alternating large-star/small-star
+        # must converge in O(log n). Bound: 2·log2(10k) ≈ 27 is the
+        # theoretical worst case over all graphs; on paths it converges
+        # much faster — assert the observed ceiling with margin so a
+        # regression to O(diameter) fails immediately.
+        from pyspark.sql import functions as F
+
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            connected_components)
+        pairs = (spark.range(9999)
+                 .select(F.col("id").alias("id_a"),
+                         (F.col("id") + 1).alias("id_b")))
+        rounds: list = []
+        out = connected_components(pairs, _rounds_out=rounds)
+        agg = out.agg(F.count_distinct("cluster").alias("c"),
+                      F.count("*").alias("n"),
+                      F.min("cluster").alias("m")).first()
+        assert (agg["c"], agg["n"], agg["m"]) == (1, 10000, 0)
+        assert rounds[0] <= 16, f"O(log n) regression: {rounds[0]} rounds"
+
     def test_dedup_clusters_singletons_self_label(self, spark):
         from confluent_ksql_charm_spark.pipeline.dedup import dedup_clusters
         rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
