@@ -796,12 +796,18 @@ def _q_ann_ivf(spark, sf):
 
 
 def _q_multimodal_features(spark, sf):
+    # REAL decode path (decode_stub=False): payloads are synthesized WAV
+    # files (44-byte canonical header + PCM16, n_samples = n_chars) built
+    # executor-side, decoded by the stdlib RIFF walk — the oracle predicts
+    # every header-derived column from n_chars alone.
     from confluent_ksql_charm_spark.pipeline.multimodal import (
-        attach_fake_media, extract_features)
+        extract_features, synth_wav_media)
 
-    media = attach_fake_media(_docs(spark, sf))
-    feats = extract_features(media, decode_stub=True)
-    return feats.select("doc_id", "media_type", "n_bytes")
+    docs = _docs(spark, sf).select("doc_id", F.col("n_chars").alias("n"))
+    media = synth_wav_media(docs, "n", sample_rate=8000)
+    feats = extract_features(media, decode_stub=False)
+    return feats.select("doc_id", "media_type", "fmt", "n_bytes",
+                        "sample_rate", "n_channels", "duration_ms")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1366,8 +1372,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang"
         ),
         "multimodal_features": (
-            "SELECT doc_id, 'image/fake' AS media_type, "
-            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+            # WAV payload = 44-byte canonical header + 2·n_chars PCM16
+            # bytes; every decoded column is header-derived → predictable
+            "SELECT doc_id, 'audio/wav' AS media_type, 'wav' AS fmt, "
+            "CAST(44 + 2 * n_chars AS BIGINT) AS n_bytes, "
+            "8000 AS sample_rate, 1 AS n_channels, "
+            "CAST((n_chars * 1000) // 8000 AS BIGINT) AS duration_ms "
+            "FROM documents"
         ),
         # ann variants run at FULL probe in queries() (probe_hamming=bits,
         # nprobe=nlist), where both are provably exact — so they share the

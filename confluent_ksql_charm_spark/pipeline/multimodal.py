@@ -2,11 +2,17 @@
 
 Media payloads are opaque `binary` columns with a typed metadata struct.
 The Spark-side plumbing (schema, partition-friendly batch iteration via
-`mapInPandas`, Arrow batch shape) is real and tested; the actual codec
-work is STUBBED (`decode_stub=True` → deterministic fake features;
-`decode_stub=False` → NotImplementedError) because no image/audio
-libraries exist in this container. Swapping in a real decoder means
-replacing only the body of `_extract_one`.
+`mapInPandas`, Arrow batch shape) is real and tested, and so is the
+container-decodable subset of the codec work: WAV (RIFF chunk walk →
+rate/channels/bits/duration + PCM16 sample stats), PNG / JPEG / GIF
+(header parse → dimensions) — all stdlib `struct`, no image/audio
+libraries needed. Pixel/spectral decode of compressed payloads (the part
+that genuinely requires PIL/ffmpeg) stays out of scope: unknown or
+compressed-beyond-header formats degrade to `fmt='unknown'` with byte-
+moment features rather than failing the pipeline.
+
+`decode_stub=True` keeps the original deterministic fake-feature path
+(plumbing tests, corpora with no real media).
 
 Scale notes: `mapInPandas` streams Arrow record batches per partition —
 constant memory per executor regardless of table size; media bytes never
@@ -16,8 +22,8 @@ pass through the driver. Control batch size with
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
-from typing import Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -28,8 +34,9 @@ MEDIA_META_DDL = (
 )
 
 FEATURE_SCHEMA_DDL = (
-    "doc_id bigint, media_type string, n_bytes bigint, "
-    "sha_bucket int, feat array<float>"
+    "doc_id bigint, media_type string, n_bytes bigint, sha_bucket int, "
+    "fmt string, width int, height int, sample_rate int, n_channels int, "
+    "duration_ms bigint, feat array<float>"
 )
 
 
@@ -51,13 +58,149 @@ def attach_fake_media(df: DataFrame, text_col: str = "text",
     )
 
 
-def _extract_one(payload: bytes, media_type: str, decode_stub: bool) -> list[float]:
-    if not decode_stub:
-        raise NotImplementedError(
-            "real media decode requires PIL/ffmpeg — not available in this "
-            "container; run with decode_stub=True for deterministic fakes"
-        )
-    # Deterministic fake "feature": 4 moments of the byte histogram.
+def synth_wav_bytes(n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic mono PCM16 WAV: exactly 44 header bytes + 2·n data
+    bytes (canonical minimal RIFF — no extra chunks), samples a fixed
+    triangle-ish ramp so stats are reproducible."""
+    data_len = 2 * n_samples
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + data_len, b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", data_len,
+    )
+    samples = bytearray()
+    for i in range(n_samples):
+        v = (i * 37) % 2048 - 1024
+        samples += struct.pack("<h", v)
+    return hdr + bytes(samples)
+
+
+def synth_wav_media(df: DataFrame, n_samples_col: str,
+                    id_col: str = "doc_id",
+                    sample_rate: int = 8000) -> DataFrame:
+    """Media relation whose payloads are real (synthesized) WAV files —
+    the container-testable fixture for the decode_stub=False path. Runs
+    in mapInPandas so payload bytes are built executor-side."""
+
+    out_ddl = f"{id_col} bigint, payload binary, meta struct<{MEDIA_META_DDL}>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_wav_bytes(int(n), sample_rate)
+                        for n in pdf[n_samples_col]]
+            metas = [
+                {"media_type": "audio/wav", "width": None, "height": None,
+                 "duration_ms": int(n) * 1000 // sample_rate, "codec": "pcm16"}
+                for n in pdf[n_samples_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads,
+                                "meta": metas})
+
+    return df.select(id_col, n_samples_col).mapInPandas(run, schema=out_ddl)
+
+
+def _decode_wav(p: bytes) -> dict | None:
+    """RIFF/WAVE chunk walk: fmt (rate/channels/bits) + data length →
+    duration; PCM16 sample stats (mean |x|, rms, peak) as the feature."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_off, data_len = 12, None, None, None
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", p, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and body + 16 <= len(p):
+            _tag, n_ch, rate, _br, _align, bits = struct.unpack_from(
+                "<HHIIHH", p, body)
+            fmt = {"n_channels": n_ch, "sample_rate": rate, "bits": bits}
+        elif cid == b"data":
+            data_off = body
+            data_len = min(sz, len(p) - body)
+        pos = body + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        return None
+    frame = max(1, fmt["n_channels"] * fmt["bits"] // 8)
+    n_frames = data_len // frame
+    dur = n_frames * 1000 // fmt["sample_rate"] if fmt["sample_rate"] else 0
+    feat = [0.0, 0.0, 0.0]
+    if fmt["bits"] == 16 and data_len >= 2:
+        n16 = data_len // 2
+        vals = struct.unpack_from(f"<{n16}h", p, data_off)
+        n = len(vals)
+        feat = [
+            float(sum(abs(v) for v in vals)) / n,
+            float(sum(v * v for v in vals) / n) ** 0.5,
+            float(max(abs(v) for v in vals)),
+        ]
+    return {"fmt": "wav", "width": None, "height": None,
+            "sample_rate": fmt["sample_rate"],
+            "n_channels": fmt["n_channels"], "duration_ms": dur, "feat": feat}
+
+
+def _decode_png(p: bytes) -> dict | None:
+    if len(p) < 24 or p[:8] != b"\x89PNG\r\n\x1a\n" or p[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack_from(">II", p, 16)
+    return {"fmt": "png", "width": w, "height": h, "sample_rate": None,
+            "n_channels": None, "duration_ms": None, "feat": []}
+
+
+def _decode_jpeg(p: bytes) -> dict | None:
+    """Walk JPEG segments to the first SOF0/1/2 frame header → dims."""
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(p):
+        if p[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = p[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers, no length
+            continue
+        if pos + 4 > len(p):
+            break
+        (seg_len,) = struct.unpack_from(">H", p, pos + 2)
+        if marker in (0xC0, 0xC1, 0xC2) and pos + 9 <= len(p):
+            h, w = struct.unpack_from(">HH", p, pos + 5)
+            return {"fmt": "jpeg", "width": w, "height": h,
+                    "sample_rate": None, "n_channels": None,
+                    "duration_ms": None, "feat": []}
+        pos += 2 + seg_len
+    return None
+
+
+def _decode_gif(p: bytes) -> dict | None:
+    if len(p) < 10 or p[:4] != b"GIF8":
+        return None
+    w, h = struct.unpack_from("<HH", p, 6)
+    return {"fmt": "gif", "width": w, "height": h, "sample_rate": None,
+            "n_channels": None, "duration_ms": None, "feat": []}
+
+
+_UNKNOWN = {"fmt": "unknown", "width": None, "height": None,
+            "sample_rate": None, "n_channels": None, "duration_ms": None}
+
+
+def decode_media(payload: bytes | None) -> dict:
+    """Sniff + decode a media payload (stdlib only). WAV → audio props +
+    PCM16 stats; PNG/JPEG/GIF → dimensions; anything else → 'unknown'
+    with byte-moment features (never raises — one bad blob in a 100 TB
+    corpus must not kill the job)."""
+    if payload:
+        for dec in (_decode_wav, _decode_png, _decode_jpeg, _decode_gif):
+            try:
+                out = dec(payload)
+            except (struct.error, IndexError, ValueError):
+                out = None
+            if out is not None:
+                return out
+    return dict(_UNKNOWN, feat=_byte_moments(payload))
+
+
+def _byte_moments(payload: bytes | None) -> list[float]:
+    """Deterministic byte-histogram moments (the stub feature)."""
     if not payload:
         return [0.0, 0.0, 0.0, 0.0]
     n = len(payload)
@@ -66,13 +209,19 @@ def _extract_one(payload: bytes, media_type: str, decode_stub: bool) -> list[flo
     return [float(n), float(s1), float(s2), float(s2 - s1 * s1)]
 
 
+def _extract_one(payload: bytes, media_type: str, decode_stub: bool) -> dict:
+    if decode_stub:
+        return dict(_UNKNOWN, fmt="stub", feat=_byte_moments(payload))
+    return decode_media(payload)
+
+
 def extract_features(media: DataFrame, *, decode_stub: bool = True,
                      id_col: str = "doc_id") -> DataFrame:
     """Decode/feature-extract media payloads via mapInPandas."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
+            decs = [
                 _extract_one(p, m, decode_stub)
                 for p, m in zip(pdf["payload"], pdf["media_type"])
             ]
@@ -84,7 +233,13 @@ def extract_features(media: DataFrame, *, decode_stub: bool = True,
                     (int.from_bytes(p[:4], "big") if p else 0) % 64
                     for p in pdf["payload"]
                 ],
-                "feat": feats,
+                "fmt": [d["fmt"] for d in decs],
+                "width": [d["width"] for d in decs],
+                "height": [d["height"] for d in decs],
+                "sample_rate": [d["sample_rate"] for d in decs],
+                "n_channels": [d["n_channels"] for d in decs],
+                "duration_ms": [d["duration_ms"] for d in decs],
+                "feat": [d["feat"] for d in decs],
             })
 
     flat = media.select(

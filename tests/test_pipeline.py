@@ -653,14 +653,70 @@ class TestMultimodal:
         assert out[2].n_bytes == 0
         assert len(out[1].feat) == 4 and out[1].feat[0] == 4.0
 
-    def test_decode_stub_false_raises(self, spark):
+    def test_decode_stub_false_unknown_bytes_degrade(self, spark):
+        # non-media payloads must NOT kill the job: fmt='unknown' with
+        # byte-moment features
         from confluent_ksql_charm_spark.pipeline.multimodal import (
             attach_fake_media, extract_features)
 
         docs = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
-        with pytest.raises(Exception):
-            extract_features(attach_fake_media(docs),
-                             decode_stub=False).collect()
+        row = extract_features(attach_fake_media(docs),
+                               decode_stub=False).collect()[0]
+        assert row.fmt == "unknown" and row.width is None
+
+    def test_wav_decode_roundtrip(self):
+        from confluent_ksql_charm_spark.pipeline.multimodal import (
+            decode_media, synth_wav_bytes)
+
+        p = synth_wav_bytes(16000, sample_rate=8000)
+        assert len(p) == 44 + 32000
+        d = decode_media(p)
+        assert d["fmt"] == "wav"
+        assert d["sample_rate"] == 8000
+        assert d["n_channels"] == 1
+        assert d["duration_ms"] == 2000
+        assert len(d["feat"]) == 3 and d["feat"][2] <= 1024  # peak bounded
+
+    def test_png_jpeg_gif_dimensions(self):
+        import struct
+        import zlib
+
+        from confluent_ksql_charm_spark.pipeline.multimodal import decode_media
+
+        # minimal valid PNG: signature + IHDR(3x2) + IDAT + IEND
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body)))
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + b"\x10\x20\x30" * 3 for _ in range(2))
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        d = decode_media(png)
+        assert (d["fmt"], d["width"], d["height"]) == ("png", 3, 2)
+
+        # minimal JPEG: SOI + APP0 + SOF0 (64x48) + EOI
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 48, 64) + b"\x01\x11\x00"
+        jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+        d = decode_media(jpg)
+        assert (d["fmt"], d["width"], d["height"]) == ("jpeg", 64, 48)
+
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+        d = decode_media(gif)
+        assert (d["fmt"], d["width"], d["height"]) == ("gif", 320, 200)
+
+    def test_synth_wav_media_decodes_in_spark(self, spark):
+        from confluent_ksql_charm_spark.pipeline.multimodal import (
+            extract_features, synth_wav_media)
+
+        docs = spark.createDataFrame([(1, 8000), (2, 4000)],
+                                     "doc_id bigint, n bigint")
+        media = synth_wav_media(docs, "n", sample_rate=8000)
+        out = {r.doc_id: r for r in
+               extract_features(media, decode_stub=False).collect()}
+        assert out[1].fmt == "wav" and out[1].duration_ms == 1000
+        assert out[2].duration_ms == 500
+        assert out[1].n_bytes == 44 + 16000
 
     def test_frame_sample_plan(self, spark):
         from confluent_ksql_charm_spark.pipeline.multimodal import (
