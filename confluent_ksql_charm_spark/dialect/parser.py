@@ -75,6 +75,21 @@ class InsertIntoSpec:
 
 
 @dataclass
+class PipelineSpec:
+    """`CREATE STREAM|TABLE x AS PIPELINE OP(src[, src2][, KEY='val'...])`
+    — dialect access to the corpus-pipeline operators (dedup,
+    decontamination, PII redaction, BM25, ...). Dialect extension: KSQL
+    5.x has no table-function surface; this is the engine's."""
+    kind: str                             # STREAM | TABLE
+    name: str
+    props: dict[str, str]
+    op: str                               # upper-cased operator name
+    sources: list[str]                    # positional stream/table names
+    params: dict[str, str]                # KEY='val' arguments, upper keys
+    if_not_exists: bool = False
+
+
+@dataclass
 class SimpleSpec:
     """SHOW/DESCRIBE/DROP/TERMINATE/EXPLAIN/SET/UNSET/PRINT/RUN SCRIPT."""
     verb: str
@@ -236,6 +251,27 @@ def _parse_create(cur: _Cursor) -> CreateSourceSpec | CreateAsSpec:
         # registry flow — `CREATE STREAM s WITH (VALUE_FORMAT='AVRO', ...)`)
         return CreateSourceSpec(kind, name, [], props, if_not_exists)
     cur.expect_kw("AS")
+    if cur.at_kw("PIPELINE"):
+        cur.next()
+        op = _ident_text(cur.next()).upper()
+        cur.expect_op("(")
+        sources: list[str] = []
+        params: dict[str, str] = {}
+        while not cur.at_op(")"):
+            t = cur.next()
+            if cur.at_op("="):
+                cur.next()
+                v = cur.next()
+                val = (v.text[1:-1].replace("''", "'")
+                       if v.kind == STRING else v.text)
+                params[_ident_text(t).upper()] = val
+            else:
+                sources.append(_ident_text(t))
+            if cur.at_op(","):
+                cur.next()
+        cur.expect_op(")")
+        return PipelineSpec(kind, name, props, op, sources, params,
+                            if_not_exists)
     sel = parse_select(cur)
     return CreateAsSpec(kind, name, props, sel, if_not_exists)
 

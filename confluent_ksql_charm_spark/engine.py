@@ -32,6 +32,7 @@ from .dialect.parser import (
     CreateAsSpec,
     CreateSourceSpec,
     InsertIntoSpec,
+    PipelineSpec,
     SelectSpec,
     SimpleSpec,
     parse_statement,
@@ -356,9 +357,33 @@ class KsqlSparkEngine:
             return self._create_source(spec)
         if isinstance(spec, InsertIntoSpec):
             return self._insert_into(spec)
+        if isinstance(spec, PipelineSpec):
+            return self._create_pipeline(spec)
         if isinstance(spec, SimpleSpec):
             return self._simple(spec)
         raise ValueError(f"unhandled statement {stmt[:60]}")
+
+    def _create_pipeline(self, spec: PipelineSpec) -> StatementResult:
+        """CREATE ... AS PIPELINE OP(...): run a corpus-pipeline operator
+        over registered sources and register the result as a new relation.
+
+        Batch-only by design: these operators aggregate/self-join whole
+        corpora (dedup signatures, gram joins, BM25 stats) — the streaming
+        analogue is the incremental_* family against a maintained corpus.
+        """
+        if spec.if_not_exists and self.metastore.has(spec.name):
+            return StatementResult(kind="DDL", name=spec.name, message="exists")
+        srcs = [self.metastore.get(s) for s in spec.sources]
+        if any(m.df.isStreaming for m in srcs):
+            raise ValueError("PIPELINE operators are batch-only; register "
+                             "sources unstreamed or use the incremental_* "
+                             "Python API for streaming ingest")
+        from .pipeline.registry import pipeline_op_df
+        df = pipeline_op_df(spec, [m.df for m in srcs])
+        self.register_source(spec.name, df=df, kind=spec.kind)
+        return StatementResult(kind="CSAS" if spec.kind == "STREAM" else "CTAS",
+                               name=spec.name, df=df,
+                               message=f"PIPELINE_{spec.op}")
 
     def _create_source(self, spec: CreateSourceSpec) -> StatementResult:
         if spec.if_not_exists and self.metastore.has(spec.name):

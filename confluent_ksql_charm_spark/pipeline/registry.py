@@ -1,0 +1,84 @@
+"""Dialect registry for corpus-pipeline operators.
+
+Maps `CREATE ... AS PIPELINE OP(src..., KEY='val'...)` statements onto
+the Python pipeline API, so the KSQL front end (engine.execute / REST /
+CLI) reaches dedup, decontamination, PII redaction, and BM25 without
+writing PySpark. Each op declares its required/optional parameters; the
+builder validates and raises with the expected signature on misuse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_SIGNATURES = {
+    "DEDUP_EXACT": "DEDUP_EXACT(src, ON='col[,col]', ID='id_col')",
+    "NEAR_DUP_PAIRS": ("NEAR_DUP_PAIRS(src, ID='id', TEXT='text'"
+                       "[, THRESHOLD='0.7'])"),
+    "DEDUP_CLUSTERS": ("DEDUP_CLUSTERS(src, ID='id', TEXT='text'"
+                       "[, THRESHOLD='0.7'])"),
+    "DECONTAMINATE": ("DECONTAMINATE(corpus, bench, ID='id', TEXT='text'"
+                      "[, N='8'])"),
+    "FLAG_CONTAMINATED": ("FLAG_CONTAMINATED(corpus, bench, ID='id', "
+                          "TEXT='text'[, N='8'])"),
+    "PII_REDACT": "PII_REDACT(src[, TEXT='text'][, COUNTS='true'])",
+    "BM25_TOPK": ("BM25_TOPK(src, QUERY='term term ...', ID='id', "
+                  "TEXT='text'[, K='10'])"),
+}
+
+
+def _need(spec, key: str) -> str:
+    try:
+        return spec.params[key]
+    except KeyError:
+        raise ValueError(
+            f"PIPELINE {spec.op} requires {key}=; usage: "
+            f"{_SIGNATURES[spec.op]}") from None
+
+
+def _need_sources(spec, n: int) -> None:
+    if len(spec.sources) != n:
+        raise ValueError(
+            f"PIPELINE {spec.op} takes {n} source(s), got "
+            f"{len(spec.sources)}; usage: {_SIGNATURES[spec.op]}")
+
+
+def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
+    """Build the result DataFrame for a parsed PipelineSpec."""
+    op = spec.op
+    p = spec.params
+    if op == "DEDUP_EXACT":
+        from .dedup import exact_dedup
+        _need_sources(spec, 1)
+        on = [c.strip() for c in _need(spec, "ON").split(",")]
+        return exact_dedup(dfs[0], on, _need(spec, "ID"))
+    if op == "NEAR_DUP_PAIRS":
+        from .dedup import near_dup_pairs
+        _need_sources(spec, 1)
+        return near_dup_pairs(dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
+                              threshold=float(p.get("THRESHOLD", 0.7)))
+    if op == "DEDUP_CLUSTERS":
+        from .dedup import dedup_clusters
+        _need_sources(spec, 1)
+        return dedup_clusters(dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
+                              threshold=float(p.get("THRESHOLD", 0.7)))
+    if op in ("DECONTAMINATE", "FLAG_CONTAMINATED"):
+        from .contamination import decontaminate, flag_contaminated
+        _need_sources(spec, 2)
+        fn = decontaminate if op == "DECONTAMINATE" else flag_contaminated
+        return fn(dfs[0], dfs[1], _need(spec, "ID"), _need(spec, "TEXT"),
+                  n=int(p.get("N", 8)))
+    if op == "PII_REDACT":
+        from .pii import redact_pii
+        _need_sources(spec, 1)
+        return redact_pii(dfs[0], p.get("TEXT", "text"),
+                          with_counts=p.get("COUNTS", "true").lower() == "true")
+    if op == "BM25_TOPK":
+        from .search import bm25_topk
+        _need_sources(spec, 1)
+        return bm25_topk(dfs[0], _need(spec, "QUERY").split(),
+                         _need(spec, "ID"), _need(spec, "TEXT"),
+                         k=int(p.get("K", 10)))
+    raise ValueError(
+        f"unknown PIPELINE operator {op!r}; available: "
+        + ", ".join(sorted(_SIGNATURES)))

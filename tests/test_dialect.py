@@ -361,3 +361,78 @@ class TestIntegerDivision:
     def test_double_division_untouched(self, engine):
         r = engine.sql("SELECT value / 2 AS b FROM events LIMIT 1")
         assert dict(r.dtypes)["b"] == "double"
+
+
+class TestPipelineStatements:
+    """`CREATE ... AS PIPELINE OP(...)` — dialect access to the corpus
+    pipeline (dedup / decontaminate / PII / BM25) so the KSQL front end
+    reaches the engine's strongest operators without Python."""
+
+    @pytest.fixture()
+    def peng(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(spark)
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),      # exact dup of 1
+            (3, "vector hash merge join scan filter sort"),
+            (4, "call me at 555-123-4567 or x@example.com"),
+            (5, "totally unrelated words nothing shared here"),
+        ]
+        eng.register_source("docs", df=spark.createDataFrame(
+            rows, "doc_id bigint, text string"))
+        eng.register_source("bench", df=spark.createDataFrame(
+            [(100, "vector hash merge join scan filter sort")],
+            "doc_id bigint, text string"))
+        return eng
+
+    def test_dedup_exact_via_sql(self, peng):
+        peng.execute("CREATE STREAM deduped AS PIPELINE "
+                     "DEDUP_EXACT(docs, ON='text', ID='doc_id');")
+        ids = {r.doc_id for r in
+               peng.sql("SELECT doc_id FROM deduped").collect()}
+        assert ids == {1, 3, 4, 5}  # min-id representative of the dup pair
+
+    def test_pii_redact_via_sql(self, peng):
+        peng.execute("CREATE STREAM redacted AS PIPELINE "
+                     "PII_REDACT(docs, TEXT='text');")
+        row = {r.doc_id: r for r in peng.sql(
+            "SELECT doc_id, text, n_email, n_phone FROM redacted").collect()}
+        assert row[4].n_email == 1 and row[4].n_phone == 1
+        assert "<EMAIL>" in row[4].text and "<PHONE>" in row[4].text
+        assert row[1].n_email == 0
+
+    def test_bm25_via_sql(self, peng):
+        peng.execute("CREATE TABLE hits AS PIPELINE BM25_TOPK(docs, "
+                     "QUERY='vector hash merge', ID='doc_id', TEXT='text', "
+                     "K='3');")
+        rows = peng.sql("SELECT doc_id, score FROM hits").collect()
+        assert rows and rows[0].doc_id == 3 and rows[0].score > 0
+
+    def test_decontaminate_via_sql(self, peng):
+        peng.execute("CREATE STREAM clean AS PIPELINE "
+                     "DECONTAMINATE(docs, bench, ID='doc_id', TEXT='text', "
+                     "N='3');")
+        ids = {r.doc_id for r in
+               peng.sql("SELECT doc_id FROM clean").collect()}
+        assert 3 not in ids          # shares 3-grams with the benchmark
+        assert {1, 2, 4, 5} <= ids
+
+    def test_result_composes_with_dialect(self, peng):
+        # PIPELINE output is a first-class relation: joins/aggregates work
+        peng.execute("CREATE STREAM deduped2 AS PIPELINE "
+                     "DEDUP_EXACT(docs, ON='text', ID='doc_id');")
+        n = peng.sql("SELECT COUNT(*) AS n FROM deduped2 WHERE "
+                     "LEN(text) > 10").first().n
+        assert n == 4
+
+    def test_unknown_op_and_missing_param(self, peng):
+        with pytest.raises(ValueError, match="unknown PIPELINE operator"):
+            peng.execute("CREATE STREAM x AS PIPELINE NOPE(docs);")
+        with pytest.raises(ValueError, match="requires ID="):
+            peng.execute("CREATE STREAM x AS PIPELINE "
+                         "DEDUP_EXACT(docs, ON='text');")
+        with pytest.raises(ValueError, match="takes 2 source"):
+            peng.execute("CREATE STREAM x AS PIPELINE "
+                         "DECONTAMINATE(docs, ID='doc_id', TEXT='text');")
