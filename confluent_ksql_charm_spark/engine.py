@@ -393,20 +393,23 @@ class KsqlSparkEngine:
         if not spec.columns and fmt.upper() == "AVRO":
             # KSQL 5.x registry inference: AVRO source with no column list
             # derives its columns from the topic's value schema. The
-            # registry here is a local dir (WITH (SCHEMA_REGISTRY='/dir')
-            # or engine config) — same lookup contract as the HTTP one.
-            from .sources.avro import LocalSchemaRegistry
+            # registry location (WITH (SCHEMA_REGISTRY=...) or engine
+            # config) is either an http(s):// Confluent Schema Registry
+            # URL or a local directory of .avsc files — same contract.
+            from .sources.avro import schema_registry_for
 
-            reg_dir = (spec.props.get("SCHEMA_REGISTRY")
+            reg_loc = (spec.props.get("SCHEMA_REGISTRY")
+                       or self.config.properties.get("schema.registry.url")
                        or self.config.properties.get("schema.registry.dir"))
-            if not reg_dir:
+            if not reg_loc:
                 raise ValueError(
                     "AVRO source without a column list requires schema "
-                    "inference: set WITH (SCHEMA_REGISTRY='<dir>') or the "
-                    "'schema.registry.dir' engine property")
+                    "inference: set WITH (SCHEMA_REGISTRY='<url-or-dir>') "
+                    "or the 'schema.registry.url' / 'schema.registry.dir' "
+                    "engine property")
             from .sources.kafka import _fields as _split_ddl_fields
 
-            inferred = LocalSchemaRegistry(reg_dir).value_schema_ddl(topic)
+            inferred = schema_registry_for(reg_loc).value_schema_ddl(topic)
             spec = replace(spec, columns=[
                 (f.split(maxsplit=1)[0], f.split(maxsplit=1)[1])
                 for f in _split_ddl_fields(inferred)])

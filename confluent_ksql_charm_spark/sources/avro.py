@@ -184,6 +184,66 @@ class LocalSchemaRegistry:
         return avro_to_ddl(self.schema(f"{topic}-value"))
 
 
+class HttpSchemaRegistry:
+    """Confluent Schema Registry HTTP client (read path), same two-method
+    interface as LocalSchemaRegistry — stdlib urllib only.
+
+    Endpoints used (Confluent REST API, public contract):
+      GET {base}/subjects/{subject}/versions/latest
+          → {"subject": ..., "version": n, "id": n, "schema": "<json>"}
+      GET {base}/schemas/ids/{id} → {"schema": "<json>"}  (decode path)
+
+    Driver-side only: schema lookup happens once at registration, and the
+    resolved DDL is what ships to executors — no registry traffic from
+    tasks, so a 1000-executor cluster generates one request per CREATE,
+    not one per task.
+    """
+
+    def __init__(self, base_url: str, *, timeout: float = 10.0):
+        self.base = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _get(self, path: str) -> dict:
+        import urllib.error
+        import urllib.request
+
+        url = f"{self.base}{path}"
+        try:
+            with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise ValueError(
+                    f"schema registry {self.base!r}: not found: {path} "
+                    f"(error body: {e.read()[:200]!r})") from None
+            raise ValueError(
+                f"schema registry {self.base!r} returned HTTP {e.code} "
+                f"for {path}") from e
+        except urllib.error.URLError as e:
+            raise ValueError(
+                f"schema registry {self.base!r} unreachable: {e.reason}"
+            ) from e
+
+    def schema(self, subject: str) -> dict:
+        body = self._get(f"/subjects/{subject}/versions/latest")
+        # the registry returns the Avro schema as a JSON-encoded STRING
+        return json.loads(body["schema"])
+
+    def schema_by_id(self, schema_id: int) -> dict:
+        return json.loads(self._get(f"/schemas/ids/{schema_id}")["schema"])
+
+    def value_schema_ddl(self, topic: str) -> str:
+        return avro_to_ddl(self.schema(f"{topic}-value"))
+
+
+def schema_registry_for(location: str) -> "HttpSchemaRegistry | LocalSchemaRegistry":
+    """Registry client for a location string: http(s):// URLs get the
+    HTTP client, anything else is a local directory of .avsc files."""
+    if location.startswith(("http://", "https://")):
+        return HttpSchemaRegistry(location)
+    return LocalSchemaRegistry(location)
+
+
 # ---------------------------------------------------------------------------
 # Binary decoder (Avro 1.x spec: zigzag varints, block collections, unions)
 # ---------------------------------------------------------------------------

@@ -210,6 +210,100 @@ class TestSchemaRegistryInference:
                         "VALUE_FORMAT='AVRO');")
 
 
+class TestHttpSchemaRegistry:
+    """HTTP registry client against a live in-process server replaying
+    recorded Confluent REST API responses — the wire format is the public
+    contract: schema field is a JSON-encoded STRING inside a JSON body."""
+
+    AVSC = TestSchemaRegistryInference.AVSC
+
+    @pytest.fixture()
+    def registry_server(self):
+        import http.server
+        import json
+        import threading
+
+        avsc = self.AVSC
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # keep test output clean
+                pass
+
+            def do_GET(self):
+                routes = {
+                    "/subjects/events_avro-value/versions/latest": {
+                        "subject": "events_avro-value", "version": 3,
+                        "id": 17, "schema": json.dumps(avsc)},
+                    "/schemas/ids/17": {"schema": json.dumps(avsc)},
+                }
+                if self.path in routes:
+                    body = json.dumps(routes[self.path]).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/vnd.schemaregistry.v1+json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    body = json.dumps({"error_code": 40401,
+                                       "message": "Subject not found."}).encode()
+                    self.send_response(404)
+                    self.end_headers()
+                    self.wfile.write(body)
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_latest_version_lookup(self, registry_server):
+        from confluent_ksql_charm_spark.sources.avro import HttpSchemaRegistry
+
+        reg = HttpSchemaRegistry(registry_server)
+        ddl = reg.value_schema_ddl("events_avro")
+        assert "id" in ddl and "tags" in ddl
+        assert reg.schema_by_id(17)["name"] == self.AVSC["name"]
+
+    def test_missing_subject_404(self, registry_server):
+        from confluent_ksql_charm_spark.sources.avro import HttpSchemaRegistry
+
+        with pytest.raises(ValueError, match="not found"):
+            HttpSchemaRegistry(registry_server).value_schema_ddl("nope")
+
+    def test_unreachable_registry(self):
+        from confluent_ksql_charm_spark.sources.avro import HttpSchemaRegistry
+
+        reg = HttpSchemaRegistry("http://127.0.0.1:1", timeout=0.5)
+        with pytest.raises(ValueError, match="unreachable"):
+            reg.value_schema_ddl("t")
+
+    def test_engine_create_stream_via_http_registry(self, spark, tmp_path,
+                                                    registry_server):
+        # end-to-end: CREATE STREAM with an http:// SCHEMA_REGISTRY infers
+        # columns over the wire and the relation is queryable
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(spark, data_dir=str(tmp_path))
+        df = spark.createDataFrame(
+            [(1, "a", 0.5, ["x"])], "id bigint, name string, score double, "
+            "tags array<string>")
+        df.write.parquet(str(tmp_path / "events_avro.parquet"))
+        eng.execute(
+            "CREATE STREAM inferred_http WITH (KAFKA_TOPIC='events_avro', "
+            f"VALUE_FORMAT='AVRO', SCHEMA_REGISTRY='{registry_server}');")
+        got = eng.sql("SELECT id, name FROM inferred_http").collect()
+        assert got[0].id == 1 and got[0].name == "a"
+
+    def test_factory_dispatch(self, tmp_path):
+        from confluent_ksql_charm_spark.sources.avro import (
+            HttpSchemaRegistry, LocalSchemaRegistry, schema_registry_for)
+
+        assert isinstance(schema_registry_for("http://x:1"), HttpSchemaRegistry)
+        assert isinstance(schema_registry_for("https://x"), HttpSchemaRegistry)
+        assert isinstance(schema_registry_for(str(tmp_path)),
+                          LocalSchemaRegistry)
+
+
 class TestSinkSourceRoundTrip:
     """Contract: encode_kafka_records (the sink serde) → decode_kafka_records
     (the source serde) reproduces the typed rows, and re-encoding the
