@@ -12,9 +12,11 @@ filtering ("keep docs matching curated seed queries") and corpus QA.
   not the full inverted index. Catalyst pushes the lowercase+split+
   filter into the scan projection; one hash-aggregate with map-side
   combine produces tf.
-- Global scalars (N, avgdl) come from one tiny aggregate joined back on
-  a constant key — a broadcast hash join of a single row, never a
-  driver-side collect and never a cartesian node in the plan.
+- Global scalars (N, avgdl) come from one tiny aggregate attached via an
+  explicit `crossJoin(broadcast(...))` — a broadcast nested-loop join
+  whose build side is ONE row, i.e. O(|tf|) work with no shuffle and no
+  driver-side collect. (This is the canonical Spark scalar-join shape;
+  it is NOT a cartesian blowup — the plan audit tracks it separately.)
 - Per-term df rides the tf relation (second tiny aggregate). Everything
   downstream (idf, the BM25 kernel, the final top-k) is expression-only;
   the top-k is `ORDER BY … LIMIT k` → Spark's TakeOrderedAndProject
@@ -65,14 +67,13 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], id_col: str,
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(search_tokens(text_col))).alias("avgdl"),
-    ).withColumn("__j", F.lit(1))
+    )
 
     tf = doc_term_stats(docs, id_col, text_col, query_terms)
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (tf.join(F.broadcast(df_t), "term")
-              .withColumn("__j", F.lit(1))
-              .join(F.broadcast(stats), "__j"))
+              .crossJoin(F.broadcast(stats)))  # 1-row scalar attach
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     kernel = (F.col("tf") * (k1 + 1)) / (
