@@ -359,15 +359,16 @@ def near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     `signatures`: optional persisted (id, minhash) relation — see
     `lsh_candidate_pairs`.
     """
-    # cache: the candidate list is consumed 3× downstream (two id scans +
-    # the verify join) and is tiny. The expensive part of its lineage (the
-    # signature pipeline) is already checkpoint-truncated inside
-    # bucketed_pairs, so an eviction re-runs only the cheap band self-join
-    # — cache avoids an extra eager materialization job here.
+    # localCheckpoint: the candidate list is consumed 3× downstream (two
+    # id scans + the verify join) and is tiny — materializing it eagerly
+    # truncates the band self-join out of every consumer branch. Measured
+    # vs cache() at sf0.1: 28 → 8 Exchanges in the static plan AND ~2×
+    # faster walls (cache's statically-tripled subplan still pays plan
+    # processing per branch even when the storage layer dedups the work).
     cands = lsh_candidate_pairs(df, id_col, text_col,
                                 num_hashes=num_hashes, bands=bands,
                                 shingle_k=shingle_k,
-                                signatures=signatures).cache()
+                                signatures=signatures).localCheckpoint()
     scored = jaccard_for_pairs(df, cands, id_col, text_col, shingle_k=shingle_k)
     return scored.where(F.col("jaccard") >= threshold)
 
