@@ -383,9 +383,15 @@ def embedding_near_dup_pairs(df: DataFrame, *, threshold: float = 0.95,
     """
     if num_bands is None or bits_per_band is None:
         num_bands, bits_per_band = lsh_plan(df.count(), threshold)
+    # localCheckpoint, not cache: the tiny candidate list feeds three
+    # consumer branches (two id scans + the verify join); eager
+    # materialization truncates the banding self-join out of each branch
+    # (same measured win as dedup.near_dup_pairs: fewer static Exchanges
+    # and faster walls than a statically-tripled cached subplan).
     cands = banded_lsh_pairs(df, num_bands=num_bands,
                              bits_per_band=bits_per_band, vec_col=vec_col,
-                             id_col=id_col, seed=seed, banded=index).cache()
+                             id_col=id_col, seed=seed,
+                             banded=index).localCheckpoint()
     scored = cosine_for_pairs(df, cands, vec_col=vec_col, id_col=id_col)
     return scored.where(F.col("cosine") >= threshold)
 
