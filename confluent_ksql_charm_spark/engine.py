@@ -137,7 +137,8 @@ class KsqlSparkEngine:
     _instances = 0
 
     def __init__(self, spark: SparkSession, data_dir: str | None = None,
-                 config: EngineConfig | None = None, streaming: bool = False):
+                 config: EngineConfig | None = None, streaming: bool = False,
+                 command_log: str | None = None):
         self.spark = spark
         self.config = config or EngineConfig()
         if data_dir:
@@ -152,6 +153,18 @@ class KsqlSparkEngine:
         self._ns = f"{self.config.service_id}_{KsqlSparkEngine._instances}"
         from .functions.udf import UdfRegistry
         self.udfs = UdfRegistry(spark)
+        # Command-log replay — KSQL's command-topic/CommandRunner analogue
+        # (SURVEY.md §3.9): every state-changing statement that succeeds is
+        # appended to a durable JSONL log; a new engine pointed at the same
+        # log replays it to rebuild DDL state (restart recovery, or a
+        # follower catching up). Single-writer by contract, like KSQL's
+        # single command-topic producer per cluster.
+        self._command_log = command_log
+        self._replaying = False
+        if command_log:
+            import os
+            if os.path.exists(command_log):
+                self.replay_command_log(command_log)
 
     def register_udf(self, name: str, fn, return_type: str,
                      *, vectorized: bool = False) -> None:
@@ -346,22 +359,65 @@ class KsqlSparkEngine:
         out = self.spark.table(name)
         return out.take(limit) if limit else out.collect()
 
+    # SimpleSpec verbs that mutate engine state and must replay; RUN is
+    # excluded (its nested statements log individually through execute)
+    _LOGGED_VERBS = {"DROP", "TERMINATE", "SET", "UNSET"}
+
     def _execute_one(self, stmt: str) -> StatementResult:
         spec = parse_statement(stmt)
         if isinstance(spec, SelectSpec):
             df = self.spark.sql(translate_select(spec, self._resolve))
             return StatementResult(kind="SELECT", df=df)
         if isinstance(spec, CreateAsSpec):
-            return self._create_as(spec, stmt)
+            return self._log_command(stmt, self._create_as(spec, stmt))
         if isinstance(spec, CreateSourceSpec):
-            return self._create_source(spec)
+            return self._log_command(stmt, self._create_source(spec))
         if isinstance(spec, InsertIntoSpec):
-            return self._insert_into(spec)
+            return self._log_command(stmt, self._insert_into(spec))
         if isinstance(spec, PipelineSpec):
-            return self._create_pipeline(spec)
+            return self._log_command(stmt, self._create_pipeline(spec))
         if isinstance(spec, SimpleSpec):
-            return self._simple(spec)
+            res = self._simple(spec)
+            if spec.verb in self._LOGGED_VERBS:
+                return self._log_command(stmt, res)
+            return res
         raise ValueError(f"unhandled statement {stmt[:60]}")
+
+    def _log_command(self, stmt: str, res: StatementResult) -> StatementResult:
+        """Append a SUCCESSFUL state-changing statement to the command log
+        (failed statements raise before reaching here — KSQL likewise only
+        commits accepted commands to the command topic)."""
+        if self._command_log and not self._replaying:
+            import datetime as _dt
+            import json as _json
+
+            with open(self._command_log, "a", encoding="utf-8") as fh:
+                fh.write(_json.dumps({
+                    "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                    "stmt": stmt,
+                }) + "\n")
+        return res
+
+    def replay_command_log(self, path: str) -> int:
+        """Rebuild DDL state by re-executing a command log in order.
+        Returns the number of statements replayed. Statements that fail on
+        replay (e.g. their source files moved) raise — a half-replayed
+        engine must not silently masquerade as caught-up."""
+        import json as _json
+
+        n = 0
+        self._replaying = True
+        try:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    self._execute_one(_json.loads(line)["stmt"])
+                    n += 1
+        finally:
+            self._replaying = False
+        return n
 
     def _create_pipeline(self, spec: PipelineSpec) -> StatementResult:
         """CREATE ... AS PIPELINE OP(...): run a corpus-pipeline operator

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_csas_projection_filter(engine):
     res = engine.execute(
@@ -93,3 +95,73 @@ def test_batch_csas_parquet_materialization(engine, tmp_path):
     on_disk = spark.read.parquet(out).count()
     assert on_disk > 0
     assert engine.sql("SELECT COUNT(*) AS n FROM mat_err").first()["n"] == on_disk
+
+
+class TestCommandLog:
+    """Command-log replay — the KSQL command-topic/CommandRunner analogue:
+    state-changing statements append to a durable JSONL log; a new engine
+    on the same log replays them to rebuild DDL state."""
+
+    def _mk(self, spark, tmp_path, log):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(spark, data_dir=str(tmp_path),
+                              command_log=str(log))
+        return eng
+
+    def _seed_parquet(self, spark, tmp_path):
+        spark.createDataFrame(
+            [(1, "error", 2.0), (2, "ok", 3.0)],
+            "id bigint, kind string, v double",
+        ).write.mode("overwrite").parquet(str(tmp_path / "evts.parquet"))
+
+    def test_restart_recovery(self, spark, tmp_path):
+        log = tmp_path / "commands.jsonl"
+        self._seed_parquet(spark, tmp_path)
+        eng1 = self._mk(spark, tmp_path, log)
+        eng1.execute(
+            "CREATE STREAM evts (id BIGINT, kind VARCHAR, v DOUBLE) WITH "
+            "(KAFKA_TOPIC='evts', VALUE_FORMAT='PARQUET');"
+            "CREATE STREAM errs AS SELECT id, v FROM evts WHERE kind = 'error';")
+        assert eng1.sql("SELECT id FROM errs").count() == 1
+
+        # "restart": a brand-new engine over the same log rebuilds state
+        eng2 = self._mk(spark, tmp_path, log)
+        assert eng2.sql("SELECT id FROM errs").count() == 1
+        assert eng2.metastore.has("evts") and eng2.metastore.has("errs")
+
+    def test_drop_replays_and_selects_not_logged(self, spark, tmp_path):
+        import json
+
+        log = tmp_path / "commands.jsonl"
+        self._seed_parquet(spark, tmp_path)
+        eng1 = self._mk(spark, tmp_path, log)
+        eng1.execute(
+            "CREATE STREAM evts (id BIGINT, kind VARCHAR, v DOUBLE) WITH "
+            "(KAFKA_TOPIC='evts', VALUE_FORMAT='PARQUET');")
+        eng1.sql("SELECT id FROM evts")           # query — must NOT log
+        eng1.execute("DROP STREAM evts;")
+        stmts = [json.loads(l)["stmt"]
+                 for l in log.read_text().splitlines()]
+        assert len(stmts) == 2 and stmts[1].startswith("DROP")
+
+        eng2 = self._mk(spark, tmp_path, log)
+        assert not eng2.metastore.has("evts")     # drop replayed too
+
+    def test_replay_does_not_relog(self, spark, tmp_path):
+        log = tmp_path / "commands.jsonl"
+        self._seed_parquet(spark, tmp_path)
+        eng1 = self._mk(spark, tmp_path, log)
+        eng1.execute(
+            "CREATE STREAM evts (id BIGINT, kind VARCHAR, v DOUBLE) WITH "
+            "(KAFKA_TOPIC='evts', VALUE_FORMAT='PARQUET');")
+        before = log.read_text()
+        self._mk(spark, tmp_path, log)            # replay on construction
+        assert log.read_text() == before          # no duplicate entries
+
+    def test_failed_statement_not_logged(self, spark, tmp_path):
+        log = tmp_path / "commands.jsonl"
+        eng = self._mk(spark, tmp_path, log)
+        with pytest.raises(Exception):
+            eng.execute("CREATE STREAM bad AS SELECT x FROM missing;")
+        assert not log.exists() or log.read_text() == ""
