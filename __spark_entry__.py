@@ -558,16 +558,25 @@ def _q_token_stats(spark, sf):
 
 
 def _q_incremental_dedup(spark, sf):
-    # Batch-ingest dedup: "new" docs (doc_id >= 250) anti-joined against
-    # the "corpus" (doc_id < 250) on text hash — the corpus side reduces
-    # to 8-byte hashes before the join.
-    from confluent_ksql_charm_spark.pipeline.dedup import incremental_exact
+    # Batch-ingest dedup, BOTH flavors oracled in one entry: exact
+    # (anti-join on text hash, corpus side reduced to 8-byte hashes) rows
+    # + a near_kept column from the asymmetric MinHash path (new×corpus
+    # banding only — corpus never self-joins; exact-Jaccard verified, and
+    # banding recall is 1 here since true pairs sit at jaccard ≥ 0.9, so
+    # the DuckDB brute-force NOT EXISTS reproduces it exactly).
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        incremental_exact, incremental_near_dup)
 
     docs = _docs(spark, sf)
     new = docs.where(F.col("doc_id") >= 250)
     seen = docs.where(F.col("doc_id") < 250)
-    return (incremental_exact(new, seen, ["text"])
-            .select("doc_id", "lang", "n_chars"))
+    exact = (incremental_exact(new, seen, ["text"])
+             .select("doc_id", "lang", "n_chars"))
+    near = incremental_near_dup(new, seen, "doc_id", "text",
+                                threshold=0.5).select(
+        "doc_id", F.lit(True).alias("near_kept"))
+    return (exact.join(near, "doc_id", "left")
+            .withColumn("near_kept", F.coalesce("near_kept", F.lit(False))))
 
 
 def _q_doc_quality(spark, sf):
@@ -1182,7 +1191,21 @@ def oracle_sql() -> dict[str, str]:
             "LIMIT 10"
         ),
         "incremental_dedup": (
-            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+            # exact anti-join rows + brute-force asymmetric near-dup check:
+            # near_kept ⇔ no corpus doc with n-gram jaccard ≥ 0.5
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) >= 3 "
+            "THEN [array_to_string(t[i:i+2], ' ') "
+            "FOR i IN generate_series(1, length(t) - 2)] "
+            "ELSE [array_to_string(t, ' ')] END) AS s FROM toks) "
+            "SELECT d.doc_id, d.lang, d.n_chars, "
+            "NOT EXISTS (SELECT 1 FROM sh a JOIN sh b ON a.doc_id = d.doc_id "
+            "AND b.doc_id < 250 WHERE "
+            "length(list_intersect(a.s, b.s)) * 1.0 / "
+            "(length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) "
+            ">= 0.5) AS near_kept "
+            "FROM documents d "
             "WHERE d.doc_id >= 250 AND NOT EXISTS ("
             "SELECT 1 FROM documents s WHERE s.doc_id < 250 "
             "AND s.text = d.text)"
