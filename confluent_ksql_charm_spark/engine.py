@@ -110,6 +110,7 @@ class EngineConfig:
     checkpoint_dir: Optional[str] = None     # streaming checkpoints
     properties: dict[str, str] = field(default_factory=dict)  # SET'able
     listener_port: int = 8088                # charm default KSQL port
+    command_log: Optional[str] = None        # command-topic analogue (JSONL)
 
     @classmethod
     def from_charm_config(cls, cfg: dict) -> "EngineConfig":
@@ -130,6 +131,9 @@ class EngineConfig:
                                                          "ksql_spark_engine"))),
             checkpoint_dir=cfg.get("state-dir") or cfg.get("checkpoint_dir"),
             listener_port=int(port),
+            # command-topic analogue: a durable statement log under the
+            # charm's state dir keeps DDL across service restarts
+            command_log=cfg.get("command-log") or cfg.get("command_log"),
         )
 
 
@@ -159,12 +163,12 @@ class KsqlSparkEngine:
         # log replays it to rebuild DDL state (restart recovery, or a
         # follower catching up). Single-writer by contract, like KSQL's
         # single command-topic producer per cluster.
-        self._command_log = command_log
+        self._command_log = command_log or self.config.command_log
         self._replaying = False
-        if command_log:
+        if self._command_log:
             import os
-            if os.path.exists(command_log):
-                self.replay_command_log(command_log)
+            if os.path.exists(self._command_log):
+                self.replay_command_log(self._command_log)
 
     def register_udf(self, name: str, fn, return_type: str,
                      *, vectorized: bool = False) -> None:
