@@ -113,6 +113,7 @@ class KsqlRestServer:
 
     def __init__(self, engine: KsqlSparkEngine, host: str = "127.0.0.1",
                  port: int = 8088):
+        self.engine = engine
         handler = type("BoundHandler", (_Handler,), {"engine": engine})
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None

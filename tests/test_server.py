@@ -94,3 +94,20 @@ def test_engine_config_from_charm_config():
     assert cfg.listener_port == 9099
     assert cfg.service_id == "prod_ksql"
     assert cfg.checkpoint_dir == "/tmp/state"
+
+
+def test_post_ksql_pipeline_statement(server, spark):
+    # PIPELINE statements work over the wire: register docs, dedup via
+    # REST, then query the derived relation via /query
+    server.engine.register_source("docs_rest", df=spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id bigint, text string"))
+    code, body = _post(server, "/ksql", {
+        "ksql": "CREATE STREAM rest_deduped AS PIPELINE "
+                "DEDUP_EXACT(docs_rest, ON='text', ID='doc_id');"})
+    assert code == 200
+    code, body = _post(server, "/query", {
+        "ksql": "SELECT doc_id FROM rest_deduped;"})
+    assert code == 200
+    assert body["columns"] == ["doc_id"]
+    assert {r[0] for r in body["rows"]} == {1, 3}
