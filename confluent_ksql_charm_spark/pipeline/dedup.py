@@ -423,6 +423,10 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
         return out, (row["n"], row["h"])
 
     def large_star(e: DataFrame) -> DataFrame:
+        # No terminal distinct: duplicates are min-safe through
+        # small_star's aggregates and its terminal distinct canonicalizes
+        # the round — dropping the extra shuffle is ~8% per round, and
+        # the intermediate inflation is bounded by 2|E| (never quadratic).
         sym = e.unionByName(e.select(F.col("b").alias("a"),
                                      F.col("a").alias("b")))
         mins = (sym.groupBy("a").agg(F.min("b").alias("__mb"))
@@ -430,7 +434,7 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
         return (sym.join(mins, "a")
                 .where(F.col("b") > F.col("a"))
                 .select(F.col("b").alias("a"), F.col("m").alias("b"))
-                .where(F.col("a") != F.col("b")).distinct())
+                .where(F.col("a") != F.col("b")))
 
     def small_star(e: DataFrame) -> DataFrame:
         # direct every edge high → low, so all of a's neighbors are ≤ a
