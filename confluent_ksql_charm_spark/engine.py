@@ -696,6 +696,14 @@ class KsqlSparkEngine:
             if qid.upper() in ("SELECT", "CREATE", "INSERT"):
                 stmt = " ".join(args)
                 spec = parse_statement(stmt)
+                if isinstance(spec, PipelineSpec):
+                    # explain the operator's plan without registering it
+                    from .pipeline.registry import pipeline_op_df
+                    srcs = [self.metastore.get(s).df for s in spec.sources]
+                    df = pipeline_op_df(spec, srcs)
+                    plan = (f"-- PIPELINE {spec.op} --\n"
+                            f"{self._explain_df(df)}")
+                    return StatementResult(kind="INFO", plan=plan, df=df)
                 if isinstance(spec, (CreateAsSpec, InsertIntoSpec)):
                     spec = spec.select
                 sql = translate_select(spec, self._resolve)

@@ -436,3 +436,12 @@ class TestPipelineStatements:
         with pytest.raises(ValueError, match="takes 2 source"):
             peng.execute("CREATE STREAM x AS PIPELINE "
                          "DECONTAMINATE(docs, ID='doc_id', TEXT='text');")
+
+    def test_explain_pipeline_statement(self, peng):
+        res = peng.execute(
+            "EXPLAIN CREATE STREAM xp AS PIPELINE "
+            "DEDUP_EXACT(docs, ON='text', ID='doc_id');")[0]
+        assert res.plan and "PIPELINE DEDUP_EXACT" in res.plan
+        assert "HashAggregate" in res.plan or "Aggregate" in res.plan
+        # EXPLAIN must not register the relation
+        assert not peng.metastore.has("xp")
