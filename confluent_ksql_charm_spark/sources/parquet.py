@@ -55,6 +55,21 @@ def _arrow_to_spark_ddl(t, as_long: bool = False) -> str:
     if pa.types.is_struct(t):
         inner = ",".join(f"{f.name}:{_arrow_to_spark_ddl(f.type)}" for f in t)
         return f"struct<{inner}>"
+    # robustness for lake-side schema drift (the driver regenerates the
+    # testdata between rounds — a new column type must not kill the engine)
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_map(t):
+        return (f"map<{_arrow_to_spark_ddl(t.key_type)},"
+                f"{_arrow_to_spark_ddl(t.item_type)}>")
+    if pa.types.is_dictionary(t):
+        return _arrow_to_spark_ddl(t.value_type)
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int8(t):
+        return "tinyint"
     raise ValueError(f"unmapped arrow type {t}")
 
 

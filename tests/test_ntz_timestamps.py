@@ -93,3 +93,31 @@ def test_testdata_events_rowtime(engine):
     """The real driver-generated events table must resolve ROWTIME."""
     n = engine.sql("SELECT ROWTIME FROM events LIMIT 5").count()
     assert n == 5
+
+
+def test_arrow_ddl_covers_drift_types(spark, tmp_path):
+    """Schema-drift insurance: decimal/date/map/small-int columns must map
+    to a streaming DDL and read correctly."""
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from confluent_ksql_charm_spark.sources.parquet import read_parquet
+
+    path = f"{tmp_path}/drift.parquet"
+    tbl = pa.table({
+        "k": pa.array([1, 2], type=pa.int16()),
+        "dec": pa.array([decimal.Decimal("1.25"), decimal.Decimal("2.50")],
+                        type=pa.decimal128(10, 2)),
+        "d": pa.array([dt.date(2024, 1, 1), dt.date(2024, 6, 1)]),
+        "m": pa.array([[("a", 1)], [("b", 2)]],
+                      type=pa.map_(pa.string(), pa.int64())),
+    })
+    pq.write_table(tbl, path)
+    df = read_parquet(spark, path)
+    types = dict(df.dtypes)
+    assert types["dec"] == "decimal(10,2)" and types["d"] == "date"
+    assert types["m"].startswith("map<")
+    rows = df.orderBy("k").collect()
+    assert str(rows[0].dec) == "1.25" and rows[1].m == {"b": 2}
