@@ -144,6 +144,11 @@ class KsqlSparkEngine:
                  config: EngineConfig | None = None, streaming: bool = False,
                  command_log: str | None = None):
         self.spark = spark
+        # Pin UTC: the temporal surface is epoch-based (ROWTIME is BIGINT
+        # millis, KSQL-style) and every formatting/NTZ-normalization path
+        # assumes UTC wall-clock — a non-UTC session would silently shift
+        # instants on tz-less parquet and formatted dates.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         self.config = config or EngineConfig()
         if data_dir:
             self.config.data_dir = data_dir

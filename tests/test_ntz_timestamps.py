@@ -121,3 +121,15 @@ def test_arrow_ddl_covers_drift_types(spark, tmp_path):
     assert types["m"].startswith("map<")
     rows = df.orderBy("k").collect()
     assert str(rows[0].dec) == "1.25" and rows[1].m == {"b": 2}
+
+
+def test_engine_pins_utc_session(spark):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        KsqlSparkEngine(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
