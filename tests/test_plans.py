@@ -131,3 +131,28 @@ class TestDedupPlans:
         plan = _plan(near_dup_pairs(docs, "doc_id", "text"))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+    def test_near_dup_static_plan_is_checkpoint_truncated(self, engine):
+        # The signature pipeline and band self-join must be materialized
+        # (localCheckpoint), not statically duplicated per consumer: the
+        # final plan's Exchange count stays bounded regardless of how many
+        # branches consume the candidate list. Regression bound for the
+        # round-4 plan-shape work (was 28 with cache()).
+        from confluent_ksql_charm_spark.pipeline.dedup import near_dup_pairs
+
+        docs = engine.metastore.get("documents").df
+        out = near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 12, plan.count("Exchange")
+
+    def test_embedding_near_dup_plan_bounded(self, engine):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            embedding_near_dup_pairs)
+
+        emb = engine.metastore.get("embeddings").df
+        out = embedding_near_dup_pairs(emb, threshold=0.45)
+        out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange") <= 18, plan.count("Exchange")
