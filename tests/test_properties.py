@@ -266,3 +266,28 @@ def test_expression_rewriter_fails_cleanly(frags):
         rewrite_expr_sql(" ".join(frags), ctx)
     except (ValueError, KeyError):
         pass
+
+
+class TestDecodeMediaNeverRaises:
+    """decode_media's contract: one corrupt blob in a 100 TB corpus must
+    not kill the job — arbitrary bytes decode to SOME dict, never raise."""
+
+    @given(st.binary(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_random_bytes(self, payload):
+        from confluent_ksql_charm_spark.pipeline.multimodal import decode_media
+
+        out = decode_media(payload)
+        assert out["fmt"] in ("wav", "png", "jpeg", "gif", "unknown")
+
+    @given(st.binary(max_size=120))
+    @settings(max_examples=100, deadline=None)
+    def test_truncated_magic_prefixes(self, tail):
+        # real magics + garbage tails: header parsers must bound-check
+        from confluent_ksql_charm_spark.pipeline.multimodal import decode_media
+
+        for magic in (b"RIFF", b"RIFF\x00\x00\x00\x00WAVE",
+                      b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF8",
+                      b"GIF89a"):
+            out = decode_media(magic + tail)
+            assert isinstance(out, dict) and "fmt" in out
