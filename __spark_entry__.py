@@ -589,6 +589,12 @@ def _q_doc_quality(spark, sf):
         quality_score, stopword_ratio)
 
     docs = _docs(spark, sf)
+    # quality uses portable floor-based rounding: the composite (…)/3 can
+    # land within one double ulp of a .00005 boundary, where Spark's
+    # HALF_UP-on-string-render and DuckDB's arithmetic round diverge;
+    # floor(x·10⁴ + 0.5)/10⁴ is the identical IEEE op sequence on both.
+    q4 = (F.floor(quality_score(F.col("text")) * 10000 + F.lit(0.5))
+          .cast("double") / 10000).alias("quality")
     return docs.select(
         "doc_id",
         F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
@@ -596,7 +602,7 @@ def _q_doc_quality(spark, sf):
         bpe_ish_token_count(F.col("text")).alias("n_subword"),
         F.round(stopword_ratio(F.col("text"), "en"), 4).alias("stopword_ratio"),
         F.round(mean_word_length(F.col("text")), 4).alias("mean_word_len"),
-        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        q4,
     )
 
 
@@ -1365,12 +1371,12 @@ def oracle_sql() -> dict[str, str]:
             "['the','and','of','to','in','is','that','for','with','are'], "
             "lower(x)))) * 1.0 / length(toks) ELSE 0 END, 4) AS stopword_ratio, "
             "ROUND(wl, 4) AS mean_word_len, "
-            "ROUND((least(length(text) / 200.0, 1.0) "
+            "CAST(floor((least(length(text) / 200.0, 1.0) "
             "+ CASE WHEN length(text) > 0 THEN "
             "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 "
             "/ length(text) ELSE 0 END "
             "+ CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) "
-            "/ 3.0, 4) AS quality "
+            "/ 3.0 * 10000 + 0.5) AS DOUBLE) / 10000 AS quality "
             "FROM t"
         ),
         "embedding_near_dup": (

@@ -93,7 +93,10 @@ def quality_score(text: str | Column) -> Column:
     len_score = F.least(n / F.lit(200.0), F.lit(1.0))
     wl = mean_word_length(c)
     shape_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round((len_score + alpha_ratio(c) + shape_score) / 3.0, 6)
+    # raw double, no internal rounding: Spark's round() is HALF_UP on the
+    # string rendering, which diverges from arithmetic rounding within one
+    # ulp of a boundary — callers own the presentation precision
+    return (len_score + alpha_ratio(c) + shape_score) / 3.0
 
 
 def _language_score(text: Column, lang: str) -> Column:
