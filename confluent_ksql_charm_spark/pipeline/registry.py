@@ -24,6 +24,9 @@ _SIGNATURES = {
     "PII_REDACT": "PII_REDACT(src[, TEXT='text'][, COUNTS='true'])",
     "BM25_TOPK": ("BM25_TOPK(src, QUERY='term term ...', ID='id', "
                   "TEXT='text'[, K='10'])"),
+    "INCREMENTAL_DEDUP": "INCREMENTAL_DEDUP(new, corpus, ON='col[,col]')",
+    "INCREMENTAL_NEAR_DUP": ("INCREMENTAL_NEAR_DUP(new, corpus, ID='id', "
+                             "TEXT='text'[, THRESHOLD='0.7'])"),
 }
 
 
@@ -79,6 +82,17 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         return bm25_topk(dfs[0], _need(spec, "QUERY").split(),
                          _need(spec, "ID"), _need(spec, "TEXT"),
                          k=int(p.get("K", 10)))
+    if op == "INCREMENTAL_DEDUP":
+        from .dedup import incremental_exact
+        _need_sources(spec, 2)
+        on = [c.strip() for c in _need(spec, "ON").split(",")]
+        return incremental_exact(dfs[0], dfs[1], on)
+    if op == "INCREMENTAL_NEAR_DUP":
+        from .dedup import incremental_near_dup
+        _need_sources(spec, 2)
+        return incremental_near_dup(dfs[0], dfs[1], _need(spec, "ID"),
+                                    _need(spec, "TEXT"),
+                                    threshold=float(p.get("THRESHOLD", 0.7)))
     raise ValueError(
         f"unknown PIPELINE operator {op!r}; available: "
         + ", ".join(sorted(_SIGNATURES)))

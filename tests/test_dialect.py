@@ -445,3 +445,16 @@ class TestPipelineStatements:
         assert "HashAggregate" in res.plan or "Aggregate" in res.plan
         # EXPLAIN must not register the relation
         assert not peng.metastore.has("xp")
+
+    def test_incremental_ops_via_sql(self, peng):
+        peng.execute("CREATE STREAM fresh AS PIPELINE "
+                     "INCREMENTAL_DEDUP(docs, bench, ON='text');")
+        ids = {r.doc_id for r in
+               peng.sql("SELECT doc_id FROM fresh").collect()}
+        assert ids == {1, 2, 4, 5}  # doc 3 == the bench doc's text
+        peng.execute("CREATE STREAM fresh_near AS PIPELINE "
+                     "INCREMENTAL_NEAR_DUP(docs, bench, ID='doc_id', "
+                     "TEXT='text', THRESHOLD='0.5');")
+        near = {r.doc_id for r in
+                peng.sql("SELECT doc_id FROM fresh_near").collect()}
+        assert 3 not in near and {1, 2, 4, 5} <= near
