@@ -666,8 +666,10 @@ class KsqlSparkEngine:
                     kind="INFO", rows=sorted(self.config.properties.items()))
             if obj == "FUNCTIONS":
                 from .dialect import functions as flib
+                from .pipeline.registry import _SIGNATURES as _pipe_sigs
                 rows = sorted(set(flib.RENAMES) | set(flib.HANDLERS)
-                              | flib.AGGREGATES | set(self.udfs.names()))
+                              | flib.AGGREGATES | set(self.udfs.names())
+                              | {f"PIPELINE {s}" for s in _pipe_sigs})
                 return StatementResult(kind="INFO", rows=rows)
             raise ValueError(f"SHOW {obj} unsupported")
         if verb == "DESCRIBE":
