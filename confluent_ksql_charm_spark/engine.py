@@ -669,7 +669,7 @@ class KsqlSparkEngine:
                 from .pipeline.registry import _SIGNATURES as _pipe_sigs
                 rows = sorted(set(flib.RENAMES) | set(flib.HANDLERS)
                               | flib.AGGREGATES | set(self.udfs.names())
-                              | {f"PIPELINE {s}" for s in _pipe_sigs})
+                              | set(_pipe_sigs))
                 return StatementResult(kind="INFO", rows=rows)
             raise ValueError(f"SHOW {obj} unsupported")
         if verb == "DESCRIBE":
@@ -685,7 +685,12 @@ class KsqlSparkEngine:
                 elif fname.lower() in self.udfs.names():
                     desc = f"user-defined ({self.udfs.describe()[fname.lower()]})"
                 else:
-                    raise KeyError(f"unknown function {fname}")
+                    from .pipeline.registry import _SIGNATURES as _pipe_sigs
+                    if fname in _pipe_sigs:
+                        desc = (f"pipeline operator — CREATE STREAM|TABLE x "
+                                f"AS PIPELINE {_pipe_sigs[fname]}")
+                    else:
+                        raise KeyError(f"unknown function {fname}")
                 return StatementResult(kind="INFO", name=fname, message=desc)
             m = self.metastore.get(args[0].strip("`"))
             rows = [(f.name, f.dataType.simpleString())
