@@ -751,16 +751,37 @@ def _q_simhash_near_dup(spark, sf):
 
 
 def _q_text_signals(spark, sf):
-    # xxhash64 fingerprint + language-ID heuristic — rows-only by design
-    # (xxhash64 internals / heuristic aren't SQL-expressible in DuckDB);
-    # both are deterministic and unit-tested (determinism + 13-case corpus).
-    from confluent_ksql_charm_spark.pipeline.text import (
-        fingerprint64, guess_language)
+    # Fully hash-gated (round-5 fix; was rows-only):
+    #  - fingerprint: portable md5 token hash (same DuckDB-reproducible
+    #    contract as the SimHash sketch) over the real documents table;
+    #  - lang_guess: computed over the planted LANG_FIXTURE corpus whose
+    #    EXPECTED labels ride the oracle as literals — heuristic drift
+    #    breaks the hash. Doc-row lang_guess is NULL (the synthetic docs'
+    #    lang column is a random label, not derived from the text, so it
+    #    cannot gate the heuristic; the fixture does).
+    from pyspark.sql import functions as F
 
-    return _docs(spark, sf).select(
-        "doc_id", "lang",
+    from confluent_ksql_charm_spark.pipeline.dedup import portable_token_hash
+    from confluent_ksql_charm_spark.pipeline.text import (
+        LANG_FIXTURE, fingerprint64, guess_language)
+
+    docs = _docs(spark, sf).select(
+        F.lit("doc").alias("src"),
+        F.col("doc_id").cast("bigint").alias("id"),
+        F.col("lang"),
+        F.lit(None).cast("string").alias("lang_guess"),
+        fingerprint64("text", token_hash=portable_token_hash).alias("fp"))
+    fixture = spark.createDataFrame(
+        [(1_000_000 + i, want, text)
+         for i, (want, text) in enumerate(LANG_FIXTURE)],
+        "id bigint, want string, text string")
+    fx = fixture.select(
+        F.lit("fixture").alias("src"),
+        F.col("id"),
+        F.col("want").alias("lang"),
         guess_language("text").alias("lang_guess"),
-        fingerprint64("text").alias("fp"))
+        fingerprint64("text", token_hash=portable_token_hash).alias("fp"))
+    return docs.unionByName(fx)
 
 
 _ANN_INDEXES: dict = {}
@@ -895,6 +916,41 @@ def _duck_mask(expr: str) -> str:
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
         f"{expr}, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), "
         "'[0-9]', 'n', 'g'), '[^Xxn]', '-', 'g')"
+    )
+
+
+def _text_signals_oracle() -> str:
+    """DuckDB oracle for text_signals: recomputes the portable md5
+    shingle fingerprint (k=5) bit-identically over documents AND the
+    planted LANG_FIXTURE, whose expected labels ride along as literals —
+    so both the fingerprint math and the language-ID heuristic are
+    hash-gated (guess != expected ⇒ hash mismatch)."""
+    from confluent_ksql_charm_spark.pipeline.text import LANG_FIXTURE
+
+    rows = ", ".join(
+        "({id}, '{lang}', '{txt}')".format(
+            id=1_000_000 + i, lang=want, txt=text.replace("'", "''"))
+        for i, (want, text) in enumerate(LANG_FIXTURE)
+    )
+    shingle = (
+        "list_distinct(CASE WHEN length(t) >= 5 "
+        "THEN [array_to_string(t[i:i+4], ' ') "
+        "FOR i IN generate_series(1, length(t) - 4)] "
+        "ELSE [array_to_string(t, ' ')] END)"
+    )
+    fp = "list_min(list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))"
+    return (
+        f"WITH fx(fid, flang, txt) AS (VALUES {rows}), "
+        "dt AS (SELECT doc_id, lang, "
+        "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+        f"dsh AS (SELECT doc_id, lang, {shingle} AS s FROM dt), "
+        "ft AS (SELECT fid, flang, "
+        "string_split_regex(trim(txt), '\\s+') AS t FROM fx), "
+        f"fsh AS (SELECT fid, flang, {shingle} AS s FROM ft) "
+        "SELECT 'doc' AS src, doc_id AS id, lang, "
+        f"CAST(NULL AS VARCHAR) AS lang_guess, {fp} AS fp FROM dsh "
+        "UNION ALL "
+        f"SELECT 'fixture', fid, flang, flang, {fp} FROM fsh"
     )
 
 
@@ -1428,6 +1484,6 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
             "LIMIT 10"
         ),
-        # rows-only (no oracle — xxhash64 internals / heuristic):
-        # text_signals
+        # portable-md5 fingerprint + fixture-gated language heuristic
+        "text_signals": _text_signals_oracle(),
     }

@@ -147,15 +147,47 @@ def guess_language(text: str | Column) -> Column:
     return best_lang
 
 
-def fingerprint64(text: str | Column, shingle_k: int = 5) -> Column:
-    """Deterministic 64-bit document fingerprint: min xxhash64 over
-    k-token shingles (a 1-hash MinHash — robust to token reordering at
-    the shingle level, cheap to compute and compare)."""
+def fingerprint64(text: str | Column, shingle_k: int = 5,
+                  token_hash=None) -> Column:
+    """Deterministic 64-bit document fingerprint: min hash over k-token
+    shingles (a 1-hash MinHash — robust to token reordering at the
+    shingle level, cheap to compute and compare).
+
+    ``token_hash`` swaps the leaf hash (default ``xxhash64``, the fast
+    production path); pass ``dedup.portable_token_hash`` for a
+    fingerprint an external engine (DuckDB oracle) reproduces
+    bit-identically — same contract as ``dedup.simhash_df``."""
     from .dedup import shingles_col
 
+    hash_fn = token_hash or F.xxhash64
     return F.array_min(
-        F.transform(shingles_col(text, shingle_k), lambda s: F.xxhash64(s))
+        F.transform(shingles_col(text, shingle_k), lambda s: hash_fn(s))
     )
+
+
+#: Labeled multilingual fixture for oracle-gating the language-ID
+#: heuristic: (expected_label, text). The expected labels are what
+#: guess_language MUST return (unit-asserted in tests/test_pipeline.py);
+#: the driver's DuckDB oracle carries them as literals, so any heuristic
+#: drift breaks the hash gate. Kept in the module (not the test) so the
+#: registry query and the tests share one source of truth.
+LANG_FIXTURE: list[tuple[str, str]] = [
+    ("en", "the cat and the dog are in the house"),
+    ("en", "Information processing is essential for understanding "
+           "modern computation."),
+    ("de", "der Hund ist nicht mit der Katze zu Hause"),
+    ("de", "Die Verarbeitung von Informationen ist für das "
+           "Verständnis wichtig."),
+    ("de", "Größenänderungen müssen berücksichtigt werden."),
+    ("es", "El rápido zorro marrón salta sobre el perro perezoso "
+           "y corre al bosque."),
+    ("es", "¿Dónde está la biblioteca? ¡Qué bonito día!"),
+    ("fr", "Le renard brun rapide saute par-dessus le chien "
+           "paresseux et court dans la forêt."),
+    ("fr", "C'est une belle journée à Paris, n'est-ce pas ?"),
+    ("und", "xyzzy plugh"),
+    ("und", "10110 01010 11 0x7fce3a"),
+]
 
 
 def ngrams_col(text: str | Column, n: int) -> Column:
