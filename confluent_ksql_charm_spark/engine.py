@@ -709,12 +709,20 @@ class KsqlSparkEngine:
                 stmt = " ".join(args)
                 spec = parse_statement(stmt)
                 if isinstance(spec, PipelineSpec):
-                    # explain the operator's plan without registering it
+                    # Explain the operator's plan without registering OR
+                    # running it: plan-only mode skips the operators'
+                    # eager actions (checkpoints, bucket-sizing counts,
+                    # the connected-components iteration), showing a
+                    # representative static plan instead — KSQL's
+                    # EXPLAIN never executes the job (SURVEY §3.1).
+                    from .pipeline.lazy import lazy_plan
                     from .pipeline.registry import pipeline_op_df
                     srcs = [self.metastore.get(s).df for s in spec.sources]
-                    df = pipeline_op_df(spec, srcs)
-                    plan = (f"-- PIPELINE {spec.op} --\n"
-                            f"{self._explain_df(df)}")
+                    with lazy_plan():
+                        df = pipeline_op_df(spec, srcs)
+                        plan = (f"-- PIPELINE {spec.op} (plan-only; "
+                                f"adaptive runtime steps elided) --\n"
+                                f"{self._explain_df(df)}")
                     return StatementResult(kind="INFO", plan=plan, df=df)
                 if isinstance(spec, (CreateAsSpec, InsertIntoSpec)):
                     spec = spec.select

@@ -1,0 +1,60 @@
+"""Plan-only (lazy) mode for pipeline operators.
+
+Several pipeline operators are *adaptive*: they run cheap eager actions
+while building their result plan (localCheckpoint to truncate lineage,
+a count-aggregate to find heavy LSH buckets, the iterative
+connected-components rounds). That is the right runtime shape — but
+`EXPLAIN <PIPELINE statement>` must not execute half the job to print a
+plan (KSQL's EXPLAIN is plan-only, SURVEY §3.1).
+
+`lazy_plan()` flips a context flag the operators consult to skip every
+eager action and return a *representative* static plan instead:
+
+- checkpoints are skipped (full lineage shows in the plan);
+- runtime sizing decisions (heavy-bucket capping) take the common
+  uncapped branch;
+- iterative algorithms build ONE round of their loop body.
+
+The lazy plan is for inspection only — executing it is still correct
+(every skip is semantics-preserving for the no-heavy-bucket /
+one-round case) but loses the scale protections, so the engine only
+uses it under EXPLAIN.
+"""
+
+from __future__ import annotations
+
+import contextvars
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+_LAZY = contextvars.ContextVar("pipeline_lazy_plan", default=False)
+
+
+def lazy_plan_active() -> bool:
+    """True inside a `with lazy_plan():` block."""
+    return _LAZY.get()
+
+
+@contextmanager
+def lazy_plan():
+    """Context manager: pipeline operators build plans without running
+    eager actions (checkpoints, sizing counts, iteration)."""
+    token = _LAZY.set(True)
+    try:
+        yield
+    finally:
+        _LAZY.reset(token)
+
+
+def maybe_checkpoint(df: DataFrame) -> DataFrame:
+    """`df.localCheckpoint()` unless in plan-only mode.
+
+    Checkpoint, not cache, in the eager case: cache leaves the upstream
+    subplan statically duplicated in every consumer branch; checkpoint
+    truncates the lineage so multi-consumer plans stay bounded (see
+    dedup.bucketed_pairs for the full rationale).
+    """
+    if _LAZY.get():
+        return df
+    return df.localCheckpoint()
