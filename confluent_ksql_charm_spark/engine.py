@@ -170,6 +170,11 @@ class KsqlSparkEngine:
         # single command-topic producer per cluster.
         self._command_log = command_log or self.config.command_log
         self._replaying = False
+        # The REST server is a ThreadingHTTPServer: concurrent execute()
+        # calls may reach the command log together — serialize appends so
+        # JSONL lines never interleave (ADVICE r4).
+        import threading
+        self._log_lock = threading.Lock()
         if self._command_log:
             import os
             if os.path.exists(self._command_log):
@@ -400,11 +405,13 @@ class KsqlSparkEngine:
             import datetime as _dt
             import json as _json
 
-            with open(self._command_log, "a", encoding="utf-8") as fh:
-                fh.write(_json.dumps({
-                    "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
-                    "stmt": stmt,
-                }) + "\n")
+            line = _json.dumps({
+                "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+                "stmt": stmt,
+            }) + "\n"
+            with self._log_lock, open(self._command_log, "a",
+                                      encoding="utf-8") as fh:
+                fh.write(line)
         return res
 
     def replay_command_log(self, path: str) -> int:

@@ -189,8 +189,10 @@ def incremental_near_dup(new_df: DataFrame, seen_df: DataFrame,
     rows = num_hashes // bands
 
     def banded(df, sig=None):
-        sig = sig if sig is not None else minhash_signatures(
-            df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
+        sig = (_validated_signatures(sig, num_hashes)
+               if sig is not None else minhash_signatures(
+                   df, id_col, text_col,
+                   num_hashes=num_hashes, shingle_k=shingle_k))
         return sig.select(
             F.col(id_col),
             F.explode(
@@ -283,6 +285,29 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *,
     )
 
 
+def _validated_signatures(sig: DataFrame, num_hashes: int,
+                          col: str = "minhash") -> DataFrame:
+    """Guard a *persisted* signature relation against silent mis-banding.
+
+    A persisted table built with a different num_hashes would slice past
+    the array end (Spark returns short/empty bands — no error) and
+    silently drop near-dup candidates (ADVICE r4). The guard is a pure
+    row-level expression — no extra action or shuffle; the job fails
+    loudly on the first mismatched row.
+    """
+    ok = F.size(F.col(col)) == num_hashes
+    return sig.withColumn(
+        col,
+        F.when(ok, F.col(col)).otherwise(F.raise_error(F.concat(
+            F.lit(f"persisted signature length mismatch: expected "
+                  f"{num_hashes} hashes, got "),
+            F.size(F.col(col)).cast("string"),
+            F.lit(" — rebuild the signature table or pass matching "
+                  "num_hashes/bands"),
+        ))),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -309,8 +334,11 @@ def lsh_candidate_pairs(
     the ANN `index=` parameters).
     """
     rows = num_hashes // bands
-    sig = signatures if signatures is not None else minhash_signatures(
-        df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
+    if signatures is not None:
+        sig = _validated_signatures(signatures, num_hashes)
+    else:
+        sig = minhash_signatures(
+            df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
     banded = sig.select(
         F.col(id_col),
         F.explode(

@@ -147,7 +147,13 @@ def _decode_png(p: bytes) -> dict | None:
 
 
 def _decode_jpeg(p: bytes) -> dict | None:
-    """Walk JPEG segments to the first SOF0/1/2 frame header → dims."""
+    """Walk JPEG segments to the first SOFn frame header → dims.
+
+    All SOFn markers carry dimensions (0xC0-0xCF EXCEPT 0xC4 DHT,
+    0xC8 JPG, 0xCC DAC — those are not frame headers, ITU T.81 §B.1.1.3),
+    so baseline, progressive, lossless, extended, and arithmetic-coded
+    frames all decode. EOI (0xD9) ends the stream — bytes after it are
+    trailer data, not segments (ADVICE r4)."""
     if len(p) < 4 or p[:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -156,13 +162,16 @@ def _decode_jpeg(p: bytes) -> dict | None:
             pos += 1
             continue
         marker = p[pos + 1]
+        if marker == 0xD9:  # EOI — stop; anything beyond is trailer bytes
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2  # standalone markers, no length
             continue
         if pos + 4 > len(p):
             break
         (seg_len,) = struct.unpack_from(">H", p, pos + 2)
-        if marker in (0xC0, 0xC1, 0xC2) and pos + 9 <= len(p):
+        if (0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+                and pos + 9 <= len(p)):
             h, w = struct.unpack_from(">HH", p, pos + 5)
             return {"fmt": "jpeg", "width": w, "height": h,
                     "sample_rate": None, "n_channels": None,

@@ -119,12 +119,11 @@ def read_parquet(spark: SparkSession, path: str, *, streaming: bool = False) -> 
             path = os.path.dirname(path)
         df = reader.parquet(path)
     else:
-        # Spark 4.x infers tz-less parquet timestamps as TIMESTAMP_NTZ
-        # (spark.sql.parquet.inferTimestampNTZ.enabled defaults true); the
-        # engine's temporal surface (ROWTIME, unix_millis, windows) is
-        # TIMESTAMP(LTZ)-typed, so read tz-less micros/millis the classic
-        # way: raw micros-since-epoch as UTC instants.
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Spark 4.x infers tz-less parquet timestamps as TIMESTAMP_NTZ;
+        # normalize_ntz below casts them to TIMESTAMP (LTZ) under the
+        # UTC session tz — same micros, no session-global conf mutation
+        # (a shared SparkSession must not change behavior for non-engine
+        # readers, and concurrent reads must not race on conf state).
         df = spark.read.parquet(path)
     for c in ns_cols:
         # `div` = integer division — ns values exceed double's 53-bit mantissa,

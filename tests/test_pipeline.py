@@ -397,6 +397,31 @@ class TestIncremental:
                                    seen_signatures=sigs)
         assert {r.id for r in out.collect()} == {11}
 
+    def test_persisted_signatures_length_mismatch_raises(self, spark):
+        # ADVICE r4: a persisted signature table built with a different
+        # num_hashes would silently mis-band (slice past the array end
+        # returns short bands) and drop candidates — must fail loudly.
+        import pytest
+
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            incremental_near_dup, lsh_candidate_pairs, minhash_signatures)
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "alpha beta gamma delta epsilon zeta eta iota")],
+            "id bigint, text string")
+        wrong = minhash_signatures(docs, "id", "text", num_hashes=32)
+        with pytest.raises(Exception, match="signature length mismatch"):
+            lsh_candidate_pairs(docs, "id", "text",
+                                signatures=wrong).collect()
+        with pytest.raises(Exception, match="signature length mismatch"):
+            incremental_near_dup(docs, docs, "id", "text",
+                                 seen_signatures=wrong).collect()
+        # matching length still works end-to-end
+        ok = minhash_signatures(docs, "id", "text")
+        assert lsh_candidate_pairs(docs, "id", "text",
+                                   signatures=ok).count() >= 0
+
     def test_incremental_near_dup_cost_proportional_to_batch(self, spark):
         # the corpus must never self-join: no seen x seen candidate pairs
         from confluent_ksql_charm_spark.pipeline.dedup import (
@@ -704,6 +729,35 @@ class TestMultimodal:
         gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
         d = decode_media(gif)
         assert (d["fmt"], d["width"], d["height"]) == ("gif", 320, 200)
+
+    def test_jpeg_all_sofn_variants_and_eoi_stop(self):
+        # ADVICE r4: lossless (SOF3), extended (SOF5-7), arithmetic
+        # (SOF9-11, 13-15) frames must decode; DHT (C4) / JPG (C8) /
+        # DAC (CC) must NOT be misread as frames; bytes after EOI are
+        # trailer data, not segments.
+        import struct
+
+        from confluent_ksql_charm_spark.pipeline.multimodal import decode_media
+
+        def sof(marker, h, w):
+            return (bytes([0xFF, marker]) + struct.pack(">H", 11) + b"\x08"
+                    + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+
+        for m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            jpg = b"\xff\xd8" + sof(m, 10, 20) + b"\xff\xd9"
+            d = decode_media(jpg)
+            assert (d["fmt"], d["width"], d["height"]) == ("jpeg", 20, 10), m
+
+        # DHT before the frame: its payload must be skipped, not parsed
+        dht = b"\xff\xc4" + struct.pack(">H", 6) + b"\x00\xAA\xBB\xCC"
+        jpg = b"\xff\xd8" + dht + sof(0xC0, 7, 9) + b"\xff\xd9"
+        d = decode_media(jpg)
+        assert (d["fmt"], d["width"], d["height"]) == ("jpeg", 9, 7)
+
+        # a fake SOF0 AFTER EOI must not be read (trailer bytes)
+        jpg = b"\xff\xd8" + b"\xff\xd9" + sof(0xC0, 5, 5)
+        d = decode_media(jpg)
+        assert d["fmt"] == "unknown"
 
     def test_synth_wav_media_decodes_in_spark(self, spark):
         from confluent_ksql_charm_spark.pipeline.multimodal import (
