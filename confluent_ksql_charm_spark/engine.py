@@ -331,14 +331,61 @@ class KsqlSparkEngine:
             .fromString("formatted"))
 
     def push_query(self, select_text: str, *, limit: int | None = None,
-                   timeout: float | None = 60.0):
+                   timeout: float | None = 60.0, max_rows: int = 100_000):
         """Transient push query (SURVEY.md §4.2 — KSQL `POST /query`).
 
         Batch mode: rows come straight from the DataFrame. Streaming mode:
         the query runs to an in-memory sink with an ephemeral name (the
         reference's ephemeral app-id analogue), is consumed, and stopped.
         Returns a list of Rows.
+
+        `max_rows` bounds the driver-side drain when no LIMIT is given —
+        a transient query over a high-cardinality aggregation would
+        otherwise collect every group onto the driver (complete-mode
+        sink) and OOM it. Exceeding the cap raises an actionable error
+        rather than silently truncating (a truncated answer would look
+        complete).
         """
+        df, limit = self._push_query_df(select_text, limit, timeout)
+        if limit:
+            return df.take(limit)
+        rows = df.take(max_rows + 1)
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"push query returned more than max_rows={max_rows} "
+                f"rows with no LIMIT; add a LIMIT clause or raise "
+                f"max_rows= (driver-side drain is capped to protect "
+                f"against high-cardinality collects)")
+        return rows
+
+    def push_query_iter(self, select_text: str, *, limit: int | None = None,
+                        timeout: float | None = 60.0):
+        """Streaming-drain variant of `push_query` for chunked transport
+        (KSQL 5.x `StreamedQueryResource` — rows go back over chunked
+        HTTP until LIMIT/disconnect). Returns ``(columns, row_iterator,
+        effective_limit)``; rows come via `toLocalIterator`, so the
+        driver holds one partition at a time, never the full result —
+        which is why this path needs no `max_rows` cap."""
+        df, limit = self._push_query_df(select_text, limit, timeout)
+        cols = df.columns
+
+        def gen():
+            n = 0
+            if limit is not None and limit <= 0:
+                return
+            for r in df.toLocalIterator():
+                yield r
+                n += 1
+                if limit is not None and n >= limit:
+                    break
+
+        return cols, gen(), limit
+
+    def _push_query_df(self, select_text: str, limit: int | None,
+                       timeout: float | None):
+        """Resolve a transient push query to a FINITE DataFrame (running
+        the bounded replay through a memory sink if the source is
+        streaming) plus the effective LIMIT."""
         res = self._execute_one(select_text)
         if res.df is None:
             raise ValueError("not a query")
@@ -348,7 +395,7 @@ class KsqlSparkEngine:
             if isinstance(spec, SelectSpec):
                 limit = spec.limit
         if not df.isStreaming:
-            return df.take(limit) if limit else df.collect()
+            return df, limit
         self._qid += 1
         name = f"transient_{self._ns}_{self._qid}".lower()
         # KSQL push queries on aggregations emit the changelog; the bounded-
@@ -370,8 +417,7 @@ class KsqlSparkEngine:
             raise TimeoutError(
                 f"push query did not complete within {timeout}s "
                 f"(partial results discarded; raise timeout=)")
-        out = self.spark.table(name)
-        return out.take(limit) if limit else out.collect()
+        return self.spark.table(name), limit
 
     # SimpleSpec verbs that mutate engine state and must replay; RUN is
     # excluded (its nested statements log individually through execute)

