@@ -1,0 +1,117 @@
+"""Conformance corpus — the QueryTranslationTest analogue (SURVEY §6.1).
+
+The reference's one important test idea: a DATA corpus of (input
+records, KSQL statements, expected records), executed through the real
+engine — here through BOTH execution paths:
+
+- batch: sources registered as batch relations, query drained directly;
+- streaming: the same statements over `readStream` sources, drained via
+  the transient-push-query bounded replay (availableNow → memory sink).
+
+A case passes only if both modes produce the expected rows, which pins
+the batch/streaming parity contract case by case. Cases concentrate on
+the documented semantic edges: SPLIT literal delimiters, 0-based
+element_at with NULL OOB, SimpleDateFormat malformed-input tolerance,
+Java integer division, outer-join emission timing under watermarks
+(flush rows advance the final watermark past every real band), and
+late-data window updates.
+
+Comparison is order-insensitive (rows sorted), floats rounded to 6
+(same normalization as tools/check_correctness.py); a case may set
+`sort_arrays` when array element order is engine-defined (COLLECT_SET).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+_CORPUS = json.loads(
+    (Path(__file__).parent / "conformance_corpus.json").read_text())
+CASES = {c["name"]: c for c in _CORPUS}
+assert len(CASES) == len(_CORPUS), "duplicate case names"
+
+
+def _norm(v):
+    import datetime as dt
+    from decimal import Decimal
+
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 6)
+    if isinstance(v, Decimal):
+        return round(float(v), 6)
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in sorted(v.items())}
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    return v
+
+
+def _cmp_rows(cols, rows, sort_arrays):
+    out = []
+    for r in rows:
+        d = r.asDict(recursive=True) if hasattr(r, "asDict") else dict(
+            zip(cols, r))
+        vals = [_norm(d[c]) for c in cols]
+        if sort_arrays:
+            vals = [sorted(v, key=repr) if isinstance(v, list) else v
+                    for v in vals]
+        out.append(vals)
+    out.sort(key=repr)
+    return out
+
+
+def _expected(case, mode):
+    key = ("expected_streaming"
+           if mode == "streaming" and "expected_streaming" in case
+           else "expected")
+    rows = [[_norm(v) for v in r] for r in case[key]]
+    if case.get("sort_arrays"):
+        rows = [[sorted(v, key=repr) if isinstance(v, list) else v
+                 for v in r] for r in rows]
+    rows.sort(key=repr)
+    return rows
+
+
+def _run_case(spark, tmp_path, case, mode):
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark, data_dir=SF_DIR,
+                          streaming=(mode == "streaming"))
+    if mode == "streaming":
+        eng.config.checkpoint_dir = str(tmp_path / "ckpt")
+    for name, spec in case["inputs"].items():
+        df = spark.createDataFrame([tuple(r) for r in spec["rows"]],
+                                   spec["schema"])
+        p = str(tmp_path / name)
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        eng.register_source(
+            name, path=p,
+            key=spec.get("key"),
+            timestamp=spec.get("timestamp"),
+            kind=spec.get("kind", "STREAM"),
+            watermark=spec.get("watermark"),
+            static=bool(spec.get("static")) and mode == "streaming",
+        )
+    for stmt in case.get("statements", []):
+        eng.execute(stmt)
+    rows = eng.push_query(case["query"], timeout=180)
+    return _cmp_rows(case["columns"], rows, case.get("sort_arrays", False))
+
+
+@pytest.mark.parametrize("mode", ["batch", "streaming"])
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_conformance(spark, tmp_path, name, mode):
+    case = CASES[name]
+    if mode not in case.get("modes", ["batch", "streaming"]):
+        pytest.skip(f"{name} restricted to {case.get('modes')}")
+    got = _run_case(spark, tmp_path, case, mode)
+    exp = _expected(case, mode)
+    assert got == exp, (
+        f"conformance case {name!r} [{mode}]\n got: {got}\n exp: {exp}")
