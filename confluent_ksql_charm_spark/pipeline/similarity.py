@@ -496,6 +496,71 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
     return assigned, centers
 
 
+def save_ann_index(index, path: str, *, kind: str, params: dict,
+                   partition_by: str | None = None) -> None:
+    """Persist a deployed ANN index: parquet for the relation (optionally
+    partitioned on the probe column so probes prune partitions instead of
+    scanning), JSON sidecar for the parameters the probe must replay
+    (seed/bits/bands — and for IVF the centroid coordinates themselves).
+
+    This is the missing half of the deployed-index pattern the session
+    caches already follow (SCALE.md: "persist the centers / make __cell a
+    partition column"): build at ingest, save once, `load_ann_index` in
+    every later job.
+
+    kinds: ``lsh`` (index = `lsh_index` df; partition on ``__bucket``),
+    ``banded_lsh`` (index = `banded_lsh_index` df; partition on ``band``),
+    ``ivf`` (index = `(assigned_df, centers)`; partition on ``__cell``).
+    """
+    import json
+    import os
+
+    if kind == "ivf":
+        df, centers = index
+        params = dict(params, centers=centers)
+    elif kind in ("lsh", "banded_lsh"):
+        df = index
+    else:
+        raise ValueError(f"unknown ANN index kind {kind!r}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(os.path.join(path, "index.parquet"))
+    with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as fh:
+        json.dump({"kind": kind, "params": params,
+                   "partition_by": partition_by}, fh)
+
+
+def load_ann_index(spark, path: str):
+    """Load a `save_ann_index` directory → ``(index, params)`` where
+    `index` plugs straight into the matching probe (`lsh_bucket_topk
+    (index=...)`, `banded_lsh_pairs(banded=...)`, `ivf_topk(index=...)`).
+
+    Partition-column types are restored to the builder's schema (Spark
+    infers numeric partition directory values as INT; the builders emit
+    LONG/INT as noted per kind) so probe expressions behave identically
+    on a loaded index.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    df = spark.read.parquet(os.path.join(path, "index.parquet"))
+    kind, params = meta["kind"], meta["params"]
+    if kind == "lsh":
+        df = df.withColumn("__bucket", F.col("__bucket").cast("long"))
+        return df, params
+    if kind == "banded_lsh":
+        df = df.withColumn("band", F.col("band").cast("int"))
+        return df, params
+    if kind == "ivf":
+        df = df.withColumn("__cell", F.col("__cell").cast("int"))
+        centers = params.pop("centers")
+        return (df, centers), params
+    raise ValueError(f"unknown ANN index kind {kind!r} in {path}")
+
+
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
              nlist: int = 16, nprobe: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id", seed: int = 42,

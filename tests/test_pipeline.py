@@ -513,6 +513,70 @@ class TestSimilarity:
         # the query's own cluster is one cell: 1-probe should see ~all
         assert len(got & exact) / 10 >= 0.8
 
+    def test_ann_index_save_load_roundtrip(self, spark, tmp_path):
+        # Deployed-index persistence (round-4 verdict #7): probe results
+        # must be identical before and after reload — a reloaded index in
+        # a later job replaces recomputation exactly. Parquet is written
+        # partitioned on the probe column, so probes on the loaded index
+        # prune partitions (the SCALE.md 100 TB posture).
+        import random
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            banded_lsh_index, banded_lsh_pairs, ivf_index, ivf_topk,
+            load_ann_index, lsh_bucket_topk, lsh_index, save_ann_index)
+
+        rng = random.Random(21)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(150)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id bigint, embedding array<float>")
+        q = rows[3][1]
+
+        # LSH flat index
+        idx = lsh_index(df, bits=6, seed=5)
+        before = [(r.vec_id, round(r.cosine, 6)) for r in
+                  lsh_bucket_topk(df, q, k=5, bits=6, seed=5,
+                                  index=idx).collect()]
+        save_ann_index(idx, str(tmp_path / "lsh"), kind="lsh",
+                       params={"bits": 6, "seed": 5},
+                       partition_by="__bucket")
+        loaded, params = load_ann_index(spark, str(tmp_path / "lsh"))
+        assert params == {"bits": 6, "seed": 5}
+        after = [(r.vec_id, round(r.cosine, 6)) for r in
+                 lsh_bucket_topk(df, q, k=5, bits=params["bits"],
+                                 seed=params["seed"], index=loaded).collect()]
+        assert after == before
+
+        # banded LSH index
+        banded = banded_lsh_index(df, num_bands=4, bits_per_band=4, seed=9)
+        before_p = sorted((r.id_a, r.id_b) for r in banded_lsh_pairs(
+            df, num_bands=4, bits_per_band=4, seed=9,
+            banded=banded).collect())
+        save_ann_index(banded, str(tmp_path / "banded"), kind="banded_lsh",
+                       params={"num_bands": 4, "bits_per_band": 4, "seed": 9},
+                       partition_by="band")
+        loaded_b, params_b = load_ann_index(spark, str(tmp_path / "banded"))
+        after_p = sorted((r.id_a, r.id_b) for r in banded_lsh_pairs(
+            df, num_bands=params_b["num_bands"],
+            bits_per_band=params_b["bits_per_band"], seed=params_b["seed"],
+            banded=loaded_b).collect())
+        assert after_p == before_p
+
+        # IVF index (assignments parquet + centers in the JSON sidecar)
+        ivf = ivf_index(df, nlist=4, seed=13)
+        before_i = [(r.vec_id, round(r.cosine, 6)) for r in
+                    ivf_topk(df, q, k=5, nlist=4, nprobe=2,
+                             index=ivf).collect()]
+        save_ann_index(ivf, str(tmp_path / "ivf"), kind="ivf",
+                       params={"nlist": 4, "seed": 13},
+                       partition_by="__cell")
+        loaded_i, params_i = load_ann_index(spark, str(tmp_path / "ivf"))
+        assert params_i == {"nlist": 4, "seed": 13}
+        after_i = [(r.vec_id, round(r.cosine, 6)) for r in
+                   ivf_topk(df, q, k=5, nlist=params_i["nlist"], nprobe=2,
+                            index=loaded_i).collect()]
+        assert after_i == before_i
+
     def test_lsh_plan_scales_buckets_with_corpus(self):
         from confluent_ksql_charm_spark.pipeline.similarity import lsh_plan
 
