@@ -1,0 +1,101 @@
+"""Build a synthetic ~sf1 dataset from the driver's sf0.1 parquet.
+
+Big/fact tables are unioned x10 with shifted keys so FK joins keep their
+shape (10x orders per customer, 10x lineitems per order chain); events
+are ALSO time-shifted so distinct-window counts scale with the data, not
+just row counts; documents/embeddings get shifted ids (verbatim copies —
+deliberately a duplication-factor-10 corpus, the harsh workload for the
+dedup family: candidate pairs grow ~quadratically inside each copy
+cluster). Dimension tables pass through unchanged.
+
+This is the committed form of the ad-hoc 10x protocol behind
+BASELINE.md's extrapolation tables, so every round can re-create the
+same second scale point per query.
+
+Usage: python tools/make_sf1.py [out_dir] [sf_dir]
+       (defaults: /tmp/sf1  /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+COPIES = 10
+
+PASSTHROUGH = ["region", "nation", "customer", "supplier", "part",
+               "embeddings"]
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder.master("local[32]")
+             .appName("make-sf1")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "8g")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    os.makedirs(OUT, exist_ok=True)
+
+    def read(t):
+        return spark.read.parquet(f"{SRC}/{t}.parquet")
+
+    def write(df, t, parts=8):
+        df.repartition(parts).write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet")
+        print(f"  {t}: {df.count()} rows")
+
+    for t in PASSTHROUGH:
+        write(read(t), t, parts=2)
+
+    def x10(df, shifts: dict, extra=None):
+        """Union COPIES copies, adding i*offset to each shifted column."""
+        out = None
+        for i in range(COPIES):
+            c = df
+            for col, off in shifts.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * off))
+            if extra is not None:
+                c = extra(c, i)
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    orders = read("orders")
+    okey_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    write(x10(orders, {"o_orderkey": okey_off}), "orders")
+    write(x10(read("lineitem"), {"l_orderkey": okey_off}), "lineitem", 16)
+
+    # events: read through the engine's parquet source (handles the
+    # INT64(NANOS) ts → proper TIMESTAMP), then shift each copy past the
+    # previous one by the time span + 1h so distinct-window counts scale
+    # with the data; the rewrite stores a native micros timestamp, which
+    # the engine's TIMESTAMP='ts' extraction passes through unchanged.
+    from confluent_ksql_charm_spark.sources.parquet import read_parquet
+    ev = read_parquet(spark, f"{SRC}/events.parquet")
+    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_sec = int((tmax - tmin).total_seconds()) + 3600
+    eid_off = ev.agg(F.max("event_id")).first()[0] + 1
+
+    def shift_ts(c, i):
+        return c.withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {i * span_sec} SECONDS"))
+
+    write(x10(ev, {"event_id": eid_off}, extra=shift_ts), "events")
+
+    docs = read("documents")
+    did_off = docs.agg(F.max("doc_id")).first()[0] + 1
+    write(x10(docs, {"doc_id": did_off}), "documents")
+    print(f"sf1 dataset at {OUT}")
+
+
+if __name__ == "__main__":
+    main()
