@@ -598,16 +598,39 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                            max_hamming: int = 3,
-                           token_hash: Callable[[Column], Column] | None = None
-                           ) -> DataFrame:
+                           token_hash: Callable[[Column], Column] | None = None,
+                           collapse_exact: bool = True) -> DataFrame:
     """SimHash near-dup pairs by blocking on 16-bit quadrants.
 
     Pigeonhole: hamming ≤ 3 ⇒ at least one of the four 16-bit quadrants
     is identical → equi-join per quadrant, verify hamming distance. No
     cross join; each quadrant join shuffles on a 16-bit-key hash.
+
+    `collapse_exact` (default on): group EXACT-duplicate texts first and
+    sketch/block only one representative per distinct text, then expand
+    rep-level pairs back to member pairs. Identical texts have identical
+    sketches, so the result is bit-identical to the uncollapsed op —
+    but on real corpora (duplication factors of 2-10 are normal in web
+    crawls) the expensive part (token explode → 64 bit-sums → quadrant
+    join, where every copy collides in EVERY quadrant) shrinks by the
+    duplication factor; only the final expansion is proportional to the
+    (inherently quadratic-in-cluster-size) output. Measured at the
+    sf1 duplication-10 stress corpus: 90.6 s → see BASELINE.md round-5.
+    The collapse costs one extra shuffle (groupBy text) — disable for
+    corpora known to be exactly-deduped already.
     """
+    if collapse_exact:
+        return _simhash_pairs_collapsed(df, id_col, text_col,
+                                        max_hamming=max_hamming,
+                                        token_hash=token_hash)
     sh = simhash_df(df, id_col, text_col,
                     token_hash=token_hash).withColumnRenamed(id_col, "id")
+    return _quadrant_pairs(sh, max_hamming)
+
+
+def _quadrant_pairs(sh: DataFrame, max_hamming: int) -> DataFrame:
+    """(id, sim) → (id_a, id_b, hamming ≤ max_hamming) via quadrant
+    blocking; id_a < id_b, distinct."""
     quads = sh.select(
         "id", "sim",
         F.explode(F.array(*[
@@ -621,7 +644,7 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     ).select("id", "sim", "qq.q", "qq.qv")
     a = quads.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "q", "qv")
     b = quads.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), "q", "qv")
-    pairs = (
+    return (
         a.join(b, ["q", "qv"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sim_a", "sim_b").distinct()
@@ -630,4 +653,51 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return pairs
+
+
+def _simhash_pairs_collapsed(df: DataFrame, id_col: str, text_col: str, *,
+                             max_hamming: int,
+                             token_hash) -> DataFrame:
+    """Exact-duplicate collapse around `_quadrant_pairs` — see
+    `simhash_near_dup_pairs(collapse_exact=True)`.
+
+    members: (group rep = min id per distinct text, id). Output =
+      intra-group pairs (identical texts ⇒ hamming 0), plus
+      rep-level near-dup pairs expanded to all member cross pairs
+      (identical text ⇒ identical sketch ⇒ member hamming = rep
+      hamming). `least/greatest` canonicalizes the cross expansion; the
+      two groups are disjoint so no duplicate pairs arise.
+    """
+    from pyspark.sql.window import Window
+
+    # group key = the text itself (same shuffle shape as exact_dedup; no
+    # hash-collision risk in the grouping). The (two-longs-per-row)
+    # membership relation is checkpointed once for its three consumers:
+    # the rep extraction and both expansion joins.
+    members = maybe_checkpoint(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+          .withColumn("__rep",
+                      F.min("__id").over(Window.partitionBy("__t")))
+          .select("__rep", "__id"))
+    reps_df = df.join(
+        members.where(F.col("__rep") == F.col("__id"))
+               .select(F.col("__id").alias(id_col)),
+        id_col, "left_semi")
+    rep_pairs = _quadrant_pairs(
+        simhash_df(reps_df, id_col, text_col,
+                   token_hash=token_hash).withColumnRenamed(id_col, "id"),
+        max_hamming)
+    ma = members.select(F.col("__rep").alias("id_a"),
+                        F.col("__id").alias("__ma"))
+    mb = members.select(F.col("__rep").alias("id_b"),
+                        F.col("__id").alias("__mb"))
+    inter = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("__ma", "__mb").alias("id_a"),
+                     F.greatest("__ma", "__mb").alias("id_b"),
+                     "hamming"))
+    intra = (members.alias("x").join(members.alias("y"), "__rep")
+             .where(F.col("x.__id") < F.col("y.__id"))
+             .select(F.col("x.__id").alias("id_a"),
+                     F.col("y.__id").alias("id_b"),
+                     F.lit(0).cast("int").alias("hamming")))
+    return inter.unionByName(intra)

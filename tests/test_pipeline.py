@@ -59,6 +59,39 @@ class TestDedup:
         assert pairs.get((1, 5)) == 0
         assert (1, 3) not in pairs
 
+    def test_simhash_collapse_exact_is_bit_identical(self, spark):
+        # collapse_exact sketches one representative per distinct text and
+        # expands back — result must equal the uncollapsed op EXACTLY on a
+        # corpus mixing exact-dup clusters, near-dups, and singletons.
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            simhash_near_dup_pairs)
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight again")
+        rows = []
+        for i in range(4):                      # exact-dup cluster of 4
+            rows.append((10 + i, base))
+        rows.append((20, base.replace("lazy", "sleepy")))   # near-dup
+        for i in range(3):                      # second cluster of 3
+            rows.append((30 + i, base.replace("fox", "wolf")))
+        rows.append((40, "completely different text with no overlap at "
+                         "all to anything else present here whatsoever"))
+        # interleaved ids so least/greatest canonicalization is exercised
+        rows.append((5, base))                  # cluster member BELOW rep 10
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        kw = dict(max_hamming=6)
+        collapsed = {(r.id_a, r.id_b): r.hamming for r in
+                     simhash_near_dup_pairs(df, "doc_id", "text",
+                                            collapse_exact=True,
+                                            **kw).collect()}
+        plain = {(r.id_a, r.id_b): r.hamming for r in
+                 simhash_near_dup_pairs(df, "doc_id", "text",
+                                        collapse_exact=False,
+                                        **kw).collect()}
+        assert collapsed == plain
+        assert collapsed[(5, 10)] == 0          # intra-cluster, reordered ids
+        assert len(collapsed) >= 10             # C(5,2) + C(3,2) + cross pairs
+
     def test_shingles(self, spark):
         from confluent_ksql_charm_spark.pipeline.dedup import shingles_col
 
