@@ -399,15 +399,90 @@ def jaccard_for_pairs(
     )
 
 
+def _exact_dup_members(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(``__rep`` = min id per distinct text, ``__id``) membership
+    relation for exact-duplicate collapse — checkpointed (two longs per
+    row) because every caller consumes it several times."""
+    from pyspark.sql.window import Window
+
+    return maybe_checkpoint(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+          .withColumn("__rep",
+                      F.min("__id").over(Window.partitionBy("__t")))
+          .select("__rep", "__id"))
+
+
+def _expand_member_pairs(rep_pairs: DataFrame, members: DataFrame,
+                         score_col: str, intra_score) -> DataFrame:
+    """Rep-level pairs → member-level pairs: every cross pair of the two
+    groups inherits the rep score (identical text ⇒ identical
+    sketch/shingles); intra-group pairs get `intra_score` (hamming 0 /
+    jaccard 1.0). least/greatest canonicalizes; groups are disjoint so no
+    duplicates arise."""
+    ma = members.select(F.col("__rep").alias("id_a"),
+                        F.col("__id").alias("__ma"))
+    mb = members.select(F.col("__rep").alias("id_b"),
+                        F.col("__id").alias("__mb"))
+    inter = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("__ma", "__mb").alias("id_a"),
+                     F.greatest("__ma", "__mb").alias("id_b"),
+                     score_col))
+    intra = (members.alias("x").join(members.alias("y"), "__rep")
+             .where(F.col("x.__id") < F.col("y.__id"))
+             .select(F.col("x.__id").alias("id_a"),
+                     F.col("y.__id").alias("id_b"),
+                     intra_score.alias(score_col)))
+    return inter.unionByName(intra)
+
+
 def near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
                    threshold: float = 0.7, num_hashes: int = 64,
                    bands: int = 16, shingle_k: int = 3,
-                   signatures: DataFrame | None = None) -> DataFrame:
+                   signatures: DataFrame | None = None,
+                   collapse_exact: bool = False,
+                   _sparse_exact: bool = False) -> DataFrame:
     """LSH candidates → exact-Jaccard verification → pairs ≥ threshold.
 
     `signatures`: optional persisted (id, minhash) relation — see
-    `lsh_candidate_pairs`.
+    `lsh_candidate_pairs`. Passing one disables the collapse (the
+    persisted table is keyed by original ids).
+
+    `collapse_exact` (default OFF here, unlike SimHash): shingle/band
+    only one representative per distinct text and expand rep-level
+    results back to member pairs (identical texts ⇒ identical shingle
+    sets ⇒ member scores are rep scores; intra-group jaccard is exactly
+    1.0). Measured (BASELINE.md round-5): MinHash banding already
+    amortizes moderate duplication — identical signatures share buckets
+    and `max_bucket` bounds the pair blowup — so the collapse's extra
+    text-shuffle is a net loss at duplication ≤ the bucket cap
+    (sf1 dup-10: 8.4 s → 9.8 s). Turn it ON when the duplication factor
+    exceeds `max_bucket` (mega-clusters): there the cap would sample
+    away intra pairs that the exact expansion preserves, and the
+    signature work shrinks by the duplication factor.
+
+    `_sparse_exact` (internal, used by `dedup_clusters`): emit exact-dup
+    groups as rep→member STAR edges instead of the full intra clique —
+    connected components are identical, edge count drops from
+    Σ C(n_i, 2) to Σ (n_i - 1).
     """
+    if collapse_exact and signatures is None:
+        members = _exact_dup_members(df, id_col, text_col)
+        reps_df = df.join(
+            members.where(F.col("__rep") == F.col("__id"))
+                   .select(F.col("__id").alias(id_col)),
+            id_col, "left_semi")
+        rep_pairs = near_dup_pairs(
+            reps_df, id_col, text_col, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            collapse_exact=False)
+        if _sparse_exact:
+            star = (members.where(F.col("__rep") != F.col("__id"))
+                    .select(F.col("__rep").alias("id_a"),
+                            F.col("__id").alias("id_b"),
+                            F.lit(1.0).alias("jaccard")))
+            return rep_pairs.unionByName(star)
+        return _expand_member_pairs(rep_pairs, members, "jaccard",
+                                    F.lit(1.0))
     # localCheckpoint: the candidate list is consumed 3× downstream (two
     # id scans + the verify join) and is tiny — materializing it eagerly
     # truncates the band self-join out of every consumer branch. Measured
@@ -539,10 +614,29 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str, *,
     join back to the corpus is on the id — at 100 TB the component
     relation is tiny next to the corpus (only docs appearing in a pair),
     so it broadcasts.
+
+    Exact-duplicate handling is decided ADAPTIVELY from one cheap probe
+    (count vs approx_count_distinct(text), same driver-side AQE-style
+    pattern as `bucketed_pairs`' heavy-bucket sizing): on a
+    duplication-heavy corpus (ratio > 1.2) exact-dup groups are
+    collapsed before the LSH and enter the edge list as rep→member STARS
+    (components identical; CC input shrinks from Σ C(n_i, 2) to
+    Σ (n_i − 1); measured sf1 dup-10: 15.2 s → 12.6 s), while an
+    already-deduped corpus skips the collapse's text shuffle entirely
+    (it costs ~40% at the scheduling floor for nothing). The probe is
+    skipped under a persisted `signatures` relation (keyed by original
+    ids) and in plan-only mode.
     """
+    collapse = False
+    if signatures is None and not lazy_plan_active():
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(text_col).alias("d")).first()
+        collapse = stats.n > stats.d * 1.2
     prs = near_dup_pairs(df, id_col, text_col, threshold=threshold,
                          num_hashes=num_hashes, bands=bands,
-                         shingle_k=shingle_k, signatures=signatures)
+                         shingle_k=shingle_k, signatures=signatures,
+                         collapse_exact=collapse, _sparse_exact=collapse)
     comp = connected_components(prs.select("id_a", "id_b"))
     return (df.select(F.col(id_col))
             .join(F.broadcast(comp.withColumnRenamed("id", id_col)),
@@ -668,17 +762,9 @@ def _simhash_pairs_collapsed(df: DataFrame, id_col: str, text_col: str, *,
       hamming). `least/greatest` canonicalizes the cross expansion; the
       two groups are disjoint so no duplicate pairs arise.
     """
-    from pyspark.sql.window import Window
-
     # group key = the text itself (same shuffle shape as exact_dedup; no
-    # hash-collision risk in the grouping). The (two-longs-per-row)
-    # membership relation is checkpointed once for its three consumers:
-    # the rep extraction and both expansion joins.
-    members = maybe_checkpoint(
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-          .withColumn("__rep",
-                      F.min("__id").over(Window.partitionBy("__t")))
-          .select("__rep", "__id"))
+    # hash-collision risk in the grouping)
+    members = _exact_dup_members(df, id_col, text_col)
     reps_df = df.join(
         members.where(F.col("__rep") == F.col("__id"))
                .select(F.col("__id").alias(id_col)),
@@ -687,17 +773,5 @@ def _simhash_pairs_collapsed(df: DataFrame, id_col: str, text_col: str, *,
         simhash_df(reps_df, id_col, text_col,
                    token_hash=token_hash).withColumnRenamed(id_col, "id"),
         max_hamming)
-    ma = members.select(F.col("__rep").alias("id_a"),
-                        F.col("__id").alias("__ma"))
-    mb = members.select(F.col("__rep").alias("id_b"),
-                        F.col("__id").alias("__mb"))
-    inter = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
-             .select(F.least("__ma", "__mb").alias("id_a"),
-                     F.greatest("__ma", "__mb").alias("id_b"),
-                     "hamming"))
-    intra = (members.alias("x").join(members.alias("y"), "__rep")
-             .where(F.col("x.__id") < F.col("y.__id"))
-             .select(F.col("x.__id").alias("id_a"),
-                     F.col("y.__id").alias("id_b"),
-                     F.lit(0).cast("int").alias("hamming")))
-    return inter.unionByName(intra)
+    return _expand_member_pairs(rep_pairs, members, "hamming",
+                                F.lit(0).cast("int"))

@@ -92,6 +92,50 @@ class TestDedup:
         assert collapsed[(5, 10)] == 0          # intra-cluster, reordered ids
         assert len(collapsed) >= 10             # C(5,2) + C(3,2) + cross pairs
 
+    def test_minhash_collapse_exact_is_identical(self, spark):
+        # near_dup_pairs collapse parity: same pairs AND same jaccard
+        # scores as the uncollapsed op on a mixed corpus; intra-cluster
+        # pairs carry jaccard exactly 1.0.
+        from confluent_ksql_charm_spark.pipeline.dedup import near_dup_pairs
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight again")
+        rows = [(5, base), (10, base), (11, base),
+                (20, base.replace("lazy", "sleepy")),
+                (30, base.replace("fox", "wolf")),
+                (31, base.replace("fox", "wolf")),
+                (40, "completely different text with no overlap at all "
+                     "to anything else present here in the corpus")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        kw = dict(threshold=0.5)
+        collapsed = {(r.id_a, r.id_b): round(r.jaccard, 6) for r in
+                     near_dup_pairs(df, "doc_id", "text",
+                                    collapse_exact=True, **kw).collect()}
+        plain = {(r.id_a, r.id_b): round(r.jaccard, 6) for r in
+                 near_dup_pairs(df, "doc_id", "text",
+                                collapse_exact=False, **kw).collect()}
+        assert collapsed == plain
+        assert collapsed[(5, 10)] == 1.0 and collapsed[(30, 31)] == 1.0
+        assert (5, 20) in collapsed          # near-dup expands to members
+
+    def test_dedup_clusters_sparse_star_same_components(self, spark):
+        # _sparse_exact star edges must yield the same clusters as the
+        # full clique form for exact-dup groups mixed with near-dups.
+        from confluent_ksql_charm_spark.pipeline.dedup import dedup_clusters
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight again")
+        rows = [(1, base), (2, base), (3, base),
+                (4, base.replace("lazy", "sleepy")),
+                (9, "nothing like the others at all in any way shape or "
+                    "form whatsoever completely distinct text")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r.doc_id: r.cluster for r in
+               dedup_clusters(df, "doc_id", "text",
+                              threshold=0.5).collect()}
+        assert got[1] == got[2] == got[3] == got[4] == 1
+        assert got[9] == 9                   # singleton labels itself
+
     def test_shingles(self, spark):
         from confluent_ksql_charm_spark.pipeline.dedup import shingles_col
 
