@@ -606,6 +606,16 @@ def _q_doc_quality(spark, sf):
     )
 
 
+def _q_repetition_stats(spark, sf):
+    # Gopher-style repetition profile: dup-token / dup-n-gram ratios ride
+    # the scan as pure expressions; the top-token block is the two-level
+    # (doc, token)-count aggregation with deterministic lexicographic tie
+    # break, so DuckDB reproduces it row-for-row.
+    from confluent_ksql_charm_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf), "doc_id", "text")
+
+
 def _q_embedding_near_dup(spark, sf):
     # Banded hyperplane-LSH candidates → exact-cosine verify. Precision is
     # exact by construction; band/bit sizing comes from lsh_plan(count) so
@@ -875,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_sample": _q_corpus_split_sample,
         "token_stats_by_lang": _q_token_stats,
         "doc_quality": _q_doc_quality,
+        "repetition_stats": _q_repetition_stats,
         # KSQL dialect surface
         "project_filter": _q_project_filter,
         "case_when_cast": _q_case_when_cast,
@@ -1434,6 +1445,43 @@ def oracle_sql() -> dict[str, str]:
             "+ CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) "
             "/ 3.0 * 10000 + 0.5) AS DOUBLE) / 10000 AS quality "
             "FROM t"
+        ),
+        "repetition_stats": (
+            # n-gram lists mirror text.ngrams_col exactly: i in [1, n_tok-n+1]
+            # via range(); < n tokens degrades to the single joined gram.
+            # Tie-break on the top token = lexicographically smallest among
+            # max-count (Spark side inverts byte order; here ORDER BY t ASC).
+            "WITH base AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS toks FROM documents), "
+            "expr AS (SELECT doc_id, CAST(length(toks) AS INT) AS n_tokens, "
+            "ROUND(CASE WHEN length(toks) > 0 THEN (length(toks) - "
+            "length(list_distinct(toks))) * 1.0 / length(toks) ELSE 0 END, 4) "
+            "AS dup_token_ratio, "
+            "ROUND(CASE WHEN g2_n > 0 THEN (g2_n - length(list_distinct(g2)))"
+            " * 1.0 / g2_n ELSE 0 END, 4) AS dup_2gram_ratio, "
+            "ROUND(CASE WHEN g3_n > 0 THEN (g3_n - length(list_distinct(g3)))"
+            " * 1.0 / g3_n ELSE 0 END, 4) AS dup_3gram_ratio "
+            "FROM (SELECT doc_id, toks, g2, g3, length(g2) AS g2_n, "
+            "length(g3) AS g3_n FROM (SELECT doc_id, toks, "
+            "CASE WHEN length(toks) >= 2 THEN "
+            "list_transform(range(1, length(toks)), "
+            "i -> array_to_string(toks[i:i+1], ' ')) "
+            "ELSE [array_to_string(toks, ' ')] END AS g2, "
+            "CASE WHEN length(toks) >= 3 THEN "
+            "list_transform(range(1, length(toks) - 1), "
+            "i -> array_to_string(toks[i:i+2], ' ')) "
+            "ELSE [array_to_string(toks, ' ')] END AS g3 FROM base))), "
+            "cnt AS (SELECT doc_id, t, count(*) AS c FROM "
+            "(SELECT doc_id, unnest(toks) AS t FROM base) GROUP BY doc_id, t), "
+            "ranked AS (SELECT doc_id, t, c, "
+            "sum(c) OVER (PARTITION BY doc_id) AS total, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY c DESC, t ASC) AS rn FROM cnt) "
+            "SELECT e.doc_id, e.n_tokens, e.dup_token_ratio, "
+            "e.dup_2gram_ratio, e.dup_3gram_ratio, r.t AS top_token, "
+            "CAST(r.c AS BIGINT) AS top_token_count, "
+            "ROUND(r.c * 1.0 / r.total, 4) AS top_token_fraction "
+            "FROM expr e JOIN ranked r ON e.doc_id = r.doc_id AND r.rn = 1"
         ),
         "embedding_near_dup": (
             # LSH-candidates path (cosine) and blocked exact matmul path

@@ -27,6 +27,7 @@ _SIGNATURES = {
     "INCREMENTAL_DEDUP": "INCREMENTAL_DEDUP(new, corpus, ON='col[,col]')",
     "INCREMENTAL_NEAR_DUP": ("INCREMENTAL_NEAR_DUP(new, corpus, ID='id', "
                              "TEXT='text'[, THRESHOLD='0.7'])"),
+    "REPETITION_STATS": "REPETITION_STATS(src, ID='id', TEXT='text')",
 }
 
 
@@ -93,6 +94,11 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         return incremental_near_dup(dfs[0], dfs[1], _need(spec, "ID"),
                                     _need(spec, "TEXT"),
                                     threshold=float(p.get("THRESHOLD", 0.7)))
+    if op == "REPETITION_STATS":
+        from .text import repetition_stats
+        _need_sources(spec, 1)
+        return repetition_stats(dfs[0], _need(spec, "ID"),
+                                _need(spec, "TEXT"))
     raise ValueError(
         f"unknown PIPELINE operator {op!r}; available: "
         + ", ".join(sorted(_SIGNATURES)))

@@ -804,6 +804,39 @@ class TestText:
         assert fp[1] == fp[2]
         assert fp[1] != fp[3]
 
+    def test_repetition_stats_values(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "b a b a"), (3, "x y z w v")],
+            "doc_id bigint, text string")
+        rows = {r.doc_id: r for r in
+                repetition_stats(df, "doc_id", "text").collect()}
+        r1 = rows[1]
+        assert r1.n_tokens == 4
+        assert r1.dup_token_ratio == pytest.approx(0.5)      # 2 repeats / 4
+        assert r1.dup_2gram_ratio == pytest.approx(1 / 3, abs=1e-4)
+        assert (r1.top_token, r1.top_token_count) == ("a", 3)
+        assert r1.top_token_fraction == pytest.approx(0.75)
+        # count tie (a=2, b=2) breaks to the lexicographically smallest
+        assert rows[2].top_token == "a"
+        # all-distinct doc: zero repetition
+        r3 = rows[3]
+        assert r3.dup_token_ratio == 0.0 and r3.dup_2gram_ratio == 0.0
+        assert r3.top_token_count == 1
+
+    def test_repetition_keep_gate(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import repetition_keep
+
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam spam spam"),
+             (2, "a genuinely varied sentence with many distinct words"),
+             (3, "too short")],
+            "doc_id bigint, text string")
+        kept = {r.doc_id for r in
+                df.filter(repetition_keep("text")).collect()}
+        assert kept == {2}
+
 
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
