@@ -616,6 +616,22 @@ def _q_repetition_stats(spark, sf):
     return repetition_stats(_docs(spark, sf), "doc_id", "text")
 
 
+def _q_c4_line_clean(spark, sf):
+    # C4-style line cleaning over real docs UNION the planted multi-line
+    # C4_FIXTURE (synthetic docs are single-line and punctuation-free, so
+    # they exercise only the everything-dropped path; the fixture covers
+    # every rule: terminal punct, min words, badwords, braces, lorem
+    # ipsum, blank lines). Fixture ids offset to 2_000_000.
+    from confluent_ksql_charm_spark.pipeline.text import (
+        C4_FIXTURE, c4_line_clean)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    fx = spark.createDataFrame(
+        [(2_000_000 + i, t) for i, t in C4_FIXTURE],
+        "doc_id bigint, text string")
+    return c4_line_clean(docs.unionByName(fx), "doc_id", "text")
+
+
 def _q_embedding_near_dup(spark, sf):
     # Banded hyperplane-LSH candidates → exact-cosine verify. Precision is
     # exact by construction; band/bit sizing comes from lsh_plan(count) so
@@ -886,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_lang": _q_token_stats,
         "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition_stats,
+        "c4_line_clean": _q_c4_line_clean,
         # KSQL dialect surface
         "project_filter": _q_project_filter,
         "case_when_cast": _q_case_when_cast,
@@ -962,6 +979,39 @@ def _text_signals_oracle() -> str:
         f"CAST(NULL AS VARCHAR) AS lang_guess, {fp} AS fp FROM dsh "
         "UNION ALL "
         f"SELECT 'fixture', fid, flang, flang, {fp} FROM fsh"
+    )
+
+
+def _c4_oracle() -> str:
+    """DuckDB oracle for c4_line_clean: identical line split / trim /
+    keep-predicate / rejoin over documents UNION the planted C4_FIXTURE
+    (escaped into a VALUES literal — newlines embed verbatim)."""
+    from confluent_ksql_charm_spark.pipeline.text import C4_FIXTURE
+
+    rows = ", ".join(
+        "({id}, '{txt}')".format(id=2_000_000 + i,
+                                 txt=t.replace("'", "''"))
+        for i, t in C4_FIXTURE)
+    keep = ("length(l) > 0 AND regexp_matches(l, '[.!?\"'']$') "
+            "AND length(string_split_regex(l, '\\s+')) >= 5 "
+            "AND NOT contains(lower(l), 'javascript') "
+            "AND NOT contains(lower(l), 'cookie')")
+    return (
+        f"WITH fx(doc_id, text) AS (VALUES {rows}), "
+        "src AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id, text FROM fx), "
+        "t AS (SELECT doc_id, text, "
+        "list_transform(string_split(text, chr(10)), x -> trim(x)) "
+        "AS lines FROM src), "
+        f"k AS (SELECT doc_id, text, lines, "
+        f"list_filter(lines, l -> {keep}) AS kept FROM t) "
+        "SELECT doc_id, CAST(length(lines) AS INT) AS n_lines, "
+        "CAST(length(kept) AS INT) AS n_kept, "
+        # array_to_string([]) is NULL in DuckDB but '' in Spark array_join
+        "COALESCE(array_to_string(kept, chr(10)), '') AS cleaned, "
+        "(NOT contains(text, '{') AND NOT contains(text, '}') "
+        "AND NOT contains(lower(text), 'lorem ipsum')) AS keep_doc "
+        "FROM k"
     )
 
 
@@ -1534,4 +1584,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         # portable-md5 fingerprint + fixture-gated language heuristic
         "text_signals": _text_signals_oracle(),
+        "c4_line_clean": _c4_oracle(),
     }

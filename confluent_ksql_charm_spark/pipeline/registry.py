@@ -28,6 +28,7 @@ _SIGNATURES = {
     "INCREMENTAL_NEAR_DUP": ("INCREMENTAL_NEAR_DUP(new, corpus, ID='id', "
                              "TEXT='text'[, THRESHOLD='0.7'])"),
     "REPETITION_STATS": "REPETITION_STATS(src, ID='id', TEXT='text')",
+    "C4_CLEAN": "C4_CLEAN(src, ID='id', TEXT='text'[, MIN_WORDS='5'])",
 }
 
 
@@ -99,6 +100,11 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         _need_sources(spec, 1)
         return repetition_stats(dfs[0], _need(spec, "ID"),
                                 _need(spec, "TEXT"))
+    if op == "C4_CLEAN":
+        from .text import c4_line_clean
+        _need_sources(spec, 1)
+        return c4_line_clean(dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
+                             min_words=int(p.get("MIN_WORDS", 5)))
     raise ValueError(
         f"unknown PIPELINE operator {op!r}; available: "
         + ", ".join(sorted(_SIGNATURES)))

@@ -306,6 +306,82 @@ def repetition_keep(text: str | Column, *,
     )
 
 
+#: line-level markers that drop a line (C4's "javascript" rule family)
+C4_LINE_BADWORDS: tuple[str, ...] = ("javascript", "cookie")
+
+#: document-level markers that flag the whole doc (C4 drops docs with
+#: curly braces — code — or the lorem-ipsum placeholder)
+C4_DOC_PHRASE = "lorem ipsum"
+
+
+def c4_line_keep(line: Column, min_words: int = 5) -> Column:
+    """C4-style line filter (Raffel et al. 2020, public method): keep a
+    trimmed line iff it is non-empty, ends in terminal punctuation
+    (. ! ? " '), has >= min_words whitespace words, and contains none of
+    the badword markers. Pure expression — usable inside F.filter."""
+    k = (
+        (F.length(line) > 0)
+        & line.rlike("[.!?\"']$")
+        & (F.size(F.split(line, r"\s+")) >= min_words)
+    )
+    for w in C4_LINE_BADWORDS:
+        k = k & ~F.lower(line).contains(w)
+    return k
+
+
+def c4_line_clean(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", *,
+                  min_words: int = 5) -> DataFrame:
+    """C4-style document cleaning: split into lines, keep only lines
+    passing `c4_line_keep`, rebuild the text, and flag documents that
+    C4 would drop outright (curly braces = code, lorem ipsum).
+
+    Entirely expression-only (split / transform / filter / array_join)
+    — one projection over the scan, no shuffle, whole-stage codegen; at
+    100 TB this runs at parquet-scan speed with full column pruning.
+    Returns (id, n_lines, n_kept, cleaned, keep_doc)."""
+    c = F.col(text_col)
+    lines = F.transform(F.split(c, "\n"), lambda l: F.trim(l))
+    kept = F.filter(lines, lambda l: c4_line_keep(l, min_words))
+    keep_doc = (
+        ~c.contains("{") & ~c.contains("}")
+        & ~F.lower(c).contains(C4_DOC_PHRASE)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("cleaned"),
+        keep_doc.alias("keep_doc"),
+    )
+
+
+#: Planted multi-line fixture exercising every C4 rule (the synthetic
+#: documents table is single-line prose without punctuation, so real
+#: docs exercise only the degenerate path). Shared by the unit tests and
+#: the registry oracle — same single-source-of-truth contract as
+#: LANG_FIXTURE.
+C4_FIXTURE: list[tuple[int, str]] = [
+    (0, "This is a perfectly fine opening sentence for a document.\n"
+        "Here is another sentence that should also be kept intact.\n"
+        "And a third one closes the paragraph quite nicely."),
+    (1, "Accept all cookies to continue reading this site.\n"
+        "This site requires JavaScript to display properly.\n"
+        "But this particular sentence is long enough and survives."),
+    (2, "too short.\n"
+        "no terminal punctuation on this line at all\n"
+        "A line that ends with a question mark is acceptable, right?\n"
+        "An exclamation keeps the reader engaged with the text!"),
+    (3, "function main() { return 42; }\n"
+        "This document looks like code and gets flagged at doc level."),
+    (4, "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\n"
+        "Placeholder text marks the whole document for dropping."),
+    (5, "\n\nBlank lines above should not count as kept lines.\n"
+        "He said the quote ends the line like this, \"indeed.\"\n"
+        "Trailing apostrophe also terminates the final line, truly '"),
+]
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat block as columns (single projection)."""
     c = F.col(text_col)

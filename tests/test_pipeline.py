@@ -837,6 +837,33 @@ class TestText:
                 df.filter(repetition_keep("text")).collect()}
         assert kept == {2}
 
+    def test_c4_line_clean_rules(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            C4_FIXTURE, c4_line_clean)
+
+        fx = spark.createDataFrame(C4_FIXTURE, "doc_id bigint, text string")
+        rows = {r.doc_id: r for r in c4_line_clean(fx).collect()}
+        # clean doc: every line kept verbatim
+        assert rows[0].n_kept == 3 and rows[0].cleaned == C4_FIXTURE[0][1]
+        # cookie + javascript lines dropped, survivor kept
+        assert rows[1].n_kept == 1
+        assert rows[1].cleaned.startswith("But this particular")
+        # short line and no-terminal-punct line dropped; ? and ! kept
+        assert rows[2].n_kept == 2
+        # brace doc and lorem-ipsum doc flagged at doc level
+        assert rows[3].keep_doc is False and rows[4].keep_doc is False
+        assert rows[0].keep_doc is True
+        # blank lines counted but never kept; quote/apostrophe terminators
+        assert rows[5].n_lines == 5 and rows[5].n_kept == 3
+
+    def test_c4_min_words_knob(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import c4_line_clean
+
+        df = spark.createDataFrame([(1, "Keep this one.")],
+                                   "doc_id bigint, text string")
+        assert c4_line_clean(df).first().n_kept == 0
+        assert c4_line_clean(df, min_words=3).first().n_kept == 1
+
 
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
