@@ -632,6 +632,30 @@ def _q_c4_line_clean(spark, sf):
     return c4_line_clean(docs.unionByName(fx), "doc_id", "text")
 
 
+def _q_pack_sequences(spark, sf):
+    # Concat-and-chunk packing plan: portable-hash shard+order, running
+    # token cumsum, integer pack-boundary math — DuckDB reproduces the
+    # permutation and every offset exactly (all-integer after the hash).
+    from confluent_ksql_charm_spark.pipeline.sampling import pack_sequences
+    from confluent_ksql_charm_spark.pipeline.text import token_count
+
+    docs = _docs(spark, sf).select(
+        "doc_id", token_count("text").alias("n_tokens"))
+    return pack_sequences(docs, "doc_id", "n_tokens",
+                          budget=256, num_shards=8)
+
+
+def _q_mixture_sample(spark, sf):
+    # Temperature (alpha=0.5) source-mixture sampling: rates derived from
+    # exact per-language counts, membership via the portable keyed hash;
+    # the oracle recomputes BOTH the rate math and the kept set.
+    from confluent_ksql_charm_spark.pipeline.sampling import mixture_sample
+
+    docs = _docs(spark, sf).select("doc_id", "lang")
+    return mixture_sample(docs, "doc_id", "lang",
+                          alpha=0.5, target_fraction=0.5)
+
+
 def _q_embedding_near_dup(spark, sf):
     # Banded hyperplane-LSH candidates → exact-cosine verify. Precision is
     # exact by construction; band/bit sizing comes from lsh_plan(count) so
@@ -903,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition_stats,
         "c4_line_clean": _q_c4_line_clean,
+        "pack_sequences": _q_pack_sequences,
+        "mixture_sample": _q_mixture_sample,
         # KSQL dialect surface
         "project_filter": _q_project_filter,
         "case_when_cast": _q_case_when_cast,
@@ -1585,4 +1611,39 @@ def oracle_sql() -> dict[str, str]:
         # portable-md5 fingerprint + fixture-gated language heuristic
         "text_signals": _text_signals_oracle(),
         "c4_line_clean": _c4_oracle(),
+        "pack_sequences": (
+            # identical portable-hash permutation as shuffle_shard (salt
+            # ':pack'), then integer-exact running-cumsum pack math
+            "WITH h AS (SELECT doc_id, "
+            "CAST(length(string_split_regex(trim(text), '\\s+')) AS INT) "
+            "AS n_tokens, ('0x' || substr(md5("
+            "CAST(doc_id AS VARCHAR) || ':pack'), 1, 13))::BIGINT AS hh "
+            "FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, CAST(hh % 8 AS INT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY hh % 8 "
+            "ORDER BY hh, doc_id) - 1 AS INT) AS pos FROM h), "
+            "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard "
+            "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cum FROM s) "
+            "SELECT doc_id, shard, pos, n_tokens, "
+            "CAST(cum - n_tokens AS BIGINT) AS start_offset, "
+            "CAST((cum - n_tokens) // 256 AS INT) AS pack_first, "
+            "CAST((cum - 1) // 256 AS INT) AS pack_last, "
+            "CAST(GREATEST(0, (cum - 1) // 256 "
+            "- (cum - n_tokens) // 256 + 1) AS INT) AS n_packs FROM c"
+        ),
+        "mixture_sample": (
+            # rate math recomputed float-op-for-float-op (sqrt, same
+            # division order, ROUND 6) + portable-hash membership
+            "WITH cnt AS (SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY lang), "
+            "tot AS (SELECT SUM(n) AS total, SUM(sqrt(n)) AS wsum FROM cnt), "
+            "rates AS (SELECT lang, ROUND(LEAST(1.0, "
+            "sqrt(n) / wsum * (0.5 * total) / n), 6) AS mix_rate "
+            "FROM cnt, tot) "
+            "SELECT d.doc_id, d.lang, r.mix_rate FROM documents d "
+            "JOIN rates r USING (lang) "
+            "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) "
+            "|| ':mixture'), 1, 13))::BIGINT / 4503599627370496.0 "
+            "< r.mix_rate"
+        ),
     }

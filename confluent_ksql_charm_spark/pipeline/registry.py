@@ -29,6 +29,10 @@ _SIGNATURES = {
                              "TEXT='text'[, THRESHOLD='0.7'])"),
     "REPETITION_STATS": "REPETITION_STATS(src, ID='id', TEXT='text')",
     "C4_CLEAN": "C4_CLEAN(src, ID='id', TEXT='text'[, MIN_WORDS='5'])",
+    "PACK_SEQUENCES": ("PACK_SEQUENCES(src, KEY='id', TOKENS='n_tokens', "
+                       "BUDGET='2048'[, SHARDS='8'])"),
+    "MIXTURE_SAMPLE": ("MIXTURE_SAMPLE(src, KEY='id', STRATUM='lang'"
+                       "[, ALPHA='0.5'][, FRACTION='0.5'])"),
 }
 
 
@@ -105,6 +109,20 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         _need_sources(spec, 1)
         return c4_line_clean(dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
                              min_words=int(p.get("MIN_WORDS", 5)))
+    if op == "PACK_SEQUENCES":
+        from .sampling import pack_sequences
+        _need_sources(spec, 1)
+        return pack_sequences(dfs[0], _need(spec, "KEY"),
+                              _need(spec, "TOKENS"),
+                              budget=int(_need(spec, "BUDGET")),
+                              num_shards=int(p.get("SHARDS", 8)))
+    if op == "MIXTURE_SAMPLE":
+        from .sampling import mixture_sample
+        _need_sources(spec, 1)
+        return mixture_sample(dfs[0], _need(spec, "KEY"),
+                              _need(spec, "STRATUM"),
+                              alpha=float(p.get("ALPHA", 0.5)),
+                              target_fraction=float(p.get("FRACTION", 0.5)))
     raise ValueError(
         f"unknown PIPELINE operator {op!r}; available: "
         + ", ".join(sorted(_SIGNATURES)))

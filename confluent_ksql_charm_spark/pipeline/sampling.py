@@ -108,6 +108,107 @@ def shuffle_shard(df: DataFrame, key_col: str, num_shards: int, *,
             .drop("__h"))
 
 
+def pack_sequences(df: DataFrame, key_col: str, token_col: str,
+                   budget: int, num_shards: int, *,
+                   salt: str = "pack") -> DataFrame:
+    """GPT-style concat-and-chunk packing plan: documents are placed in a
+    deterministic order (the portable-hash permutation of
+    `shuffle_shard`) and conceptually concatenated per shard; training
+    sequences are cut every `budget` tokens. Each document's row reports
+    where its tokens land: `start_offset` in the shard's token stream,
+    the first/last pack (sequence) index it touches, and how many packs
+    it spans — everything a sharded tokenize-and-pack export needs to
+    write fixed-length training sequences without a second pass.
+
+    Scale shape: one hash-partition shuffle on the shard id + a per-shard
+    window (the same physical layout `shuffle_shard` already needs), then
+    a running SUM over that window — no extra shuffle, no driver state.
+    Shards bound the window's sort spill exactly as in `shuffle_shard`;
+    packing math is integer-exact and reproducible outside Spark.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+
+    sharded = shuffle_shard(df, key_col, num_shards, salt=salt)
+    w = (Window.partitionBy("shard").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(token_col)).over(w)
+    start = (cum - F.col(token_col)).cast("bigint")
+    pack_first = F.floor(start / budget).cast("int")
+    pack_last = F.floor((cum - 1) / budget).cast("int")
+    return sharded.select(
+        F.col(key_col),
+        F.col("shard"),
+        F.col("pos"),
+        F.col(token_col),
+        start.alias("start_offset"),
+        pack_first.alias("pack_first"),
+        pack_last.alias("pack_last"),
+        F.greatest(F.lit(0), pack_last - pack_first + 1).alias("n_packs"),
+    )
+
+
+def mixture_weights(counts: dict[str, int], alpha: float,
+                    target_fraction: float) -> dict[str, float]:
+    """Temperature-reweighted per-stratum keep rates.
+
+    weight_s ∝ count_s^alpha (alpha < 1 upweights small sources — the
+    standard multilingual/domain temperature-sampling rule); the weights
+    are normalized and scaled so the expected kept total is
+    `target_fraction` of the corpus, capped at rate 1 per stratum.
+    Rates are rounded to 1e-6 so an external engine recomputing the same
+    float expression cannot flip a membership decision on a final-ulp
+    difference (the oracle contract).
+
+    Fold order over strata is sorted(), so the normalizing sum is
+    deterministic regardless of dict order.
+    """
+    strata = sorted(counts)
+    w = {s: float(counts[s]) ** alpha for s in strata}
+    wsum = 0.0
+    for s in strata:
+        wsum += w[s]
+    total = sum(counts[s] for s in strata)
+    return {
+        s: round(min(1.0, (w[s] / wsum) * (target_fraction * total)
+                     / counts[s]), 6)
+        for s in strata
+    }
+
+
+def mixture_sample(df: DataFrame, key_col: str, stratum_col: str, *,
+                   alpha: float = 0.5, target_fraction: float = 0.5,
+                   salt: str = "mixture",
+                   rate_col: str = "mix_rate") -> DataFrame:
+    """Deterministic temperature mixture sampling across sources: keep a
+    per-stratum deterministic sample whose rates follow count^alpha
+    temperature reweighting (alpha=0.5 halves the dominance of huge
+    sources; alpha=1 is proportional; alpha=0 is uniform-by-source).
+
+    The per-stratum counts are aggregated distributedly (map-side
+    combine → |strata| rows) and collected — strata are sources or
+    languages, a bounded small set, the same driver-side-adaptivity
+    pattern as `dedup.bucketed_pairs`. Rates then apply as a literal
+    CASE in ONE projection + filter: no join, no second shuffle, no
+    per-stratum scans. Membership is the portable keyed hash —
+    reproducible across runs, engines, and incremental batches.
+    """
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(
+            f"target_fraction must be in (0, 1], got {target_fraction}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col).agg(F.count("*")).collect()
+    }
+    rates = mixture_weights(counts, alpha, target_fraction)
+    expr: Column = F.lit(0.0)
+    for s in sorted(rates):
+        expr = F.when(F.col(stratum_col) == s, F.lit(rates[s])).otherwise(expr)
+    return (df.withColumn(rate_col, expr)
+            .where(unit_hash(key_col, salt) < F.col(rate_col)))
+
+
 def sample_fraction(df: DataFrame, key_col: str, fraction: float, *,
                     salt: str = "sample") -> DataFrame:
     """Deterministic ~`fraction` sample: rows whose unit_hash < fraction.

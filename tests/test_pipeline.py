@@ -1047,3 +1047,84 @@ class TestSampling:
         plan = deterministic_split(df, "k", {"a": 0.5, "b": 0.5}) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+    def test_pack_sequences_offsets_and_boundaries(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            pack_sequences)
+
+        df = spark.createDataFrame(
+            [(i, 10 + (i % 7)) for i in range(200)],
+            "doc_id bigint, n_tokens int")
+        out = pack_sequences(df, "doc_id", "n_tokens",
+                             budget=32, num_shards=4).collect()
+        by_shard: dict[int, list] = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert set(by_shard) == {0, 1, 2, 3}
+        for rows in by_shard.values():
+            rows.sort(key=lambda r: r.pos)
+            run = 0
+            for r in rows:
+                # offsets are a gapless token stream per shard
+                assert r.start_offset == run
+                run += r.n_tokens
+                # pack indices are exactly the chunk boundaries
+                assert r.pack_first == r.start_offset // 32
+                assert r.pack_last == (r.start_offset + r.n_tokens - 1) // 32
+                assert r.n_packs == r.pack_last - r.pack_first + 1
+        # docs longer than the leftover space straddle packs (n_packs 2+)
+        assert any(r.n_packs >= 2 for r in out)
+
+    def test_pack_sequences_deterministic_under_repartition(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            pack_sequences)
+
+        df = spark.createDataFrame([(i, 5 + i % 3) for i in range(300)],
+                                   "doc_id bigint, n_tokens int")
+        a = {r.doc_id: (r.shard, r.pos, r.start_offset) for r in
+             pack_sequences(df, "doc_id", "n_tokens", 64, 4).collect()}
+        b = {r.doc_id: (r.shard, r.pos, r.start_offset) for r in
+             pack_sequences(df.repartition(11), "doc_id", "n_tokens",
+                            64, 4).collect()}
+        assert a == b
+
+    def test_mixture_rates_alpha_semantics(self):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            mixture_weights)
+
+        counts = {"big": 9000, "small": 1000}
+        # alpha=1 is proportional: every stratum keeps target_fraction
+        r1 = mixture_weights(counts, 1.0, 0.1)
+        assert r1["big"] == pytest.approx(0.1, abs=1e-6)
+        assert r1["small"] == pytest.approx(0.1, abs=1e-6)
+        # alpha=0 splits the budget evenly per stratum
+        r0 = mixture_weights(counts, 0.0, 0.1)
+        assert r0["small"] == pytest.approx(0.1 * 10000 / 2 / 1000, abs=1e-6)
+        assert r0["big"] == pytest.approx(0.1 * 10000 / 2 / 9000, abs=1e-6)
+        # alpha=0.5 lies between: small upweighted vs proportional
+        rh = mixture_weights(counts, 0.5, 0.1)
+        assert r1["small"] < rh["small"] < r0["small"]
+        assert r0["big"] < rh["big"] < r1["big"]
+        # rates cap at 1
+        assert mixture_weights({"a": 10, "b": 10000}, 0.0, 1.0)["a"] == 1.0
+
+    def test_mixture_sample_expected_mass(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            mixture_sample)
+
+        rows = [(i, "big" if i % 10 else "small") for i in range(5000)]
+        df = spark.createDataFrame(rows, "k bigint, src string")
+        out = mixture_sample(df, "k", "src", alpha=0.5,
+                             target_fraction=0.3)
+        got = out.collect()
+        # kept mass ≈ target fraction of the corpus
+        assert abs(len(got) / 5000 - 0.3) < 0.04
+        from collections import Counter
+        c = Counter(r.src for r in got)
+        # temperature upweights the small source vs proportional
+        assert c["small"] / 500 > c["big"] / 4500
+        # membership is keyed: repartition-stable
+        again = {r.k for r in mixture_sample(
+            df.repartition(9), "k", "src", alpha=0.5,
+            target_fraction=0.3).collect()}
+        assert again == {r.k for r in got}
