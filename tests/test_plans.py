@@ -162,6 +162,51 @@ class TestDedupPlans:
         plan = _plan(out)
         assert plan.count("Exchange") <= 16, plan.count("Exchange")
 
+    def test_scan_side_text_ops_are_pure_projections(self, engine):
+        # c4_line_clean and the expression half of the text family must
+        # stay shuffle-free and Python-free: their 100 TB contract is
+        # "runs at parquet-scan speed".
+        from confluent_ksql_charm_spark.pipeline.text import c4_line_clean
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(c4_line_clean(docs, "doc_id", "text"))
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_pack_sequences_single_shuffle(self, engine):
+        # one hash-partition Exchange on the shard id feeding the window;
+        # anything more means the permutation got recomputed per branch
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            pack_sequences)
+        from confluent_ksql_charm_spark.pipeline.text import token_count
+
+        docs = engine.metastore.get("documents").df.select(
+            "doc_id", token_count("text").alias("n_tokens"))
+        plan = _plan(pack_sequences(docs, "doc_id", "n_tokens", 256, 8))
+        assert plan.count("Exchange") <= 1, plan.count("Exchange")
+        assert "CartesianProduct" not in plan
+
+    def test_mixture_sample_is_projection_after_counts(self, engine):
+        # rates resolve driver-side; the RETURNED frame must be a single
+        # projection + filter — no join, no shuffle, no Python
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            mixture_sample)
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(mixture_sample(docs, "doc_id", "lang"))
+        assert "Exchange" not in plan and "Join" not in plan
+        assert "Python" not in plan
+
+    def test_repetition_stats_bounded_shuffles(self, engine):
+        # expression half rides the scan; top-token block is two hash
+        # aggs + one join on doc_id — bounded static Exchange count
+        from confluent_ksql_charm_spark.pipeline.text import (
+            repetition_stats)
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(repetition_stats(docs, "doc_id", "text"))
+        assert plan.count("Exchange") <= 6, plan.count("Exchange")
+        assert "CartesianProduct" not in plan
+
     def test_explain_pipeline_is_plan_only(self, engine):
         # EXPLAIN of a PIPELINE statement must not execute the job
         # (ADVICE r4): in plan-only mode no checkpoint runs (no
