@@ -632,6 +632,21 @@ def _q_c4_line_clean(spark, sf):
     return c4_line_clean(docs.unionByName(fx), "doc_id", "text")
 
 
+def _q_paragraph_dedup(spark, sf):
+    # Global paragraph-level boilerplate removal over real docs UNION the
+    # planted cross-doc-duplicate fixture (synthetic docs are single-line
+    # => whole-doc paragraphs; exact-duplicate docs in the corpus
+    # exercise the global-dedup path too). Fixture ids offset 3_000_000.
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        PARAGRAPH_FIXTURE, paragraph_dedup)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    fx = spark.createDataFrame(
+        [(3_000_000 + i, t) for i, t in PARAGRAPH_FIXTURE],
+        "doc_id bigint, text string")
+    return paragraph_dedup(docs.unionByName(fx), "doc_id", "text")
+
+
 def _q_pack_sequences(spark, sf):
     # Concat-and-chunk packing plan: portable-hash shard+order, running
     # token cumsum, integer pack-boundary math — DuckDB reproduces the
@@ -927,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition_stats,
         "c4_line_clean": _q_c4_line_clean,
+        "paragraph_dedup": _q_paragraph_dedup,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
         # KSQL dialect surface
@@ -1038,6 +1054,39 @@ def _c4_oracle() -> str:
         "(NOT contains(text, '{') AND NOT contains(text, '}') "
         "AND NOT contains(lower(text), 'lorem ipsum')) AS keep_doc "
         "FROM k"
+    )
+
+
+def _paragraph_dedup_oracle() -> str:
+    """DuckDB oracle for paragraph_dedup: window formulation (global
+    count + first occurrence by (doc, idx) per paragraph STRING — no
+    hash, so it independently checks the Spark side's hash-keyed
+    agg+join gives the same kept set)."""
+    from confluent_ksql_charm_spark.pipeline.dedup import PARAGRAPH_FIXTURE
+
+    rows = ", ".join(
+        "({id}, '{txt}')".format(id=3_000_000 + i,
+                                 txt=t.replace("'", "''"))
+        for i, t in PARAGRAPH_FIXTURE)
+    return (
+        f"WITH fx(doc_id, text) AS (VALUES {rows}), "
+        "src AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id, text FROM fx), "
+        "lines AS (SELECT doc_id, list_filter(list_transform("
+        "string_split(text, chr(10)), x -> trim(x)), "
+        "x -> length(x) > 0) AS ps FROM src), "
+        "par AS (SELECT doc_id, unnest(range(1, length(ps) + 1)) AS idx, "
+        "unnest(ps) AS par FROM lines), "
+        "marked AS (SELECT doc_id, idx, par, "
+        "count(*) OVER (PARTITION BY par) AS c, "
+        "row_number() OVER (PARTITION BY par "
+        "ORDER BY doc_id, idx) AS rn FROM par) "
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_par, "
+        "CAST(SUM(CASE WHEN c < 2 OR rn = 1 THEN 1 ELSE 0 END) AS INT) "
+        "AS n_kept, "
+        "COALESCE(array_to_string(list(par ORDER BY idx) "
+        "FILTER (WHERE c < 2 OR rn = 1), chr(10)), '') AS cleaned "
+        "FROM marked GROUP BY doc_id"
     )
 
 
@@ -1611,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         # portable-md5 fingerprint + fixture-gated language heuristic
         "text_signals": _text_signals_oracle(),
         "c4_line_clean": _c4_oracle(),
+        "paragraph_dedup": _paragraph_dedup_oracle(),
         "pack_sequences": (
             # identical portable-hash permutation as shuffle_shard (salt
             # ':pack'), then integer-exact running-cumsum pack math

@@ -145,6 +145,94 @@ def exact_dedup(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
     )
 
 
+#: Planted multi-paragraph fixture with cross-document boilerplate (the
+#: synthetic documents are single-line, so real docs exercise only the
+#: no-dup path). Shared by tests and the registry oracle.
+PARAGRAPH_FIXTURE: list[tuple[int, str]] = [
+    (0, "Unique opening thoughts for document zero.\n"
+        "Subscribe to our newsletter for updates.\n"
+        "Closing remarks specific to zero."),
+    (1, "Subscribe to our newsletter for updates.\n"
+        "Document one has its own middle paragraph.\n"
+        "All rights reserved by the example corp."),
+    (2, "All rights reserved by the example corp.\n"
+        "Subscribe to our newsletter for updates.\n"
+        "Final unique paragraph of document two."),
+    (3, "A wholly original document with no shared boilerplate.\n"
+        "\n"
+        "It even contains a blank line inside."),
+]
+
+
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str, *,
+                    sep: str = "\n", min_dup: int = 2,
+                    policy: str = "first") -> DataFrame:
+    """Global paragraph-level exact dedup — the C4/RefinedWeb boilerplate
+    pass: paragraphs (non-empty trimmed `sep`-separated chunks) that
+    appear >= `min_dup` times ACROSS the corpus are dropped from every
+    document except (policy='first') their first occurrence by
+    (doc, position); policy='drop_all' removes every copy. Returns
+    (id, n_par, n_kept, cleaned) with `cleaned` rebuilt in original
+    paragraph order.
+
+    Scale shape: posexplode rides the scan; duplicate stats are ONE
+    hash-aggregate on the 64-bit paragraph hash (map-side partial
+    combine, so a paragraph duplicated 100M times still reduces
+    per-partition before the shuffle); the join back is against the
+    FILTERED dup set — only paragraphs that actually repeat — which is
+    typically a small fraction of the corpus and broadcasts under AQE,
+    leaving the probe side shuffle-free. Rebuild is one groupBy on the
+    doc id. 64-bit collisions merge two distinct paragraphs with
+    probability ~2^-64 per pair — the standard exact-dedup trade
+    (see `incremental_exact`).
+    """
+    if policy not in ("first", "drop_all"):
+        raise ValueError(f"policy must be 'first' or 'drop_all', got {policy!r}")
+    if min_dup < 2:
+        raise ValueError(f"min_dup must be >= 2, got {min_dup}")
+    paragraphs = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda p: F.trim(p)),
+        lambda p: F.length(p) > 0,
+    )
+    par = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(paragraphs).alias("__idx", "__par"),
+    ).withColumn("__h", F.xxhash64(F.col("__par")))
+    dup = (
+        par.groupBy("__h")
+        .agg(F.count("*").alias("__cnt"),
+             F.min(F.struct(F.col("__doc"), F.col("__idx"))).alias("__first"))
+        .where(F.col("__cnt") >= min_dup)
+    )
+    joined = par.join(dup, "__h", "left")
+    if policy == "first":
+        keep = (F.col("__cnt").isNull()
+                | ((F.col("__first.__doc") == F.col("__doc"))
+                   & (F.col("__first.__idx") == F.col("__idx"))))
+    else:
+        keep = F.col("__cnt").isNull()
+    marked = joined.select("__doc", "__idx", "__par", keep.alias("__keep"))
+    return (
+        marked.groupBy("__doc")
+        .agg(
+            F.count("*").cast("int").alias("n_par"),
+            F.sum(F.col("__keep").cast("int")).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.sort_array(F.collect_list(
+                            F.struct("__idx", "__par", "__keep"))),
+                        lambda s: s["__keep"],
+                    ),
+                    lambda s: s["__par"],
+                ),
+                sep,
+            ).alias("cleaned"),
+        )
+        .withColumnRenamed("__doc", id_col)
+    )
+
+
 def incremental_exact(new_df: DataFrame, seen_df: DataFrame,
                       on: list[str]) -> DataFrame:
     """Rows of `new_df` whose `on`-value does not appear in `seen_df` —

@@ -31,6 +31,8 @@ _SIGNATURES = {
     "C4_CLEAN": "C4_CLEAN(src, ID='id', TEXT='text'[, MIN_WORDS='5'])",
     "PACK_SEQUENCES": ("PACK_SEQUENCES(src, KEY='id', TOKENS='n_tokens', "
                        "BUDGET='2048'[, SHARDS='8'])"),
+    "PARAGRAPH_DEDUP": ("PARAGRAPH_DEDUP(src, ID='id', TEXT='text'"
+                        "[, MIN_DUP='2'][, POLICY='first|drop_all'])"),
     "MIXTURE_SAMPLE": ("MIXTURE_SAMPLE(src, KEY='id', STRATUM='lang'"
                        "[, ALPHA='0.5'][, FRACTION='0.5'])"),
 }
@@ -109,6 +111,13 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         _need_sources(spec, 1)
         return c4_line_clean(dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
                              min_words=int(p.get("MIN_WORDS", 5)))
+    if op == "PARAGRAPH_DEDUP":
+        from .dedup import paragraph_dedup
+        _need_sources(spec, 1)
+        return paragraph_dedup(dfs[0], _need(spec, "ID"),
+                               _need(spec, "TEXT"),
+                               min_dup=int(p.get("MIN_DUP", 2)),
+                               policy=p.get("POLICY", "first"))
     if op == "PACK_SEQUENCES":
         from .sampling import pack_sequences
         _need_sources(spec, 1)

@@ -856,6 +856,43 @@ class TestText:
         # blank lines counted but never kept; quote/apostrophe terminators
         assert rows[5].n_lines == 5 and rows[5].n_kept == 3
 
+    def test_paragraph_dedup_first_policy(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            PARAGRAPH_FIXTURE, paragraph_dedup)
+
+        fx = spark.createDataFrame(PARAGRAPH_FIXTURE,
+                                   "doc_id bigint, text string")
+        rows = {r.doc_id: r for r in
+                paragraph_dedup(fx, "doc_id", "text").collect()}
+        # "Subscribe..." appears in docs 0/1/2 -> kept only at its first
+        # occurrence (doc 0, position 2); "All rights..." first in doc 1
+        assert rows[0].n_kept == 3                      # doc 0 keeps all
+        assert rows[1].n_kept == 2                      # loses Subscribe
+        assert "Subscribe" not in rows[1].cleaned
+        assert "All rights" in rows[1].cleaned
+        assert rows[2].n_kept == 1                      # loses both
+        assert rows[2].cleaned == "Final unique paragraph of document two."
+        # untouched doc: blank line filtered from paragraphs, text intact
+        assert rows[3].n_par == 2 and rows[3].n_kept == 2
+        # order preserved on rebuild
+        assert rows[0].cleaned == PARAGRAPH_FIXTURE[0][1]
+
+    def test_paragraph_dedup_drop_all_policy(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            PARAGRAPH_FIXTURE, paragraph_dedup)
+
+        fx = spark.createDataFrame(PARAGRAPH_FIXTURE,
+                                   "doc_id bigint, text string")
+        rows = {r.doc_id: r for r in
+                paragraph_dedup(fx, "doc_id", "text",
+                                policy="drop_all").collect()}
+        # every copy of the boilerplate goes, including the first
+        assert rows[0].n_kept == 2
+        assert "Subscribe" not in rows[0].cleaned
+        assert rows[1].n_kept == 1
+        with pytest.raises(ValueError, match="policy"):
+            paragraph_dedup(fx, "doc_id", "text", policy="nope")
+
     def test_c4_min_words_knob(self, spark):
         from confluent_ksql_charm_spark.pipeline.text import c4_line_clean
 

@@ -207,6 +207,18 @@ class TestDedupPlans:
         assert plan.count("Exchange") <= 6, plan.count("Exchange")
         assert "CartesianProduct" not in plan
 
+    def test_paragraph_dedup_bounded_shuffles(self, engine):
+        # posexplode rides the scan; dup stats = one hash agg on the
+        # paragraph hash; join back vs the filtered dup set; one rebuild
+        # groupBy — bounded static Exchanges, no cartesian
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            paragraph_dedup)
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(paragraph_dedup(docs, "doc_id", "text"))
+        assert plan.count("Exchange") <= 8, plan.count("Exchange")
+        assert "CartesianProduct" not in plan
+
     def test_explain_pipeline_is_plan_only(self, engine):
         # EXPLAIN of a PIPELINE statement must not execute the job
         # (ADVICE r4): in plan-only mode no checkpoint runs (no
