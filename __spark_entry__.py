@@ -632,6 +632,14 @@ def _q_c4_line_clean(spark, sf):
     return c4_line_clean(docs.unionByName(fx), "doc_id", "text")
 
 
+def _q_vocab_topk(spark, sf):
+    # Tokenizer-prep vocabulary head: global token counts (two-level hash
+    # agg), TakeOrderedAndProject top-k, exact-BIGINT cumulative coverage.
+    from confluent_ksql_charm_spark.pipeline.text import vocab_topk
+
+    return vocab_topk(_docs(spark, sf), "text", k=40)
+
+
 def _q_paragraph_dedup(spark, sf):
     # Global paragraph-level boilerplate removal over real docs UNION the
     # planted cross-doc-duplicate fixture (synthetic docs are single-line
@@ -943,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "c4_line_clean": _q_c4_line_clean,
         "paragraph_dedup": _q_paragraph_dedup,
+        "vocab_topk": _q_vocab_topk,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
         # KSQL dialect surface
@@ -1661,6 +1670,23 @@ def oracle_sql() -> dict[str, str]:
         "text_signals": _text_signals_oracle(),
         "c4_line_clean": _c4_oracle(),
         "paragraph_dedup": _paragraph_dedup_oracle(),
+        "vocab_topk": (
+            # exact-BIGINT cumsum, single final division; ties to the
+            # lexicographically smaller token in both engines
+            "WITH toks AS (SELECT lower(unnest(string_split_regex("
+            "trim(text), '\\s+'))) AS token FROM documents), "
+            "cnt AS (SELECT token, count(*) AS cnt FROM toks "
+            "GROUP BY token), "
+            "tot AS (SELECT SUM(cnt) AS total FROM cnt), "
+            "top AS (SELECT token, cnt FROM cnt "
+            "ORDER BY cnt DESC, token ASC LIMIT 40) "
+            "SELECT token, cnt, "
+            "CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) "
+            "AS rank, "
+            "ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC "
+            "ROWS UNBOUNDED PRECEDING) * 1.0 / total, 6) AS cum_coverage "
+            "FROM top, tot"
+        ),
         "pack_sequences": (
             # identical portable-hash permutation as shuffle_shard (salt
             # ':pack'), then integer-exact running-cumsum pack math

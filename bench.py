@@ -33,6 +33,12 @@ HEADLINE = [
     "dedup_clusters",
     "embedding_cosine_topk",
     "token_stats_by_lang",
+    # round-5 additions (baselines: BASELINE.md round-5 table)
+    "paragraph_dedup",
+    "c4_line_clean",
+    "repetition_stats",
+    "pack_sequences",
+    "mixture_sample",
 ]
 
 

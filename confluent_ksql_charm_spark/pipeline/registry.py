@@ -35,6 +35,7 @@ _SIGNATURES = {
                         "[, MIN_DUP='2'][, POLICY='first|drop_all'])"),
     "MIXTURE_SAMPLE": ("MIXTURE_SAMPLE(src, KEY='id', STRATUM='lang'"
                        "[, ALPHA='0.5'][, FRACTION='0.5'])"),
+    "VOCAB_TOPK": "VOCAB_TOPK(src, TEXT='text'[, K='100'][, LOWERCASE='true'])",
 }
 
 
@@ -111,6 +112,13 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         _need_sources(spec, 1)
         return c4_line_clean(dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
                              min_words=int(p.get("MIN_WORDS", 5)))
+    if op == "VOCAB_TOPK":
+        from .text import vocab_topk
+        _need_sources(spec, 1)
+        return vocab_topk(dfs[0], _need(spec, "TEXT"),
+                          k=int(p.get("K", 100)),
+                          lowercase=p.get("LOWERCASE", "true").lower()
+                          == "true")
     if op == "PARAGRAPH_DEDUP":
         from .dedup import paragraph_dedup
         _need_sources(spec, 1)

@@ -382,6 +382,50 @@ C4_FIXTURE: list[tuple[int, str]] = [
 ]
 
 
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100,
+               *, lowercase: bool = True) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent tokens with rank and
+    cumulative coverage — the tokenizer-prep / corpus-inspection query
+    (what fraction of all tokens do the top-k cover?).
+
+    Scale shape: explode rides the scan; the global count is a two-level
+    hash aggregate (map-side combine reduces each partition to its local
+    vocab before the single shuffle on the token); the ORDER BY + LIMIT
+    lowers to TakeOrderedAndProject (per-partition k-heaps — the full
+    vocabulary is never globally sorted); rank + running coverage then
+    run over just the k returned rows. The total-token denominator is a
+    1-row aggregate attached via broadcast (the BM25 scalar pattern).
+    Ties break to the lexicographically smaller token so output is
+    deterministic. Coverage math stays in exact BIGINT cumsums with one
+    final division.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    tok = F.explode(tokens_col(text_col)).alias("token")
+    toks = df.select(tok)
+    if lowercase:
+        toks = toks.select(F.lower(F.col("token")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    top = (counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+           .limit(k))
+    w = (Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token", "cnt",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+            ).alias("rank"),
+            F.round(F.sum("cnt").over(w) / F.col("__total"), 6)
+            .alias("cum_coverage"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat block as columns (single projection)."""
     c = F.col(text_col)

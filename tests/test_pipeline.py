@@ -893,6 +893,34 @@ class TestText:
         with pytest.raises(ValueError, match="policy"):
             paragraph_dedup(fx, "doc_id", "text", policy="nope")
 
+    def test_vocab_topk_counts_and_coverage(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import vocab_topk
+
+        df = spark.createDataFrame(
+            [(1, "a a a b b C"), (2, "a b c d")],
+            "doc_id bigint, text string")
+        rows = vocab_topk(df, "text", k=3).collect()
+        assert [(r.token, r.cnt, r.rank) for r in rows] == [
+            ("a", 4, 1), ("b", 3, 2), ("c", 2, 3)]   # C lowercased
+        assert rows[0].cum_coverage == pytest.approx(4 / 10)
+        assert rows[2].cum_coverage == pytest.approx(9 / 10)
+        # tie break: equal counts order lexicographically
+        df2 = spark.createDataFrame([(1, "z y z y")],
+                                    "doc_id bigint, text string")
+        assert [r.token for r in vocab_topk(df2, "text", k=2).collect()] \
+            == ["y", "z"]
+
+    def test_vocab_topk_plan_is_take_ordered(self, spark):
+        # the vocabulary must never be globally sorted: ORDER BY+LIMIT
+        # lowers to TakeOrderedAndProject per-partition heaps
+        from confluent_ksql_charm_spark.pipeline.text import vocab_topk
+
+        df = spark.createDataFrame([(1, "a b c a")],
+                                   "doc_id bigint, text string")
+        plan = vocab_topk(df, "text", k=5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
     def test_c4_min_words_knob(self, spark):
         from confluent_ksql_charm_spark.pipeline.text import c4_line_clean
 
