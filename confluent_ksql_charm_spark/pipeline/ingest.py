@@ -1,0 +1,142 @@
+"""Streaming corpus ingestion — the composed training-data flow.
+
+Wires the incremental pipeline operators into Structured Streaming's
+`foreachBatch`: each microbatch is (1) internally exact-deduped,
+(2) optionally C4-line-cleaned, (3) optionally quality/repetition
+gated, (4) deduped against the persisted corpus (exact hash anti-join,
+optionally MinHash near-dup), and (5) appended to the corpus parquet.
+
+Why foreachBatch and not a pure streaming graph: steps 4-5 need to read
+the corpus the stream itself is writing — a self-referential join that
+Structured Streaming's unbounded-state model cannot express, but which
+is exactly what microbatch-boundary batch logic is for (the same reason
+KSQL materializes TABLEs through a changelog rather than re-joining the
+topic; see streaming/query.make_upsert_batch_fn for the TABLE parity
+version of this pattern).
+
+Delivery semantics: foreachBatch is at-least-once on retry — and this
+flow is SELF-HEALING under it: a replayed microbatch re-runs the
+corpus anti-join and drops every row it already appended, so duplicates
+cannot accumulate (the dedup operator doubles as the idempotence
+mechanism). At 100 TB the corpus side of the anti-join reduces to its
+8-byte hash column before the join (see `dedup.incremental_exact`), and
+with `near_dup=True` the persisted-signature table makes the LSH check
+batch-proportional, not corpus-proportional.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exact_dedup, incremental_exact, incremental_near_dup
+
+
+def _corpus_df(spark, corpus_path: str, schema) -> DataFrame | None:
+    """The persisted corpus, or None before the first append."""
+    if not os.path.isdir(corpus_path):
+        return None
+    has_files = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(corpus_path)
+        for f in files)
+    if not has_files:
+        return None
+    return spark.read.schema(schema).parquet(corpus_path)
+
+
+def clean_and_gate(batch: DataFrame, id_col: str, text_col: str, *,
+                   clean: bool = True, min_words: int = 1,
+                   quality_gate: bool = True,
+                   max_dup_token_ratio: float = 0.6,
+                   min_tokens: int = 5) -> DataFrame:
+    """Steps 2-3 of the ingest flow as a reusable batch transform:
+    C4 line cleaning (rewrite `text_col`, drop doc-level-flagged and
+    emptied docs) then the Gopher repetition gate. Pure projections +
+    filters — rides the microbatch scan."""
+    out = batch
+    if clean:
+        from .text import c4_line_clean
+
+        cleaned = c4_line_clean(out, id_col, text_col,
+                                min_words=min_words)
+        out = (
+            out.drop(text_col)
+            .join(cleaned.where(F.col("keep_doc") & (F.col("n_kept") > 0))
+                  .select(F.col(id_col),
+                          F.col("cleaned").alias(text_col)),
+                  id_col)
+        )
+    if quality_gate:
+        from .text import repetition_keep
+
+        out = out.where(repetition_keep(
+            F.col(text_col),
+            max_dup_token_ratio=max_dup_token_ratio,
+            min_tokens=min_tokens))
+    return out
+
+
+def corpus_ingest_batch_fn(
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    near_dup: bool = False,
+    threshold: float = 0.7,
+    clean: bool = True,
+    clean_min_words: int = 1,
+    quality_gate: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function for `start_corpus_ingest` (also
+    directly callable with a static DataFrame for backfill runs)."""
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # 1. batch-internal exact dedup (keep the smallest id per text)
+        batch = exact_dedup(batch_df, [text_col], id_col)
+        # 2-3. cleaning + quality gates
+        batch = clean_and_gate(batch, id_col, text_col, clean=clean,
+                               min_words=clean_min_words,
+                               quality_gate=quality_gate)
+        # 4. dedup against the persisted corpus
+        corpus = _corpus_df(spark, corpus_path, batch_df.schema)
+        if corpus is not None:
+            batch = incremental_exact(batch, corpus, [text_col])
+            if near_dup:
+                batch = incremental_near_dup(batch, corpus, id_col,
+                                             text_col,
+                                             threshold=threshold)
+        # 5. append survivors (localCheckpoint pins the anti-join result
+        # BEFORE the append starts mutating the directory it read)
+        batch.localCheckpoint().write.mode("append").parquet(corpus_path)
+
+    return ingest
+
+
+def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
+                        checkpoint: str, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        near_dup: bool = False, threshold: float = 0.7,
+                        clean: bool = True, clean_min_words: int = 1,
+                        quality_gate: bool = True,
+                        available_now: bool = False):
+    """Start the streaming ingestion query over a streaming DataFrame
+    (file/kafka source). Returns the StreamingQuery; exactly the
+    writeStream shape a production deploy would run, with
+    `availableNow` for drain-the-backlog batch-catchup runs."""
+    writer = (
+        source_df.writeStream
+        .foreachBatch(corpus_ingest_batch_fn(
+            corpus_path, id_col, text_col, near_dup=near_dup,
+            threshold=threshold, clean=clean,
+            clean_min_words=clean_min_words, quality_gate=quality_gate))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -930,6 +930,99 @@ class TestText:
         assert c4_line_clean(df, min_words=3).first().n_kept == 1
 
 
+class TestCorpusIngest:
+    SCHEMA = "doc_id bigint, text string"
+
+    def _fn(self, corpus, **kw):
+        from confluent_ksql_charm_spark.pipeline.ingest import (
+            corpus_ingest_batch_fn)
+
+        return corpus_ingest_batch_fn(str(corpus), **kw)
+
+    def test_microbatch_flow_dedups_cleans_and_appends(self, spark, tmp_path):
+        corpus = tmp_path / "corpus"
+        fn = self._fn(corpus)
+        b1 = spark.createDataFrame(
+            [(1, "This is a perfectly good first document about spark."),
+             (2, "This is a perfectly good first document about spark."),
+             (3, "Another quality document with varied words inside it."),
+             (4, "spam spam spam spam spam spam.")],   # repetition-gated
+            self.SCHEMA)
+        fn(b1, 0)
+        got = {r.doc_id: r.text for r in
+               spark.read.parquet(str(corpus)).collect()}
+        # internal exact dedup kept min id; junk doc gated out
+        assert set(got) == {1, 3}
+        b2 = spark.createDataFrame(
+            [(10, "This is a perfectly good first document about spark."),
+             (11, "A genuinely new third document arrives in batch two.")],
+            self.SCHEMA)
+        fn(b2, 1)
+        got = {r.doc_id for r in spark.read.parquet(str(corpus)).collect()}
+        assert got == {1, 3, 11}              # corpus anti-join dropped 10
+        # at-least-once replay of the same microbatch is a no-op
+        fn(b2, 1)
+        again = [r.doc_id for r in spark.read.parquet(str(corpus)).collect()]
+        assert sorted(again) == [1, 3, 11]    # self-healing, no dup rows
+
+    def test_c4_rewrite_applies_during_ingest(self, spark, tmp_path):
+        corpus = tmp_path / "corpus"
+        fn = self._fn(corpus)
+        b = spark.createDataFrame(
+            [(1, "A good line that stays in the document.\n"
+                 "This site requires javascript to work at all.")],
+            self.SCHEMA)
+        fn(b, 0)
+        [row] = spark.read.parquet(str(corpus)).collect()
+        assert row.text == "A good line that stays in the document."
+
+    def test_near_dup_gate_against_corpus(self, spark, tmp_path):
+        corpus = tmp_path / "corpus"
+        fn = self._fn(corpus, near_dup=True, threshold=0.5,
+                      clean=False, quality_gate=False)
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight.")
+        fn(spark.createDataFrame([(1, base)], self.SCHEMA), 0)
+        b2 = spark.createDataFrame(
+            [(2, base.replace("lazy", "sleepy")),     # near-dup of 1
+             (3, "entirely novel content with no overlap whatsoever "
+                 "to anything stored so far in the corpus at all.")],
+            self.SCHEMA)
+        fn(b2, 1)
+        got = {r.doc_id for r in spark.read.parquet(str(corpus)).collect()}
+        assert got == {1, 3}
+
+    def test_streaming_end_to_end_file_source(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.ingest import (
+            start_corpus_ingest)
+
+        src = tmp_path / "src"
+        corpus = tmp_path / "corpus"
+        ckpt = tmp_path / "ckpt"
+        spark.createDataFrame(
+            [(1, "This stream document number one looks perfectly fine."),
+             (2, "This stream document number one looks perfectly fine.")],
+            self.SCHEMA).write.parquet(str(src))
+        stream = spark.readStream.schema(self.SCHEMA).parquet(str(src))
+        q = start_corpus_ingest(stream, str(corpus), str(ckpt),
+                                available_now=True)
+        q.awaitTermination(60)
+        assert {r.doc_id for r in
+                spark.read.parquet(str(corpus)).collect()} == {1}
+        # second file lands; drain again from the same checkpoint —
+        # only the new file is processed, corpus stays deduped
+        spark.createDataFrame(
+            [(5, "This stream document number one looks perfectly fine."),
+             (6, "A different late-arriving document joins the stream.")],
+            self.SCHEMA).write.mode("append").parquet(str(src))
+        q2 = start_corpus_ingest(
+            spark.readStream.schema(self.SCHEMA).parquet(str(src)),
+            str(corpus), str(ckpt), available_now=True)
+        q2.awaitTermination(60)
+        assert {r.doc_id for r in
+                spark.read.parquet(str(corpus)).collect()} == {1, 6}
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         from confluent_ksql_charm_spark.pipeline.multimodal import (
