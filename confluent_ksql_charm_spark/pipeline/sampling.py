@@ -197,12 +197,21 @@ def mixture_sample(df: DataFrame, key_col: str, stratum_col: str, *,
     if not 0.0 < target_fraction <= 1.0:
         raise ValueError(
             f"target_fraction must be in (0, 1], got {target_fraction}")
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(stratum_col).agg(F.count("*")).collect()
-    }
-    rates = mixture_weights(counts, alpha, target_fraction)
-    expr: Column = F.lit(0.0)
+    from .lazy import lazy_plan_active
+
+    if lazy_plan_active():
+        # plan-only mode (EXPLAIN PIPELINE): skip the eager counts probe;
+        # a flat target_fraction rate yields the same plan shape
+        # (projection + filter) without running a job
+        rates: dict[str, float] = {}
+    else:
+        counts = {
+            r[0]: r[1]
+            for r in df.groupBy(stratum_col).agg(F.count("*")).collect()
+        }
+        rates = mixture_weights(counts, alpha, target_fraction)
+    expr: Column = F.lit(
+        float(target_fraction) if lazy_plan_active() else 0.0)
     for s in sorted(rates):
         expr = F.when(F.col(stratum_col) == s, F.lit(rates[s])).otherwise(expr)
     return (df.withColumn(rate_col, expr)

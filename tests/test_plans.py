@@ -239,6 +239,22 @@ class TestDedupPlans:
         # and the statement was NOT registered
         assert not engine.metastore.has("cc_probe")
 
+    def test_explain_mixture_sample_is_plan_only(self, engine):
+        # MIXTURE_SAMPLE's rates come from an eager counts probe in
+        # execution mode; EXPLAIN must skip it (lazy placeholder rate)
+        sc = engine.spark.sparkContext
+        sc.setJobGroup("explain-mix", "explain should not run jobs")
+        try:
+            r = engine.execute(
+                "EXPLAIN CREATE TABLE mix_probe AS PIPELINE "
+                "MIXTURE_SAMPLE(documents, KEY='doc_id', "
+                "STRATUM='lang');")[0]
+            jobs = sc.statusTracker().getJobIdsForGroup("explain-mix")
+        finally:
+            sc.setJobGroup(None, None)
+        assert "PIPELINE MIXTURE_SAMPLE" in r.plan
+        assert jobs == [], jobs
+
     def test_embedding_near_dup_plan_bounded(self, engine):
         from confluent_ksql_charm_spark.pipeline.similarity import (
             embedding_near_dup_pairs)
