@@ -135,8 +135,10 @@ def pack_sequences(df: DataFrame, key_col: str, token_col: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(F.col(token_col)).over(w)
     start = (cum - F.col(token_col)).cast("bigint")
-    pack_first = F.floor(start / budget).cast("int")
-    pack_last = F.floor((cum - 1) / budget).cast("int")
+    nonzero = F.col(token_col) > 0
+    # zero-token rows occupy no span: NULL bounds, zero packs
+    pack_first = F.when(nonzero, F.floor(start / budget)).cast("int")
+    pack_last = F.when(nonzero, F.floor((cum - 1) / budget)).cast("int")
     return sharded.select(
         F.col(key_col),
         F.col("shard"),
@@ -145,7 +147,8 @@ def pack_sequences(df: DataFrame, key_col: str, token_col: str,
         start.alias("start_offset"),
         pack_first.alias("pack_first"),
         pack_last.alias("pack_last"),
-        F.greatest(F.lit(0), pack_last - pack_first + 1).alias("n_packs"),
+        F.when(nonzero, pack_last - pack_first + 1)
+        .otherwise(F.lit(0)).cast("int").alias("n_packs"),
     )
 
 

@@ -291,3 +291,114 @@ class TestDecodeMediaNeverRaises:
                       b"GIF89a"):
             out = decode_media(magic + tail)
             assert isinstance(out, dict) and "fmt" in out
+
+
+# ---------------------------------------------------------------------------
+# Round-5 pipeline operators vs pure-Python references
+# ---------------------------------------------------------------------------
+
+_LINE = st.text(alphabet="ab cd.!?x{", min_size=0, max_size=24)
+
+
+def _py_c4_keep(line: str, min_words: int = 5) -> bool:
+    return (
+        len(line) > 0
+        and bool(re.search(r"[.!?\"']$", line))
+        and len(re.split(r"\s+", line)) >= min_words
+        and "javascript" not in line.lower()
+        and "cookie" not in line.lower()
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(_LINE, min_size=0, max_size=6), min_size=1,
+                max_size=20))
+def test_c4_line_clean_matches_reference(spark, docs):
+    from confluent_ksql_charm_spark.pipeline.text import c4_line_clean
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in
+           c4_line_clean(df, "doc_id", "text", min_words=2).collect()}
+    for i, text in rows:
+        lines = [l.strip() for l in text.split("\n")]
+        kept = [l for l in lines if _py_c4_keep(l, 2)]
+        r = got[i]
+        assert r.n_lines == len(lines), (text, r)
+        assert r.n_kept == len(kept), (text, r)
+        assert r.cleaned == "\n".join(kept), (text, r)
+        assert r.keep_doc == ("{" not in text and "}" not in text
+                              and "lorem ipsum" not in text.lower()), text
+
+
+_PAR_POOL = ["shared boilerplate one.", "shared boilerplate two.",
+             "rare paragraph alpha.", "rare paragraph beta.",
+             "unique gamma text here.", "unique delta text here."]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(_PAR_POOL), min_size=0,
+                         max_size=5), min_size=1, max_size=12))
+def test_paragraph_dedup_matches_reference(spark, docs):
+    from confluent_ksql_charm_spark.pipeline.dedup import paragraph_dedup
+
+    rows = [(i, "\n".join(ps)) for i, ps in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in
+           paragraph_dedup(df, "doc_id", "text").collect()}
+    # reference: global counts + first occurrence by (doc, idx)
+    from collections import Counter
+    flat = [(d, i, p) for d, ps in enumerate(docs)
+            for i, p in enumerate(ps)]
+    cnt = Counter(p for _, _, p in flat)
+    first: dict[str, tuple[int, int]] = {}
+    for d, i, p in sorted(flat):
+        first.setdefault(p, (d, i))
+    for d, ps in enumerate(docs):
+        if not ps:
+            assert d not in got     # empty doc has no paragraph rows
+            continue
+        kept = [p for i, p in enumerate(ps)
+                if cnt[p] < 2 or first[p] == (d, i)]
+        r = got[d]
+        assert r.n_par == len(ps), (d, ps)
+        assert r.n_kept == len(kept), (d, ps, r)
+        assert r.cleaned == "\n".join(kept), (d, ps, r)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                max_size=60),
+       st.integers(min_value=1, max_value=64))
+def test_pack_sequences_matches_reference(spark, lens, budget):
+    """The whole packing plan — shard permutation, offsets, pack spans —
+    recomputed in pure Python from the documented md5 contract."""
+    import hashlib
+
+    from confluent_ksql_charm_spark.pipeline.sampling import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens int")
+    got = {r.doc_id: r for r in
+           pack_sequences(df, "doc_id", "n_tokens", budget, 4).collect()}
+
+    def h(k):
+        return int(hashlib.md5(f"{k}:pack".encode()).hexdigest()[:13], 16)
+
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, n in rows:
+        by_shard.setdefault(h(i) % 4, []).append((i, n))
+    for shard, members in by_shard.items():
+        members.sort(key=lambda t: (h(t[0]), t[0]))
+        run = 0
+        for pos, (i, n) in enumerate(members):
+            r = got[i]
+            assert (r.shard, r.pos, r.start_offset) == (shard, pos, run), i
+            if n == 0:
+                assert r.pack_first is None and r.pack_last is None, i
+                assert r.n_packs == 0, i
+            else:
+                assert r.pack_first == run // budget, i
+                assert r.pack_last == (run + n - 1) // budget, i
+                assert r.n_packs == r.pack_last - r.pack_first + 1, i
+            run += n
