@@ -162,3 +162,20 @@ def test_post_ksql_pipeline_statement(server, spark):
     assert code == 200
     assert body["columns"] == ["doc_id"]
     assert {r[0] for r in body["rows"]} == {1, 3}
+
+
+def test_post_ksql_round5_pipeline_ops(server, spark):
+    # the round-5 operators are reachable over the wire too
+    server.engine.register_source("docs_r5", df=spark.createDataFrame(
+        [(1, "Keep this fine sentence.\nno punct line here"),
+         (2, "Another solid kept sentence right there.")],
+        "doc_id bigint, text string"))
+    code, _ = _post(server, "/ksql", {
+        "ksql": "CREATE TABLE rest_c4 AS PIPELINE "
+                "C4_CLEAN(docs_r5, ID='doc_id', TEXT='text', "
+                "MIN_WORDS='2');"})
+    assert code == 200
+    code, body = _post_query(server, {
+        "ksql": "SELECT doc_id, n_kept FROM rest_c4;"})
+    assert code == 200
+    assert {tuple(r) for r in body["rows"]} == {(1, 1), (2, 1)}
