@@ -800,6 +800,22 @@ def _q_bm25_topk(spark, sf):
                      "doc_id", "text", k=10)
 
 
+def _q_hybrid_search(spark, sf):
+    # RRF fusion of BM25 lexical and exact-cosine semantic retrieval
+    # (query vector = embedding 0, same protocol as embedding_cosine_topk;
+    # vec_id aligns with doc_id in the testdata). Ranks tie-break by id
+    # so the fusion is engine-reproducible.
+    from confluent_ksql_charm_spark.pipeline.search import hybrid_topk
+
+    docs = _docs(spark, sf)
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    qvec = [float(x) for x in
+            emb.where("vec_id = 0").select("embedding").first()[0]]
+    return hybrid_topk(docs, emb.where("vec_id <> 0"),
+                       ["vector", "hash", "merge"], qvec,
+                       k=10, k_each=20)
+
+
 def _q_shuffle_shard(spark, sf):
     # Deterministic export shuffle: portable-hash permutation → shard +
     # dense within-shard position; DuckDB recomputes the identical hash.
@@ -932,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
         "bm25_topk": _q_bm25_topk,
+        "hybrid_search_rrf": _q_hybrid_search,
         "shuffle_shard": _q_shuffle_shard,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1539,6 +1556,44 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN st) "
             "SELECT doc_id, ROUND(SUM(s), 4) AS score FROM sc "
             "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "hybrid_search_rrf": (
+            # BM25 leg (identical CTEs to bm25_topk, LIMIT 20) + cosine
+            # leg (embedding 0 as query) -> rank -> RRF fusion
+            "WITH tk AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "st AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl "
+            "FROM tk), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS tf, "
+            "ANY_VALUE(dl) AS dl FROM (SELECT doc_id, len(toks) AS dl, "
+            "unnest(toks) AS term FROM tk) "
+            "WHERE term IN ('vector', 'hash', 'merge') "
+            "GROUP BY doc_id, term), "
+            "dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+            "sc AS (SELECT tf.doc_id, "
+            "ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) "
+            "* (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl "
+            "/ st.avgdl)) AS s "
+            "FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN st), "
+            "lex AS (SELECT doc_id, ROUND(SUM(s), 4) AS score FROM sc "
+            "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20), "
+            "lexr AS (SELECT doc_id AS id, CAST(row_number() OVER "
+            "(ORDER BY score DESC, doc_id) AS INT) AS lex_rank FROM lex), "
+            "sem AS (SELECT vec_id, list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) AS c "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY c DESC, vec_id LIMIT 20), "
+            "semr AS (SELECT vec_id AS id, CAST(row_number() OVER "
+            "(ORDER BY c DESC, vec_id) AS INT) AS sem_rank FROM sem) "
+            "SELECT COALESCE(lexr.id, semr.id) AS doc_id, "
+            "lex_rank, sem_rank, "
+            "ROUND(COALESCE(1.0 / (60 + lex_rank), 0) "
+            "+ COALESCE(1.0 / (60 + sem_rank), 0), 6) AS rrf "
+            "FROM lexr FULL OUTER JOIN semr ON lexr.id = semr.id "
+            "ORDER BY COALESCE(1.0 / (60 + lex_rank), 0) "
+            "+ COALESCE(1.0 / (60 + sem_rank), 0) DESC, "
+            "COALESCE(lexr.id, semr.id) LIMIT 10"
         ),
         "shuffle_shard": (
             "WITH h AS (SELECT doc_id, ('0x' || substr(md5("

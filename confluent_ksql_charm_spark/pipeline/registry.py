@@ -36,6 +36,10 @@ _SIGNATURES = {
     "MIXTURE_SAMPLE": ("MIXTURE_SAMPLE(src, KEY='id', STRATUM='lang'"
                        "[, ALPHA='0.5'][, FRACTION='0.5'])"),
     "VOCAB_TOPK": "VOCAB_TOPK(src, TEXT='text'[, K='100'][, LOWERCASE='true'])",
+    "HYBRID_TOPK": ("HYBRID_TOPK(docs, emb, QUERY='term term ...', "
+                    "QUERY_VEC='f,f,...', ID='id', TEXT='text'"
+                    "[, EMB_ID='vec_id'][, EMB='embedding'][, K='10']"
+                    "[, K_EACH='20'][, RRF_K='60'])"),
 }
 
 
@@ -112,6 +116,18 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         _need_sources(spec, 1)
         return c4_line_clean(dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
                              min_words=int(p.get("MIN_WORDS", 5)))
+    if op == "HYBRID_TOPK":
+        from .search import hybrid_topk
+        _need_sources(spec, 2)
+        qvec = [float(x) for x in _need(spec, "QUERY_VEC").split(",")]
+        return hybrid_topk(dfs[0], dfs[1], _need(spec, "QUERY").split(),
+                           qvec, id_col=_need(spec, "ID"),
+                           text_col=_need(spec, "TEXT"),
+                           emb_id_col=p.get("EMB_ID", "vec_id"),
+                           emb_col=p.get("EMB", "embedding"),
+                           k=int(p.get("K", 10)),
+                           k_each=int(p.get("K_EACH", 20)),
+                           rrf_k=int(p.get("RRF_K", 60)))
     if op == "VOCAB_TOPK":
         from .text import vocab_topk
         _need_sources(spec, 1)

@@ -83,3 +83,50 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], id_col: str,
             .agg(F.round(F.sum("s"), 4).alias("score"))
             .orderBy(F.desc("score"), F.col(id_col))
             .limit(k))
+
+
+def hybrid_topk(docs: DataFrame, emb: DataFrame, query_terms: list[str],
+                query_vec: list[float], *, id_col: str = "doc_id",
+                text_col: str = "text", emb_id_col: str = "vec_id",
+                emb_col: str = "embedding", k: int = 10,
+                k_each: int = 20, rrf_k: int = 60) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion:
+    BM25 top-`k_each` and exact-cosine top-`k_each` are fused by
+    RRF(d) = Σ 1/(rrf_k + rank_d) (Cormack et al. 2009, the standard
+    score-free fusion — robust to the two scores' incomparable scales).
+
+    Scale shape: both retrieval legs keep their own optimal plans
+    (term-filtered postings for BM25; TakeOrderedAndProject for cosine);
+    ranking and fusion then run over 2·k_each rows — driver-trivial. The
+    single-partition rank windows are bounded by k_each, never by the
+    corpus. Ranks tie-break by id, so fusion is deterministic and
+    engine-reproducible (oracle contract).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine_topk
+
+    lex = bm25_topk(docs, query_terms, id_col, text_col, k=k_each)
+    sem = cosine_topk(emb, query_vec, k=k_each, vec_col=emb_col,
+                      id_col=emb_id_col)
+    lexr = lex.select(
+        F.col(id_col).alias("__id"),
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.col(id_col))
+        ).alias("lex_rank"))
+    semr = sem.select(
+        F.col(emb_id_col).alias("__id"),
+        F.row_number().over(
+            Window.orderBy(F.desc("cosine"), F.col(emb_id_col))
+        ).alias("sem_rank"))
+    fused = lexr.join(semr, "__id", "full_outer")
+    rrf = (
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("sem_rank")), F.lit(0.0))
+    )
+    return (fused.select(
+        F.col("__id").alias(id_col),
+        "lex_rank", "sem_rank",
+        F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.col(id_col))
+        .limit(k))

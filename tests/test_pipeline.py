@@ -325,6 +325,34 @@ class TestSearch:
         assert rows == {(1, "a"): (2, 3), (1, "b"): (1, 3),
                         (2, "b"): (1, 2), (2, "c"): (1, 2)}
 
+    def test_hybrid_rrf_fuses_both_legs(self, spark):
+        from confluent_ksql_charm_spark.pipeline.search import hybrid_topk
+
+        docs = spark.createDataFrame(
+            [(1, "spark spark spark filler filler filler"),
+             (2, "spark filler filler filler filler filler"),
+             (3, "nothing relevant here at all six")],
+            ["doc_id", "text"])
+        emb = spark.createDataFrame(
+            [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1])],
+            "vec_id bigint, embedding array<double>")
+        out = hybrid_topk(docs, emb, ["spark"], [1.0, 0.0], k=3,
+                          k_each=3).collect()
+        got = {r.doc_id: r for r in out}
+        # doc 2: lex rank 2 + sem rank 1 beats doc 1 (lex 1, sem absent
+        # from top... all 3 in sem here) — verify rrf math explicitly
+        for r in out:
+            expect = 0.0
+            if r.lex_rank is not None:
+                expect += 1.0 / (60 + r.lex_rank)
+            if r.sem_rank is not None:
+                expect += 1.0 / (60 + r.sem_rank)
+            assert r.rrf == pytest.approx(expect, abs=1e-6)
+        assert got[2].lex_rank == 2 and got[2].sem_rank == 1
+        assert out[0].doc_id == 2          # best combined rank wins
+        # doc present in only one leg still surfaces with one-term rrf
+        assert got[3].lex_rank is None and got[3].sem_rank == 2
+
 
 class TestShuffleShard:
     def test_dense_positions_and_stability(self, spark):
