@@ -419,6 +419,38 @@ class TestPipelineStatements:
         assert 3 not in ids          # shares 3-grams with the benchmark
         assert {1, 2, 4, 5} <= ids
 
+    def test_round5_ops_via_sql(self, peng):
+        # the round-5 operators parse, validate, and execute through the
+        # same CREATE ... AS PIPELINE front end
+        peng.execute("CREATE TABLE rep AS PIPELINE "
+                     "REPETITION_STATS(docs, ID='doc_id', TEXT='text');")
+        assert peng.sql("SELECT COUNT(*) AS n FROM rep").first().n == 5
+        peng.execute("CREATE TABLE packs AS PIPELINE "
+                     "PACK_SEQUENCES(rep, KEY='doc_id', TOKENS='n_tokens', "
+                     "BUDGET='8', SHARDS='2');")
+        rows = peng.sql("SELECT doc_id, shard, n_packs FROM packs").collect()
+        assert len(rows) == 5 and all(r.shard in (0, 1) for r in rows)
+        peng.execute("CREATE TABLE pdedup AS PIPELINE "
+                     "PARAGRAPH_DEDUP(docs, ID='doc_id', TEXT='text');")
+        got = {r.doc_id: r.n_kept for r in
+               peng.sql("SELECT doc_id, n_kept FROM pdedup").collect()}
+        assert got[1] + got[2] == 1      # duplicate single-par docs collapse
+        peng.execute("CREATE TABLE vocab AS PIPELINE "
+                     "VOCAB_TOPK(docs, TEXT='text', K='5');")
+        vr = peng.sql("SELECT token, rank FROM vocab").collect()
+        assert len(vr) == 5 and vr[0].rank == 1
+
+    def test_hybrid_topk_via_sql(self, peng, spark):
+        peng.register_source("vecs", df=spark.createDataFrame(
+            [(3, [1.0, 0.0]), (5, [0.0, 1.0])],
+            "vec_id bigint, embedding array<double>"))
+        peng.execute("CREATE TABLE fused AS PIPELINE HYBRID_TOPK("
+                     "docs, vecs, QUERY='vector hash', "
+                     "QUERY_VEC='1.0,0.0', ID='doc_id', TEXT='text', "
+                     "K='3');")
+        rows = peng.sql("SELECT doc_id, rrf FROM fused").collect()
+        assert rows[0].doc_id == 3       # top in both legs
+
     def test_result_composes_with_dialect(self, peng):
         # PIPELINE output is a first-class relation: joins/aggregates work
         peng.execute("CREATE STREAM deduped2 AS PIPELINE "
