@@ -90,9 +90,17 @@ def corpus_ingest_batch_fn(
     clean: bool = True,
     clean_min_words: int = 1,
     quality_gate: bool = True,
+    signatures_path: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function for `start_corpus_ingest` (also
-    directly callable with a static DataFrame for backfill runs)."""
+    directly callable with a static DataFrame for backfill runs).
+
+    `signatures_path` (with `near_dup=True`) maintains the corpus's
+    MinHash signature table as a sidecar: each microbatch reads it as
+    `seen_signatures` (so only the BATCH is re-shingled — the 100 TB
+    contract) and appends the survivors' signatures after the corpus
+    append. Without it, corpus signatures are recomputed per batch —
+    correct, but corpus-proportional work per microbatch."""
 
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -107,12 +115,22 @@ def corpus_ingest_batch_fn(
         if corpus is not None:
             batch = incremental_exact(batch, corpus, [text_col])
             if near_dup:
+                seen_sigs = None
+                if signatures_path and os.path.isdir(signatures_path):
+                    seen_sigs = spark.read.parquet(signatures_path)
                 batch = incremental_near_dup(batch, corpus, id_col,
                                              text_col,
-                                             threshold=threshold)
+                                             threshold=threshold,
+                                             seen_signatures=seen_sigs)
         # 5. append survivors (localCheckpoint pins the anti-join result
         # BEFORE the append starts mutating the directory it read)
-        batch.localCheckpoint().write.mode("append").parquet(corpus_path)
+        batch = batch.localCheckpoint()
+        batch.write.mode("append").parquet(corpus_path)
+        if near_dup and signatures_path and batch.count() > 0:
+            from .dedup import minhash_signatures
+
+            (minhash_signatures(batch, id_col, text_col)
+             .write.mode("append").parquet(signatures_path))
 
     return ingest
 
@@ -123,6 +141,7 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
                         near_dup: bool = False, threshold: float = 0.7,
                         clean: bool = True, clean_min_words: int = 1,
                         quality_gate: bool = True,
+                        signatures_path: str | None = None,
                         available_now: bool = False):
     """Start the streaming ingestion query over a streaming DataFrame
     (file/kafka source). Returns the StreamingQuery; exactly the
@@ -133,7 +152,8 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
         .foreachBatch(corpus_ingest_batch_fn(
             corpus_path, id_col, text_col, near_dup=near_dup,
             threshold=threshold, clean=clean,
-            clean_min_words=clean_min_words, quality_gate=quality_gate))
+            clean_min_words=clean_min_words, quality_gate=quality_gate,
+            signatures_path=signatures_path))
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )

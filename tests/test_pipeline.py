@@ -1020,6 +1020,31 @@ class TestCorpusIngest:
         got = {r.doc_id for r in spark.read.parquet(str(corpus)).collect()}
         assert got == {1, 3}
 
+    def test_signature_sidecar_tracks_corpus(self, spark, tmp_path):
+        corpus = tmp_path / "corpus"
+        sigs = tmp_path / "sigs"
+        fn = self._fn(corpus, near_dup=True, threshold=0.5,
+                      clean=False, quality_gate=False,
+                      signatures_path=str(sigs))
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight.")
+        fn(spark.createDataFrame([(1, base)], self.SCHEMA), 0)
+        b2 = spark.createDataFrame(
+            [(2, base.replace("lazy", "sleepy")),     # near-dup of 1
+             (3, "entirely novel content with no overlap whatsoever "
+                 "to anything stored so far in the corpus at all.")],
+            self.SCHEMA)
+        fn(b2, 1)
+        kept = {r.doc_id for r in spark.read.parquet(str(corpus)).collect()}
+        assert kept == {1, 3}
+        # sidecar mirrors the corpus row-for-row (one signature per doc)
+        sig_ids = {r.doc_id for r in spark.read.parquet(str(sigs)).collect()}
+        assert sig_ids == kept
+        # replay: no corpus growth, no signature growth
+        fn(b2, 1)
+        assert [r.doc_id for r in
+                spark.read.parquet(str(sigs)).collect()].count(3) == 1
+
     def test_streaming_end_to_end_file_source(self, spark, tmp_path):
         from confluent_ksql_charm_spark.pipeline.ingest import (
             start_corpus_ingest)
