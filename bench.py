@@ -39,6 +39,7 @@ HEADLINE = [
     "repetition_stats",
     "pack_sequences",
     "mixture_sample",
+    "hybrid_search_rrf",
 ]
 
 
