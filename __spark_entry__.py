@@ -786,7 +786,9 @@ def _q_pii_redact(spark, sf):
             F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
             F.lit("-1234 from 10.2."),
             (F.col("doc_id") % 256).cast("string"),
-            F.lit(".7 end"),
+            F.lit(".7 card 4111-1111-1111-1111 ssn 219-09-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" end"),
         ).alias("text"))
     return redact_pii(d, "text", with_counts=True)
 
@@ -1518,24 +1520,37 @@ def oracle_sql() -> dict[str, str]:
             "|| '@example.com or 555-' "
             "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') "
             "|| '-1234 from 10.2.' || CAST(doc_id % 256 AS VARCHAR) "
-            "|| '.7 end' AS text FROM documents), "
+            "|| '.7 card 4111-1111-1111-1111 ssn 219-09-' "
+            "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+            "|| ' end' AS text FROM documents), "
             "s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) "
             "AS n_email, regexp_replace(text, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
             "'<EMAIL>', 'g') AS t1 FROM d), "
-            "s2 AS (SELECT doc_id, n_email, "
+            "sc AS (SELECT doc_id, n_email, "
             "CAST(len(regexp_extract_all(t1, "
+            "'\\b(?:\\d{4}[ -]){3}\\d{4}\\b')) AS INT) AS n_cc, "
+            "regexp_replace(t1, '\\b(?:\\d{4}[ -]){3}\\d{4}\\b', "
+            "'<CC>', 'g') AS tc FROM s1), "
+            "ss AS (SELECT doc_id, n_email, n_cc, "
+            "CAST(len(regexp_extract_all(tc, "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn, "
+            "regexp_replace(tc, '\\b\\d{3}-\\d{2}-\\d{4}\\b', "
+            "'<SSN>', 'g') AS ts FROM sc), "
+            "s2 AS (SELECT doc_id, n_email, n_cc, n_ssn, "
+            "CAST(len(regexp_extract_all(ts, "
             "'\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone, "
-            "regexp_replace(t1, '\\b\\d{3}-\\d{3}-\\d{4}\\b', "
-            "'<PHONE>', 'g') AS t2 FROM s1), "
-            "s3 AS (SELECT doc_id, n_email, n_phone, "
+            "regexp_replace(ts, '\\b\\d{3}-\\d{3}-\\d{4}\\b', "
+            "'<PHONE>', 'g') AS t2 FROM ss), "
+            "s3 AS (SELECT doc_id, n_email, n_cc, n_ssn, n_phone, "
             "CAST(len(regexp_extract_all(t2, "
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) "
             "AS n_ip, regexp_replace(t2, "
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
             "'<IP>', 'g') AS text FROM s2) "
-            "SELECT doc_id, text, n_email, n_phone, n_ip FROM s3"
+            "SELECT doc_id, text, n_email, n_cc, n_ssn, n_phone, n_ip "
+            "FROM s3"
         ),
         "bm25_topk": (
             "WITH tk AS (SELECT doc_id, "

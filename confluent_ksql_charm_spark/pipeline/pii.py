@@ -18,10 +18,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Order matters and is part of the contract: emails are redacted before
-# IPs so a digit-heavy mailbox/domain can't be partially re-matched by
-# the later numeric patterns.
+# the numeric kinds so a digit-heavy mailbox/domain can't be partially
+# re-matched later, and the longest numeric shapes (credit card) go
+# before the shorter ones (SSN, phone) so a card number is never eaten
+# piecewise. Patterns use at most non-capturing groups, so match index 0
+# (the whole match) is the span in every engine.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\b(?:\d{4}[ -]){3}\d{4}\b", "<CC>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 ]
