@@ -137,7 +137,55 @@ def main():
         print(f"{name:28s} wall={wall:6.2f}s in={n} out={rows_out} "
               f"-> {n / wall / 1e6:.2f}M rec/s")
         shutil.rmtree(work, ignore_errors=True)
+
+    # 5th pipeline: the composed corpus-ingest flow (pipeline/ingest.py)
+    # over a 10x documents file — dedup + clean + quality gates + corpus
+    # anti-join per microbatch, multiple microbatches via
+    # maxFilesPerTrigger so the corpus side is exercised incrementally.
+    out["corpus_ingest"] = bench_corpus_ingest(spark)
     print(json.dumps(out))
+
+
+def bench_corpus_ingest(spark) -> dict:
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from confluent_ksql_charm_spark.pipeline.ingest import (
+        start_corpus_ingest)
+
+    src_dir = tempfile.mkdtemp(prefix="bench_ingest_src_")
+    t = pq.read_table("/root/testdata/sf0.1/documents.parquet")
+    n = 0
+    for i in range(COPIES):
+        shifted = t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(t.column("doc_id"), pa.scalar(i * t.num_rows)))
+        pq.write_table(shifted, f"{src_dir}/part-{i:02d}.parquet")
+        n += shifted.num_rows
+    work = tempfile.mkdtemp(prefix="bench_ingest_")
+    schema = spark.read.parquet(f"{src_dir}/part-00.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(src_dir))
+    t0 = time.time()
+    q = start_corpus_ingest(stream, f"{work}/corpus", f"{work}/ckpt",
+                            clean=False,  # synthetic docs have no lines
+                            quality_gate=True, available_now=True)
+    q.awaitTermination(600)
+    wall = time.time() - t0
+    kept = spark.read.parquet(f"{work}/corpus").count()
+    print(f"{'corpus_ingest':28s} wall={wall:6.2f}s in={n} out={kept} "
+          f"-> {n / wall / 1e3:.1f}k docs/s "
+          f"(10x-duplicated corpus, 5 microbatches)")
+    res = {"wall_s": round(wall, 2), "docs_per_s": round(n / wall),
+           "docs_in": n, "docs_kept": kept}
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return res
 
 
 if __name__ == "__main__":
