@@ -164,6 +164,52 @@ def test_post_ksql_pipeline_statement(server, spark):
     assert {r[0] for r in body["rows"]} == {1, 3}
 
 
+def test_concurrent_statements_and_queries(server, spark, tmp_path):
+    # ThreadingHTTPServer + the engine's command-log lock (round-5
+    # hardening): concurrent DDL posts must all land, interleaved with
+    # concurrent queries, with no lost/garbled command-log lines.
+    import threading
+
+    eng = server.engine
+    log = tmp_path / "cmd.jsonl"
+    prev_log = eng._command_log
+    eng._command_log = str(log)
+    errors: list = []
+
+    def ddl(i):
+        try:
+            code, _ = _post(server, "/ksql", {
+                "ksql": f"CREATE STREAM conc_{i} AS SELECT event_id, "
+                        f"user_id FROM events WHERE user_id = {i};"})
+            assert code == 200, code
+        except Exception as e:               # pragma: no cover
+            errors.append(e)
+
+    def query(i):
+        try:
+            code, body = _post_query(server, {
+                "ksql": "SELECT event_id FROM events LIMIT 3;"})
+            assert code == 200 and len(body["rows"]) == 3
+        except Exception as e:               # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=ddl, args=(i,)) for i in range(6)]
+    threads += [threading.Thread(target=query, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors, errors
+    # every DDL registered and every log line is intact JSON
+    for i in range(6):
+        assert eng.metastore.has(f"conc_{i}")
+    lines = [ln for ln in log.read_text().splitlines() if ln]
+    assert len(lines) == 6
+    stmts = {json.loads(ln)["stmt"] for ln in lines}
+    assert all(any(f"conc_{i}" in s for s in stmts) for i in range(6))
+    eng._command_log = prev_log
+
+
 def test_post_ksql_round5_pipeline_ops(server, spark):
     # the round-5 operators are reachable over the wire too
     server.engine.register_source("docs_r5", df=spark.createDataFrame(
