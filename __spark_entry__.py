@@ -655,6 +655,13 @@ def _q_paragraph_dedup(spark, sf):
     return paragraph_dedup(docs.unionByName(fx), "doc_id", "text")
 
 
+def _q_corpus_stats(spark, sf):
+    # One-row corpus summary: exact percentiles + language entropy.
+    from confluent_ksql_charm_spark.pipeline.text import corpus_stats
+
+    return corpus_stats(_docs(spark, sf), "text", "lang")
+
+
 def _q_pack_sequences(spark, sf):
     # Concat-and-chunk packing plan: portable-hash shard+order, running
     # token cumsum, integer pack-boundary math — DuckDB reproduces the
@@ -971,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_clean": _q_c4_line_clean,
         "paragraph_dedup": _q_paragraph_dedup,
         "vocab_topk": _q_vocab_topk,
+        "corpus_stats": _q_corpus_stats,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
         # KSQL dialect surface
@@ -1756,6 +1764,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC "
             "ROWS UNBOUNDED PRECEDING) * 1.0 / total, 6) AS cum_coverage "
             "FROM top, tot"
+        ),
+        "corpus_stats": (
+            # quantile_cont == Spark's exact interpolated percentile
+            "WITH n AS (SELECT lang, CAST(length(string_split_regex("
+            "trim(text), '\\s+')) AS INT) AS tok FROM documents), "
+            "a AS (SELECT COUNT(*) AS n_docs, "
+            "CAST(SUM(tok) AS BIGINT) AS total_tokens, "
+            "ROUND(AVG(tok), 4) AS avg_tokens, "
+            "ROUND(quantile_cont(tok, 0.5), 4) AS p50_tokens, "
+            "ROUND(quantile_cont(tok, 0.95), 4) AS p95_tokens, "
+            "MIN(tok) AS min_tokens, MAX(tok) AS max_tokens FROM n), "
+            "e AS (SELECT ROUND(SUM(-p * ln(p)), 4) AS lang_entropy FROM "
+            "(SELECT c * 1.0 / SUM(c) OVER () AS p FROM "
+            "(SELECT lang, COUNT(*) AS c FROM n GROUP BY lang))) "
+            "SELECT * FROM a CROSS JOIN e"
         ),
         "pack_sequences": (
             # identical portable-hash permutation as shuffle_shard (salt

@@ -36,6 +36,7 @@ _SIGNATURES = {
     "MIXTURE_SAMPLE": ("MIXTURE_SAMPLE(src, KEY='id', STRATUM='lang'"
                        "[, ALPHA='0.5'][, FRACTION='0.5'])"),
     "VOCAB_TOPK": "VOCAB_TOPK(src, TEXT='text'[, K='100'][, LOWERCASE='true'])",
+    "CORPUS_STATS": "CORPUS_STATS(src, TEXT='text'[, LANG='lang'])",
     "HYBRID_TOPK": ("HYBRID_TOPK(docs, emb, QUERY='term term ...', "
                     "QUERY_VEC='f,f,...', ID='id', TEXT='text'"
                     "[, EMB_ID='vec_id'][, EMB='embedding'][, K='10']"
@@ -116,6 +117,11 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         _need_sources(spec, 1)
         return c4_line_clean(dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
                              min_words=int(p.get("MIN_WORDS", 5)))
+    if op == "CORPUS_STATS":
+        from .text import corpus_stats
+        _need_sources(spec, 1)
+        return corpus_stats(dfs[0], _need(spec, "TEXT"),
+                            lang_col=p.get("LANG"))
     if op == "HYBRID_TOPK":
         from .search import hybrid_topk
         _need_sources(spec, 2)

@@ -426,6 +426,45 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100,
     )
 
 
+def corpus_stats(df: DataFrame, text_col: str = "text",
+                 lang_col: str | None = "lang") -> DataFrame:
+    """One-row corpus summary: doc/token totals, exact token-length
+    percentiles (p50/p95 via `percentile` — exact interpolated, NOT
+    percentile_approx: the summary is the artifact people quote, so it
+    must be reproducible), and the language-distribution Shannon entropy
+    (nats) when `lang_col` is given.
+
+    Scale shape: one scan + one global aggregate. Exact percentiles sort
+    only the per-doc length column (8 bytes/doc); if even that is too
+    much at the extreme, swap in percentile_approx and accept the
+    documented error bound — the summary schema stays identical.
+    """
+    per_doc = df.select(
+        token_count(F.col(text_col)).alias("__n"),
+        *([F.col(lang_col).alias("__lang")] if lang_col else []),
+    )
+    agg = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("__n"), 4).alias("avg_tokens"),
+        F.round(F.expr("percentile(__n, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(__n, 0.95)"), 4).alias("p95_tokens"),
+        F.min("__n").alias("min_tokens"),
+        F.max("__n").alias("max_tokens"),
+    )
+    if not lang_col:
+        return agg
+    # Shannon entropy of the language mix: -sum p ln p over per-lang
+    # shares. The share window runs over |langs| rows, not the corpus.
+    from pyspark.sql import Window
+
+    counts = per_doc.groupBy("__lang").agg(F.count("*").alias("c"))
+    share = F.col("c") / F.sum("c").over(Window.partitionBy())
+    ent = (counts.select((-share * F.log(share)).alias("__t"))
+           .agg(F.round(F.sum("__t"), 4).alias("lang_entropy")))
+    return agg.crossJoin(F.broadcast(ent))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat block as columns (single projection)."""
     c = F.col(text_col)

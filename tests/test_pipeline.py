@@ -938,6 +938,27 @@ class TestText:
         assert [r.token for r in vocab_topk(df2, "text", k=2).collect()] \
             == ["y", "z"]
 
+    def test_corpus_stats_exact_percentiles_and_entropy(self, spark):
+        import math
+
+        from confluent_ksql_charm_spark.pipeline.text import corpus_stats
+
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * n), lang)
+             for i, (n, lang) in enumerate(
+                 [(1, "en"), (2, "en"), (3, "en"), (4, "de"), (100, "de")])],
+            "doc_id bigint, text string, lang string")
+        r = corpus_stats(df, "text", "lang").first()
+        assert (r.n_docs, r.total_tokens) == (5, 110)
+        assert r.p50_tokens == 3.0                    # exact median
+        assert r.min_tokens == 1 and r.max_tokens == 100
+        # entropy of (3/5, 2/5)
+        want = -(0.6 * math.log(0.6) + 0.4 * math.log(0.4))
+        assert r.lang_entropy == pytest.approx(want, abs=1e-4)
+        # no lang column -> summary without the entropy block
+        r2 = corpus_stats(df.drop("lang"), "text", lang_col=None).first()
+        assert "lang_entropy" not in r2.asDict()
+
     def test_vocab_topk_plan_is_take_ordered(self, spark):
         # the vocabulary must never be globally sorted: ORDER BY+LIMIT
         # lowers to TakeOrderedAndProject per-partition heaps
