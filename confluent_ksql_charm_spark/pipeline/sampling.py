@@ -208,9 +208,13 @@ def mixture_sample(df: DataFrame, key_col: str, stratum_col: str, *,
         # (projection + filter) without running a job
         rates: dict[str, float] = {}
     else:
+        # NULL strata are excluded from the mixture (rate 0 — a row with
+        # no source label can't be temperature-weighted; filter or
+        # fillna upstream to include them)
         counts = {
             r[0]: r[1]
             for r in df.groupBy(stratum_col).agg(F.count("*")).collect()
+            if r[0] is not None
         }
         rates = mixture_weights(counts, alpha, target_fraction)
     expr: Column = F.lit(

@@ -1340,6 +1340,16 @@ class TestSampling:
         # rates cap at 1
         assert mixture_weights({"a": 10, "b": 10000}, 0.0, 1.0)["a"] == 1.0
 
+    def test_mixture_sample_null_stratum_excluded(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            mixture_sample)
+
+        rows = [(i, "en" if i % 2 else None) for i in range(200)]
+        df = spark.createDataFrame(rows, "k bigint, src string")
+        got = mixture_sample(df, "k", "src", target_fraction=1.0).collect()
+        # no crash on the NULL key; NULL-labeled rows are never sampled
+        assert got and all(r.src == "en" for r in got)
+
     def test_mixture_sample_expected_mass(self, spark):
         from confluent_ksql_charm_spark.pipeline.sampling import (
             mixture_sample)
