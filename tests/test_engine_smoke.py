@@ -165,3 +165,14 @@ class TestCommandLog:
         with pytest.raises(Exception):
             eng.execute("CREATE STREAM bad AS SELECT x FROM missing;")
         assert not log.exists() or log.read_text() == ""
+
+
+def test_every_registry_entry_is_oracle_gated():
+    # Round-5 milestone worth tripwiring: zero rows-only entries — every
+    # queries() key has a DuckDB oracle, so the driver hash-gates the
+    # ENTIRE registry. A new entry without an oracle fails here first.
+    import __spark_entry__ as E
+
+    qs, orc = set(E.queries()), set(E.oracle_sql())
+    assert orc - qs == set(), f"orphan oracles: {orc - qs}"
+    assert qs - orc == set(), f"rows-only entries: {qs - orc}"
