@@ -63,13 +63,33 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], id_col: str,
               b: float = 0.75) -> DataFrame:
     """Top-k docs by Okapi BM25 against a bag of query terms.
     Output: (id_col, score) — score rounded to 4 decimals, ties broken
-    by id so the result SET is deterministic across engines."""
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(search_tokens(text_col))).alias("avgdl"),
-    )
+    by id so the result SET is deterministic across engines.
 
-    tf = doc_term_stats(docs, id_col, text_col, query_terms)
+    Single-tokenize contract: the corpus is tokenized ONCE into a slim
+    (id, dl, matching-terms) projection that is checkpointed and feeds
+    BOTH the global stats (N, avgdl) and the tf relation. The naive
+    shape re-tokenizes the corpus for avgdl — at 100 TB that second
+    scan is the dominant cost; the materialized projection is ~12
+    bytes/doc + matches (hit arrays are empty for non-matching docs).
+    """
+    from .lazy import maybe_checkpoint
+
+    term_arr = F.array(*[F.lit(t) for t in query_terms])
+    toks = search_tokens(text_col)
+    base = maybe_checkpoint(docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(term_arr, t))
+        .alias("__hits"),
+    ))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (base.select(F.col(id_col), "dl",
+                      F.explode("__hits").alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (tf.join(F.broadcast(df_t), "term")
