@@ -403,11 +403,18 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100,
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
+    from .lazy import maybe_checkpoint
+
     tok = F.explode(tokens_col(text_col)).alias("token")
     toks = df.select(tok)
     if lowercase:
         toks = toks.select(F.lower(F.col("token")).alias("token"))
-    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    # counts feeds BOTH the total and the top-k: checkpoint the
+    # vocabulary-sized relation so the corpus tokenize+aggregate runs
+    # once, not once per consumer (same contract as bm25's single-
+    # tokenize projection)
+    counts = maybe_checkpoint(
+        toks.groupBy("token").agg(F.count("*").alias("cnt")))
     total = counts.agg(F.sum("cnt").alias("__total"))
     top = (counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
            .limit(k))
@@ -443,6 +450,12 @@ def corpus_stats(df: DataFrame, text_col: str = "text",
         token_count(F.col(text_col)).alias("__n"),
         *([F.col(lang_col).alias("__lang")] if lang_col else []),
     )
+    if lang_col:
+        # consumed by the summary agg AND the entropy block: checkpoint
+        # the ~12-byte/doc projection so the corpus tokenizes once
+        from .lazy import maybe_checkpoint
+
+        per_doc = maybe_checkpoint(per_doc)
     agg = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.sum("__n").cast("bigint").alias("total_tokens"),
