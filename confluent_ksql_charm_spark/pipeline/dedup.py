@@ -185,6 +185,12 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str, *,
     doc id. 64-bit collisions merge two distinct paragraphs with
     probability ~2^-64 per pair — the standard exact-dedup trade
     (see `incremental_exact`).
+
+    The paragraph relation is deliberately NOT checkpointed between its
+    two consumers (dup stats + probe): materializing exploded paragraphs
+    costs a corpus-sized write, while the second pass is a column-pruned
+    re-scan — the opposite trade from bm25/vocab_topk, where the shared
+    intermediate is tiny.
     """
     if policy not in ("first", "drop_all"):
         raise ValueError(f"policy must be 'first' or 'drop_all', got {policy!r}")
