@@ -25,7 +25,9 @@ sys.path.insert(0, "/root/repo")
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-COPIES = 10
+# SPARK_GRAFT_COPIES=100 builds a ~sf10 point from sf0.1 (third scale
+# decade; documents become a duplication-factor-100 dedup stress)
+COPIES = int(os.environ.get("SPARK_GRAFT_COPIES", "10"))
 
 PASSTHROUGH = ["region", "nation", "customer", "supplier", "part",
                "embeddings"]
