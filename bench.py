@@ -54,6 +54,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start shuffles wide and let AQE coalesce DOWN: a fixed 32 is
+        # right at sf0.1 but starves sf10 (q3 12.2s -> 4.5s with 256;
+        # sf0.1 unchanged — AQE coalesces back). 8x cores is the rule.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(int(cpus) * 8))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
