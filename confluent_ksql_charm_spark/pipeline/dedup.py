@@ -100,7 +100,9 @@ def bucketed_pairs(banded: DataFrame, bucket_cols: list[str], id_col: str,
         # the corpus would be re-scanned per branch; the checkpoint
         # truncates the plan so all three consumers (heavy probe, both
         # self-join sides) read the materialized relation by contract.
-        rows = rows.localCheckpoint()
+        # maybe_checkpoint also bounds the pinned partition count (a
+        # checkpoint freezes partitioning; see lazy.maybe_checkpoint).
+        rows = maybe_checkpoint(rows)
         heavy = (rows.groupBy(*bucket_cols).count()
                  .where(F.col("count") > max_bucket)
                  .select(*bucket_cols))
@@ -666,6 +668,14 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
 
     from pyspark.sql import Observation
 
+    # each round's checkpoint pins its partitioning for every later
+    # round (AQE cannot coalesce across the boundary) — bound it to the
+    # session's shuffle width or a wide initialPartitionNum multiplies
+    # per-round task overhead (measured: dedup_clusters 149 s → 208 s
+    # at sf10 under initialPartitionNum=256 without this)
+    n_parts = int(pairs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+
     def checkpoint_with_signature(e: DataFrame) -> tuple[DataFrame, tuple]:
         obs = Observation()
         observed = e.observe(
@@ -674,7 +684,7 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
             # xor-fold, not sum: order-independent, overflow-free
             F.bit_xor(F.xxhash64("a", "b")).alias("h"),
         )
-        out = observed.localCheckpoint()  # the round's single action
+        out = observed.coalesce(n_parts).localCheckpoint()  # one action
         row = obs.get
         return out, (row["n"], row["h"])
 

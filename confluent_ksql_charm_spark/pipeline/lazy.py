@@ -47,14 +47,30 @@ def lazy_plan():
         _LAZY.reset(token)
 
 
-def maybe_checkpoint(df: DataFrame) -> DataFrame:
+def maybe_checkpoint(df: DataFrame, *, bound_partitions: bool = True
+                     ) -> DataFrame:
     """`df.localCheckpoint()` unless in plan-only mode.
 
     Checkpoint, not cache, in the eager case: cache leaves the upstream
     subplan statically duplicated in every consumer branch; checkpoint
     truncates the lineage so multi-consumer plans stay bounded (see
     dedup.bucketed_pairs for the full rationale).
+
+    `bound_partitions` (default on) coalesces to the session's
+    `spark.sql.shuffle.partitions` before materializing. A checkpoint
+    PINS whatever partitioning the plan had — AQE cannot coalesce
+    across the boundary — so under a wide
+    `adaptive.coalescePartitions.initialPartitionNum` every consumer
+    (and every round of an iterative operator) would otherwise inherit
+    hundreds of mostly-empty tasks; measured at sf10 that multiplied
+    minhash_near_dup 105 s → 299 s. Coalesce never increases the
+    partition count, so plans already at or below the session width
+    are untouched.
     """
     if _LAZY.get():
         return df
+    if bound_partitions:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                         "200"))
+        df = df.coalesce(n)
     return df.localCheckpoint()

@@ -388,10 +388,11 @@ def embedding_near_dup_pairs(df: DataFrame, *, threshold: float = 0.95,
     # materialization truncates the banding self-join out of each branch
     # (same measured win as dedup.near_dup_pairs: fewer static Exchanges
     # and faster walls than a statically-tripled cached subplan).
-    cands = banded_lsh_pairs(df, num_bands=num_bands,
-                             bits_per_band=bits_per_band, vec_col=vec_col,
-                             id_col=id_col, seed=seed,
-                             banded=index).localCheckpoint()
+    from .lazy import maybe_checkpoint
+
+    cands = maybe_checkpoint(banded_lsh_pairs(
+        df, num_bands=num_bands, bits_per_band=bits_per_band,
+        vec_col=vec_col, id_col=id_col, seed=seed, banded=index))
     scored = cosine_for_pairs(df, cands, vec_col=vec_col, id_col=id_col)
     return scored.where(F.col("cosine") >= threshold)
 
