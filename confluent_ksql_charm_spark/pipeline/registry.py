@@ -34,7 +34,8 @@ _SIGNATURES = {
     "PARAGRAPH_DEDUP": ("PARAGRAPH_DEDUP(src, ID='id', TEXT='text'"
                         "[, MIN_DUP='2'][, POLICY='first|drop_all'])"),
     "MIXTURE_SAMPLE": ("MIXTURE_SAMPLE(src, KEY='id', STRATUM='lang'"
-                       "[, ALPHA='0.5'][, FRACTION='0.5'])"),
+                       "[, ALPHA='0.5'][, FRACTION='0.5']"
+                       "[, WEIGHT='n_tokens'])"),
     "VOCAB_TOPK": "VOCAB_TOPK(src, TEXT='text'[, K='100'][, LOWERCASE='true'])",
     "CORPUS_STATS": "CORPUS_STATS(src, TEXT='text'[, LANG='lang'])",
     "HYBRID_TOPK": ("HYBRID_TOPK(docs, emb, QUERY='term term ...', "
@@ -161,7 +162,8 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         return mixture_sample(dfs[0], _need(spec, "KEY"),
                               _need(spec, "STRATUM"),
                               alpha=float(p.get("ALPHA", 0.5)),
-                              target_fraction=float(p.get("FRACTION", 0.5)))
+                              target_fraction=float(p.get("FRACTION", 0.5)),
+                              weight_col=p.get("WEIGHT"))
     raise ValueError(
         f"unknown PIPELINE operator {op!r}; available: "
         + ", ".join(sorted(_SIGNATURES)))

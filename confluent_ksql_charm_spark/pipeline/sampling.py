@@ -183,13 +183,20 @@ def mixture_weights(counts: dict[str, int], alpha: float,
 def mixture_sample(df: DataFrame, key_col: str, stratum_col: str, *,
                    alpha: float = 0.5, target_fraction: float = 0.5,
                    salt: str = "mixture",
-                   rate_col: str = "mix_rate") -> DataFrame:
+                   rate_col: str = "mix_rate",
+                   weight_col: str | None = None) -> DataFrame:
     """Deterministic temperature mixture sampling across sources: keep a
     per-stratum deterministic sample whose rates follow count^alpha
     temperature reweighting (alpha=0.5 halves the dominance of huge
     sources; alpha=1 is proportional; alpha=0 is uniform-by-source).
 
-    The per-stratum counts are aggregated distributedly (map-side
+    `weight_col`: measure stratum mass by this column's sum instead of
+    the row count — pass a token-count column to temperature-sample by
+    TOKEN budget (the unit training mixtures are actually specified in)
+    rather than document count. Selection stays per-document; the
+    expected KEPT MASS per stratum follows the reweighted target.
+
+    The per-stratum masses are aggregated distributedly (map-side
     combine → |strata| rows) and collected — strata are sources or
     languages, a bounded small set, the same driver-side-adaptivity
     pattern as `dedup.bucketed_pairs`. Rates then apply as a literal
@@ -211,10 +218,12 @@ def mixture_sample(df: DataFrame, key_col: str, stratum_col: str, *,
         # NULL strata are excluded from the mixture (rate 0 — a row with
         # no source label can't be temperature-weighted; filter or
         # fillna upstream to include them)
+        mass = (F.sum(F.col(weight_col)) if weight_col
+                else F.count("*"))
         counts = {
             r[0]: r[1]
-            for r in df.groupBy(stratum_col).agg(F.count("*")).collect()
-            if r[0] is not None
+            for r in df.groupBy(stratum_col).agg(mass).collect()
+            if r[0] is not None and r[1] is not None
         }
         rates = mixture_weights(counts, alpha, target_fraction)
     expr: Column = F.lit(

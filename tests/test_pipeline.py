@@ -1350,6 +1350,30 @@ class TestSampling:
         # no crash on the NULL key; NULL-labeled rows are never sampled
         assert got and all(r.src == "en" for r in got)
 
+    def test_mixture_sample_token_weighted(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            mixture_sample)
+
+        # two sources with EQUAL doc counts but 10x different token
+        # mass: count-weighting gives equal rates at alpha=1; token
+        # weighting must also give equal rates at alpha=1 (proportional)
+        # but at alpha=0 the small-mass source gets the higher rate
+        rows = [(i, "big", 100) for i in range(500)] + \
+               [(500 + i, "small", 10) for i in range(500)]
+        df = spark.createDataFrame(rows, "k bigint, src string, n int")
+        out0 = mixture_sample(df, "k", "src", alpha=0.0,
+                              target_fraction=0.2, weight_col="n")
+        rates = {r.src: r.mix_rate for r in
+                 out0.select("src", "mix_rate").distinct().collect()}
+        assert rates["small"] > rates["big"]
+        # alpha=1 token-weighted: every stratum keeps target fraction
+        out1 = mixture_sample(df, "k", "src", alpha=1.0,
+                              target_fraction=0.2, weight_col="n")
+        r1 = {r.src: r.mix_rate for r in
+              out1.select("src", "mix_rate").distinct().collect()}
+        assert r1["big"] == pytest.approx(0.2, abs=1e-6)
+        assert r1["small"] == pytest.approx(0.2, abs=1e-6)
+
     def test_mixture_sample_expected_mass(self, spark):
         from confluent_ksql_charm_spark.pipeline.sampling import (
             mixture_sample)
