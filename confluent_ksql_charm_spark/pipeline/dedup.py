@@ -193,7 +193,15 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str, *,
     costs a corpus-sized write, while the second pass is a column-pruned
     re-scan — the opposite trade from bm25/vocab_topk, where the shared
     intermediate is tiny.
+
+    `sep` must be a literal separator with no regex metacharacters
+    (it feeds `split`, which is regex, AND `array_join`, which is
+    literal — a metacharacter would split and rejoin differently).
     """
+    if any(ch in sep for ch in ".^$*+?{}[]|()\\"):
+        raise ValueError(
+            f"sep must be a literal separator (no regex metachars), "
+            f"got {sep!r}")
     if policy not in ("first", "drop_all"):
         raise ValueError(f"policy must be 'first' or 'drop_all', got {policy!r}")
     if min_dup < 2:
