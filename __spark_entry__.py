@@ -686,6 +686,20 @@ def _q_mixture_sample(spark, sf):
                           alpha=0.5, target_fraction=0.5)
 
 
+def _q_mixture_waterfill(spark, sf):
+    # Water-filled mixture: alpha=0 (uniform-by-source) at target 0.8
+    # caps the four small langs at rate 1; their surplus redistributes
+    # onto 'en' so kept expected mass still meets the target. The
+    # oracle replays the closed-form water-fill (sort by mass/weight,
+    # prefix cumulative-sum cap test — no recursion) bit-identically.
+    from confluent_ksql_charm_spark.pipeline.sampling import mixture_sample
+
+    docs = _docs(spark, sf).select("doc_id", "lang")
+    return mixture_sample(docs, "doc_id", "lang",
+                          alpha=0.0, target_fraction=0.8,
+                          redistribute=True)
+
+
 def _q_embedding_near_dup(spark, sf):
     # Banded hyperplane-LSH candidates → exact-cosine verify. Precision is
     # exact by construction; band/bit sizing comes from lsh_plan(count) so
@@ -981,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
+        "mixture_waterfill": _q_mixture_waterfill,
         # KSQL dialect surface
         "project_filter": _q_project_filter,
         "case_when_cast": _q_case_when_cast,
@@ -1614,9 +1629,10 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(COALESCE(1.0 / (60 + lex_rank), 0) "
             "+ COALESCE(1.0 / (60 + sem_rank), 0), 6) AS rrf "
             "FROM lexr FULL OUTER JOIN semr ON lexr.id = semr.id "
-            "ORDER BY COALESCE(1.0 / (60 + lex_rank), 0) "
-            "+ COALESCE(1.0 / (60 + sem_rank), 0) DESC, "
-            "COALESCE(lexr.id, semr.id) LIMIT 10"
+            # order by the ROUNDED rrf (same domain Spark sorts on) so
+            # two rank-sums that round equal tie-break by id in BOTH
+            # engines instead of by their sub-1e-6 difference here
+            "ORDER BY rrf DESC, COALESCE(lexr.id, semr.id) LIMIT 10"
         ),
         "shuffle_shard": (
             "WITH h AS (SELECT doc_id, ('0x' || substr(md5("
@@ -1793,12 +1809,18 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY hh, doc_id) - 1 AS INT) AS pos FROM h), "
             "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard "
             "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cum FROM s) "
+            # zero-token docs mirror Spark's NULL-span semantics: NULL
+            # pack bounds, n_packs = 0 (a doc with no tokens spans no
+            # pack — GREATEST(0, ...) on non-NULL bounds would say 1)
             "SELECT doc_id, shard, pos, n_tokens, "
             "CAST(cum - n_tokens AS BIGINT) AS start_offset, "
-            "CAST((cum - n_tokens) // 256 AS INT) AS pack_first, "
-            "CAST((cum - 1) // 256 AS INT) AS pack_last, "
-            "CAST(GREATEST(0, (cum - 1) // 256 "
-            "- (cum - n_tokens) // 256 + 1) AS INT) AS n_packs FROM c"
+            "CAST(CASE WHEN n_tokens > 0 THEN (cum - n_tokens) // 256 "
+            "END AS INT) AS pack_first, "
+            "CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256 "
+            "END AS INT) AS pack_last, "
+            "CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 256 "
+            "- (cum - n_tokens) // 256 + 1 ELSE 0 END AS INT) "
+            "AS n_packs FROM c"
         ),
         "mixture_sample": (
             # rate math recomputed float-op-for-float-op (sqrt, same
@@ -1809,6 +1831,37 @@ def oracle_sql() -> dict[str, str]:
             "rates AS (SELECT lang, ROUND(LEAST(1.0, "
             "sqrt(n) / wsum * (0.5 * total) / n), 6) AS mix_rate "
             "FROM cnt, tot) "
+            "SELECT d.doc_id, d.lang, r.mix_rate FROM documents d "
+            "JOIN rates r USING (lang) "
+            "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) "
+            "|| ':mixture'), 1, 13))::BIGINT / 4503599627370496.0 "
+            "< r.mix_rate"
+        ),
+        "mixture_waterfill": (
+            # closed-form water-fill: strata cap in increasing
+            # mass/weight order (alpha=0 → weight 1, order by count),
+            # so a prefix cumulative-sum test finds the capped set and
+            # one shared water level prices the uncapped rest — all
+            # integer-exact window math, mirrored float-op-for-float-op
+            # by sampling.mixture_weights(redistribute=True)
+            "WITH cnt AS (SELECT lang, count(*) AS n FROM documents "
+            "GROUP BY lang), "
+            "tot AS (SELECT SUM(n) AS total FROM cnt), "
+            "ord AS (SELECT lang, n, COALESCE(SUM(n) OVER "
+            "(ORDER BY n, lang ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS m_before, "
+            "CAST(COUNT(*) OVER (ORDER BY n, lang ROWS BETWEEN "
+            "CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS w_rem "
+            "FROM cnt), "
+            "flg AS (SELECT lang, n, "
+            "((0.8 * tot.total - m_before) / w_rem) >= n AS capped "
+            "FROM ord, tot), "
+            "lvl AS (SELECT (0.8 * (SELECT total FROM tot) "
+            "- COALESCE(SUM(CASE WHEN capped THEN n END), 0)) "
+            "/ SUM(CASE WHEN NOT capped THEN 1.0 END) AS c FROM flg), "
+            "rates AS (SELECT lang, CASE WHEN capped THEN 1.0 "
+            "ELSE ROUND(LEAST(1.0, c / n), 6) END AS mix_rate "
+            "FROM flg, lvl) "
             "SELECT d.doc_id, d.lang, r.mix_rate FROM documents d "
             "JOIN rates r USING (lang) "
             "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) "

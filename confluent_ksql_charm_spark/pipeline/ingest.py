@@ -26,26 +26,68 @@ batch-proportional, not corpus-proportional.
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from .dedup import exact_dedup, incremental_exact, incremental_near_dup
 
 
 def _corpus_df(spark, corpus_path: str, schema) -> DataFrame | None:
-    """The persisted corpus, or None before the first append."""
-    if not os.path.isdir(corpus_path):
+    """The persisted corpus, or None before the first append.
+
+    Probed by READING, not by driver-side directory walking: `os.walk`
+    is correct on a local filesystem but the wrong shape for an
+    object-store corpus (a full prefix listing per microbatch, plus
+    eventual-consistency races). With an explicit schema the reader
+    resolves the path through Spark's filesystem layer — a missing path
+    raises AnalysisException (→ None, pre-first-append), and an
+    existing-but-empty path is just an empty corpus, which every
+    downstream anti-join handles naturally."""
+    try:
+        return spark.read.schema(schema).parquet(corpus_path)
+    except AnalysisException:
         return None
-    has_files = any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(corpus_path)
-        for f in files)
-    if not has_files:
+
+
+def _signatures_df(spark, signatures_path: str) -> DataFrame | None:
+    """The persisted signature sidecar, or None if absent/empty (no
+    schema to pin here — inference failing on an empty dir IS the
+    absent signal). Same read-probe shape as `_corpus_df`."""
+    try:
+        return spark.read.parquet(signatures_path)
+    except AnalysisException:
         return None
-    return spark.read.schema(schema).parquet(corpus_path)
+
+
+def reconcile_signatures(corpus: DataFrame, sigs: DataFrame,
+                         id_col: str, text_col: str,
+                         signatures_path: str) -> DataFrame:
+    """Self-heal the MinHash sidecar: backfill signatures for corpus
+    docs the sidecar is missing.
+
+    The corpus append and the sidecar append are two non-atomic writes;
+    if a worker dies between them, the replayed microbatch is emptied
+    by the corpus anti-join (correct — the docs ARE in the corpus) and
+    those docs would permanently lack signatures, silently escaping
+    every later `seen_signatures`-based near-dup check. Running this
+    reconcile at the top of each batch bounds the damage to one batch:
+    the anti-join is on the 8-byte-ish id columns only (corpus side is
+    pruned to `id_col, text_col`; sidecar side to `id_col`), and in the
+    no-crash common case it costs one id anti-join + isEmpty probe.
+
+    Returns the healed sidecar relation (existing ∪ backfilled)."""
+    from .dedup import minhash_signatures
+
+    missing = (corpus.select(id_col, text_col)
+               .join(sigs.select(id_col), id_col, "left_anti"))
+    if missing.isEmpty():
+        return sigs
+    backfill = minhash_signatures(missing, id_col, text_col)
+    backfill.write.mode("append").parquet(signatures_path)
+    return corpus.sparkSession.read.parquet(signatures_path)
 
 
 def clean_and_gate(batch: DataFrame, id_col: str, text_col: str, *,
@@ -116,8 +158,15 @@ def corpus_ingest_batch_fn(
             batch = incremental_exact(batch, corpus, [text_col])
             if near_dup:
                 seen_sigs = None
-                if signatures_path and os.path.isdir(signatures_path):
-                    seen_sigs = spark.read.parquet(signatures_path)
+                if signatures_path:
+                    seen_sigs = _signatures_df(spark, signatures_path)
+                    if seen_sigs is not None:
+                        # heal a crash between the corpus append and the
+                        # sidecar append of a previous batch (see
+                        # reconcile_signatures)
+                        seen_sigs = reconcile_signatures(
+                            corpus, seen_sigs, id_col, text_col,
+                            signatures_path)
                 batch = incremental_near_dup(batch, corpus, id_col,
                                              text_col,
                                              threshold=threshold,

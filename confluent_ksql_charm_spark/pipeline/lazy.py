@@ -66,11 +66,32 @@ def maybe_checkpoint(df: DataFrame, *, bound_partitions: bool = True
     minhash_near_dup 105 s → 299 s. Coalesce never increases the
     partition count, so plans already at or below the session width
     are untouched.
+
+    The bound only applies to SHUFFLE-rooted plans: `coalesce`
+    propagates upstream into the stage being materialized, so on a
+    scan-rooted plan (bm25's base projection, corpus_stats' per_doc) it
+    would cap the corpus SCAN itself at the session shuffle width — a
+    parallelism regression at exactly the scales the bound exists for.
+    A scan's partitioning is already sized by
+    `spark.sql.files.maxPartitionBytes`, and AQE's wide
+    initialPartitionNum only inflates *shuffle* outputs, so plans with
+    no Exchange are checkpointed as-is. Detection reads the physical
+    plan string (planning only — no job runs).
     """
     if _LAZY.get():
         return df
-    if bound_partitions:
+    if bound_partitions and _has_exchange(df):
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                          "200"))
         df = df.coalesce(n)
     return df.localCheckpoint()
+
+
+def _has_exchange(df: DataFrame) -> bool:
+    """True when the physical plan contains a shuffle (Exchange node).
+    Conservative on failure: assume shuffled, keeping the width bound."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # pragma: no cover - py4j plan access failure
+        return True
+    return "Exchange" in plan

@@ -153,7 +153,8 @@ def pack_sequences(df: DataFrame, key_col: str, token_col: str,
 
 
 def mixture_weights(counts: dict[str, int], alpha: float,
-                    target_fraction: float) -> dict[str, float]:
+                    target_fraction: float, *,
+                    redistribute: bool = False) -> dict[str, float]:
     """Temperature-reweighted per-stratum keep rates.
 
     weight_s ∝ count_s^alpha (alpha < 1 upweights small sources — the
@@ -164,18 +165,75 @@ def mixture_weights(counts: dict[str, int], alpha: float,
     float expression cannot flip a membership decision on a final-ulp
     difference (the oracle contract).
 
+    `redistribute=False` (the historical default) leaves capped strata's
+    surplus mass on the floor: when a small stratum's reweighted rate
+    exceeds 1, the kept total silently undershoots `target_fraction`.
+    `redistribute=True` water-fills instead: capped strata keep rate 1,
+    and the remaining target mass is re-split over the uncapped strata
+    by their weights, repeatedly, until no new stratum caps — the kept
+    EXPECTED mass then meets `target_fraction` exactly (unless every
+    stratum caps, i.e. target_fraction = 1).
+
+    The water-fill is computed in closed form, not by iteration: strata
+    cap in increasing order of mass/weight (the water level is monotone
+    decreasing as strata are removed — standard water-filling argument),
+    so sorting by that ratio and testing each prefix with cumulative
+    sums finds the capped set in one pass. The same construction is
+    expressible in ANSI SQL window functions, which is what the DuckDB
+    oracle replays (no recursive CTE needed).
+
     Fold order over strata is sorted(), so the normalizing sum is
-    deterministic regardless of dict order.
+    deterministic regardless of dict order. Every mass must be > 0 —
+    zero masses would divide-by-zero and negative masses make
+    mass^alpha complex for fractional alpha.
     """
     strata = sorted(counts)
-    w = {s: float(counts[s]) ** alpha for s in strata}
-    wsum = 0.0
     for s in strata:
-        wsum += w[s]
+        if not counts[s] > 0:
+            raise ValueError(
+                f"mixture stratum {s!r} has non-positive mass "
+                f"{counts[s]!r}; every stratum mass must be > 0 "
+                "(filter empty/degenerate strata upstream)")
+    w = {s: float(counts[s]) ** alpha for s in strata}
     total = sum(counts[s] for s in strata)
+    target = target_fraction * total
+    if not redistribute:
+        wsum = 0.0
+        for s in strata:
+            wsum += w[s]
+        return {
+            s: round(min(1.0, (w[s] / wsum) * target / counts[s]), 6)
+            for s in strata
+        }
+    # water-fill: sort by mass/weight ascending (capping order); a
+    # stratum caps iff the water level computed with all its
+    # predecessors capped still pushes its own rate to >= 1
+    order = sorted(strata, key=lambda s: (counts[s] / w[s], s))
+    mass_before = 0  # exact for integer counts (the oracle contract)
+    w_rem = 0.0
+    for s in order:
+        w_rem += w[s]
+    capped: set[str] = set()
+    capped_mass = 0
+    w_uncapped = w_rem
+    for s in order:
+        level = (target - mass_before) / w_rem
+        if level >= counts[s] / w[s]:
+            capped.add(s)
+            capped_mass += counts[s]
+            w_uncapped -= w[s]
+        else:
+            # prefix property: once one stratum fails to cap, the water
+            # level only falls while mass/weight only rises
+            break
+        mass_before += counts[s]
+        w_rem -= w[s]
+    if len(capped) == len(strata):
+        return {s: 1.0 for s in strata}
+    c = (target - capped_mass) / w_uncapped
     return {
-        s: round(min(1.0, (w[s] / wsum) * (target_fraction * total)
-                     / counts[s]), 6)
+        s: 1.0 if s in capped
+        else round(min(1.0, c * w[s] / counts[s]), 6)
         for s in strata
     }
 
@@ -184,7 +242,8 @@ def mixture_sample(df: DataFrame, key_col: str, stratum_col: str, *,
                    alpha: float = 0.5, target_fraction: float = 0.5,
                    salt: str = "mixture",
                    rate_col: str = "mix_rate",
-                   weight_col: str | None = None) -> DataFrame:
+                   weight_col: str | None = None,
+                   redistribute: bool = False) -> DataFrame:
     """Deterministic temperature mixture sampling across sources: keep a
     per-stratum deterministic sample whose rates follow count^alpha
     temperature reweighting (alpha=0.5 halves the dominance of huge
@@ -195,6 +254,11 @@ def mixture_sample(df: DataFrame, key_col: str, stratum_col: str, *,
     TOKEN budget (the unit training mixtures are actually specified in)
     rather than document count. Selection stays per-document; the
     expected KEPT MASS per stratum follows the reweighted target.
+
+    `redistribute=True` water-fills capped strata's surplus onto the
+    uncapped ones so the kept expected mass meets `target_fraction`
+    exactly (see `mixture_weights`); the default keeps the historical
+    cap-and-undershoot behavior.
 
     The per-stratum masses are aggregated distributedly (map-side
     combine → |strata| rows) and collected — strata are sources or
@@ -225,7 +289,8 @@ def mixture_sample(df: DataFrame, key_col: str, stratum_col: str, *,
             for r in df.groupBy(stratum_col).agg(mass).collect()
             if r[0] is not None and r[1] is not None
         }
-        rates = mixture_weights(counts, alpha, target_fraction)
+        rates = mixture_weights(counts, alpha, target_fraction,
+                                redistribute=redistribute)
     expr: Column = F.lit(
         float(target_fraction) if lazy_plan_active() else 0.0)
     for s in sorted(rates):

@@ -1066,6 +1066,38 @@ class TestCorpusIngest:
         assert [r.doc_id for r in
                 spark.read.parquet(str(sigs)).collect()].count(3) == 1
 
+    def test_sidecar_backfilled_after_crash_between_appends(self, spark,
+                                                           tmp_path):
+        # a crash AFTER the corpus append but BEFORE the sidecar append
+        # leaves an orphaned doc: the replayed batch is emptied by the
+        # corpus anti-join, so without reconciliation the doc would
+        # permanently lack a signature and dodge every later near-dup
+        # check. The per-batch reconcile must backfill it.
+        corpus = tmp_path / "corpus"
+        sigs = tmp_path / "sigs"
+        fn = self._fn(corpus, near_dup=True, threshold=0.5,
+                      clean=False, quality_gate=False,
+                      signatures_path=str(sigs))
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight.")
+        fn(spark.createDataFrame([(1, base)], self.SCHEMA), 0)
+        orphan = ("completely separate content about databases and "
+                  "distributed query engines processing huge corpora.")
+        # simulate the torn batch: corpus append landed, sidecar didn't
+        spark.createDataFrame([(2, orphan)], self.SCHEMA) \
+            .write.mode("append").parquet(str(corpus))
+        assert {r.doc_id for r in
+                spark.read.parquet(str(sigs)).collect()} == {1}
+        b3 = spark.createDataFrame(
+            [(3, orphan.replace("huge", "vast"))],   # near-dup of orphan
+            self.SCHEMA)
+        fn(b3, 2)
+        # reconcile backfilled doc 2's signature, so doc 3 was caught
+        assert {r.doc_id for r in
+                spark.read.parquet(str(sigs)).collect()} == {1, 2}
+        assert {r.doc_id for r in
+                spark.read.parquet(str(corpus)).collect()} == {1, 2}
+
     def test_streaming_end_to_end_file_source(self, spark, tmp_path):
         from confluent_ksql_charm_spark.pipeline.ingest import (
             start_corpus_ingest)
@@ -1394,3 +1426,53 @@ class TestSampling:
             df.repartition(9), "k", "src", alpha=0.5,
             target_fraction=0.3).collect()}
         assert again == {r.k for r in got}
+
+    def test_mixture_weights_waterfill_redistributes_capped_surplus(self):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            mixture_weights)
+
+        # alpha=0 → uniform per-stratum target mass 606/2 = 303;
+        # 'a' caps at its full 10 rows and the 293-row surplus must
+        # water-fill onto 'b' so the kept expectation still hits 606
+        counts = {"a": 10, "b": 1000}
+        r = mixture_weights(counts, 0.0, 0.6, redistribute=True)
+        assert r["a"] == 1.0
+        kept = sum(r[s] * counts[s] for s in counts)
+        assert abs(kept - 0.6 * 1010) < 1e-3   # target met ± rounding
+        # without redistribution the historical behavior undershoots
+        r0 = mixture_weights(counts, 0.0, 0.6)
+        assert sum(r0[s] * counts[s] for s in counts) < 0.6 * 1010 - 100
+        # cascading caps: two strata cap, the rest absorb the surplus
+        counts = {"a": 5, "b": 20, "c": 10000, "d": 8000}
+        r = mixture_weights(counts, 0.0, 0.5, redistribute=True)
+        assert r["a"] == 1.0 and r["b"] == 1.0
+        kept = sum(r[s] * counts[s] for s in counts)
+        assert abs(kept - 0.5 * sum(counts.values())) < 1e-2
+        # degenerate: everything caps at target_fraction=1
+        assert set(mixture_weights({"a": 1, "b": 2}, 0.0, 1.0,
+                                   redistribute=True).values()) == {1.0}
+
+    def test_mixture_weights_rejects_degenerate_masses(self):
+        import pytest as _pytest
+
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            mixture_weights)
+
+        with _pytest.raises(ValueError, match="'empty'"):
+            mixture_weights({"ok": 10, "empty": 0}, 0.5, 0.5)
+        with _pytest.raises(ValueError, match="'neg'"):
+            mixture_weights({"ok": 10, "neg": -3}, 0.5, 0.5)
+
+    def test_mixture_sample_waterfill_end_to_end(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            mixture_sample)
+
+        rows = [(i, "big" if i >= 40 else "small") for i in range(4040)]
+        df = spark.createDataFrame(rows, "k bigint, src string")
+        got = mixture_sample(df, "k", "src", alpha=0.0,
+                             target_fraction=0.5,
+                             redistribute=True).collect()
+        # 'small' (40 rows) caps at rate 1 — every row kept
+        assert sum(1 for r in got if r.src == "small") == 40
+        # surplus redistributed: total ≈ 2020, not 40 + 1010
+        assert abs(len(got) - 2020) < 80

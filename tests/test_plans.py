@@ -162,6 +162,24 @@ class TestDedupPlans:
         plan = _plan(out)
         assert plan.count("Exchange") <= 16, plan.count("Exchange")
 
+    def test_checkpoint_width_bound_spares_scan_rooted_plans(self, spark):
+        # The checkpoint width bound exists to stop AQE's wide
+        # initialPartitionNum from pinning hundreds of empty SHUFFLE
+        # partitions — but a coalesce propagates upstream, so applying
+        # it to a scan-rooted plan would throttle the corpus scan itself
+        # to the session shuffle width. Scan-rooted plans (no Exchange)
+        # must keep their parallelism; shuffle-rooted plans must bound.
+        from confluent_ksql_charm_spark.pipeline.lazy import maybe_checkpoint
+
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        scan_rooted = spark.range(0, 1000, 1, numPartitions=width + 12)
+        kept = maybe_checkpoint(scan_rooted)
+        assert kept.rdd.getNumPartitions() == width + 12
+        shuffled = (spark.range(0, 1000, 1, numPartitions=width + 12)
+                    .repartition(width + 12, "id"))
+        bounded = maybe_checkpoint(shuffled)
+        assert bounded.rdd.getNumPartitions() <= width
+
     def test_scan_side_text_ops_are_pure_projections(self, engine):
         # c4_line_clean and the expression half of the text family must
         # stay shuffle-free and Python-free: their 100 TB contract is
