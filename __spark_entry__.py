@@ -655,6 +655,22 @@ def _q_paragraph_dedup(spark, sf):
     return paragraph_dedup(docs.unionByName(fx), "doc_id", "text")
 
 
+def _q_substring_dedup(spark, sf):
+    # Exact-substring (repeated 8-token-window) span removal over real
+    # docs UNION the planted repeated-run fixture: docs 0/1 share a
+    # 10-token run, doc 3 repeats a run internally, and any exact-dup
+    # docs in the corpus get fully scrubbed (all their windows repeat).
+    # n=8 (not the production 50) because the synthetic docs are short.
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        SUBSTRING_FIXTURE, substring_dedup)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    fx = spark.createDataFrame(
+        [(3_000_000 + i, t) for i, t in SUBSTRING_FIXTURE],
+        "doc_id bigint, text string")
+    return substring_dedup(docs.unionByName(fx), "doc_id", "text", n=8)
+
+
 def _q_corpus_stats(spark, sf):
     # One-row corpus summary: exact percentiles + language entropy.
     from confluent_ksql_charm_spark.pipeline.text import corpus_stats
@@ -991,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "c4_line_clean": _q_c4_line_clean,
         "paragraph_dedup": _q_paragraph_dedup,
+        "substring_dedup": _q_substring_dedup,
         "vocab_topk": _q_vocab_topk,
         "corpus_stats": _q_corpus_stats,
         "pack_sequences": _q_pack_sequences,
@@ -1138,6 +1155,56 @@ def _paragraph_dedup_oracle() -> str:
         "COALESCE(array_to_string(list(par ORDER BY idx) "
         "FILTER (WHERE c < 2 OR rn = 1), chr(10)), '') AS cleaned "
         "FROM marked GROUP BY doc_id"
+    )
+
+
+def _substring_dedup_oracle() -> str:
+    """DuckDB oracle for substring_dedup (n=8): recomputes the repeated
+    token windows on RAW window STRINGS (no hash — an independent check
+    of the Spark side's xxhash64-keyed plan), merges overlapping spans
+    with the same gaps-and-islands window math, and rebuilds each doc
+    from its surviving tokens."""
+    from confluent_ksql_charm_spark.pipeline.dedup import SUBSTRING_FIXTURE
+
+    rows = ", ".join(
+        "({id}, '{txt}')".format(id=3_000_000 + i,
+                                 txt=t.replace("'", "''"))
+        for i, t in SUBSTRING_FIXTURE)
+    return (
+        f"WITH fx(doc_id, text) AS (VALUES {rows}), "
+        "src AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id, text FROM fx), "
+        "tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') "
+        "AS toks FROM src), "
+        "win AS (SELECT doc_id, "
+        "unnest(CASE WHEN len(toks) >= 8 THEN range(0, len(toks) - 7) "
+        "ELSE [] END) AS pos, "
+        "unnest(CASE WHEN len(toks) >= 8 THEN list_transform("
+        "range(0, len(toks) - 7), i -> array_to_string("
+        "toks[i+1:i+8], ' ')) ELSE [] END) AS w FROM tk), "
+        "dup AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2), "
+        "spans AS (SELECT doc_id, pos AS s, pos + 7 AS e "
+        "FROM win JOIN dup USING (w)), "
+        "m AS (SELECT doc_id, s, e, CASE WHEN s > COALESCE(MAX(e) OVER "
+        "(PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk "
+        "FROM spans), "
+        "isl AS (SELECT doc_id, s, e, SUM(brk) OVER (PARTITION BY "
+        "doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g FROM m), "
+        "islands AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM isl "
+        "GROUP BY doc_id, g), "
+        "tokpos AS (SELECT doc_id, unnest(toks) AS tok, "
+        "unnest(range(0, len(toks))) AS p FROM tk), "
+        "kept AS (SELECT t.doc_id, t.tok, t.p FROM tokpos t "
+        "LEFT JOIN islands i ON t.doc_id = i.doc_id "
+        "AND t.p BETWEEN i.s AND i.e WHERE i.s IS NULL), "
+        "agg AS (SELECT doc_id, COUNT(*) AS cnt, "
+        "string_agg(tok, ' ' ORDER BY p) AS txt FROM kept "
+        "GROUP BY doc_id) "
+        "SELECT tk.doc_id, CAST(len(tk.toks) AS INT) AS n_tokens, "
+        "CAST(len(tk.toks) - COALESCE(a.cnt, 0) AS INT) AS n_removed, "
+        "COALESCE(a.txt, '') AS cleaned "
+        "FROM tk LEFT JOIN agg a USING (doc_id)"
     )
 
 
@@ -1764,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "text_signals": _text_signals_oracle(),
         "c4_line_clean": _c4_oracle(),
         "paragraph_dedup": _paragraph_dedup_oracle(),
+        "substring_dedup": _substring_dedup_oracle(),
         "vocab_topk": (
             # exact-BIGINT cumsum, single final division; ties to the
             # lexicographically smaller token in both engines

@@ -40,6 +40,9 @@ HEADLINE = [
     "pack_sequences",
     "mixture_sample",
     "hybrid_search_rrf",
+    # round-6 additions
+    "substring_dedup",
+    "mixture_waterfill",
 ]
 
 

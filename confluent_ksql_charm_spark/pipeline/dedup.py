@@ -249,6 +249,124 @@ def paragraph_dedup(df: DataFrame, id_col: str, text_col: str, *,
     )
 
 
+#: Planted fixture with repeated cross-document token runs (the
+#: synthetic documents are near-unique, so real docs alone exercise
+#: only the no-dup path). Docs 0/1 share a 10-token run; doc 3 repeats
+#: an 8-token run internally; doc 2 is clean. Shared by tests and the
+#: registry oracle.
+SUBSTRING_FIXTURE: list[tuple[int, str]] = [
+    (0, "unique zero opening alpha beta gamma delta epsilon zeta eta "
+        "theta iota kappa plus a zero specific tail"),
+    (1, "doc one starts differently alpha beta gamma delta epsilon "
+        "zeta eta theta iota kappa then one closes on its own"),
+    (2, "a wholly original document whose token windows never repeat "
+        "anywhere in the whole corpus"),
+    (3, "internal repeat internal repeat lorem ipsum dolor sit amet "
+        "consectetur adipiscing elit middle words lorem ipsum dolor "
+        "sit amet consectetur adipiscing elit and a tail"),
+]
+
+
+def substring_dedup(df: DataFrame, id_col: str, text_col: str, *,
+                    n: int = 50, min_dup: int = 2) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" / RefinedWeb's third tier): any
+    n-token window whose exact text occurs >= `min_dup` times ACROSS
+    the corpus marks its token span for removal in EVERY occurrence;
+    overlapping spans merge, and each document is rebuilt from its
+    surviving tokens. This catches the repeated-span duplication that
+    `paragraph_dedup` misses whenever the copy is not separator-aligned
+    (templated sentences, quoted chunks, licence blocks mid-paragraph).
+
+    Returns (id, n_tokens, n_removed, cleaned) — `cleaned` is the
+    space-joined surviving tokens (token-stream semantics: the operator
+    works on the token level, so original inter-token whitespace is not
+    preserved; n = 50 tokens is the published working point).
+
+    Removal is drop-all (no canonical copy survives): keep-one
+    semantics across OVERLAPPING windows have no well-defined winner —
+    adjacent duplicated windows can each nominate a different "first"
+    occurrence — and Lee et al. report the kept-copy choice barely
+    moves results. Run `exact_dedup`/`paragraph_dedup` first for the
+    coarser tiers where keep-one is well-defined.
+
+    Scale shape:
+    - window generation is expression-only and rides the scan:
+      transform(sequence) over the token array emits one 64-bit
+      xxhash64 per window position — never the window STRINGS (n
+      tokens each would be an n-fold blowup of the corpus);
+    - duplicate detection is ONE hash-aggregate on the window hash
+      with map-side partial combine (a window repeated 100M times
+      still reduces per-partition before the shuffle), filtered to
+      actual repeats — typically a tiny fraction, so the probe join
+      back broadcasts under AQE;
+    - the exploded window relation is deliberately NOT checkpointed
+      between its two consumers (dup stats + probe): materializing it
+      is a corpus-sized write, the re-scan is column-pruned — same
+      trade as `paragraph_dedup`, opposite of bm25/vocab_topk;
+    - span merge is the gaps-and-islands pattern per doc (one window
+      function over only the AFFECTED docs' spans); the rebuild joins
+      the per-doc merged-span array back to the corpus (AQE broadcast
+      for the common small-affected-set case) and filters tokens with
+      an indexed higher-order `filter` — per-doc cost
+      O(tokens × islands), islands <= tokens/(n+1) by disjointness.
+
+    64-bit window-hash collisions remove a non-duplicated span with
+    probability ~2^-64 per window pair — the standard exact-dedup
+    trade (`incremental_exact`); the DuckDB oracle recomputes on raw
+    window strings, independently checking the hash-keyed plan.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2 tokens, got {n}")
+    if min_dup < 2:
+        raise ValueError(f"min_dup must be >= 2, got {min_dup}")
+    from pyspark.sql import Window
+
+    toks = tokens_col(text_col)
+    nt = F.size(toks)
+    win_hashes = F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(0), nt - n),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    win = ensure_parallelism(df).select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(win_hashes).alias("__pos", "__h"),
+    )
+    dup = (win.groupBy("__h").agg(F.count("*").alias("__cnt"))
+           .where(F.col("__cnt") >= min_dup).select("__h"))
+    spans = (win.join(dup, "__h")
+             .select("__doc", F.col("__pos").alias("s"),
+                     (F.col("__pos") + (n - 1)).alias("e")))
+    w_ord = Window.partitionBy("__doc").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    brk = (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("int")
+    isl = (spans
+           .withColumn("__brk", brk)
+           .withColumn("__isl", F.sum("__brk").over(
+               w_ord.rowsBetween(Window.unboundedPreceding, 0))))
+    doc_spans = (isl.groupBy("__doc", "__isl")
+                 .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+                 .groupBy("__doc")
+                 .agg(F.sort_array(F.collect_list(F.struct("s", "e")))
+                      .alias("__spans")))
+    joined = df.select(F.col(id_col), toks.alias("__toks")).join(
+        doc_spans.withColumnRenamed("__doc", id_col), id_col, "left")
+    covered = lambda t, i: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"]))
+    kept = F.when(F.col("__spans").isNull(), F.col("__toks")).otherwise(
+        F.filter(F.col("__toks"), lambda t, i: ~covered(t, i)))
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("int").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("int").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned"),
+    )
+
+
 def incremental_exact(new_df: DataFrame, seen_df: DataFrame,
                       on: list[str]) -> DataFrame:
     """Rows of `new_df` whose `on`-value does not appear in `seen_df` —

@@ -33,6 +33,8 @@ _SIGNATURES = {
                        "BUDGET='2048'[, SHARDS='8'])"),
     "PARAGRAPH_DEDUP": ("PARAGRAPH_DEDUP(src, ID='id', TEXT='text'"
                         "[, MIN_DUP='2'][, POLICY='first|drop_all'])"),
+    "SUBSTRING_DEDUP": ("SUBSTRING_DEDUP(src, ID='id', TEXT='text'"
+                        "[, N='50'][, MIN_DUP='2'])"),
     "MIXTURE_SAMPLE": ("MIXTURE_SAMPLE(src, KEY='id', STRATUM='lang'"
                        "[, ALPHA='0.5'][, FRACTION='0.5']"
                        "[, WEIGHT='n_tokens'])"),
@@ -149,6 +151,13 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                                _need(spec, "TEXT"),
                                min_dup=int(p.get("MIN_DUP", 2)),
                                policy=p.get("POLICY", "first"))
+    if op == "SUBSTRING_DEDUP":
+        from .dedup import substring_dedup
+        _need_sources(spec, 1)
+        return substring_dedup(dfs[0], _need(spec, "ID"),
+                               _need(spec, "TEXT"),
+                               n=int(p.get("N", 50)),
+                               min_dup=int(p.get("MIN_DUP", 2)))
     if op == "PACK_SEQUENCES":
         from .sampling import pack_sequences
         _need_sources(spec, 1)

@@ -440,6 +440,18 @@ class TestPipelineStatements:
         vr = peng.sql("SELECT token, rank FROM vocab").collect()
         assert len(vr) == 5 and vr[0].rank == 1
 
+    def test_substring_dedup_via_sql(self, peng):
+        peng.execute("CREATE TABLE sdedup AS PIPELINE "
+                     "SUBSTRING_DEDUP(docs, ID='doc_id', TEXT='text', "
+                     "N='6');")
+        got = {r.doc_id: r for r in peng.sql(
+            "SELECT doc_id, n_removed, cleaned FROM sdedup").collect()}
+        # docs 1/2 are exact duplicates -> their 6-token windows repeat
+        # globally and both get fully scrubbed; others untouched
+        assert got[1].n_removed == 6 and got[2].n_removed == 6
+        assert got[1].cleaned == "" and got[2].cleaned == ""
+        assert got[3].n_removed == 0 and got[5].n_removed == 0
+
     def test_hybrid_topk_via_sql(self, peng, spark):
         peng.register_source("vecs", df=spark.createDataFrame(
             [(3, [1.0, 0.0]), (5, [0.0, 1.0])],

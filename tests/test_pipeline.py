@@ -921,6 +921,55 @@ class TestText:
         with pytest.raises(ValueError, match="policy"):
             paragraph_dedup(fx, "doc_id", "text", policy="nope")
 
+    def test_substring_dedup_removes_repeated_windows(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            SUBSTRING_FIXTURE, substring_dedup)
+
+        fx = spark.createDataFrame(SUBSTRING_FIXTURE,
+                                   "doc_id bigint, text string")
+        rows = {r.doc_id: r for r in
+                substring_dedup(fx, "doc_id", "text", n=8).collect()}
+        # docs 0/1 share a 10-token run -> its three 8-windows merge to
+        # one span covering the run, removed from BOTH (drop-all)
+        assert rows[0].n_removed == 10 and rows[1].n_removed == 10
+        assert "alpha" not in rows[0].cleaned
+        assert rows[0].cleaned.startswith("unique zero opening")
+        assert rows[0].cleaned.endswith("a zero specific tail")
+        assert rows[1].cleaned == ("doc one starts differently then one "
+                                   "closes on its own")
+        # clean doc untouched (token-stream rebuild preserves tokens)
+        assert rows[2].n_removed == 0
+        assert rows[2].cleaned == SUBSTRING_FIXTURE[2][1]
+        # internal repetition within ONE doc also counts as duplication
+        assert rows[3].n_removed == 16
+        assert "lorem" not in rows[3].cleaned
+
+    def test_substring_dedup_short_docs_and_thresholds(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            substring_dedup)
+
+        df = spark.createDataFrame(
+            [(1, "too short to window"), (2, "too short to window")],
+            "doc_id bigint, text string")
+        # docs below n tokens produce no windows: identical short docs
+        # are exact-dedup's job, not the substring tier's
+        rows = substring_dedup(df, "doc_id", "text", n=8).collect()
+        assert all(r.n_removed == 0 for r in rows)
+        # min_dup raises the global-occurrence bar
+        tri = spark.createDataFrame(
+            [(i, "one two three four five six seven eight tail%d" % i)
+             for i in range(3)], "doc_id bigint, text string")
+        twice = {r.doc_id: r.n_removed for r in substring_dedup(
+            tri, "doc_id", "text", n=8, min_dup=4).collect()}
+        assert all(v == 0 for v in twice.values())   # 3 copies < 4
+        thrice = {r.doc_id: r.n_removed for r in substring_dedup(
+            tri, "doc_id", "text", n=8, min_dup=3).collect()}
+        assert all(v == 8 for v in thrice.values())
+        with pytest.raises(ValueError, match="n must be"):
+            substring_dedup(df, "doc_id", "text", n=1)
+        with pytest.raises(ValueError, match="min_dup"):
+            substring_dedup(df, "doc_id", "text", min_dup=1)
+
     def test_vocab_topk_counts_and_coverage(self, spark):
         from confluent_ksql_charm_spark.pipeline.text import vocab_topk
 

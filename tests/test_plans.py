@@ -162,6 +162,21 @@ class TestDedupPlans:
         plan = _plan(out)
         assert plan.count("Exchange") <= 16, plan.count("Exchange")
 
+    def test_substring_dedup_plan_shape(self, engine):
+        # windows are generated as 64-bit hashes in an expression-only
+        # projection (no window STRINGS shuffled, no Python), duplicate
+        # detection is one hash-agg, and nothing degenerates into a
+        # cartesian/BNL join; Exchange count stays bounded.
+        from confluent_ksql_charm_spark.pipeline.dedup import substring_dedup
+
+        docs = engine.metastore.get("documents").df
+        out = substring_dedup(docs, "doc_id", "text", n=8)
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "Python" not in plan
+        assert plan.count("Exchange") <= 10, plan.count("Exchange")
+
     def test_checkpoint_width_bound_spares_scan_rooted_plans(self, spark):
         # The checkpoint width bound exists to stop AQE's wide
         # initialPartitionNum from pinning hundreds of empty SHUFFLE
