@@ -808,6 +808,31 @@ def _q_decontaminate(spark, sf):
                              n=5, keyed="text")
 
 
+def _q_fuzzy_decontaminate(spark, sf):
+    # Fuzzy (MinHash) decontamination: corpus docs whose shingle-Jaccard
+    # vs ANY benchmark doc >= 0.5. Benchmark = the doc_id % 5 == 0 slice
+    # UNION planted mutated-leak fixture (word-substituted copies exact
+    # n-gram overlap can under-count); corpus = the rest UNION the
+    # fixture's mutated copies + one clean doc. The oracle recomputes
+    # the TRUE contamination set brute-force (no LSH), so the gate also
+    # proves banding recall at this working point.
+    from confluent_ksql_charm_spark.pipeline.contamination import (
+        FUZZY_CONTAM_FIXTURE_BENCH, FUZZY_CONTAM_FIXTURE_CORPUS,
+        fuzzy_flag_contaminated)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    fxc = spark.createDataFrame(
+        [(4_000_000 + i, t) for i, t in FUZZY_CONTAM_FIXTURE_CORPUS],
+        "doc_id bigint, text string")
+    fxb = spark.createDataFrame(
+        [(5_000_000 + i, t) for i, t in FUZZY_CONTAM_FIXTURE_BENCH],
+        "doc_id bigint, text string")
+    corpus = docs.where(F.col("doc_id") % 5 != 0).unionByName(fxc)
+    bench = docs.where(F.col("doc_id") % 5 == 0).unionByName(fxb)
+    return fuzzy_flag_contaminated(corpus, bench, "doc_id", "text",
+                                   threshold=0.5)
+
+
 def _q_pii_redact(spark, sf):
     # PII spans are injected deterministically (both engines build the
     # identical text), then redacted by the shared Java-regex/RE2-subset
@@ -985,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # newest / least-proven first (insurance if the cap ever shrinks)
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "pii_redact": _q_pii_redact,
         "bm25_topk": _q_bm25_topk,
         "hybrid_search_rrf": _q_hybrid_search,
@@ -1155,6 +1181,46 @@ def _paragraph_dedup_oracle() -> str:
         "COALESCE(array_to_string(list(par ORDER BY idx) "
         "FILTER (WHERE c < 2 OR rn = 1), chr(10)), '') AS cleaned "
         "FROM marked GROUP BY doc_id"
+    )
+
+
+def _fuzzy_decontaminate_oracle() -> str:
+    """DuckDB oracle for fuzzy_flag_contaminated: BRUTE-FORCE exact
+    shingle-Jaccard over corpus × bench (no LSH — computes the TRUE
+    contamination set, so a hash-match also certifies the Spark side's
+    banding recall at the 64/16 working point)."""
+    from confluent_ksql_charm_spark.pipeline.contamination import (
+        FUZZY_CONTAM_FIXTURE_BENCH, FUZZY_CONTAM_FIXTURE_CORPUS)
+
+    fxc = ", ".join(
+        "({id}, '{t}')".format(id=4_000_000 + i, t=t.replace("'", "''"))
+        for i, t in FUZZY_CONTAM_FIXTURE_CORPUS)
+    fxb = ", ".join(
+        "({id}, '{t}')".format(id=5_000_000 + i, t=t.replace("'", "''"))
+        for i, t in FUZZY_CONTAM_FIXTURE_BENCH)
+    shingle = (
+        "SELECT doc_id, list_distinct(CASE WHEN length(t) >= 3 "
+        "THEN [array_to_string(t[i:i+2], ' ') "
+        "FOR i IN generate_series(1, length(t) - 2)] "
+        "ELSE [array_to_string(t, ' ')] END) AS s FROM "
+        "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t "
+        "FROM {src})"
+    )
+    return (
+        f"WITH fxc(doc_id, text) AS (VALUES {fxc}), "
+        f"fxb(doc_id, text) AS (VALUES {fxb}), "
+        "corpus AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 5 <> 0 UNION ALL SELECT doc_id, text FROM fxc), "
+        "bench AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 5 = 0 UNION ALL SELECT doc_id, text FROM fxb), "
+        f"cs AS ({shingle.format(src='corpus')}), "
+        f"bs AS ({shingle.format(src='bench')}), "
+        "j AS (SELECT cs.doc_id, "
+        "length(list_intersect(cs.s, bs.s)) * 1.0 / "
+        "(length(cs.s) + length(bs.s) - length(list_intersect(cs.s, bs.s))) "
+        "AS jac FROM cs CROSS JOIN bs) "
+        "SELECT doc_id, ROUND(MAX(jac), 4) AS max_jaccard "
+        "FROM j WHERE jac >= 0.5 GROUP BY doc_id"
     )
 
 
@@ -1832,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_clean": _c4_oracle(),
         "paragraph_dedup": _paragraph_dedup_oracle(),
         "substring_dedup": _substring_dedup_oracle(),
+        "fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
         "vocab_topk": (
             # exact-BIGINT cumsum, single final division; ties to the
             # lexicographically smaller token in both engines

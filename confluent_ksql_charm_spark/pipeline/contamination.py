@@ -83,3 +83,112 @@ def decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
     flagged = flag_contaminated(docs, bench, id_col, text_col,
                                 n=n, keyed=keyed).select(id_col)
     return docs.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+#: Planted fuzzy-contamination fixture: each corpus doc is a MUTATED
+#: copy of a benchmark doc (word substitutions / small insertions that
+#: exact n-gram overlap at n=8 would MISS, but shingle-Jaccard >= ~0.6
+#: catches), except the last, which is clean. Shared by tests and the
+#: registry oracle.
+FUZZY_CONTAM_FIXTURE_BENCH: list[tuple[int, str]] = [
+    (0, "which ocean is the largest on earth the pacific ocean covers "
+        "about a third of the planet surface and holds half its water"),
+    (1, "name the process plants use to turn sunlight into chemical "
+        "energy photosynthesis converts light water and carbon dioxide "
+        "into glucose and oxygen inside the chloroplast"),
+]
+FUZZY_CONTAM_FIXTURE_CORPUS: list[tuple[int, str]] = [
+    (0, "which ocean is the biggest on earth the pacific ocean covers "
+        "about a third of the globe surface and holds half its water"),
+    (1, "name the process plants use to convert sunlight into chemical "
+        "energy photosynthesis transforms light water and carbon dioxide "
+        "into glucose and oxygen inside the chloroplast"),
+    (2, "an entirely unrelated training document about distributed "
+        "query engines and columnar storage formats at petabyte scale"),
+]
+
+
+def fuzzy_flag_contaminated(docs: DataFrame, bench: DataFrame,
+                            id_col: str, text_col: str, *,
+                            threshold: float = 0.5,
+                            num_hashes: int = 64, bands: int = 16,
+                            shingle_k: int = 3,
+                            bench_signatures: DataFrame | None = None,
+                            ) -> DataFrame:
+    """(id, max_jaccard) for corpus docs whose exact shingle-Jaccard
+    against ANY benchmark doc is >= `threshold` — the FUZZY
+    decontamination tier: exact n-gram overlap (`flag_contaminated`)
+    misses benchmark leaks that survived whitespace/punctuation edits
+    or paraphrase-lite word substitutions; MinHash candidates + exact
+    Jaccard verify catch them (the same construction every published
+    pretrain pipeline uses for "13-gram/near-dup decontamination").
+
+    Requires `id_col` unique ACROSS both inputs (the verify join
+    resolves texts by id, as in `dedup.incremental_near_dup`).
+
+    100 TB shape — strictly cheaper than the symmetric near-dup join:
+
+    - asymmetric banding, corpus × bench only: the benchmark side is
+      tiny by definition (MBs vs TBs), so its banded relation
+      (bands × |bench| rows of longs) is BROADCAST — the corpus is
+      never shuffled for the candidate join, only scanned, signed,
+      and band-exploded;
+    - candidates are verified with exact Jaccard (precision exact);
+      recall is the standard LSH S-curve at the chosen
+      (num_hashes, bands) working point — deterministic here because
+      the hash family is seeded xxhash64, not RNG;
+    - `bench_signatures`: pass a persisted `dedup.minhash_signatures`
+      output for the benchmark to skip re-shingling it per sweep
+      (benchmarks are versioned artifacts — sign them once).
+
+    `max_jaccard` is rounded to 4 decimals (oracle contract).
+    """
+    from .dedup import (band_signatures, jaccard_for_pairs,
+                        maybe_checkpoint, minhash_signatures,
+                        _validated_signatures)
+
+    bench_sig = (_validated_signatures(bench_signatures, num_hashes)
+                 if bench_signatures is not None
+                 else minhash_signatures(bench, id_col, text_col,
+                                         num_hashes=num_hashes,
+                                         shingle_k=shingle_k))
+    doc_banded = band_signatures(
+        minhash_signatures(docs, id_col, text_col,
+                           num_hashes=num_hashes, shingle_k=shingle_k),
+        id_col, num_hashes=num_hashes, bands=bands,
+    ).withColumnRenamed(id_col, "id_a")
+    bench_banded = band_signatures(
+        bench_sig, id_col, num_hashes=num_hashes, bands=bands,
+    ).withColumnRenamed(id_col, "id_b")
+    cands = (doc_banded.join(F.broadcast(bench_banded),
+                             ["band", "bucket"])
+             .select("id_a", "id_b").distinct())
+    # tiny (candidate id-pair) relation, consumed three times by the
+    # verify stage — checkpoint for the same static-plan-bloat reason
+    # as incremental_near_dup
+    cands = maybe_checkpoint(cands)
+    union = docs.select(id_col, text_col).unionByName(
+        bench.select(id_col, text_col))
+    scored = jaccard_for_pairs(union, cands, id_col, text_col,
+                               shingle_k=shingle_k)
+    return (scored.where(F.col("jaccard") >= threshold)
+            .groupBy("id_a")
+            .agg(F.round(F.max("jaccard"), 4).alias("max_jaccard"))
+            .withColumnRenamed("id_a", id_col))
+
+
+def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
+                        text_col: str, *, threshold: float = 0.5,
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle_k: int = 3,
+                        bench_signatures: DataFrame | None = None,
+                        ) -> DataFrame:
+    """Corpus minus fuzzy-contaminated docs (broadcast anti-join on the
+    flagged ids — far smaller than the corpus). Compose AFTER the exact
+    tier: `decontaminate` is cheaper per doc, this tier catches what
+    survives it."""
+    flagged = fuzzy_flag_contaminated(
+        docs, bench, id_col, text_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        bench_signatures=bench_signatures).select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -408,27 +408,13 @@ def incremental_near_dup(new_df: DataFrame, seen_df: DataFrame,
     hundred bytes/doc) is maintained alongside the corpus and only the
     BATCH is ever re-shingled.
     """
-    rows = num_hashes // bands
-
     def banded(df, sig=None):
         sig = (_validated_signatures(sig, num_hashes)
                if sig is not None else minhash_signatures(
                    df, id_col, text_col,
                    num_hashes=num_hashes, shingle_k=shingle_k))
-        return sig.select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(F.concat_ws(",", F.transform(
-                            F.slice(F.col("minhash"), b * rows + 1, rows),
-                            lambda h: h.cast("string"))), b).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select(id_col, "bb.band", "bb.bucket")
+        return band_signatures(sig, id_col, num_hashes=num_hashes,
+                               bands=bands)
 
     new_banded = banded(new_df).withColumnRenamed(id_col, "id_a")
     seen_banded = banded(seen_df, seen_signatures).withColumnRenamed(
@@ -530,6 +516,31 @@ def _validated_signatures(sig: DataFrame, num_hashes: int,
     )
 
 
+def band_signatures(sig: DataFrame, id_col: str, *,
+                    num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """(id, band, bucket) LSH band-membership rows from a signature
+    relation: each band's bucket is a 64-bit hash of that signature
+    slice (band index salts the hash so identical slices in different
+    bands never collide). Shared by the symmetric (`lsh_candidate_pairs`),
+    asymmetric (`incremental_near_dup`), and cross-relation
+    (`contamination.fuzzy_flag_contaminated`) band joins."""
+    rows = num_hashes // bands
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice(F.col("minhash"), b * rows + 1, rows),
+                        lambda h: h.cast("string"))), b).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -555,26 +566,12 @@ def lsh_candidate_pairs(
     instead of re-shingling everything (same deployed-index pattern as
     the ANN `index=` parameters).
     """
-    rows = num_hashes // bands
     if signatures is not None:
         sig = _validated_signatures(signatures, num_hashes)
     else:
         sig = minhash_signatures(
             df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k)
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.transform(
-                        F.slice(F.col("minhash"), b * rows + 1, rows),
-                        lambda h: h.cast("string"))), b).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = band_signatures(sig, id_col, num_hashes=num_hashes, bands=bands)
     return bucketed_pairs(banded, ["band", "bucket"], id_col,
                           max_bucket=max_bucket)
 

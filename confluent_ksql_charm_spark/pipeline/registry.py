@@ -21,6 +21,11 @@ _SIGNATURES = {
                       "[, N='8'])"),
     "FLAG_CONTAMINATED": ("FLAG_CONTAMINATED(corpus, bench, ID='id', "
                           "TEXT='text'[, N='8'])"),
+    "FUZZY_DECONTAMINATE": ("FUZZY_DECONTAMINATE(corpus, bench, ID='id', "
+                            "TEXT='text'[, THRESHOLD='0.5'])"),
+    "FUZZY_FLAG_CONTAMINATED": ("FUZZY_FLAG_CONTAMINATED(corpus, bench, "
+                                "ID='id', TEXT='text'"
+                                "[, THRESHOLD='0.5'])"),
     "PII_REDACT": "PII_REDACT(src[, TEXT='text'][, COUNTS='true'])",
     "BM25_TOPK": ("BM25_TOPK(src, QUERY='term term ...', ID='id', "
                   "TEXT='text'[, K='10'])"),
@@ -88,6 +93,14 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         fn = decontaminate if op == "DECONTAMINATE" else flag_contaminated
         return fn(dfs[0], dfs[1], _need(spec, "ID"), _need(spec, "TEXT"),
                   n=int(p.get("N", 8)))
+    if op in ("FUZZY_DECONTAMINATE", "FUZZY_FLAG_CONTAMINATED"):
+        from .contamination import (fuzzy_decontaminate,
+                                    fuzzy_flag_contaminated)
+        _need_sources(spec, 2)
+        fn = (fuzzy_decontaminate if op == "FUZZY_DECONTAMINATE"
+              else fuzzy_flag_contaminated)
+        return fn(dfs[0], dfs[1], _need(spec, "ID"), _need(spec, "TEXT"),
+                  threshold=float(p.get("THRESHOLD", 0.5)))
     if op == "PII_REDACT":
         from .pii import redact_pii
         _need_sources(spec, 1)

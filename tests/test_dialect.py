@@ -440,6 +440,15 @@ class TestPipelineStatements:
         vr = peng.sql("SELECT token, rank FROM vocab").collect()
         assert len(vr) == 5 and vr[0].rank == 1
 
+    def test_fuzzy_decontaminate_via_sql(self, peng):
+        peng.execute("CREATE STREAM fclean AS PIPELINE "
+                     "FUZZY_DECONTAMINATE(docs, bench, ID='doc_id', "
+                     "TEXT='text', THRESHOLD='0.5');")
+        ids = {r.doc_id for r in
+               peng.sql("SELECT doc_id FROM fclean").collect()}
+        assert 3 not in ids          # exact copy of the benchmark doc
+        assert {1, 2, 4, 5} <= ids
+
     def test_substring_dedup_via_sql(self, peng):
         peng.execute("CREATE TABLE sdedup AS PIPELINE "
                      "SUBSTRING_DEDUP(docs, ID='doc_id', TEXT='text', "

@@ -177,6 +177,24 @@ class TestDedupPlans:
         assert "Python" not in plan
         assert plan.count("Exchange") <= 10, plan.count("Exchange")
 
+    def test_fuzzy_decontamination_broadcasts_benchmark(self, engine):
+        # asymmetric contract: the benchmark side (tiny by definition)
+        # broadcasts into the band join — the corpus is never shuffled
+        # for candidate generation — and nothing degenerates to a
+        # cartesian/BNL join.
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            fuzzy_flag_contaminated)
+        import pyspark.sql.functions as F
+
+        docs = engine.metastore.get("documents").df
+        bench = docs.where(F.col("doc_id") % 7 == 0)
+        corpus = docs.where(F.col("doc_id") % 7 != 0)
+        out = fuzzy_flag_contaminated(corpus, bench, "doc_id", "text")
+        plan = _plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
     def test_checkpoint_width_bound_spares_scan_rooted_plans(self, spark):
         # The checkpoint width bound exists to stop AQE's wide
         # initialPartitionNum from pinning hundreds of empty SHUFFLE
