@@ -58,38 +58,67 @@ def doc_term_stats(docs: DataFrame, id_col: str, text_col: str,
             .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
 
 
+#: Above this many query terms, bm25_topk switches from the literal
+#: array-filter plan to the explode + broadcast-join plan (see below).
+LARGE_TERMS_AT = 32
+
+
 def bm25_topk(docs: DataFrame, query_terms: list[str], id_col: str,
               text_col: str, *, k: int = 10, k1: float = 1.2,
-              b: float = 0.75) -> DataFrame:
+              b: float = 0.75,
+              large_terms_at: int = LARGE_TERMS_AT) -> DataFrame:
     """Top-k docs by Okapi BM25 against a bag of query terms.
     Output: (id_col, score) — score rounded to 4 decimals, ties broken
     by id so the result SET is deterministic across engines.
 
-    Single-tokenize contract: the corpus is tokenized ONCE into a slim
-    (id, dl, matching-terms) projection that is checkpointed and feeds
-    BOTH the global stats (N, avgdl) and the tf relation. The naive
-    shape re-tokenizes the corpus for avgdl — at 100 TB that second
-    scan is the dominant cost; the materialized projection is ~12
-    bytes/doc + matches (hit arrays are empty for non-matching docs).
+    Two plans by |query terms| (identical results — unit-tested):
+
+    - **<= `large_terms_at`** (interactive queries): single-tokenize —
+      the corpus is tokenized ONCE into a slim (id, dl, matching-terms)
+      projection, checkpointed, feeding BOTH the global stats (N,
+      avgdl) and the tf relation (~12 bytes/doc + matches). The term
+      filter is `array_contains` on a literal array — O(|terms|) per
+      token, fine at interactive query sizes.
+    - **> `large_terms_at`** (relevance filtering against hundred/
+      thousand-term seed lists): the per-token literal scan would cost
+      |terms| comparisons per corpus token, so instead tokens are
+      exploded and inner-joined against a BROADCAST distinct-terms
+      relation (hash probe per token — O(1) in |terms|). Global stats
+      come from a second, column-pruned tokenize pass (id, dl only);
+      two cheap scans beat either the per-token linear scan OR
+      checkpointing the full token arrays (a corpus-sized write).
     """
     from .lazy import maybe_checkpoint
 
-    term_arr = F.array(*[F.lit(t) for t in query_terms])
     toks = search_tokens(text_col)
-    base = maybe_checkpoint(docs.select(
-        F.col(id_col),
-        F.size(toks).alias("dl"),
-        F.filter(toks, lambda t: F.array_contains(term_arr, t))
-        .alias("__hits"),
-    ))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    tf = (base.select(F.col(id_col), "dl",
-                      F.explode("__hits").alias("term"))
-          .groupBy(id_col, "term")
-          .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+    if len(query_terms) > large_terms_at:
+        terms_rel = docs.sparkSession.createDataFrame(
+            [(t,) for t in sorted(set(query_terms))], "term string")
+        stats = (docs.select(F.size(toks).alias("dl"))
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.avg("dl").alias("avgdl")))
+        tf = (docs.select(F.col(id_col), F.size(toks).alias("dl"),
+                          F.explode(toks).alias("term"))
+              .join(F.broadcast(terms_rel), "term")
+              .groupBy(id_col, "term")
+              .agg(F.count(F.lit(1)).alias("tf"),
+                   F.first("dl").alias("dl")))
+    else:
+        term_arr = F.array(*[F.lit(t) for t in query_terms])
+        base = maybe_checkpoint(docs.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.filter(toks, lambda t: F.array_contains(term_arr, t))
+            .alias("__hits"),
+        ))
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        tf = (base.select(F.col(id_col), "dl",
+                          F.explode("__hits").alias("term"))
+              .groupBy(id_col, "term")
+              .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (tf.join(F.broadcast(df_t), "term")

@@ -364,6 +364,23 @@ class TestSearch:
         assert set(out) == {1, 2, 3}
         assert out[1] > out[2] and out[1] > out[3]
 
+    def test_bm25_large_term_list_path_matches_small(self, spark):
+        # >large_terms_at switches to explode + broadcast-join; results
+        # must be identical to the literal array-filter plan
+        from confluent_ksql_charm_spark.pipeline.search import bm25_topk
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma gap gap gap"),
+             (2, "alpha gap gap gap gap gap"),
+             (3, "beta gamma gap gap gap gap"),
+             (4, "zero overlap with anything")],
+            ["id", "text"])
+        terms = ["alpha", "beta", "gamma", "alpha"]   # dup term too
+        small = [(r["id"], r["score"]) for r in bm25_topk(
+            docs, terms, "id", "text", k=4).collect()]
+        large = [(r["id"], r["score"]) for r in bm25_topk(
+            docs, terms, "id", "text", k=4, large_terms_at=2).collect()]
+        assert small == large and len(small) == 3
+
     def test_full_inverted_index_build(self, spark):
         from confluent_ksql_charm_spark.pipeline.search import doc_term_stats
         docs = spark.createDataFrame([(1, "a b a"), (2, "b c")],

@@ -177,6 +177,20 @@ class TestDedupPlans:
         assert "Python" not in plan
         assert plan.count("Exchange") <= 10, plan.count("Exchange")
 
+    def test_bm25_large_term_list_avoids_per_token_scan(self, engine):
+        # 500-term seed list: the plan must probe a broadcast terms
+        # relation (O(1) per token), not linear-scan a 500-literal array
+        # per token (no array_contains in the plan).
+        from confluent_ksql_charm_spark.pipeline.search import bm25_topk
+
+        docs = engine.metastore.get("documents").df
+        terms = [f"seed{i}" for i in range(498)] + ["vector", "hash"]
+        out = bm25_topk(docs, terms, "doc_id", "text", k=10)
+        plan = _plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "array_contains" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_fuzzy_decontamination_broadcasts_benchmark(self, engine):
         # asymmetric contract: the benchmark side (tiny by definition)
         # broadcasts into the band join — the corpus is never shuffled
