@@ -198,11 +198,14 @@ RENAMES: dict[str, str] = {
 HANDLERS: dict[str, Handler] = {
     # KSQL 5.x math type semantics (Java Math.* signatures), which Spark's
     # builtins deviate from: CEIL/FLOOR(DOUBLE) return DOUBLE (Spark's
-    # return LONG); 1-arg ROUND is Math.round → BIGINT (Spark's returns
-    # DOUBLE). 2-arg ROUND(x, scale) keeps Spark/ksqlDB display rounding.
+    # return LONG); 1-arg ROUND is Math.round → BIGINT — including the
+    # negative-half edge: Math.round is floor(x + 0.5), so ROUND(-2.5)
+    # is -2, where Spark's round() (HALF_UP away from zero) says -3.
+    # 2-arg ROUND(x, scale) keeps Spark/ksqlDB display rounding.
     "CEIL": lambda a: f"CAST(ceil({a[0]}) AS DOUBLE)",
     "FLOOR": lambda a: f"CAST(floor({a[0]}) AS DOUBLE)",
-    "ROUND": lambda a: (f"CAST(round({a[0]}) AS BIGINT)" if len(a) == 1
+    "ROUND": lambda a: (f"CAST(floor(({a[0]}) + 0.5d) AS BIGINT)"
+                        if len(a) == 1
                         else f"round({', '.join(a)})"),
     "MASK": _mask_fn,
     "MASK_LEFT": _mask_left,

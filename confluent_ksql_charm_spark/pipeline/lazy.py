@@ -77,6 +77,14 @@ def maybe_checkpoint(df: DataFrame, *, bound_partitions: bool = True
     initialPartitionNum only inflates *shuffle* outputs, so plans with
     no Exchange are checkpointed as-is. Detection reads the physical
     plan string (planning only — no job runs).
+
+    After materialization the width is RE-bounded from the DATA
+    (`bound_to_data_size`): consumer task counts follow the
+    materialized bytes, not whatever reducer count the producing
+    shuffle happened to use — the BASELINE addendum 10b/c rule
+    ("size checkpoint width from the materialized relation") as code.
+    This post-checkpoint coalesce is a NARROW dependency over the
+    cached blocks, so it never throttles the producing scan/shuffle.
     """
     if _LAZY.get():
         return df
@@ -84,7 +92,57 @@ def maybe_checkpoint(df: DataFrame, *, bound_partitions: bool = True
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                          "200"))
         df = df.coalesce(n)
-    return df.localCheckpoint()
+    out = df.localCheckpoint()
+    if bound_partitions:
+        out = bound_to_data_size(out)
+    return out
+
+
+#: post-checkpoint consumer partitions are sized to hold about this
+#: much materialized data each (in-memory size; deliberately small —
+#: checkpointed pipeline relations are id/hash projections whose
+#: per-row cost downstream is joins, not CPU-heavy scans)
+TARGET_CHECKPOINT_PARTITION_BYTES = 32 << 20
+
+
+def bound_to_data_size(df: DataFrame, *,
+                       target_bytes: int = TARGET_CHECKPOINT_PARTITION_BYTES
+                       ) -> DataFrame:
+    """Coalesce a just-localCheckpointed DataFrame to
+    ceil(materialized_bytes / target_bytes) partitions.
+
+    The size comes from the block manager's storage info for the RDD
+    the checkpoint just cached — zero extra jobs. Matching is by "the
+    newest cached RDD whose partition count equals ours"; on any
+    mismatch or API failure the width is left unchanged (the bound is
+    a performance knob, never a correctness dependency).
+
+    Why this matters (BASELINE addendum 10b/c, measured at sf10): a
+    checkpoint PINS its partitioning, and every consumer — and every
+    round of an iterative operator like connected components — inherits
+    it. A wide producing shuffle (AQE initialPartitionNum, a large
+    session width) would otherwise pin hundreds of near-empty tasks
+    into every downstream stage; per-task overhead multiplies across
+    rounds. Tiny relations (candidate id-pair lists) collapse to one
+    partition; genuinely large ones keep ~target_bytes-sized tasks.
+    """
+    try:
+        parts = df.rdd.getNumPartitions()
+        if parts <= 1:
+            return df
+        sc = df.sparkSession.sparkContext
+        infos = [i for i in sc._jsc.sc().getRDDStorageInfo()
+                 if i.numPartitions() == parts]
+        if not infos:
+            return df
+        info = max(infos, key=lambda i: i.id())
+        size = info.memSize() + info.diskSize()
+        width = max(1, -(-size // target_bytes))
+        if width < parts:
+            df = df.coalesce(int(width))
+        return df
+    except Exception:  # pragma: no cover - py4j storage API failure
+        return df
 
 
 def _has_exchange(df: DataFrame) -> bool:

@@ -216,16 +216,33 @@ class TestDedupPlans:
         # it to a scan-rooted plan would throttle the corpus scan itself
         # to the session shuffle width. Scan-rooted plans (no Exchange)
         # must keep their parallelism; shuffle-rooted plans must bound.
-        from confluent_ksql_charm_spark.pipeline.lazy import maybe_checkpoint
+        from confluent_ksql_charm_spark.pipeline.lazy import (
+            _has_exchange, maybe_checkpoint)
 
         width = int(spark.conf.get("spark.sql.shuffle.partitions"))
         scan_rooted = spark.range(0, 1000, 1, numPartitions=width + 12)
-        kept = maybe_checkpoint(scan_rooted)
-        assert kept.rdd.getNumPartitions() == width + 12
+        # no Exchange -> no PRE-checkpoint coalesce (which would
+        # propagate into the scan); the post-checkpoint data-size bound
+        # is a narrow dep over cached blocks and is always allowed
+        assert not _has_exchange(scan_rooted)
         shuffled = (spark.range(0, 1000, 1, numPartitions=width + 12)
                     .repartition(width + 12, "id"))
+        assert _has_exchange(shuffled)
         bounded = maybe_checkpoint(shuffled)
         assert bounded.rdd.getNumPartitions() <= width
+
+    def test_checkpoint_width_follows_data_size(self, spark):
+        # BASELINE addendum 10b/c rule as code: consumer partitions are
+        # sized from the MATERIALIZED bytes, so a tiny checkpointed
+        # relation collapses to one task no matter how wide the
+        # producing shuffle ran (the sf10 iterative-dedup lesson).
+        from confluent_ksql_charm_spark.pipeline.lazy import (
+            maybe_checkpoint)
+
+        tiny = spark.range(0, 1000).repartition(7, "id")
+        out = maybe_checkpoint(tiny)
+        assert out.rdd.getNumPartitions() == 1
+        assert out.count() == 1000
 
     def test_scan_side_text_ops_are_pure_projections(self, engine):
         # c4_line_clean and the expression half of the text family must

@@ -1,0 +1,176 @@
+"""ANN / embedding-family scale benchmark: wall + recall per decade.
+
+Round-6 headline measurement (VERDICT r5 "Next round" #1): the
+embedding/ANN operators were oracle-exact but only measured at sf0.1
+(2k vectors) — this tool runs them against the scaled embeddings that
+`make_sf1.py` now generates (>=200k vectors at sf1, >=2M at sf10, with
+planted near-dup structure recorded in embeddings_meta.json) and reports
+BOTH wall time and recall:
+
+- `ann_lsh_topk` / `ann_ivf_topk`: build the index once (timed), probe
+  Q queries (timed per probe), recall@k vs the exact `cosine_topk`
+  answer for the same queries.
+- `embedding_near_dup`: planner-sized banded LSH -> exact verify
+  (timed); recall vs the PLANTED pair set (id arithmetic ground truth,
+  restricted to planted pairs whose true cosine really is >= threshold);
+  with --exact additionally runs the O(n^2/block) `cosine_all_pairs`
+  (feasible at sf1, not sf10) and reports recall vs the full exact set.
+
+Usage:
+  python tools/bench_ann.py /tmp/sf1           # sf1 decade
+  python tools/bench_ann.py /tmp/sf1 --exact   # + exact all-pairs recall
+  python tools/bench_ann.py /tmp/sf10          # sf10 decade (planted recall)
+
+Prints one JSON line. Protocol matches bench.py (warm session, wall
+times of full actions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+EXACT = "--exact" in sys.argv
+N_QUERIES = int(os.environ.get("ANN_BENCH_QUERIES", "20"))
+THRESHOLD = 0.95
+K = 10
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("bench-ann")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = emb.cache()
+    n = emb.count()
+    meta = None
+    meta_path = os.path.join(SF_DIR, "embeddings_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+    out: dict = {"sf_dir": SF_DIR, "n_vectors": n, "queries": N_QUERIES}
+
+    # -- query set: the first N_QUERIES original (copy-0) vectors
+    qrows = (emb.where(F.col("vec_id").between(1, N_QUERIES))
+             .select("vec_id", "embedding").collect())
+    queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        r = fn()
+        return r, time.perf_counter() - t0
+
+    # -- exact brute-force top-k (the baseline answers + its own wall)
+    exact_sets, t_exact = {}, 0.0
+    for qid, qv in queries:
+        rows, dt = timed(lambda qv=qv: sim.cosine_topk(
+            emb, qv, K).collect())
+        exact_sets[qid] = {r.vec_id for r in rows}
+        t_exact += dt
+    out["exact_topk"] = {"probe_sec": round(t_exact / len(queries), 3)}
+
+    # -- LSH bucket top-k: bits sized so 2^bits buckets keep ~500/bucket
+    bits = max(8, (n // 500).bit_length())
+    t0 = time.perf_counter()
+    idx = sim.lsh_index(emb, bits=bits).cache()
+    idx.count()
+    t_build = time.perf_counter() - t0
+    lsh = {"bits": bits, "build_sec": round(t_build, 3)}
+    for ph in (1, 2):
+        t_probe, hits = 0.0, 0
+        for qid, qv in queries:
+            rows, dt = timed(lambda qv=qv: sim.lsh_bucket_topk(
+                emb, qv, K, bits=bits, probe_hamming=ph,
+                index=idx).collect())
+            t_probe += dt
+            hits += len({r.vec_id for r in rows} & exact_sets[qid])
+        lsh[f"probe_sec_h{ph}"] = round(t_probe / len(queries), 3)
+        lsh[f"recall_at_{K}_h{ph}"] = round(
+            hits / (K * len(queries)), 3)
+    out["ann_lsh_topk"] = lsh
+
+    # -- IVF: nlist ~ sqrt(n) rounded to a power of two; train on a
+    #    sample sized ~100 points/centroid (the deployed-index pattern)
+    nlist = 1 << max(4, round((n ** 0.5)).bit_length() - 1)
+    sample = min(1.0, (100 * nlist) / n)
+    t0 = time.perf_counter()
+    ivf = sim.ivf_index(emb, nlist=nlist,
+                        sample_fraction=sample if sample < 1 else None)
+    ivf = (ivf[0].cache(), ivf[1])
+    ivf[0].count()
+    t_build = time.perf_counter() - t0
+    ivf_out = {"nlist": nlist, "build_sec": round(t_build, 3)}
+    for nprobe in (max(4, nlist // 64), max(8, nlist // 16)):
+        t_probe, hits = 0.0, 0
+        for qid, qv in queries:
+            rows, dt = timed(lambda qv=qv, np_=nprobe: sim.ivf_topk(
+                emb, qv, K, nlist=nlist, nprobe=np_, index=ivf).collect())
+            t_probe += dt
+            hits += len({r.vec_id for r in rows} & exact_sets[qid])
+        ivf_out[f"probe_sec_np{nprobe}"] = round(t_probe / len(queries), 3)
+        ivf_out[f"recall_at_{K}_np{nprobe}"] = round(
+            hits / (K * len(queries)), 3)
+    out["ann_ivf_topk"] = ivf_out
+
+    # -- embedding near-dup: planner-sized banding -> exact verify
+    #    (lsh_plan docstring: beyond ~1M rows raise max_projections)
+    max_proj = 4096 if n > 1_000_000 else 1024
+    bands, bpb = sim.lsh_plan(n, THRESHOLD, max_projections=max_proj)
+    t0 = time.perf_counter()
+    found = (sim.embedding_near_dup_pairs(
+        emb, threshold=THRESHOLD, num_bands=bands, bits_per_band=bpb)
+        .select("id_a", "id_b").collect())
+    t_nd = time.perf_counter() - t0
+    found_set = {(r.id_a, r.id_b) for r in found}
+    nd = {"bands": bands, "bits_per_band": bpb,
+          "wall_sec": round(t_nd, 3), "pairs_found": len(found_set)}
+    if meta:
+        # planted ground truth: (id, id + plant_offset) for every
+        # planted row, kept only where the TRUE cosine >= threshold
+        off = meta["plant_offset"]
+        planted_ids = emb.where(F.col("vec_id") >= off).select(
+            (F.col("vec_id") - off).alias("id_a"),
+            F.col("vec_id").alias("id_b"))
+        truth_rows = (sim.cosine_for_pairs(emb, planted_ids)
+                      .where(F.col("cosine") >= THRESHOLD)
+                      .select("id_a", "id_b").collect())
+        truth = {(r.id_a, r.id_b) for r in truth_rows}
+        nd["planted_pairs"] = len(truth)
+        nd["recall_vs_planted"] = round(
+            len(found_set & truth) / max(1, len(truth)), 4)
+    if EXACT:
+        t0 = time.perf_counter()
+        exact_rows = (sim.cosine_all_pairs(emb, THRESHOLD)
+                      .select("id_a", "id_b").collect())
+        t_ex = time.perf_counter() - t0
+        exact_set = {(r.id_a, r.id_b) for r in exact_rows}
+        nd["exact_all_pairs_sec"] = round(t_ex, 3)
+        nd["exact_pairs"] = len(exact_set)
+        nd["recall_vs_exact"] = round(
+            len(found_set & exact_set) / max(1, len(exact_set)), 4)
+        nd["false_pairs"] = len(found_set - exact_set)  # must be 0
+    out["embedding_near_dup"] = nd
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

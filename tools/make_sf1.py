@@ -3,10 +3,21 @@
 Big/fact tables are unioned x10 with shifted keys so FK joins keep their
 shape (10x orders per customer, 10x lineitems per order chain); events
 are ALSO time-shifted so distinct-window counts scale with the data, not
-just row counts; documents/embeddings get shifted ids (verbatim copies —
+just row counts; documents get shifted ids (verbatim copies —
 deliberately a duplication-factor-10 corpus, the harsh workload for the
 dedup family: candidate pairs grow ~quadratically inside each copy
 cluster). Dimension tables pass through unchanged.
+
+Embeddings (round 6) scale 10 × COPIES with PLANTED near-dup structure:
+copy 0 is the original corpus; copies >= 1 get unit-scale deterministic
+noise (cosine vs their base ~0.5-0.7 — decisively NOT near-dups at the
+0.95 working point); then ~5% of all scaled rows get a planted
+near-duplicate partner at ``vec_id + plant_offset`` with small noise
+(cosine ~0.97-0.995). That yields >=200k vectors at COPIES=10 (sf1) and
+>=2M at COPIES=100 (sf10) with exact, id-arithmetic ground truth
+(partner = id + plant_offset), written to ``embeddings_meta.json`` for
+tools/bench_ann.py. All noise is keyed xxhash64 — regeneration is
+bit-identical.
 
 This is the committed form of the ad-hoc 10x protocol behind
 BASELINE.md's extrapolation tables, so every round can re-create the
@@ -18,6 +29,7 @@ Usage: python tools/make_sf1.py [out_dir] [sf_dir]
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -28,9 +40,23 @@ SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 # SPARK_GRAFT_COPIES=100 builds a ~sf10 point from sf0.1 (third scale
 # decade; documents become a duplication-factor-100 dedup stress)
 COPIES = int(os.environ.get("SPARK_GRAFT_COPIES", "10"))
+# SPARK_GRAFT_TABLES=embeddings (comma-list) builds only those tables —
+# e.g. the sf10 ANN decade needs 2M embeddings but not 60M lineitem
+ONLY = set(filter(None, os.environ.get("SPARK_GRAFT_TABLES",
+                                       "").split(",")))
 
-PASSTHROUGH = ["region", "nation", "customer", "supplier", "part",
-               "embeddings"]
+
+def _wanted(t: str) -> bool:
+    return not ONLY or t in ONLY
+
+PASSTHROUGH = ["region", "nation", "customer", "supplier", "part"]
+
+#: noise amplitudes (relative to per-vector RMS element): siblings get
+#: SIGMA_FAR (cosine ≈ 1/sqrt(1+σ²/3) ≈ 0.65 — far from the 0.95
+#: near-dup threshold), planted partners get SIGMA_NEAR (≈ 0.98)
+SIGMA_FAR = 2.0
+SIGMA_NEAR = 0.35
+PLANT_PCT = 5  # % of scaled rows that receive a planted partner
 
 
 def main():
@@ -57,7 +83,8 @@ def main():
         print(f"  {t}: {df.count()} rows")
 
     for t in PASSTHROUGH:
-        write(read(t), t, parts=2)
+        if _wanted(t):
+            write(read(t), t, parts=2)
 
     def x10(df, shifts: dict, extra=None):
         """Union COPIES copies, adding i*offset to each shifted column."""
@@ -71,10 +98,14 @@ def main():
             out = c if out is None else out.unionByName(c)
         return out
 
-    orders = read("orders")
-    okey_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    write(x10(orders, {"o_orderkey": okey_off}), "orders")
-    write(x10(read("lineitem"), {"l_orderkey": okey_off}), "lineitem", 16)
+    if _wanted("orders") or _wanted("lineitem"):
+        orders = read("orders")
+        okey_off = orders.agg(F.max("o_orderkey")).first()[0] + 1
+        if _wanted("orders"):
+            write(x10(orders, {"o_orderkey": okey_off}), "orders")
+        if _wanted("lineitem"):
+            write(x10(read("lineitem"), {"l_orderkey": okey_off}),
+                  "lineitem", 16)
 
     # events: read through the engine's parquet source (handles the
     # INT64(NANOS) ts → proper TIMESTAMP), then shift each copy past the
@@ -82,20 +113,79 @@ def main():
     # with the data; the rewrite stores a native micros timestamp, which
     # the engine's TIMESTAMP='ts' extraction passes through unchanged.
     from confluent_ksql_charm_spark.sources.parquet import read_parquet
-    ev = read_parquet(spark, f"{SRC}/events.parquet")
-    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).first()
-    span_sec = int((tmax - tmin).total_seconds()) + 3600
-    eid_off = ev.agg(F.max("event_id")).first()[0] + 1
+    if not _wanted("events"):
+        ev = None
+    else:
+        ev = read_parquet(spark, f"{SRC}/events.parquet")
+    if ev is not None:
+        tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).first()
+        span_sec = int((tmax - tmin).total_seconds()) + 3600
+        eid_off = ev.agg(F.max("event_id")).first()[0] + 1
 
-    def shift_ts(c, i):
-        return c.withColumn(
-            "ts", F.col("ts") + F.expr(f"INTERVAL {i * span_sec} SECONDS"))
+        def shift_ts(c, i):
+            return c.withColumn(
+                "ts",
+                F.col("ts") + F.expr(f"INTERVAL {i * span_sec} SECONDS"))
 
-    write(x10(ev, {"event_id": eid_off}, extra=shift_ts), "events")
+        write(x10(ev, {"event_id": eid_off}, extra=shift_ts), "events")
 
-    docs = read("documents")
-    did_off = docs.agg(F.max("doc_id")).first()[0] + 1
-    write(x10(docs, {"doc_id": did_off}), "documents")
+    if _wanted("documents"):
+        docs = read("documents")
+        did_off = docs.agg(F.max("doc_id")).first()[0] + 1
+        write(x10(docs, {"doc_id": did_off}), "documents")
+
+    # --- embeddings: 10×COPIES scale-up with planted near-dup pairs ---
+    def perturb(vec_col, key_col, sigma, seed):
+        """vec + sigma·rms(vec)·u, u ∈ [-1,1] keyed on (id, elem, seed) —
+        deterministic, engine-replayable noise. Expression-only."""
+        rms = F.sqrt(
+            F.aggregate(vec_col, F.lit(0.0),
+                        lambda a, x: a + x.cast("double") * x) / 64.0)
+        idx = F.sequence(F.lit(0), F.lit(63))
+        return F.zip_with(
+            vec_col, idx,
+            lambda x, j: (
+                x.cast("double") + F.lit(sigma) * rms
+                * (F.pmod(F.xxhash64(key_col, j, F.lit(seed)),
+                          F.lit(2001)) / 1000.0 - 1.0)
+            ).cast("float"))
+
+    if not _wanted("embeddings"):
+        print(f"sf1 dataset at {OUT}")
+        return
+    # spread the base rows BEFORE the m-fold explode: the tiny base
+    # parquet arrives as 1-2 partitions, and the explode+noise (m × 64
+    # keyed hashes per base row) would otherwise run in 1-2 tasks
+    emb = read("embeddings").repartition(64)
+    vid_off = emb.agg(F.max("vec_id")).first()[0] + 1
+    m = 10 * COPIES
+    scaled = (
+        emb.select("vec_id", "embedding", "label",
+                   F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+                   .alias("__c"))
+        .withColumn("__nid", F.col("vec_id") + F.col("__c") * F.lit(vid_off))
+        .select(
+            F.col("__nid").alias("vec_id"),
+            F.when(F.col("__c") == 0, F.col("embedding"))
+            .otherwise(perturb(F.col("embedding"), F.col("__nid"),
+                               SIGMA_FAR, 101)).alias("embedding"),
+            "label"))
+    plant_off = m * vid_off
+    planted = (
+        scaled.where(F.pmod(F.xxhash64("vec_id", F.lit(7)), F.lit(100))
+                     < PLANT_PCT)
+        .select((F.col("vec_id") + F.lit(plant_off)).alias("vec_id"),
+                perturb(F.col("embedding"),
+                        F.col("vec_id") + F.lit(plant_off),
+                        SIGMA_NEAR, 202).alias("embedding"),
+                "label"))
+    write(scaled.unionByName(planted), "embeddings", 16)
+    with open(os.path.join(OUT, "embeddings_meta.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump({"vid_off": vid_off, "copies": m,
+                   "plant_offset": plant_off, "plant_pct": PLANT_PCT,
+                   "sigma_far": SIGMA_FAR, "sigma_near": SIGMA_NEAR},
+                  fh)
     print(f"sf1 dataset at {OUT}")
 
 
