@@ -540,6 +540,21 @@ def _q_embedding_topk(spark, sf):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_sq8_topk(spark, sf):
+    # SQ8 scalar quantization (faiss-style 8-bit codes): per-dim min/max
+    # codebook -> int codes -> asymmetric-distance top-k on dequantized
+    # vectors. The oracle recomputes the identical codebook, codes and
+    # ADC score in DuckDB; both engines rank by (round(acos,4), vec_id)
+    # so the ordering domains match (ADVICE r5 rrf lesson).
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        sq8_encode, sq8_stats, sq8_topk)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    stats = sq8_stats(emb)
+    codes = sq8_encode(emb.where(F.col("vec_id") != 0), stats)
+    return sq8_topk(codes, _query_vec(spark, sf), stats, k=10)
+
+
 def _q_token_stats(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import token_count
 
@@ -1026,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_cosine_topk": _q_embedding_topk,
+        "sq8_topk": _q_sq8_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "corpus_split_sample": _q_corpus_split_sample,
         "token_stats_by_lang": _q_token_stats,
@@ -1571,6 +1587,31 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
             "LIMIT 10"
+        ),
+        "sq8_topk": (
+            # identical SQ8 pipeline recomputed from scratch: per-dim
+            # (min,max) over ALL vectors (query row included, matching
+            # sq8_stats on the full table), code = round((x-min)*255/
+            # (max-min)), dequant = min + code*(max-min)/255, ADC cosine
+            # vs the full-precision query vector; rank by rounded score.
+            "WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) "
+            "AS ord, CAST(unnest(embedding) AS DOUBLE) AS x "
+            "FROM embeddings), "
+            "dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax "
+            "FROM v GROUP BY ord), "
+            "deq AS (SELECT v.vec_id, v.ord, "
+            "CASE WHEN d.vmax = d.vmin THEN d.vmin "
+            "ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / "
+            "(d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 "
+            "END AS xhat "
+            "FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), "
+            "q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), "
+            "scored AS (SELECT deq.vec_id, "
+            "SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * "
+            "(SELECT sqrt(SUM(qx * qx)) FROM q)) AS c "
+            "FROM deq JOIN q USING (ord) GROUP BY deq.vec_id) "
+            "SELECT vec_id, ROUND(c, 4) AS acos FROM scored "
+            "ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 10"
         ),
         "incremental_dedup": (
             # exact anti-join rows + brute-force asymmetric near-dup check:

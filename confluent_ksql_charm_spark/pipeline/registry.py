@@ -45,6 +45,8 @@ _SIGNATURES = {
                        "[, WEIGHT='n_tokens'])"),
     "VOCAB_TOPK": "VOCAB_TOPK(src, TEXT='text'[, K='100'][, LOWERCASE='true'])",
     "CORPUS_STATS": "CORPUS_STATS(src, TEXT='text'[, LANG='lang'])",
+    "SQ8_TOPK": ("SQ8_TOPK(emb, QUERY_VEC='f,f,...'"
+                 "[, ID='vec_id'][, VEC='embedding'][, K='10'])"),
     "HYBRID_TOPK": ("HYBRID_TOPK(docs, emb, QUERY='term term ...', "
                     "QUERY_VEC='f,f,...', ID='id', TEXT='text'"
                     "[, EMB_ID='vec_id'][, EMB='embedding'][, K='10']"
@@ -150,6 +152,19 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                            k=int(p.get("K", 10)),
                            k_each=int(p.get("K_EACH", 20)),
                            rrf_k=int(p.get("RRF_K", 60)))
+    if op == "SQ8_TOPK":
+        # quantize-then-scan in one statement: codebook fit + encode +
+        # ADC top-k (the one-shot form; long-lived deployments encode
+        # once at ingest and reuse the codebook across queries)
+        from .similarity import sq8_encode, sq8_stats, sq8_topk
+        _need_sources(spec, 1)
+        qvec = [float(x) for x in _need(spec, "QUERY_VEC").split(",")]
+        id_col = p.get("ID", "vec_id")
+        vec_col = p.get("VEC", "embedding")
+        stats = sq8_stats(dfs[0], vec_col=vec_col)
+        codes = sq8_encode(dfs[0], stats, vec_col=vec_col, id_col=id_col)
+        return sq8_topk(codes, qvec, stats, k=int(p.get("K", 10)),
+                        id_col=id_col)
     if op == "VOCAB_TOPK":
         from .text import vocab_topk
         _need_sources(spec, 1)

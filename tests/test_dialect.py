@@ -472,6 +472,17 @@ class TestPipelineStatements:
         rows = peng.sql("SELECT doc_id, rrf FROM fused").collect()
         assert rows[0].doc_id == 3       # top in both legs
 
+    def test_sq8_topk_via_sql(self, peng, spark):
+        peng.register_source("qvecs", df=spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+             (4, [-1.0, 0.0])],
+            "vec_id bigint, embedding array<float>"))
+        peng.execute("CREATE TABLE sqhits AS PIPELINE SQ8_TOPK("
+                     "qvecs, QUERY_VEC='1.0,0.0', K='2');")
+        rows = peng.sql("SELECT vec_id, acos FROM sqhits").collect()
+        assert [r.vec_id for r in rows] == [1, 2]
+        assert rows[0].acos == pytest.approx(1.0, abs=0.02)
+
     def test_result_composes_with_dialect(self, peng):
         # PIPELINE output is a first-class relation: joins/aggregates work
         peng.execute("CREATE STREAM deduped2 AS PIPELINE "

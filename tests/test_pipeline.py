@@ -909,6 +909,95 @@ class TestSimilarity:
         assert (1, 2) in got or (2, 1) in got
 
 
+class TestSQ8:
+    """SQ8 scalar quantization: 4x-compressed ANN scan tier."""
+
+    def _vecs(self, spark, n=120, dim=16, seed=13):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, [rng.uniform(-2, 2) for _ in range(dim)])
+                for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        return df, rows
+
+    def test_roundtrip_error_bounded(self, spark):
+        # dequantized value within half a quantization step per dim
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            sq8_encode, sq8_stats)
+
+        df, rows = self._vecs(spark)
+        stats = sq8_stats(df)
+        codes = {r.vec_id: r.sq8_code
+                 for r in sq8_encode(df, stats).collect()}
+        for vid, vec in rows:
+            for j, x in enumerate(vec):
+                mn, mx = stats[j]
+                step = (mx - mn) / 255.0
+                deq = mn + codes[vid][j] * step
+                assert abs(deq - x) <= step / 2 + 1e-9
+
+    def test_topk_matches_exact_on_separated_data(self, spark):
+        # quantization noise is far smaller than the cosine gaps here,
+        # so SQ8 ADC must return the exact top-k in the exact order
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, sq8_encode, sq8_stats, sq8_topk)
+
+        df, rows = self._vecs(spark, n=60)
+        stats = sq8_stats(df)
+        q = rows[0][1]
+        exact = [r.vec_id for r in cosine_topk(df, q, k=5).collect()]
+        approx = [r.vec_id for r in
+                  sq8_topk(sq8_encode(df, stats), q, stats, k=5).collect()]
+        assert approx == exact
+
+    def test_packed_scan_matches_expression_scan(self, spark):
+        # byte-packed numpy ADC and the unrolled-expression ADC are the
+        # same math: identical ids, scores within fp tolerance
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            sq8_encode, sq8_pack, sq8_stats, sq8_topk, sq8_topk_packed)
+
+        df, rows = self._vecs(spark, n=80)
+        stats = sq8_stats(df)
+        codes = sq8_encode(df, stats)
+        q = rows[3][1]
+        expr = sq8_topk(codes, q, stats, k=7, round_to=None).collect()
+        packed = sq8_topk_packed(
+            sq8_pack(codes), q, stats, k=7).collect()
+        assert [r.vec_id for r in packed] == [r.vec_id for r in expr]
+        for a, b in zip(expr, packed):
+            assert b.acos == pytest.approx(a.acos, abs=1e-9)
+
+    def test_degenerate_dimension_encodes_zero(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            sq8_encode, sq8_stats, sq8_topk)
+
+        df = spark.createDataFrame(
+            [(1, [5.0, 1.0]), (2, [5.0, -1.0]), (3, [5.0, 0.5])],
+            "vec_id bigint, embedding array<float>")
+        stats = sq8_stats(df)
+        assert stats[0] == (5.0, 5.0)
+        codes = sq8_encode(df, stats)
+        assert all(r.sq8_code[0] == 0 for r in codes.collect())
+        out = sq8_topk(codes, [5.0, 1.0], stats, k=3).collect()
+        assert out[0].vec_id == 1          # constant dim still scores
+
+    def test_plan_is_expression_only(self, spark):
+        # the encode+scan path must stay JVM-side: no python eval nodes,
+        # and the top-k must lower to TakeOrderedAndProject
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            sq8_encode, sq8_stats, sq8_topk)
+
+        df, rows = self._vecs(spark, n=40)
+        stats = sq8_stats(df)
+        plan = sq8_topk(sq8_encode(df, stats), rows[0][1], stats, k=5
+                        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert bad not in plan
+
+
 class TestText:
     def test_stats_values(self, spark):
         from confluent_ksql_charm_spark.pipeline.text import (

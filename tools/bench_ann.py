@@ -39,6 +39,9 @@ EXACT = "--exact" in sys.argv
 N_QUERIES = int(os.environ.get("ANN_BENCH_QUERIES", "20"))
 THRESHOLD = 0.95
 K = 10
+#: comma-list of sections to run (default all): lsh,ivf,nd,sq8
+SECTIONS = set(filter(None, os.environ.get(
+    "ANN_BENCH_SECTIONS", "lsh,ivf,nd,sq8").split(",")))
 
 
 def main() -> None:
@@ -87,48 +90,81 @@ def main() -> None:
         t_exact += dt
     out["exact_topk"] = {"probe_sec": round(t_exact / len(queries), 3)}
 
-    # -- LSH bucket top-k: bits sized so 2^bits buckets keep ~500/bucket
-    bits = max(8, (n // 500).bit_length())
-    t0 = time.perf_counter()
-    idx = sim.lsh_index(emb, bits=bits).cache()
-    idx.count()
-    t_build = time.perf_counter() - t0
-    lsh = {"bits": bits, "build_sec": round(t_build, 3)}
-    for ph in (1, 2):
+    # -- SQ8 scalar quantization: 4x-compressed corpus scan (ADC).
+    #    Build = codebook fit + encode + byte-pack + cache; probe = the
+    #    numpy matmul scan. Recall vs the same exact top-k sets.
+    if "sq8" in SECTIONS:
+        t0 = time.perf_counter()
+        stats = sim.sq8_stats(emb)
+        packed = sim.sq8_pack(sim.sq8_encode(emb, stats)).cache()
+        packed.count()
+        t_build = time.perf_counter() - t0
+        sq8 = {"build_sec": round(t_build, 3)}
         t_probe, hits = 0.0, 0
         for qid, qv in queries:
-            rows, dt = timed(lambda qv=qv: sim.lsh_bucket_topk(
-                emb, qv, K, bits=bits, probe_hamming=ph,
-                index=idx).collect())
+            rows, dt = timed(lambda qv=qv: sim.sq8_topk_packed(
+                packed, qv, stats, K).collect())
             t_probe += dt
             hits += len({r.vec_id for r in rows} & exact_sets[qid])
-        lsh[f"probe_sec_h{ph}"] = round(t_probe / len(queries), 3)
-        lsh[f"recall_at_{K}_h{ph}"] = round(
-            hits / (K * len(queries)), 3)
-    out["ann_lsh_topk"] = lsh
+        sq8["probe_sec"] = round(t_probe / len(queries), 3)
+        sq8[f"recall_at_{K}"] = round(hits / (K * len(queries)), 3)
+        # measured in-memory footprint vs the float32 corpus cache
+        sq8["packed_mb"] = round(sum(
+            i.memSize() for i in
+            spark.sparkContext._jsc.sc().getRDDStorageInfo()) / 2**20, 1)
+        out["sq8_topk"] = sq8
+        packed.unpersist()
+
+    # -- LSH bucket top-k: bits sized so 2^bits buckets keep ~500/bucket
+    if "lsh" in SECTIONS:
+        bits = max(8, (n // 500).bit_length())
+        t0 = time.perf_counter()
+        idx = sim.lsh_index(emb, bits=bits).cache()
+        idx.count()
+        t_build = time.perf_counter() - t0
+        lsh = {"bits": bits, "build_sec": round(t_build, 3)}
+        for ph in (1, 2):
+            t_probe, hits = 0.0, 0
+            for qid, qv in queries:
+                rows, dt = timed(lambda qv=qv: sim.lsh_bucket_topk(
+                    emb, qv, K, bits=bits, probe_hamming=ph,
+                    index=idx).collect())
+                t_probe += dt
+                hits += len({r.vec_id for r in rows} & exact_sets[qid])
+            lsh[f"probe_sec_h{ph}"] = round(t_probe / len(queries), 3)
+            lsh[f"recall_at_{K}_h{ph}"] = round(
+                hits / (K * len(queries)), 3)
+        out["ann_lsh_topk"] = lsh
 
     # -- IVF: nlist ~ sqrt(n) rounded to a power of two; train on a
     #    sample sized ~100 points/centroid (the deployed-index pattern)
-    nlist = 1 << max(4, round((n ** 0.5)).bit_length() - 1)
-    sample = min(1.0, (100 * nlist) / n)
-    t0 = time.perf_counter()
-    ivf = sim.ivf_index(emb, nlist=nlist,
-                        sample_fraction=sample if sample < 1 else None)
-    ivf = (ivf[0].cache(), ivf[1])
-    ivf[0].count()
-    t_build = time.perf_counter() - t0
-    ivf_out = {"nlist": nlist, "build_sec": round(t_build, 3)}
-    for nprobe in (max(4, nlist // 64), max(8, nlist // 16)):
-        t_probe, hits = 0.0, 0
-        for qid, qv in queries:
-            rows, dt = timed(lambda qv=qv, np_=nprobe: sim.ivf_topk(
-                emb, qv, K, nlist=nlist, nprobe=np_, index=ivf).collect())
-            t_probe += dt
-            hits += len({r.vec_id for r in rows} & exact_sets[qid])
-        ivf_out[f"probe_sec_np{nprobe}"] = round(t_probe / len(queries), 3)
-        ivf_out[f"recall_at_{K}_np{nprobe}"] = round(
-            hits / (K * len(queries)), 3)
-    out["ann_ivf_topk"] = ivf_out
+    if "ivf" in SECTIONS:
+        nlist = 1 << max(4, round((n ** 0.5)).bit_length() - 1)
+        sample = min(1.0, (100 * nlist) / n)
+        t0 = time.perf_counter()
+        ivf = sim.ivf_index(emb, nlist=nlist,
+                            sample_fraction=sample if sample < 1 else None)
+        ivf = (ivf[0].cache(), ivf[1])
+        ivf[0].count()
+        t_build = time.perf_counter() - t0
+        ivf_out = {"nlist": nlist, "build_sec": round(t_build, 3)}
+        for nprobe in (max(4, nlist // 64), max(8, nlist // 16)):
+            t_probe, hits = 0.0, 0
+            for qid, qv in queries:
+                rows, dt = timed(lambda qv=qv, np_=nprobe: sim.ivf_topk(
+                    emb, qv, K, nlist=nlist, nprobe=np_,
+                    index=ivf).collect())
+                t_probe += dt
+                hits += len({r.vec_id for r in rows} & exact_sets[qid])
+            ivf_out[f"probe_sec_np{nprobe}"] = round(
+                t_probe / len(queries), 3)
+            ivf_out[f"recall_at_{K}_np{nprobe}"] = round(
+                hits / (K * len(queries)), 3)
+        out["ann_ivf_topk"] = ivf_out
+
+    if "nd" not in SECTIONS:
+        print(json.dumps(out))
+        return
 
     # -- embedding near-dup: planner-sized banding -> exact verify
     #    (lsh_plan docstring: beyond ~1M rows raise max_projections)
