@@ -284,13 +284,18 @@ def rewrite_expr(tokens: list[Token], ctx: TranslationContext) -> str:
             inner = tokens[i + 1:j - 1]
             idx = rewrite_expr(inner, ctx)
             base = out.pop()
-            # try_element_at: KSQL returns NULL out-of-bounds (ANSI-safe)
+            # try_element_at: KSQL returns NULL out-of-bounds (ANSI-safe).
+            # Negative 0-based indexes are OOB -> NULL too; unguarded,
+            # +1 would hit Spark's INVALID_INDEX_OF_ZERO (idx = -1) or
+            # from-the-end indexing (idx <= -2) — both wrong for KSQL.
             if len(inner) == 1 and inner[0].kind == STRING:
                 out.append(f"try_element_at({base}, {idx})")          # map key
             elif len(inner) == 1 and inner[0].kind == NUMBER:
                 out.append(f"try_element_at({base}, {int(idx) + 1})")  # 0-based
             else:
-                out.append(f"try_element_at({base}, ({idx}) + 1)")
+                out.append(
+                    f"if(({idx}) < 0, NULL, "
+                    f"try_element_at({base}, ({idx}) + 1))")
             i = j
             continue
         if t.kind == IDENT:
