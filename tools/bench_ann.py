@@ -55,7 +55,8 @@ def main() -> None:
         .appName("bench-ann")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory",
+                os.environ.get("ANN_BENCH_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -81,6 +82,11 @@ def main() -> None:
         r = fn()
         return r, time.perf_counter() - t0
 
+    def progress(key):
+        # partial results survive a late-section crash (sf10 runs are
+        # long; losing the exact/LSH numbers to an IVF OOM is silly)
+        print(f"## {key}: {json.dumps(out.get(key))}", file=sys.stderr)
+
     # -- exact brute-force top-k (the baseline answers + its own wall)
     exact_sets, t_exact = {}, 0.0
     for qid, qv in queries:
@@ -89,6 +95,7 @@ def main() -> None:
         exact_sets[qid] = {r.vec_id for r in rows}
         t_exact += dt
     out["exact_topk"] = {"probe_sec": round(t_exact / len(queries), 3)}
+    progress("exact_topk")
 
     # -- SQ8 scalar quantization: 4x-compressed corpus scan (ADC).
     #    Build = codebook fit + encode + byte-pack + cache; probe = the
@@ -113,6 +120,7 @@ def main() -> None:
             i.memSize() for i in
             spark.sparkContext._jsc.sc().getRDDStorageInfo()) / 2**20, 1)
         out["sq8_topk"] = sq8
+        progress("sq8_topk")
         packed.unpersist()
 
     # -- LSH bucket top-k: bits sized so 2^bits buckets keep ~500/bucket
@@ -135,6 +143,7 @@ def main() -> None:
             lsh[f"recall_at_{K}_h{ph}"] = round(
                 hits / (K * len(queries)), 3)
         out["ann_lsh_topk"] = lsh
+        progress("ann_lsh_topk")
 
     # -- IVF: nlist ~ sqrt(n) rounded to a power of two; train on a
     #    sample sized ~100 points/centroid (the deployed-index pattern)
@@ -161,6 +170,7 @@ def main() -> None:
             ivf_out[f"recall_at_{K}_np{nprobe}"] = round(
                 hits / (K * len(queries)), 3)
         out["ann_ivf_topk"] = ivf_out
+        progress("ann_ivf_topk")
 
     if "nd" not in SECTIONS:
         print(json.dumps(out))
@@ -204,6 +214,7 @@ def main() -> None:
             len(found_set & exact_set) / max(1, len(exact_set)), 4)
         nd["false_pairs"] = len(found_set - exact_set)  # must be 0
     out["embedding_near_dup"] = nd
+    progress("embedding_near_dup")
 
     print(json.dumps(out))
 
