@@ -807,7 +807,12 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
             # xor-fold, not sum: order-independent, overflow-free
             F.bit_xor(F.xxhash64("a", "b")).alias("h"),
         )
-        out = observed.coalesce(n_parts).localCheckpoint()  # one action
+        # serialized storage: same OOM rationale as lazy.maybe_checkpoint
+        # (deserialized unroll of a large edge relation)
+        from pyspark.storagelevel import StorageLevel
+
+        out = observed.coalesce(n_parts).localCheckpoint(
+            storageLevel=StorageLevel.MEMORY_AND_DISK)  # one action
         row = obs.get
         return out, (row["n"], row["h"])
 

@@ -92,7 +92,20 @@ def maybe_checkpoint(df: DataFrame, *, bound_partitions: bool = True
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                          "200"))
         df = df.coalesce(n)
-    out = df.localCheckpoint()
+    # SERIALIZED storage, not the MEMORY_AND_DISK_DESER default:
+    # deserialized caching unrolls each partition as Java objects via
+    # MemoryStore.putIteratorAsValues — at sf10 the 2.1M-vector banding
+    # relation OOMed a 64 GiB heap exactly there (object headers turn
+    # ~6 GB of rows into tens of GB). Serialized blocks unroll
+    # incrementally and spill; consumers pay one deserialization per
+    # read, noise for the few-pass iterative consumers these
+    # checkpoints feed.
+    try:
+        from pyspark.storagelevel import StorageLevel
+
+        out = df.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    except TypeError:  # pragma: no cover - pyspark < 4 signature
+        out = df.localCheckpoint()
     if bound_partitions:
         out = bound_to_data_size(out)
     return out

@@ -222,6 +222,14 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     `index`: a prebuilt `lsh_index(df, bits=..., seed=...)` result (same
     bits/seed); per-probe cost then drops to the bucket filter + top-k
     instead of re-projecting the whole corpus per query.
+
+    Measured scale guidance (BASELINE round-6 ANN decades): recall at a
+    fixed probe ring DEGRADES as the corpus/bits grow — 0.69@h=2 at
+    210k vectors (bits=9) fell to 0.51 at 2.1M (bits=13). This is the
+    low-latency/low-recall point of the family; prefer `ivf_topk`
+    (recall 1.0 at sf10 on clustered data) when quality matters, or
+    `sq8_topk_packed` (0.99 recall, no index) when the corpus must stay
+    fully scannable.
     """
     planes = _hyperplanes(len(query_vec), bits, seed)
     qbucket = 0
