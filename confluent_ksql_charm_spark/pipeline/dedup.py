@@ -811,8 +811,12 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
         # (deserialized unroll of a large edge relation)
         from pyspark.storagelevel import StorageLevel
 
-        out = observed.coalesce(n_parts).localCheckpoint(
-            storageLevel=StorageLevel.MEMORY_AND_DISK)  # one action
+        bounded = observed.coalesce(n_parts)
+        try:
+            out = bounded.localCheckpoint(
+                storageLevel=StorageLevel.MEMORY_AND_DISK)  # one action
+        except TypeError:  # pragma: no cover - pyspark < 4 signature
+            out = bounded.localCheckpoint()
         row = obs.get
         return out, (row["n"], row["h"])
 

@@ -613,14 +613,31 @@ def sq8_stats(df: DataFrame, *, vec_col: str = "embedding",
     partial-aggregate rows.
     """
     if dim is None:
-        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+        head = df.select(F.size(vec_col).alias("d")).first()
+        if head is None:
+            raise ValueError(
+                "sq8_stats: input DataFrame is empty — cannot infer the "
+                "codebook dimension (pass dim= explicitly or fit on a "
+                "non-empty corpus)")
+        dim = head["d"]
+        if dim is None or dim < 0:
+            raise ValueError(
+                f"sq8_stats: first row of {vec_col!r} is NULL — the "
+                "codebook needs at least one non-null vector")
     exprs = []
     for j in range(dim):
         x = F.col(vec_col)[j].cast("double")
         exprs.append(F.min(x).alias(f"mn{j}"))
         exprs.append(F.max(x).alias(f"mx{j}"))
     row = df.agg(*exprs).first()
-    return [(row[f"mn{j}"], row[f"mx{j}"]) for j in range(dim)]
+    stats = [(row[f"mn{j}"], row[f"mx{j}"]) for j in range(dim)]
+    bad = [j for j, (mn, mx) in enumerate(stats) if mn is None or mx is None]
+    if bad:
+        raise ValueError(
+            f"sq8_stats: dimensions {bad[:8]}{'...' if len(bad) > 8 else ''} "
+            f"have no non-null values in {vec_col!r} — an all-null or "
+            "too-short vector column cannot be quantized")
+    return stats
 
 
 def sq8_encode(df: DataFrame, stats: list[tuple[float, float]], *,
@@ -700,13 +717,19 @@ def sq8_topk(codes_df: DataFrame, query_vec: list[float],
 
 def sq8_topk_packed(packed_df: DataFrame, query_vec: list[float],
                     stats: list[tuple[float, float]], k: int = 10, *,
-                    packed_col: str = "sq8_bytes", id_col: str = "vec_id"
-                    ) -> DataFrame:
+                    packed_col: str = "sq8_bytes", id_col: str = "vec_id",
+                    round_to: int | None = 4) -> DataFrame:
     """ADC top-k over byte-packed codes: `mapInPandas` batches decode
     the binary column into one (batch x dim) uint8 matrix and score it
     with a single numpy matmul — the faiss SQ8 scan shape, Arrow in and
-    out, zero per-row Python. Per-partition k-heap via nlargest, then
-    the driver-side TakeOrdered merges partition champions.
+    out, zero per-row Python. Per-partition top-k, then the driver-side
+    TakeOrdered merges partition champions.
+
+    Ordering domain matches `sq8_topk` (ADVICE r6): scores are rounded
+    to `round_to` BEFORE the per-partition cut, and the cut itself sorts
+    by (acos desc, id asc) — a positional nlargest could drop a tied
+    smaller-id row at the partition k-boundary, making results vary
+    with partitioning.
     """
     import numpy as np
 
@@ -731,8 +754,12 @@ def sq8_topk_packed(packed_df: DataFrame, query_vec: list[float],
             dots = deq @ q
             nrm = np.sqrt((deq * deq).sum(axis=1)) * qn
             acos = dots / np.where(nrm == 0, 1.0, nrm)
+            if round_to is not None:
+                acos = np.round(acos, round_to)
             out = pd.DataFrame({id_col: pdf[id_col].values, "acos": acos})
-            yield out.nlargest(min(k, len(out)), "acos")
+            yield (out.sort_values(["acos", id_col],
+                                   ascending=[False, True])
+                      .head(min(k, len(out))))
 
     scored = packed_df.mapInPandas(_scan, schema=schema)
     return scored.orderBy(F.desc("acos"), F.col(id_col)).limit(k)

@@ -964,7 +964,7 @@ class TestSQ8:
         q = rows[3][1]
         expr = sq8_topk(codes, q, stats, k=7, round_to=None).collect()
         packed = sq8_topk_packed(
-            sq8_pack(codes), q, stats, k=7).collect()
+            sq8_pack(codes), q, stats, k=7, round_to=None).collect()
         assert [r.vec_id for r in packed] == [r.vec_id for r in expr]
         for a, b in zip(expr, packed):
             assert b.acos == pytest.approx(a.acos, abs=1e-9)
@@ -982,6 +982,49 @@ class TestSQ8:
         assert all(r.sq8_code[0] == 0 for r in codes.collect())
         out = sq8_topk(codes, [5.0, 1.0], stats, k=3).collect()
         assert out[0].vec_id == 1          # constant dim still scores
+
+    def test_stats_empty_input_raises(self, spark):
+        # ADVICE r6: empty corpus must raise a clear error, not
+        # TypeError-subscript-None
+        from confluent_ksql_charm_spark.pipeline.similarity import sq8_stats
+
+        df = spark.createDataFrame(
+            [], "vec_id bigint, embedding array<float>")
+        with pytest.raises(ValueError, match="empty"):
+            sq8_stats(df)
+
+    def test_stats_all_null_column_raises(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import sq8_stats
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None)], "vec_id bigint, embedding array<float>")
+        with pytest.raises(ValueError):
+            sq8_stats(df)
+
+    def test_packed_scan_partition_invariant_on_ties(self, spark):
+        # ADVICE r6: a tied row at the partition k-boundary must not be
+        # dropped — (acos desc, id asc) regardless of partitioning.
+        # All-identical vectors => every score ties; top-k must be the
+        # k smallest ids under every repartitioning.
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            sq8_encode, sq8_pack, sq8_stats, sq8_topk_packed)
+
+        rows = [(i, [1.0, float(0)]) for i in range(40)]
+        base = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        # one non-constant dim so the codebook isn't degenerate
+        rows2 = [(i, [1.0, 0.001 if i == 999 else 0.0]) for i in range(40)]
+        base = spark.createDataFrame(
+            rows2 + [(999, [0.0, 1.0])],
+            "vec_id bigint, embedding array<float>")
+        stats = sq8_stats(base)
+        packed = sq8_pack(sq8_encode(base, stats))
+        q = [1.0, 0.0]
+        expect = list(range(5))
+        for nparts in (1, 3, 17):
+            got = [r.vec_id for r in sq8_topk_packed(
+                packed.repartition(nparts), q, stats, k=5).collect()]
+            assert got == expect, f"nparts={nparts}: {got}"
 
     def test_plan_is_expression_only(self, spark):
         # the encode+scan path must stay JVM-side: no python eval nodes,

@@ -103,6 +103,12 @@ def main() -> None:
     if "sq8" in SECTIONS:
         t0 = time.perf_counter()
         stats = sim.sq8_stats(emb)
+        # snapshot cached bytes BEFORE caching packed so packed_mb is
+        # the DELTA (the float32 emb cache would otherwise dominate the
+        # sum and hide the 4x compression — ADVICE r6)
+        mb_before = sum(
+            i.memSize() for i in
+            spark.sparkContext._jsc.sc().getRDDStorageInfo()) / 2**20
         packed = sim.sq8_pack(sim.sq8_encode(emb, stats)).cache()
         packed.count()
         t_build = time.perf_counter() - t0
@@ -115,10 +121,13 @@ def main() -> None:
             hits += len({r.vec_id for r in rows} & exact_sets[qid])
         sq8["probe_sec"] = round(t_probe / len(queries), 3)
         sq8[f"recall_at_{K}"] = round(hits / (K * len(queries)), 3)
-        # measured in-memory footprint vs the float32 corpus cache
-        sq8["packed_mb"] = round(sum(
+        # measured in-memory footprint of the packed relation alone:
+        # delta of cached bytes across the packed .cache(), so the
+        # float32 emb cache cannot inflate the number
+        mb_after = sum(
             i.memSize() for i in
-            spark.sparkContext._jsc.sc().getRDDStorageInfo()) / 2**20, 1)
+            spark.sparkContext._jsc.sc().getRDDStorageInfo()) / 2**20
+        sq8["packed_mb"] = round(mb_after - mb_before, 1)
         out["sq8_topk"] = sq8
         progress("sq8_topk")
         packed.unpersist()
