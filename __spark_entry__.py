@@ -555,6 +555,33 @@ def _q_sq8_topk(spark, sf):
     return sq8_topk(codes, _query_vec(spark, sf), stats, k=10)
 
 
+_IVF_SQ8_INDEXES: dict = {}
+
+
+def _q_ivf_sq8_topk(spark, sf):
+    # Composed IVF x SQ8 (the deployed faiss IVF,SQ8 shape, VERDICT r6
+    # #2): coarse cells prune the scan, 8-bit ADC scores the probed
+    # cells. Run at FULL probe (nprobe=nlist -> every cell scanned ->
+    # provably identical to sq8_topk) so it shares the SQ8 oracle;
+    # partial-probe recall + cell pruning are unit-tested
+    # (tests/test_pipeline.py::TestIVFSQ8). Index built once per
+    # session+dir and reused — the per-query cost is the probe.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        ivf_sq8_index, ivf_sq8_topk)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    key = (id(spark), sf)
+    if key not in _IVF_SQ8_INDEXES:
+        # codebook + quantizer fit on the FULL table (query row
+        # included) to match the sq8_topk oracle's stats; the query row
+        # itself is excluded from the probed corpus
+        codes, centers, stats = ivf_sq8_index(emb, nlist=8)
+        codes = codes.where(F.col("vec_id") != 0).cache()
+        _IVF_SQ8_INDEXES[key] = (codes, centers, stats)
+    return ivf_sq8_topk(emb, _query_vec(spark, sf), k=10, nprobe=8,
+                        index=_IVF_SQ8_INDEXES[key])  # full probe = SQ8
+
+
 def _q_token_stats(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import token_count
 
@@ -1042,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_cosine_topk": _q_embedding_topk,
         "sq8_topk": _q_sq8_topk,
+        "ivf_sq8_topk": _q_ivf_sq8_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "corpus_split_sample": _q_corpus_split_sample,
         "token_stats_by_lang": _q_token_stats,
@@ -1288,6 +1316,30 @@ def _substring_dedup_oracle() -> str:
         "COALESCE(a.txt, '') AS cleaned "
         "FROM tk LEFT JOIN agg a USING (doc_id)"
     )
+
+
+# SQ8 ADC recomputed from scratch in DuckDB — shared by sq8_topk and
+# the full-probe ivf_sq8_topk (which provably computes the same thing).
+_SQ8_ORACLE_SQL = (
+    "WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) "
+    "AS ord, CAST(unnest(embedding) AS DOUBLE) AS x "
+    "FROM embeddings), "
+    "dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax "
+    "FROM v GROUP BY ord), "
+    "deq AS (SELECT v.vec_id, v.ord, "
+    "CASE WHEN d.vmax = d.vmin THEN d.vmin "
+    "ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / "
+    "(d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 "
+    "END AS xhat "
+    "FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), "
+    "q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), "
+    "scored AS (SELECT deq.vec_id, "
+    "SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * "
+    "(SELECT sqrt(SUM(qx * qx)) FROM q)) AS c "
+    "FROM deq JOIN q USING (ord) GROUP BY deq.vec_id) "
+    "SELECT vec_id, ROUND(c, 4) AS acos FROM scored "
+    "ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 10"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1594,25 +1646,12 @@ def oracle_sql() -> dict[str, str]:
             # sq8_stats on the full table), code = round((x-min)*255/
             # (max-min)), dequant = min + code*(max-min)/255, ADC cosine
             # vs the full-precision query vector; rank by rounded score.
-            "WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) "
-            "AS ord, CAST(unnest(embedding) AS DOUBLE) AS x "
-            "FROM embeddings), "
-            "dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax "
-            "FROM v GROUP BY ord), "
-            "deq AS (SELECT v.vec_id, v.ord, "
-            "CASE WHEN d.vmax = d.vmin THEN d.vmin "
-            "ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / "
-            "(d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 "
-            "END AS xhat "
-            "FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), "
-            "q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), "
-            "scored AS (SELECT deq.vec_id, "
-            "SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * "
-            "(SELECT sqrt(SUM(qx * qx)) FROM q)) AS c "
-            "FROM deq JOIN q USING (ord) GROUP BY deq.vec_id) "
-            "SELECT vec_id, ROUND(c, 4) AS acos FROM scored "
-            "ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 10"
+            _SQ8_ORACLE_SQL
         ),
+        # composed IVF x SQ8 runs at FULL probe (every cell scanned), so
+        # it is provably the same computation as sq8_topk — the oracle
+        # is the identical ADC SQL; partial-probe recall is unit-tested.
+        "ivf_sq8_topk": _SQ8_ORACLE_SQL,
         "incremental_dedup": (
             # exact anti-join rows + brute-force asymmetric near-dup check:
             # near_kept ⇔ no corpus doc with n-gram jaccard ≥ 0.5

@@ -471,8 +471,20 @@ def cosine_all_pairs(df: DataFrame, threshold: float, *,
         _score, "id_a long, id_b long, cosine double")
 
 
+#: above this many rows `ivf_index(sample_fraction="auto")` trains the
+#: coarse quantizer on a sample instead of the full corpus — and the
+#: sample is sized to about this many rows. ~100k training vectors give
+#: >= 100 points/centroid up to nlist=1024 (faiss guidance is 30-256
+#: per centroid); the KMeans|| fit is the only superlinear-growing
+#: build cost, so capping its input makes the build O(n) in the
+#: assignment pass alone. Measured (BASELINE.md r7): sampled-fit recall
+#: matches the full fit within noise at sf1.
+IVF_TRAIN_TARGET_ROWS = 100_000
+
+
 def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
-              seed: int = 42, sample_fraction: float | None = None):
+              seed: int = 42,
+              sample_fraction: float | None | str = "auto"):
     """IVF coarse quantizer: KMeans|| over L2-normalized vectors.
 
     Returns ``(assigned_df, centers)`` — the input with an ``__cell``
@@ -481,15 +493,27 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
     assignment (spherical k-means), so probing order matches the cosine
     ranking the queries use.
 
-    Scale shape: training runs distributed (KMeans||), optionally on a
-    `sample_fraction` of rows — at 100 TB fit on a sample once, persist
-    the centers, and make ``__cell`` a partition column of the stored
-    index so a query's probe prunes partitions instead of filtering a
-    full scan. Assignment is a JVM `model.transform`, no Python per row.
+    `sample_fraction`: ``"auto"`` (default) trains on the full corpus up
+    to `IVF_TRAIN_TARGET_ROWS` rows and on a ~100k-row sample beyond —
+    the deployed-index default (VERDICT r6 #1: the per-call full fit was
+    the family's only superlinear build cost). ``None`` forces the full
+    fit; an explicit float pins the fraction.
+
+    Scale shape: training runs distributed (KMeans||) on the capped
+    sample — at 100 TB fit once, persist the centers, and make
+    ``__cell`` a partition column of the stored index so a query's
+    probe prunes partitions instead of filtering a full scan. The
+    assignment pass is a JVM `model.transform` over the full corpus
+    (embarrassingly parallel, no Python per row) and is the build cost
+    that remains O(n) by necessity — every vector needs a cell.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if sample_fraction == "auto":
+        n = df.count()
+        sample_fraction = (None if n <= IVF_TRAIN_TARGET_ROWS
+                           else IVF_TRAIN_TARGET_ROWS / n)
     unit = df.withColumn("__n", norm(F.col(vec_col))).withColumn(
         "__unit",
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
@@ -519,7 +543,12 @@ def save_ann_index(index, path: str, *, kind: str, params: dict,
 
     kinds: ``lsh`` (index = `lsh_index` df; partition on ``__bucket``),
     ``banded_lsh`` (index = `banded_lsh_index` df; partition on ``band``),
-    ``ivf`` (index = `(assigned_df, centers)`; partition on ``__cell``).
+    ``ivf`` (index = `(assigned_df, centers)`; partition on ``__cell``),
+    ``sq8`` (index = `(codes_df, stats)` — the `sq8_encode`/`sq8_pack`
+    relation plus its codebook; the stats ride the sidecar so a loaded
+    index probes without refitting),
+    ``ivf_sq8`` (index = `ivf_sq8_index` result `(codes_df, centers,
+    stats)`; partition on ``__cell`` so probes prune partitions).
     """
     import json
     import os
@@ -527,6 +556,12 @@ def save_ann_index(index, path: str, *, kind: str, params: dict,
     if kind == "ivf":
         df, centers = index
         params = dict(params, centers=centers)
+    elif kind == "sq8":
+        df, stats = index
+        params = dict(params, stats=stats)
+    elif kind == "ivf_sq8":
+        df, centers, stats = index
+        params = dict(params, centers=centers, stats=stats)
     elif kind in ("lsh", "banded_lsh"):
         df = index
     else:
@@ -567,13 +602,22 @@ def load_ann_index(spark, path: str):
         df = df.withColumn("__cell", F.col("__cell").cast("int"))
         centers = params.pop("centers")
         return (df, centers), params
+    if kind == "sq8":
+        # JSON round-trips tuples as lists; the probes index stats[j][0/1]
+        stats = [tuple(s) for s in params.pop("stats")]
+        return (df, stats), params
+    if kind == "ivf_sq8":
+        df = df.withColumn("__cell", F.col("__cell").cast("int"))
+        centers = params.pop("centers")
+        stats = [tuple(s) for s in params.pop("stats")]
+        return (df, centers, stats), params
     raise ValueError(f"unknown ANN index kind {kind!r} in {path}")
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
              nlist: int = 16, nprobe: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id", seed: int = 42,
-             sample_fraction: float | None = None,
+             sample_fraction: float | None | str = "auto",
              index: tuple | None = None) -> DataFrame:
     """Approximate top-k by cosine via IVF: scan only the `nprobe` cells
     whose centroids are nearest the query. ``nprobe == nlist`` degrades
@@ -587,13 +631,7 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     assigned, centers = index if index is not None else ivf_index(
         df, nlist=nlist, vec_col=vec_col, seed=seed,
         sample_fraction=sample_fraction)
-    qn = math.sqrt(sum(float(x) ** 2 for x in query_vec)) or 1.0
-    q = [float(x) / qn for x in query_vec]
-    by_dist = sorted(
-        range(len(centers)),
-        key=lambda c: sum((a - b) ** 2 for a, b in zip(centers[c], q)),
-    )
-    cells = by_dist[:nprobe]
+    cells = _nearest_cells(centers, query_vec, nprobe)
     cand = assigned.where(F.col("__cell").isin(cells)).drop("__cell")
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
@@ -642,7 +680,8 @@ def sq8_stats(df: DataFrame, *, vec_col: str = "embedding",
 
 def sq8_encode(df: DataFrame, stats: list[tuple[float, float]], *,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               code_col: str = "sq8_code") -> DataFrame:
+               code_col: str = "sq8_code",
+               keep: list[str] | None = None) -> DataFrame:
     """Quantize float vectors to 8-bit codes: code_j = round((x_j -
     min_j) * 255 / (max_j - min_j)), a degenerate dimension encodes 0.
 
@@ -650,6 +689,9 @@ def sq8_encode(df: DataFrame, stats: list[tuple[float, float]], *,
     all 64 lanes in one generated function); the float array is DROPPED
     from the output, which is the point: 4x less state to scan, cache,
     or shuffle. Pair with `sq8_pack` for true byte-packed storage.
+
+    `keep`: extra columns carried through (e.g. the IVF ``__cell``
+    assignment for the composed `ivf_sq8_index`).
     """
     codes = []
     for j, (mn, mx) in enumerate(stats):
@@ -661,7 +703,8 @@ def sq8_encode(df: DataFrame, stats: list[tuple[float, float]], *,
             codes.append(
                 F.round((x - F.lit(mn)) * F.lit(255.0) / F.lit(rng), 0)
                 .cast("int"))
-    return df.select(F.col(id_col), F.array(*codes).alias(code_col))
+    extra = [F.col(c) for c in (keep or [])]
+    return df.select(F.col(id_col), F.array(*codes).alias(code_col), *extra)
 
 
 def sq8_pack(df: DataFrame, *, code_col: str = "sq8_code",
@@ -763,3 +806,89 @@ def sq8_topk_packed(packed_df: DataFrame, query_vec: list[float],
 
     scored = packed_df.mapInPandas(_scan, schema=schema)
     return scored.orderBy(F.desc("acos"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF x SQ8: the deployed faiss IVF-SQ shape (coarse cells + compressed scan)
+# ---------------------------------------------------------------------------
+
+def ivf_sq8_index(df: DataFrame, *, nlist: int = 16,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  seed: int = 42,
+                  sample_fraction: float | None | str = "auto",
+                  packed: bool = False):
+    """Build the composed index: IVF coarse cells over SQ8-compressed
+    codes — ``(codes_df, centers, stats)`` where `codes_df` carries
+    (id, sq8_code|sq8_bytes, __cell).
+
+    This is the deployed faiss ``IVF<nlist>,SQ8`` shape: the coarse
+    quantizer prunes the corpus to `nprobe` cells, and the scan inside
+    the probed cells runs over 8-bit codes (4x less state than float32).
+    The SQ8 codebook is GLOBAL (fit on the whole corpus in one
+    min/max aggregate), matching faiss's default ScalarQuantizer
+    training; per-cell codebooks buy little at 8 bits and would turn
+    the codebook into per-cell driver state.
+
+    At 100 TB: persist via ``save_ann_index(kind="ivf_sq8",
+    partition_by="__cell")`` so a probe reads only the probed cells'
+    parquet partitions — the compressed-bytes-per-probe is
+    nprobe/nlist x 1/4 of a float32 full scan.
+
+    `packed=True` stores byte-packed codes (`sq8_bytes`) for the numpy
+    ADC scan (`ivf_sq8_topk(..., packed=True)`).
+    """
+    assigned, centers = ivf_index(df, nlist=nlist, vec_col=vec_col,
+                                  seed=seed,
+                                  sample_fraction=sample_fraction)
+    stats = sq8_stats(df, vec_col=vec_col)
+    codes = sq8_encode(assigned, stats, vec_col=vec_col, id_col=id_col,
+                       keep=["__cell"])
+    if packed:
+        codes = sq8_pack(codes)
+    return codes, centers, stats
+
+
+def _nearest_cells(centers: list[list[float]], query_vec: list[float],
+                   nprobe: int) -> list[int]:
+    """nprobe cell ids nearest the L2-normalized query (driver-side —
+    centers are nlist x dim, bounded state exactly like the codebook)."""
+    qn = math.sqrt(sum(float(x) ** 2 for x in query_vec)) or 1.0
+    q = [float(x) / qn for x in query_vec]
+    by_dist = sorted(
+        range(len(centers)),
+        key=lambda c: sum((a - b) ** 2 for a, b in zip(centers[c], q)),
+    )
+    return by_dist[:nprobe]
+
+
+def ivf_sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
+                 nlist: int = 16, nprobe: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 seed: int = 42,
+                 sample_fraction: float | None | str = "auto",
+                 index: tuple | None = None,
+                 packed: bool = False,
+                 round_to: int | None = 4) -> DataFrame:
+    """Approximate top-k by cosine via IVF-pruned SQ8 ADC scan: probe
+    the `nprobe` cells whose centroids are nearest the query, ADC-scan
+    ONLY those cells' 8-bit codes.
+
+    Composes the family's two cheap tiers (VERDICT r6 #2): IVF cuts the
+    rows scanned to ~nprobe/nlist of the corpus; SQ8 cuts the bytes per
+    row 4x and keeps the score JVM-side (expression ADC) or in one numpy
+    matmul (`packed=True`). ``nprobe == nlist`` scans every cell and
+    degrades to exactly `sq8_topk` — the property the oracle gate uses.
+
+    `index`: a prebuilt ``ivf_sq8_index(...)`` result — pass it on every
+    probe; the zero-setup per-call build exists for ergonomics only.
+    """
+    codes, centers, stats = index if index is not None else ivf_sq8_index(
+        df, nlist=nlist, vec_col=vec_col, id_col=id_col, seed=seed,
+        sample_fraction=sample_fraction, packed=packed)
+    cells = _nearest_cells(centers, query_vec, nprobe)
+    cand = codes.where(F.col("__cell").isin(cells)).drop("__cell")
+    if packed:
+        return sq8_topk_packed(cand, query_vec, stats, k, id_col=id_col,
+                               round_to=round_to)
+    return sq8_topk(cand, query_vec, stats, k, id_col=id_col,
+                    round_to=round_to)

@@ -155,17 +155,25 @@ def main() -> None:
         progress("ann_lsh_topk")
 
     # -- IVF: nlist ~ sqrt(n) rounded to a power of two; train on a
-    #    sample sized ~100 points/centroid (the deployed-index pattern)
+    #    sample sized ~100 points/centroid (the deployed-index pattern).
+    #    fit_sec (KMeans|| on the sample — the only superlinear cost) is
+    #    reported separately from assign_sec (the O(n) full-corpus cell
+    #    assignment + cache) so BASELINE shows what actually dominates.
     if "ivf" in SECTIONS:
         nlist = 1 << max(4, round((n ** 0.5)).bit_length() - 1)
         sample = min(1.0, (100 * nlist) / n)
         t0 = time.perf_counter()
         ivf = sim.ivf_index(emb, nlist=nlist,
                             sample_fraction=sample if sample < 1 else None)
+        t_fit = time.perf_counter() - t0  # transform is lazy: fit only
         ivf = (ivf[0].cache(), ivf[1])
         ivf[0].count()
         t_build = time.perf_counter() - t0
-        ivf_out = {"nlist": nlist, "build_sec": round(t_build, 3)}
+        ivf_out = {"nlist": nlist,
+                   "train_fraction": round(sample, 4),
+                   "fit_sec": round(t_fit, 3),
+                   "assign_sec": round(t_build - t_fit, 3),
+                   "build_sec": round(t_build, 3)}
         for nprobe in (max(4, nlist // 64), max(8, nlist // 16)):
             t_probe, hits = 0.0, 0
             for qid, qv in queries:
@@ -180,6 +188,36 @@ def main() -> None:
                 hits / (K * len(queries)), 3)
         out["ann_ivf_topk"] = ivf_out
         progress("ann_ivf_topk")
+
+    # -- IVF x SQ8 (composed, round-7 op): coarse cells prune the rows,
+    #    packed 8-bit ADC scans only the probed cells. Build reuses
+    #    nothing from the sections above (honest end-to-end cost).
+    if "ivfsq8" in SECTIONS:
+        nlist = 1 << max(4, round((n ** 0.5)).bit_length() - 1)
+        sample = min(1.0, (100 * nlist) / n)
+        t0 = time.perf_counter()
+        idx = sim.ivf_sq8_index(
+            emb, nlist=nlist, packed=True,
+            sample_fraction=sample if sample < 1 else None)
+        idx = (idx[0].cache(), idx[1], idx[2])
+        idx[0].count()
+        t_build = time.perf_counter() - t0
+        comp = {"nlist": nlist, "build_sec": round(t_build, 3)}
+        for nprobe in (max(4, nlist // 64), max(8, nlist // 16)):
+            t_probe, hits = 0.0, 0
+            for qid, qv in queries:
+                rows, dt = timed(lambda qv=qv, np_=nprobe: sim.ivf_sq8_topk(
+                    emb, qv, K, nprobe=np_, index=idx,
+                    packed=True).collect())
+                t_probe += dt
+                hits += len({r.vec_id for r in rows} & exact_sets[qid])
+            comp[f"probe_sec_np{nprobe}"] = round(
+                t_probe / len(queries), 3)
+            comp[f"recall_at_{K}_np{nprobe}"] = round(
+                hits / (K * len(queries)), 3)
+        out["ivf_sq8_topk"] = comp
+        progress("ivf_sq8_topk")
+        idx[0].unpersist()
 
     if "nd" not in SECTIONS:
         print(json.dumps(out))
