@@ -3,7 +3,9 @@
 Wires the incremental pipeline operators into Structured Streaming's
 `foreachBatch`: each microbatch is (1) internally exact-deduped,
 (2) optionally C4-line-cleaned, (3) optionally quality/repetition
-gated, (4) deduped against the persisted corpus (exact hash anti-join,
+gated, (3b) optionally DECONTAMINATED against a benchmark sidecar
+(exact n-gram tier + fuzzy MinHash tier — see `corpus_ingest_batch_fn`),
+(4) deduped against the persisted corpus (exact hash anti-join,
 optionally MinHash near-dup), and (5) appended to the corpus parquet.
 
 Why foreachBatch and not a pure streaming graph: steps 4-5 need to read
@@ -133,6 +135,10 @@ def corpus_ingest_batch_fn(
     clean_min_words: int = 1,
     quality_gate: bool = True,
     signatures_path: str | None = None,
+    bench_path: str | None = None,
+    bench_n: int = 8,
+    fuzzy_bench: bool = False,
+    fuzzy_threshold: float = 0.5,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function for `start_corpus_ingest` (also
     directly callable with a static DataFrame for backfill runs).
@@ -142,7 +148,59 @@ def corpus_ingest_batch_fn(
     `seen_signatures` (so only the BATCH is re-shingled — the 100 TB
     contract) and appends the survivors' signatures after the corpus
     append. Without it, corpus signatures are recomputed per batch —
-    correct, but corpus-proportional work per microbatch."""
+    correct, but corpus-proportional work per microbatch.
+
+    `bench_path`: a benchmark-sidecar parquet dir (one `text_col`
+    column, any id columns ignored) — every microbatch is DECONTAMINATED
+    against it before the corpus anti-join: docs sharing >= 1 exact
+    `bench_n`-gram with any benchmark doc are rejected in-stream, and
+    with `fuzzy_bench=True` a second MinHash tier also rejects mutated
+    leaks whose shingle-Jaccard vs any benchmark doc >= `fuzzy_threshold`
+    (word substitutions defeat the exact tier — see
+    `contamination.fuzzy_flag_contaminated`). Benchmarks are versioned
+    artifacts, so their derived relations (distinct-gram set, MinHash
+    signatures) are computed ONCE per ingest process, cached, and
+    broadcast into every batch — per-batch cost is batch-proportional
+    only, the same contract as the signature sidecar. With
+    `fuzzy_bench`, batch `id_col` values must be nonnegative (benchmark
+    rows ride the verify union under fresh negative ids)."""
+
+    # benchmark-derived relations, computed lazily on the first batch
+    # and reused (benchmarks are MBs — both fit the broadcast path)
+    bench_state: dict = {}
+
+    def _decontaminate(batch: DataFrame) -> DataFrame:
+        from .contamination import (_gram_rows, benchmark_grams,
+                                    fuzzy_flag_contaminated)
+
+        spark = batch.sparkSession
+        if "grams" not in bench_state:
+            bench = spark.read.parquet(bench_path).select(text_col)
+            bench_state["grams"] = benchmark_grams(
+                bench, text_col, n=bench_n).cache()
+            if fuzzy_bench:
+                from .dedup import minhash_signatures
+
+                # fresh negative ids keep the verify union's id space
+                # disjoint from any nonnegative batch id
+                bench_ided = bench.select(
+                    (-1 - F.monotonically_increasing_id()).alias(id_col),
+                    F.col(text_col))
+                bench_state["bench"] = bench_ided.cache()
+                bench_state["sigs"] = minhash_signatures(
+                    bench_ided, id_col, text_col).cache()
+        grams = bench_state["grams"]
+        doc_grams = _gram_rows(batch, id_col, text_col, bench_n, "hash")
+        exact_hit = (doc_grams.join(F.broadcast(grams), "gram")
+                     .select(id_col).distinct())
+        out = batch.join(F.broadcast(exact_hit), id_col, "left_anti")
+        if fuzzy_bench:
+            fuzzy_hit = fuzzy_flag_contaminated(
+                out, bench_state["bench"], id_col, text_col,
+                threshold=fuzzy_threshold,
+                bench_signatures=bench_state["sigs"]).select(id_col)
+            out = out.join(F.broadcast(fuzzy_hit), id_col, "left_anti")
+        return out
 
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -152,6 +210,9 @@ def corpus_ingest_batch_fn(
         batch = clean_and_gate(batch, id_col, text_col, clean=clean,
                                min_words=clean_min_words,
                                quality_gate=quality_gate)
+        # 3b. benchmark decontamination (exact grams, optionally fuzzy)
+        if bench_path:
+            batch = _decontaminate(batch)
         # 4. dedup against the persisted corpus
         corpus = _corpus_df(spark, corpus_path, batch_df.schema)
         if corpus is not None:
@@ -191,6 +252,10 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
                         clean: bool = True, clean_min_words: int = 1,
                         quality_gate: bool = True,
                         signatures_path: str | None = None,
+                        bench_path: str | None = None,
+                        bench_n: int = 8,
+                        fuzzy_bench: bool = False,
+                        fuzzy_threshold: float = 0.5,
                         available_now: bool = False):
     """Start the streaming ingestion query over a streaming DataFrame
     (file/kafka source). Returns the StreamingQuery; exactly the
@@ -202,7 +267,9 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
             corpus_path, id_col, text_col, near_dup=near_dup,
             threshold=threshold, clean=clean,
             clean_min_words=clean_min_words, quality_gate=quality_gate,
-            signatures_path=signatures_path))
+            signatures_path=signatures_path, bench_path=bench_path,
+            bench_n=bench_n, fuzzy_bench=fuzzy_bench,
+            fuzzy_threshold=fuzzy_threshold))
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )

@@ -68,6 +68,11 @@ def _cmp_rows(cols, rows, sort_arrays):
 
 
 def _expected(case, mode):
+    if mode == "streaming" and "expected_batches" in case:
+        return [_expected({"expected": b,
+                           "sort_arrays": case.get("sort_arrays")},
+                          "batch")
+                for b in case["expected_batches"]]
     key = ("expected_streaming"
            if mode == "streaming" and "expected_streaming" in case
            else "expected")
@@ -79,6 +84,44 @@ def _expected(case, mode):
     return rows
 
 
+def _run_batched(spark, tmp_path, eng, case):
+    """Per-microbatch streaming drain (`input_batches` cases): each step
+    appends its rows to the source dirs and re-drains the SAME query
+    from the SAME checkpoint (availableNow); the fresh memory sink per
+    drain captures exactly the rows EMITTED by that drain — which is
+    what emission-timing deltas (watermark-close outer-join rows,
+    late-data drops, changelog updates) are about. Returns one row-list
+    per step."""
+    import re
+
+    sdf = eng.sql(case["query"])
+    out_mode = case.get("streaming_output_mode", "append")
+    ckpt = str(tmp_path / "q_ckpt")
+    got = []
+    for i, step in enumerate(case["input_batches"]):
+        if i:
+            for name, rows in step.items():
+                if not rows:
+                    continue
+                spark.createDataFrame(
+                    [tuple(r) for r in rows],
+                    case["inputs"][name]["schema"],
+                ).coalesce(1).write.mode("append").parquet(
+                    str(tmp_path / name))
+        qname = re.sub(r"\W", "_", f"conf_{case['name']}_b{i}").lower()
+        sq = (sdf.writeStream.format("memory").queryName(qname)
+              .outputMode(out_mode)
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        finished = sq.awaitTermination(120)
+        sq.stop()
+        assert finished, f"drain {i} of {case['name']} timed out"
+        got.append(_cmp_rows(case["columns"],
+                             spark.table(qname).collect(),
+                             case.get("sort_arrays", False)))
+    return got
+
+
 def _run_case(spark, tmp_path, case, mode):
     from confluent_ksql_charm_spark import KsqlSparkEngine
 
@@ -86,8 +129,15 @@ def _run_case(spark, tmp_path, case, mode):
                           streaming=(mode == "streaming"))
     if mode == "streaming":
         eng.config.checkpoint_dir = str(tmp_path / "ckpt")
+    steps = case.get("input_batches")
     for name, spec in case["inputs"].items():
-        df = spark.createDataFrame([tuple(r) for r in spec["rows"]],
+        if steps is None:
+            rows = spec["rows"]
+        elif mode == "batch":     # batch sees the union of every step
+            rows = [r for st in steps for r in st.get(name, [])]
+        else:                     # streaming starts from step 0 only
+            rows = steps[0].get(name, [])
+        df = spark.createDataFrame([tuple(r) for r in rows],
                                    spec["schema"])
         p = str(tmp_path / name)
         df.coalesce(1).write.mode("overwrite").parquet(p)
@@ -101,6 +151,8 @@ def _run_case(spark, tmp_path, case, mode):
         )
     for stmt in case.get("statements", []):
         eng.execute(stmt)
+    if steps is not None and mode == "streaming":
+        return _run_batched(spark, tmp_path, eng, case)
     rows = eng.push_query(case["query"], timeout=180)
     return _cmp_rows(case["columns"], rows, case.get("sort_arrays", False))
 

@@ -1574,6 +1574,93 @@ class TestCorpusIngest:
                 spark.read.parquet(str(corpus)).collect()} == {1, 6}
 
 
+class TestIngestDecontamination:
+    """Benchmark-sidecar decontamination inside the ingest microbatch
+    (VERDICT r6 #5): exact-gram tier + fuzzy MinHash tier in-stream."""
+
+    SCHEMA = "doc_id bigint, text string"
+    BENCH = ("which ocean is the largest on earth the pacific ocean "
+             "covers about a third of the planet surface and holds "
+             "half its water")
+    # substitutions at word positions 8 and 16 — every clean run is
+    # 7 words, so NO exact 8-gram survives, but 3-shingle Jaccard
+    # stays ~0.56 (the fuzzy tier's catch)
+    MUTATED = ("which ocean is the largest on earth this pacific ocean "
+               "covers about a third of that planet surface and holds "
+               "half its water")
+    EXACT_LEAK = BENCH  # verbatim leak: shares every 8-gram
+    CLEAN = ("an entirely unrelated training document about distributed "
+             "query engines and columnar storage formats at scale")
+
+    def _bench_dir(self, spark, tmp_path):
+        path = tmp_path / "bench"
+        spark.createDataFrame([(100, self.BENCH)], self.SCHEMA).write \
+            .parquet(str(path))
+        return path
+
+    def test_mutated_doc_evades_exact_tier(self, spark):
+        # precondition the fixture encodes: exact n=8 grams MISS the
+        # mutated doc (otherwise the fuzzy tier proves nothing)
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            flag_contaminated)
+
+        docs = spark.createDataFrame([(1, self.MUTATED)], self.SCHEMA)
+        bench = spark.createDataFrame([(100, self.BENCH)], self.SCHEMA)
+        assert flag_contaminated(docs, bench, "doc_id", "text").count() == 0
+
+    def test_batch_fn_rejects_exact_and_fuzzy_leaks(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.ingest import (
+            corpus_ingest_batch_fn)
+
+        corpus = tmp_path / "corpus"
+        fn = corpus_ingest_batch_fn(
+            str(corpus), bench_path=str(self._bench_dir(spark, tmp_path)),
+            fuzzy_bench=True, fuzzy_threshold=0.5)
+        b = spark.createDataFrame(
+            [(1, self.EXACT_LEAK), (2, self.MUTATED), (3, self.CLEAN)],
+            self.SCHEMA)
+        fn(b, 0)
+        got = {r.doc_id for r in spark.read.parquet(str(corpus)).collect()}
+        assert got == {3}   # verbatim leak AND mutated leak rejected
+
+    def test_exact_tier_only_without_fuzzy(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.ingest import (
+            corpus_ingest_batch_fn)
+
+        corpus = tmp_path / "corpus"
+        fn = corpus_ingest_batch_fn(
+            str(corpus), bench_path=str(self._bench_dir(spark, tmp_path)))
+        b = spark.createDataFrame(
+            [(1, self.EXACT_LEAK), (2, self.MUTATED), (3, self.CLEAN)],
+            self.SCHEMA)
+        fn(b, 0)
+        got = {r.doc_id for r in spark.read.parquet(str(corpus)).collect()}
+        assert got == {2, 3}  # fuzzy leak passes when only exact is on
+
+    def test_streaming_rejects_planted_benchmark_leak(self, spark,
+                                                      tmp_path):
+        # the VERDICT done-criterion: a planted MUTATED benchmark doc is
+        # rejected IN-STREAM (full writeStream path, availableNow drain)
+        from confluent_ksql_charm_spark.pipeline.ingest import (
+            start_corpus_ingest)
+
+        src = tmp_path / "src"
+        corpus = tmp_path / "corpus"
+        ckpt = tmp_path / "ckpt"
+        spark.createDataFrame(
+            [(1, self.MUTATED), (2, self.CLEAN)],
+            self.SCHEMA).write.parquet(str(src))
+        q = start_corpus_ingest(
+            spark.readStream.schema(self.SCHEMA).parquet(str(src)),
+            str(corpus), str(ckpt),
+            bench_path=str(self._bench_dir(spark, tmp_path)),
+            fuzzy_bench=True, fuzzy_threshold=0.5,
+            available_now=True)
+        q.awaitTermination(60)
+        got = {r.doc_id for r in spark.read.parquet(str(corpus)).collect()}
+        assert got == {2}
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
         from confluent_ksql_charm_spark.pipeline.multimodal import (

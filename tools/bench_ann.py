@@ -39,9 +39,9 @@ EXACT = "--exact" in sys.argv
 N_QUERIES = int(os.environ.get("ANN_BENCH_QUERIES", "20"))
 THRESHOLD = 0.95
 K = 10
-#: comma-list of sections to run (default all): lsh,ivf,nd,sq8
+#: comma-list of sections to run (default all): lsh,ivf,ivfsq8,nd,sq8
 SECTIONS = set(filter(None, os.environ.get(
-    "ANN_BENCH_SECTIONS", "lsh,ivf,nd,sq8").split(",")))
+    "ANN_BENCH_SECTIONS", "lsh,ivf,ivfsq8,nd,sq8").split(",")))
 
 
 def main() -> None:
