@@ -720,6 +720,24 @@ def _q_corpus_stats(spark, sf):
     return corpus_stats(_docs(spark, sf), "text", "lang")
 
 
+def _q_source_cap(spark, sf):
+    # C4-style per-domain cap: <= 10 docs per source, lowest doc_id
+    # first; Catalyst lowers the rank filter to a partial-below-Exchange
+    # WindowGroupLimit (map-side per-key top-n — the skew story).
+    from confluent_ksql_charm_spark.pipeline.sampling import group_cap
+
+    return group_cap(_docs(spark, sf).select("doc_id", "source"),
+                     "source", 10)
+
+
+def _q_unigram_logprob(spark, sf):
+    # CCNet-style self-LM quality score: mean ln p(token) under the
+    # corpus unigram distribution capped at V=100 (+pooled OOV mass).
+    from confluent_ksql_charm_spark.pipeline.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf), vocab_size=100)
+
+
 def _q_pack_sequences(spark, sf):
     # Concat-and-chunk packing plan: portable-hash shard+order, running
     # token cumsum, integer pack-boundary math — DuckDB reproduces the
@@ -1073,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "corpus_split_sample": _q_corpus_split_sample,
         "token_stats_by_lang": _q_token_stats,
+        "source_cap": _q_source_cap,
+        "unigram_logprob": _q_unigram_logprob,
         "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition_stats,
         "c4_line_clean": _q_c4_line_clean,
@@ -1979,6 +1999,36 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _paragraph_dedup_oracle(),
         "substring_dedup": _substring_dedup_oracle(),
         "fuzzy_decontaminate": _fuzzy_decontaminate_oracle(),
+        "source_cap": (
+            # per-source rank filter, lowest doc_id first — replays the
+            # WindowGroupLimit plan exactly
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 10"
+        ),
+        "unigram_logprob": (
+            # corpus self-LM: top-100 vocab (ties to smaller token),
+            # leftover mass pooled into one OOV event; mean ln p per doc
+            "WITH toks AS (SELECT doc_id, lower(unnest("
+            "string_split_regex(trim(text), '\\s+'))) AS token "
+            "FROM documents), "
+            "cnt AS (SELECT token, count(*) AS cnt FROM toks "
+            "GROUP BY token), "
+            "tot AS (SELECT SUM(cnt) AS total FROM cnt), "
+            "model AS (SELECT token, cnt FROM cnt "
+            "ORDER BY cnt DESC, token ASC LIMIT 100), "
+            "iv AS (SELECT SUM(cnt) AS in_vocab FROM model), "
+            "scored AS (SELECT m.token, ln(m.cnt * 1.0 / t.total) AS lp "
+            "FROM model m, tot t), "
+            "oov AS (SELECT CASE WHEN t.total > i.in_vocab THEN "
+            "ln((t.total - i.in_vocab) * 1.0 / t.total) END AS olp "
+            "FROM tot t, iv i) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "ROUND(AVG(COALESCE(s.lp, o.olp)), 6) AS avg_logprob "
+            "FROM toks LEFT JOIN scored s USING (token) CROSS JOIN oov o "
+            "GROUP BY doc_id"
+        ),
         "vocab_topk": (
             # exact-BIGINT cumsum, single final division; ties to the
             # lexicographically smaller token in both engines

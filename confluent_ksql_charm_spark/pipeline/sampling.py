@@ -331,3 +331,37 @@ def stratified_sample(df: DataFrame, key_col: str,
     for s, f in fractions.items():
         frac = F.when(F.col(stratum_col) == s, F.lit(float(f))).otherwise(frac)
     return df.where(unit_hash(key_col, salt) < frac)
+
+
+def group_cap(df: DataFrame, group_col: str, n: int, *,
+              order_by: list[Column] | None = None,
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep at most `n` rows per `group_col` value — the C4-style
+    per-domain document cap (no single domain may dominate the corpus).
+    Beyond-reference LLM-pipeline operator (SURVEY §3.11); the public
+    KSQL 5.x surface has no analogue.
+
+    `order_by` picks WHICH n survive (default: lowest `id_col` first —
+    deterministic and oracle-replayable); pass e.g.
+    ``[F.length("text").desc(), F.col("doc_id").asc()]`` to keep the
+    longest documents instead. Always terminate a custom order with a
+    unique tiebreaker or survivors are partition-order-dependent.
+
+    Scale shape — deliberately a single rank-filter window, NOT a salted
+    two-phase job: Catalyst lowers ``row_number() <= n`` to
+    `WindowGroupLimit`, inserting a PARTIAL group-limit below the
+    Exchange (verified in the physical plan; tripwired in
+    tests/test_plans.py). Every map task therefore reduces each group to
+    <= n rows before the shuffle — the giant-domain key ships
+    n x num_map_partitions rows, not its full row count, which is the
+    same bound manual salting would buy, with one shuffle and zero
+    bookkeeping columns.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    order = order_by if order_by is not None else [F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n).drop("__rn"))

@@ -491,3 +491,77 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         guess_language(c).alias("lang_guess"),
         fingerprint64(c).alias("fingerprint"),
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *,
+                    vocab_size: int | None = None,
+                    lowercase: bool = True) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the CCNet/Wikipedia-LM quality-filter shape
+    (docs whose tokens are "surprising" under the reference distribution
+    score low; here the reference model is the corpus itself, so no
+    external LM artifact is needed and the whole computation is exactly
+    replayable by an outside engine). Beyond-reference LLM-pipeline
+    operator (SURVEY §3.11).
+
+    Returns (id, n_tokens, avg_logprob) with avg_logprob = mean over the
+    doc's tokens of ln p(token), rounded to 6 (oracle contract).
+
+    `vocab_size`: cap the model to the top-V tokens by count (ties to
+    the lexicographically smaller token, as `vocab_topk`); all other
+    tokens pool into one OOV event whose probability is the pooled
+    leftover mass. This is the 100 TB knob — it bounds the model
+    relation at V rows so the scoring join stays broadcastable no matter
+    how large the corpus vocabulary grows.
+
+    Scale shape: one tokenize+explode rides the corpus scan into a
+    two-level hash aggregate (map-side combine → single shuffle on the
+    token) = the model; the scoring pass re-explodes the corpus, joins
+    the model (broadcast-sized under `vocab_size`), and hash-aggregates
+    per doc. Two shuffles total on the big side; the model relation is
+    checkpointed so its aggregation runs once, not once per consumer
+    (total / OOV-mass / join all read it).
+    """
+    from .lazy import maybe_checkpoint
+
+    tok = F.explode(tokens_col(text_col)).alias("token")
+    norm = (lambda c: F.lower(c)) if lowercase else (lambda c: c)
+    toks = df.select(F.col(id_col), tok).select(
+        id_col, norm(F.col("token")).alias("token"))
+    counts = maybe_checkpoint(
+        toks.groupBy("token").agg(F.count("*").alias("cnt")))
+    if vocab_size is not None:
+        if vocab_size < 1:
+            raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+        model = (counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+                 .limit(vocab_size))
+    else:
+        model = counts
+    # 1-row scalars (total mass, OOV mass) attached via the broadcast
+    # scalar pattern; ln(p) precomputed per model row so the scoring
+    # join carries one double per token
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    in_vocab = model.agg(F.sum("cnt").alias("__in_vocab"))
+    scored_model = (
+        model.crossJoin(F.broadcast(total))
+        .select("token", F.log(F.col("cnt") / F.col("__total"))
+                .alias("__lp")))
+    oov_lp = (total.crossJoin(F.broadcast(in_vocab))
+              .select(F.when(
+                  F.col("__total") > F.col("__in_vocab"),
+                  F.log((F.col("__total") - F.col("__in_vocab"))
+                        / F.col("__total"))).alias("__oov_lp")))
+    # broadcast is only safe when vocab_size bounds the model relation;
+    # the uncapped model is vocabulary-sized → shuffled join on token
+    join_model = (F.broadcast(scored_model) if vocab_size is not None
+                  else scored_model)
+    return (
+        toks.join(join_model, "token", "left")
+        .crossJoin(F.broadcast(oov_lp))
+        .select(id_col,
+                F.coalesce(F.col("__lp"), F.col("__oov_lp")).alias("__lp"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"),
+             F.round(F.avg("__lp"), 6).alias("avg_logprob"))
+    )

@@ -92,8 +92,6 @@ def _run_batched(spark, tmp_path, eng, case):
     what emission-timing deltas (watermark-close outer-join rows,
     late-data drops, changelog updates) are about. Returns one row-list
     per step."""
-    import re
-
     sdf = eng.sql(case["query"])
     out_mode = case.get("streaming_output_mode", "append")
     ckpt = str(tmp_path / "q_ckpt")
@@ -108,16 +106,20 @@ def _run_batched(spark, tmp_path, eng, case):
                     case["inputs"][name]["schema"],
                 ).coalesce(1).write.mode("append").parquet(
                     str(tmp_path / name))
-        qname = re.sub(r"\W", "_", f"conf_{case['name']}_b{i}").lower()
-        sq = (sdf.writeStream.format("memory").queryName(qname)
+        # foreachBatch, not a memory sink: the memory sink refuses to
+        # recover from an existing checkpoint, and carrying state +
+        # watermark ACROSS drains is the whole point here
+        emitted: list = []
+        sq = (sdf.writeStream
+              .foreachBatch(lambda bdf, _bid: emitted.extend(
+                  bdf.collect()))
               .outputMode(out_mode)
               .option("checkpointLocation", ckpt)
               .trigger(availableNow=True).start())
         finished = sq.awaitTermination(120)
         sq.stop()
         assert finished, f"drain {i} of {case['name']} timed out"
-        got.append(_cmp_rows(case["columns"],
-                             spark.table(qname).collect(),
+        got.append(_cmp_rows(case["columns"], emitted,
                              case.get("sort_arrays", False)))
     return got
 

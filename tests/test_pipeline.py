@@ -1579,18 +1579,20 @@ class TestIngestDecontamination:
     (VERDICT r6 #5): exact-gram tier + fuzzy MinHash tier in-stream."""
 
     SCHEMA = "doc_id bigint, text string"
+    # texts carry terminal punctuation so the ingest C4 line-clean
+    # step keeps them — this suite tests the decontamination tiers
     BENCH = ("which ocean is the largest on earth the pacific ocean "
              "covers about a third of the planet surface and holds "
-             "half its water")
+             "half its water.")
     # substitutions at word positions 8 and 16 — every clean run is
     # 7 words, so NO exact 8-gram survives, but 3-shingle Jaccard
     # stays ~0.56 (the fuzzy tier's catch)
     MUTATED = ("which ocean is the largest on earth this pacific ocean "
                "covers about a third of that planet surface and holds "
-               "half its water")
+               "half its water.")
     EXACT_LEAK = BENCH  # verbatim leak: shares every 8-gram
     CLEAN = ("an entirely unrelated training document about distributed "
-             "query engines and columnar storage formats at scale")
+             "query engines and columnar storage formats at scale.")
 
     def _bench_dir(self, spark, tmp_path):
         path = tmp_path / "bench"
@@ -2008,3 +2010,92 @@ class TestSampling:
         assert sum(1 for r in got if r.src == "small") == 40
         # surplus redistributed: total ≈ 2020, not 40 + 1010
         assert abs(len(got) - 2020) < 80
+
+
+class TestGroupCap:
+    def test_cap_keeps_lowest_ids(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import group_cap
+
+        rows = [(i, f"s{i % 3}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string")
+        got = group_cap(df, "source", 2).collect()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r.source, []).append(r.doc_id)
+        assert {k: sorted(v) for k, v in by_src.items()} == {
+            "s0": [0, 3], "s1": [1, 4], "s2": [2, 5]}
+
+    def test_custom_order_keeps_longest(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import group_cap
+
+        df = spark.createDataFrame(
+            [(1, "a", "xx"), (2, "a", "xxxx"), (3, "a", "xxx"),
+             (4, "b", "x")],
+            "doc_id bigint, source string, text string")
+        got = group_cap(
+            df, "source", 2,
+            order_by=[F.length("text").desc(), F.col("doc_id").asc()])
+        assert {r.doc_id for r in got.collect()} == {2, 3, 4}
+
+    def test_groups_under_cap_untouched(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import group_cap
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "doc_id bigint, source string")
+        assert group_cap(df, "source", 5).count() == 2
+
+    def test_invalid_n(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import group_cap
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, source string")
+        with pytest.raises(ValueError, match="n must be"):
+            group_cap(df, "source", 0)
+
+
+class TestUnigramLogprob:
+    def test_hand_computed_tiny_corpus(self, spark):
+        import math
+
+        from confluent_ksql_charm_spark.pipeline.text import (
+            unigram_logprob)
+
+        # corpus tokens: a a a b  -> p(a)=3/4, p(b)=1/4
+        df = spark.createDataFrame([(1, "a a"), (2, "a b")],
+                                   "doc_id bigint, text string")
+        got = {r.doc_id: (r.n_tokens, r.avg_logprob)
+               for r in unigram_logprob(df).collect()}
+        lpa, lpb = math.log(0.75), math.log(0.25)
+        assert got[1] == (2, round(lpa, 6))
+        assert got[2] == (2, round((lpa + lpb) / 2, 6))
+
+    def test_vocab_cap_pools_oov_mass(self, spark):
+        import math
+
+        from confluent_ksql_charm_spark.pipeline.text import (
+            unigram_logprob)
+
+        # tokens: a a a b c -> top-1 vocab {a}; OOV mass = 2/5
+        df = spark.createDataFrame([(1, "a a a"), (2, "b c")],
+                                   "doc_id bigint, text string")
+        got = {r.doc_id: r.avg_logprob
+               for r in unigram_logprob(df, vocab_size=1).collect()}
+        assert got[1] == round(math.log(3 / 5), 6)
+        assert got[2] == round(math.log(2 / 5), 6)   # both tokens OOV
+
+    def test_lowercase_folds_counts(self, spark):
+        import math
+
+        from confluent_ksql_charm_spark.pipeline.text import (
+            unigram_logprob)
+
+        df = spark.createDataFrame([(1, "A a")], "doc_id bigint, text string")
+        got = unigram_logprob(df).collect()[0]
+        assert got.avg_logprob == round(math.log(1.0), 6)  # one token type
+
+    def test_invalid_vocab_size(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            unigram_logprob)
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="vocab_size"):
+            unigram_logprob(df, vocab_size=0)

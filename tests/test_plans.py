@@ -347,3 +347,48 @@ class TestDedupPlans:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert plan.count("Exchange") <= 18, plan.count("Exchange")
+
+
+class TestRound7Plans:
+    def test_group_cap_partial_window_group_limit(self, engine):
+        # the skew posture: Catalyst must insert a PARTIAL
+        # WindowGroupLimit BELOW the Exchange (map-side per-key top-n),
+        # so a giant domain ships <= n rows per map task, not its full
+        # row count — group_cap's scale contract rests on this
+        from confluent_ksql_charm_spark.pipeline.sampling import group_cap
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(group_cap(docs.select("doc_id", "source"),
+                               "source", 10))
+        assert "WindowGroupLimit" in plan
+        below_exchange = plan.split("Exchange", 1)[1]
+        assert "WindowGroupLimit" in below_exchange
+        assert "CartesianProduct" not in plan
+
+    def test_unigram_logprob_capped_model_broadcasts(self, engine):
+        # with vocab_size the scoring join must broadcast the V-row
+        # model; the only nested-loop joins are 1-row scalar attaches
+        from confluent_ksql_charm_spark.pipeline.text import (
+            unigram_logprob)
+
+        docs = engine.metastore.get("documents").df
+        df = unigram_logprob(docs, vocab_size=50)
+        df.count()  # AQE-final
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+    def test_unigram_logprob_uncapped_model_not_broadcast(self, engine):
+        # the uncapped model is vocabulary-sized: forcing a broadcast
+        # would ship the whole vocab to every executor — must stay a
+        # shuffled join
+        from confluent_ksql_charm_spark.pipeline.text import (
+            unigram_logprob)
+
+        docs = engine.metastore.get("documents").df
+        plan = _formatted(unigram_logprob(docs))
+        import re
+
+        hints = re.findall(r"BroadcastHashJoin \[token", plan)
+        assert not hints
