@@ -738,6 +738,15 @@ def _q_unigram_logprob(spark, sf):
     return unigram_logprob(_docs(spark, sf), vocab_size=100)
 
 
+def _q_chunk_documents(spark, sf):
+    # sliding-window context chunking: 32-token windows every 24 tokens
+    # (25% overlap) — pure array expressions, zero shuffle
+    from confluent_ksql_charm_spark.pipeline.sampling import (
+        chunk_documents)
+
+    return chunk_documents(_docs(spark, sf), max_tokens=32, stride=24)
+
+
 def _q_pack_sequences(spark, sf):
     # Concat-and-chunk packing plan: portable-hash shard+order, running
     # token cumsum, integer pack-boundary math — DuckDB reproduces the
@@ -1093,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_lang": _q_token_stats,
         "source_cap": _q_source_cap,
         "unigram_logprob": _q_unigram_logprob,
+        "chunk_documents": _q_chunk_documents,
         "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition_stats,
         "c4_line_clean": _q_c4_line_clean,
@@ -2028,6 +2038,17 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(COALESCE(s.lp, o.olp)), 6) AS avg_logprob "
             "FROM toks LEFT JOIN scored s USING (token) CROSS JOIN oov o "
             "GROUP BY doc_id"
+        ),
+        "chunk_documents": (
+            # sliding-window chunking replayed with a list-valued
+            # generate_series (starts every 24 tokens, 32-token slices)
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array("
+            "trim(text), '\\s+') AS t FROM documents), "
+            "st AS (SELECT doc_id, t, CAST(unnest(generate_series(0, "
+            "greatest(len(t)-1, 0), 24)) AS INT) AS s FROM toks) "
+            "SELECT doc_id, CAST(s//24 AS INT) AS chunk_id, "
+            "CAST(len(t[s+1 : s+32]) AS INT) AS n_tokens, "
+            "array_to_string(t[s+1 : s+32], ' ') AS chunk FROM st"
         ),
         "vocab_topk": (
             # exact-BIGINT cumsum, single final division; ties to the

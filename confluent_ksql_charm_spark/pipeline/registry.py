@@ -51,6 +51,11 @@ _SIGNATURES = {
                     "QUERY_VEC='f,f,...', ID='id', TEXT='text'"
                     "[, EMB_ID='vec_id'][, EMB='embedding'][, K='10']"
                     "[, K_EACH='20'][, RRF_K='60'])"),
+    "GROUP_CAP": "GROUP_CAP(src, GROUP='col', N='50'[, ID='doc_id'])",
+    "UNIGRAM_LOGPROB": ("UNIGRAM_LOGPROB(src, TEXT='text'"
+                        "[, ID='doc_id'][, VOCAB='100'])"),
+    "CHUNK": ("CHUNK(src, TEXT='text'[, ID='doc_id']"
+              "[, MAX_TOKENS='512'][, STRIDE='512'])"),
 }
 
 
@@ -201,6 +206,27 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                               alpha=float(p.get("ALPHA", 0.5)),
                               target_fraction=float(p.get("FRACTION", 0.5)),
                               weight_col=p.get("WEIGHT"))
+    if op == "GROUP_CAP":
+        from .sampling import group_cap
+        _need_sources(spec, 1)
+        return group_cap(dfs[0], _need(spec, "GROUP"),
+                         int(_need(spec, "N")),
+                         id_col=p.get("ID", "doc_id"))
+    if op == "UNIGRAM_LOGPROB":
+        from .text import unigram_logprob
+        _need_sources(spec, 1)
+        v = p.get("VOCAB")
+        return unigram_logprob(dfs[0], p.get("ID", "doc_id"),
+                               _need(spec, "TEXT"),
+                               vocab_size=int(v) if v is not None else None)
+    if op == "CHUNK":
+        from .sampling import chunk_documents
+        _need_sources(spec, 1)
+        mx = int(p.get("MAX_TOKENS", 512))
+        return chunk_documents(dfs[0], p.get("ID", "doc_id"),
+                               _need(spec, "TEXT"),
+                               max_tokens=mx,
+                               stride=int(p.get("STRIDE", mx)))
     raise ValueError(
         f"unknown PIPELINE operator {op!r}; available: "
         + ", ".join(sorted(_SIGNATURES)))

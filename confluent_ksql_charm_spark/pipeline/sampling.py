@@ -365,3 +365,51 @@ def group_cap(df: DataFrame, group_col: str, n: int, *,
     w = Window.partitionBy(group_col).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= n).drop("__rn"))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *, max_tokens: int = 512,
+                    stride: int | None = None) -> DataFrame:
+    """Split documents into context-window chunks of at most `max_tokens`
+    whitespace tokens, starting every `stride` tokens (default
+    `stride == max_tokens`: disjoint chunks; a smaller stride overlaps
+    adjacent chunks — the standard sliding-window prep for training
+    examples and embedding passages). Beyond-reference LLM-pipeline
+    operator (SURVEY §3.11).
+
+    Returns (id, chunk_id, n_tokens, chunk); `chunk_id` is the 0-based
+    window ordinal and `chunk` the space-rejoined token slice (i.e.
+    runs of whitespace are normalized — chunking operates on the token
+    sequence, not raw bytes).
+
+    Scale shape: pure array expressions (split → sequence of starts →
+    posexplode → slice) riding the corpus scan — zero shuffles, zero
+    Python, output rows ≈ n_tokens/stride per doc. Expansion is bounded
+    by the overlap factor max_tokens/stride; the plan stays a single
+    whole-stage-codegen projection (tripwired).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(
+            f"stride must be in [1, max_tokens], got {stride}")
+    from .dedup import tokens_col
+
+    toks = tokens_col(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)),
+                        F.lit(stride))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"),
+                  starts.alias("__starts"))
+        .select(id_col, "__toks",
+                F.posexplode("__starts").alias("chunk_id", "__start"))
+        .select(
+            id_col, "chunk_id",
+            F.slice(F.col("__toks"), F.col("__start") + 1,
+                    max_tokens).alias("__slice"))
+        .select(
+            id_col, "chunk_id",
+            F.size("__slice").alias("n_tokens"),
+            F.concat_ws(" ", "__slice").alias("chunk"))
+    )

@@ -2099,3 +2099,55 @@ class TestUnigramLogprob:
         df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
         with pytest.raises(ValueError, match="vocab_size"):
             unigram_logprob(df, vocab_size=0)
+
+
+class TestChunkDocuments:
+    def test_disjoint_chunks_default_stride(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            chunk_documents)
+
+        df = spark.createDataFrame([(1, "a b c d e")],
+                                   "doc_id bigint, text string")
+        got = sorted((r.chunk_id, r.n_tokens, r.chunk) for r in
+                     chunk_documents(df, max_tokens=2).collect())
+        assert got == [(0, 2, "a b"), (1, 2, "c d"), (2, 1, "e")]
+
+    def test_overlapping_stride(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            chunk_documents)
+
+        df = spark.createDataFrame([(1, "a b c d e f g")],
+                                   "doc_id bigint, text string")
+        got = sorted((r.chunk_id, r.chunk) for r in chunk_documents(
+            df, max_tokens=4, stride=3).collect())
+        assert got == [(0, "a b c d"), (1, "d e f g"), (2, "g")]
+
+    def test_short_doc_single_chunk(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            chunk_documents)
+
+        df = spark.createDataFrame([(1, "only three tokens")],
+                                   "doc_id bigint, text string")
+        got = chunk_documents(df, max_tokens=512).collect()
+        assert [(r.chunk_id, r.n_tokens, r.chunk) for r in got] == [
+            (0, 3, "only three tokens")]
+
+    def test_plan_is_pure_projection(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            chunk_documents)
+
+        df = spark.createDataFrame([(1, "a b c")],
+                                   "doc_id bigint, text string")
+        plan = chunk_documents(df)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_invalid_params(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            chunk_documents)
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="max_tokens"):
+            chunk_documents(df, max_tokens=0)
+        with pytest.raises(ValueError, match="stride"):
+            chunk_documents(df, max_tokens=4, stride=5)
