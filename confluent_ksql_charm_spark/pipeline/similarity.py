@@ -816,10 +816,10 @@ def ivf_sq8_index(df: DataFrame, *, nlist: int = 16,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   seed: int = 42,
                   sample_fraction: float | None | str = "auto",
-                  packed: bool = False):
+                  packed: bool = True):
     """Build the composed index: IVF coarse cells over SQ8-compressed
     codes — ``(codes_df, centers, stats)`` where `codes_df` carries
-    (id, sq8_code|sq8_bytes, __cell).
+    (id, sq8_bytes|sq8_code, __cell).
 
     This is the deployed faiss ``IVF<nlist>,SQ8`` shape: the coarse
     quantizer prunes the corpus to `nprobe` cells, and the scan inside
@@ -834,8 +834,11 @@ def ivf_sq8_index(df: DataFrame, *, nlist: int = 16,
     parquet partitions — the compressed-bytes-per-probe is
     nprobe/nlist x 1/4 of a float32 full scan.
 
-    `packed=True` stores byte-packed codes (`sq8_bytes`) for the numpy
-    ADC scan (`ivf_sq8_topk(..., packed=True)`).
+    `packed` (default True) stores byte-packed codes (`sq8_bytes`) for
+    the numpy ADC scan — measured 3.6x faster per probe than the
+    unrolled-expression ADC over int-array codes at sf1 (0.40 vs
+    1.46 s/query, BASELINE round-7); pass ``packed=False`` only when a
+    downstream consumer needs the per-dimension `sq8_code` ints.
     """
     assigned, centers = ivf_index(df, nlist=nlist, vec_col=vec_col,
                                   seed=seed,
@@ -867,7 +870,7 @@ def ivf_sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
                  seed: int = 42,
                  sample_fraction: float | None | str = "auto",
                  index: tuple | None = None,
-                 packed: bool = False,
+                 packed: bool = True,
                  round_to: int | None = 4) -> DataFrame:
     """Approximate top-k by cosine via IVF-pruned SQ8 ADC scan: probe
     the `nprobe` cells whose centroids are nearest the query, ADC-scan
@@ -875,8 +878,10 @@ def ivf_sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
 
     Composes the family's two cheap tiers (VERDICT r6 #2): IVF cuts the
     rows scanned to ~nprobe/nlist of the corpus; SQ8 cuts the bytes per
-    row 4x and keeps the score JVM-side (expression ADC) or in one numpy
-    matmul (`packed=True`). ``nprobe == nlist`` scans every cell and
+    row 4x and scores with one numpy matmul over the packed codes
+    (`packed=True`, the measured-faster default — 0.40 vs 1.46 s/query
+    at sf1 for the expression-ADC alternative, BASELINE round-7).
+    ``nprobe == nlist`` scans every cell and
     degrades to exactly `sq8_topk` — the property the oracle gate uses.
 
     `index`: a prebuilt ``ivf_sq8_index(...)`` result — pass it on every
