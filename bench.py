@@ -43,6 +43,10 @@ HEADLINE = [
     # round-6 additions
     "substring_dedup",
     "mixture_waterfill",
+    # round-7 additions
+    "source_cap",
+    "unigram_logprob",
+    "chunk_documents",
 ]
 
 
