@@ -773,6 +773,12 @@ def sq8_topk_packed(packed_df: DataFrame, query_vec: list[float],
     by (acos desc, id asc) — a positional nlargest could drop a tied
     smaller-id row at the partition k-boundary, making results vary
     with partitioning.
+
+    vs the expression scan: numpy's pairwise summation and the
+    expression fold's left-to-right order differ in the last float
+    bits, so a score sitting exactly on a `round_to` boundary can round
+    differently across the two paths (each path is individually
+    deterministic). Compare like-with-like when asserting equality.
     """
     import numpy as np
 
@@ -897,3 +903,107 @@ def ivf_sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
                                round_to=round_to)
     return sq8_topk(cand, query_vec, stats, k, id_col=id_col,
                     round_to=round_to)
+
+
+def assign_cells(df: DataFrame, centers: list[list[float]], *,
+                 vec_col: str = "embedding") -> DataFrame:
+    """Assign vectors to the nearest existing coarse cell WITHOUT
+    refitting: L2-normalize and argmin squared distance to the stored
+    `centers` (spherical assignment, identical to `ivf_index`'s
+    `model.transform`). Adds an int ``__cell`` column.
+
+    Runs as one Arrow-batched numpy pass — (batch x dim) @ (dim x nlist)
+    — because an unrolled nlist x dim distance expression blows past
+    codegen limits at nlist >= 256 while the matmul is a single BLAS
+    call per batch. No shuffle; rides the scan.
+    """
+    import numpy as np
+
+    c = np.asarray(centers, dtype=np.float64)          # nlist x dim
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType.fromJson(df.schema.jsonValue()).add(
+        StructField("__cell", IntegerType()))
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(__cell=np.array([], dtype="int32"))
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            u = x / n
+            # ||u - c||^2 = ||u||^2 + ||c||^2 - 2 u.c — argmin over cells
+            d = (u ** 2).sum(1, keepdims=True) + (c ** 2).sum(1) \
+                - 2.0 * (u @ c.T)
+            yield pdf.assign(__cell=d.argmin(1).astype("int32"))
+
+    return df.mapInPandas(_assign, schema=out_schema)
+
+
+def ivf_sq8_add(spark, path: str, new_df: DataFrame, *,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> None:
+    """Incrementally ADD vectors to a persisted ``kind="ivf_sq8"`` index
+    (the deployed `index.add()` path — ingest freshness without the
+    KMeans refit): assign each new vector to its nearest EXISTING cell
+    (`assign_cells`), encode with the EXISTING SQ8 codebook, byte-pack,
+    and append to the cell-partitioned parquet. Centers and codebook in
+    the sidecar are unchanged, so every prior probe plan keeps working
+    and a full probe stays exactly `sq8_topk` under the stored codebook.
+
+    Staleness contract: assignment quality degrades only as the data
+    DISTRIBUTION drifts from the fitted centers/codebook — monitor with
+    `sq8_codebook_drift` and refit when the clip fraction grows; until
+    then adds are O(|new|) with zero index downtime (parquet append is
+    atomic per partition-file, and probes read a consistent listing).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    if meta["kind"] != "ivf_sq8":
+        raise ValueError(
+            f"ivf_sq8_add needs an ivf_sq8 index, got {meta['kind']!r}")
+    centers = meta["params"]["centers"]
+    stats = [tuple(s) for s in meta["params"]["stats"]]
+    assigned = assign_cells(new_df, centers, vec_col=vec_col)
+    codes = sq8_pack(sq8_encode(assigned, stats, vec_col=vec_col,
+                                id_col=id_col, keep=["__cell"]))
+    writer = codes.write.mode("append")
+    if meta.get("partition_by"):
+        writer = writer.partitionBy(meta["partition_by"])
+    writer.parquet(os.path.join(path, "index.parquet"))
+
+
+def sq8_codebook_drift(df: DataFrame,
+                       stats: list[tuple[float, float]], *,
+                       vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension codebook drift monitor: the fraction of a new
+    batch's values that CLIP below/above the stored SQ8 codebook range
+    (clipped values all encode to 0 or 255 — rising clip fractions mean
+    the quantizer is going stale and recall will sag; the refit trigger
+    for `ivf_sq8_add` pipelines).
+
+    Returns (dim, below_frac, above_frac, clip_frac) — one row per
+    dimension, fractions rounded to 6. Single explode + one aggregate;
+    the stored mins/maxes ride along as array literals (bounded driver
+    state, exactly like the codebook itself).
+    """
+    mins = F.array(*[F.lit(float(mn)) for mn, _ in stats])
+    maxs = F.array(*[F.lit(float(mx)) for _, mx in stats])
+    x = (df.select(F.posexplode(F.col(vec_col)).alias("dim", "__x"),
+                   mins.alias("__mins"), maxs.alias("__maxs"))
+         .select("dim", F.col("__x").cast("double").alias("__x"),
+                 F.element_at("__mins", F.col("dim") + 1).alias("__mn"),
+                 F.element_at("__maxs", F.col("dim") + 1).alias("__mx")))
+    below = F.avg((F.col("__x") < F.col("__mn")).cast("double"))
+    above = F.avg((F.col("__x") > F.col("__mx")).cast("double"))
+    return (x.groupBy("dim")
+            .agg(F.round(below, 6).alias("below_frac"),
+                 F.round(above, 6).alias("above_frac"),
+                 F.round(below + above, 6).alias("clip_frac"))
+            .orderBy("dim"))

@@ -2151,3 +2151,105 @@ class TestChunkDocuments:
             chunk_documents(df, max_tokens=0)
         with pytest.raises(ValueError, match="stride"):
             chunk_documents(df, max_tokens=4, stride=5)
+
+
+class TestIVFSQ8Incremental:
+    """Incremental index maintenance: add without refit + drift monitor."""
+
+    def _clustered(self, spark, n=120, dim=8, ncenters=4, seed=21):
+        import random
+
+        rng = random.Random(seed)
+        centers = [[rng.uniform(-1, 1) for _ in range(dim)]
+                   for _ in range(ncenters)]
+        rows = [(i, [c + rng.gauss(0, 0.05) for c in centers[i % ncenters]])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"), rows
+
+    def test_assign_cells_matches_build_assignment(self, spark):
+        # numpy argmin assignment == the KMeansModel.transform cells the
+        # index was built with, for the exact same vectors
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            assign_cells, ivf_sq8_index)
+
+        df, _ = self._clustered(spark)
+        codes, centers, _ = ivf_sq8_index(df, nlist=4)
+        built = {r.vec_id: r["__cell"] for r in codes.collect()}
+        re_assigned = {r.vec_id: r["__cell"] for r in
+                       assign_cells(df, centers).collect()}
+        assert re_assigned == built
+
+    def test_add_then_full_probe_equals_rebuilt_codes(self, spark,
+                                                      tmp_path):
+        # after ivf_sq8_add, a FULL probe of the loaded index must equal
+        # sq8_topk over codes built with the SAME stored codebook on the
+        # full corpus — the add path changes freshness, never semantics
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            ivf_sq8_add, ivf_sq8_index, ivf_sq8_topk, load_ann_index,
+            save_ann_index, sq8_encode, sq8_pack, sq8_topk_packed)
+
+        df, rows = self._clustered(spark, n=120)
+        base, extra = df.where("vec_id < 80"), df.where("vec_id >= 80")
+        idx = ivf_sq8_index(base, nlist=4)
+        path = str(tmp_path / "ivfsq8")
+        save_ann_index(idx, path, kind="ivf_sq8",
+                       params={"nlist": 4}, partition_by="__cell")
+        ivf_sq8_add(spark, path, extra)
+        loaded, _ = load_ann_index(spark, path)
+        assert loaded[0].count() == 120
+        q = rows[0][1]
+        got = [(r.vec_id, r.acos) for r in ivf_sq8_topk(
+            df, q, k=10, nprobe=4, index=loaded).collect()]
+        # same scan path (packed numpy ADC) over codes rebuilt from the
+        # STORED codebook — add changes freshness, never semantics
+        stats = idx[2]
+        want = [(r.vec_id, r.acos) for r in sq8_topk_packed(
+            sq8_pack(sq8_encode(df, stats)), q, stats, k=10).collect()]
+        assert got == want
+
+    def test_added_duplicate_lands_in_same_cell(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            ivf_sq8_add, ivf_sq8_index, load_ann_index, save_ann_index)
+
+        df, rows = self._clustered(spark, n=80)
+        idx = ivf_sq8_index(df, nlist=4)
+        path = str(tmp_path / "idx")
+        save_ann_index(idx, path, kind="ivf_sq8",
+                       params={}, partition_by="__cell")
+        # re-add vector 0 under a fresh id: must land in vector 0's cell
+        dup = spark.createDataFrame([(999, rows[0][1])],
+                                    "vec_id bigint, embedding array<float>")
+        ivf_sq8_add(spark, path, dup)
+        loaded, _ = load_ann_index(spark, path)
+        cells = {r.vec_id: r["__cell"] for r in
+                 loaded[0].where("vec_id IN (0, 999)").collect()}
+        assert cells[999] == cells[0]
+
+    def test_add_rejects_wrong_kind(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            ivf_sq8_add, lsh_index, save_ann_index)
+
+        df, _ = self._clustered(spark, n=20)
+        save_ann_index(lsh_index(df, bits=4), str(tmp_path / "lsh"),
+                       kind="lsh", params={"bits": 4})
+        with pytest.raises(ValueError, match="ivf_sq8"):
+            ivf_sq8_add(spark, str(tmp_path / "lsh"), df)
+
+    def test_codebook_drift_flags_shifted_batch(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            sq8_codebook_drift, sq8_stats)
+
+        df, rows = self._clustered(spark, n=60, dim=4)
+        stats = sq8_stats(df)
+        # in-distribution batch: zero clipping
+        clean = sq8_codebook_drift(df, stats).collect()
+        assert all(r.clip_frac == 0.0 for r in clean)
+        # shift dim 0 far above its fitted max for every row
+        shifted = spark.createDataFrame(
+            [(i, [v[0] + 10.0] + v[1:]) for i, v in rows],
+            "vec_id bigint, embedding array<float>")
+        drift = {r.dim: r for r in
+                 sq8_codebook_drift(shifted, stats).collect()}
+        assert drift[0].above_frac == 1.0 and drift[0].below_frac == 0.0
+        assert all(drift[d].clip_frac == 0.0 for d in drift if d != 0)
