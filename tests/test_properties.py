@@ -402,3 +402,61 @@ def test_pack_sequences_matches_reference(spark, lens, budget):
                 assert r.pack_last == (run + n - 1) // budget, i
                 assert r.n_packs == r.pack_last - r.pack_first + 1, i
             run += n
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4),
+                      min_size=1, max_size=40),
+             min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=1, max_value=7),
+)
+def test_chunk_documents_reference_properties(spark, docs_tokens,
+                                              max_tokens, stride):
+    """chunk_documents vs a direct Python reference: every doc's chunks
+    (a) start every `stride` tokens, (b) carry exactly the token slice,
+    (c) disjoint chunks (stride == max_tokens) reassemble the full token
+    stream."""
+    from confluent_ksql_charm_spark.pipeline.sampling import (
+        chunk_documents)
+
+    if stride > max_tokens:
+        stride = max_tokens
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {}
+    for r in chunk_documents(df, max_tokens=max_tokens,
+                             stride=stride).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = (r.n_tokens, r.chunk)
+    for i, toks in enumerate(docs_tokens):
+        n = len(toks)
+        starts = list(range(0, max(n - 1, 0) + 1, stride))
+        assert sorted(got[i]) == list(range(len(starts))), i
+        for cid, s in enumerate(starts):
+            want = toks[s:s + max_tokens]
+            assert got[i][cid] == (len(want), " ".join(want)), (i, cid)
+        if stride == max_tokens:  # disjoint chunks reassemble the doc
+            joined = " ".join(got[i][c][1] for c in sorted(got[i]))
+            assert joined.split(" ") == toks, i
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 999),
+                          st.sampled_from("abcd")),
+                min_size=1, max_size=60, unique_by=lambda t: t[0]),
+       st.integers(min_value=1, max_value=5))
+def test_group_cap_reference_properties(spark, rows, n):
+    """group_cap vs reference: per-group counts capped at n, survivors
+    are exactly the n lowest ids of each group, everything else gone."""
+    from confluent_ksql_charm_spark.pipeline.sampling import group_cap
+
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {}
+    for r in group_cap(df, "source", n).collect():
+        got.setdefault(r.source, set()).add(r.doc_id)
+    ref = {}
+    for i, g in rows:
+        ref.setdefault(g, []).append(i)
+    for g, ids in ref.items():
+        assert got.get(g, set()) == set(sorted(ids)[:n]), g

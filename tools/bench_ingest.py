@@ -1,0 +1,107 @@
+"""Ingest-gate throughput: what each stage of the streaming corpus
+ingestion flow costs per microbatch, measured as a 50k-doc backfill
+drain (`corpus_ingest_batch_fn` called directly — the documented batch
+path; stream start-up noise excluded so numbers isolate the GATES).
+
+Configs, cumulative in spirit but measured independently on a fresh
+corpus dir each (sf0.1 documents as the batch, ~50k docs):
+
+- base:            exact self-dedup + C4 clean + quality gate + append
+- decontam_exact:  + benchmark-sidecar exact 8-gram decontamination
+- decontam_fuzzy:  + fuzzy MinHash tier (the full round-7 gate)
+- neardup:         base + corpus MinHash near-dup against a pre-seeded
+                   10% corpus with signature sidecar (batch-proportional
+                   path)
+
+Benchmark sidecar = 100 documents sampled from the batch itself (every
+one an exact leak → worst-case join hit rate for the exact tier).
+
+Prints one JSON line with wall seconds and docs/s per config.
+Usage: python tools/bench_ingest.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from confluent_ksql_charm_spark.pipeline.ingest import (
+        corpus_ingest_batch_fn)
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bench-ingest")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    base_docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")).select("doc_id", "text")
+    base_n = base_docs.count()
+    # scale the batch x20 (id-shifted copies) so wall time measures the
+    # gates, not session fixed costs; texts stay realistic duplicates,
+    # which the self-dedup stage collapses exactly as production would
+    docs = base_docs
+    for i in range(1, 20):
+        docs = docs.unionByName(base_docs.select(
+            (F.col("doc_id") + i * base_n * 10).alias("doc_id"), "text"))
+    docs = docs.cache()
+    n = docs.count()
+    work = tempfile.mkdtemp(prefix="bench_ingest_")
+    bench_path = os.path.join(work, "bench")
+    docs.orderBy("doc_id").limit(100).select("text").write.parquet(
+        bench_path)
+
+    def run(name: str, **kw) -> dict:
+        corpus = os.path.join(work, f"corpus_{name}")
+        if name == "neardup":
+            # pre-seed 10% so the anti-join + signature path has a real
+            # corpus side
+            seed = docs.where("doc_id % 10 = 0")
+            seed.write.parquet(corpus)
+            from confluent_ksql_charm_spark.pipeline.dedup import (
+                minhash_signatures)
+
+            sigs = os.path.join(work, "sigs_neardup")
+            minhash_signatures(seed, "doc_id", "text").write.parquet(sigs)
+            kw = dict(kw, near_dup=True, signatures_path=sigs)
+        # clean=False: the synthetic corpus has no sentence-terminal
+        # punctuation, so the C4 gate would empty the batch and the
+        # bench would time nothing downstream
+        fn = corpus_ingest_batch_fn(corpus, clean=False, **kw)
+        t0 = time.perf_counter()
+        fn(docs, 0)
+        dt = time.perf_counter() - t0
+        kept = spark.read.parquet(corpus).count()
+        return {"wall_sec": round(dt, 2), "docs_per_sec": round(n / dt),
+                "kept": kept}
+
+    out = {"sf_dir": SF_DIR, "docs": n, "cpus": int(CPUS)}
+    out["base"] = run("base")
+    out["decontam_exact"] = run("decontam_exact", bench_path=bench_path)
+    out["decontam_fuzzy"] = run("decontam_fuzzy", bench_path=bench_path,
+                                fuzzy_bench=True)
+    out["neardup"] = run("neardup")
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
