@@ -738,6 +738,30 @@ def _q_unigram_logprob(spark, sf):
     return unigram_logprob(_docs(spark, sf), vocab_size=100)
 
 
+def _q_contamination_report(spark, sf):
+    # Per-(doc, benchmark-doc) attribution of exact 5-gram overlap —
+    # same corpus/bench split and keyed="text" replay as decontaminate.
+    from confluent_ksql_charm_spark.pipeline.contamination import (
+        contamination_report)
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return contamination_report(corpus, bench, "doc_id", "text",
+                                n=5, keyed="text")
+
+
+def _q_dedup_keep_best(spark, sf):
+    # Cluster dedup keeping the LONGEST doc per near-dup cluster
+    # (ties to lower doc_id) — the production representative policy.
+    from confluent_ksql_charm_spark.pipeline.dedup import dedup_keep_best
+
+    return dedup_keep_best(
+        _docs(spark, sf), "doc_id", "text", threshold=0.5,
+        signatures=_doc_signatures(spark, sf)
+    ).select("doc_id", F.col("cluster").alias("cluster_id"))
+
+
 def _q_chunk_documents(spark, sf):
     # sliding-window context chunking: 32-token windows every 24 tokens
     # (25% overlap) — pure array expressions, zero shuffle
@@ -1103,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": _q_source_cap,
         "unigram_logprob": _q_unigram_logprob,
         "chunk_documents": _q_chunk_documents,
+        "contamination_report": _q_contamination_report,
+        "dedup_keep_best": _q_dedup_keep_best,
         "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition_stats,
         "c4_line_clean": _q_c4_line_clean,
@@ -2038,6 +2064,50 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(COALESCE(s.lp, o.olp)), 6) AS avg_logprob "
             "FROM toks LEFT JOIN scored s USING (token) CROSS JOIN oov o "
             "GROUP BY doc_id"
+        ),
+        "contamination_report": (
+            # exact distinct-5-gram overlap per (corpus doc, bench doc)
+            # pair — same shingle construction as decontaminate's oracle
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) >= 5 "
+            "THEN [array_to_string(t[i:i+4], ' ') "
+            "FOR i IN generate_series(1, length(t) - 4)] "
+            "ELSE [array_to_string(t, ' ')] END) AS s FROM toks) "
+            "SELECT c.doc_id, b.doc_id AS bench_id, "
+            "CAST(length(list_intersect(c.s, b.s)) AS BIGINT) "
+            "AS shared_grams "
+            "FROM sh c JOIN sh b ON c.doc_id % 5 <> 0 "
+            "AND b.doc_id % 5 = 0 "
+            "AND length(list_intersect(c.s, b.s)) >= 1"
+        ),
+        "dedup_keep_best": (
+            # dedup_clusters' recursive-CTE transitive closure, then the
+            # keep-best argmax: longest text, ties to the lower doc_id
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) >= 3 "
+            "THEN [array_to_string(t[i:i+2], ' ') "
+            "FOR i IN generate_series(1, length(t) - 2)] "
+            "ELSE [array_to_string(t, ' ')] END) AS s FROM toks), "
+            "prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE length(list_intersect(a.s, b.s)) * 1.0 / "
+            "(length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) "
+            ">= 0.5), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM prs "
+            "UNION SELECT id_b, id_a FROM prs), "
+            "reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) "
+            "UNION SELECT e.u, reach.r FROM edges e "
+            "JOIN reach ON e.v = reach.u), "
+            "comp AS (SELECT u AS doc_id, MIN(r) AS c FROM reach GROUP BY u), "
+            "asg AS (SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS "
+            "cluster_id, length(d.text) AS q FROM documents d "
+            "LEFT JOIN comp USING (doc_id)) "
+            "SELECT doc_id, cluster_id FROM ("
+            "SELECT doc_id, cluster_id, row_number() OVER ("
+            "PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn "
+            "FROM asg) WHERE rn = 1"
         ),
         "chunk_documents": (
             # sliding-window chunking replayed with a list-valued

@@ -192,3 +192,36 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
         bench_signatures=bench_signatures).select(id_col)
     return docs.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def contamination_report(docs: DataFrame, bench: DataFrame, id_col: str,
+                         text_col: str, *, n: int = 8,
+                         keyed: str = "hash",
+                         bench_id_col: str | None = None) -> DataFrame:
+    """Per-(corpus doc, benchmark doc) contamination ATTRIBUTION:
+    (id, bench_id, shared_grams) for every pair sharing >= 1 distinct
+    n-gram — `flag_contaminated` says WHICH corpus docs leak,
+    this says FROM WHICH benchmark (the release-report query: "these
+    137 docs overlap GSM8K, those 12 overlap MMLU").
+
+    `shared_grams` counts the DISTINCT grams of the corpus doc that the
+    benchmark doc also contains (symmetric distinct-overlap).
+
+    100 TB shape, same as `flag_contaminated`: the benchmark-side
+    relation is (bench_id, gram)-distinct and broadcast — small because
+    benchmarks are — so the corpus is scanned, exploded, and
+    hash-joined without a corpus shuffle; the only shuffle carries
+    contaminated (id, bench_id) pairs, which is the report itself.
+    """
+    bid = bench_id_col or id_col
+    bgrams = bench.select(
+        F.col(bid).alias("bench_id"),
+        F.explode(shingles_col(text_col, n)).alias("gram"),
+    ).distinct()
+    if keyed == "hash":
+        bgrams = bgrams.select(
+            "bench_id", F.xxhash64("gram").alias("gram")).distinct()
+    doc_grams = _gram_rows(docs, id_col, text_col, n, keyed)
+    return (doc_grams.join(F.broadcast(bgrams), "gram")
+            .groupBy(id_col, "bench_id")
+            .agg(F.count(F.lit(1)).alias("shared_grams")))

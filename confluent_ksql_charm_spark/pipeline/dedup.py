@@ -881,6 +881,40 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str, *,
                     F.coalesce("cluster", F.col(id_col)).alias("cluster")))
 
 
+def dedup_keep_best(df, id_col: str, text_col: str, *,
+                    threshold: float = 0.7, num_hashes: int = 64,
+                    bands: int = 16, shingle_k: int = 3,
+                    signatures=None,
+                    quality_col: str | None = None):
+    """Deduplicate by near-dup CLUSTER, keeping the BEST document of
+    each cluster rather than the lowest id — the production dedup
+    policy (RefinedWeb/FineWeb keep the longest/highest-quality copy,
+    since near-dup copies often differ by truncation or boilerplate).
+
+    Representative = argmax by (`quality_col` desc, id asc); default
+    quality is `length(text_col)` (keep the longest). Returns the
+    surviving rows of `df` with their `cluster` id attached.
+
+    Scale shape: `dedup_clusters` does the heavy lifting (LSH + CC);
+    the keep-best pass is one window `row_number` over (cluster) —
+    lowered to partial WindowGroupLimit below the Exchange, same
+    map-side top-1 bound as `sampling.group_cap` — over the corpus
+    joined to the broadcast-sized component relation.
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(df, id_col, text_col, threshold=threshold,
+                              num_hashes=num_hashes, bands=bands,
+                              shingle_k=shingle_k, signatures=signatures)
+    quality = (F.col(quality_col) if quality_col
+               else F.length(F.col(text_col)))
+    w = (Window.partitionBy("cluster")
+         .orderBy(quality.desc(), F.col(id_col).asc()))
+    return (df.join(clusters, id_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
 def portable_token_hash(tok: Column) -> Column:
     """60-bit deterministic token hash both Spark and DuckDB compute
     bit-identically: int(md5(tok)[:15], 16) — DuckDB side is

@@ -52,6 +52,10 @@ _SIGNATURES = {
                     "[, EMB_ID='vec_id'][, EMB='embedding'][, K='10']"
                     "[, K_EACH='20'][, RRF_K='60'])"),
     "GROUP_CAP": "GROUP_CAP(src, GROUP='col', N='50'[, ID='doc_id'])",
+    "DEDUP_KEEP_BEST": ("DEDUP_KEEP_BEST(src, ID='id', TEXT='text'"
+                        "[, THRESHOLD='0.7'][, QUALITY='col'])"),
+    "CONTAMINATION_REPORT": ("CONTAMINATION_REPORT(corpus, bench, "
+                             "ID='id', TEXT='text'[, N='8'])"),
     "UNIGRAM_LOGPROB": ("UNIGRAM_LOGPROB(src, TEXT='text'"
                         "[, ID='doc_id'][, VOCAB='100'])"),
     "CHUNK": ("CHUNK(src, TEXT='text'[, ID='doc_id']"
@@ -206,6 +210,19 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                               alpha=float(p.get("ALPHA", 0.5)),
                               target_fraction=float(p.get("FRACTION", 0.5)),
                               weight_col=p.get("WEIGHT"))
+    if op == "DEDUP_KEEP_BEST":
+        from .dedup import dedup_keep_best
+        _need_sources(spec, 1)
+        return dedup_keep_best(dfs[0], _need(spec, "ID"),
+                               _need(spec, "TEXT"),
+                               threshold=float(p.get("THRESHOLD", 0.7)),
+                               quality_col=p.get("QUALITY"))
+    if op == "CONTAMINATION_REPORT":
+        from .contamination import contamination_report
+        _need_sources(spec, 2)
+        return contamination_report(dfs[0], dfs[1], _need(spec, "ID"),
+                                    _need(spec, "TEXT"),
+                                    n=int(p.get("N", 8)))
     if op == "GROUP_CAP":
         from .sampling import group_cap
         _need_sources(spec, 1)

@@ -554,3 +554,19 @@ class TestPipelineStatements:
             (1, 0, 4, "alpha beta gamma delta"),
             (1, 1, 3, "delta epsilon zeta"),
         ]
+
+    def test_keep_best_and_attribution_via_sql(self, peng):
+        peng.execute("CREATE STREAM best AS PIPELINE "
+                     "DEDUP_KEEP_BEST(docs, ID='doc_id', TEXT='text', "
+                     "THRESHOLD='0.5');")
+        ids = {r.doc_id for r in
+               peng.sql("SELECT doc_id FROM best").collect()}
+        # docs 1,2 are exact dups of identical length -> id tiebreak
+        assert 1 in ids and 2 not in ids and {3, 4, 5} <= ids
+
+        peng.execute("CREATE STREAM report AS PIPELINE "
+                     "CONTAMINATION_REPORT(docs, bench, ID='doc_id', "
+                     "TEXT='text', N='4');")
+        rows = {(r.doc_id, r.bench_id) for r in
+                peng.sql("SELECT doc_id, bench_id FROM report").collect()}
+        assert rows == {(3, 100)}     # doc 3 == the bench doc's text

@@ -2253,3 +2253,54 @@ class TestIVFSQ8Incremental:
                  sq8_codebook_drift(shifted, stats).collect()}
         assert drift[0].above_frac == 1.0 and drift[0].below_frac == 0.0
         assert all(drift[d].clip_frac == 0.0 for d in drift if d != 0)
+
+
+class TestKeepBestAndAttribution:
+    def test_keep_best_keeps_longest_copy(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            dedup_keep_best)
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon zeta eta"),  # longest dup
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "totally different content entirely here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r.doc_id for r in dedup_keep_best(
+            df, "doc_id", "text", threshold=0.5).collect()}
+        assert got == {2, 4}          # NOT min-id: the longest survives
+
+    def test_keep_best_quality_col_override(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            dedup_keep_best)
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta", 0.9),
+            (2, "alpha beta gamma delta epsilon zeta eta theta", 0.1),
+        ]
+        df = spark.createDataFrame(rows,
+                                   "doc_id bigint, text string, q double")
+        got = {r.doc_id for r in dedup_keep_best(
+            df, "doc_id", "text", threshold=0.5,
+            quality_col="q").collect()}
+        assert got == {1}             # quality beats length
+
+    def test_attribution_pairs_and_counts(self, spark):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            contamination_report)
+
+        docs = spark.createDataFrame(
+            [(1, "q r s t u v w"),             # overlaps bench 100 only
+             (2, "a b c d e f g h i j"),       # overlaps bench 101 only
+             (3, "nothing shared with any benchmark text here")],
+            "doc_id bigint, text string")
+        bench = spark.createDataFrame(
+            [(100, "x y q r s t u z"), (101, "a b c d e f g h")],
+            "doc_id bigint, text string")
+        got = {(r.doc_id, r.bench_id): r.shared_grams for r in
+               contamination_report(docs, bench, "doc_id", "text",
+                                    n=4).collect()}
+        # doc1 4-grams ∩ bench100: "q r s t", "r s t u" -> 2
+        # doc2 ∩ bench101: "a b c d".."e f g h" -> 5
+        assert got == {(1, 100): 2, (2, 101): 5}
