@@ -32,21 +32,71 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
-def redact_col(text: str | Column) -> Column:
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum over a digit string (strip separators first):
+    position i from the RIGHT contributes d_i doubled (with digit-sum)
+    when i is even; valid iff the total ≡ 0 (mod 10) and non-empty.
+
+    Pure expression (aggregate over a position sequence + element_at on
+    the per-digit array) in the Java-regex/RE2-and-arithmetic subset
+    DuckDB replays exactly — no UDF, rides the scan like every other
+    PII expression.
+    """
+    arr = F.regexp_extract_all(digits, F.lit("[0-9]"), 0)
+    n = F.size(arr)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc + _luhn_contrib(arr, n, i),
+    )
+    return (n > 0) & (total % 10 == 0)
+
+
+def _luhn_contrib(arr: Column, n: Column, i: Column) -> Column:
+    d = F.element_at(arr, n - i + 1).cast("int")
+    v = F.when(i % 2 == 0, d * 2).otherwise(d)
+    return F.floor(v / 10).cast("int") + (v % 10)
+
+
+def _redact_cc_validated(c: Column, pat: str, token: str) -> Column:
+    """Replace only Luhn-VALID credit-card candidates: extract the
+    matches, keep the checksum-valid ones, literal-replace each
+    (distinct candidates — identical text implies identical checksum,
+    so replacing all occurrences of a valid string is exact)."""
+    cands = F.array_distinct(F.regexp_extract_all(c, F.lit(pat), 0))
+    valid = F.filter(cands, luhn_valid)
+    return F.aggregate(valid, c,
+                       lambda acc, m: F.replace(acc, m, F.lit(token)))
+
+
+def redact_col(text: str | Column, *, luhn_validate: bool = False) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    for _, pat, token in PII_PATTERNS:
-        c = F.regexp_replace(c, pat, token)
+    for kind, pat, token in PII_PATTERNS:
+        if kind == "cc" and luhn_validate:
+            c = _redact_cc_validated(c, pat, token)
+        else:
+            c = F.regexp_replace(c, pat, token)
     return c
 
 
-def pii_count_cols(text: str | Column) -> dict[str, Column]:
+def pii_count_cols(text: str | Column, *,
+                   luhn_validate: bool = False) -> dict[str, Column]:
     """Per-kind match counts. Counts are taken on the PROGRESSIVELY
     redacted text (same order as `redact_col`), so a span never counts
     under two kinds — n_phone counts matches the email pass left behind,
-    etc. This makes counts consistent with what redaction replaces."""
+    etc. This makes counts consistent with what redaction replaces.
+
+    With `luhn_validate`, `n_cc` counts only checksum-valid card
+    OCCURRENCES (not distinct strings), still consistent with what the
+    validated redaction replaces."""
     c = F.col(text) if isinstance(text, str) else text
     out: dict[str, Column] = {}
     for kind, pat, token in PII_PATTERNS:
+        if kind == "cc" and luhn_validate:
+            out[f"n_{kind}"] = F.size(F.filter(
+                F.regexp_extract_all(c, F.lit(pat), 0), luhn_valid))
+            c = _redact_cc_validated(c, pat, token)
+            continue
         # idx=0: count whole-pattern matches (patterns carry no groups)
         out[f"n_{kind}"] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
         c = F.regexp_replace(c, pat, token)
@@ -55,13 +105,21 @@ def pii_count_cols(text: str | Column) -> dict[str, Column]:
 
 def redact_pii(df: DataFrame, text_col: str, *,
                out_col: str | None = None,
-               with_counts: bool = True) -> DataFrame:
+               with_counts: bool = True,
+               luhn_validate: bool = False) -> DataFrame:
     """Replace email / phone / IPv4 spans with typed tokens; optionally
     attach per-kind match counts. Pure projection — composes with any
-    downstream operator without changing partitioning."""
+    downstream operator without changing partitioning.
+
+    `luhn_validate`: gate the credit-card kind on the Luhn checksum so
+    16-digit non-cards (order ids, tracking numbers) survive — the
+    precision/recall knob every production PII pass carries.
+    """
     out_col = out_col or text_col
     proj = df
     if with_counts:
-        for name, col in pii_count_cols(text_col).items():
+        for name, col in pii_count_cols(
+                text_col, luhn_validate=luhn_validate).items():
             proj = proj.withColumn(name, col)
-    return proj.withColumn(out_col, redact_col(text_col))
+    return proj.withColumn(
+        out_col, redact_col(text_col, luhn_validate=luhn_validate))

@@ -2304,3 +2304,46 @@ class TestKeepBestAndAttribution:
         # doc1 4-grams ∩ bench100: "q r s t", "r s t u" -> 2
         # doc2 ∩ bench101: "a b c d".."e f g h" -> 5
         assert got == {(1, 100): 2, (2, 101): 5}
+
+
+class TestLuhnPII:
+    def test_luhn_known_vectors(self, spark):
+        from confluent_ksql_charm_spark.pipeline.pii import luhn_valid
+
+        cases = {"79927398713": True,      # classic Luhn test vector
+                 "4111111111111111": True,
+                 "4111111111111112": False,
+                 "1234567890123456": False,
+                 "": False}
+        df = spark.createDataFrame([(s,) for s in cases], "s string")
+        got = {r.s: r.v for r in
+               df.select("s", luhn_valid(F.col("s")).alias("v")).collect()}
+        assert got == cases
+
+    def test_validated_redaction_keeps_invalid_cards(self, spark):
+        from confluent_ksql_charm_spark.pipeline.pii import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "pay 4111-1111-1111-1111 or 4111-1111-1111-1112 now"),
+             (2, "twice 4111 1111 1111 1111 and 4111-1111-1111-1111 x")],
+            "id bigint, text string")
+        got = {r.id: (r.n_cc, r.text) for r in
+               redact_pii(df, "text", luhn_validate=True).collect()}
+        assert got[1] == (1, "pay <CC> or 4111-1111-1111-1112 now")
+        assert got[2] == (2, "twice <CC> and <CC> x")
+
+    def test_unvalidated_redaction_unchanged(self, spark):
+        from confluent_ksql_charm_spark.pipeline.pii import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "ref 1234-5678-9012-3456 done")], "id bigint, text string")
+        got = redact_pii(df, "text").collect()[0]
+        assert got.text == "ref <CC> done" and got.n_cc == 1
+
+    def test_plan_stays_expression_only(self, spark):
+        from confluent_ksql_charm_spark.pipeline.pii import redact_pii
+
+        df = spark.createDataFrame([(1, "x")], "id bigint, text string")
+        plan = redact_pii(df, "text", luhn_validate=True) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan
