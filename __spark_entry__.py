@@ -762,6 +762,19 @@ def _q_dedup_keep_best(spark, sf):
     ).select("doc_id", F.col("cluster").alias("cluster_id"))
 
 
+def _q_length_batches(spark, sf):
+    # padding-aware batching: per-shard DESC-length order cut into
+    # batches of 16; batch_max/pad_waste ride the same sort
+    from confluent_ksql_charm_spark.pipeline.sampling import (
+        length_bucketed_batches)
+    from confluent_ksql_charm_spark.pipeline.text import token_count
+
+    d = _docs(spark, sf).select(
+        "doc_id", token_count("text").alias("n_tok"))
+    return length_bucketed_batches(d, "doc_id", "n_tok",
+                                   batch_size=16, num_shards=4)
+
+
 def _q_pii_redact_luhn(spark, sf):
     # Luhn-gated credit-card redaction: every doc carries one
     # known-valid card plus a doc_id-derived 16-digit candidate whose
@@ -1147,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
+        "length_batches": _q_length_batches,
         "dedup_keep_best": _q_dedup_keep_best,
         "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition_stats,
@@ -2171,6 +2185,28 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT c * 1.0 / SUM(c) OVER () AS p FROM "
             "(SELECT lang, COUNT(*) AS c FROM n GROUP BY lang))) "
             "SELECT * FROM a CROSS JOIN e"
+        ),
+        "length_batches": (
+            # same portable-hash shard (salt ':lenbatch'), DESC-length
+            # rank cut into 16-row batches; all-integer window math
+            "WITH h AS (SELECT doc_id, "
+            "CAST(length(string_split_regex(trim(text), '\\s+')) AS INT) "
+            "AS n_tok, ('0x' || substr(md5("
+            "CAST(doc_id AS VARCHAR) || ':lenbatch'), 1, 13))::BIGINT "
+            "AS hh FROM documents), "
+            "s AS (SELECT doc_id, n_tok, CAST(hh % 4 AS INT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY hh % 4 "
+            "ORDER BY n_tok DESC, doc_id) - 1 AS INT) AS rnk FROM h), "
+            "b AS (SELECT doc_id, n_tok, shard, "
+            "CAST(rnk // 16 AS INT) AS batch_id, "
+            "CAST(rnk % 16 AS INT) AS batch_pos FROM s) "
+            "SELECT doc_id, n_tok, shard, batch_id, batch_pos, "
+            "CAST(MAX(n_tok) OVER (PARTITION BY shard, batch_id) "
+            "AS BIGINT) AS batch_max, "
+            "CAST(MAX(n_tok) OVER (PARTITION BY shard, batch_id) "
+            "* COUNT(*) OVER (PARTITION BY shard, batch_id) "
+            "- SUM(n_tok) OVER (PARTITION BY shard, batch_id) "
+            "AS BIGINT) AS pad_waste FROM b"
         ),
         "pack_sequences": (
             # identical portable-hash permutation as shuffle_shard (salt

@@ -413,3 +413,57 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
             F.size("__slice").alias("n_tokens"),
             F.concat_ws(" ", "__slice").alias("chunk"))
     )
+
+
+def length_bucketed_batches(df: DataFrame, key_col: str, token_col: str,
+                            *, batch_size: int, num_shards: int = 8,
+                            salt: str = "lenbatch") -> DataFrame:
+    """Padding-aware batch assignment: within each deterministic shard,
+    rows are ordered by (token count DESC, key) and cut into consecutive
+    batches of `batch_size` — so each batch holds similar-length
+    sequences and the padded waste max(len)·B − Σlen is near-minimal
+    (the standard finetuning/eval batching prep; random batching pads
+    every batch to its longest outlier). Beyond-reference LLM-pipeline
+    operator (SURVEY §3.11).
+
+    Returns (key, token_col, shard, batch_id, batch_pos, batch_max,
+    pad_waste): `batch_max`/`pad_waste` are the batch's padding target
+    and wasted-token count, attached via one window back-reference (no
+    second shuffle — the batch id IS a prefix of the ordering, so a max
+    over the batch partition reuses the same sort).
+
+    Scale shape: identical physical layout to `pack_sequences` — one
+    hash-partition shuffle on the shard id, one per-shard sort; shards
+    bound sort spill, and the shard hash is the portable md5 permutation
+    so an external engine reproduces every batch bit-identically.
+    DESC-by-length ordering also means batch 0 holds the longest
+    sequences — the conventional OOM-early ordering for batch-size
+    tuning. Incomplete tail batches (fewer than `batch_size` rows) are
+    real batches with smaller cardinality, flagged by `batch_pos`.
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    from pyspark.sql import Window
+
+    h = (F.conv(F.substring(F.md5(F.concat(
+        F.col(key_col).cast("string"), F.lit(":" + salt))), 1, 13), 16, 10)
+        .cast("bigint"))
+    sharded = df.withColumn(
+        "shard", F.pmod(h, F.lit(num_shards)).cast("int"))
+    order = [F.col(token_col).desc(), F.col(key_col).asc()]
+    w = Window.partitionBy("shard").orderBy(*order)
+    rank = F.row_number().over(w) - 1
+    out = sharded.select(
+        F.col(key_col), F.col(token_col), F.col("shard"),
+        F.floor(rank / batch_size).cast("int").alias("batch_id"),
+        (rank % batch_size).cast("int").alias("batch_pos"),
+    )
+    wb = Window.partitionBy("shard", "batch_id")
+    batch_max = F.max(token_col).over(wb)
+    batch_n = F.count(F.lit(1)).over(wb)
+    return out.select(
+        key_col, token_col, "shard", "batch_id", "batch_pos",
+        batch_max.cast("bigint").alias("batch_max"),
+        (batch_max * batch_n - F.sum(token_col).over(wb))
+        .cast("bigint").alias("pad_waste"),
+    )

@@ -2347,3 +2347,51 @@ class TestLuhnPII:
         plan = redact_pii(df, "text", luhn_validate=True) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Exchange" not in plan
+
+
+class TestLengthBucketedBatches:
+    def test_batches_group_similar_lengths(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            length_bucketed_batches)
+
+        rows = [(i, 100 - i) for i in range(12)]   # lengths 100..89
+        df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+        out = length_bucketed_batches(df, "doc_id", "n_tok",
+                                      batch_size=3, num_shards=1)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.batch_id, []).append(r.n_tok)
+        # DESC order in one shard: batch 0 = 100,99,98; batch 3 = 91,90,89
+        assert sorted(got[0], reverse=True) == [100, 99, 98]
+        assert sorted(got[3], reverse=True) == [91, 90, 89]
+
+    def test_pad_waste_math(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            length_bucketed_batches)
+
+        df = spark.createDataFrame([(1, 10), (2, 7), (3, 7)],
+                                   "doc_id bigint, n_tok bigint")
+        out = length_bucketed_batches(df, "doc_id", "n_tok",
+                                      batch_size=3, num_shards=1).collect()
+        r = out[0]
+        assert r.batch_max == 10 and r.pad_waste == 10 * 3 - 24
+
+    def test_deterministic_across_runs(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            length_bucketed_batches)
+
+        rows = [(i, (i * 37) % 50) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+        a = sorted(map(tuple, length_bucketed_batches(
+            df, "doc_id", "n_tok", batch_size=8).collect()))
+        b = sorted(map(tuple, length_bucketed_batches(
+            df.repartition(7), "doc_id", "n_tok", batch_size=8).collect()))
+        assert a == b   # partitioning-independent
+
+    def test_invalid_batch_size(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            length_bucketed_batches)
+
+        df = spark.createDataFrame([(1, 1)], "doc_id bigint, n_tok bigint")
+        with pytest.raises(ValueError, match="batch_size"):
+            length_bucketed_batches(df, "doc_id", "n_tok", batch_size=0)
