@@ -1,0 +1,121 @@
+"""End-to-end training-data preparation — the composed flow every
+operator family in this repo exists to serve, as one runnable script:
+
+    raw documents
+      → C4 line cleaning + Gopher repetition gate     (text.py)
+      → exact dedup                                    (dedup.py)
+      → near-dup cluster dedup, keep the LONGEST copy  (dedup.py)
+      → benchmark decontamination, exact + fuzzy       (contamination.py)
+      → PII redaction with Luhn-gated cards            (pii.py)
+      → temperature mixture over languages             (sampling.py)
+      → sliding-window chunking to the context length  (sampling.py)
+      → padding-aware length-bucketed batches          (sampling.py)
+      → sharded parquet export, batch-sorted layout
+
+Every step is a DataFrame transformation — nothing collects to the
+driver except the |strata|-row mixture probe — so the same script is
+the 100 TB plan: swap the paths, raise num_shards, submit to a cluster.
+
+Usage:
+    python examples/prepare_corpus.py [sf_dir] [out_dir]
+    (defaults: /root/testdata/sf0.001  /tmp/prepared_corpus)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
+            context_tokens: int = 512, stride: int = 384,
+            batch_size: int = 64, num_shards: int = 8,
+            mixture_alpha: float = 0.5, target_fraction: float = 0.9,
+            clean: bool = True) -> DataFrame:
+    """Run the full preparation flow; returns the batch-assignment
+    DataFrame after writing the sharded export to `out_dir`."""
+    from confluent_ksql_charm_spark.pipeline.contamination import (
+        decontaminate, fuzzy_decontaminate)
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        dedup_keep_best, exact_dedup)
+    from confluent_ksql_charm_spark.pipeline.ingest import clean_and_gate
+    from confluent_ksql_charm_spark.pipeline.pii import redact_pii
+    from confluent_ksql_charm_spark.pipeline.sampling import (
+        chunk_documents, length_bucketed_batches, mixture_sample)
+    from confluent_ksql_charm_spark.pipeline.text import token_count
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .select("doc_id", "text", "lang")
+
+    # 1-2. clean + quality-gate, then exact dedup (smallest id survives)
+    docs = clean_and_gate(docs, "doc_id", "text", clean=clean)
+    docs = exact_dedup(docs, ["text"], "doc_id")
+
+    # 3. near-dup cluster dedup keeping the longest copy per cluster
+    docs = dedup_keep_best(docs, "doc_id", "text",
+                           threshold=0.7).drop("cluster")
+
+    # 4. benchmark decontamination (exact n-gram tier, then the fuzzy
+    #    MinHash tier for mutated leaks) — benchmark = any held-out
+    #    eval set; here a deterministic slice stands in
+    bench = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")) \
+        .where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    docs = decontaminate(docs, bench, "doc_id", "text", n=8)
+    docs = fuzzy_decontaminate(docs, bench.select(
+        (-1 - F.col("doc_id")).alias("doc_id"), "text"),
+        "doc_id", "text", threshold=0.6)
+
+    # 5. PII redaction, Luhn-gated credit cards
+    docs = redact_pii(docs, "text", with_counts=False, luhn_validate=True)
+
+    # 6. temperature mixture over languages (upweight the tail)
+    docs = mixture_sample(docs, "doc_id", "lang", alpha=mixture_alpha,
+                          target_fraction=target_fraction).drop("rate")
+
+    # 7. context-window chunking (chunk_id joins the key so chunk keys
+    #    stay unique for the shard hash)
+    chunks = chunk_documents(docs, "doc_id", "text",
+                             max_tokens=context_tokens, stride=stride)
+    chunks = chunks.select(
+        F.concat_ws("#", F.col("doc_id"), F.col("chunk_id"))
+        .alias("chunk_key"),
+        "doc_id", "chunk_id", "chunk",
+        token_count("chunk").alias("n_tok"))
+
+    # 8. padding-aware batches; export sharded, batch-sorted
+    batches = length_bucketed_batches(chunks, "chunk_key", "n_tok",
+                                      batch_size=batch_size,
+                                      num_shards=num_shards)
+    export = (chunks.join(batches.select(
+        "chunk_key", "shard", "batch_id", "batch_pos", "batch_max"),
+        "chunk_key")
+        .repartition("shard")
+        .sortWithinPartitions("shard", "batch_id", "batch_pos"))
+    export.write.mode("overwrite").partitionBy("shard") \
+        .parquet(out_dir)
+    return export
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/prepared_corpus"
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("prepare-corpus")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    # synthetic test corpora carry no sentence punctuation; disable the
+    # C4 pass there (real corpora: leave clean=True)
+    export = prepare(spark, sf_dir, out_dir, clean=False)
+    n = spark.read.parquet(out_dir).count()
+    print(f"wrote {n} chunks to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -2395,3 +2395,43 @@ class TestLengthBucketedBatches:
         df = spark.createDataFrame([(1, 1)], "doc_id bigint, n_tok bigint")
         with pytest.raises(ValueError, match="batch_size"):
             length_bucketed_batches(df, "doc_id", "n_tok", batch_size=0)
+
+
+class TestPrepareCorpusExample:
+    def test_end_to_end_invariants(self, spark, tmp_path):
+        import sys
+        sys.path.insert(0, "/root/repo/examples")
+        import prepare_corpus
+
+        out = str(tmp_path / "export")
+        prepare_corpus.prepare(spark, "/root/testdata/sf0.001", out,
+                               context_tokens=64, stride=48,
+                               batch_size=8, num_shards=2, clean=False)
+        got = spark.read.parquet(out)
+        rows = got.collect()
+        assert rows, "export is empty"
+        # chunk length bound + batch padding invariant
+        assert all(r.n_tok <= 64 for r in rows)
+        by_batch = {}
+        for r in rows:
+            by_batch.setdefault((r.shard, r.batch_id), []).append(r)
+        for (sh, b), members in by_batch.items():
+            toks = [m.n_tok for m in members]
+            assert len(members) <= 8
+            assert all(m.batch_max == max(toks) for m in members)
+            assert sorted(m.batch_pos for m in members) == list(
+                range(len(members)))
+        # decontamination: no chunk may contain an 8-gram of the bench
+        # slice (doc_id % 97 == 0) verbatim
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            flag_contaminated)
+        from pyspark.sql import functions as F
+
+        bench = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").where(
+            F.col("doc_id") % 97 == 0).select("doc_id", "text")
+        leaked = flag_contaminated(
+            got.select(F.col("chunk_key").alias("k"),
+                       F.col("chunk").alias("text")),
+            bench, "k", "text", n=8)
+        assert leaked.count() == 0
