@@ -47,6 +47,10 @@ HEADLINE = [
     "source_cap",
     "unigram_logprob",
     "chunk_documents",
+    "dedup_keep_best",
+    "contamination_report",
+    "pii_redact_luhn",
+    "length_batches",
 ]
 
 
