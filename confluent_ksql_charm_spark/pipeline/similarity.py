@@ -1007,3 +1007,38 @@ def sq8_codebook_drift(df: DataFrame,
                  F.round(above, 6).alias("above_frac"),
                  F.round(below + above, 6).alias("clip_frac"))
             .orderBy("dim"))
+
+
+def ivf_sq8_rerank_topk(df: DataFrame, query_vec: list[float],
+                        k: int = 10, *, rerank: int = 50,
+                        nlist: int = 16, nprobe: int = 4,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id", seed: int = 42,
+                        sample_fraction: float | None | str = "auto",
+                        index: tuple | None = None,
+                        packed: bool = True) -> DataFrame:
+    """IVF×SQ8 probe with an exact REFINE pass (the faiss
+    ``IVF,SQ8,Refine`` shape): the compressed ADC scan shortlists the
+    top-`rerank` candidates, which are then re-scored against their
+    FULL-PRECISION vectors and cut to `k` — recovering the recall the
+    8-bit codes lose for near-tied neighbors at the cost of fetching
+    `rerank` float vectors (a broadcast-able id semi-join against the
+    corpus, NOT a second scan).
+
+    Shortlist order is the ADC ordering domain (rounded acos desc, id
+    asc); the final order is exact (cosine desc, id asc) — both
+    deterministic, so an external engine replays the whole two-stage
+    computation bit-identically (the oracle does).
+
+    At 100 TB: the scan cost stays the composed tier's (nprobe/nlist ×
+    packed bytes); the refine adds one id-IN-shortlist lookup — on a
+    cell-partitioned store the ids come from the probed cells, so the
+    fetch prunes to the same partitions.
+    """
+    shortlist = ivf_sq8_topk(df, query_vec, k=rerank, nlist=nlist,
+                             nprobe=nprobe, vec_col=vec_col,
+                             id_col=id_col, seed=seed,
+                             sample_fraction=sample_fraction,
+                             index=index, packed=packed)
+    cand = df.join(F.broadcast(shortlist.select(id_col)), id_col)
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

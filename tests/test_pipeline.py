@@ -2435,3 +2435,57 @@ class TestPrepareCorpusExample:
                        F.col("chunk").alias("text")),
             bench, "k", "text", n=8)
         assert leaked.count() == 0
+
+
+class TestIVFSQ8Rerank:
+    def _clustered(self, spark, n=150, dim=8, ncenters=4, seed=33):
+        import random
+
+        rng = random.Random(seed)
+        centers = [[rng.uniform(-1, 1) for _ in range(dim)]
+                   for _ in range(ncenters)]
+        rows = [(i, [c + rng.gauss(0, 0.05) for c in centers[i % ncenters]])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"), rows
+
+    def test_full_probe_full_shortlist_is_exact(self, spark):
+        # rerank = corpus size + nprobe = nlist => the refine stage sees
+        # every vector => EXACTLY cosine_topk
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, ivf_sq8_rerank_topk)
+
+        df, rows = self._clustered(spark)
+        q = rows[3][1]
+        want = [(r.vec_id, round(r.cosine, 6)) for r in
+                cosine_topk(df, q, k=8).collect()]
+        got = [(r.vec_id, round(r.cosine, 6)) for r in ivf_sq8_rerank_topk(
+            df, q, k=8, rerank=150, nlist=4, nprobe=4).collect()]
+        assert got == want
+
+    def test_refine_recovers_quantization_reorders(self, spark):
+        # with a modest shortlist, refine's top-k must contain at least
+        # as many true neighbors as the raw ADC top-k
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, ivf_sq8_index, ivf_sq8_rerank_topk,
+            ivf_sq8_topk)
+
+        df, rows = self._clustered(spark, n=200, seed=34)
+        q = rows[0][1]
+        exact = {r.vec_id for r in cosine_topk(df, q, k=10).collect()}
+        idx = ivf_sq8_index(df, nlist=4)
+        adc = {r.vec_id for r in ivf_sq8_topk(
+            df, q, k=10, nprobe=4, index=idx).collect()}
+        ref = {r.vec_id for r in ivf_sq8_rerank_topk(
+            df, q, k=10, rerank=40, nprobe=4, index=idx).collect()}
+        assert len(ref & exact) >= len(adc & exact)
+
+    def test_output_schema_is_exact_cosine(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            ivf_sq8_rerank_topk)
+
+        df, rows = self._clustered(spark, n=60)
+        out = ivf_sq8_rerank_topk(df, rows[0][1], k=5, rerank=20,
+                                  nlist=4, nprobe=2)
+        assert out.columns == ["vec_id", "cosine"]
+        assert out.count() == 5
