@@ -810,6 +810,14 @@ def _q_pii_redact_luhn(spark, sf):
     return redact_pii(d, "text", with_counts=True, luhn_validate=True)
 
 
+def _q_bigram_logprob(spark, sf):
+    # interpolated bigram self-LM (lambda=0.7 bigram + 0.3 unigram
+    # back-off), mean ln p per doc over adjacent-pair events
+    from confluent_ksql_charm_spark.pipeline.text import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf), lambda_interp=0.7)
+
+
 def _q_chunk_documents(spark, sf):
     # sliding-window context chunking: 32-token windows every 24 tokens
     # (25% overlap) — pure array expressions, zero shuffle
@@ -1179,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
         "length_batches": _q_length_batches,
+        "bigram_logprob": _q_bigram_logprob,
         "dedup_keep_best": _q_dedup_keep_best,
         "doc_quality": _q_doc_quality,
         "repetition_stats": _q_repetition_stats,
@@ -2161,6 +2170,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cluster_id, row_number() OVER ("
             "PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn "
             "FROM asg) WHERE rn = 1"
+        ),
+        "bigram_logprob": (
+            # corpus bigram model + unigram back-off replayed exactly:
+            # p = 0.7*c(w1 w2)/c(w1.) + 0.3*c(w2)/total, mean ln per doc
+            "WITH toks AS (SELECT doc_id, list_transform("
+            "string_split_regex(trim(text), '\\s+'), t -> lower(t)) "
+            "AS t FROM documents), "
+            "pr AS (SELECT doc_id, t, CAST(unnest(generate_series(1, "
+            "greatest(len(t) - 1, 0))) AS INT) AS i FROM toks), "
+            "pairs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 "
+            "FROM pr WHERE len(t) >= 2), "
+            "uni AS (SELECT lower(unnest(string_split_regex(trim(text), "
+            "'\\s+'))) AS w FROM documents), "
+            "ucnt AS (SELECT w, count(*) AS cnt FROM uni GROUP BY w), "
+            "tot AS (SELECT SUM(cnt) AS total FROM ucnt), "
+            "bcnt AS (SELECT w1, w2, count(*) AS bc FROM pairs "
+            "GROUP BY w1, w2), "
+            "scored AS (SELECT p.doc_id, ln(0.7 * b.bc * 1.0 / u1.cnt "
+            "+ 0.3 * u2.cnt * 1.0 / t.total) AS lp "
+            "FROM pairs p JOIN bcnt b USING (w1, w2) "
+            "JOIN ucnt u1 ON p.w1 = u1.w "
+            "JOIN ucnt u2 ON p.w2 = u2.w, tot t), "
+            "agg AS (SELECT doc_id, count(*) AS n_bigrams, "
+            "ROUND(AVG(lp), 6) AS avg_logprob FROM scored "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, "
+            "agg.avg_logprob FROM documents d LEFT JOIN agg USING (doc_id)"
         ),
         "chunk_documents": (
             # sliding-window chunking replayed with a list-valued

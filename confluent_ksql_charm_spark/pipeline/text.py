@@ -565,3 +565,79 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
         .agg(F.count("*").alias("n_tokens"),
              F.round(F.avg("__lp"), 6).alias("avg_logprob"))
     )
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", *,
+                   lambda_interp: float = 0.7,
+                   lowercase: bool = True) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability under the
+    corpus's own n-gram distribution — the step up from
+    `unigram_logprob` toward what CCNet-style quality filtering actually
+    ships: for each adjacent token pair (w1, w2),
+
+        p(w2 | w1) = λ · c(w1 w2)/c(w1·) + (1 − λ) · c(w2)/total
+
+    (λ = `lambda_interp`; the unigram back-off term makes unseen
+    bigrams finite, so no extra smoothing state is needed), and the doc
+    score is the mean ln p over its n−1 bigram events. Docs with fewer
+    than 2 tokens score NULL with n_bigrams = 0.
+
+    Returns (id, n_bigrams, avg_logprob) — avg rounded to 6 (oracle
+    contract).
+
+    Scale shape: one tokenize rides the scan into TWO model aggregates
+    (bigram counts keyed on the pair, unigram counts keyed on the
+    token — each map-side combined, one shuffle apiece), both
+    checkpointed; scoring re-explodes the corpus to (doc, w1, w2) rows
+    and joins both models. The bigram model relation is
+    vocabulary²-bounded, so the joins stay shuffled (never broadcast) —
+    unlike `unigram_logprob` there is no defensible top-V cap for
+    pairs, and the join keys are the grams themselves, which AQE can
+    plan as broadcast only when the corpus is genuinely small.
+    """
+    if not 0.0 <= lambda_interp <= 1.0:
+        raise ValueError(
+            f"lambda_interp must be in [0, 1], got {lambda_interp}")
+    from .lazy import maybe_checkpoint
+
+    norm = (lambda c: F.lower(c)) if lowercase else (lambda c: c)
+    toks = df.select(
+        F.col(id_col),
+        F.transform(tokens_col(text_col), norm).alias("__t"))
+    pairs = toks.select(
+        id_col,
+        F.posexplode(F.when(F.size("__t") >= 2, F.slice(
+            F.col("__t"), 1, F.size("__t") - 1))
+            .otherwise(F.array())).alias("__i", "w1"),
+        F.col("__t"))
+    pairs = pairs.select(
+        id_col, "w1",
+        F.element_at("__t", F.col("__i") + 2).alias("w2"))
+    uni = maybe_checkpoint(
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("cnt")))
+    bi = maybe_checkpoint(
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("bcnt")))
+    total = uni.agg(F.sum("cnt").alias("__total"))
+    lam = float(lambda_interp)
+    scored = (
+        pairs
+        .join(bi, ["w1", "w2"])                     # every pair exists
+        .join(uni.select(F.col("w").alias("w1"),
+                         F.col("cnt").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("cnt").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, F.log(
+            F.lit(lam) * F.col("bcnt") / F.col("c1")
+            + F.lit(1.0 - lam) * F.col("c2") / F.col("__total"))
+            .alias("__lp")))
+    out = (scored.groupBy(id_col)
+           .agg(F.count("*").alias("n_bigrams"),
+                F.round(F.avg("__lp"), 6).alias("avg_logprob")))
+    # short docs (0-1 tokens) have no bigram events: NULL score, 0 count
+    return (df.select(id_col).join(out, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.col("avg_logprob")))

@@ -2489,3 +2489,41 @@ class TestIVFSQ8Rerank:
                                   nlist=4, nprobe=2)
         assert out.columns == ["vec_id", "cosine"]
         assert out.count() == 5
+
+
+class TestBigramLogprob:
+    def test_hand_computed(self, spark):
+        import math
+
+        from confluent_ksql_charm_spark.pipeline.text import (
+            bigram_logprob)
+
+        # corpus: "a b a" and "b a" -> unigrams a:3 b:2 total 5
+        # bigrams: (a,b):1 (b,a):2
+        df = spark.createDataFrame([(1, "a b a"), (2, "b a")],
+                                   "doc_id bigint, text string")
+        got = {r.doc_id: (r.n_bigrams, r.avg_logprob)
+               for r in bigram_logprob(df, lambda_interp=0.5).collect()}
+        p_ab = 0.5 * (1 / 3) + 0.5 * (2 / 5)      # c(a b)/c(a) , c(b)/5
+        p_ba = 0.5 * (2 / 2) + 0.5 * (3 / 5)
+        assert got[1] == (2, round((math.log(p_ab) + math.log(p_ba)) / 2, 6))
+        assert got[2] == (1, round(math.log(p_ba), 6))
+
+    def test_short_docs_score_null(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            bigram_logprob)
+
+        df = spark.createDataFrame([(1, "solo"), (2, "two tokens")],
+                                   "doc_id bigint, text string")
+        got = {r.doc_id: (r.n_bigrams, r.avg_logprob)
+               for r in bigram_logprob(df).collect()}
+        assert got[1] == (0, None)
+        assert got[2][0] == 1 and got[2][1] is not None
+
+    def test_invalid_lambda(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            bigram_logprob)
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="lambda_interp"):
+            bigram_logprob(df, lambda_interp=1.5)
