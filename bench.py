@@ -51,6 +51,7 @@ HEADLINE = [
     "contamination_report",
     "pii_redact_luhn",
     "length_batches",
+    "bigram_logprob",
 ]
 
 
