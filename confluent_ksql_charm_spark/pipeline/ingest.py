@@ -179,12 +179,20 @@ def corpus_ingest_batch_fn(
             bench_state["grams"] = benchmark_grams(
                 bench, text_col, n=bench_n).cache()
             if fuzzy_bench:
+                from pyspark.sql import Window
+
                 from .dedup import minhash_signatures
 
                 # fresh negative ids keep the verify union's id space
-                # disjoint from any nonnegative batch id
+                # disjoint from any nonnegative batch id; DETERMINISTIC
+                # (row_number over the text ordering, not
+                # monotonically_increasing_id) so a cache eviction +
+                # recompute cannot desynchronize these ids from the
+                # cached signature relation built against them —
+                # benchmarks are small, the one-partition sort is noise
                 bench_ided = bench.select(
-                    (-1 - F.monotonically_increasing_id()).alias(id_col),
+                    (-F.row_number().over(Window.orderBy(text_col)))
+                    .cast("long").alias(id_col),
                     F.col(text_col))
                 bench_state["bench"] = bench_ided.cache()
                 bench_state["sigs"] = minhash_signatures(

@@ -60,13 +60,21 @@ def _luhn_contrib(arr: Column, n: Column, i: Column) -> Column:
 
 def _redact_cc_validated(c: Column, pat: str, token: str) -> Column:
     """Replace only Luhn-VALID credit-card candidates: extract the
-    matches, keep the checksum-valid ones, literal-replace each
-    (distinct candidates — identical text implies identical checksum,
-    so replacing all occurrences of a valid string is exact)."""
+    matches, keep the checksum-valid ones, replace each occurrence
+    UNDER THE SAME \\b BOUNDARIES the extraction used — a valid card
+    string embedded inside a longer digit run was never a match and
+    must not be rewritten (an unanchored literal replace would mangle
+    e.g. a 21-digit reference number containing a card as a substring).
+    Candidates contain only digits, spaces and hyphens, so splicing one
+    into a regex needs no escaping. Distinct candidates — identical
+    text implies identical checksum — so each pattern replaces all of
+    its occurrences at once."""
     cands = F.array_distinct(F.regexp_extract_all(c, F.lit(pat), 0))
     valid = F.filter(cands, luhn_valid)
-    return F.aggregate(valid, c,
-                       lambda acc, m: F.replace(acc, m, F.lit(token)))
+    return F.aggregate(
+        valid, c,
+        lambda acc, m: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), m, F.lit(r"\b")), F.lit(token)))
 
 
 def redact_col(text: str | Column, *, luhn_validate: bool = False) -> Column:

@@ -57,7 +57,7 @@ _SIGNATURES = {
     "CONTAMINATION_REPORT": ("CONTAMINATION_REPORT(corpus, bench, "
                              "ID='id', TEXT='text'[, N='8'])"),
     "UNIGRAM_LOGPROB": ("UNIGRAM_LOGPROB(src, TEXT='text'"
-                        "[, ID='doc_id'][, VOCAB='100'])"),
+                        "[, ID='doc_id'][, VOCAB='100'; '0'=uncapped])"),
     "CHUNK": ("CHUNK(src, TEXT='text'[, ID='doc_id']"
               "[, MAX_TOKENS='512'][, STRIDE='512'])"),
 }
@@ -232,10 +232,12 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
     if op == "UNIGRAM_LOGPROB":
         from .text import unigram_logprob
         _need_sources(spec, 1)
-        v = p.get("VOCAB")
+        # default matches the advertised signature (VOCAB='100'); an
+        # explicit VOCAB='0' selects the uncapped full-vocabulary model
+        v = int(p.get("VOCAB", 100))
         return unigram_logprob(dfs[0], p.get("ID", "doc_id"),
                                _need(spec, "TEXT"),
-                               vocab_size=int(v) if v is not None else None)
+                               vocab_size=v if v > 0 else None)
     if op == "CHUNK":
         from .sampling import chunk_documents
         _need_sources(spec, 1)

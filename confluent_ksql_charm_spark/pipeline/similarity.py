@@ -511,9 +511,14 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
     from pyspark.ml.functions import array_to_vector
 
     if sample_fraction == "auto":
-        n = df.count()
-        sample_fraction = (None if n <= IVF_TRAIN_TARGET_ROWS
-                           else IVF_TRAIN_TARGET_ROWS / n)
+        from .lazy import lazy_plan_active
+
+        if lazy_plan_active():       # plan-only mode runs no sizing count
+            sample_fraction = None
+        else:
+            n = df.count()
+            sample_fraction = (None if n <= IVF_TRAIN_TARGET_ROWS
+                               else IVF_TRAIN_TARGET_ROWS / n)
     unit = df.withColumn("__n", norm(F.col(vec_col))).withColumn(
         "__unit",
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
@@ -683,7 +688,14 @@ def sq8_encode(df: DataFrame, stats: list[tuple[float, float]], *,
                code_col: str = "sq8_code",
                keep: list[str] | None = None) -> DataFrame:
     """Quantize float vectors to 8-bit codes: code_j = round((x_j -
-    min_j) * 255 / (max_j - min_j)), a degenerate dimension encodes 0.
+    min_j) * 255 / (max_j - min_j)) CLAMPED to [0, 255], a degenerate
+    dimension encodes 0.
+
+    The clamp matters on the `ivf_sq8_add` path: vectors outside the
+    fitted codebook range must saturate at the nearest edge code (the
+    faiss ScalarQuantizer contract `sq8_codebook_drift` monitors) — an
+    unclamped code would wrap modulo 256 in the uint8 packing and score
+    a below-min value as if it were the dimension MAX.
 
     Expression-only (unrolled per dimension — whole-stage codegen keeps
     all 64 lanes in one generated function); the float array is DROPPED
@@ -700,9 +712,9 @@ def sq8_encode(df: DataFrame, stats: list[tuple[float, float]], *,
         if rng == 0:
             codes.append(F.lit(0))
         else:
-            codes.append(
+            codes.append(F.least(F.greatest(
                 F.round((x - F.lit(mn)) * F.lit(255.0) / F.lit(rng), 0)
-                .cast("int"))
+                .cast("int"), F.lit(0)), F.lit(255)))
     extra = [F.col(c) for c in (keep or [])]
     return df.select(F.col(id_col), F.array(*codes).alias(code_col), *extra)
 
@@ -970,9 +982,15 @@ def ivf_sq8_add(spark, path: str, new_df: DataFrame, *,
             f"ivf_sq8_add needs an ivf_sq8 index, got {meta['kind']!r}")
     centers = meta["params"]["centers"]
     stats = [tuple(s) for s in meta["params"]["stats"]]
+    # match the PERSISTED code representation: appending packed bytes
+    # into an int-code index (or vice versa) would merge-schema to NULLs
+    existing = spark.read.parquet(os.path.join(path, "index.parquet"))
+    packed = "sq8_bytes" in existing.columns
     assigned = assign_cells(new_df, centers, vec_col=vec_col)
-    codes = sq8_pack(sq8_encode(assigned, stats, vec_col=vec_col,
-                                id_col=id_col, keep=["__cell"]))
+    codes = sq8_encode(assigned, stats, vec_col=vec_col,
+                       id_col=id_col, keep=["__cell"])
+    if packed:
+        codes = sq8_pack(codes)
     writer = codes.write.mode("append")
     if meta.get("partition_by"):
         writer = writer.partitionBy(meta["partition_by"])

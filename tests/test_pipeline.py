@@ -1009,13 +1009,11 @@ class TestSQ8:
         from confluent_ksql_charm_spark.pipeline.similarity import (
             sq8_encode, sq8_pack, sq8_stats, sq8_topk_packed)
 
-        rows = [(i, [1.0, float(0)]) for i in range(40)]
+        # 40 identical vectors; row 999's distinct vector keeps BOTH
+        # dims non-degenerate (a constant dim would fit rng == 0)
+        rows = [(i, [1.0, 0.0]) for i in range(40)]
         base = spark.createDataFrame(
-            rows, "vec_id bigint, embedding array<float>")
-        # one non-constant dim so the codebook isn't degenerate
-        rows2 = [(i, [1.0, 0.001 if i == 999 else 0.0]) for i in range(40)]
-        base = spark.createDataFrame(
-            rows2 + [(999, [0.0, 1.0])],
+            rows + [(999, [0.0, 1.0])],
             "vec_id bigint, embedding array<float>")
         stats = sq8_stats(base)
         packed = sq8_pack(sq8_encode(base, stats))
@@ -1076,10 +1074,13 @@ class TestIVFSQ8:
 
         df, rows = self._clustered(spark, n=120)
         q = rows[5][1]
-        expr_idx = ivf_sq8_index(df, nlist=4)
+        # packed=False on BOTH the index and the probe: the expression
+        # ADC branch must be genuinely exercised (defaults are packed)
+        expr_idx = ivf_sq8_index(df, nlist=4, packed=False)
         pack_idx = ivf_sq8_index(df, nlist=4, packed=True)
         expr = [(r.vec_id, r.acos) for r in ivf_sq8_topk(
-            df, q, k=7, nprobe=4, index=expr_idx).collect()]
+            df, q, k=7, nprobe=4, index=expr_idx,
+            packed=False).collect()]
         packed = [(r.vec_id, r.acos) for r in ivf_sq8_topk(
             df, q, k=7, nprobe=4, index=pack_idx, packed=True).collect()]
         assert packed == expr
@@ -2527,3 +2528,70 @@ class TestBigramLogprob:
         df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
         with pytest.raises(ValueError, match="lambda_interp"):
             bigram_logprob(df, lambda_interp=1.5)
+
+
+class TestReviewFixesRound7:
+    """Regression tests for the round-7 code-review findings."""
+
+    def test_sq8_out_of_range_values_clamp_not_wrap(self, spark):
+        # a value below the fitted min must encode to 0 (saturate), not
+        # wrap to 255 via uint8 — the ivf_sq8_add drifted-vector path
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            sq8_encode, sq8_pack, sq8_topk_packed)
+
+        fit = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 1.0])],
+            "vec_id bigint, embedding array<float>")
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            sq8_stats)
+
+        stats = sq8_stats(fit)                     # range [0, 1] per dim
+        drifted = spark.createDataFrame(
+            [(3, [-0.4, 2.0])], "vec_id bigint, embedding array<float>")
+        codes = sq8_encode(drifted, stats).collect()[0].sq8_code
+        assert codes == [0, 255]                   # saturated, not wrapped
+        # and the packed ADC scan dequantizes to the codebook EDGES
+        packed = sq8_pack(sq8_encode(drifted, stats))
+        got = sq8_topk_packed(packed, [0.0, 1.0], stats, k=1).collect()[0]
+        assert got.acos == 1.0                     # dequant (0,1) vs (0,1)
+
+    def test_luhn_replace_respects_word_boundaries(self, spark):
+        # a valid card embedded in a longer digit run is NOT a match
+        # and must not be rewritten by the validated-replace fold
+        from confluent_ksql_charm_spark.pipeline.pii import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "ref 94111-1111-1111-11110 pay 4111-1111-1111-1111 x")],
+            "id bigint, text string")
+        got = redact_pii(df, "text", luhn_validate=True).collect()[0]
+        assert got.text == "ref 94111-1111-1111-11110 pay <CC> x"
+        assert got.n_cc == 1
+
+    def test_ivf_sq8_add_matches_unpacked_index_schema(self, spark,
+                                                       tmp_path):
+        # adding to a packed=False index must append int codes, not
+        # bytes (a schema mix would merge to NULLs and break probes)
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            ivf_sq8_add, ivf_sq8_index, ivf_sq8_topk, load_ann_index,
+            save_ann_index)
+
+        import random
+
+        rng = random.Random(5)
+        df = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(4)])
+             for i in range(60)],
+            "vec_id bigint, embedding array<float>")
+        base, extra = df.where("vec_id < 40"), df.where("vec_id >= 40")
+        idx = ivf_sq8_index(base, nlist=2, packed=False)
+        path = str(tmp_path / "unpacked")
+        save_ann_index(idx, path, kind="ivf_sq8", params={},
+                       partition_by="__cell")
+        ivf_sq8_add(spark, path, extra)
+        loaded, _ = load_ann_index(spark, path)
+        assert "sq8_code" in loaded[0].columns
+        assert "sq8_bytes" not in loaded[0].columns
+        assert loaded[0].where("sq8_code IS NULL").count() == 0
+        got = ivf_sq8_topk(df, [0.5, 0.5, 0.5, 0.5], k=5, nprobe=2,
+                           index=loaded, packed=False)
+        assert got.count() == 5
