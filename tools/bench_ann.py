@@ -215,6 +215,20 @@ def main() -> None:
                 t_probe / len(queries), 3)
             comp[f"recall_at_{K}_np{nprobe}"] = round(
                 hits / (K * len(queries)), 3)
+        # refine tier on the same index: exact re-score of the ADC
+        # top-100 shortlist (faiss IVF,SQ8,Refine)
+        np_ref = max(8, nlist // 16)
+        t_probe, hits = 0.0, 0
+        for qid, qv in queries:
+            rows, dt = timed(lambda qv=qv: sim.ivf_sq8_rerank_topk(
+                emb, qv, K, rerank=100, nprobe=np_ref, index=idx,
+                packed=True).collect())
+            t_probe += dt
+            hits += len({r.vec_id for r in rows} & exact_sets[qid])
+        comp[f"rerank100_probe_sec_np{np_ref}"] = round(
+            t_probe / len(queries), 3)
+        comp[f"rerank100_recall_at_{K}_np{np_ref}"] = round(
+            hits / (K * len(queries)), 3)
         out["ivf_sq8_topk"] = comp
         progress("ivf_sq8_topk")
         idx[0].unpersist()
