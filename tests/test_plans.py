@@ -392,3 +392,34 @@ class TestRound7Plans:
 
         hints = re.findall(r"BroadcastHashJoin \[token", plan)
         assert not hints
+
+
+class TestRound7ExplainPlanOnly:
+    STATEMENTS = [
+        ("GROUP_CAP", "GROUP_CAP(documents, GROUP='lang', N='5', "
+                      "ID='doc_id')"),
+        ("UNIGRAM_LOGPROB", "UNIGRAM_LOGPROB(documents, TEXT='text', "
+                            "VOCAB='50')"),
+        ("CHUNK", "CHUNK(documents, TEXT='text', MAX_TOKENS='32', "
+                  "STRIDE='24')"),
+        ("DEDUP_KEEP_BEST", "DEDUP_KEEP_BEST(documents, ID='doc_id', "
+                            "TEXT='text')"),
+    ]
+
+    @pytest.mark.parametrize("op,stmt", STATEMENTS,
+                             ids=[s[0] for s in STATEMENTS])
+    def test_explain_runs_no_jobs(self, engine, op, stmt):
+        # EXPLAIN of every round-7 PIPELINE op stays plan-only: no
+        # checkpoint/sizing count executes (lazy_plan mode), zero jobs
+        sc = engine.spark.sparkContext
+        sc.setJobGroup(f"explain-{op}", "plan-only probe")
+        try:
+            r = engine.execute(
+                f"EXPLAIN CREATE TABLE probe_{op.lower()} AS "
+                f"PIPELINE {stmt};")[0]
+            jobs = sc.statusTracker().getJobIdsForGroup(f"explain-{op}")
+        finally:
+            sc.setJobGroup(None, None)
+        assert f"PIPELINE {op}" in r.plan
+        assert jobs == [], jobs
+        assert not engine.metastore.has(f"probe_{op.lower()}")
