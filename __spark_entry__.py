@@ -599,6 +599,28 @@ def _q_ivf_sq8_rerank(spark, sf):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_filtered_ann_topk(spark, sf):
+    # FILTERED vector search: top-10 by quantized cosine among rows
+    # with label = 3 only — the predicate prunes candidates BEFORE
+    # scoring (filter-then-rank, the correct top-k-with-predicate
+    # semantics) via an index-resident attribute column. Full probe so
+    # the DuckDB ADC oracle replays it exactly.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        ivf_sq8_index, ivf_sq8_topk)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    key = ("filtered", id(spark), sf)
+    if key not in _IVF_SQ8_INDEXES:
+        codes, centers, stats = ivf_sq8_index(emb, nlist=8,
+                                              keep=["label"])
+        codes = codes.where(F.col("vec_id") != 0).cache()
+        _IVF_SQ8_INDEXES[key] = (codes, centers, stats)
+    return ivf_sq8_topk(emb, _query_vec(spark, sf), k=10, nprobe=8,
+                        index=_IVF_SQ8_INDEXES[key],
+                        where=F.col("label") == 3,
+                        keep_cols=["label"])
+
+
 def _q_token_stats(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import token_count
 
@@ -1178,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": _q_sq8_topk,
         "ivf_sq8_topk": _q_ivf_sq8_topk,
         "ivf_sq8_rerank": _q_ivf_sq8_rerank,
+        "filtered_ann_topk": _q_filtered_ann_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "corpus_split_sample": _q_corpus_split_sample,
         "token_stats_by_lang": _q_token_stats,
@@ -1768,6 +1791,7 @@ def oracle_sql() -> dict[str, str]:
         # it is provably the same computation as sq8_topk — the oracle
         # is the identical ADC SQL; partial-probe recall is unit-tested.
         "ivf_sq8_topk": _SQ8_ORACLE_SQL,
+        "filtered_ann_topk": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), lab AS (SELECT vec_id FROM embeddings WHERE label = 3), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) JOIN lab USING (vec_id) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), scored AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id) SELECT vec_id, ROUND(c, 4) AS acos FROM scored ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 10',
         "ivf_sq8_rerank": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), adc AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id), short AS (SELECT vec_id FROM adc ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 50) SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e JOIN short USING (vec_id) ORDER BY list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id LIMIT 10',
         "incremental_dedup": (
             # exact anti-join rows + brute-force asymmetric near-dup check:

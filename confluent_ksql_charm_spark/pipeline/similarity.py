@@ -834,7 +834,8 @@ def ivf_sq8_index(df: DataFrame, *, nlist: int = 16,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   seed: int = 42,
                   sample_fraction: float | None | str = "auto",
-                  packed: bool = True):
+                  packed: bool = True,
+                  keep: list[str] | None = None):
     """Build the composed index: IVF coarse cells over SQ8-compressed
     codes — ``(codes_df, centers, stats)`` where `codes_df` carries
     (id, sq8_bytes|sq8_code, __cell).
@@ -863,7 +864,7 @@ def ivf_sq8_index(df: DataFrame, *, nlist: int = 16,
                                   sample_fraction=sample_fraction)
     stats = sq8_stats(df, vec_col=vec_col)
     codes = sq8_encode(assigned, stats, vec_col=vec_col, id_col=id_col,
-                       keep=["__cell"])
+                       keep=["__cell"] + list(keep or []))
     if packed:
         codes = sq8_pack(codes)
     return codes, centers, stats
@@ -889,7 +890,9 @@ def ivf_sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
                  sample_fraction: float | None | str = "auto",
                  index: tuple | None = None,
                  packed: bool = True,
-                 round_to: int | None = 4) -> DataFrame:
+                 round_to: int | None = 4,
+                 where=None,
+                 keep_cols: list[str] | None = None) -> DataFrame:
     """Approximate top-k by cosine via IVF-pruned SQ8 ADC scan: probe
     the `nprobe` cells whose centroids are nearest the query, ADC-scan
     ONLY those cells' 8-bit codes.
@@ -902,14 +905,29 @@ def ivf_sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     ``nprobe == nlist`` scans every cell and
     degrades to exactly `sq8_topk` — the property the oracle gate uses.
 
+    FILTERED search: `where` (a Column predicate over index-resident
+    attribute columns) restricts the scan BEFORE scoring — build the
+    index with ``keep=['label', ...]`` so the attributes live in the
+    codes relation and the predicate prunes candidates inside the
+    probed cells rather than post-filtering a short result list (which
+    under-returns: filter-then-rank is the correct top-k-with-predicate
+    semantics, rank-then-filter is not). On a persisted cell-partitioned
+    index the attribute columns ride the same parquet, so the predicate
+    additionally benefits from row-group statistics.
+
     `index`: a prebuilt ``ivf_sq8_index(...)`` result — pass it on every
     probe; the zero-setup per-call build exists for ergonomics only.
     """
     codes, centers, stats = index if index is not None else ivf_sq8_index(
         df, nlist=nlist, vec_col=vec_col, id_col=id_col, seed=seed,
-        sample_fraction=sample_fraction, packed=packed)
+        sample_fraction=sample_fraction, packed=packed,
+        keep=keep_cols)
     cells = _nearest_cells(centers, query_vec, nprobe)
     cand = codes.where(F.col("__cell").isin(cells)).drop("__cell")
+    if where is not None:
+        cand = cand.where(where)
+    if keep_cols:
+        cand = cand.drop(*keep_cols)
     if packed:
         return sq8_topk_packed(cand, query_vec, stats, k, id_col=id_col,
                                round_to=round_to)

@@ -2595,3 +2595,64 @@ class TestReviewFixesRound7:
         got = ivf_sq8_topk(df, [0.5, 0.5, 0.5, 0.5], k=5, nprobe=2,
                            index=loaded, packed=False)
         assert got.count() == 5
+
+
+class TestFilteredANN:
+    def _labeled(self, spark, n=150, dim=6, seed=44):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(dim)], i % 3)
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"), rows
+
+    def test_filter_then_rank_semantics(self, spark):
+        # filtered top-k == exact top-k over the pre-filtered corpus
+        # (NOT post-filtering an unfiltered top-k, which under-returns)
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            ivf_sq8_index, ivf_sq8_topk, sq8_encode, sq8_stats, sq8_topk)
+
+        df, rows = self._labeled(spark)
+        q = rows[0][1]
+        idx = ivf_sq8_index(df, nlist=4, keep=["label"], packed=False)
+        got = [(r.vec_id, r.acos) for r in ivf_sq8_topk(
+            df, q, k=8, nprobe=4, index=idx, packed=False,
+            where=F.col("label") == 1, keep_cols=["label"]).collect()]
+        stats = sq8_stats(df)
+        want = [(r.vec_id, r.acos) for r in sq8_topk(
+            sq8_encode(df.where("label = 1"), stats), q, stats,
+            k=8).collect()]
+        assert got == want
+        assert all(v % 3 == 1 for v, _ in got)
+
+    def test_filtered_returns_k_when_label_sparse(self, spark):
+        # rank-then-filter would return < k here; filter-then-rank must
+        # still fill k from deeper candidates
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, ivf_sq8_index, ivf_sq8_topk)
+
+        df, rows = self._labeled(spark, n=90)
+        q = rows[0][1]
+        idx = ivf_sq8_index(df, nlist=2, keep=["label"])
+        got = ivf_sq8_topk(df, q, k=10, nprobe=2, index=idx,
+                           where=F.col("label") == 2,
+                           keep_cols=["label"]).collect()
+        assert len(got) == 10
+        # naive post-filter of the unfiltered top-10 keeps only ~1/3
+        unfiltered = cosine_topk(df, q, k=10).collect()
+        ids2 = {r.vec_id for r in df.where("label = 2").collect()}
+        assert len([r for r in unfiltered if r.vec_id in ids2]) < 10
+
+    def test_predicate_prunes_before_scan_in_plan(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            ivf_sq8_index, ivf_sq8_topk)
+
+        df, rows = self._labeled(spark, n=60)
+        idx = ivf_sq8_index(df, nlist=2, keep=["label"])
+        out = ivf_sq8_topk(df, rows[0][1], k=5, nprobe=1, index=idx,
+                           where=F.col("label") == 0,
+                           keep_cols=["label"])
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # the label predicate must sit below the scoring projection
+        assert "label" in plan and "CartesianProduct" not in plan
