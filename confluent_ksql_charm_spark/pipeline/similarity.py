@@ -915,6 +915,13 @@ def ivf_sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     index the attribute columns ride the same parquet, so the predicate
     additionally benefits from row-group statistics.
 
+    SIZE nprobe FOR THE SELECTIVITY: a predicate keeping fraction s of
+    rows thins every probed cell to s of its candidates, so recall at a
+    fixed nprobe drops accordingly — scale nprobe by ~1/s (measured at
+    sf1, 10%-selective label filter, BASELINE round-7: np16 recall
+    0.495 → np160 recall 0.990 at near-flat probe cost, because the
+    packed scan is overhead-dominated at these cell counts).
+
     `index`: a prebuilt ``ivf_sq8_index(...)`` result — pass it on every
     probe; the zero-setup per-call build exists for ergonomics only.
     """
