@@ -2656,3 +2656,35 @@ class TestFilteredANN:
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         # the label predicate must sit below the scoring projection
         assert "label" in plan and "CartesianProduct" not in plan
+
+
+class TestFilteredIndexPersistence:
+    def test_attributes_survive_save_load(self, spark, tmp_path):
+        # index-resident attribute columns ride the cell-partitioned
+        # parquet: a filtered probe on the RELOADED index matches the
+        # in-memory one exactly
+        import random
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            ivf_sq8_index, ivf_sq8_topk, load_ann_index, save_ann_index)
+
+        rng = random.Random(7)
+        df = spark.createDataFrame(
+            [(i, [rng.gauss(0, 1) for _ in range(5)], i % 2)
+             for i in range(100)],
+            "vec_id bigint, embedding array<float>, label int")
+        idx = ivf_sq8_index(df, nlist=4, keep=["label"])
+        q = [1.0, 0.0, 0.0, 0.0, 0.0]
+        before = [(r.vec_id, r.acos) for r in ivf_sq8_topk(
+            df, q, k=6, nprobe=4, index=idx,
+            where=F.col("label") == 1, keep_cols=["label"]).collect()]
+        path = str(tmp_path / "attr_idx")
+        save_ann_index(idx, path, kind="ivf_sq8", params={},
+                       partition_by="__cell")
+        loaded, _ = load_ann_index(spark, path)
+        assert "label" in loaded[0].columns
+        after = [(r.vec_id, r.acos) for r in ivf_sq8_topk(
+            df, q, k=6, nprobe=4, index=loaded,
+            where=F.col("label") == 1, keep_cols=["label"]).collect()]
+        assert after == before
+        assert all(v % 2 == 1 for v, _ in after)
