@@ -623,7 +623,8 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
              nlist: int = 16, nprobe: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id", seed: int = 42,
              sample_fraction: float | None | str = "auto",
-             index: tuple | None = None) -> DataFrame:
+             index: tuple | None = None,
+             where: Column | None = None) -> DataFrame:
     """Approximate top-k by cosine via IVF: scan only the `nprobe` cells
     whose centroids are nearest the query. ``nprobe == nlist`` degrades
     to exact brute force (the recall-vs-cost knob).
@@ -632,12 +633,19 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     after building ONCE — refitting the quantizer per query is the
     anti-pattern (a deployed index is built at ingest and amortized over
     all probes; the per-call fit here is only the zero-setup default).
+
+    `where`: metadata predicate for FILTERED search — the assigned
+    relation keeps every original column, so the predicate prunes
+    candidates inside the probed cells before scoring (filter-then-rank;
+    same selectivity rule as `ivf_sq8_topk`: scale nprobe by ~1/s).
     """
     assigned, centers = index if index is not None else ivf_index(
         df, nlist=nlist, vec_col=vec_col, seed=seed,
         sample_fraction=sample_fraction)
     cells = _nearest_cells(centers, query_vec, nprobe)
     cand = assigned.where(F.col("__cell").isin(cells)).drop("__cell")
+    if where is not None:
+        cand = cand.where(where)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 

@@ -2688,3 +2688,27 @@ class TestFilteredIndexPersistence:
             where=F.col("label") == 1, keep_cols=["label"]).collect()]
         assert after == before
         assert all(v % 2 == 1 for v, _ in after)
+
+
+class TestFilteredIVFFloat:
+    def test_where_filters_before_ranking(self, spark):
+        # float-IVF probe keeps every original column, so the predicate
+        # composes directly: filtered == exact over pre-filtered corpus
+        # at full probe
+        import random
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, ivf_topk)
+
+        rng = random.Random(9)
+        df = spark.createDataFrame(
+            [(i, [rng.gauss(0, 1) for _ in range(5)], i % 2)
+             for i in range(80)],
+            "vec_id bigint, embedding array<float>, label int")
+        q = [1.0, 0.0, 0.0, 0.0, 0.0]
+        got = [(r.vec_id, round(r.cosine, 6)) for r in ivf_topk(
+            df, q, k=6, nlist=4, nprobe=4,
+            where=F.col("label") == 0).collect()]
+        want = [(r.vec_id, round(r.cosine, 6)) for r in cosine_topk(
+            df.where("label = 0"), q, k=6).collect()]
+        assert got == want
