@@ -621,6 +621,18 @@ def _q_filtered_ann_topk(spark, sf):
                         keep_cols=["label"])
 
 
+def _q_filtered_ivf_topk(spark, sf):
+    # float-IVF filtered probe at FULL probe: provably exact cosine
+    # top-k over the label-filtered corpus (the where= gate)
+    from confluent_ksql_charm_spark.pipeline.similarity import ivf_topk
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    out = ivf_topk(emb.where(F.col("vec_id") != 0),
+                   _query_vec(spark, sf), k=10, nlist=8, nprobe=8,
+                   where=F.col("label") == 3)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_token_stats(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import token_count
 
@@ -1201,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_sq8_topk": _q_ivf_sq8_topk,
         "ivf_sq8_rerank": _q_ivf_sq8_rerank,
         "filtered_ann_topk": _q_filtered_ann_topk,
+        "filtered_ivf_topk": _q_filtered_ivf_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "corpus_split_sample": _q_corpus_split_sample,
         "token_stats_by_lang": _q_token_stats,
@@ -1791,6 +1804,7 @@ def oracle_sql() -> dict[str, str]:
         # it is provably the same computation as sq8_topk — the oracle
         # is the identical ADC SQL; partial-probe recall is unit-tested.
         "ivf_sq8_topk": _SQ8_ORACLE_SQL,
+        "filtered_ivf_topk": 'SELECT vec_id, ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings WHERE vec_id <> 0 AND label = 3 ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10',
         "filtered_ann_topk": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), lab AS (SELECT vec_id FROM embeddings WHERE label = 3), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) JOIN lab USING (vec_id) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), scored AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id) SELECT vec_id, ROUND(c, 4) AS acos FROM scored ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 10',
         "ivf_sq8_rerank": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), adc AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id), short AS (SELECT vec_id FROM adc ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 50) SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e JOIN short USING (vec_id) ORDER BY list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id LIMIT 10',
         "incremental_dedup": (
