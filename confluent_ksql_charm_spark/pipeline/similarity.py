@@ -211,7 +211,8 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
                     bits: int = 8, vec_col: str = "embedding",
                     id_col: str = "vec_id", probe_hamming: int = 1,
                     seed: int = 42,
-                    index: DataFrame | None = None) -> DataFrame:
+                    index: DataFrame | None = None,
+                    where: Column | None = None) -> DataFrame:
     """Approximate top-k: scan only LSH buckets near the query's bucket.
 
     Returns the same schema as `cosine_topk` (id, cosine); recall depends
@@ -241,6 +242,12 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     cand = bucketed.where(
         F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
     )
+    if where is not None:
+        # filtered search: the bucketed relation keeps every original
+        # column, so the predicate prunes candidates before scoring
+        # (filter-then-rank); widen probe_hamming for selective filters,
+        # same 1/selectivity rule as the IVF probes
+        cand = cand.where(where)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 

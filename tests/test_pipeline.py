@@ -2712,3 +2712,26 @@ class TestFilteredIVFFloat:
         want = [(r.vec_id, round(r.cosine, 6)) for r in cosine_topk(
             df.where("label = 0"), q, k=6).collect()]
         assert got == want
+
+
+class TestFilteredLSH:
+    def test_where_composes_on_bucket_probe(self, spark):
+        import random
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, lsh_bucket_topk)
+
+        rng = random.Random(11)
+        df = spark.createDataFrame(
+            [(i, [rng.gauss(0, 1) for _ in range(5)], i % 2)
+             for i in range(80)],
+            "vec_id bigint, embedding array<float>, label int")
+        q = [1.0, 0.0, 0.0, 0.0, 0.0]
+        # full probe ring (hamming <= bits) degrades to exact over the
+        # filtered corpus
+        got = [(r.vec_id, round(r.cosine, 6)) for r in lsh_bucket_topk(
+            df, q, k=6, bits=4, probe_hamming=4,
+            where=F.col("label") == 1).collect()]
+        want = [(r.vec_id, round(r.cosine, 6)) for r in cosine_topk(
+            df.where("label = 1"), q, k=6).collect()]
+        assert got == want
