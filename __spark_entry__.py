@@ -1470,6 +1470,63 @@ def _substring_dedup_oracle() -> str:
     )
 
 
+# Luhn checksum as a DuckDB list lambda (digit string from the RIGHT,
+# doubled every second position) — shared by the count and redact legs.
+_LUHN_SQL = (
+    "m -> list_sum([CASE WHEN i % 2 = 0 THEN "
+    "(2*CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'), "
+    "length(regexp_replace(m, '[^0-9]', '', 'g'))-i+1, 1) AS INT))//10 + "
+    "(2*CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'), "
+    "length(regexp_replace(m, '[^0-9]', '', 'g'))-i+1, 1) AS INT))%10 "
+    "ELSE CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'), "
+    "length(regexp_replace(m, '[^0-9]', '', 'g'))-i+1, 1) AS INT) END "
+    "FOR i IN generate_series(1, "
+    "length(regexp_replace(m, '[^0-9]', '', 'g')))]) % 10 = 0"
+)
+
+_CC_SQL = r"\b(?:\d{4}[ -]){3}\d{4}\b"
+
+# Luhn-gated PII redaction replayed in DuckDB. The CC leg mirrors the
+# Spark side's SINGLE-PASS alternation replace (ADVICE r7): the valid
+# candidates become one \b(?:a|b|...)\b pattern applied once, so each
+# source position is rewritten at most once (candidates are all the
+# same fixed length, so leftmost-first alternation order is immaterial
+# and Java regex and RE2 agree).
+_PII_LUHN_ORACLE_SQL = (
+    "WITH d AS (SELECT doc_id, text || ' pay 4111-1111-1111-1111 or "
+    "5500-0000-0000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' end' AS text FROM documents), "
+    "s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) "
+    "AS n_email, regexp_replace(text, "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', "
+    "'<EMAIL>', 'g') AS t1 FROM d), "
+    "vl AS (SELECT doc_id, n_email, t1, "
+    "list_filter(regexp_extract_all(t1, '" + _CC_SQL + "'), "
+    + _LUHN_SQL + ") AS occs, "
+    "list_filter(list_distinct(regexp_extract_all(t1, '" + _CC_SQL
+    + "')), " + _LUHN_SQL + ") AS vlist FROM s1), "
+    "sc AS (SELECT doc_id, n_email, CAST(len(occs) AS INT) AS n_cc, "
+    "CASE WHEN len(vlist) = 0 THEN t1 ELSE regexp_replace(t1, "
+    r"'\b(?:' || array_to_string(vlist, '|') || ')\b', '<CC>', 'g') "
+    "END AS tc FROM vl), "
+    "ss AS (SELECT doc_id, n_email, n_cc, CAST(len(regexp_extract_all("
+    r"tc, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn, "
+    r"regexp_replace(tc, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS ts "
+    "FROM sc), "
+    "s2 AS (SELECT doc_id, n_email, n_cc, n_ssn, "
+    r"CAST(len(regexp_extract_all(ts, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) "
+    r"AS n_phone, regexp_replace(ts, '\b\d{3}-\d{3}-\d{4}\b', "
+    "'<PHONE>', 'g') AS t2 FROM ss), "
+    "s3 AS (SELECT doc_id, n_email, n_cc, n_ssn, n_phone, "
+    "CAST(len(regexp_extract_all(t2, "
+    r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip, "
+    r"regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', "
+    "'<IP>', 'g') AS text FROM s2) "
+    "SELECT doc_id, text, n_email, n_cc, n_ssn, n_phone, n_ip FROM s3"
+)
+
+
 # SQ8 ADC recomputed from scratch in DuckDB — shared by sq8_topk and
 # the full-probe ivf_sq8_topk (which provably computes the same thing).
 _SQ8_ORACLE_SQL = (
@@ -1906,7 +1963,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT dg.doc_id, COUNT(*) AS shared_grams "
             "FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id"
         ),
-        "pii_redact_luhn": "WITH d AS (SELECT doc_id, text || ' pay 4111-1111-1111-1111 or 5500-0000-0000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end' AS text FROM documents), s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM d), sc AS (SELECT doc_id, n_email, CAST(len(list_filter(regexp_extract_all(t1, '\\b(?:\\d{4}[ -]){3}\\d{4}\\b'), m -> list_sum([CASE WHEN i % 2 = 0 THEN (2*CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'), length(regexp_replace(m, '[^0-9]', '', 'g'))-i+1, 1) AS INT))//10 + (2*CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'), length(regexp_replace(m, '[^0-9]', '', 'g'))-i+1, 1) AS INT))%10 ELSE CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'), length(regexp_replace(m, '[^0-9]', '', 'g'))-i+1, 1) AS INT) END FOR i IN generate_series(1, length(regexp_replace(m, '[^0-9]', '', 'g')))]) % 10 = 0)) AS INT) AS n_cc, list_reduce(list_prepend(t1, list_filter(list_distinct(regexp_extract_all(t1, '\\b(?:\\d{4}[ -]){3}\\d{4}\\b')), m -> list_sum([CASE WHEN i % 2 = 0 THEN (2*CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'), length(regexp_replace(m, '[^0-9]', '', 'g'))-i+1, 1) AS INT))//10 + (2*CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'), length(regexp_replace(m, '[^0-9]', '', 'g'))-i+1, 1) AS INT))%10 ELSE CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'), length(regexp_replace(m, '[^0-9]', '', 'g'))-i+1, 1) AS INT) END FOR i IN generate_series(1, length(regexp_replace(m, '[^0-9]', '', 'g')))]) % 10 = 0)), (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b', '<CC>', 'g')) AS tc FROM s1), ss AS (SELECT doc_id, n_email, n_cc, CAST(len(regexp_extract_all(tc, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn, regexp_replace(tc, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS ts FROM sc), s2 AS (SELECT doc_id, n_email, n_cc, n_ssn, CAST(len(regexp_extract_all(ts, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone, regexp_replace(ts, '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS t2 FROM ss), s3 AS (SELECT doc_id, n_email, n_cc, n_ssn, n_phone, CAST(len(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip, regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS text FROM s2) SELECT doc_id, text, n_email, n_cc, n_ssn, n_phone, n_ip FROM s3",
+        "pii_redact_luhn": _PII_LUHN_ORACLE_SQL,
         "pii_redact": (
             "WITH d AS (SELECT doc_id, text || ' contact user' || doc_id "
             "|| '@example.com or 555-' "

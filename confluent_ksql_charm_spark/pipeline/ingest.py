@@ -203,6 +203,17 @@ def corpus_ingest_batch_fn(
                      .select(id_col).distinct())
         out = batch.join(F.broadcast(exact_hit), id_col, "left_anti")
         if fuzzy_bench:
+            # ENFORCED, not just documented (ADVICE r7): a negative batch
+            # id would collide with the benchmark rows' synthetic negative
+            # ids inside the verify union and silently corrupt fuzzy
+            # flagging (wrong docs rejected, or leaks kept).
+            bad = out.where(F.col(id_col) < 0).select(id_col).head()
+            if bad is not None:
+                raise ValueError(
+                    f"fuzzy_bench requires nonnegative {id_col!r} values "
+                    f"in the batch (got {bad[0]}): benchmark rows ride "
+                    "the verify union under synthetic NEGATIVE ids, so a "
+                    "negative batch id would collide with them")
             fuzzy_hit = fuzzy_flag_contaminated(
                 out, bench_state["bench"], id_col, text_col,
                 threshold=fuzzy_threshold,

@@ -60,21 +60,26 @@ def _luhn_contrib(arr: Column, n: Column, i: Column) -> Column:
 
 def _redact_cc_validated(c: Column, pat: str, token: str) -> Column:
     """Replace only Luhn-VALID credit-card candidates: extract the
-    matches, keep the checksum-valid ones, replace each occurrence
+    matches, keep the checksum-valid ones, replace them in ONE
+    left-to-right pass via a single alternation of the valid candidates
     UNDER THE SAME \\b BOUNDARIES the extraction used — a valid card
     string embedded inside a longer digit run was never a match and
-    must not be rewritten (an unanchored literal replace would mangle
-    e.g. a 21-digit reference number containing a card as a substring).
-    Candidates contain only digits, spaces and hyphens, so splicing one
-    into a regex needs no escaping. Distinct candidates — identical
-    text implies identical checksum — so each pattern replaces all of
-    its occurrences at once."""
+    must not be rewritten, and the single pass rewrites each source
+    position AT MOST ONCE (ADVICE r7: the earlier per-candidate
+    sequential replace could splice a valid card out of the middle of
+    an overlapping digit run, leaving the neighbors mangled). Every
+    candidate is the same fixed length (4-4-4-4 with separators), so
+    leftmost-first alternation order is immaterial and Java regex and
+    RE2 agree. Candidates contain only digits, spaces and hyphens, so
+    splicing them into a regex needs no escaping; distinct candidates —
+    identical text implies identical checksum."""
     cands = F.array_distinct(F.regexp_extract_all(c, F.lit(pat), 0))
     valid = F.filter(cands, luhn_valid)
-    return F.aggregate(
-        valid, c,
-        lambda acc, m: F.regexp_replace(
-            acc, F.concat(F.lit(r"\b"), m, F.lit(r"\b")), F.lit(token)))
+    alt = F.concat(F.lit(r"\b(?:"), F.array_join(valid, "|"),
+                   F.lit(r")\b"))
+    # empty alternation would match zero-width at every word boundary
+    return F.when(F.size(valid) == 0, c).otherwise(
+        F.regexp_replace(c, alt, F.lit(token)))
 
 
 def redact_col(text: str | Column, *, luhn_validate: bool = False) -> Column:

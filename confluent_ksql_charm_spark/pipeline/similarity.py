@@ -488,6 +488,33 @@ def cosine_all_pairs(df: DataFrame, threshold: float, *,
 #: matches the full fit within noise at sf1.
 IVF_TRAIN_TARGET_ROWS = 100_000
 
+#: `ivf_topk` / `ivf_sq8_topk` called WITHOUT `index=` warn above this
+#: many rows: the zero-setup path refits the coarse quantizer on every
+#: probe, which on a large corpus silently turns one query into a
+#: KMeans job. Build once (`ivf_index` / `ivf_sq8_index`), persist
+#: (`save_ann_index`), and pass `index=` on every probe — that path
+#: never warns.
+PER_CALL_BUILD_WARN_ROWS = 1_000_000
+
+
+def _warn_per_call_build(df: DataFrame, fn: str) -> None:
+    """Loud foot-gun guard (VERDICT r7): a per-probe quantizer fit on a
+    large corpus is almost always a mistake. LIMIT-probe sizing (no full
+    scan); plan-only mode stays silent (no sizing job)."""
+    from .lazy import lazy_plan_active
+
+    if lazy_plan_active():
+        return
+    if df.limit(PER_CALL_BUILD_WARN_ROWS + 1).count() > PER_CALL_BUILD_WARN_ROWS:
+        import warnings
+
+        warnings.warn(
+            f"{fn}: building an ANN index per call on a corpus above "
+            f"{PER_CALL_BUILD_WARN_ROWS:,} rows — this refits the coarse "
+            "quantizer on EVERY probe. Build once with ivf_index/"
+            "ivf_sq8_index (persist via save_ann_index) and pass index= "
+            "to amortize the fit.", stacklevel=3)
+
 
 def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
               seed: int = 42,
@@ -523,9 +550,16 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
         if lazy_plan_active():       # plan-only mode runs no sizing count
             sample_fraction = None
         else:
-            n = df.count()
-            sample_fraction = (None if n <= IVF_TRAIN_TARGET_ROWS
-                               else IVF_TRAIN_TARGET_ROWS / n)
+            # cheap sizing probe (ADVICE r7): decide full-vs-sampled with
+            # a LIMIT count — corpora at or under the training target
+            # (the common zero-setup case) never pay a full scan; only
+            # the sampled branch needs the exact n for its fraction.
+            probe = df.limit(IVF_TRAIN_TARGET_ROWS + 1).count()
+            if probe <= IVF_TRAIN_TARGET_ROWS:
+                sample_fraction = None
+            else:
+                n = df.count()
+                sample_fraction = IVF_TRAIN_TARGET_ROWS / n
     unit = df.withColumn("__n", norm(F.col(vec_col))).withColumn(
         "__unit",
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
@@ -646,6 +680,8 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     candidates inside the probed cells before scoring (filter-then-rank;
     same selectivity rule as `ivf_sq8_topk`: scale nprobe by ~1/s).
     """
+    if index is None:
+        _warn_per_call_build(df, "ivf_topk")
     assigned, centers = index if index is not None else ivf_index(
         df, nlist=nlist, vec_col=vec_col, seed=seed,
         sample_fraction=sample_fraction)
@@ -792,8 +828,10 @@ def sq8_topk_packed(packed_df: DataFrame, query_vec: list[float],
     """ADC top-k over byte-packed codes: `mapInPandas` batches decode
     the binary column into one (batch x dim) uint8 matrix and score it
     with a single numpy matmul — the faiss SQ8 scan shape, Arrow in and
-    out, zero per-row Python. Per-partition top-k, then the driver-side
-    TakeOrdered merges partition champions.
+    out, zero per-row Python. Per-ARROW-BATCH top-k (any global top-k
+    row survives its batch's cut, so k rows per batch — not per
+    partition — reach the final TakeOrdered merge; ADVICE r7 wording
+    fix), then the driver-side TakeOrdered merges batch champions.
 
     Ordering domain matches `sq8_topk` (ADVICE r6): scores are rounded
     to `round_to` BEFORE the per-partition cut, and the cut itself sorts
@@ -938,8 +976,11 @@ def ivf_sq8_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     packed scan is overhead-dominated at these cell counts).
 
     `index`: a prebuilt ``ivf_sq8_index(...)`` result — pass it on every
-    probe; the zero-setup per-call build exists for ergonomics only.
+    probe; the zero-setup per-call build exists for ergonomics only
+    (and warns above `PER_CALL_BUILD_WARN_ROWS`; `index=` silences it).
     """
+    if index is None:
+        _warn_per_call_build(df, "ivf_sq8_topk")
     codes, centers, stats = index if index is not None else ivf_sq8_index(
         df, nlist=nlist, vec_col=vec_col, id_col=id_col, seed=seed,
         sample_fraction=sample_fraction, packed=packed,
