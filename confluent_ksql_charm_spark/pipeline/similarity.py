@@ -594,7 +594,11 @@ def save_ann_index(index, path: str, *, kind: str, params: dict,
     relation plus its codebook; the stats ride the sidecar so a loaded
     index probes without refitting),
     ``ivf_sq8`` (index = `ivf_sq8_index` result `(codes_df, centers,
-    stats)`; partition on ``__cell`` so probes prune partitions).
+    stats)`; partition on ``__cell`` so probes prune partitions),
+    ``pq`` (index = `pq_index` result `(codes_df, codebook)` — the
+    m x ksub x dsub codebook rides the sidecar like the SQ8 stats),
+    ``ivf_pq`` (index = `ivf_pq_index` result `(codes_df, centers,
+    codebook)`; partition on ``__cell``).
     """
     import json
     import os
@@ -608,6 +612,12 @@ def save_ann_index(index, path: str, *, kind: str, params: dict,
     elif kind == "ivf_sq8":
         df, centers, stats = index
         params = dict(params, centers=centers, stats=stats)
+    elif kind == "pq":
+        df, codebook = index
+        params = dict(params, codebook=codebook)
+    elif kind == "ivf_pq":
+        df, centers, codebook = index
+        params = dict(params, centers=centers, codebook=codebook)
     elif kind in ("lsh", "banded_lsh"):
         df = index
     else:
@@ -657,6 +667,12 @@ def load_ann_index(spark, path: str):
         centers = params.pop("centers")
         stats = [tuple(s) for s in params.pop("stats")]
         return (df, centers, stats), params
+    if kind == "pq":
+        return (df, params.pop("codebook")), params
+    if kind == "ivf_pq":
+        df = df.withColumn("__cell", F.col("__cell").cast("int"))
+        centers = params.pop("centers")
+        return (df, centers, params.pop("codebook")), params
     raise ValueError(f"unknown ANN index kind {kind!r} in {path}")
 
 
@@ -1115,7 +1131,9 @@ def ivf_sq8_rerank_topk(df: DataFrame, query_vec: list[float],
                         id_col: str = "vec_id", seed: int = 42,
                         sample_fraction: float | None | str = "auto",
                         index: tuple | None = None,
-                        packed: bool = True) -> DataFrame:
+                        packed: bool = True,
+                        where=None,
+                        keep_cols: list[str] | None = None) -> DataFrame:
     """IVF×SQ8 probe with an exact REFINE pass (the faiss
     ``IVF,SQ8,Refine`` shape): the compressed ADC scan shortlists the
     top-`rerank` candidates, which are then re-scored against their
@@ -1133,11 +1151,390 @@ def ivf_sq8_rerank_topk(df: DataFrame, query_vec: list[float],
     packed bytes); the refine adds one id-IN-shortlist lookup — on a
     cell-partitioned store the ids come from the probed cells, so the
     fetch prunes to the same partitions.
+
+    `where` / `keep_cols` (VERDICT r7 #3): FILTERED search composed
+    with the refine tier — the predicate prunes candidates inside the
+    probed cells BEFORE the ADC shortlist (filter-then-rank over the
+    filtered corpus; build the index with ``keep=[...]`` so the
+    attributes are index-resident), and the exact re-score needs no
+    change because every shortlisted id already satisfies it. Same
+    selectivity rule as the unrefined probes: scale nprobe by ~1/s.
     """
     shortlist = ivf_sq8_topk(df, query_vec, k=rerank, nlist=nlist,
                              nprobe=nprobe, vec_col=vec_col,
                              id_col=id_col, seed=seed,
                              sample_fraction=sample_fraction,
-                             index=index, packed=packed)
+                             index=index, packed=packed,
+                             where=where, keep_cols=keep_cols)
+    cand = df.join(F.broadcast(shortlist.select(id_col)), id_col)
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# PQ product quantization: the 100 TB compression tier (faiss IVF,PQm shape)
+# ---------------------------------------------------------------------------
+
+#: PQ codebooks are trained driver-side in numpy on at most this many
+#: sampled vectors — the faiss shape (ProductQuantizer::train runs
+#: in-memory on a capped training set; 100k x dim float64 is <= 51 MiB
+#: at dim 64, the same bounded-driver-state budget as the SQ8 codebook
+#: and the IVF centers). The fit cost is therefore CORPUS-SIZE
+#: INDEPENDENT; only the encode pass is O(n), and it rides the scan.
+PQ_TRAIN_TARGET_ROWS = 100_000
+
+
+def _pq_dims(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(
+            f"pq: vector dim {dim} is not divisible by m={m} sub-spaces "
+            "(pad the embedding or pick m | dim)")
+    return dim // m
+
+
+def pq_fit(df: DataFrame, *, m: int = 8, ksub: int = 256,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           n_iter: int = 10, init: str = "sample", seed: int = 42,
+           train_rows: int = PQ_TRAIN_TARGET_ROWS) -> list:
+    """Train a product-quantization codebook: split each vector into
+    `m` contiguous sub-spaces of dim/m dims and run Lloyd k-means with
+    `ksub` centroids independently per sub-space. Returns the codebook
+    as a nested list ``m x ksub x dsub`` (JSON-serializable — it rides
+    the `save_ann_index` sidecar exactly like the SQ8 stats).
+
+    Training is deliberately DRIVER-SIDE numpy over a capped sample
+    (`train_rows`, default 100k — see `PQ_TRAIN_TARGET_ROWS`): PQ
+    training is an in-memory problem at every deployed scale (faiss
+    trains on ~100k vectors regardless of corpus size), and a fixed
+    seed + fixed iteration count makes the fit bit-deterministic for a
+    given training set, unlike KMeans|| (the operational rule from the
+    IVF family — persist one blessed index — applies here too, but the
+    fit itself no longer wobbles).
+
+    `init`:
+      - ``"sample"`` (default): `ksub` distinct training vectors chosen
+        by a seeded RNG — the faiss-style init for real fits.
+      - ``"first"``: the sub-vectors of the `ksub` LOWEST-`id_col` rows
+        (a TakeOrdered fetch, cheap at any scale). With ``n_iter=0``
+        the codebook is then a pure, engine-replayable function of the
+        data — the configuration the DuckDB oracle gate replays (the
+        same full-probe-degradation idea the IVF entries use, applied
+        to the fit: the oracle pins the fit, pytest grades the recall
+        of the real one).
+
+    Empty clusters keep their previous centroid (faiss behavior).
+    """
+    import numpy as np
+
+    if init == "first":
+        rows = (df.select(id_col, vec_col).orderBy(id_col)
+                .limit(max(ksub, 1)).collect())
+        base = np.asarray([[float(x) for x in r[1]] for r in rows],
+                          dtype=np.float64)
+        if n_iter > 0:
+            train = _pq_train_matrix(df, vec_col, train_rows, seed)
+        else:
+            train = base
+    elif init == "sample":
+        train = _pq_train_matrix(df, vec_col, train_rows, seed)
+        base = None
+    else:
+        raise ValueError(f"pq_fit: unknown init {init!r}")
+
+    dim = train.shape[1]
+    dsub = _pq_dims(dim, m)
+    codebook = []
+    rng = np.random.RandomState(seed)
+    for s in range(m):
+        X = train[:, s * dsub:(s + 1) * dsub]
+        if init == "first":
+            if base.shape[0] < ksub:
+                raise ValueError(
+                    f"pq_fit(init='first'): need {ksub} rows, "
+                    f"corpus has {base.shape[0]}")
+            C = base[:ksub, s * dsub:(s + 1) * dsub].copy()
+        else:
+            if X.shape[0] < ksub:
+                raise ValueError(
+                    f"pq_fit: ksub={ksub} exceeds the {X.shape[0]}-row "
+                    "training set (lower ksub or raise train_rows)")
+            C = X[rng.choice(X.shape[0], ksub, replace=False)].copy()
+        for _ in range(n_iter):
+            d = ((X * X).sum(1, keepdims=True) + (C * C).sum(1)
+                 - 2.0 * X @ C.T)
+            a = d.argmin(1)
+            counts = np.bincount(a, minlength=ksub).astype(np.float64)
+            sums = np.zeros_like(C)
+            for j in range(dsub):
+                sums[:, j] = np.bincount(a, weights=X[:, j],
+                                         minlength=ksub)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
+        codebook.append(C.tolist())
+    return codebook
+
+
+def _pq_train_matrix(df: DataFrame, vec_col: str, train_rows: int,
+                     seed: int):
+    """Capped training sample as an (n x dim) float64 matrix — LIMIT
+    probe to size (no full count), seeded sample only when the corpus
+    exceeds the cap (same two-step sizing as `ivf_index`'s auto mode).
+    """
+    import numpy as np
+
+    probe = df.limit(train_rows + 1).count()
+    src = df.select(vec_col)
+    if probe > train_rows:
+        n = df.count()
+        src = src.sample(min(1.0, 1.2 * train_rows / n), seed=seed) \
+                 .limit(train_rows)
+    rows = src.collect()
+    return np.asarray([[float(x) for x in r[0]] for r in rows],
+                      dtype=np.float64)
+
+
+def pq_encode(df: DataFrame, codebook: list, *,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              keep: list[str] | None = None,
+              packed: bool = True) -> DataFrame:
+    """Encode vectors to PQ codes: per sub-space nearest-centroid
+    assignment (squared L2, ties to the lowest centroid id — numpy
+    argmin and the SQL oracle's ORDER BY d, cid agree). Output carries
+    (`id_col`, ``pq_bytes`` m-byte binary | ``pq_code`` array<int>,
+    *keep) — the float vector is DROPPED: at m=8 over dim-64 float32
+    that is a 32x state reduction (8 bytes/vector vs 256), the coarse
+    code the refine tier was measured to need (BASELINE r7 addendum 7).
+
+    One Arrow-batched `mapInPandas` pass: each sub-space's distances
+    are a single (batch x ksub) expansion-form matmul, so the encode is
+    O(n·m·ksub) flops riding the scan — no shuffle, no per-row Python.
+    """
+    import numpy as np
+    from pyspark.sql.types import (ArrayType, BinaryType, IntegerType,
+                                   StructField, StructType)
+
+    cb = [np.asarray(c, dtype=np.float64) for c in codebook]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+    keep = list(keep or [])
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_fields = [in_fields[id_col]]
+    out_fields.append(StructField("pq_bytes", BinaryType()) if packed
+                      else StructField("pq_code",
+                                       ArrayType(IntegerType())))
+    out_fields += [in_fields[c] for c in keep]
+    out_schema = StructType(out_fields)
+    cols = [id_col, vec_col] + keep
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            codes = np.empty((len(pdf), m), dtype=np.uint8)
+            for s in range(m):
+                xs = x[:, s * dsub:(s + 1) * dsub]
+                c = cb[s]
+                d = ((xs * xs).sum(1, keepdims=True) + (c * c).sum(1)
+                     - 2.0 * xs @ c.T)
+                codes[:, s] = d.argmin(1).astype(np.uint8)
+            out = {id_col: pdf[id_col].values}
+            if packed:
+                out["pq_bytes"] = [r.tobytes() for r in codes]
+            else:
+                out["pq_code"] = [r.astype("int32").tolist()
+                                  for r in codes]
+            for c in keep:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(_encode, schema=out_schema)
+
+
+def pq_topk(codes_df: DataFrame, query_vec: list[float], codebook: list,
+            k: int = 10, *, id_col: str = "vec_id",
+            round_to: int | None = 4) -> DataFrame:
+    """ADC top-k over PQ codes: precompute two m x ksub lookup tables
+    driver-side (sub-query·centroid partial dots and partial centroid
+    norms — the faiss ADC table), then each Arrow batch scores with two
+    numpy gathers + row sums. score = sum_s LUT_dot[s, code_s] /
+    (sqrt(sum_s LUT_n2[s, code_s]) * |q|) — the cosine of the query
+    against the RECONSTRUCTED vector, never materializing it.
+
+    Same deterministic cut as `sq8_topk_packed`: rounded to `round_to`
+    BEFORE the per-Arrow-batch top-k, (acos desc, id asc) ordering, so
+    the result is partitioning-independent and oracle-replayable.
+
+    At 100 TB the scan reads m bytes/vector (32x less than float32 at
+    m=8, dim 64) — compose with IVF cells (`ivf_pq_topk`) to also cut
+    the rows, and with the refine tier (`ivf_pq_rerank_topk`) to buy
+    back the recall the coarse codes lose.
+    """
+    import numpy as np
+
+    cb = [np.asarray(c, dtype=np.float64) for c in codebook]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(
+            f"pq_topk: query dim {q.shape[0]} != m*dsub = {m * dsub}")
+    qn = float(np.sqrt((q * q).sum())) or 1.0
+    lut_dot = np.stack([cb[s] @ q[s * dsub:(s + 1) * dsub]
+                        for s in range(m)])            # m x ksub
+    lut_n2 = np.stack([(cb[s] * cb[s]).sum(1) for s in range(m)])
+    packed = "pq_bytes" in codes_df.columns
+    code_col = "pq_bytes" if packed else "pq_code"
+    sub_idx = np.arange(m)
+
+    schema = f"{id_col} long, acos double"
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if packed:
+                codes = np.frombuffer(
+                    b"".join(pdf[code_col]), dtype=np.uint8
+                ).reshape(len(pdf), m)
+            else:
+                codes = np.asarray(
+                    [np.asarray(c, dtype=np.uint8)
+                     for c in pdf[code_col]])
+            dots = lut_dot[sub_idx, codes].sum(1)
+            nrm = np.sqrt(lut_n2[sub_idx, codes].sum(1)) * qn
+            acos = dots / np.where(nrm == 0, 1.0, nrm)
+            if round_to is not None:
+                acos = np.round(acos, round_to)
+            out = pd.DataFrame({id_col: pdf[id_col].values,
+                                "acos": acos})
+            yield (out.sort_values(["acos", id_col],
+                                   ascending=[False, True])
+                      .head(min(k, len(out))))
+
+    scored = codes_df.mapInPandas(_scan, schema=schema)
+    return scored.orderBy(F.desc("acos"), F.col(id_col)).limit(k)
+
+
+def pq_index(df: DataFrame, *, m: int = 8, ksub: int = 256,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_iter: int = 10, init: str = "sample", seed: int = 42,
+             packed: bool = True,
+             keep: list[str] | None = None):
+    """Flat PQ index: ``(codes_df, codebook)`` — fit + encode in one
+    call. Persist with ``save_ann_index(kind="pq")``; probe with
+    `pq_topk`. For corpora big enough that even the m-byte scan hurts,
+    compose with coarse cells via `ivf_pq_index`."""
+    codebook = pq_fit(df, m=m, ksub=ksub, vec_col=vec_col,
+                      id_col=id_col, n_iter=n_iter, init=init,
+                      seed=seed)
+    codes = pq_encode(df, codebook, vec_col=vec_col, id_col=id_col,
+                      keep=keep, packed=packed)
+    return codes, codebook
+
+
+def ivf_pq_index(df: DataFrame, *, nlist: int = 16, m: int = 8,
+                 ksub: int = 256, vec_col: str = "embedding",
+                 id_col: str = "vec_id", n_iter: int = 10,
+                 init: str = "sample", seed: int = 42,
+                 sample_fraction: float | None | str = "auto",
+                 packed: bool = True,
+                 keep: list[str] | None = None):
+    """The deployed faiss ``IVF<nlist>,PQ<m>`` shape: coarse KMeans
+    cells over PQ-compressed codes — ``(codes_df, centers, codebook)``
+    with `codes_df` carrying (id, pq_bytes|pq_code, __cell, *keep).
+
+    This is the 100 TB endgame of the family: a probe reads
+    nprobe/nlist of the corpus at m bytes/vector — at nlist=1024,
+    nprobe=16, m=8 over dim-64 float32 that is 1/64 of the rows x 1/32
+    of the bytes = ~0.05% of the raw scan. The PQ codebook is GLOBAL
+    (per-cell codebooks would multiply driver state by nlist for
+    little gain at 8 sub-spaces; faiss's default IVFPQ also trains one
+    codebook on residual-free vectors when by_residual=0 — the variant
+    implemented here, which keeps the oracle replayable).
+
+    Persist via ``save_ann_index(kind="ivf_pq", partition_by="__cell")``.
+    """
+    assigned, centers = ivf_index(df, nlist=nlist, vec_col=vec_col,
+                                  seed=seed,
+                                  sample_fraction=sample_fraction)
+    codebook = pq_fit(df, m=m, ksub=ksub, vec_col=vec_col,
+                      id_col=id_col, n_iter=n_iter, init=init,
+                      seed=seed)
+    codes = pq_encode(assigned, codebook, vec_col=vec_col,
+                      id_col=id_col,
+                      keep=["__cell"] + list(keep or []),
+                      packed=packed)
+    return codes, centers, codebook
+
+
+def ivf_pq_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
+                nlist: int = 16, nprobe: int = 4, m: int = 8,
+                ksub: int = 256, vec_col: str = "embedding",
+                id_col: str = "vec_id", seed: int = 42,
+                sample_fraction: float | None | str = "auto",
+                index: tuple | None = None,
+                packed: bool = True,
+                round_to: int | None = 4,
+                where=None,
+                keep_cols: list[str] | None = None) -> DataFrame:
+    """IVF-pruned PQ ADC scan: probe the `nprobe` nearest cells, score
+    only those cells' m-byte codes against the driver-side LUTs.
+    ``nprobe == nlist`` degrades to exactly `pq_topk` over the full
+    corpus (the oracle-gate property, same as `ivf_sq8_topk`).
+
+    `where` (filter-then-rank over index-resident attributes, build
+    with ``keep=[...]``) follows the measured selectivity rule: scale
+    nprobe by ~1/s. `index=` silences the per-call build warning.
+    """
+    if index is None:
+        _warn_per_call_build(df, "ivf_pq_topk")
+    codes, centers, codebook = index if index is not None else \
+        ivf_pq_index(df, nlist=nlist, m=m, ksub=ksub, vec_col=vec_col,
+                     id_col=id_col, seed=seed,
+                     sample_fraction=sample_fraction, packed=packed,
+                     keep=keep_cols)
+    cells = _nearest_cells(centers, query_vec, nprobe)
+    cand = codes.where(F.col("__cell").isin(cells)).drop("__cell")
+    if where is not None:
+        cand = cand.where(where)
+    if keep_cols:
+        cand = cand.drop(*keep_cols)
+    return pq_topk(cand, query_vec, codebook, k, id_col=id_col,
+                   round_to=round_to)
+
+
+def ivf_pq_rerank_topk(df: DataFrame, query_vec: list[float],
+                       k: int = 10, *, rerank: int = 50,
+                       nlist: int = 16, nprobe: int = 4, m: int = 8,
+                       ksub: int = 256, vec_col: str = "embedding",
+                       id_col: str = "vec_id", seed: int = 42,
+                       sample_fraction: float | None | str = "auto",
+                       index: tuple | None = None,
+                       packed: bool = True,
+                       where=None,
+                       keep_cols: list[str] | None = None) -> DataFrame:
+    """The faiss ``IVF,PQ,Refine`` shape the refine tier was built for
+    (BASELINE r7 addendum 7's verdict: exact re-scoring only earns its
+    cost under coarser-than-SQ8 codes — these are those codes): PQ ADC
+    shortlists `rerank` candidates from the probed cells, an exact
+    float re-score over the broadcast id semi-join cuts to `k`.
+
+    Returns exact cosine scores (the retrieval-facing contract), with
+    scan cost nprobe/nlist x m bytes/vector + a `rerank`-row float
+    fetch. `where`/`keep_cols` compose filtered search through both
+    stages (the shortlist is already filtered; the re-score inherits
+    it through the id join).
+    """
+    shortlist = ivf_pq_topk(df, query_vec, k=rerank, nlist=nlist,
+                            nprobe=nprobe, m=m, ksub=ksub,
+                            vec_col=vec_col, id_col=id_col, seed=seed,
+                            sample_fraction=sample_fraction,
+                            index=index, packed=packed,
+                            where=where, keep_cols=keep_cols)
     cand = df.join(F.broadcast(shortlist.select(id_col)), id_col)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
