@@ -633,6 +633,73 @@ def _q_filtered_ivf_topk(spark, sf):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+_PQ_STATE: dict = {}
+
+
+def _q_pq_topk(spark, sf):
+    # PQ product quantization (faiss PQ8x16 over dim-64 -> 8 bytes/vec,
+    # 32x less state than float32): oracle-gate configuration pins the
+    # fit (init="first", n_iter=0 -> codebook IS the sub-vectors of the
+    # 16 lowest-id corpus rows, a pure function of the data) so DuckDB
+    # replays fit, assignment argmin AND the LUT ADC exactly; the real
+    # Lloyd fit's recall is graded by pytest (TestPQ) + bench_ann.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        pq_encode, pq_fit, pq_topk)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    corpus = emb.where(F.col("vec_id") != 0)
+    key = (id(spark), sf)
+    if key not in _PQ_STATE:
+        cb = pq_fit(corpus, m=8, ksub=16, n_iter=0, init="first")
+        _PQ_STATE[key] = (pq_encode(corpus, cb).cache(), cb)
+    codes, cb = _PQ_STATE[key]
+    return pq_topk(codes, _query_vec(spark, sf), cb, k=10)
+
+
+def _q_ivf_pq_rerank(spark, sf):
+    # IVF,PQ,Refine — the composed shape the refine tier was measured
+    # to need (BASELINE r7 addendum 7: exact re-scoring only pays under
+    # coarser-than-SQ8 codes). Full probe (cells provably irrelevant) +
+    # pinned PQ fit -> the 50-row ADC shortlist and the exact rescore
+    # are both engine-replayable.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        ivf_pq_index, ivf_pq_rerank_topk)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    corpus = emb.where(F.col("vec_id") != 0)
+    key = ("ivf", id(spark), sf)
+    if key not in _PQ_STATE:
+        codes, centers, cb = ivf_pq_index(
+            corpus, nlist=8, m=8, ksub=16, n_iter=0, init="first")
+        _PQ_STATE[key] = (codes.cache(), centers, cb)
+    out = ivf_pq_rerank_topk(corpus, _query_vec(spark, sf), k=10,
+                             rerank=50, nprobe=8,
+                             index=_PQ_STATE[key])
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_filtered_rerank(spark, sf):
+    # FILTERED search composed with the refine tier (VERDICT r7 #3):
+    # label predicate prunes inside the probed cells BEFORE the ADC
+    # shortlist, exact rescore returns true cosines — full probe makes
+    # both stages DuckDB-replayable over the filtered corpus.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        ivf_sq8_index, ivf_sq8_rerank_topk)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    key = ("filtered", id(spark), sf)
+    if key not in _IVF_SQ8_INDEXES:
+        codes, centers, stats = ivf_sq8_index(emb, nlist=8,
+                                              keep=["label"])
+        codes = codes.where(F.col("vec_id") != 0).cache()
+        _IVF_SQ8_INDEXES[key] = (codes, centers, stats)
+    out = ivf_sq8_rerank_topk(
+        emb.where(F.col("vec_id") != 0), _query_vec(spark, sf),
+        k=10, rerank=50, nprobe=8, index=_IVF_SQ8_INDEXES[key],
+        where=F.col("label") == 3, keep_cols=["label"])
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_token_stats(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import token_count
 
@@ -1214,6 +1281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_sq8_rerank": _q_ivf_sq8_rerank,
         "filtered_ann_topk": _q_filtered_ann_topk,
         "filtered_ivf_topk": _q_filtered_ivf_topk,
+        "pq_topk": _q_pq_topk,
+        "ivf_pq_rerank": _q_ivf_pq_rerank,
+        "filtered_rerank_topk": _q_filtered_rerank,
         "embedding_near_dup": _q_embedding_near_dup,
         "corpus_split_sample": _q_corpus_split_sample,
         "token_stats_by_lang": _q_token_stats,
@@ -1551,6 +1621,88 @@ _SQ8_ORACLE_SQL = (
 )
 
 
+# PQ (m=8 sub-spaces x 8 dims, ksub=16) replayed from scratch in
+# DuckDB under the PINNED fit (init="first", n_iter=0): the codebook is
+# the sub-vectors of corpus rows vec_id 1..16 (cid = vec_id - 1, the
+# same row order pq_fit's TakeOrdered fetch uses), assignment is argmin
+# squared-distance with ties to the lowest cid (numpy argmin == ORDER
+# BY dist, cid), and the ADC score is the LUT decomposition sum_s
+# dot(q_s, cb[s][code_s]) normalized by the reconstructed norm —
+# identical, term for term, to pq_topk's two m x ksub lookup tables.
+_PQ_ORACLE_CORE = (
+    "v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, "
+    "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+    "sv AS (SELECT vec_id, CAST((ord - 1) // 8 AS INT) AS sub, "
+    "(ord - 1) % 8 AS j, x FROM v), "
+    "cb AS (SELECT sub, CAST(vec_id - 1 AS INT) AS cid, j, x AS c "
+    "FROM sv WHERE vec_id BETWEEN 1 AND 16), "
+    "dd AS (SELECT s.vec_id, s.sub, c.cid, "
+    "SUM((s.x - c.c) * (s.x - c.c)) AS dist "
+    "FROM sv s JOIN cb c ON s.sub = c.sub AND s.j = c.j "
+    "WHERE s.vec_id <> 0 GROUP BY s.vec_id, s.sub, c.cid), "
+    "code AS (SELECT vec_id, sub, cid FROM "
+    "(SELECT vec_id, sub, cid, ROW_NUMBER() OVER "
+    "(PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM dd) "
+    "WHERE rn = 1), "
+    "q AS (SELECT sub, j, x AS qx FROM sv WHERE vec_id = 0), "
+    "lut AS (SELECT c.sub, c.cid, SUM(q.qx * c.c) AS pdot, "
+    "SUM(c.c * c.c) AS pn2 "
+    "FROM cb c JOIN q ON q.sub = c.sub AND q.j = c.j "
+    "GROUP BY c.sub, c.cid), "
+    "scored AS (SELECT code.vec_id, SUM(l.pdot) / (sqrt(SUM(l.pn2)) * "
+    "(SELECT sqrt(SUM(qx * qx)) FROM q)) AS c "
+    "FROM code JOIN lut l ON code.sub = l.sub AND code.cid = l.cid "
+    "GROUP BY code.vec_id)"
+)
+
+_PQ_ORACLE_SQL = (
+    "WITH " + _PQ_ORACLE_CORE +
+    " SELECT vec_id, ROUND(c, 4) AS acos FROM scored "
+    "ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 10"
+)
+
+_IVF_PQ_RERANK_ORACLE_SQL = (
+    "WITH " + _PQ_ORACLE_CORE + ", "
+    "short AS (SELECT vec_id FROM scored "
+    "ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 50) "
+    "SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, "
+    "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine "
+    "FROM embeddings e JOIN short USING (vec_id) "
+    "ORDER BY list_cosine_similarity(e.embedding, "
+    "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, "
+    "e.vec_id LIMIT 10"
+)
+
+# Filtered SQ8 ADC shortlist (label = 3 pruned BEFORE scoring) + exact
+# rescore — the filtered_ann_topk replay with the refine tail.
+_FILTERED_RERANK_ORACLE_SQL = (
+    "WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, "
+    "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+    "dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax "
+    "FROM v GROUP BY ord), "
+    "lab AS (SELECT vec_id FROM embeddings WHERE label = 3), "
+    "deq AS (SELECT v.vec_id, v.ord, "
+    "CASE WHEN d.vmax = d.vmin THEN d.vmin "
+    "ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / "
+    "(d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 "
+    "END AS xhat FROM v JOIN dims d USING (ord) JOIN lab USING (vec_id) "
+    "WHERE v.vec_id <> 0), "
+    "q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), "
+    "adc AS (SELECT deq.vec_id, "
+    "SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * "
+    "(SELECT sqrt(SUM(qx * qx)) FROM q)) AS c "
+    "FROM deq JOIN q USING (ord) GROUP BY deq.vec_id), "
+    "short AS (SELECT vec_id FROM adc "
+    "ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 50) "
+    "SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, "
+    "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine "
+    "FROM embeddings e JOIN short USING (vec_id) "
+    "ORDER BY list_cosine_similarity(e.embedding, "
+    "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, "
+    "e.vec_id LIMIT 10"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "project_filter": (
@@ -1863,6 +2015,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_sq8_topk": _SQ8_ORACLE_SQL,
         "filtered_ivf_topk": 'SELECT vec_id, ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings WHERE vec_id <> 0 AND label = 3 ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10',
         "filtered_ann_topk": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), lab AS (SELECT vec_id FROM embeddings WHERE label = 3), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) JOIN lab USING (vec_id) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), scored AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id) SELECT vec_id, ROUND(c, 4) AS acos FROM scored ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 10',
+        "pq_topk": _PQ_ORACLE_SQL,
+        "ivf_pq_rerank": _IVF_PQ_RERANK_ORACLE_SQL,
+        "filtered_rerank_topk": _FILTERED_RERANK_ORACLE_SQL,
         "ivf_sq8_rerank": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), adc AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id), short AS (SELECT vec_id FROM adc ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 50) SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e JOIN short USING (vec_id) ORDER BY list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id LIMIT 10',
         "incremental_dedup": (
             # exact anti-join rows + brute-force asymmetric near-dup check:
