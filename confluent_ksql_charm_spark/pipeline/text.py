@@ -382,6 +382,38 @@ C4_FIXTURE: list[tuple[int, str]] = [
 ]
 
 
+def sentence_punctuate(text: str | Column, *,
+                       words_per_sentence: int = 12) -> Column:
+    """Deterministically re-chunk whitespace-token text into
+    sentence-punctuated LINES: every `words_per_sentence` tokens become
+    one line ending in a period (a short tail line keeps its period
+    too). Pure expression (split → sequence → slice → array_join), no
+    shuffle, no UDF.
+
+    Purpose (VERDICT r7 what's-missing #4): the synthetic `documents`
+    table is single-line prose WITHOUT terminal punctuation, so the
+    default ``clean=True`` C4 gate keeps 0 of its docs — fine for unit
+    fixtures, fatal for benchmarking the default ingest path.
+    `tools/bench_ingest.py` maps the corpus through this to get a
+    realistic-shaped batch the C4 line filter actually passes; the
+    0-docs-kept trap itself is pinned by a regression test
+    (test_pipeline.py::TestCorpusIngest::test_clean_gate_on_punctuated).
+
+    Tail lines shorter than the C4 `min_words` are still dropped by the
+    gate, which is the honest production behavior.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), r"\s+")
+    n = F.size(toks)
+    wps = words_per_sentence
+    lines = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / wps).cast("int")),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * wps + 1, wps), " "),
+            F.lit(".")))
+    return F.when(n > 0, F.array_join(lines, "\n")).otherwise(c)
+
+
 def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100,
                *, lowercase: bool = True) -> DataFrame:
     """Corpus vocabulary head: the k most frequent tokens with rank and

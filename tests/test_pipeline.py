@@ -1471,6 +1471,35 @@ class TestCorpusIngest:
         [row] = spark.read.parquet(str(corpus)).collect()
         assert row.text == "A good line that stays in the document."
 
+    def test_clean_gate_on_punctuated(self, spark, tmp_path):
+        # Regression pin for the 0-docs-kept trap (VERDICT r7 #4): the
+        # synthetic documents table has no sentence-terminal
+        # punctuation, so the DEFAULT clean=True gate keeps 0 of its
+        # docs — while the same text through sentence_punctuate passes.
+        # bench_ingest's clean=True rows depend on this property.
+        from confluent_ksql_charm_spark.pipeline.text import (
+            sentence_punctuate)
+
+        raw = spark.createDataFrame(
+            [(i, " ".join(f"tok{j % 17} word{j % 5}" for j in
+                          range(i, i + 30)))
+             for i in range(1, 6)], self.SCHEMA)
+        trap = tmp_path / "corpus_trap"
+        self._fn(trap)(raw, 0)
+        import os
+        kept_raw = (spark.read.parquet(str(trap)).count()
+                    if os.listdir(str(trap)) else 0)
+        assert kept_raw == 0                   # the trap, pinned
+
+        punct = raw.select("doc_id",
+                           sentence_punctuate("text").alias("text"))
+        # every line ends in a period and carries >= 1 word
+        [r] = punct.where("doc_id = 1").collect()
+        assert all(ln.endswith(".") for ln in r.text.split("\n"))
+        ok = tmp_path / "corpus_ok"
+        self._fn(ok)(punct, 0)
+        assert spark.read.parquet(str(ok)).count() == 5
+
     def test_near_dup_gate_against_corpus(self, spark, tmp_path):
         corpus = tmp_path / "corpus"
         fn = self._fn(corpus, near_dup=True, threshold=0.5,

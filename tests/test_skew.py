@@ -74,3 +74,97 @@ def test_histogram_operator(spark):
         [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")], "g string, v string")
     got = {r.g: r.histogram for r in histogram(df, ["g"], "v").collect()}
     assert got == {"a": {"x": 2, "y": 1}, "b": {"z": 1}}
+
+
+def _ts_df(spark, rows):
+    # rows: (id, key, epoch_seconds)
+    return spark.createDataFrame(
+        [(i, k, s) for i, k, s in rows],
+        "id bigint, k bigint, sec bigint",
+    ).select("id", "k", F.col("sec").cast("timestamp").alias("ts"))
+
+
+def _brute_pairs(rows_a, rows_b, within):
+    return {(a[0], b[0]) for a in rows_a for b in rows_b
+            if a[1] == b[1] and abs(a[2] - b[2]) <= within}
+
+
+def test_hot_key_within_join_matches_brute_force(spark):
+    # random-ish data incl a hot key; every qualifying pair found exactly
+    # once (the exploded copies' buckets are distinct), none invented
+    import random
+
+    from confluent_ksql_charm_spark.operators.skew import (
+        hot_key_within_join)
+
+    rng = random.Random(5)
+    rows_a = [(i, rng.randint(1, 3), rng.randint(0, 300))
+              for i in range(60)]
+    rows_b = [(1000 + i, rng.randint(1, 3), rng.randint(0, 300))
+              for i in range(60)]
+    got_rows = hot_key_within_join(
+        _ts_df(spark, rows_a), _ts_df(spark, rows_b), "k", 10).select(
+        F.col("l.id").alias("ia"), F.col("r.id").alias("ib")).collect()
+    got = [(r.ia, r.ib) for r in got_rows]
+    want = _brute_pairs(rows_a, rows_b, 10)
+    assert len(got) == len(set(got)) == len(want)   # exactly-once
+    assert set(got) == want
+
+
+def test_hot_key_within_join_bucket_straddle_and_boundaries(spark):
+    # pairs straddling a bucket boundary and sitting exactly at +/-
+    # within are kept; one second outside is dropped
+    from confluent_ksql_charm_spark.operators.skew import (
+        hot_key_within_join)
+
+    rows_a = [(1, 7, 19), (2, 7, 100), (3, 7, 200)]
+    rows_b = [(11, 7, 21),     # straddles buckets 1|2 (width 10), d=2
+              (12, 7, 110),    # exactly at +within
+              (13, 7, 211)]    # 11s out -> dropped
+    got = {(r.ia, r.ib) for r in hot_key_within_join(
+        _ts_df(spark, rows_a), _ts_df(spark, rows_b), "k", 10).select(
+        F.col("l.id").alias("ia"), F.col("r.id").alias("ib")).collect()}
+    assert got == {(1, 11), (2, 12)}
+
+
+def test_hot_key_within_join_bucket_narrower_than_band_raises(spark):
+    import pytest
+
+    from confluent_ksql_charm_spark.operators.skew import (
+        hot_key_within_join)
+
+    df = _ts_df(spark, [(1, 1, 0)])
+    with pytest.raises(ValueError, match="must be >= within"):
+        hot_key_within_join(df, df, "k", 60, bucket_seconds=10)
+
+
+def test_hot_key_within_join_runs_in_streaming_mode(spark, tmp_path):
+    # the helper's whole point is the STREAMING state shape: verify the
+    # composite-key + band-condition join is accepted by Structured
+    # Streaming (watermark state eviction intact) and emits the same
+    # pairs as batch
+    from confluent_ksql_charm_spark.operators.skew import (
+        hot_key_within_join)
+
+    # realistic epoch base: a ts at exactly epoch 0 sits on the INITIAL
+    # watermark boundary and is dropped as late by the state store
+    rows = [(i, 7, 1_600_000_000 + 10 * i) for i in range(12)]  # one key
+    src = str(tmp_path / "src")
+    # one file -> one availableNow batch: multiple files would drain as
+    # multiple batches with the watermark advancing between them, and
+    # this test is about join-shape acceptance, not late-data timing
+    _ts_df(spark, rows).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sa = (spark.readStream.schema(schema).parquet(src)
+          .withWatermark("ts", "10 seconds"))
+    sb = (spark.readStream.schema(schema).parquet(src)
+          .withWatermark("ts", "10 seconds"))
+    joined = hot_key_within_join(sa, sb, "k", 10).select(
+        F.col("l.id").alias("ia"), F.col("r.id").alias("ib"))
+    sq = (joined.writeStream.format("memory").queryName("hotkey_ss")
+          .option("checkpointLocation", str(tmp_path / "ck"))
+          .trigger(availableNow=True).start())
+    assert sq.awaitTermination(180)
+    got = {(r.ia, r.ib) for r in spark.table("hotkey_ss").collect()}
+    want = _brute_pairs(rows, rows, 10)
+    assert got == want                     # incl self + adjacent pairs

@@ -282,8 +282,12 @@ def main() -> None:
         # with a deeper shortlist — under coarse codes the recall
         # ceiling is cell pruning (BASELINE r7 addendum 7), so the
         # refine tier only reaches >=0.95 when nprobe buys the cells.
-        for np_ref, rr in ((max(8, nlist // 16), 100),
-                           (max(16, nlist // 4), 200)):
+        refine_rows = [(max(8, nlist // 16), 100),
+                       (max(16, nlist // 4), 200)]
+        if os.environ.get("ANN_BENCH_PQ_REFINE"):
+            refine_rows = [tuple(map(int, s.split(":"))) for s in
+                           os.environ["ANN_BENCH_PQ_REFINE"].split(",")]
+        for np_ref, rr in refine_rows:
             t_probe, hits = 0.0, 0
             for qid, qv in queries:
                 rows, dt = timed(

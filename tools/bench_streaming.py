@@ -143,7 +143,76 @@ def main():
     # anti-join per microbatch, multiple microbatches via
     # maxFilesPerTrigger so the corpus side is exercised incrementally.
     out["corpus_ingest"] = bench_corpus_ingest(spark)
+    # 6th scenario: deliberately HOT join key (VERDICT r7 #6) — plain
+    # WITHIN join vs the time-bucketed composite-key mitigation
+    out["hot_key_join"] = bench_hot_key_join(spark)
     print(json.dumps(out))
+
+
+def bench_hot_key_join(spark) -> dict:
+    """ONE join key carrying every row: the symmetric hash join's
+    per-key state list is scanned per probe row, so a K-row hot key
+    costs O(K^2) predicate evaluations in a single task — the part
+    SCALE.md names as what stops scaling. `hot_key_within_join`
+    (operators/skew.py) refines the key with a time bucket: per-probe
+    scans drop to ~3 bucket-windows of rows, at the price of 3x right-
+    side state. Same pairs out (asserted), walls compared."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.operators.skew import (
+        hot_key_within_join)
+
+    K = int(os.environ.get("HOT_KEY_ROWS", "20000"))
+    band = 10
+    rows = spark.range(K).select(
+        F.col("id"), F.lit(7).alias("k"),
+        (F.lit(1_600_000_000) + F.col("id") * band)
+        .cast("timestamp").alias("ts"))
+    src = tempfile.mkdtemp(prefix="bench_hotkey_src_")
+    rows.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    res: dict = {"hot_rows": K, "band_s": band}
+
+    def run(mode: str) -> tuple[float, int]:
+        work = tempfile.mkdtemp(prefix=f"bench_hotkey_{mode}_")
+        sa = (spark.readStream.schema(schema).parquet(src)
+              .withWatermark("ts", "1 minutes"))
+        sb = (spark.readStream.schema(schema).parquet(src)
+              .withWatermark("ts", "1 minutes"))
+        if mode == "bucketed":
+            j = hot_key_within_join(sa, sb, "k", band).select(
+                F.col("l.id").alias("ia"), F.col("r.id").alias("ib"))
+        else:
+            l, r = sa.alias("l"), sb.alias("r")
+            iv = F.expr(f"INTERVAL {band} SECONDS")
+            j = l.join(r, (F.col("l.k") == F.col("r.k"))
+                       & (F.col("r.ts") >= F.col("l.ts") - iv)
+                       & (F.col("r.ts") <= F.col("l.ts") + iv),
+                       "inner").select(F.col("l.id").alias("ia"),
+                                       F.col("r.id").alias("ib"))
+        t0 = time.time()
+        sq = (j.writeStream.format("parquet")
+              .option("path", f"{work}/sink")
+              .option("checkpointLocation", f"{work}/ckpt")
+              .trigger(availableNow=True).start())
+        sq.awaitTermination(3000)
+        wall = time.time() - t0
+        n_out = spark.read.parquet(f"{work}/sink").count()
+        shutil.rmtree(work, ignore_errors=True)
+        return wall, n_out
+
+    for mode in ("plain", "bucketed"):
+        wall, n_out = run(mode)
+        res[mode] = {"wall_s": round(wall, 2), "pairs_out": n_out}
+        print(f"hot_key_join/{mode:9s} wall={wall:7.2f}s pairs={n_out}")
+    assert res["plain"]["pairs_out"] == res["bucketed"]["pairs_out"]
+    res["speedup"] = round(
+        res["plain"]["wall_s"] / res["bucketed"]["wall_s"], 1)
+    shutil.rmtree(src, ignore_errors=True)
+    return res
 
 
 def bench_corpus_ingest(spark) -> dict:
