@@ -52,6 +52,10 @@ HEADLINE = [
     "pii_redact_luhn",
     "length_batches",
     "bigram_logprob",
+    # round-8 additions (PQ tier + filtered refine; baselines:
+    # BASELINE.md round-8 table)
+    "pq_topk",
+    "filtered_rerank_topk",
 ]
 
 
