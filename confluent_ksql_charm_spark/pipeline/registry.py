@@ -47,6 +47,9 @@ _SIGNATURES = {
     "CORPUS_STATS": "CORPUS_STATS(src, TEXT='text'[, LANG='lang'])",
     "SQ8_TOPK": ("SQ8_TOPK(emb, QUERY_VEC='f,f,...'"
                  "[, ID='vec_id'][, VEC='embedding'][, K='10'])"),
+    "PQ_TOPK": ("PQ_TOPK(emb, QUERY_VEC='f,f,...'"
+                "[, ID='vec_id'][, VEC='embedding'][, K='10']"
+                "[, M='8'][, KSUB='16'][, N_ITER='10'])"),
     "HYBRID_TOPK": ("HYBRID_TOPK(docs, emb, QUERY='term term ...', "
                     "QUERY_VEC='f,f,...', ID='id', TEXT='text'"
                     "[, EMB_ID='vec_id'][, EMB='embedding'][, K='10']"
@@ -174,6 +177,23 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         codes = sq8_encode(dfs[0], stats, vec_col=vec_col, id_col=id_col)
         return sq8_topk(codes, qvec, stats, k=int(p.get("K", 10)),
                         id_col=id_col)
+    if op == "PQ_TOPK":
+        # one-shot product-quantized scan: Lloyd codebook fit + encode
+        # + LUT ADC top-k. KSUB defaults to 16 so small ad-hoc corpora
+        # fit; deployments build once with pq_index/ivf_pq_index
+        # (ksub=256, persisted) and probe via the Python API.
+        from .similarity import pq_encode, pq_fit, pq_topk
+        _need_sources(spec, 1)
+        qvec = [float(x) for x in _need(spec, "QUERY_VEC").split(",")]
+        id_col = p.get("ID", "vec_id")
+        vec_col = p.get("VEC", "embedding")
+        cb = pq_fit(dfs[0], m=int(p.get("M", 8)),
+                    ksub=int(p.get("KSUB", 16)),
+                    vec_col=vec_col, id_col=id_col,
+                    n_iter=int(p.get("N_ITER", 10)))
+        codes = pq_encode(dfs[0], cb, vec_col=vec_col, id_col=id_col)
+        return pq_topk(codes, qvec, cb, k=int(p.get("K", 10)),
+                       id_col=id_col)
     if op == "VOCAB_TOPK":
         from .text import vocab_topk
         _need_sources(spec, 1)

@@ -1625,3 +1625,87 @@ def ivf_pq_rerank_topk(df: DataFrame, query_vec: list[float],
                             where=where, keep_cols=keep_cols)
     cand = df.join(F.broadcast(shortlist.select(id_col)), id_col)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_pq_add(spark, path: str, new_df: DataFrame, *,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> None:
+    """Incrementally ADD vectors to a persisted ``kind="ivf_pq"`` index
+    (the PQ analog of `ivf_sq8_add`): assign to the nearest EXISTING
+    coarse cell, encode with the STORED sub-space codebooks, append to
+    the cell-partitioned parquet. Centers and codebook are unchanged —
+    every prior probe plan keeps working; adds are O(|new|) with zero
+    index downtime.
+
+    Staleness: PQ quality degrades as the data distribution drifts from
+    the fitted codebooks — monitor with `pq_quantization_error` (the
+    PQ analog of `sq8_codebook_drift`'s clip fractions) and refit when
+    the batch error grows past the fit-time baseline.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    if meta["kind"] != "ivf_pq":
+        raise ValueError(
+            f"ivf_pq_add needs an ivf_pq index, got {meta['kind']!r}")
+    centers = meta["params"]["centers"]
+    codebook = meta["params"]["codebook"]
+    existing = spark.read.parquet(os.path.join(path, "index.parquet"))
+    packed = "pq_bytes" in existing.columns
+    assigned = assign_cells(new_df, centers, vec_col=vec_col)
+    codes = pq_encode(assigned, codebook, vec_col=vec_col,
+                      id_col=id_col, keep=["__cell"], packed=packed)
+    writer = codes.write.mode("append")
+    if meta.get("partition_by"):
+        writer = writer.partitionBy(meta["partition_by"])
+    writer.parquet(os.path.join(path, "index.parquet"))
+
+
+def pq_quantization_error(df: DataFrame, codebook: list, *,
+                          vec_col: str = "embedding") -> DataFrame:
+    """PQ drift monitor: per-sub-space mean/max squared reconstruction
+    error of a batch under the STORED codebook — one row per sub-space
+    ``(sub, mean_sq_err, max_sq_err)``, rounded to 6. Rising error vs
+    the fit-time baseline (measure the training batch once, store it
+    next to the index) means the codebooks are going stale and recall
+    will sag — the refit trigger for `ivf_pq_add` pipelines.
+
+    One Arrow-batched pass (encode-and-measure fused: assign, gather
+    the centroid back, squared distance), then a tiny m-row aggregate.
+    """
+    import numpy as np
+
+    cb = [np.asarray(c, dtype=np.float64) for c in codebook]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+
+    def _err(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            subs, errs = [], []
+            for s in range(m):
+                xs = x[:, s * dsub:(s + 1) * dsub]
+                c = cb[s]
+                d = ((xs * xs).sum(1, keepdims=True) + (c * c).sum(1)
+                     - 2.0 * xs @ c.T)
+                best = d.min(1)
+                subs.append(np.full(len(xs), s, dtype="int32"))
+                # d can go epsilon-negative on exact matches (expansion
+                # form); clamp so the error is a true squared distance
+                errs.append(np.maximum(best, 0.0))
+            yield pd.DataFrame({"sub": np.concatenate(subs),
+                                "sq_err": np.concatenate(errs)})
+
+    per_vec = df.select(vec_col).mapInPandas(
+        _err, schema="sub int, sq_err double")
+    return (per_vec.groupBy("sub")
+            .agg(F.round(F.avg("sq_err"), 6).alias("mean_sq_err"),
+                 F.round(F.max("sq_err"), 6).alias("max_sq_err"))
+            .orderBy("sub"))

@@ -483,6 +483,20 @@ class TestPipelineStatements:
         assert [r.vec_id for r in rows] == [1, 2]
         assert rows[0].acos == pytest.approx(1.0, abs=0.02)
 
+    def test_pq_topk_via_sql(self, peng, spark):
+        # one-shot PQ: fit (m=2 sub-spaces over dim 2, ksub=4) + encode
+        # + LUT ADC scan from a single PIPELINE statement
+        peng.register_source("pqvecs", df=spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+             (4, [-1.0, 0.0])],
+            "vec_id bigint, embedding array<float>"))
+        peng.execute("CREATE TABLE pqhits AS PIPELINE PQ_TOPK("
+                     "pqvecs, QUERY_VEC='1.0,0.0', K='2', M='2', "
+                     "KSUB='4', N_ITER='3');")
+        rows = peng.sql("SELECT vec_id, acos FROM pqhits").collect()
+        assert [r.vec_id for r in rows] == [1, 2]
+        assert rows[0].acos == pytest.approx(1.0, abs=0.05)
+
     def test_result_composes_with_dialect(self, peng):
         # PIPELINE output is a first-class relation: joins/aggregates work
         peng.execute("CREATE STREAM deduped2 AS PIPELINE "

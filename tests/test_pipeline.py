@@ -3065,3 +3065,73 @@ class TestIVFSQ8Maintain:
         assert rep["tripped"] and not rep["refit"]
         (_, _, stats), _ = load_ann_index(spark, path)
         assert max(mx for _, mx in stats) < 2.0        # codebook unchanged
+
+
+class TestIVFPQIncremental:
+    """ivf_pq_add + pq_quantization_error (the PQ maintenance pair)."""
+
+    def _mk(self, spark, n, dim=16, shift=0.0, start=0, seed=41):
+        import random
+
+        rng = random.Random(seed + start)
+        rows = [(start + i,
+                 [rng.uniform(-1, 1) + shift for _ in range(dim)])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+
+    def test_add_equals_rebuild_under_stored_codebook(self, spark, tmp_path):
+        # append to a persisted ivf_pq index == encoding the union with
+        # the SAME centers+codebook: full-probe results identical
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        base = self._mk(spark, 120)
+        new = self._mk(spark, 30, start=5000, seed=3)
+        path = str(tmp_path / "idx")
+        idx = sim.ivf_pq_index(base, nlist=4, m=4, ksub=8, n_iter=4)
+        sim.save_ann_index(idx, path, kind="ivf_pq",
+                           params={"nlist": 4}, partition_by="__cell")
+        sim.ivf_pq_add(spark, path, new)
+        (codes, centers, cb), _ = sim.load_ann_index(spark, path)
+        assert codes.count() == 150
+        q = [0.3] * 16
+        got = [(r.vec_id, r.acos) for r in sim.ivf_pq_topk(
+            None, q, k=8, nprobe=4,
+            index=(codes, centers, cb)).collect()]
+        full = base.unionByName(new)
+        rebuilt = sim.pq_encode(
+            sim.assign_cells(full, centers), cb, keep=["__cell"])
+        want = [(r.vec_id, r.acos) for r in sim.ivf_pq_topk(
+            None, q, k=8, nprobe=4,
+            index=(rebuilt, centers, cb)).collect()]
+        assert got == want
+
+    def test_add_rejects_wrong_kind(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        base = self._mk(spark, 60)
+        path = str(tmp_path / "idx")
+        sim.save_ann_index(sim.ivf_sq8_index(base, nlist=2), path,
+                           kind="ivf_sq8", params={}, partition_by="__cell")
+        with pytest.raises(ValueError, match="needs an ivf_pq"):
+            sim.ivf_pq_add(spark, path, base)
+
+    def test_quantization_error_flags_shift(self, spark):
+        # in-distribution batch: error comparable to fit-time baseline;
+        # shifted batch: error orders of magnitude larger -> the refit
+        # trigger signal
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        base = self._mk(spark, 150)
+        cb = sim.pq_fit(base, m=4, ksub=16, n_iter=5)
+        fit_err = {r.sub: r.mean_sq_err for r in
+                   sim.pq_quantization_error(base, cb).collect()}
+        ok = {r.sub: r.mean_sq_err for r in sim.pq_quantization_error(
+            self._mk(spark, 40, start=900, seed=11), cb).collect()}
+        bad = {r.sub: r.mean_sq_err for r in sim.pq_quantization_error(
+            self._mk(spark, 40, shift=5.0, start=900, seed=11),
+            cb).collect()}
+        assert set(fit_err) == {0, 1, 2, 3}
+        for s in fit_err:
+            assert ok[s] < 4 * fit_err[s] + 1e-6       # same regime
+            assert bad[s] > 10 * max(ok[s], 1e-9)      # drift screams
