@@ -1,0 +1,109 @@
+"""Deployed vector-search lifecycle — the ANN family end to end, as one
+runnable script (the retrieval-side sibling of prepare_corpus.py):
+
+    embeddings
+      → build IVF×PQ index (coarse cells + 8-byte codes)  (similarity.py)
+      → persist (cell-partitioned parquet + JSON sidecar)
+      → load + probe: raw ADC top-k
+      → refine: exact re-score of the ADC shortlist
+      → filtered search: `where=` over an index-resident attribute
+      → incremental add (no refit) + quantization-error drift check
+
+Every probe runs against the LOADED index — build-once / probe-many is
+the deployed contract (the per-call zero-setup build warns above 1M
+rows for exactly this reason). At 100 TB the same script is the plan:
+the cell-partitioned store means a probe reads nprobe/nlist of the
+partitions at m bytes per vector (IVF(1024), nprobe=16, m=8 over dim-64
+float32 ≈ 0.05% of the raw scan bytes), the PQ fit is driver-side on a
+capped sample (corpus-size-independent, measured in BASELINE round-8),
+and the refine tier's id semi-join is broadcast.
+
+Usage:
+    python examples/vector_search.py [sf_dir] [index_dir]
+    (defaults: /root/testdata/sf0.001  /tmp/vector_index)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def lifecycle(spark, sf_dir: str, idx_dir: str) -> dict:
+    """Run the whole lifecycle; returns the per-stage results so the
+    smoke test (TestVectorSearchExample) can assert the invariants."""
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    # small-corpus knobs; a deployment sizes nlist ~ sqrt(n), ksub=256
+    nlist, m, ksub = 4, 8, min(16, n // 2)
+    query = [float(x) for x in
+             emb.orderBy("vec_id").first()["embedding"]]
+
+    # 1. build + persist — label rides the index for filtered search
+    index = sim.ivf_pq_index(emb, nlist=nlist, m=m, ksub=ksub,
+                             n_iter=5, keep=["label"])
+    sim.save_ann_index(index, idx_dir, kind="ivf_pq",
+                       params={"nlist": nlist, "m": m, "ksub": ksub},
+                       partition_by="__cell")
+    print(f"built + persisted IVF({nlist})xPQ{m} over {n} vectors "
+          f"-> {idx_dir}")
+
+    # 2. load + raw ADC probe (quantized scores, m bytes/vector scanned)
+    loaded, params = sim.load_ann_index(spark, idx_dir)
+    raw = sim.ivf_pq_topk(None, query, k=5, nprobe=2, index=loaded,
+                          keep_cols=["label"])
+    print("raw ADC top-5 (quantized scores):")
+    raw.show(truncate=False)
+
+    # 3. refine — exact cosine returned, shortlist fetched by id
+    refined = sim.ivf_pq_rerank_topk(emb, query, k=5, rerank=20,
+                                     nprobe=2, index=loaded,
+                                     keep_cols=["label"])
+    print("refined top-5 (exact scores):")
+    refined.show(truncate=False)
+
+    # 4. filtered search — predicate prunes INSIDE the probed cells
+    filtered = sim.ivf_pq_rerank_topk(
+        emb, query, k=5, rerank=20, nprobe=nlist, index=loaded,
+        where=F.col("label") == emb.first()["label"],
+        keep_cols=["label"])
+    print("filtered top-5 (label predicate, filter-then-rank):")
+    filtered.show(truncate=False)
+
+    # 5. incremental add (no refit) + drift check on the new batch
+    new = emb.limit(20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding", "label")
+    sim.ivf_pq_add(spark, idx_dir, new.drop("label").withColumn(
+        "label", F.lit(0)))
+    err = sim.pq_quantization_error(new, loaded[2])
+    print("post-add quantization error per sub-space "
+          "(compare to the fit-time baseline; rising error => refit):")
+    err.show()
+    reloaded, _ = sim.load_ann_index(spark, idx_dir)
+    return {"n": n, "raw": raw.collect(), "refined": refined.collect(),
+            "filtered": filtered.collect(), "err": err.collect(),
+            "post_add_rows": reloaded[0].count(), "emb": emb,
+            "query": query}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    idx_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vector_index"
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    lifecycle(spark, sf_dir, idx_dir)
+
+
+if __name__ == "__main__":
+    main()

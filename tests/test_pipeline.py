@@ -3135,3 +3135,29 @@ class TestIVFPQIncremental:
         for s in fit_err:
             assert ok[s] < 4 * fit_err[s] + 1e-6       # same regime
             assert bad[s] > 10 * max(ok[s], 1e-9)      # drift screams
+
+
+class TestVectorSearchExample:
+    def test_lifecycle_invariants(self, spark, tmp_path):
+        import sys
+        sys.path.insert(0, "/root/repo/examples")
+        import vector_search
+
+        r = vector_search.lifecycle(spark, "/root/testdata/sf0.001",
+                                    str(tmp_path / "idx"))
+        # the query IS vector 0 and full probe isn't needed to find it:
+        # raw ADC ranks it first; refined returns EXACT cosine 1.0
+        assert r["refined"][0].vec_id == 0
+        assert abs(r["refined"][0].cosine - 1.0) < 1e-9
+        # filtered results all satisfy the label predicate
+        emb = r["emb"]
+        lbl0 = emb.first()["label"]
+        labels = {row.vec_id: row.label for row in
+                  emb.select("vec_id", "label").collect()}
+        assert r["filtered"], "filtered probe returned nothing"
+        assert all(labels[row.vec_id] == lbl0 for row in r["filtered"])
+        # incremental add landed (20 new rows), index still loadable
+        assert r["post_add_rows"] == r["n"] + 20
+        # drift monitor: one row per sub-space, errors finite + nonneg
+        assert len(r["err"]) == 8
+        assert all(row.mean_sq_err >= 0 for row in r["err"])
