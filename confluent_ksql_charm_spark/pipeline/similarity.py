@@ -1224,8 +1224,9 @@ def ivf_sq8_rerank_topk(df: DataFrame, query_vec: list[float],
     top-`rerank` candidates, which are then re-scored against their
     FULL-PRECISION vectors and cut to `k` — recovering the recall the
     8-bit codes lose for near-tied neighbors at the cost of fetching
-    `rerank` float vectors (a broadcast-able id semi-join against the
-    corpus, NOT a second scan).
+    `rerank` float vectors (a driver-bounded id IN-filter pushed into
+    the corpus scan — row-group pruning, NOT a second full scan and
+    not even a join job).
 
     Shortlist order is the ADC ordering domain (rounded acos desc, id
     asc); the final order is exact (cosine desc, id asc) — both
@@ -1251,8 +1252,18 @@ def ivf_sq8_rerank_topk(df: DataFrame, query_vec: list[float],
                              sample_fraction=sample_fraction,
                              index=index, packed=packed,
                              where=where, keep_cols=keep_cols)
-    cand = df.join(F.broadcast(shortlist.select(id_col)), id_col)
+    cand = df.where(F.col(id_col).isin(_shortlist_ids(shortlist, id_col)))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def _shortlist_ids(shortlist: DataFrame, id_col: str) -> list:
+    """Materialize a refine shortlist's ids on the driver — BOUNDED
+    state by construction (`rerank` rows, like the codebook/centers),
+    so the rescore becomes an IN-filter that pushes into the parquet
+    scan (row-group pruning on a sorted id column) instead of a
+    broadcast-join job: one job fewer per probe, and the fetch reads
+    only matching row groups at 100 TB."""
+    return [r[0] for r in shortlist.select(id_col).collect()]
 
 
 # ---------------------------------------------------------------------------
@@ -1609,7 +1620,7 @@ def ivf_pq_rerank_topk(df: DataFrame, query_vec: list[float],
     (BASELINE r7 addendum 7's verdict: exact re-scoring only earns its
     cost under coarser-than-SQ8 codes — these are those codes): PQ ADC
     shortlists `rerank` candidates from the probed cells, an exact
-    float re-score over the broadcast id semi-join cuts to `k`.
+    float re-score over the pushed-down id IN-filter cuts to `k`.
 
     Returns exact cosine scores (the retrieval-facing contract), with
     scan cost nprobe/nlist x m bytes/vector + a `rerank`-row float
@@ -1623,7 +1634,7 @@ def ivf_pq_rerank_topk(df: DataFrame, query_vec: list[float],
                             sample_fraction=sample_fraction,
                             index=index, packed=packed,
                             where=where, keep_cols=keep_cols)
-    cand = df.join(F.broadcast(shortlist.select(id_col)), id_col)
+    cand = df.where(F.col(id_col).isin(_shortlist_ids(shortlist, id_col)))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
