@@ -501,6 +501,10 @@ def _warn_per_call_build(df: DataFrame, fn: str) -> None:
     """Loud foot-gun guard (VERDICT r7): a per-probe quantizer fit on a
     large corpus is almost always a mistake. LIMIT-probe sizing (no full
     scan); plan-only mode stays silent (no sizing job)."""
+    if df is None:
+        raise ValueError(
+            f"{fn}: df=None requires a prebuilt index= — the corpus "
+            "DataFrame is only needed for the zero-setup per-call build")
     from .lazy import lazy_plan_active
 
     if lazy_plan_active():

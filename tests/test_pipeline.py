@@ -3161,3 +3161,17 @@ class TestVectorSearchExample:
         # drift monitor: one row per sub-space, errors finite + nonneg
         assert len(r["err"]) == 8
         assert all(row.mean_sq_err >= 0 for row in r["err"])
+
+
+def test_probe_with_none_df_requires_index(spark):
+    # df=None is the probe-only calling convention (index= mandatory);
+    # without index= the zero-setup build path raises a clear error
+    # instead of an AttributeError inside the sizing probe
+    from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+    with pytest.raises(ValueError, match="requires a prebuilt index="):
+        sim.ivf_pq_topk(None, [1.0, 0.0], k=3)
+    with pytest.raises(ValueError, match="requires a prebuilt index="):
+        sim.ivf_sq8_topk(None, [1.0, 0.0], k=3)
+    with pytest.raises(ValueError, match="requires a prebuilt index="):
+        sim.ivf_topk(None, [1.0, 0.0], k=3)
