@@ -700,6 +700,28 @@ def _q_filtered_rerank(spark, sf):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_pq_batch_topk(spark, sf):
+    # Multi-query batch ADC: 3 queries (vec_id 0, 17, 31) scored in ONE
+    # corpus scan — the offline-retrieval shape (kNN graph, eval-set
+    # probes) where per-query scans would cost Q passes at 100 TB.
+    # Shares the pinned-fit codes with pq_topk; results provably equal
+    # Q independent pq_topk calls (TestPQBatch), and the oracle replays
+    # the per-query LUT decomposition with a per-query rank cut.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        pq_topk_batch)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    key = (id(spark), sf)
+    if key not in _PQ_STATE:
+        _q_pq_topk(spark, sf)               # builds + caches codes/cb
+    codes, cb = _PQ_STATE[key]
+    qrows = (emb.where(F.col("vec_id").isin([0, 17, 31]))
+             .select("vec_id", "embedding").collect())
+    queries = [(r.vec_id, [float(x) for x in r.embedding])
+               for r in qrows]
+    return pq_topk_batch(codes, queries, cb, k=10)
+
+
 def _q_token_stats(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import token_count
 
@@ -1282,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_ann_topk": _q_filtered_ann_topk,
         "filtered_ivf_topk": _q_filtered_ivf_topk,
         "pq_topk": _q_pq_topk,
+        "pq_batch_topk": _q_pq_batch_topk,
         "ivf_pq_rerank": _q_ivf_pq_rerank,
         "filtered_rerank_topk": _q_filtered_rerank,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1629,7 +1652,7 @@ _SQ8_ORACLE_SQL = (
 # BY dist, cid), and the ADC score is the LUT decomposition sum_s
 # dot(q_s, cb[s][code_s]) normalized by the reconstructed norm —
 # identical, term for term, to pq_topk's two m x ksub lookup tables.
-_PQ_ORACLE_CORE = (
+_PQ_ENC_CORE = (
     "v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, "
     "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
     "sv AS (SELECT vec_id, CAST((ord - 1) // 8 AS INT) AS sub, "
@@ -1644,6 +1667,10 @@ _PQ_ORACLE_CORE = (
     "(SELECT vec_id, sub, cid, ROW_NUMBER() OVER "
     "(PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn FROM dd) "
     "WHERE rn = 1), "
+)
+
+_PQ_ORACLE_CORE = (
+    _PQ_ENC_CORE +
     "q AS (SELECT sub, j, x AS qx FROM sv WHERE vec_id = 0), "
     "lut AS (SELECT c.sub, c.cid, SUM(q.qx * c.c) AS pdot, "
     "SUM(c.c * c.c) AS pn2 "
@@ -1671,6 +1698,31 @@ _IVF_PQ_RERANK_ORACLE_SQL = (
     "ORDER BY list_cosine_similarity(e.embedding, "
     "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, "
     "e.vec_id LIMIT 10"
+)
+
+# Multi-query PQ ADC (pq_topk_batch): same encode CTEs, the query side
+# generalized to carry query_id (vec_id 0, 17, 31); per-query LUTs and
+# a per-query ROW_NUMBER cut replay the one-scan batch exactly.
+_PQ_BATCH_ORACLE_SQL = (
+    "WITH " + _PQ_ENC_CORE +
+    "q AS (SELECT vec_id AS query_id, sub, j, x AS qx FROM sv "
+    "WHERE vec_id IN (0, 17, 31)), "
+    "qn AS (SELECT query_id, sqrt(SUM(qx * qx)) AS qnorm "
+    "FROM q GROUP BY query_id), "
+    "lut AS (SELECT q.query_id, c.sub, c.cid, SUM(q.qx * c.c) AS pdot, "
+    "SUM(c.c * c.c) AS pn2 "
+    "FROM cb c JOIN q ON q.sub = c.sub AND q.j = c.j "
+    "GROUP BY q.query_id, c.sub, c.cid), "
+    "scored AS (SELECT l.query_id, code.vec_id, "
+    "SUM(l.pdot) / sqrt(SUM(l.pn2)) AS num "
+    "FROM code JOIN lut l ON code.sub = l.sub AND code.cid = l.cid "
+    "GROUP BY l.query_id, code.vec_id), "
+    "ranked AS (SELECT s.query_id, s.vec_id, "
+    "ROUND(s.num / qn.qnorm, 4) AS acos, "
+    "ROW_NUMBER() OVER (PARTITION BY s.query_id "
+    "ORDER BY ROUND(s.num / qn.qnorm, 4) DESC, s.vec_id) AS rn "
+    "FROM scored s JOIN qn USING (query_id)) "
+    "SELECT query_id, vec_id, acos FROM ranked WHERE rn <= 10"
 )
 
 # Filtered SQ8 ADC shortlist (label = 3 pruned BEFORE scoring) + exact
@@ -2016,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_ivf_topk": 'SELECT vec_id, ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings WHERE vec_id <> 0 AND label = 3 ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id LIMIT 10',
         "filtered_ann_topk": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), lab AS (SELECT vec_id FROM embeddings WHERE label = 3), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) JOIN lab USING (vec_id) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), scored AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id) SELECT vec_id, ROUND(c, 4) AS acos FROM scored ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 10',
         "pq_topk": _PQ_ORACLE_SQL,
+        "pq_batch_topk": _PQ_BATCH_ORACLE_SQL,
         "ivf_pq_rerank": _IVF_PQ_RERANK_ORACLE_SQL,
         "filtered_rerank_topk": _FILTERED_RERANK_ORACLE_SQL,
         "ivf_sq8_rerank": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), adc AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id), short AS (SELECT vec_id FROM adc ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 50) SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e JOIN short USING (vec_id) ORDER BY list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id LIMIT 10',

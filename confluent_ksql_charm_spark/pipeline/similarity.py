@@ -1724,3 +1724,93 @@ def pq_quantization_error(df: DataFrame, codebook: list, *,
             .agg(F.round(F.avg("sq_err"), 6).alias("mean_sq_err"),
                  F.round(F.max("sq_err"), 6).alias("max_sq_err"))
             .orderBy("sub"))
+
+
+def pq_topk_batch(codes_df: DataFrame,
+                  queries: list[tuple[int, list[float]]],
+                  codebook: list, k: int = 10, *,
+                  id_col: str = "vec_id",
+                  round_to: int | None = 4) -> DataFrame:
+    """MULTI-QUERY ADC top-k: score Q queries against the PQ codes in
+    ONE corpus scan — the offline-retrieval production shape (kNN-graph
+    construction, contamination probes, eval-set retrieval), where
+    per-query scans would cost Q passes over 100 TB and this costs one.
+
+    Driver state is the Q×m×ksub dot-LUT tensor (Q=1000, m=8, ksub=256
+    → 16 MB — still codebook-class); the corpus-side norm LUT is
+    query-independent and computed once. Each Arrow batch gathers codes
+    against every query's LUT (one (Q, batch, m) fancy-index + row-sum)
+    and yields a per-batch top-k cut PER QUERY (same rounded
+    (acos desc, id asc) ordering domain as `pq_topk`, so results are
+    partitioning-independent and equal to Q independent `pq_topk`
+    calls). The final global cut is a window rank over Q·k·n_batches
+    rows — bounded, one small shuffle.
+
+    Returns (query_id, vec_id, acos), k rows per query, ordered within
+    each query by (acos desc, vec_id asc).
+    """
+    import numpy as np
+
+    cb = [np.asarray(c, dtype=np.float64) for c in codebook]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+    qids = [int(q[0]) for q in queries]
+    qmat = np.asarray([[float(x) for x in q[1]] for q in queries])
+    if qmat.shape[1] != m * dsub:
+        raise ValueError(
+            f"pq_topk_batch: query dim {qmat.shape[1]} != m*dsub = "
+            f"{m * dsub}")
+    qn = np.sqrt((qmat * qmat).sum(1))
+    qn[qn == 0] = 1.0
+    # (Q, m, ksub): lut_dot[q, s, c] = query_q's sub-s slice · cb[s][c]
+    lut_dot = np.stack([
+        np.stack([cb[s] @ qmat[qi, s * dsub:(s + 1) * dsub]
+                  for s in range(m)])
+        for qi in range(len(queries))])
+    lut_n2 = np.stack([(cb[s] * cb[s]).sum(1) for s in range(m)])
+    packed = "pq_bytes" in codes_df.columns
+    code_col = "pq_bytes" if packed else "pq_code"
+    sub_idx = np.arange(m)
+    qid_arr = np.asarray(qids, dtype=np.int64)
+
+    schema = f"query_id long, {id_col} long, acos double"
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if packed:
+                codes = np.frombuffer(
+                    b"".join(pdf[code_col]), dtype=np.uint8
+                ).reshape(len(pdf), m)
+            else:
+                codes = np.asarray(
+                    [np.asarray(c, dtype=np.uint8)
+                     for c in pdf[code_col]])
+            nrm = np.sqrt(lut_n2[sub_idx, codes].sum(1))   # (batch,)
+            nrm[nrm == 0] = 1.0
+            # (Q, batch, m) gather -> (Q, batch) partial dots
+            dots = lut_dot[:, sub_idx, codes].sum(2)
+            acos = dots / (nrm[None, :] * qn[:, None])
+            if round_to is not None:
+                acos = np.round(acos, round_to)
+            ids = pdf[id_col].values
+            kk = min(k, len(ids))
+            outs = []
+            for qi in range(len(qids)):
+                df_q = pd.DataFrame({"query_id": qid_arr[qi],
+                                     id_col: ids, "acos": acos[qi]})
+                outs.append(df_q.sort_values(
+                    ["acos", id_col], ascending=[False, True]).head(kk))
+            yield pd.concat(outs, ignore_index=True)
+
+    from pyspark.sql import Window
+
+    scored = codes_df.mapInPandas(_scan, schema=schema)
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("acos"), F.col(id_col)))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn")
+            .orderBy("query_id", F.desc("acos"), F.col(id_col)))

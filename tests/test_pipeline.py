@@ -3175,3 +3175,51 @@ def test_probe_with_none_df_requires_index(spark):
         sim.ivf_sq8_topk(None, [1.0, 0.0], k=3)
     with pytest.raises(ValueError, match="requires a prebuilt index="):
         sim.ivf_topk(None, [1.0, 0.0], k=3)
+
+
+class TestPQBatch:
+    """pq_topk_batch: Q queries in one corpus scan == Q pq_topk calls."""
+
+    def test_batch_equals_per_query(self, spark):
+        import random
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            pq_encode, pq_fit, pq_topk, pq_topk_batch)
+
+        rng = random.Random(61)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+                for i in range(150)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        cb = pq_fit(df, m=4, ksub=8, n_iter=4)
+        codes = pq_encode(df, cb)
+        queries = [(100 + j, rows[j][1]) for j in range(3)]
+        batch = pq_topk_batch(codes, queries, cb, k=7).collect()
+        assert len(batch) == 21
+        got = {}
+        for r in batch:
+            got.setdefault(r.query_id, []).append((r.vec_id, r.acos))
+        for qid, qv in queries:
+            want = [(r.vec_id, r.acos) for r in
+                    pq_topk(codes, qv, cb, k=7).collect()]
+            assert got[qid] == want, f"query {qid} diverged"
+
+    def test_batch_partitioning_independent(self, spark):
+        import random
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            pq_encode, pq_fit, pq_topk_batch)
+
+        rng = random.Random(62)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(120)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        cb = pq_fit(df, m=2, ksub=8, n_iter=3)
+        queries = [(1, rows[5][1]), (2, rows[50][1])]
+        a = [(r.query_id, r.vec_id, r.acos) for r in pq_topk_batch(
+            pq_encode(df, cb), queries, cb, k=5).collect()]
+        b = [(r.query_id, r.vec_id, r.acos) for r in pq_topk_batch(
+            pq_encode(df.repartition(13), cb), queries, cb,
+            k=5).collect()]
+        assert a == b
