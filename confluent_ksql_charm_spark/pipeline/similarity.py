@@ -1796,15 +1796,21 @@ def pq_topk_batch(codes_df: DataFrame,
             acos = dots / (nrm[None, :] * qn[:, None])
             if round_to is not None:
                 acos = np.round(acos, round_to)
-            ids = pdf[id_col].values
+            ids = np.asarray(pdf[id_col].values)
             kk = min(k, len(ids))
-            outs = []
+            # numpy lexsort per query (acos desc, id asc) — a pandas
+            # sort_values per query costs ~Q frame constructions per
+            # batch and flattened the batch-vs-sequential speedup
+            sel_q, sel_i, sel_a = [], [], []
             for qi in range(len(qids)):
-                df_q = pd.DataFrame({"query_id": qid_arr[qi],
-                                     id_col: ids, "acos": acos[qi]})
-                outs.append(df_q.sort_values(
-                    ["acos", id_col], ascending=[False, True]).head(kk))
-            yield pd.concat(outs, ignore_index=True)
+                order = np.lexsort((ids, -acos[qi]))[:kk]
+                sel_q.append(np.full(kk, qid_arr[qi], dtype=np.int64))
+                sel_i.append(ids[order])
+                sel_a.append(acos[qi][order])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(sel_q),
+                id_col: np.concatenate(sel_i),
+                "acos": np.concatenate(sel_a)})
 
     from pyspark.sql import Window
 

@@ -1,0 +1,81 @@
+"""Multi-query amortization: Q per-query PQ scans vs ONE pq_topk_batch
+scan over the same codes — the measurement behind the batch operator's
+reason to exist (kNN-graph / eval-probe workloads run thousands of
+queries; per-query scans cost Q passes over the corpus, the batch scan
+costs one pass plus a Q-wide LUT gather per Arrow batch).
+
+Results are asserted identical (same rounded ordering domain) before
+timing is reported, so the speedup is never bought with divergence.
+
+Usage: python tools/bench_pq_batch.py [sf_dir] [Q]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+Q = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    n = emb.count()
+    cb = sim.pq_fit(emb, m=8, ksub=256, n_iter=10)
+    codes = sim.pq_encode(emb, cb).cache()
+    codes.count()
+
+    qrows = (emb.where(F.col("vec_id").between(1, Q))
+             .select("vec_id", "embedding").collect())
+    queries = [(r.vec_id, [float(x) for x in r.embedding])
+               for r in qrows]
+
+    # warm both paths once (JIT/codegen), then time
+    sim.pq_topk(codes, queries[0][1], cb, k=10).collect()
+    sim.pq_topk_batch(codes, queries[:2], cb, k=10).collect()
+
+    t0 = time.perf_counter()
+    per_query = {}
+    for qid, qv in queries:
+        per_query[qid] = [(r.vec_id, r.acos) for r in
+                          sim.pq_topk(codes, qv, cb, k=10).collect()]
+    t_seq = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    rows = sim.pq_topk_batch(codes, queries, cb, k=10).collect()
+    t_batch = time.perf_counter() - t0
+
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.vec_id, r.acos))
+    assert got == per_query, "batch diverged from per-query results"
+
+    print(json.dumps({
+        "sf_dir": SF_DIR, "n_vectors": n, "queries": Q,
+        "per_query_total_sec": round(t_seq, 3),
+        "per_query_sec_each": round(t_seq / Q, 3),
+        "batch_total_sec": round(t_batch, 3),
+        "speedup": round(t_seq / t_batch, 1),
+        "identical_results": True,
+    }))
+
+
+if __name__ == "__main__":
+    main()
