@@ -722,6 +722,39 @@ def _q_pq_batch_topk(spark, sf):
     return pq_topk_batch(codes, queries, cb, k=10)
 
 
+def _q_batch_queries(spark, sf):
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    qrows = (emb.where(F.col("vec_id").isin([0, 17, 31]))
+             .select("vec_id", "embedding").collect())
+    return emb, [(r.vec_id, [float(x) for x in r.embedding])
+                 for r in qrows]
+
+
+def _q_sq8_batch_topk(spark, sf):
+    # SQ8 multi-query batch: Q dequant scores come from ONE BLAS matmul
+    # per Arrow batch ((Q x dim) @ (dim x batch)) — one scan for Q
+    # queries. Codebook fit on the full table (same contract as
+    # sq8_topk); DuckDB replays the dequant + per-query rank cut.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        sq8_encode, sq8_pack, sq8_stats, sq8_topk_packed_batch)
+
+    emb, queries = _q_batch_queries(spark, sf)
+    stats = sq8_stats(emb)
+    packed = sq8_pack(sq8_encode(emb.where(F.col("vec_id") != 0), stats))
+    return sq8_topk_packed_batch(packed, queries, stats, k=10)
+
+
+def _q_cosine_batch_topk(spark, sf):
+    # exact-tier multi-query: one scan, one matmul per batch, rounded
+    # ordering domain (engine-portable near float ties)
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        cosine_topk_batch)
+
+    emb, queries = _q_batch_queries(spark, sf)
+    return cosine_topk_batch(emb.where(F.col("vec_id") != 0), queries,
+                             k=10)
+
+
 def _q_token_stats(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import token_count
 
@@ -1305,6 +1338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_ivf_topk": _q_filtered_ivf_topk,
         "pq_topk": _q_pq_topk,
         "pq_batch_topk": _q_pq_batch_topk,
+        "sq8_batch_topk": _q_sq8_batch_topk,
+        "cosine_batch_topk": _q_cosine_batch_topk,
         "ivf_pq_rerank": _q_ivf_pq_rerank,
         "filtered_rerank_topk": _q_filtered_rerank,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1725,6 +1760,47 @@ _PQ_BATCH_ORACLE_SQL = (
     "SELECT query_id, vec_id, acos FROM ranked WHERE rn <= 10"
 )
 
+# SQ8 multi-query batch: the single-query ADC replay with the query
+# side generalized to (query_id, ord, qx) and a per-query rank cut.
+_SQ8_BATCH_ORACLE_SQL = (
+    "WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) "
+    "AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+    "dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax "
+    "FROM v GROUP BY ord), "
+    "deq AS (SELECT v.vec_id, v.ord, "
+    "CASE WHEN d.vmax = d.vmin THEN d.vmin "
+    "ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / "
+    "(d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 "
+    "END AS xhat FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), "
+    "q AS (SELECT vec_id AS query_id, ord, x AS qx FROM v "
+    "WHERE vec_id IN (0, 17, 31)), "
+    "qn AS (SELECT query_id, sqrt(SUM(qx * qx)) AS qnorm "
+    "FROM q GROUP BY query_id), "
+    "scored AS (SELECT q.query_id, deq.vec_id, "
+    "SUM(q.qx * deq.xhat) / sqrt(SUM(deq.xhat * deq.xhat)) AS num "
+    "FROM deq JOIN q USING (ord) GROUP BY q.query_id, deq.vec_id), "
+    "ranked AS (SELECT s.query_id, s.vec_id, "
+    "ROUND(s.num / qn.qnorm, 4) AS acos, "
+    "ROW_NUMBER() OVER (PARTITION BY s.query_id "
+    "ORDER BY ROUND(s.num / qn.qnorm, 4) DESC, s.vec_id) AS rn "
+    "FROM scored s JOIN qn USING (query_id)) "
+    "SELECT query_id, vec_id, acos FROM ranked WHERE rn <= 10"
+)
+
+# Exact-tier multi-query: per-(query, corpus) cosine with the same
+# rounded ordering domain the Spark batch scan uses.
+_COSINE_BATCH_ORACLE_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+    "FROM embeddings WHERE vec_id IN (0, 17, 31)), "
+    "scored AS (SELECT q.query_id, e.vec_id, "
+    "ROUND(list_cosine_similarity(e.embedding, q.qe), 4) AS cosine "
+    "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0), "
+    "ranked AS (SELECT query_id, vec_id, cosine, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY cosine DESC, vec_id) AS rn FROM scored) "
+    "SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10"
+)
+
 # Filtered SQ8 ADC shortlist (label = 3 pruned BEFORE scoring) + exact
 # rescore — the filtered_ann_topk replay with the refine tail.
 _FILTERED_RERANK_ORACLE_SQL = (
@@ -2069,6 +2145,8 @@ def oracle_sql() -> dict[str, str]:
         "filtered_ann_topk": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), lab AS (SELECT vec_id FROM embeddings WHERE label = 3), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) JOIN lab USING (vec_id) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), scored AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id) SELECT vec_id, ROUND(c, 4) AS acos FROM scored ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 10',
         "pq_topk": _PQ_ORACLE_SQL,
         "pq_batch_topk": _PQ_BATCH_ORACLE_SQL,
+        "sq8_batch_topk": _SQ8_BATCH_ORACLE_SQL,
+        "cosine_batch_topk": _COSINE_BATCH_ORACLE_SQL,
         "ivf_pq_rerank": _IVF_PQ_RERANK_ORACLE_SQL,
         "filtered_rerank_topk": _FILTERED_RERANK_ORACLE_SQL,
         "ivf_sq8_rerank": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), adc AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id), short AS (SELECT vec_id FROM adc ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 50) SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e JOIN short USING (vec_id) ORDER BY list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id LIMIT 10',

@@ -1797,26 +1797,145 @@ def pq_topk_batch(codes_df: DataFrame,
             if round_to is not None:
                 acos = np.round(acos, round_to)
             ids = np.asarray(pdf[id_col].values)
-            kk = min(k, len(ids))
-            # numpy lexsort per query (acos desc, id asc) — a pandas
-            # sort_values per query costs ~Q frame constructions per
-            # batch and flattened the batch-vs-sequential speedup
-            sel_q, sel_i, sel_a = [], [], []
-            for qi in range(len(qids)):
-                order = np.lexsort((ids, -acos[qi]))[:kk]
-                sel_q.append(np.full(kk, qid_arr[qi], dtype=np.int64))
-                sel_i.append(ids[order])
-                sel_a.append(acos[qi][order])
-            yield pd.DataFrame({
-                "query_id": np.concatenate(sel_q),
-                id_col: np.concatenate(sel_i),
-                "acos": np.concatenate(sel_a)})
-
-    from pyspark.sql import Window
+            out = _batch_cut_frame(qid_arr, ids, acos, k)
+            yield out.rename(columns={"__id": id_col,
+                                      "__acos": "acos"})
 
     scored = codes_df.mapInPandas(_scan, schema=schema)
+    return _batch_rank_finish(scored, id_col, k, "acos")
+
+
+def _batch_cut_frame(qid_arr, ids, acos, k):
+    """Shared per-Arrow-batch cut for the multi-query scans: per-query
+    numpy lexsort under (acos desc, id asc), one output frame per batch
+    (a pandas sort per query flattens the amortization — BASELINE r8
+    addendum 2)."""
+    import numpy as np
+    import pandas as pd
+
+    kk = min(k, len(ids))
+    sel_q, sel_i, sel_a = [], [], []
+    for qi in range(len(qid_arr)):
+        order = np.lexsort((ids, -acos[qi]))[:kk]
+        sel_q.append(np.full(kk, qid_arr[qi], dtype=np.int64))
+        sel_i.append(ids[order])
+        sel_a.append(acos[qi][order])
+    return pd.DataFrame({"query_id": np.concatenate(sel_q),
+                         "__id": np.concatenate(sel_i),
+                         "__acos": np.concatenate(sel_a)})
+
+
+def _batch_rank_finish(scored: DataFrame, id_col: str, k: int,
+                       score_name: str) -> DataFrame:
+    """Window-rank finish over the bounded Q·k·n_batches relation."""
+    from pyspark.sql import Window
+
     w = (Window.partitionBy("query_id")
-         .orderBy(F.desc("acos"), F.col(id_col)))
+         .orderBy(F.desc(score_name), F.col(id_col)))
     return (scored.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k).drop("__rn")
-            .orderBy("query_id", F.desc("acos"), F.col(id_col)))
+            .orderBy("query_id", F.desc(score_name), F.col(id_col)))
+
+
+def sq8_topk_packed_batch(packed_df: DataFrame,
+                          queries: list[tuple[int, list[float]]],
+                          stats: list[tuple[float, float]],
+                          k: int = 10, *,
+                          packed_col: str = "sq8_bytes",
+                          id_col: str = "vec_id",
+                          round_to: int | None = 4) -> DataFrame:
+    """MULTI-QUERY SQ8 ADC: Q queries against the packed codes in ONE
+    corpus scan. The dequantized batch matrix is built once and scored
+    against every query with a SINGLE BLAS matmul — (batch × dim) @
+    (dim × Q) — so the per-batch cost over the single-query scan is one
+    extra matmul column per query, not one extra scan. Same rounded
+    (acos desc, id asc) ordering domain as `sq8_topk_packed`; returns
+    (query_id, vec_id, acos), k rows per query.
+
+    This is the natural shape for the 4×-compressed tier: where PQ's
+    batch scan is gather-bound, SQ8's is BLAS-bound, so batch
+    multi-query is exactly the regime where the dequant scan shines.
+    """
+    import numpy as np
+
+    dim = len(stats)
+    mn = np.array([s[0] for s in stats])
+    scale = np.array([(s[1] - s[0]) / 255.0 for s in stats])
+    qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
+    qmat = np.asarray([[float(x) for x in q[1]] for q in queries])
+    if qmat.shape[1] != dim:
+        raise ValueError(
+            f"sq8_topk_packed_batch: query dim {qmat.shape[1]} != "
+            f"codebook dim {dim}")
+    qn = np.sqrt((qmat * qmat).sum(1))
+    qn[qn == 0] = 1.0
+
+    schema = f"query_id long, {id_col} long, acos double"
+
+    def _scan(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[packed_col]), dtype=np.uint8
+            ).reshape(len(pdf), dim)
+            deq = mn + codes * scale
+            nrm = np.sqrt((deq * deq).sum(1))
+            nrm[nrm == 0] = 1.0
+            acos = (qmat @ deq.T) / (nrm[None, :] * qn[:, None])
+            if round_to is not None:
+                acos = np.round(acos, round_to)
+            ids = np.asarray(pdf[id_col].values)
+            out = _batch_cut_frame(qids, ids, acos, k)
+            yield out.rename(columns={"__id": id_col,
+                                      "__acos": "acos"})
+
+    scored = packed_df.mapInPandas(_scan, schema=schema)
+    return _batch_rank_finish(scored, id_col, k, "acos")
+
+
+def cosine_topk_batch(df: DataFrame,
+                      queries: list[tuple[int, list[float]]],
+                      k: int = 10, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      round_to: int | None = 4) -> DataFrame:
+    """EXACT multi-query top-k by cosine: Q queries in one scan of the
+    float vectors, scored with a single (Q × dim) @ (dim × batch)
+    matmul per Arrow batch — the exact-tier sibling of
+    `sq8_topk_packed_batch` / `pq_topk_batch`, and the right way to
+    compute ground truth for a query SET (bench_ann's per-query exact
+    loop re-scans the corpus Q times).
+
+    Scores are rounded to `round_to` BEFORE the cut so the ordering
+    domain is engine-portable (numpy pairwise sums vs an external
+    engine's fold order differ in the last float bits — the same
+    ADVICE-r5 lesson every quantized tier already encodes). Returns
+    (query_id, vec_id, cosine), k rows per query.
+    """
+    import numpy as np
+
+    qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
+    qmat = np.asarray([[float(x) for x in q[1]] for q in queries])
+    qn = np.sqrt((qmat * qmat).sum(1))
+    qn[qn == 0] = 1.0
+
+    schema = f"query_id long, {id_col} long, cosine double"
+
+    def _scan(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            nrm = np.sqrt((x * x).sum(1))
+            nrm[nrm == 0] = 1.0
+            cos = (qmat @ x.T) / (nrm[None, :] * qn[:, None])
+            if round_to is not None:
+                cos = np.round(cos, round_to)
+            ids = np.asarray(pdf[id_col].values)
+            out = _batch_cut_frame(qids, ids, cos, k)
+            yield out.rename(columns={"__id": id_col,
+                                      "__acos": "cosine"})
+
+    scored = df.select(id_col, vec_col).mapInPandas(_scan, schema=schema)
+    return _batch_rank_finish(scored, id_col, k, "cosine")

@@ -3223,3 +3223,66 @@ class TestPQBatch:
             pq_encode(df.repartition(13), cb), queries, cb,
             k=5).collect()]
         assert a == b
+
+
+class TestBatchScansAllTiers:
+    """sq8_topk_packed_batch / cosine_topk_batch: the batch story across
+    the exact and 4x tiers (PQ covered by TestPQBatch)."""
+
+    def _df(self, spark, n=140, dim=12, seed=71):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"), rows
+
+    def test_sq8_batch_equals_per_query(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            sq8_encode, sq8_pack, sq8_stats, sq8_topk_packed,
+            sq8_topk_packed_batch)
+
+        df, rows = self._df(spark)
+        stats = sq8_stats(df)
+        packed = sq8_pack(sq8_encode(df, stats))
+        queries = [(200 + j, rows[j][1]) for j in range(3)]
+        got = {}
+        for r in sq8_topk_packed_batch(packed, queries, stats,
+                                       k=6).collect():
+            got.setdefault(r.query_id, []).append((r.vec_id, r.acos))
+        for qid, qv in queries:
+            want = [(r.vec_id, r.acos) for r in
+                    sq8_topk_packed(packed, qv, stats, k=6).collect()]
+            assert got[qid] == want, f"query {qid} diverged"
+
+    def test_cosine_batch_matches_exact_sets(self, spark):
+        # same rounded ordering domain: the batch result's id sets per
+        # query match cosine_topk away from round-4 boundary ties, and
+        # rounded scores agree exactly
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, cosine_topk_batch)
+
+        df, rows = self._df(spark, seed=72)
+        queries = [(1, rows[5][1]), (2, rows[40][1])]
+        got = {}
+        for r in cosine_topk_batch(df, queries, k=6).collect():
+            got.setdefault(r.query_id, []).append(
+                (r.vec_id, r.cosine))
+        for qid, qv in queries:
+            want = [(r.vec_id, round(r.cosine, 4)) for r in
+                    cosine_topk(df, qv, k=6).collect()]
+            assert [(i, round(c, 4)) for i, c in got[qid]] == want
+
+    def test_batch_partitioning_independent(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk_batch)
+
+        df, rows = self._df(spark, seed=73)
+        queries = [(9, rows[3][1])]
+        a = [(r.query_id, r.vec_id, r.cosine) for r in
+             cosine_topk_batch(df, queries, k=5).collect()]
+        b = [(r.query_id, r.vec_id, r.cosine) for r in
+             cosine_topk_batch(df.repartition(17), queries,
+                               k=5).collect()]
+        assert a == b
