@@ -730,6 +730,22 @@ def _q_batch_queries(spark, sf):
                  for r in qrows]
 
 
+def _q_ivf_pq_batch_topk(spark, sf):
+    # composed multi-query probe at FULL probe (every cell in every
+    # query's mask -> provably identical to pq_topk_batch, sharing its
+    # oracle); partial-probe per-query mask parity is unit-tested
+    # (TestIVFPQBatch).
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        ivf_pq_topk_batch)
+
+    emb, queries = _q_batch_queries(spark, sf)
+    key = ("ivf", id(spark), sf)
+    if key not in _PQ_STATE:
+        _q_ivf_pq_rerank(spark, sf)         # builds + caches the index
+    return ivf_pq_topk_batch(emb.where(F.col("vec_id") != 0), queries,
+                             k=10, nprobe=8, index=_PQ_STATE[key])
+
+
 def _q_sq8_batch_topk(spark, sf):
     # SQ8 multi-query batch: Q dequant scores come from ONE BLAS matmul
     # per Arrow batch ((Q x dim) @ (dim x batch)) — one scan for Q
@@ -1340,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_batch_topk": _q_pq_batch_topk,
         "sq8_batch_topk": _q_sq8_batch_topk,
         "cosine_batch_topk": _q_cosine_batch_topk,
+        "ivf_pq_batch_topk": _q_ivf_pq_batch_topk,
         "ivf_pq_rerank": _q_ivf_pq_rerank,
         "filtered_rerank_topk": _q_filtered_rerank,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2147,6 +2164,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_batch_topk": _PQ_BATCH_ORACLE_SQL,
         "sq8_batch_topk": _SQ8_BATCH_ORACLE_SQL,
         "cosine_batch_topk": _COSINE_BATCH_ORACLE_SQL,
+        # full probe == pq_topk_batch, so it shares the batch replay
+        "ivf_pq_batch_topk": _PQ_BATCH_ORACLE_SQL,
         "ivf_pq_rerank": _IVF_PQ_RERANK_ORACLE_SQL,
         "filtered_rerank_topk": _FILTERED_RERANK_ORACLE_SQL,
         "ivf_sq8_rerank": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), adc AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id), short AS (SELECT vec_id FROM adc ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 50) SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e JOIN short USING (vec_id) ORDER BY list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id LIMIT 10',

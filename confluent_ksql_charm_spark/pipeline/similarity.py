@@ -1939,3 +1939,107 @@ def cosine_topk_batch(df: DataFrame,
 
     scored = df.select(id_col, vec_col).mapInPandas(_scan, schema=schema)
     return _batch_rank_finish(scored, id_col, k, "cosine")
+
+
+def ivf_pq_topk_batch(df: DataFrame,
+                      queries: list[tuple[int, list[float]]],
+                      k: int = 10, *, nlist: int = 16, nprobe: int = 4,
+                      m: int = 8, ksub: int = 256,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id", seed: int = 42,
+                      sample_fraction: float | None | str = "auto",
+                      index: tuple | None = None,
+                      round_to: int | None = 4) -> DataFrame:
+    """MULTI-QUERY IVF×PQ probe: one scan over the UNION of all
+    queries' probed cells, with each query scored only against ITS OWN
+    cells (a per-query boolean cell mask applied inside the Arrow
+    batch) — the production batch-ANN shape. Per query the result is
+    EXACTLY `ivf_pq_topk` (tested); across Q queries the corpus-side
+    cost collapses from Q probes to one scan of
+    |union of probed cells| partitions. ``nprobe == nlist`` degrades to
+    exactly `pq_topk_batch` (the oracle-gate property).
+
+    On a persisted ``kind="ivf_pq"`` store the union-cell filter is
+    partition pruning: overlapping query workloads (the common case —
+    production queries cluster) re-read shared cells once instead of
+    once per query.
+    """
+    import numpy as np
+
+    if index is None:
+        _warn_per_call_build(df, "ivf_pq_topk_batch")
+    codes, centers, codebook = index if index is not None else \
+        ivf_pq_index(df, nlist=nlist, m=m, ksub=ksub, vec_col=vec_col,
+                     id_col=id_col, seed=seed,
+                     sample_fraction=sample_fraction)
+    n_cells = len(centers)
+    cells_per_q = [_nearest_cells(centers, qv, nprobe)
+                   for _, qv in queries]
+    union_cells = sorted(set().union(*map(set, cells_per_q)))
+    allowed = np.zeros((len(queries), n_cells), dtype=bool)
+    for qi, cs in enumerate(cells_per_q):
+        allowed[qi, cs] = True
+
+    cb = [np.asarray(c, dtype=np.float64) for c in codebook]
+    mm = len(cb)
+    dsub = cb[0].shape[1]
+    qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
+    qmat = np.asarray([[float(x) for x in q[1]] for q in queries])
+    qn = np.sqrt((qmat * qmat).sum(1))
+    qn[qn == 0] = 1.0
+    lut_dot = np.stack([
+        np.stack([cb[s] @ qmat[qi, s * dsub:(s + 1) * dsub]
+                  for s in range(mm)])
+        for qi in range(len(queries))])
+    lut_n2 = np.stack([(cb[s] * cb[s]).sum(1) for s in range(mm)])
+    packed = "pq_bytes" in codes.columns
+    code_col = "pq_bytes" if packed else "pq_code"
+    sub_idx = np.arange(mm)
+
+    cand = codes.where(F.col("__cell").isin([int(c) for c in
+                                             union_cells]))
+    schema = f"query_id long, {id_col} long, acos double"
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if packed:
+                cmat = np.frombuffer(
+                    b"".join(pdf[code_col]), dtype=np.uint8
+                ).reshape(len(pdf), mm)
+            else:
+                cmat = np.asarray(
+                    [np.asarray(c, dtype=np.uint8)
+                     for c in pdf[code_col]])
+            nrm = np.sqrt(lut_n2[sub_idx, cmat].sum(1))
+            nrm[nrm == 0] = 1.0
+            acos = lut_dot[:, sub_idx, cmat].sum(2) \
+                / (nrm[None, :] * qn[:, None])
+            if round_to is not None:
+                acos = np.round(acos, round_to)
+            ids = np.asarray(pdf[id_col].values)
+            cell_vals = np.asarray(pdf["__cell"].values, dtype=np.int64)
+            ok = allowed[:, cell_vals]                 # (Q, batch)
+            sel_q, sel_i, sel_a = [], [], []
+            for qi in range(len(qids)):
+                idx = np.nonzero(ok[qi])[0]
+                if idx.size == 0:
+                    continue
+                a_q, i_q = acos[qi][idx], ids[idx]
+                order = np.lexsort((i_q, -a_q))[:min(k, idx.size)]
+                sel_q.append(np.full(len(order), qids[qi],
+                                     dtype=np.int64))
+                sel_i.append(i_q[order])
+                sel_a.append(a_q[order])
+            if not sel_q:
+                continue
+            yield pd.DataFrame({"query_id": np.concatenate(sel_q),
+                                id_col: np.concatenate(sel_i),
+                                "acos": np.concatenate(sel_a)})
+
+    scored = (cand.select(id_col, code_col, "__cell")
+              .mapInPandas(_scan, schema=schema))
+    return _batch_rank_finish(scored, id_col, k, "acos")

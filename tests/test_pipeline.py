@@ -3286,3 +3286,51 @@ class TestBatchScansAllTiers:
              cosine_topk_batch(df.repartition(17), queries,
                                k=5).collect()]
         assert a == b
+
+
+class TestIVFPQBatch:
+    """ivf_pq_topk_batch: one scan over the union of probed cells,
+    per-query cell masks — per-query results == ivf_pq_topk."""
+
+    def _setup(self, spark):
+        import random
+
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        rng = random.Random(81)
+        centers = [[rng.uniform(-1, 1) for _ in range(16)]
+                   for _ in range(4)]
+        rows = [(i, [c + rng.gauss(0, 0.05)
+                     for c in centers[i % 4]]) for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        idx = sim.ivf_pq_index(df, nlist=4, m=4, ksub=8, n_iter=4)
+        return sim, df, rows, idx
+
+    def test_full_probe_equals_flat_batch(self, spark):
+        sim, df, rows, idx = self._setup(spark)
+        queries = [(1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1])]
+        got = [(r.query_id, r.vec_id, r.acos) for r in
+               sim.ivf_pq_topk_batch(df, queries, k=6, nprobe=4,
+                                     index=idx).collect()]
+        flat_codes = idx[0].drop("__cell")
+        want = [(r.query_id, r.vec_id, r.acos) for r in
+                sim.pq_topk_batch(flat_codes, queries, idx[2],
+                                  k=6).collect()]
+        assert got == want
+
+    def test_partial_probe_equals_per_query(self, spark):
+        sim, df, rows, idx = self._setup(spark)
+        # queries from different clusters -> different probed cells;
+        # the batch's per-query masks must reproduce each single probe
+        queries = [(10, rows[0][1]), (11, rows[1][1]), (12, rows[2][1]),
+                   (13, rows[3][1])]
+        got = {}
+        for r in sim.ivf_pq_topk_batch(df, queries, k=5, nprobe=1,
+                                       index=idx).collect():
+            got.setdefault(r.query_id, []).append((r.vec_id, r.acos))
+        for qid, qv in queries:
+            want = [(r.vec_id, r.acos) for r in
+                    sim.ivf_pq_topk(df, qv, k=5, nprobe=1,
+                                    index=idx).collect()]
+            assert got.get(qid, []) == want, f"query {qid} diverged"
