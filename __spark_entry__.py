@@ -746,6 +746,24 @@ def _q_ivf_pq_batch_topk(spark, sf):
                              k=10, nprobe=8, index=_PQ_STATE[key])
 
 
+def _q_ivf_pq_batch_rerank(spark, sf):
+    # the full deployed batch retrieval path: one union-cell ADC scan
+    # shortlists 50/query (full probe -> replayable), one pruned fetch
+    # re-scores each query's OWN shortlist exactly
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        ivf_pq_rerank_topk_batch)
+
+    emb, queries = _q_batch_queries(spark, sf)
+    key = ("ivf", id(spark), sf)
+    if key not in _PQ_STATE:
+        _q_ivf_pq_rerank(spark, sf)
+    out = ivf_pq_rerank_topk_batch(
+        emb.where(F.col("vec_id") != 0), queries, k=10, rerank=50,
+        nprobe=8, index=_PQ_STATE[key])
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 4).alias("cosine"))
+
+
 def _q_sq8_batch_topk(spark, sf):
     # SQ8 multi-query batch: Q dequant scores come from ONE BLAS matmul
     # per Arrow batch ((Q x dim) @ (dim x batch)) — one scan for Q
@@ -1357,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_batch_topk": _q_sq8_batch_topk,
         "cosine_batch_topk": _q_cosine_batch_topk,
         "ivf_pq_batch_topk": _q_ivf_pq_batch_topk,
+        "ivf_pq_batch_rerank": _q_ivf_pq_batch_rerank,
         "ivf_pq_rerank": _q_ivf_pq_rerank,
         "filtered_rerank_topk": _q_filtered_rerank,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1777,6 +1796,25 @@ _PQ_BATCH_ORACLE_SQL = (
     "SELECT query_id, vec_id, acos FROM ranked WHERE rn <= 10"
 )
 
+# Batch rerank: the batch-PQ replay's rank cut widened to the 50-row
+# shortlist, then each query's OWN shortlist re-scored exactly.
+_PQ_BATCH_RERANK_ORACLE_SQL = (
+    _PQ_BATCH_ORACLE_SQL.replace(
+        " SELECT query_id, vec_id, acos FROM ranked WHERE rn <= 10",
+        ", short AS (SELECT query_id, vec_id FROM ranked WHERE rn <= 50), "
+        "qv AS (SELECT vec_id AS query_id, embedding AS qe "
+        "FROM embeddings WHERE vec_id IN (0, 17, 31)), "
+        "resc AS (SELECT s.query_id, s.vec_id, "
+        "ROUND(list_cosine_similarity(e.embedding, qv.qe), 4) AS cosine, "
+        "list_cosine_similarity(e.embedding, qv.qe) AS c0 "
+        "FROM short s JOIN embeddings e ON e.vec_id = s.vec_id "
+        "JOIN qv ON qv.query_id = s.query_id), "
+        "fin AS (SELECT query_id, vec_id, cosine, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY c0 DESC, vec_id) AS rn2 FROM resc) "
+        "SELECT query_id, vec_id, cosine FROM fin WHERE rn2 <= 10")
+)
+
 # SQ8 multi-query batch: the single-query ADC replay with the query
 # side generalized to (query_id, ord, qx) and a per-query rank cut.
 _SQ8_BATCH_ORACLE_SQL = (
@@ -2166,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_batch_topk": _COSINE_BATCH_ORACLE_SQL,
         # full probe == pq_topk_batch, so it shares the batch replay
         "ivf_pq_batch_topk": _PQ_BATCH_ORACLE_SQL,
+        "ivf_pq_batch_rerank": _PQ_BATCH_RERANK_ORACLE_SQL,
         "ivf_pq_rerank": _IVF_PQ_RERANK_ORACLE_SQL,
         "filtered_rerank_topk": _FILTERED_RERANK_ORACLE_SQL,
         "ivf_sq8_rerank": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), adc AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id), short AS (SELECT vec_id FROM adc ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 50) SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e JOIN short USING (vec_id) ORDER BY list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id LIMIT 10',

@@ -2043,3 +2043,69 @@ def ivf_pq_topk_batch(df: DataFrame,
     scored = (cand.select(id_col, code_col, "__cell")
               .mapInPandas(_scan, schema=schema))
     return _batch_rank_finish(scored, id_col, k, "acos")
+
+
+def ivf_pq_rerank_topk_batch(df: DataFrame,
+                             queries: list[tuple[int, list[float]]],
+                             k: int = 10, *, rerank: int = 50,
+                             nlist: int = 16, nprobe: int = 4,
+                             m: int = 8, ksub: int = 256,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id", seed: int = 42,
+                             sample_fraction: float | None | str = "auto",
+                             index: tuple | None = None) -> DataFrame:
+    """MULTI-QUERY IVF×PQ with exact refine — the full deployed batch
+    retrieval path in two scans total: (1) `ivf_pq_topk_batch`
+    shortlists top-`rerank` per query from one pass over the union of
+    probed cells; (2) the union of shortlisted ids (driver-bounded,
+    ≤ Q·rerank) becomes an IN-filter fetch of float vectors, and each
+    query re-scores ONLY ITS OWN shortlist (the (query_id, vec_id)
+    pairs ride a join against the fetched rows, so a row shortlisted
+    for query A never leaks into query B's rescore — per-query rerank
+    semantics, not pooled). Exact cosine returned; k rows per query as
+    (query_id, vec_id, cosine), ordered (cosine desc, id asc) within
+    each query.
+
+    Cost at 100 TB: scan 1 reads |union cells| × m bytes/vector once
+    for all Q queries; scan 2 reads only row groups containing
+    shortlisted ids. Compare: Q independent rerank probes re-read
+    shared cells Q times.
+    """
+    import numpy as np
+
+    shortlist = ivf_pq_topk_batch(
+        df, queries, k=rerank, nlist=nlist, nprobe=nprobe, m=m,
+        ksub=ksub, vec_col=vec_col, id_col=id_col, seed=seed,
+        sample_fraction=sample_fraction, index=index)
+    pairs = shortlist.select("query_id", id_col)
+    union_ids = [r[0] for r in pairs.select(id_col).distinct().collect()]
+    fetched = (df.where(F.col(id_col).isin(union_ids))
+               .select(id_col, vec_col))
+    cand = pairs.join(fetched, id_col)
+
+    qmat = {int(q[0]): np.asarray([float(x) for x in q[1]])
+            for q in queries}
+    qn = {qid: float(np.sqrt((v * v).sum())) or 1.0
+          for qid, v in qmat.items()}
+
+    schema = f"query_id long, {id_col} long, cosine double"
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            nrm = np.sqrt((x * x).sum(1))
+            nrm[nrm == 0] = 1.0
+            qv = np.asarray([qmat[qid] for qid in pdf["query_id"]])
+            qnv = np.asarray([qn[qid] for qid in pdf["query_id"]])
+            cos = (x * qv).sum(1) / (nrm * qnv)
+            yield pd.DataFrame({"query_id": pdf["query_id"].values,
+                                id_col: pdf[id_col].values,
+                                "cosine": cos})
+
+    scored = cand.mapInPandas(_score, schema=schema)
+    return _batch_rank_finish(scored, id_col, k, "cosine")

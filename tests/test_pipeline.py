@@ -3334,3 +3334,34 @@ class TestIVFPQBatch:
                     sim.ivf_pq_topk(df, qv, k=5, nprobe=1,
                                     index=idx).collect()]
             assert got.get(qid, []) == want, f"query {qid} diverged"
+
+
+class TestIVFPQBatchRerank:
+    def test_per_query_rerank_semantics(self, spark):
+        # batch rerank == Q independent ivf_pq_rerank_topk calls (same
+        # shortlists, same exact scores) — including that a row in
+        # query A's shortlist never leaks into query B's rescore
+        import random
+
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        rng = random.Random(91)
+        centers = [[rng.uniform(-1, 1) for _ in range(16)]
+                   for _ in range(4)]
+        rows = [(i, [c + rng.gauss(0, 0.05) for c in centers[i % 4]])
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        idx = sim.ivf_pq_index(df, nlist=4, m=4, ksub=8, n_iter=4)
+        queries = [(10, rows[0][1]), (11, rows[1][1]), (12, rows[2][1])]
+        got = {}
+        for r in sim.ivf_pq_rerank_topk_batch(
+                df, queries, k=5, rerank=20, nprobe=1,
+                index=idx).collect():
+            got.setdefault(r.query_id, []).append(
+                (r.vec_id, round(r.cosine, 6)))
+        for qid, qv in queries:
+            want = [(r.vec_id, round(r.cosine, 6)) for r in
+                    sim.ivf_pq_rerank_topk(df, qv, k=5, rerank=20,
+                                           nprobe=1, index=idx).collect()]
+            assert got.get(qid, []) == want, f"query {qid} diverged"
