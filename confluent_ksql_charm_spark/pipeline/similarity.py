@@ -1325,6 +1325,11 @@ def pq_fit(df: DataFrame, *, m: int = 8, ksub: int = 256,
     """
     import numpy as np
 
+    if not 1 <= ksub <= 256:
+        raise ValueError(
+            f"pq_fit: ksub={ksub} out of range — codes are stored as "
+            "uint8, so each sub-space supports at most 256 centroids "
+            "(raise m instead to grow codebook capacity)")
     if init == "first":
         rows = (df.select(id_col, vec_col).orderBy(id_col)
                 .limit(max(ksub, 1)).collect())

@@ -3365,3 +3365,17 @@ class TestIVFPQBatchRerank:
                     sim.ivf_pq_rerank_topk(df, qv, k=5, rerank=20,
                                            nprobe=1, index=idx).collect()]
             assert got.get(qid, []) == want, f"query {qid} diverged"
+
+
+def test_pq_fit_ksub_bounds(spark):
+    # uint8 code space: ksub > 256 would silently wrap in the packed
+    # representation — rejected at fit time
+    from confluent_ksql_charm_spark.pipeline.similarity import pq_fit
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="at most 256"):
+        pq_fit(df, m=2, ksub=300, n_iter=1)
+    with pytest.raises(ValueError, match="out of range"):
+        pq_fit(df, m=2, ksub=0, n_iter=1)
