@@ -87,8 +87,20 @@ def lifecycle(spark, sf_dir: str, idx_dir: str) -> dict:
           "(compare to the fit-time baseline; rising error => refit):")
     err.show()
     reloaded, _ = sim.load_ann_index(spark, idx_dir)
+
+    # 6. batch retrieval: Q queries, ONE union-cell scan + ONE pruned
+    # fetch (the kNN-graph / eval-probe shape; at 100 TB this replaces
+    # Q corpus passes with one)
+    qrows = emb.orderBy("vec_id").limit(3).collect()
+    qset = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
+    batch = sim.ivf_pq_rerank_topk_batch(
+        emb, qset, k=3, rerank=10, nprobe=nlist, index=loaded)
+    print("batch retrieval (3 queries, one scan + one fetch):")
+    batch.show(truncate=False)
+
     return {"n": n, "raw": raw.collect(), "refined": refined.collect(),
             "filtered": filtered.collect(), "err": err.collect(),
+            "batch": batch.collect(),
             "post_add_rows": reloaded[0].count(), "emb": emb,
             "query": query}
 

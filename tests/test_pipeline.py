@@ -3161,6 +3161,13 @@ class TestVectorSearchExample:
         # drift monitor: one row per sub-space, errors finite + nonneg
         assert len(r["err"]) == 8
         assert all(row.mean_sq_err >= 0 for row in r["err"])
+        # batch retrieval: each query's top hit is itself, exact score
+        tops = {}
+        for row in r["batch"]:
+            tops.setdefault(row.query_id, row)   # first row per query
+        assert set(tops) == {0, 1, 2}
+        assert all(tops[q].vec_id == q and abs(tops[q].cosine - 1) < 1e-9
+                   for q in tops)
 
 
 def test_probe_with_none_df_requires_index(spark):
