@@ -7,8 +7,11 @@ costs one pass plus a Q-wide LUT gather per Arrow batch).
 Results are asserted identical (same rounded ordering domain) before
 timing is reported, so the speedup is never bought with divergence.
 
-Usage: python tools/bench_pq_batch.py [sf_dir] [Q]
-Prints one JSON line.
+Usage: python tools/bench_pq_batch.py [sf_dir] [Q] [--composed]
+Prints one JSON line. With --composed, additionally measures the
+IVF-pruned batch probe (union-of-probed-cells scan, per-query cell
+masks) and the two-scan batch rerank against their per-query loops —
+the deployed retrieval shapes.
 """
 
 from __future__ import annotations
@@ -67,14 +70,71 @@ def main() -> None:
         got.setdefault(r.query_id, []).append((r.vec_id, r.acos))
     assert got == per_query, "batch diverged from per-query results"
 
-    print(json.dumps({
+    out = {
         "sf_dir": SF_DIR, "n_vectors": n, "queries": Q,
         "per_query_total_sec": round(t_seq, 3),
         "per_query_sec_each": round(t_seq / Q, 3),
         "batch_total_sec": round(t_batch, 3),
         "speedup": round(t_seq / t_batch, 1),
         "identical_results": True,
-    }))
+    }
+
+    if "--composed" in sys.argv:
+        nlist = 1 << max(4, round((n ** 0.5)).bit_length() - 1)
+        nprobe = max(8, nlist // 16)
+        assigned, centers = sim.ivf_index(
+            emb, nlist=nlist,
+            sample_fraction=min(1.0, (100 * nlist) / n)
+            if (100 * nlist) < n else None)
+        ccodes = sim.pq_encode(assigned, cb, keep=["__cell"]).cache()
+        ccodes.count()
+        idx = (ccodes, centers, cb)
+        sim.ivf_pq_topk(emb, queries[0][1], k=10, nprobe=nprobe,
+                        index=idx).collect()          # warm
+        t0 = time.perf_counter()
+        per_q = {}
+        for qid, qv in queries:
+            per_q[qid] = [(r.vec_id, r.acos) for r in sim.ivf_pq_topk(
+                emb, qv, k=10, nprobe=nprobe, index=idx).collect()]
+        t_seq_c = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rows = sim.ivf_pq_topk_batch(emb, queries, k=10,
+                                     nprobe=nprobe, index=idx).collect()
+        t_batch_c = time.perf_counter() - t0
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, []).append((r.vec_id, r.acos))
+        assert got == per_q, "composed batch diverged"
+        out["composed"] = {
+            "nlist": nlist, "nprobe": nprobe,
+            "per_query_total_sec": round(t_seq_c, 3),
+            "batch_total_sec": round(t_batch_c, 3),
+            "speedup": round(t_seq_c / t_batch_c, 1)}
+        t0 = time.perf_counter()
+        per_q = {}
+        for qid, qv in queries:
+            per_q[qid] = [(r.vec_id, round(r.cosine, 6)) for r in
+                          sim.ivf_pq_rerank_topk(
+                              emb, qv, k=10, rerank=100, nprobe=nprobe,
+                              index=idx).collect()]
+        t_seq_r = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rows = sim.ivf_pq_rerank_topk_batch(
+            emb, queries, k=10, rerank=100, nprobe=nprobe,
+            index=idx).collect()
+        t_batch_r = time.perf_counter() - t0
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, []).append(
+                (r.vec_id, round(r.cosine, 6)))
+        assert got == per_q, "batch rerank diverged"
+        out["composed_rerank"] = {
+            "rerank": 100,
+            "per_query_total_sec": round(t_seq_r, 3),
+            "batch_total_sec": round(t_batch_r, 3),
+            "speedup": round(t_seq_r / t_batch_r, 1)}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
