@@ -789,6 +789,22 @@ def _q_cosine_batch_topk(spark, sf):
                              k=10)
 
 
+def _q_embedding_decontaminate(spark, sf):
+    # SEMANTIC decontamination tier (third rung: exact grams -> fuzzy
+    # shingles -> embeddings): per-corpus-doc max cosine vs the bench
+    # slice (vec_id % 97 == 0) with lowest-bench-id attribution; the
+    # benchmark rides the scan as a driver-side matrix (same bounded
+    # contract as the broadcast gram set). Threshold 0.3 yields a mixed
+    # flag set on the synthetic embeddings (max observed 0.467).
+    from confluent_ksql_charm_spark.pipeline.contamination import (
+        embedding_flag_contaminated)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    return embedding_flag_contaminated(
+        emb.where(F.col("vec_id") % 97 != 0),
+        emb.where(F.col("vec_id") % 97 == 0), threshold=0.3)
+
+
 def _q_token_stats(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import token_count
 
@@ -1376,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_batch_topk": _q_cosine_batch_topk,
         "ivf_pq_batch_topk": _q_ivf_pq_batch_topk,
         "ivf_pq_batch_rerank": _q_ivf_pq_batch_rerank,
+        "embedding_decontaminate": _q_embedding_decontaminate,
         "ivf_pq_rerank": _q_ivf_pq_rerank,
         "filtered_rerank_topk": _q_filtered_rerank,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2205,6 +2222,19 @@ def oracle_sql() -> dict[str, str]:
         # full probe == pq_topk_batch, so it shares the batch replay
         "ivf_pq_batch_topk": _PQ_BATCH_ORACLE_SQL,
         "ivf_pq_batch_rerank": _PQ_BATCH_RERANK_ORACLE_SQL,
+        "embedding_decontaminate": (
+            "WITH b AS (SELECT vec_id AS bid, embedding AS be "
+            "FROM embeddings WHERE vec_id % 97 = 0), "
+            "c AS (SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id % 97 <> 0), "
+            "s AS (SELECT c.vec_id, b.bid, "
+            "ROUND(list_cosine_similarity(c.embedding, b.be), 4) AS cos "
+            "FROM c CROSS JOIN b), "
+            "r AS (SELECT vec_id, cos, bid, ROW_NUMBER() OVER "
+            "(PARTITION BY vec_id ORDER BY cos DESC, bid) AS rn FROM s) "
+            "SELECT vec_id, cos AS max_cos, bid AS nearest_bench_id, "
+            "cos >= 0.3 AS contaminated FROM r WHERE rn = 1"
+        ),
         "ivf_pq_rerank": _IVF_PQ_RERANK_ORACLE_SQL,
         "filtered_rerank_topk": _FILTERED_RERANK_ORACLE_SQL,
         "ivf_sq8_rerank": 'WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS ord, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), dims AS (SELECT ord, min(x) AS vmin, max(x) AS vmax FROM v GROUP BY ord), deq AS (SELECT v.vec_id, v.ord, CASE WHEN d.vmax = d.vmin THEN d.vmin ELSE d.vmin + CAST(round((v.x - d.vmin) * 255.0 / (d.vmax - d.vmin)) AS INTEGER) * (d.vmax - d.vmin) / 255.0 END AS xhat FROM v JOIN dims d USING (ord) WHERE v.vec_id <> 0), q AS (SELECT ord, x AS qx FROM v WHERE vec_id = 0), adc AS (SELECT deq.vec_id, SUM(q.qx * deq.xhat) / (sqrt(SUM(deq.xhat * deq.xhat)) * (SELECT sqrt(SUM(qx * qx)) FROM q)) AS c FROM deq JOIN q USING (ord) GROUP BY deq.vec_id), short AS (SELECT vec_id FROM adc ORDER BY ROUND(c, 4) DESC, vec_id LIMIT 50) SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine FROM embeddings e JOIN short USING (vec_id) ORDER BY list_cosine_similarity(e.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e.vec_id LIMIT 10',

@@ -225,3 +225,85 @@ def contamination_report(docs: DataFrame, bench: DataFrame, id_col: str,
     return (doc_grams.join(F.broadcast(bgrams), "gram")
             .groupBy(id_col, "bench_id")
             .agg(F.count(F.lit(1)).alias("shared_grams")))
+
+
+def embedding_flag_contaminated(corpus_emb: DataFrame,
+                                bench_emb: DataFrame, *,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                threshold: float = 0.95,
+                                round_to: int | None = 4) -> DataFrame:
+    """SEMANTIC contamination tier: flag corpus documents whose
+    EMBEDDING is near any benchmark document's embedding (max cosine
+    >= `threshold`) — catches paraphrased/translated benchmark leaks
+    that defeat both the exact n-gram tier and the MinHash fuzzy tier
+    (which see token overlap, not meaning). The third rung of the
+    decontamination ladder: exact grams → fuzzy shingles → embeddings.
+
+    Returns one row per corpus doc: (`id_col`, max_cos,
+    nearest_bench_id, contaminated) — the attribution columns make it
+    a report as well as a filter (compare `contamination_report`).
+
+    100 TB shape, same contract as the gram tier: the benchmark side
+    is SMALL (benchmarks are MBs) and rides the scan as a driver-side
+    (b × dim) matrix — each Arrow batch scores against ALL benchmark
+    vectors with one matmul; the corpus is scanned once and never
+    shuffled. Ordering domain: cosines rounded to `round_to` before
+    the per-row argmax, ties broken toward the LOWEST bench id (bench
+    rows are sorted by id; numpy argmax takes the first maximum) — so
+    an external engine replays the attribution exactly.
+    """
+    import numpy as np
+
+    brows = (bench_emb.select(id_col, vec_col).orderBy(id_col)
+             .collect())
+    if not brows:
+        raise ValueError(
+            "embedding_flag_contaminated: benchmark side is empty")
+    bids = np.asarray([r[0] for r in brows], dtype=np.int64)
+    bmat = np.asarray([[float(x) for x in r[1]] for r in brows])
+    bn = np.sqrt((bmat * bmat).sum(1))
+    bn[bn == 0] = 1.0
+
+    schema = (f"{id_col} long, max_cos double, nearest_bench_id long, "
+              "contaminated boolean")
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            nrm = np.sqrt((x * x).sum(1))
+            nrm[nrm == 0] = 1.0
+            cos = (x @ bmat.T) / (nrm[:, None] * bn[None, :])
+            if round_to is not None:
+                cos = np.round(cos, round_to)
+            best = cos.argmax(1)                # first max = lowest id
+            mx = cos[np.arange(len(x)), best]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "max_cos": mx,
+                "nearest_bench_id": bids[best],
+                "contaminated": mx >= threshold})
+
+    return (corpus_emb.select(id_col, vec_col)
+            .mapInPandas(_scan, schema=schema))
+
+
+def embedding_decontaminate(corpus_emb: DataFrame,
+                            bench_emb: DataFrame, *,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95) -> DataFrame:
+    """Drop corpus rows semantically too close to any benchmark row
+    (max cosine >= `threshold`): the filter form of
+    `embedding_flag_contaminated` — same one-scan plan, the flag
+    column becomes a predicate and every original column survives."""
+    flags = embedding_flag_contaminated(
+        corpus_emb, bench_emb, id_col=id_col, vec_col=vec_col,
+        threshold=threshold)
+    keep = flags.where(~F.col("contaminated")).select(id_col)
+    return corpus_emb.join(keep, id_col, "inner")

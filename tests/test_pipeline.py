@@ -3386,3 +3386,59 @@ def test_pq_fit_ksub_bounds(spark):
         pq_fit(df, m=2, ksub=300, n_iter=1)
     with pytest.raises(ValueError, match="out of range"):
         pq_fit(df, m=2, ksub=0, n_iter=1)
+
+
+class TestEmbeddingDecontamination:
+    """Semantic (embedding-space) contamination tier."""
+
+    def _fixture(self, spark):
+        import random
+
+        rng = random.Random(55)
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+
+        def jitter(eps):
+            return [c + rng.gauss(0, eps) for c in base]
+
+        corpus = [(1, jitter(0.01)),     # near-copy of bench 100 -> flagged
+                  (2, jitter(0.01)),     # another near-copy -> flagged
+                  (3, [rng.uniform(-1, 1) for _ in range(8)]),   # far
+                  (4, [-c for c in base])]                       # opposite
+        bench = [(100, base), (101, [rng.uniform(-1, 1) for _ in range(8)])]
+        cdf = spark.createDataFrame(
+            corpus, "vec_id bigint, embedding array<float>")
+        bdf = spark.createDataFrame(
+            bench, "vec_id bigint, embedding array<float>")
+        return cdf, bdf
+
+    def test_flags_semantic_leaks_with_attribution(self, spark):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            embedding_flag_contaminated)
+
+        cdf, bdf = self._fixture(spark)
+        got = {r.vec_id: r for r in embedding_flag_contaminated(
+            cdf, bdf, threshold=0.95).collect()}
+        assert got[1].contaminated and got[2].contaminated
+        assert got[1].nearest_bench_id == 100
+        assert not got[3].contaminated and not got[4].contaminated
+        # attribution is the max over ALL bench rows (vec 4 is the
+        # negation of bench 100 but in 8 dims the random bench 101
+        # happens to correlate ~0.9 with it — still sub-threshold)
+        assert got[4].max_cos < 0.95
+
+    def test_decontaminate_drops_only_leaks(self, spark):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            embedding_decontaminate)
+
+        cdf, bdf = self._fixture(spark)
+        kept = sorted(r.vec_id for r in embedding_decontaminate(
+            cdf, bdf, threshold=0.95).collect())
+        assert kept == [3, 4]
+
+    def test_empty_benchmark_raises(self, spark):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            embedding_flag_contaminated)
+
+        cdf, bdf = self._fixture(spark)
+        with pytest.raises(ValueError, match="benchmark side is empty"):
+            embedding_flag_contaminated(cdf, bdf.where("vec_id < 0"))
