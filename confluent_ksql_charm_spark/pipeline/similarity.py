@@ -2114,3 +2114,111 @@ def ivf_pq_rerank_topk_batch(df: DataFrame,
 
     scored = cand.mapInPandas(_score, schema=schema)
     return _batch_rank_finish(scored, id_col, k, "cosine")
+
+
+def vector_ingest_batch_fn(index_path: str, floats_path: str, *,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           nlist: int = 16, seed: int = 42,
+                           clip_threshold: float = 0.02,
+                           max_clipped_dims: float = 0.25,
+                           reports: list | None = None):
+    """Build the foreachBatch function for `start_vector_ingest` (also
+    directly callable with a static DataFrame for backfill) — the
+    EMBEDDINGS sibling of `ingest.corpus_ingest_batch_fn`: a stream of
+    vectors maintains BOTH the float source of truth (`floats_path`
+    parquet — what refits and refine tiers read) and the deployed
+    ``ivf_sq8`` index at `index_path`, with the drift→refit loop
+    (`ivf_sq8_maintain`) closing automatically.
+
+    Per microbatch:
+      1. DEDUP BY ID against the persisted floats (left-anti on the id
+         column only — corpus side reduced to 8-byte ids, the
+         `incremental_exact` contract), which also makes at-least-once
+         REPLAY of a microbatch a no-op;
+      2. append the survivors' floats (source of truth first: a crash
+         between steps leaves a float row the next replay skips and
+         the next refit incorporates — never an index row without its
+         float);
+      3. BOOTSTRAP the index from the first batch if `index_path` has
+         no meta.json, else `ivf_sq8_maintain`: measure clip drift,
+         append to the cell-partitioned index, refit + atomically
+         republish from the floats when the codebook went stale.
+
+    `reports`: optional list collecting each batch's maintain report
+    (added/tripped/refit/worst_clip) — the observable the operator
+    watches.
+    """
+    import os
+
+    def ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df
+        have_floats = os.path.exists(floats_path) and any(
+            f.endswith(".parquet") for f in os.listdir(floats_path))
+        if have_floats:
+            seen = spark.read.parquet(floats_path).select(id_col)
+            batch = batch.join(seen, id_col, "left_anti")
+        # EAGER localCheckpoint, not cache: step 2 appends to the very
+        # path this anti-join reads, and a file append refreshes (=
+        # invalidates) cached plans over that path — a cached batch
+        # would silently recompute against the post-append listing and
+        # anti-join ITSELF away. Severing lineage pins the filtered
+        # rows regardless of what the write does to the listing.
+        batch = batch.localCheckpoint(eager=True)
+        n_new = batch.count()
+        if n_new == 0:
+            if reports is not None:
+                reports.append({"added": 0, "tripped": False,
+                                "refit": False})
+            return
+        batch.write.mode("append").parquet(floats_path)
+        if not os.path.exists(os.path.join(index_path, "meta.json")):
+            idx = ivf_sq8_index(batch, nlist=nlist, vec_col=vec_col,
+                                id_col=id_col, seed=seed)
+            save_ann_index(idx, index_path, kind="ivf_sq8",
+                           params={"nlist": nlist, "seed": seed},
+                           partition_by="__cell")
+            rep = {"added": n_new, "tripped": False, "refit": False,
+                   "bootstrapped": True}
+        else:
+            corpus = spark.read.parquet(floats_path)
+            rep = ivf_sq8_maintain(
+                spark, index_path, batch, corpus_df=corpus,
+                vec_col=vec_col, id_col=id_col,
+                clip_threshold=clip_threshold,
+                max_clipped_dims=max_clipped_dims, seed=seed)
+        if reports is not None:
+            reports.append(rep)
+
+    return ingest
+
+
+def start_vector_ingest(source_df: DataFrame, index_path: str,
+                        floats_path: str, checkpoint: str, *,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        nlist: int = 16, seed: int = 42,
+                        clip_threshold: float = 0.02,
+                        max_clipped_dims: float = 0.25,
+                        available_now: bool = False,
+                        reports: list | None = None):
+    """Start the streaming vector-index maintenance query over a
+    streaming DataFrame — returns the StreamingQuery. The deployed
+    shape: embeddings land on a topic/directory, the index at
+    `index_path` stays probe-ready (probes read a consistent listing
+    throughout; the refit republish is two renames), and the float
+    corpus at `floats_path` remains the refit/refine source of truth.
+    """
+    writer = (
+        source_df.writeStream
+        .foreachBatch(vector_ingest_batch_fn(
+            index_path, floats_path, vec_col=vec_col, id_col=id_col,
+            nlist=nlist, seed=seed, clip_threshold=clip_threshold,
+            max_clipped_dims=max_clipped_dims, reports=reports))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3442,3 +3442,71 @@ class TestEmbeddingDecontamination:
         cdf, bdf = self._fixture(spark)
         with pytest.raises(ValueError, match="benchmark side is empty"):
             embedding_flag_contaminated(cdf, bdf.where("vec_id < 0"))
+
+
+class TestVectorIngest:
+    """Streaming vector-index maintenance (the embeddings sibling of
+    corpus ingest): bootstrap -> dedup-by-id -> add -> drift-gated
+    refit, with at-least-once replay a no-op."""
+
+    def _mk(self, spark, n, dim=8, shift=0.0, start=0, seed=121,
+            scale=1.0):
+        import random
+
+        rng = random.Random(seed + start)
+        return spark.createDataFrame(
+            [(start + i, [rng.uniform(-1, 1) * scale + shift
+                          for _ in range(dim)]) for i in range(n)],
+            "vec_id bigint, embedding array<float>")
+
+    def test_backfill_flow_bootstrap_add_replay_refit(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        idx, flo = str(tmp_path / "idx"), str(tmp_path / "floats")
+        reports = []
+        fn = sim.vector_ingest_batch_fn(idx, flo, nlist=4,
+                                        reports=reports)
+        b1 = self._mk(spark, 120)
+        fn(b1, 0)
+        assert reports[-1].get("bootstrapped") and \
+            reports[-1]["added"] == 120
+        # replay of the same batch: all ids seen -> no-op
+        fn(b1, 0)
+        assert reports[-1]["added"] == 0
+        (codes, _, _), _ = sim.load_ann_index(spark, idx)
+        assert codes.count() == 120
+        # in-range second batch: added without refit
+        fn(self._mk(spark, 30, start=500, scale=0.8), 1)
+        assert reports[-1]["added"] == 30 and not reports[-1]["refit"]
+        # shifted third batch: drift trips -> refit from the floats
+        fn(self._mk(spark, 40, shift=3.0, start=900), 2)
+        assert reports[-1]["tripped"] and reports[-1]["refit"]
+        (codes, centers, stats), _params = sim.load_ann_index(spark, idx)
+        assert codes.count() == 190
+        assert max(mx for _, mx in stats) > 2.0   # codebook re-covers
+        # the refit corpus == the floats source of truth
+        assert spark.read.parquet(flo).count() == 190
+        # and the republished index still answers probes correctly
+        q = [3.0] * 8
+        got = [r.vec_id for r in sim.ivf_sq8_topk(
+            None, q, k=5, nprobe=4,
+            index=(codes, centers, stats)).collect()]
+        assert all(v >= 900 for v in got)
+
+    def test_streaming_mode_runs(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        src = str(tmp_path / "src")
+        self._mk(spark, 80).coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        reports = []
+        sq = sim.start_vector_ingest(
+            stream, str(tmp_path / "idx"), str(tmp_path / "floats"),
+            str(tmp_path / "ck"), nlist=4, available_now=True,
+            reports=reports)
+        assert sq.awaitTermination(180)
+        assert sum(r["added"] for r in reports) == 80
+        (codes, _, _), _ = sim.load_ann_index(
+            spark, str(tmp_path / "idx"))
+        assert codes.count() == 80
