@@ -805,6 +805,20 @@ def _q_embedding_decontaminate(spark, sf):
         emb.where(F.col("vec_id") % 97 == 0), threshold=0.3)
 
 
+def _q_semantic_dedup(spark, sf):
+    # SemDeDup (embedding-space cluster dedup): EXACT pair path at
+    # threshold 0.42 (34 true pairs at sf0.01; nearest pair sits 0.0017
+    # from the threshold, so the numpy-vs-DuckDB last-bit difference
+    # cannot flip membership) -> connected components -> keep min id.
+    # The LSH pair path's recall is pytest-graded (TestSemanticDedup).
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        semantic_dedup)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    out = semantic_dedup(emb, threshold=0.42, exact=True)
+    return out.select("vec_id", "label")
+
+
 def _q_token_stats(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import token_count
 
@@ -1393,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_batch_topk": _q_ivf_pq_batch_topk,
         "ivf_pq_batch_rerank": _q_ivf_pq_batch_rerank,
         "embedding_decontaminate": _q_embedding_decontaminate,
+        "semantic_dedup": _q_semantic_dedup,
         "ivf_pq_rerank": _q_ivf_pq_rerank,
         "filtered_rerank_topk": _q_filtered_rerank,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2222,6 +2237,22 @@ def oracle_sql() -> dict[str, str]:
         # full probe == pq_topk_batch, so it shares the batch replay
         "ivf_pq_batch_topk": _PQ_BATCH_ORACLE_SQL,
         "ivf_pq_batch_rerank": _PQ_BATCH_RERANK_ORACLE_SQL,
+        "semantic_dedup": (
+            "WITH RECURSIVE prs AS (SELECT a.vec_id AS ia, b.vec_id AS ib "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) "
+            ">= 0.42), "
+            "edges AS (SELECT ia AS u, ib AS v FROM prs "
+            "UNION SELECT ib, ia FROM prs), "
+            "reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) "
+            "UNION SELECT e.u, reach.r FROM edges e JOIN reach "
+            "ON e.v = reach.u), "
+            "comp AS (SELECT u AS vec_id, MIN(r) AS c FROM reach "
+            "GROUP BY u), "
+            "drop AS (SELECT vec_id FROM comp WHERE vec_id <> c) "
+            "SELECT e.vec_id, e.label FROM embeddings e "
+            "LEFT JOIN drop USING (vec_id) WHERE drop.vec_id IS NULL"
+        ),
         "embedding_decontaminate": (
             "WITH b AS (SELECT vec_id AS bid, embedding AS be "
             "FROM embeddings WHERE vec_id % 97 = 0), "

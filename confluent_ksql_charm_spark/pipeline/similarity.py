@@ -2222,3 +2222,49 @@ def start_vector_ingest(source_df: DataFrame, index_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def semantic_dedup(df: DataFrame, *, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   exact: bool = False,
+                   num_bands: int | None = None,
+                   bits_per_band: int | None = None,
+                   seed: int = 42,
+                   block_size: int = 2048) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public method): drop documents that
+    are SEMANTIC near-duplicates — embedding cosine >= `threshold` —
+    keeping one representative (the minimum id) per semantic cluster.
+    The embedding-space sibling of `dedup.dedup_clusters`: where MinHash
+    sees token overlap, this sees paraphrases, translations and
+    re-renderings of the same content.
+
+    Composition of three operators this engine already scales:
+    pairs (`embedding_near_dup_pairs` — planner-sized banded LSH +
+    exact-cosine verify; or `cosine_all_pairs` blocked exact matmul
+    with ``exact=True`` for the low-threshold regime where LSH cannot
+    prune) → `connected_components` (large/small-star, O(log n)
+    rounds, serialized checkpoints) → one anti-join dropping every
+    non-representative member. All original columns survive.
+
+    At 100 TB the plan inherits its parts' shapes: banded equi-joins
+    with bucket caps (never all-pairs), star-edge CC, and a final
+    anti-join whose right side is only the DROPPED ids. SemDeDup's
+    published recipe clusters first and compares within clusters; the
+    banded-LSH candidate structure here plays exactly that role with a
+    recall guarantee from the band planner instead of a KMeans
+    partition.
+    """
+    from .dedup import connected_components
+
+    if exact:
+        pairs = cosine_all_pairs(df, threshold, block_size=block_size,
+                                 vec_col=vec_col, id_col=id_col)
+    else:
+        pairs = embedding_near_dup_pairs(
+            df, threshold=threshold, num_bands=num_bands,
+            bits_per_band=bits_per_band, vec_col=vec_col,
+            id_col=id_col, seed=seed)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    drop = (comp.where(F.col("id") != F.col("cluster"))
+            .select(F.col("id").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")

@@ -3510,3 +3510,45 @@ class TestVectorIngest:
         (codes, _, _), _ = sim.load_ann_index(
             spark, str(tmp_path / "idx"))
         assert codes.count() == 80
+
+
+class TestSemanticDedup:
+    """SemDeDup: embedding-space cluster dedup, keep min id."""
+
+    def _planted(self, spark):
+        import random
+
+        rng = random.Random(131)
+        bases = [[rng.uniform(-1, 1) for _ in range(12)] for _ in range(3)]
+        rows = []
+        vid = 0
+        for b in bases:                      # 3 clusters of 4 copies
+            for _ in range(4):
+                rows.append((vid, [c + rng.gauss(0, 0.01) for c in b]))
+                vid += 1
+        for _ in range(5):                   # 5 singletons
+            rows.append((vid, [rng.uniform(-1, 1) for _ in range(12)]))
+            vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+
+    def test_keeps_min_id_per_cluster_lsh_and_exact_agree(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            semantic_dedup)
+
+        df = self._planted(spark)
+        kept_exact = sorted(r.vec_id for r in semantic_dedup(
+            df, threshold=0.95, exact=True).collect())
+        # clusters 0-3, 4-7, 8-11 -> reps 0, 4, 8; singletons 12-16 stay
+        assert kept_exact == [0, 4, 8, 12, 13, 14, 15, 16]
+        kept_lsh = sorted(r.vec_id for r in semantic_dedup(
+            df, threshold=0.95).collect())
+        assert kept_lsh == kept_exact        # tight copies: LSH recalls
+
+    def test_all_columns_survive(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            semantic_dedup)
+
+        df = self._planted(spark).withColumn("tag", F.col("vec_id") % 3)
+        out = semantic_dedup(df, threshold=0.95, exact=True)
+        assert set(out.columns) == {"vec_id", "embedding", "tag"}
