@@ -2122,6 +2122,8 @@ def vector_ingest_batch_fn(index_path: str, floats_path: str, *,
                            nlist: int = 16, seed: int = 42,
                            clip_threshold: float = 0.02,
                            max_clipped_dims: float = 0.25,
+                           bench_floats_path: str | None = None,
+                           bench_threshold: float = 0.95,
                            reports: list | None = None):
     """Build the foreachBatch function for `start_vector_ingest` (also
     directly callable with a static DataFrame for backfill) — the
@@ -2145,9 +2147,16 @@ def vector_ingest_batch_fn(index_path: str, floats_path: str, *,
          append to the cell-partitioned index, refit + atomically
          republish from the floats when the codebook went stale.
 
+    `bench_floats_path`: benchmark-embeddings parquet — incoming
+    vectors semantically too close to any benchmark embedding
+    (`embedding_flag_contaminated`, max cosine >= `bench_threshold`)
+    are REJECTED in-stream, the vector-side analogue of the corpus
+    ingest's gram/fuzzy decontamination gates. The benchmark rides
+    each batch as a driver-bounded matrix (benchmarks are MBs).
+
     `reports`: optional list collecting each batch's maintain report
-    (added/tripped/refit/worst_clip) — the observable the operator
-    watches.
+    (added/tripped/refit/worst_clip, + rejected_semantic under the
+    benchmark gate) — the observable the operator watches.
     """
     import os
 
@@ -2159,6 +2168,18 @@ def vector_ingest_batch_fn(index_path: str, floats_path: str, *,
         if have_floats:
             seen = spark.read.parquet(floats_path).select(id_col)
             batch = batch.join(seen, id_col, "left_anti")
+        n_rejected = None
+        if bench_floats_path:
+            from .contamination import embedding_flag_contaminated
+
+            bench = spark.read.parquet(bench_floats_path)
+            n_before = batch.count()
+            flags = embedding_flag_contaminated(
+                batch, bench, id_col=id_col, vec_col=vec_col,
+                threshold=bench_threshold)
+            clean_ids = flags.where(~F.col("contaminated")).select(id_col)
+            batch = batch.join(clean_ids, id_col, "inner")
+            n_rejected = n_before - batch.count()
         # EAGER localCheckpoint, not cache: step 2 appends to the very
         # path this anti-join reads, and a file append refreshes (=
         # invalidates) cached plans over that path — a cached batch
@@ -2169,8 +2190,10 @@ def vector_ingest_batch_fn(index_path: str, floats_path: str, *,
         n_new = batch.count()
         if n_new == 0:
             if reports is not None:
-                reports.append({"added": 0, "tripped": False,
-                                "refit": False})
+                rep0 = {"added": 0, "tripped": False, "refit": False}
+                if n_rejected is not None:
+                    rep0["rejected_semantic"] = n_rejected
+                reports.append(rep0)
             return
         batch.write.mode("append").parquet(floats_path)
         if not os.path.exists(os.path.join(index_path, "meta.json")):
@@ -2188,6 +2211,8 @@ def vector_ingest_batch_fn(index_path: str, floats_path: str, *,
                 vec_col=vec_col, id_col=id_col,
                 clip_threshold=clip_threshold,
                 max_clipped_dims=max_clipped_dims, seed=seed)
+        if n_rejected is not None:
+            rep["rejected_semantic"] = n_rejected
         if reports is not None:
             reports.append(rep)
 
@@ -2201,6 +2226,8 @@ def start_vector_ingest(source_df: DataFrame, index_path: str,
                         nlist: int = 16, seed: int = 42,
                         clip_threshold: float = 0.02,
                         max_clipped_dims: float = 0.25,
+                        bench_floats_path: str | None = None,
+                        bench_threshold: float = 0.95,
                         available_now: bool = False,
                         reports: list | None = None):
     """Start the streaming vector-index maintenance query over a
@@ -2215,7 +2242,9 @@ def start_vector_ingest(source_df: DataFrame, index_path: str,
         .foreachBatch(vector_ingest_batch_fn(
             index_path, floats_path, vec_col=vec_col, id_col=id_col,
             nlist=nlist, seed=seed, clip_threshold=clip_threshold,
-            max_clipped_dims=max_clipped_dims, reports=reports))
+            max_clipped_dims=max_clipped_dims,
+            bench_floats_path=bench_floats_path,
+            bench_threshold=bench_threshold, reports=reports))
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
@@ -2230,7 +2259,8 @@ def semantic_dedup(df: DataFrame, *, threshold: float = 0.95,
                    num_bands: int | None = None,
                    bits_per_band: int | None = None,
                    seed: int = 42,
-                   block_size: int = 2048) -> DataFrame:
+                   block_size: int = 2048,
+                   quality_col: str | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public method): drop documents that
     are SEMANTIC near-duplicates — embedding cosine >= `threshold` —
     keeping one representative (the minimum id) per semantic cluster.
@@ -2253,7 +2283,14 @@ def semantic_dedup(df: DataFrame, *, threshold: float = 0.95,
     banded-LSH candidate structure here plays exactly that role with a
     recall guarantee from the band planner instead of a KMeans
     partition.
+
+    `quality_col`: keep the HIGHEST-quality member per cluster instead
+    of the minimum id (ties to the lower id) — the RefinedWeb/FineWeb
+    keep-best policy, same WindowGroupLimit shape as
+    `dedup.dedup_keep_best`.
     """
+    from pyspark.sql import Window
+
     from .dedup import connected_components
 
     if exact:
@@ -2265,6 +2302,16 @@ def semantic_dedup(df: DataFrame, *, threshold: float = 0.95,
             bits_per_band=bits_per_band, vec_col=vec_col,
             id_col=id_col, seed=seed)
     comp = connected_components(pairs.select("id_a", "id_b"))
-    drop = (comp.where(F.col("id") != F.col("cluster"))
-            .select(F.col("id").alias(id_col)))
+    if quality_col is None:
+        drop = (comp.where(F.col("id") != F.col("cluster"))
+                .select(F.col("id").alias(id_col)))
+        return df.join(drop, id_col, "left_anti")
+    members = df.join(
+        comp.select(F.col("id").alias(id_col), "cluster"), id_col)
+    w = (Window.partitionBy("cluster")
+         .orderBy(F.desc(quality_col), F.col(id_col)))
+    keep = (members.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).select(id_col))
+    drop = (comp.select(F.col("id").alias(id_col))
+            .join(keep, id_col, "left_anti"))
     return df.join(drop, id_col, "left_anti")

@@ -3552,3 +3552,54 @@ class TestSemanticDedup:
         df = self._planted(spark).withColumn("tag", F.col("vec_id") % 3)
         out = semantic_dedup(df, threshold=0.95, exact=True)
         assert set(out.columns) == {"vec_id", "embedding", "tag"}
+
+
+def test_semantic_dedup_keep_best_quality(spark):
+    # quality_col: the highest-quality member represents the cluster
+    # (ties to the lower id), not the minimum id
+    import random
+
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        semantic_dedup)
+
+    rng = random.Random(141)
+    base = [rng.uniform(-1, 1) for _ in range(12)]
+    rows = [(i, [c + rng.gauss(0, 0.01) for c in base], float(i == 2))
+            for i in range(4)]                 # cluster 0-3, best id=2
+    rows += [(9, [rng.uniform(-1, 1) for _ in range(12)], 0.0)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, q double")
+    kept = sorted(r.vec_id for r in semantic_dedup(
+        df, threshold=0.95, exact=True, quality_col="q").collect())
+    assert kept == [2, 9]
+
+
+def test_vector_ingest_semantic_bench_gate(spark, tmp_path):
+    # the vector-side decontamination gate: incoming vectors near a
+    # benchmark embedding are rejected in-stream
+    import random
+
+    from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+    rng = random.Random(151)
+    bench_vec = [rng.uniform(-1, 1) for _ in range(8)]
+    bench = spark.createDataFrame(
+        [(900, bench_vec)], "vec_id bigint, embedding array<float>")
+    bpath = str(tmp_path / "bench")
+    bench.write.parquet(bpath)
+    leak = [c + rng.gauss(0, 0.005) for c in bench_vec]
+    batch = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+        + [(100, leak)],
+        "vec_id bigint, embedding array<float>")
+    reports = []
+    fn = sim.vector_ingest_batch_fn(
+        str(tmp_path / "idx"), str(tmp_path / "floats"), nlist=2,
+        bench_floats_path=bpath, bench_threshold=0.95,
+        reports=reports)
+    fn(batch, 0)
+    assert reports[-1]["rejected_semantic"] == 1
+    assert reports[-1]["added"] == 40
+    ids = {r.vec_id for r in
+           spark.read.parquet(str(tmp_path / "floats")).collect()}
+    assert 100 not in ids and len(ids) == 40
