@@ -1954,7 +1954,9 @@ def ivf_pq_topk_batch(df: DataFrame,
                       id_col: str = "vec_id", seed: int = 42,
                       sample_fraction: float | None | str = "auto",
                       index: tuple | None = None,
-                      round_to: int | None = 4) -> DataFrame:
+                      round_to: int | None = 4,
+                      where=None,
+                      keep_cols: list[str] | None = None) -> DataFrame:
     """MULTI-QUERY IVF×PQ probe: one scan over the UNION of all
     queries' probed cells, with each query scored only against ITS OWN
     cells (a per-query boolean cell mask applied inside the Arrow
@@ -2003,6 +2005,15 @@ def ivf_pq_topk_batch(df: DataFrame,
 
     cand = codes.where(F.col("__cell").isin([int(c) for c in
                                              union_cells]))
+    # FILTERED batch search: the shared predicate prunes inside the
+    # probed cells BEFORE scoring, exactly like the single-query
+    # probes (build the index with keep=[...]); the per-query cell
+    # masks then apply to the filtered candidates. Same selectivity
+    # rule: scale nprobe by ~1/s.
+    if where is not None:
+        cand = cand.where(where)
+    if keep_cols:
+        cand = cand.drop(*keep_cols)
     schema = f"query_id long, {id_col} long, acos double"
 
     def _scan(batches):
@@ -2058,7 +2069,9 @@ def ivf_pq_rerank_topk_batch(df: DataFrame,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id", seed: int = 42,
                              sample_fraction: float | None | str = "auto",
-                             index: tuple | None = None) -> DataFrame:
+                             index: tuple | None = None,
+                             where=None,
+                             keep_cols: list[str] | None = None) -> DataFrame:
     """MULTI-QUERY IVF×PQ with exact refine — the full deployed batch
     retrieval path in two scans total: (1) `ivf_pq_topk_batch`
     shortlists top-`rerank` per query from one pass over the union of
@@ -2081,7 +2094,8 @@ def ivf_pq_rerank_topk_batch(df: DataFrame,
     shortlist = ivf_pq_topk_batch(
         df, queries, k=rerank, nlist=nlist, nprobe=nprobe, m=m,
         ksub=ksub, vec_col=vec_col, id_col=id_col, seed=seed,
-        sample_fraction=sample_fraction, index=index)
+        sample_fraction=sample_fraction, index=index,
+        where=where, keep_cols=keep_cols)
     pairs = shortlist.select("query_id", id_col)
     union_ids = [r[0] for r in pairs.select(id_col).distinct().collect()]
     fetched = (df.where(F.col(id_col).isin(union_ids))

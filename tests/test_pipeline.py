@@ -3603,3 +3603,31 @@ def test_vector_ingest_semantic_bench_gate(spark, tmp_path):
     ids = {r.vec_id for r in
            spark.read.parquet(str(tmp_path / "floats")).collect()}
     assert 100 not in ids and len(ids) == 40
+
+
+def test_filtered_batch_probe_and_rerank(spark):
+    # where= through the batch tiers: full probe + rerank >= |filtered|
+    # degrades to exact cosine top-k over the predicate-filtered corpus
+    # for EVERY query
+    import random
+
+    from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+    rng = random.Random(161)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)], i % 3)
+            for i in range(150)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    idx = sim.ivf_pq_index(df, nlist=4, m=4, ksub=8, n_iter=4,
+                           keep=["label"])
+    queries = [(1, rows[5][1]), (2, rows[70][1])]
+    got = {}
+    for r in sim.ivf_pq_rerank_topk_batch(
+            df, queries, k=6, rerank=150, nprobe=4, index=idx,
+            where=F.col("label") == 1, keep_cols=["label"]).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.vec_id, round(r.cosine, 6)))
+    for qid, qv in queries:
+        want = [(r.vec_id, round(r.cosine, 6)) for r in sim.cosine_topk(
+            df.where("label = 1"), qv, k=6).collect()]
+        assert got[qid] == want, f"query {qid} diverged"
