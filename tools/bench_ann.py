@@ -39,9 +39,10 @@ EXACT = "--exact" in sys.argv
 N_QUERIES = int(os.environ.get("ANN_BENCH_QUERIES", "20"))
 THRESHOLD = 0.95
 K = 10
-#: comma-list of sections to run (default all): lsh,ivf,ivfsq8,ivfpq,nd,sq8
+#: comma-list of sections to run (default all):
+#: lsh,ivf,ivfsq8,ivfpq,nd,sq8,semdedup
 SECTIONS = set(filter(None, os.environ.get(
-    "ANN_BENCH_SECTIONS", "lsh,ivf,ivfsq8,ivfpq,nd,sq8").split(",")))
+    "ANN_BENCH_SECTIONS", "lsh,ivf,ivfsq8,ivfpq,nd,sq8,semdedup").split(",")))
 
 
 def main() -> None:
@@ -303,6 +304,38 @@ def main() -> None:
         out["ivf_pq_topk"] = pq
         progress("ivf_pq_topk")
         codes.unpersist()
+
+    # -- SemDeDup semantic cluster dedup (round-8 op): banded-LSH
+    #    pairs -> CC -> keep min id. Planted ground truth: every
+    #    planted pair whose true cosine >= threshold must lose exactly
+    #    one member (one representative per cluster survives).
+    if "semdedup" in SECTIONS:
+        max_proj = 4096 if n > 1_000_000 else 1024
+        bands, bpb = sim.lsh_plan(n, THRESHOLD, max_projections=max_proj)
+        t0 = time.perf_counter()
+        kept_ids = {r.vec_id for r in sim.semantic_dedup(
+            emb, threshold=THRESHOLD, num_bands=bands,
+            bits_per_band=bpb).select("vec_id").collect()}
+        t_sd = time.perf_counter() - t0
+        sd = {"bands": bands, "bits_per_band": bpb,
+              "wall_sec": round(t_sd, 3), "kept": len(kept_ids),
+              "dropped": n - len(kept_ids)}
+        if meta:
+            off = meta["plant_offset"]
+            planted_ids = emb.where(F.col("vec_id") >= off).select(
+                (F.col("vec_id") - off).alias("id_a"),
+                F.col("vec_id").alias("id_b"))
+            truth = [(r.id_a, r.id_b) for r in
+                     sim.cosine_for_pairs(emb, planted_ids)
+                     .where(F.col("cosine") >= THRESHOLD)
+                     .select("id_a", "id_b").collect()]
+            collapsed = sum(1 for a, b in truth
+                            if not (a in kept_ids and b in kept_ids))
+            sd["planted_pairs"] = len(truth)
+            sd["collapse_recall"] = round(
+                collapsed / max(1, len(truth)), 4)
+        out["semantic_dedup"] = sd
+        progress("semantic_dedup")
 
     if "nd" not in SECTIONS:
         print(json.dumps(out))
