@@ -98,9 +98,27 @@ def lifecycle(spark, sf_dir: str, idx_dir: str) -> dict:
     print("batch retrieval (3 queries, one scan + one fetch):")
     batch.show(truncate=False)
 
+    # 7. the semantic curation pair on the same embeddings: SemDeDup
+    # cluster dedup (keep one representative per near-identical
+    # cluster) and embedding-space benchmark decontamination (reject
+    # rows semantically near a held-out benchmark slice)
+    from confluent_ksql_charm_spark.pipeline.contamination import (
+        embedding_decontaminate)
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        semantic_dedup)
+
+    deduped = semantic_dedup(emb, threshold=0.95)
+    bench = emb.where(F.col("vec_id") % 97 == 0)
+    decon = embedding_decontaminate(
+        emb.where(F.col("vec_id") % 97 != 0), bench, threshold=0.95)
+    n_dedup, n_decon = deduped.count(), decon.count()
+    print(f"semantic_dedup kept {n_dedup}/{n}; "
+          f"embedding_decontaminate kept {n_decon} non-bench rows")
+
     return {"n": n, "raw": raw.collect(), "refined": refined.collect(),
             "filtered": filtered.collect(), "err": err.collect(),
             "batch": batch.collect(),
+            "n_dedup": n_dedup, "n_decon": n_decon,
             "post_add_rows": reloaded[0].count(), "emb": emb,
             "query": query}
 

@@ -3168,6 +3168,9 @@ class TestVectorSearchExample:
         assert set(tops) == {0, 1, 2}
         assert all(tops[q].vec_id == q and abs(tops[q].cosine - 1) < 1e-9
                    for q in tops)
+        # semantic curation stages ran and kept bounded subsets
+        assert 0 < r["n_dedup"] <= r["n"]
+        assert 0 < r["n_decon"] <= r["n"]
 
 
 def test_probe_with_none_df_requires_index(spark):
