@@ -58,7 +58,8 @@ def main():
     # Spark side still runs and BASELINE keeps the sf0.01 ratios.
     quadratic_oracles = {"minhash_near_dup", "simhash_near_dup",
                          "ngram_jaccard", "embedding_near_dup",
-                         "incremental_dedup", "dedup_clusters"}
+                         "incremental_dedup", "dedup_clusters",
+                         "semantic_dedup"}
     small_sf = "sf0.01" in SF_DIR or "sf0.001" in SF_DIR
     out = {}
     for name, fn in qs.items():
