@@ -819,6 +819,24 @@ def _q_semantic_dedup(spark, sf):
     return out.select("vec_id", "label")
 
 
+def _q_hot_key_join(spark, sf):
+    # hot-key-hardened WITHIN join, batch mode: the time-bucketed
+    # composite key must emit EXACTLY the plain band join's pairs (the
+    # bucket refinement is a state-scan optimization, not a semantics
+    # change) — the oracle replays the plain band join; the streaming
+    # state shape + 56x hot-key measurement live in tests/bench.
+    from confluent_ksql_charm_spark.operators.skew import (
+        hot_key_within_join)
+
+    ev = _eng(spark, sf).metastore.get("events").df
+    a = ev.where(F.col("event_type") == "signup")
+    b = ev.where(F.col("event_type") == "purchase")
+    out = hot_key_within_join(a, b, "user_id", 300)
+    return out.select(F.col("l.event_id").alias("signup_id"),
+                      F.col("r.event_id").alias("purchase_id"),
+                      F.col("l.user_id").alias("user_id"))
+
+
 def _q_token_stats(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import token_count
 
@@ -1408,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_batch_rerank": _q_ivf_pq_batch_rerank,
         "embedding_decontaminate": _q_embedding_decontaminate,
         "semantic_dedup": _q_semantic_dedup,
+        "hot_key_join": _q_hot_key_join,
         "ivf_pq_rerank": _q_ivf_pq_rerank,
         "filtered_rerank_topk": _q_filtered_rerank,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2237,6 +2256,15 @@ def oracle_sql() -> dict[str, str]:
         # full probe == pq_topk_batch, so it shares the batch replay
         "ivf_pq_batch_topk": _PQ_BATCH_ORACLE_SQL,
         "ivf_pq_batch_rerank": _PQ_BATCH_RERANK_ORACLE_SQL,
+        "hot_key_join": (
+            "SELECT a.event_id AS signup_id, b.event_id AS purchase_id, "
+            "a.user_id FROM events a JOIN events b "
+            "ON a.user_id = b.user_id "
+            "AND epoch_us(b.ts) >= epoch_us(a.ts) - 300000000 "
+            "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 "
+            "WHERE a.event_type = 'signup' "
+            "AND b.event_type = 'purchase'"
+        ),
         "semantic_dedup": (
             "WITH RECURSIVE prs AS (SELECT a.vec_id AS ia, b.vec_id AS ib "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
