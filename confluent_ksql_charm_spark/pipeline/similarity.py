@@ -1163,24 +1163,117 @@ def ivf_sq8_maintain(spark, path: str, new_df: DataFrame, *,
         packed = "sq8_bytes" in existing.columns
         idx = ivf_sq8_index(corpus_df, nlist=nlist, vec_col=vec_col,
                             id_col=id_col, seed=seed, packed=packed)
-        staging = path.rstrip("/") + ".staging"
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
         params = {k: v for k, v in meta["params"].items()
                   if k not in ("centers", "stats")}
         params["nlist"] = nlist
-        save_ann_index(idx, staging, kind="ivf_sq8", params=params,
-                       partition_by=meta.get("partition_by"))
-        old = path.rstrip("/") + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old)
+        _atomic_republish(path, idx, "ivf_sq8", params,
+                          meta.get("partition_by"))
         refit = True
 
     return {"added": n_added, "tripped": tripped, "refit": refit,
             "worst_clip": worst, "n_clipped_dims": n_clipped}
+
+
+def _atomic_republish(path: str, idx, kind: str, params: dict,
+                      partition_by: str | None) -> None:
+    """Write the rebuilt index to a staging dir and swap it in with two
+    renames — a concurrent probe sees the old or the new index, never a
+    partial write. Shared by the SQ8 and PQ maintain loops."""
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    save_ann_index(idx, staging, kind=kind, params=params,
+                   partition_by=partition_by)
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+
+
+def ivf_pq_maintain(spark, path: str, new_df: DataFrame, *,
+                    corpus_df: DataFrame | None = None,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    err_ratio: float = 4.0,
+                    baseline_rows: int = 10_000,
+                    seed: int = 42) -> dict:
+    """The PQ maintain loop (symmetric with `ivf_sq8_maintain`):
+    1. measure the batch's mean squared quantization error under the
+       STORED codebook (`pq_quantization_error`) against a baseline
+       error computed on a `baseline_rows` sample of `corpus_df` — the
+       self-calibrating trip rule (no fit-time state needed in the
+       sidecar: the stored corpus IS the in-distribution reference);
+    2. append via `ivf_pq_add` (always valid — a drifted batch just
+       quantizes worse, it cannot corrupt the index);
+    3. refit + atomically republish from `corpus_df` when the batch's
+       error exceeds ``err_ratio ×`` the baseline.
+
+    Returns ``{"added", "tripped", "refit", "batch_err",
+    "baseline_err"}``. PQ's failure mode differs from SQ8's: nothing
+    clips (codes are nearest-centroid, not range-mapped), the codebook
+    just stops representing the data — hence an error-ratio trip
+    instead of clip fractions.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    if meta["kind"] != "ivf_pq":
+        raise ValueError(
+            f"ivf_pq_maintain needs an ivf_pq index, got "
+            f"{meta['kind']!r}")
+    codebook = meta["params"]["codebook"]
+
+    def _mean_err(df):
+        rows = pq_quantization_error(df, codebook,
+                                     vec_col=vec_col).collect()
+        return sum(r.mean_sq_err for r in rows) / max(1, len(rows))
+
+    batch_err = _mean_err(new_df)
+    # baseline = the PREVIOUSLY indexed distribution: exclude the
+    # incoming batch's ids (corpus_df already contains them — sampling
+    # it raw would pollute the reference with the very drift being
+    # tested and suppress the trip)
+    baseline = None
+    if corpus_df is not None:
+        prior = corpus_df.join(new_df.select(id_col), id_col,
+                               "left_anti")
+        baseline = _mean_err(prior.limit(baseline_rows))
+    tripped = (baseline is not None
+               and batch_err > err_ratio * max(baseline, 1e-12))
+
+    n_added = new_df.count()
+    ivf_pq_add(spark, path, new_df, vec_col=vec_col, id_col=id_col)
+
+    refit = False
+    if tripped and corpus_df is not None:
+        nlist = int(meta["params"].get(
+            "nlist", len(meta["params"]["centers"])))
+        m = len(codebook)
+        ksub = len(codebook[0])
+        existing = spark.read.parquet(
+            os.path.join(path, "index.parquet"))
+        packed = "pq_bytes" in existing.columns
+        idx = ivf_pq_index(corpus_df, nlist=nlist, m=m, ksub=ksub,
+                           vec_col=vec_col, id_col=id_col, seed=seed,
+                           packed=packed)
+        params = {k: v for k, v in meta["params"].items()
+                  if k not in ("centers", "codebook")}
+        params.update(nlist=nlist, m=m, ksub=ksub)
+        _atomic_republish(path, idx, "ivf_pq", params,
+                          meta.get("partition_by"))
+        refit = True
+
+    return {"added": n_added, "tripped": tripped, "refit": refit,
+            "batch_err": round(batch_err, 6),
+            "baseline_err": (round(baseline, 6)
+                             if baseline is not None else None)}
 
 
 def sq8_codebook_drift(df: DataFrame,

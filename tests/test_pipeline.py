@@ -3634,3 +3634,70 @@ def test_filtered_batch_probe_and_rerank(spark):
         want = [(r.vec_id, round(r.cosine, 6)) for r in sim.cosine_topk(
             df.where("label = 1"), qv, k=6).collect()]
         assert got[qid] == want, f"query {qid} diverged"
+
+
+class TestIVFPQMaintain:
+    """PQ maintain loop: error-ratio trip (nothing clips in PQ — the
+    codebook just stops representing the data)."""
+
+    def _mk(self, spark, n, dim=16, shift=0.0, start=0, seed=171):
+        import random
+
+        rng = random.Random(seed + start)
+        return spark.createDataFrame(
+            [(start + i, [rng.uniform(-1, 1) + shift for _ in range(dim)])
+             for i in range(n)],
+            "vec_id bigint, embedding array<float>")
+
+    def test_in_distribution_add_no_refit(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        base = self._mk(spark, 150)
+        path = str(tmp_path / "idx")
+        sim.save_ann_index(
+            sim.ivf_pq_index(base, nlist=4, m=4, ksub=8, n_iter=4),
+            path, kind="ivf_pq", params={"nlist": 4},
+            partition_by="__cell")
+        batch = self._mk(spark, 30, start=700, seed=5)
+        rep = sim.ivf_pq_maintain(spark, path, batch, corpus_df=base)
+        assert rep["added"] == 30 and not rep["tripped"]
+        (codes, _, _), _p = sim.load_ann_index(spark, path)
+        assert codes.count() == 180
+
+    def test_shift_trips_and_refit_recovers(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        base = self._mk(spark, 150)
+        path = str(tmp_path / "idx")
+        sim.save_ann_index(
+            sim.ivf_pq_index(base, nlist=4, m=4, ksub=8, n_iter=4),
+            path, kind="ivf_pq", params={"nlist": 4},
+            partition_by="__cell")
+        shifted = self._mk(spark, 60, shift=5.0, start=900)
+        full = base.unionByName(shifted)
+        rep = sim.ivf_pq_maintain(spark, path, shifted, corpus_df=full)
+        assert rep["tripped"] and rep["refit"]
+        assert rep["batch_err"] > 4 * rep["baseline_err"]
+        (codes, centers, cb), params = sim.load_ann_index(spark, path)
+        assert params["m"] == 4 and params["ksub"] == 8
+        assert codes.count() == 210
+        # post-refit: the shifted cluster's quantization error collapses
+        post = {r.sub: r.mean_sq_err for r in
+                sim.pq_quantization_error(shifted, cb).collect()}
+        assert all(v < rep["batch_err"] for v in post.values())
+        # and a shifted-query probe lands in the shifted cluster
+        got = [r.vec_id for r in sim.ivf_pq_topk(
+            None, [5.0] * 16, k=5, nprobe=4,
+            index=(codes, centers, cb)).collect()]
+        assert all(v >= 900 for v in got)
+
+    def test_wrong_kind_rejected(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        base = self._mk(spark, 60)
+        path = str(tmp_path / "idx")
+        sim.save_ann_index(sim.ivf_sq8_index(base, nlist=2), path,
+                           kind="ivf_sq8", params={},
+                           partition_by="__cell")
+        with pytest.raises(ValueError, match="needs an ivf_pq"):
+            sim.ivf_pq_maintain(spark, path, base)
