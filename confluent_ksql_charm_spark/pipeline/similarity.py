@@ -2224,11 +2224,14 @@ def ivf_pq_rerank_topk_batch(df: DataFrame,
 
 
 def vector_ingest_batch_fn(index_path: str, floats_path: str, *,
+                           kind: str = "ivf_sq8",
                            vec_col: str = "embedding",
                            id_col: str = "vec_id",
                            nlist: int = 16, seed: int = 42,
+                           m: int = 8, ksub: int = 256,
                            clip_threshold: float = 0.02,
                            max_clipped_dims: float = 0.25,
+                           err_ratio: float = 4.0,
                            bench_floats_path: str | None = None,
                            bench_threshold: float = 0.95,
                            reports: list | None = None):
@@ -2304,20 +2307,42 @@ def vector_ingest_batch_fn(index_path: str, floats_path: str, *,
             return
         batch.write.mode("append").parquet(floats_path)
         if not os.path.exists(os.path.join(index_path, "meta.json")):
-            idx = ivf_sq8_index(batch, nlist=nlist, vec_col=vec_col,
-                                id_col=id_col, seed=seed)
-            save_ann_index(idx, index_path, kind="ivf_sq8",
-                           params={"nlist": nlist, "seed": seed},
-                           partition_by="__cell")
+            if kind == "ivf_pq":
+                # bound ksub by the bootstrap batch (pq_fit requires
+                # ksub training rows per sub-space)
+                ks = min(ksub, max(1, n_new))
+                idx = ivf_pq_index(batch, nlist=nlist, m=m, ksub=ks,
+                                   vec_col=vec_col, id_col=id_col,
+                                   seed=seed)
+                save_ann_index(idx, index_path, kind="ivf_pq",
+                               params={"nlist": nlist, "m": m,
+                                       "ksub": ks, "seed": seed},
+                               partition_by="__cell")
+            elif kind == "ivf_sq8":
+                idx = ivf_sq8_index(batch, nlist=nlist, vec_col=vec_col,
+                                    id_col=id_col, seed=seed)
+                save_ann_index(idx, index_path, kind="ivf_sq8",
+                               params={"nlist": nlist, "seed": seed},
+                               partition_by="__cell")
+            else:
+                raise ValueError(
+                    f"vector_ingest: unknown index kind {kind!r} "
+                    "(ivf_sq8 or ivf_pq)")
             rep = {"added": n_new, "tripped": False, "refit": False,
                    "bootstrapped": True}
         else:
             corpus = spark.read.parquet(floats_path)
-            rep = ivf_sq8_maintain(
-                spark, index_path, batch, corpus_df=corpus,
-                vec_col=vec_col, id_col=id_col,
-                clip_threshold=clip_threshold,
-                max_clipped_dims=max_clipped_dims, seed=seed)
+            if kind == "ivf_pq":
+                rep = ivf_pq_maintain(
+                    spark, index_path, batch, corpus_df=corpus,
+                    vec_col=vec_col, id_col=id_col,
+                    err_ratio=err_ratio, seed=seed)
+            else:
+                rep = ivf_sq8_maintain(
+                    spark, index_path, batch, corpus_df=corpus,
+                    vec_col=vec_col, id_col=id_col,
+                    clip_threshold=clip_threshold,
+                    max_clipped_dims=max_clipped_dims, seed=seed)
         if n_rejected is not None:
             rep["rejected_semantic"] = n_rejected
         if reports is not None:
@@ -2328,11 +2353,14 @@ def vector_ingest_batch_fn(index_path: str, floats_path: str, *,
 
 def start_vector_ingest(source_df: DataFrame, index_path: str,
                         floats_path: str, checkpoint: str, *,
+                        kind: str = "ivf_sq8",
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         nlist: int = 16, seed: int = 42,
+                        m: int = 8, ksub: int = 256,
                         clip_threshold: float = 0.02,
                         max_clipped_dims: float = 0.25,
+                        err_ratio: float = 4.0,
                         bench_floats_path: str | None = None,
                         bench_threshold: float = 0.95,
                         available_now: bool = False,
@@ -2347,9 +2375,10 @@ def start_vector_ingest(source_df: DataFrame, index_path: str,
     writer = (
         source_df.writeStream
         .foreachBatch(vector_ingest_batch_fn(
-            index_path, floats_path, vec_col=vec_col, id_col=id_col,
-            nlist=nlist, seed=seed, clip_threshold=clip_threshold,
-            max_clipped_dims=max_clipped_dims,
+            index_path, floats_path, kind=kind, vec_col=vec_col,
+            id_col=id_col, nlist=nlist, seed=seed, m=m, ksub=ksub,
+            clip_threshold=clip_threshold,
+            max_clipped_dims=max_clipped_dims, err_ratio=err_ratio,
             bench_floats_path=bench_floats_path,
             bench_threshold=bench_threshold, reports=reports))
         .option("checkpointLocation", checkpoint)

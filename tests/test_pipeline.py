@@ -3701,3 +3701,34 @@ class TestIVFPQMaintain:
                            partition_by="__cell")
         with pytest.raises(ValueError, match="needs an ivf_pq"):
             sim.ivf_pq_maintain(spark, path, base)
+
+
+def test_vector_ingest_pq_kind(spark, tmp_path):
+    # kind="ivf_pq": bootstrap a PQ index from the stream, add, and
+    # trip the error-ratio refit on a shifted batch
+    import random
+
+    from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+    rng = random.Random(181)
+
+    def mk(n, start=0, shift=0.0):
+        r2 = random.Random(181 + start)
+        return spark.createDataFrame(
+            [(start + i, [r2.uniform(-1, 1) + shift for _ in range(16)])
+             for i in range(n)],
+            "vec_id bigint, embedding array<float>")
+
+    idx, flo = str(tmp_path / "idx"), str(tmp_path / "floats")
+    reports = []
+    fn = sim.vector_ingest_batch_fn(idx, flo, kind="ivf_pq", nlist=4,
+                                    m=4, ksub=8, reports=reports)
+    fn(mk(120), 0)
+    assert reports[-1].get("bootstrapped")
+    (codes, _, cb), params = sim.load_ann_index(spark, idx)
+    assert params["m"] == 4 and codes.count() == 120
+    assert "pq_bytes" in codes.columns
+    fn(mk(40, start=900, shift=5.0), 1)
+    assert reports[-1]["tripped"] and reports[-1]["refit"]
+    (codes2, _, _cb2), _p2 = sim.load_ann_index(spark, idx)
+    assert codes2.count() == 160
