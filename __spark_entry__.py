@@ -778,6 +778,21 @@ def _q_sq8_batch_topk(spark, sf):
     return sq8_topk_packed_batch(packed, queries, stats, k=10)
 
 
+def _q_ivf_sq8_batch_topk(spark, sf):
+    # SQ8 composed multi-query probe at FULL probe -> provably
+    # identical to sq8_topk_packed_batch, sharing its oracle; partial
+    # probe per-query parity is unit-tested (TestIVFSQ8Batch).
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        ivf_sq8_topk_batch)
+
+    emb, queries = _q_batch_queries(spark, sf)
+    key = (id(spark), sf)
+    if key not in _IVF_SQ8_INDEXES:
+        _q_ivf_sq8_topk(spark, sf)          # builds + caches the index
+    return ivf_sq8_topk_batch(emb, queries, k=10, nprobe=8,
+                              index=_IVF_SQ8_INDEXES[key])
+
+
 def _q_cosine_batch_topk(spark, sf):
     # exact-tier multi-query: one scan, one matmul per batch, rounded
     # ordering domain (engine-portable near float ties)
@@ -1422,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_batch_topk": _q_pq_batch_topk,
         "sq8_batch_topk": _q_sq8_batch_topk,
         "cosine_batch_topk": _q_cosine_batch_topk,
+        "ivf_sq8_batch_topk": _q_ivf_sq8_batch_topk,
         "ivf_pq_batch_topk": _q_ivf_pq_batch_topk,
         "ivf_pq_batch_rerank": _q_ivf_pq_batch_rerank,
         "embedding_decontaminate": _q_embedding_decontaminate,
@@ -2253,6 +2269,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_batch_topk": _PQ_BATCH_ORACLE_SQL,
         "sq8_batch_topk": _SQ8_BATCH_ORACLE_SQL,
         "cosine_batch_topk": _COSINE_BATCH_ORACLE_SQL,
+        # full probe == sq8_topk_packed_batch, so it shares the replay
+        "ivf_sq8_batch_topk": _SQ8_BATCH_ORACLE_SQL,
         # full probe == pq_topk_batch, so it shares the batch replay
         "ivf_pq_batch_topk": _PQ_BATCH_ORACLE_SQL,
         "ivf_pq_batch_rerank": _PQ_BATCH_RERANK_ORACLE_SQL,

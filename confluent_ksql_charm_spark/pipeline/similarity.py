@@ -2451,3 +2451,94 @@ def semantic_dedup(df: DataFrame, *, threshold: float = 0.95,
     drop = (comp.select(F.col("id").alias(id_col))
             .join(keep, id_col, "left_anti"))
     return df.join(drop, id_col, "left_anti")
+
+
+def ivf_sq8_topk_batch(df: DataFrame,
+                       queries: list[tuple[int, list[float]]],
+                       k: int = 10, *, nlist: int = 16, nprobe: int = 4,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id", seed: int = 42,
+                       sample_fraction: float | None | str = "auto",
+                       index: tuple | None = None,
+                       round_to: int | None = 4,
+                       where=None,
+                       keep_cols: list[str] | None = None) -> DataFrame:
+    """MULTI-QUERY IVF×SQ8 probe — the SQ8 sibling of
+    `ivf_pq_topk_batch`: one scan over the UNION of all queries' probed
+    cells, each Arrow batch dequantized ONCE and scored against every
+    query with a single BLAS matmul, then per-query cell masks apply.
+    ``nprobe == nlist`` degrades to exactly `sq8_topk_packed_batch`
+    (the oracle-gate property); per query the result equals
+    `ivf_sq8_topk` (tested). `where`/`keep_cols` follow the filtered
+    search contract (filter-then-rank inside the probed cells).
+    """
+    import numpy as np
+
+    if index is None:
+        _warn_per_call_build(df, "ivf_sq8_topk_batch")
+    codes, centers, stats = index if index is not None else \
+        ivf_sq8_index(df, nlist=nlist, vec_col=vec_col, id_col=id_col,
+                      seed=seed, sample_fraction=sample_fraction,
+                      keep=keep_cols)
+    n_cells = len(centers)
+    cells_per_q = [_nearest_cells(centers, qv, nprobe)
+                   for _, qv in queries]
+    union_cells = sorted(set().union(*map(set, cells_per_q)))
+    allowed = np.zeros((len(queries), n_cells), dtype=bool)
+    for qi, cs in enumerate(cells_per_q):
+        allowed[qi, cs] = True
+
+    dim = len(stats)
+    mn = np.array([s[0] for s in stats])
+    scale = np.array([(s[1] - s[0]) / 255.0 for s in stats])
+    qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
+    qmat = np.asarray([[float(x) for x in q[1]] for q in queries])
+    qn = np.sqrt((qmat * qmat).sum(1))
+    qn[qn == 0] = 1.0
+
+    cand = codes.where(F.col("__cell").isin([int(c) for c in
+                                             union_cells]))
+    if where is not None:
+        cand = cand.where(where)
+    if keep_cols:
+        cand = cand.drop(*keep_cols)
+    schema = f"query_id long, {id_col} long, acos double"
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.frombuffer(
+                b"".join(pdf["sq8_bytes"]), dtype=np.uint8
+            ).reshape(len(pdf), dim)
+            deq = mn + cmat * scale
+            nrm = np.sqrt((deq * deq).sum(1))
+            nrm[nrm == 0] = 1.0
+            acos = (qmat @ deq.T) / (nrm[None, :] * qn[:, None])
+            if round_to is not None:
+                acos = np.round(acos, round_to)
+            ids = np.asarray(pdf[id_col].values)
+            cell_vals = np.asarray(pdf["__cell"].values, dtype=np.int64)
+            ok = allowed[:, cell_vals]
+            sel_q, sel_i, sel_a = [], [], []
+            for qi in range(len(qids)):
+                idx_q = np.nonzero(ok[qi])[0]
+                if idx_q.size == 0:
+                    continue
+                a_q, i_q = acos[qi][idx_q], ids[idx_q]
+                order = np.lexsort((i_q, -a_q))[:min(k, idx_q.size)]
+                sel_q.append(np.full(len(order), qids[qi],
+                                     dtype=np.int64))
+                sel_i.append(i_q[order])
+                sel_a.append(a_q[order])
+            if not sel_q:
+                continue
+            yield pd.DataFrame({"query_id": np.concatenate(sel_q),
+                                id_col: np.concatenate(sel_i),
+                                "acos": np.concatenate(sel_a)})
+
+    scored = (cand.select(id_col, "sq8_bytes", "__cell")
+              .mapInPandas(_scan, schema=schema))
+    return _batch_rank_finish(scored, id_col, k, "acos")

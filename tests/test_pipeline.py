@@ -3732,3 +3732,38 @@ def test_vector_ingest_pq_kind(spark, tmp_path):
     assert reports[-1]["tripped"] and reports[-1]["refit"]
     (codes2, _, _cb2), _p2 = sim.load_ann_index(spark, idx)
     assert codes2.count() == 160
+
+
+class TestIVFSQ8Batch:
+    def test_full_probe_equals_flat_and_partial_equals_per_query(self, spark):
+        import random
+
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        rng = random.Random(191)
+        centers = [[rng.uniform(-1, 1) for _ in range(8)]
+                   for _ in range(4)]
+        rows = [(i, [c + rng.gauss(0, 0.05) for c in centers[i % 4]])
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        idx = sim.ivf_sq8_index(df, nlist=4)
+        queries = [(1, rows[0][1]), (2, rows[1][1]), (3, rows[2][1])]
+        # full probe == flat packed batch
+        got = [(r.query_id, r.vec_id, r.acos) for r in
+               sim.ivf_sq8_topk_batch(df, queries, k=6, nprobe=4,
+                                      index=idx).collect()]
+        want = [(r.query_id, r.vec_id, r.acos) for r in
+                sim.sq8_topk_packed_batch(idx[0].drop("__cell"),
+                                          queries, idx[2],
+                                          k=6).collect()]
+        assert got == want
+        # partial probe == per-query composed probes
+        got2 = {}
+        for r in sim.ivf_sq8_topk_batch(df, queries, k=5, nprobe=1,
+                                        index=idx).collect():
+            got2.setdefault(r.query_id, []).append((r.vec_id, r.acos))
+        for qid, qv in queries:
+            w = [(r.vec_id, r.acos) for r in sim.ivf_sq8_topk(
+                df, qv, k=5, nprobe=1, index=idx).collect()]
+            assert got2.get(qid, []) == w, f"query {qid} diverged"
