@@ -1008,6 +1008,26 @@ def _q_unigram_logprob(spark, sf):
     return unigram_logprob(_docs(spark, sf), vocab_size=100)
 
 
+def _q_dsir_logratio(spark, sf):
+    # DSIR importance weights (Xie et al. 2023): hashed uni+bigram
+    # bucket models, target = every 5th doc, raw = the full corpus.
+    from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
+
+    docs = _docs(spark, sf)
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    return dsir_logratio(docs, target, buckets=1024, alpha=1.0)
+
+
+def _q_dsir_sample(spark, sf):
+    # DSIR Gumbel-top-k resampling: deterministic md5-hash Gumbel keys,
+    # top-50 by (log_ratio + g), rounded id-tiebroken cut.
+    from confluent_ksql_charm_spark.pipeline.sampling import dsir_sample
+
+    docs = _docs(spark, sf)
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    return dsir_sample(docs, target, 50, buckets=1024, alpha=1.0)
+
+
 def _q_contamination_report(spark, sf):
     # Per-(doc, benchmark-doc) attribution of exact 5-gram overlap —
     # same corpus/bench split and keyed="text" replay as decontaminate.
@@ -1450,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_lang": _q_token_stats,
         "source_cap": _q_source_cap,
         "unigram_logprob": _q_unigram_logprob,
+        "dsir_logratio": _q_dsir_logratio,
+        "dsir_sample": _q_dsir_sample,
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
@@ -2672,6 +2694,62 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(COALESCE(s.lp, o.olp)), 6) AS avg_logprob "
             "FROM toks LEFT JOIN scored s USING (token) CROSS JOIN oov o "
             "GROUP BY doc_id"
+        ),
+        "dsir_logratio": (
+            # DSIR hashed-n-gram importance weights: uni+bigram features
+            # -> portable md5 bucket in [0,1024), add-1-smoothed target
+            # (doc_id%5=0) vs raw bucket models, per-doc summed log-ratio
+            "WITH t AS (SELECT doc_id, list_transform("
+            "string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS t "
+            "FROM documents), "
+            "f AS (SELECT doc_id, unnest(list_concat(t, "
+            "CASE WHEN length(t) >= 2 THEN [t[i] || ' ' || t[i+1] "
+            "FOR i IN generate_series(1, length(t) - 1)] "
+            "ELSE []::VARCHAR[] END)) AS f FROM t), "
+            "fb AS (SELECT doc_id, ('0x' || substr(md5(f || ':dsir'), "
+            "1, 13))::BIGINT % 1024 AS b FROM f), "
+            "raw AS (SELECT b, count(*) AS cr FROM fb GROUP BY b), "
+            "tgt AS (SELECT b, count(*) AS ct FROM fb "
+            "WHERE doc_id % 5 = 0 GROUP BY b), "
+            "tr AS (SELECT SUM(cr) AS tr FROM raw), "
+            "tt AS (SELECT COALESCE(SUM(ct), 0) AS tt FROM tgt), "
+            "model AS (SELECT raw.b, "
+            "ln((COALESCE(ct, 0) + 1.0) / (tt + 1.0 * 1024)) - "
+            "ln((cr + 1.0) / (tr + 1.0 * 1024)) AS lr "
+            "FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tr CROSS JOIN tt) "
+            "SELECT doc_id, count(*) AS n_feats, "
+            "ROUND(SUM(lr), 6) AS log_ratio "
+            "FROM fb JOIN model USING (b) GROUP BY doc_id"
+        ),
+        "dsir_sample": (
+            # Gumbel-top-k resampling over the dsir_logratio weights:
+            # deterministic md5 Gumbel g = -ln(-ln((h+0.5)/2^52)),
+            # top-50 by round(log_ratio + g, 6), ties to lower doc_id
+            "WITH t AS (SELECT doc_id, list_transform("
+            "string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS t "
+            "FROM documents), "
+            "f AS (SELECT doc_id, unnest(list_concat(t, "
+            "CASE WHEN length(t) >= 2 THEN [t[i] || ' ' || t[i+1] "
+            "FOR i IN generate_series(1, length(t) - 1)] "
+            "ELSE []::VARCHAR[] END)) AS f FROM t), "
+            "fb AS (SELECT doc_id, ('0x' || substr(md5(f || ':dsir'), "
+            "1, 13))::BIGINT % 1024 AS b FROM f), "
+            "raw AS (SELECT b, count(*) AS cr FROM fb GROUP BY b), "
+            "tgt AS (SELECT b, count(*) AS ct FROM fb "
+            "WHERE doc_id % 5 = 0 GROUP BY b), "
+            "tr AS (SELECT SUM(cr) AS tr FROM raw), "
+            "tt AS (SELECT COALESCE(SUM(ct), 0) AS tt FROM tgt), "
+            "model AS (SELECT raw.b, "
+            "ln((COALESCE(ct, 0) + 1.0) / (tt + 1.0 * 1024)) - "
+            "ln((cr + 1.0) / (tr + 1.0 * 1024)) AS lr "
+            "FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tr CROSS JOIN tt), "
+            "s AS (SELECT doc_id, ROUND(SUM(lr), 6) AS log_ratio "
+            "FROM fb JOIN model USING (b) GROUP BY doc_id) "
+            "SELECT doc_id, log_ratio, ROUND(log_ratio + "
+            "(-ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || "
+            "':dsir-gumbel'), 1, 13))::BIGINT + 0.5) / 4503599627370496.0"
+            "))), 6) AS gumbel_key "
+            "FROM s ORDER BY gumbel_key DESC, doc_id LIMIT 50"
         ),
         "contamination_report": (
             # exact distinct-5-gram overlap per (corpus doc, bench doc)

@@ -63,6 +63,12 @@ _SIGNATURES = {
                         "[, ID='doc_id'][, VOCAB='100'; '0'=uncapped])"),
     "CHUNK": ("CHUNK(src, TEXT='text'[, ID='doc_id']"
               "[, MAX_TOKENS='512'][, STRIDE='512'])"),
+    "DSIR_SCORE": ("DSIR_SCORE(raw, target, ID='doc_id', TEXT='text'"
+                   "[, BUCKETS='10000'][, ALPHA='1.0']"
+                   "[, BIGRAMS='true'])"),
+    "DSIR_SAMPLE": ("DSIR_SAMPLE(raw, target, K='1000', ID='doc_id', "
+                    "TEXT='text'[, BUCKETS='10000'][, ALPHA='1.0']"
+                    "[, BIGRAMS='true'])"),
 }
 
 
@@ -266,6 +272,25 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                                _need(spec, "TEXT"),
                                max_tokens=mx,
                                stride=int(p.get("STRIDE", mx)))
+    if op == "DSIR_SCORE":
+        from .text import dsir_logratio
+        _need_sources(spec, 2)
+        return dsir_logratio(dfs[0], dfs[1], _need(spec, "ID"),
+                             _need(spec, "TEXT"),
+                             buckets=int(p.get("BUCKETS", 10_000)),
+                             alpha=float(p.get("ALPHA", 1.0)),
+                             bigrams=p.get("BIGRAMS", "true").lower()
+                             == "true")
+    if op == "DSIR_SAMPLE":
+        from .sampling import dsir_sample
+        _need_sources(spec, 2)
+        return dsir_sample(dfs[0], dfs[1], int(_need(spec, "K")),
+                           id_col=_need(spec, "ID"),
+                           text_col=_need(spec, "TEXT"),
+                           buckets=int(p.get("BUCKETS", 10_000)),
+                           alpha=float(p.get("ALPHA", 1.0)),
+                           bigrams=p.get("BIGRAMS", "true").lower()
+                           == "true")
     raise ValueError(
         f"unknown PIPELINE operator {op!r}; available: "
         + ", ".join(sorted(_SIGNATURES)))

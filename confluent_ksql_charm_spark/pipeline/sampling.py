@@ -467,3 +467,50 @@ def length_bucketed_batches(df: DataFrame, key_col: str, token_col: str,
         (batch_max * batch_n - F.sum(token_col).over(wb))
         .cast("bigint").alias("pad_waste"),
     )
+
+
+def dsir_sample(df: DataFrame, target: DataFrame, k: int, *,
+                id_col: str = "doc_id", text_col: str = "text",
+                buckets: int = 10_000, alpha: float = 1.0,
+                bigrams: bool = True, lowercase: bool = True,
+                salt: str = "dsir",
+                gumbel_salt: str = "dsir-gumbel") -> DataFrame:
+    """DSIR importance RESAMPLING (Xie et al. 2023 §2.3): draw the k
+    documents with the largest ``log_ratio + Gumbel`` keys — the
+    Gumbel-top-k trick makes the selection a single distributed top-k
+    whose distribution equals sampling-without-replacement proportional
+    to the importance weights. Beyond-reference LLM-pipeline operator
+    (SURVEY §3.11).
+
+    The Gumbel noise is DETERMINISTIC: g = −ln(−ln(u)) with u the
+    portable 52-bit md5 hash of (id, `gumbel_salt`) shifted by +0.5 so
+    u ∈ (0, 1) strictly — reproducible across retries, repartitioning,
+    and outside engines (the DuckDB oracle replays the whole draw).
+    Change `gumbel_salt` to redraw.
+
+    Returns (id, log_ratio, gumbel_key) for the k selected docs —
+    gumbel_key rounded to 6 BEFORE the cut, ties to the lower id (the
+    repo's rounded, id-tiebroken ordering contract).
+
+    Scale shape: inherits `dsir_logratio`'s bounded-model broadcast
+    scoring; the selection is orderBy+limit = TakeOrderedAndProject
+    (per-partition heaps, k rows to the driver — no global sort). At
+    100 TB pick k as the token budget's doc count; the only full-corpus
+    costs are the two scans dsir_logratio already pays.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .text import dsir_logratio
+
+    scores = dsir_logratio(df, target, id_col, text_col,
+                           buckets=buckets, alpha=alpha, bigrams=bigrams,
+                           lowercase=lowercase, salt=salt)
+    h = (F.conv(F.substring(F.md5(F.concat(
+        F.col(id_col).cast("string"), F.lit(":" + gumbel_salt))),
+        1, 13), 16, 10).cast("bigint"))
+    u = (h + F.lit(0.5)) / F.lit(_DENOM)
+    key = F.round(F.col("log_ratio") + (-F.log(-F.log(u))), 6)
+    return (scores.withColumn("gumbel_key", key)
+            .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "log_ratio", "gumbel_key"))

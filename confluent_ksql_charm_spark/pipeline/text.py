@@ -673,3 +673,106 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
             .select(id_col,
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                     F.col("avg_logprob")))
+
+
+def dsir_features_col(text: str | Column, *, bigrams: bool = True,
+                      lowercase: bool = True) -> Column:
+    """Hashed-n-gram feature multiset for DSIR (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): the
+    document's unigrams plus (optionally) its adjacent bigrams, as raw
+    feature strings. NON-distinct — the bag-of-hashed-ngrams model
+    counts occurrences. Pure array expression, rides the scan."""
+    toks = tokens_col(text)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    if not bigrams:
+        return toks
+    n = F.size(toks)
+    bi = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(0), n - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bi)
+
+
+def dsir_bucket(feat: Column, buckets: int, salt: str = "dsir") -> Column:
+    """Portable feature-hash bucket in [0, buckets): md5-52-bit keyed
+    hash mod buckets — DuckDB replays it bit-identically as
+    ``('0x' || substr(md5(f || ':salt'), 1, 13))::BIGINT % buckets``
+    (same construction as ``sampling.unit_hash``)."""
+    h = (F.conv(F.substring(
+        F.md5(F.concat(feat, F.lit(":" + salt))), 1, 13), 16, 10)
+        .cast("bigint"))
+    return F.pmod(h, F.lit(buckets))
+
+
+def dsir_logratio(df: DataFrame, target: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text", *,
+                  buckets: int = 10_000, alpha: float = 1.0,
+                  bigrams: bool = True, lowercase: bool = True,
+                  salt: str = "dsir") -> DataFrame:
+    """DSIR importance weight per document: log p_target(doc) −
+    log p_raw(doc) under hashed bag-of-n-grams unigram-over-buckets
+    models (Xie et al. 2023) — the standard "select web data that looks
+    like the high-quality target corpus" scorer. Beyond-reference
+    LLM-pipeline operator (SURVEY §3.11).
+
+    Both models are add-α-smoothed categorical distributions over the
+    same `buckets` hashed feature buckets; `target` is the (usually
+    small) exemplar corpus whose distribution we want to match, `df`
+    itself is the raw distribution. A target bucket never seen keeps
+    probability α/(T + αB), so weights are always finite; an EMPTY
+    target degrades to the uniform model (documented, not an error).
+
+    Returns (id, n_feats, log_ratio) — log_ratio = Σ over the doc's
+    feature occurrences of ln p_t(bucket) − ln p_r(bucket), rounded to
+    6 (oracle contract). Higher = more target-like.
+
+    Scale shape: the model relation is bounded at `buckets` rows NO
+    MATTER the corpus size — the feature hash is the cap — so the
+    scoring join is always a broadcast; the corpus pays one
+    explode+hash-agg (map-side combined, one shuffle on the bucket id)
+    for the raw model and one broadcast-join + per-doc agg for scoring.
+    The target side is re-read per model build; at 100 TB the target is
+    the small curated corpus (GBs), so its pass is noise. Raw bucket
+    counts are checkpointed — the totals and the model join read one
+    materialization, not three recomputes.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from .lazy import maybe_checkpoint
+
+    feats = dsir_features_col(text_col, bigrams=bigrams, lowercase=lowercase)
+    bucket = lambda frame, keep_id: frame.select(  # noqa: E731
+        *([id_col] if keep_id else []),
+        F.explode(feats).alias("__f")).select(
+        *([id_col] if keep_id else []),
+        dsir_bucket(F.col("__f"), buckets, salt).alias("__b"))
+    corpus_b = bucket(df, True)
+    raw = maybe_checkpoint(
+        corpus_b.groupBy("__b").agg(F.count("*").alias("__cr")))
+    tgt = bucket(target, False).groupBy("__b").agg(
+        F.count("*").alias("__ct"))
+    tot_r = raw.agg(F.sum("__cr").alias("__tr"))
+    tot_t = tgt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
+    a = float(alpha)
+    ab = a * buckets
+    # every corpus bucket is in `raw` by construction -> LEFT join only
+    # needs the target side; 1-row totals ride the broadcast-scalar
+    # pattern; the model is <= `buckets` rows -> broadcast to scoring
+    model = (
+        raw.join(tgt, "__b", "left")
+        .crossJoin(F.broadcast(tot_r)).crossJoin(F.broadcast(tot_t))
+        .select(
+            "__b",
+            (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(a))
+                   / (F.col("__tt") + F.lit(ab)))
+             - F.log((F.col("__cr") + F.lit(a))
+                     / (F.col("__tr") + F.lit(ab)))).alias("__lr")))
+    return (corpus_b.join(F.broadcast(model), "__b")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_feats"),
+                 F.round(F.sum("__lr"), 6).alias("log_ratio")))

@@ -497,6 +497,23 @@ class TestPipelineStatements:
         assert [r.vec_id for r in rows] == [1, 2]
         assert rows[0].acos == pytest.approx(1.0, abs=0.05)
 
+    def test_dsir_via_sql(self, peng):
+        # DSIR scoring + Gumbel-top-k selection from PIPELINE statements;
+        # the target distribution is the bench relation, so the doc that
+        # shares its vocabulary (doc 3) must win the resample
+        peng.execute("CREATE TABLE dsir_scores AS PIPELINE DSIR_SCORE("
+                     "docs, bench, ID='doc_id', TEXT='text', "
+                     "BUCKETS='4096');")
+        scores = {r.doc_id: r.log_ratio for r in peng.sql(
+            "SELECT doc_id, log_ratio FROM dsir_scores").collect()}
+        assert len(scores) == 5
+        assert scores[3] == max(scores.values())
+        peng.execute("CREATE TABLE dsir_pick AS PIPELINE DSIR_SAMPLE("
+                     "docs, bench, K='1', ID='doc_id', TEXT='text', "
+                     "BUCKETS='4096');")
+        assert [r.doc_id for r in
+                peng.sql("SELECT doc_id FROM dsir_pick").collect()] == [3]
+
     def test_result_composes_with_dialect(self, peng):
         # PIPELINE output is a first-class relation: joins/aggregates work
         peng.execute("CREATE STREAM deduped2 AS PIPELINE "

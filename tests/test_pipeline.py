@@ -3767,3 +3767,152 @@ class TestIVFSQ8Batch:
             w = [(r.vec_id, r.acos) for r in sim.ivf_sq8_topk(
                 df, qv, k=5, nprobe=1, index=idx).collect()]
             assert got2.get(qid, []) == w, f"query {qid} diverged"
+
+
+class TestDSIR:
+    """DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    bucket models, add-alpha smoothing, Gumbel-top-k selection."""
+
+    @staticmethod
+    def _py_dsir(docs, target_texts, buckets, alpha, bigrams=True):
+        # independent pure-python reference (same portable md5 bucket)
+        import hashlib
+        import math
+        from collections import Counter
+
+        def feats(text):
+            toks = [t.lower() for t in text.strip().split()]
+            fs = list(toks)
+            if bigrams and len(toks) >= 2:
+                fs += [f"{toks[i]} {toks[i + 1]}"
+                       for i in range(len(toks) - 1)]
+            return fs
+
+        def bucket(f):
+            h = int(hashlib.md5(
+                (f + ":dsir").encode()).hexdigest()[:13], 16)
+            return h % buckets
+
+        raw = Counter(bucket(f) for _, t in docs for f in feats(t))
+        tgt = Counter(bucket(f) for t in target_texts for f in feats(t))
+        tr, tt = sum(raw.values()), sum(tgt.values())
+        ab = alpha * buckets
+
+        def lr(b):
+            return (math.log((tgt.get(b, 0) + alpha) / (tt + ab))
+                    - math.log((raw[b] + alpha) / (tr + ab)))
+
+        return {
+            i: (len(feats(t)), round(sum(lr(bucket(f))
+                                         for f in feats(t)), 6))
+            for i, t in docs
+        }
+
+    DOCS = [
+        (1, "the quick brown fox jumps"),
+        (2, "the lazy dog sleeps all day"),
+        (3, "quantum field theory lecture notes"),
+        (4, "the quick red fox runs"),
+        (5, "gauge symmetry in quantum theory"),
+        (6, "brown dog and red fox"),
+    ]
+    TARGET_IDS = (3, 5)   # physics-flavored target distribution
+
+    def _frames(self, spark):
+        df = spark.createDataFrame(self.DOCS, "doc_id bigint, text string")
+        target = df.where(f"doc_id in {self.TARGET_IDS}")
+        return df, target
+
+    def test_matches_python_reference(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
+
+        df, target = self._frames(spark)
+        got = {r.doc_id: (r.n_feats, r.log_ratio)
+               for r in dsir_logratio(df, target,
+                                      buckets=64, alpha=1.0).collect()}
+        want = self._py_dsir(
+            self.DOCS, [t for i, t in self.DOCS if i in self.TARGET_IDS],
+            64, 1.0)
+        assert set(got) == set(want)
+        for i in got:
+            assert got[i][0] == want[i][0]
+            assert got[i][1] == pytest.approx(want[i][1], abs=2e-6)
+
+    def test_target_like_docs_score_higher(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
+
+        df, target = self._frames(spark)
+        got = {r.doc_id: r.log_ratio
+               for r in dsir_logratio(df, target,
+                                      buckets=4096).collect()}
+        # the two target docs themselves, and nothing else, should beat
+        # every pure-web doc (1, 2, 4, 6 share no physics vocabulary)
+        web = [got[i] for i in (1, 2, 4, 6)]
+        assert min(got[3], got[5]) > max(web)
+
+    def test_unigrams_only(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
+
+        df, target = self._frames(spark)
+        got = {r.doc_id: (r.n_feats, r.log_ratio)
+               for r in dsir_logratio(df, target, buckets=64,
+                                      bigrams=False).collect()}
+        want = self._py_dsir(
+            self.DOCS, [t for i, t in self.DOCS if i in self.TARGET_IDS],
+            64, 1.0, bigrams=False)
+        for i in got:
+            assert got[i][0] == want[i][0]
+            assert got[i][1] == pytest.approx(want[i][1], abs=2e-6)
+
+    def test_empty_target_degrades_to_uniform(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
+
+        df, _ = self._frames(spark)
+        empty = df.where("doc_id < 0")
+        rows = dsir_logratio(df, empty, buckets=64).collect()
+        want = self._py_dsir(self.DOCS, [], 64, 1.0)
+        assert len(rows) == len(self.DOCS)
+        for r in rows:
+            assert r.log_ratio == pytest.approx(want[r.doc_id][1], abs=2e-6)
+
+    def test_validation(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import dsir_sample
+        from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
+
+        df, target = self._frames(spark)
+        with pytest.raises(ValueError, match="buckets"):
+            dsir_logratio(df, target, buckets=0)
+        with pytest.raises(ValueError, match="alpha"):
+            dsir_logratio(df, target, alpha=0.0)
+        with pytest.raises(ValueError, match="k"):
+            dsir_sample(df, target, 0)
+
+    def test_sample_is_gumbel_topk_of_scores(self, spark):
+        import hashlib
+        import math
+
+        from confluent_ksql_charm_spark.pipeline.sampling import dsir_sample
+        from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
+
+        df, target = self._frames(spark)
+        scores = {r.doc_id: r.log_ratio
+                  for r in dsir_logratio(df, target, buckets=64).collect()}
+
+        def key(i):
+            h = int(hashlib.md5(
+                f"{i}:dsir-gumbel".encode()).hexdigest()[:13], 16)
+            u = (h + 0.5) / float(1 << 52)
+            return round(scores[i] + (-math.log(-math.log(u))), 6)
+
+        want = sorted(scores, key=lambda i: (-key(i), i))[:3]
+        got = dsir_sample(df, target, 3, buckets=64).collect()
+        assert [r.doc_id for r in got] == want
+        for r in got:
+            assert r.gumbel_key == pytest.approx(key(r.doc_id), abs=2e-6)
+
+    def test_sample_k_at_least_n_returns_all(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import dsir_sample
+
+        df, target = self._frames(spark)
+        got = dsir_sample(df, target, 100, buckets=64).collect()
+        assert {r.doc_id for r in got} == {i for i, _ in self.DOCS}

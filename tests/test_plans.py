@@ -423,3 +423,30 @@ class TestRound7ExplainPlanOnly:
         assert f"PIPELINE {op}" in r.plan
         assert jobs == [], jobs
         assert not engine.metastore.has(f"probe_{op.lower()}")
+
+
+class TestDSIRPlans:
+    def test_dsir_scoring_model_broadcasts(self, engine):
+        # the model relation is buckets-bounded -> the scoring join must
+        # broadcast; whole computation stays expression-only (no Python)
+        from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
+
+        docs = engine.metastore.get("documents").df
+        target = docs.where("doc_id % 5 = 0")
+        df = dsir_logratio(docs, target, buckets=1024)
+        df.count()  # AQE-final
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+    def test_dsir_sample_is_take_ordered(self, engine):
+        # the Gumbel-top-k cut must be TakeOrderedAndProject (distributed
+        # per-partition heaps), never a global Sort
+        from confluent_ksql_charm_spark.pipeline.sampling import dsir_sample
+
+        docs = engine.metastore.get("documents").df
+        target = docs.where("doc_id % 5 = 0")
+        plan = _plan(dsir_sample(docs, target, 50, buckets=1024))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
