@@ -1008,6 +1008,42 @@ def _q_unigram_logprob(spark, sf):
     return unigram_logprob(_docs(spark, sf), vocab_size=100)
 
 
+def _q_embedding_cluster(spark, sf):
+    # k-means embedding clustering with replayable pinned centers
+    # (init="first": first 8 vectors by id), rounded cosine argmax with
+    # lowest-center-index tiebreak.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        embedding_cluster)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    assigned, _ = embedding_cluster(emb, 8, init="first")
+    return assigned
+
+
+def _q_embedding_cluster_stats(spark, sf):
+    # per-cluster size + mean cohesion over the pinned-center assignment
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        cluster_stats, embedding_cluster)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    assigned, _ = embedding_cluster(emb, 8, init="first")
+    return cluster_stats(assigned)
+
+
+def _q_cluster_balanced_cap(spark, sf):
+    # cluster-balanced sampling: the pinned-center assignment capped at
+    # 30 vectors per cluster (lowest id first) — the diversity-aware
+    # downsampling composition (embedding_cluster ∘ group_cap).
+    from confluent_ksql_charm_spark.pipeline.sampling import group_cap
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        embedding_cluster)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    assigned, _ = embedding_cluster(emb, 8, init="first")
+    return group_cap(assigned.select("vec_id", "cluster"),
+                     "cluster", 30, id_col="vec_id")
+
+
 def _q_dsir_logratio(spark, sf):
     # DSIR importance weights (Xie et al. 2023): hashed uni+bigram
     # bucket models, target = every 5th doc, raw = the full corpus.
@@ -1472,6 +1508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "dsir_logratio": _q_dsir_logratio,
         "dsir_sample": _q_dsir_sample,
+        "embedding_cluster": _q_embedding_cluster,
+        "embedding_cluster_stats": _q_embedding_cluster_stats,
+        "cluster_balanced_cap": _q_cluster_balanced_cap,
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
@@ -2694,6 +2733,69 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(COALESCE(s.lp, o.olp)), 6) AS avg_logprob "
             "FROM toks LEFT JOIN scored s USING (token) CROSS JOIN oov o "
             "GROUP BY doc_id"
+        ),
+        "embedding_cluster": (
+            # pinned-center clustering replayed from scratch: centers =
+            # first 8 vectors by id; per-vector argmax of round(cos, 6)
+            # with ties to the lower center index (explicit double dot,
+            # not list_cosine_similarity, to pin the math to float64)
+            "WITH c AS (SELECT embedding AS ce, row_number() OVER ("
+            "ORDER BY vec_id) - 1 AS j FROM "
+            "(SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)), "
+            "s AS (SELECT e.vec_id, c.j, ROUND("
+            "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+            "i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) / "
+            "(sqrt(list_sum(list_transform(generate_series(1, "
+            "len(e.embedding)), i -> e.embedding[i]::DOUBLE * "
+            "e.embedding[i]::DOUBLE))) * "
+            "sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), "
+            "i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))), 6) AS cos "
+            "FROM embeddings e CROSS JOIN c) "
+            "SELECT vec_id, cluster, cos FROM (SELECT vec_id, "
+            "j AS cluster, cos, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY cos DESC, j) AS rn FROM s) WHERE rn = 1"
+        ),
+        "embedding_cluster_stats": (
+            # the assignment above aggregated per cluster: size + mean
+            # cohesion (avg of the rounded cosines, re-rounded)
+            "WITH c AS (SELECT embedding AS ce, row_number() OVER ("
+            "ORDER BY vec_id) - 1 AS j FROM "
+            "(SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)), "
+            "s AS (SELECT e.vec_id, c.j, ROUND("
+            "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+            "i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) / "
+            "(sqrt(list_sum(list_transform(generate_series(1, "
+            "len(e.embedding)), i -> e.embedding[i]::DOUBLE * "
+            "e.embedding[i]::DOUBLE))) * "
+            "sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), "
+            "i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))), 6) AS cos "
+            "FROM embeddings e CROSS JOIN c), "
+            "a AS (SELECT vec_id, j AS cluster, cos, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY cos DESC, j) AS rn FROM s) "
+            "SELECT cluster, count(*) AS n, ROUND(AVG(cos), 6) AS avg_cos "
+            "FROM a WHERE rn = 1 GROUP BY cluster"
+        ),
+        "cluster_balanced_cap": (
+            # the pinned-center assignment capped at 30/cluster, lowest
+            # vec_id first — group_cap's rank filter over the clustering
+            "WITH c AS (SELECT embedding AS ce, row_number() OVER ("
+            "ORDER BY vec_id) - 1 AS j FROM "
+            "(SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)), "
+            "s AS (SELECT e.vec_id, c.j, ROUND("
+            "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+            "i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) / "
+            "(sqrt(list_sum(list_transform(generate_series(1, "
+            "len(e.embedding)), i -> e.embedding[i]::DOUBLE * "
+            "e.embedding[i]::DOUBLE))) * "
+            "sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), "
+            "i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))), 6) AS cos "
+            "FROM embeddings e CROSS JOIN c), "
+            "a AS (SELECT vec_id, j AS cluster FROM (SELECT vec_id, j, "
+            "row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY cos DESC, j) AS rn FROM s) WHERE rn = 1) "
+            "SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+            "row_number() OVER (PARTITION BY cluster ORDER BY vec_id) "
+            "AS crn FROM a) WHERE crn <= 30"
         ),
         "dsir_logratio": (
             # DSIR hashed-n-gram importance weights: uni+bigram features

@@ -63,6 +63,8 @@ _SIGNATURES = {
                         "[, ID='doc_id'][, VOCAB='100'; '0'=uncapped])"),
     "CHUNK": ("CHUNK(src, TEXT='text'[, ID='doc_id']"
               "[, MAX_TOKENS='512'][, STRIDE='512'])"),
+    "EMBED_CLUSTER": ("EMBED_CLUSTER(emb, K='8'[, ID='vec_id']"
+                      "[, VEC='embedding'][, INIT='kmeans|first'])"),
     "DSIR_SCORE": ("DSIR_SCORE(raw, target, ID='doc_id', TEXT='text'"
                    "[, BUCKETS='10000'][, ALPHA='1.0']"
                    "[, BIGRAMS='true'])"),
@@ -272,6 +274,14 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                                _need(spec, "TEXT"),
                                max_tokens=mx,
                                stride=int(p.get("STRIDE", mx)))
+    if op == "EMBED_CLUSTER":
+        from .similarity import embedding_cluster
+        _need_sources(spec, 1)
+        assigned, _ = embedding_cluster(
+            dfs[0], int(_need(spec, "K")),
+            id_col=p.get("ID", "vec_id"), vec_col=p.get("VEC", "embedding"),
+            init=p.get("INIT", "kmeans"))
+        return assigned
     if op == "DSIR_SCORE":
         from .text import dsir_logratio
         _need_sources(spec, 2)

@@ -2542,3 +2542,150 @@ def ivf_sq8_topk_batch(df: DataFrame,
     scored = (cand.select(id_col, "sq8_bytes", "__cell")
               .mapInPandas(_scan, schema=schema))
     return _batch_rank_finish(scored, id_col, k, "acos")
+
+
+# --------------------------------------------------------------------------
+# Embedding clustering (k-means over the embedding column as a first-class
+# corpus operator — cluster-balanced sampling, per-cluster curation, and
+# the diversity-aware mixing step of an LLM data pipeline; SURVEY §3.11)
+# --------------------------------------------------------------------------
+
+#: expression-based argmax handles this many centers before the unrolled
+#: k x dim projection risks codegen limits; beyond it the assignment
+#: drops to one Arrow-batched numpy matmul per batch (same switch point
+#: rationale as `assign_cells`)
+CLUSTER_EXPR_MAX_K = 64
+
+
+def cluster_centers(df: DataFrame, k: int, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id", init: str = "kmeans",
+                    seed: int = 42,
+                    sample_fraction: float | None | str = "auto",
+                    ) -> list[list[float]]:
+    """Centers for `embedding_cluster`: ``init="kmeans"`` delegates to
+    `ivf_index`'s spherical KMeans|| (sampled fit above
+    IVF_TRAIN_TARGET_ROWS — the production path); ``init="first"`` pins
+    the centers to the first k vectors by id (a TakeOrdered fetch) so an
+    outside engine can replay the whole clustering from scratch — the
+    oracle-gating contract `pq_fit(init="first")` established."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if init == "first":
+        rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        if len(rows) < k:
+            raise ValueError(
+                f"cluster_centers(init='first'): need {k} rows, "
+                f"corpus has {len(rows)}")
+        return [[float(x) for x in r[vec_col]] for r in rows]
+    if init == "kmeans":
+        _, centers = ivf_index(df, nlist=k, vec_col=vec_col, seed=seed,
+                               sample_fraction=sample_fraction)
+        return centers
+    raise ValueError(f"init must be 'kmeans' or 'first', got {init!r}")
+
+
+def _assign_cosine_matmul(df: DataFrame, centers: list[list[float]], *,
+                          vec_col: str, id_col: str,
+                          keep_cols: list[str], round_to: int) -> DataFrame:
+    """Large-k assignment path: one (batch x dim) @ (dim x k) BLAS matmul
+    per Arrow batch, cosine rounded to `round_to` BEFORE the argmax with
+    lowest-center-index tiebreak — bitwise the same decision rule as the
+    expression path."""
+    import numpy as np
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    c = np.asarray(centers, dtype=np.float64)
+    cn = np.linalg.norm(c, axis=1)
+    cn[cn == 0] = 1.0
+    cols = [id_col, *keep_cols]
+    fields = [df.schema[f] for f in cols]
+    schema = StructType(fields + [StructField("cluster", IntegerType()),
+                                  StructField("cos", DoubleType())])
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf[cols].assign(
+                    cluster=np.array([], dtype="int32"),
+                    cos=np.array([], dtype="float64"))
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0] = 1.0
+            sims = np.round((x @ c.T) / np.outer(xn, cn), round_to)
+            best = sims.argmax(1)          # argmax takes the FIRST max
+            yield pdf[cols].assign(
+                cluster=best.astype("int32"),
+                cos=sims[np.arange(len(pdf)), best])
+
+    return df.select(*cols, vec_col).mapInPandas(_assign, schema=schema)
+
+
+def embedding_cluster(df: DataFrame, k: int = 8, *,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      init: str = "kmeans", seed: int = 42,
+                      centers: list[list[float]] | None = None,
+                      keep_cols: list[str] | None = None,
+                      round_to: int = 6,
+                      sample_fraction: float | None | str = "auto",
+                      ) -> tuple[DataFrame, list[list[float]]]:
+    """Cluster the corpus's embeddings into k groups by max cosine to the
+    centers — the clustering step behind cluster-balanced sampling,
+    per-cluster dedup budgets, and topical mixing in LLM data pipelines.
+    Beyond-reference operator (SURVEY §3.11).
+
+    Returns ``(assigned, centers)`` — assigned has (id, keep_cols...,
+    cluster int, cos double): the winning center index and the cosine to
+    it, cosine rounded to `round_to` BEFORE the argmax with ties to the
+    LOWER center index (the repo's rounded, id-tiebroken contract, so an
+    outside engine replays the assignment exactly).
+
+    Pass ``centers=`` to reuse a fit (e.g. cluster new data under last
+    week's centroids); otherwise `cluster_centers(init=...)` fits them.
+
+    Scale shape: assignment is a pure projection — k x dim expression
+    terms for k <= CLUSTER_EXPR_MAX_K (rides the scan inside codegen's
+    comfort zone, zero shuffle, zero Python), one Arrow-batched BLAS
+    matmul per batch beyond (same dispatch rationale as `assign_cells`).
+    The fit cost is `ivf_index`'s sampled KMeans|| story; at 100 TB fit
+    once, persist the centers, and assign incrementally at ingest.
+    """
+    if centers is None:
+        centers = cluster_centers(df, k, vec_col=vec_col, id_col=id_col,
+                                  init=init, seed=seed,
+                                  sample_fraction=sample_fraction)
+    if not centers:
+        raise ValueError("centers must be non-empty")
+    keep = list(keep_cols or [])
+    if len(centers) > CLUSTER_EXPR_MAX_K:
+        return (_assign_cosine_matmul(
+            df, centers, vec_col=vec_col, id_col=id_col,
+            keep_cols=keep, round_to=round_to), centers)
+    v = F.col(vec_col)
+    vn = norm(v)
+    entries = []
+    for j, c in enumerate(centers):
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        cos = dot(v, _vec_lit(c)) / (vn * F.lit(cn))
+        # struct max is lexicographic: cosine first, then -index so cos
+        # ties resolve to the LOWEST center index
+        entries.append(F.struct(F.round(cos, round_to).alias("c"),
+                                F.lit(-j).alias("nj")))
+    best = F.array_max(F.array(*entries))
+    return (df.select(F.col(id_col), *[F.col(c) for c in keep],
+                      best.alias("__b"))
+            .select(id_col, *keep,
+                    (-F.col("__b.nj")).cast("int").alias("cluster"),
+                    F.col("__b.c").alias("cos")), centers)
+
+
+def cluster_stats(assigned: DataFrame, *, cluster_col: str = "cluster",
+                  sim_col: str = "cos") -> DataFrame:
+    """Per-cluster size and mean cosine-to-center (cohesion) — the
+    balance/quality readout that decides per-cluster sampling budgets.
+    One k-row aggregate over the assignment (map-side combined)."""
+    return (assigned.groupBy(cluster_col)
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg(sim_col), 6).alias("avg_cos")))

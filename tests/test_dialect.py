@@ -497,6 +497,19 @@ class TestPipelineStatements:
         assert [r.vec_id for r in rows] == [1, 2]
         assert rows[0].acos == pytest.approx(1.0, abs=0.05)
 
+    def test_embed_cluster_via_sql(self, peng, spark):
+        # pinned-init clustering from a PIPELINE statement: the two
+        # axis-aligned pairs must land in their seed's cluster
+        peng.register_source("clvecs", df=spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]),
+             (3, [0.9, 0.1]), (4, [0.1, 0.9])],
+            "vec_id bigint, embedding array<float>"))
+        peng.execute("CREATE TABLE clustered AS PIPELINE EMBED_CLUSTER("
+                     "clvecs, K='2', INIT='first');")
+        got = {r.vec_id: r.cluster for r in peng.sql(
+            "SELECT vec_id, cluster FROM clustered").collect()}
+        assert got == {1: 0, 3: 0, 2: 1, 4: 1}
+
     def test_dsir_via_sql(self, peng):
         # DSIR scoring + Gumbel-top-k selection from PIPELINE statements;
         # the target distribution is the bench relation, so the doc that

@@ -3916,3 +3916,139 @@ class TestDSIR:
         df, target = self._frames(spark)
         got = dsir_sample(df, target, 100, buckets=64).collect()
         assert {r.doc_id for r in got} == {i for i, _ in self.DOCS}
+
+
+class TestEmbeddingCluster:
+    """k-means embedding clustering: planted-cluster recovery, pinned
+    init replay, expression==matmul parity, stats, center reuse."""
+
+    @staticmethod
+    def _planted(spark, per=6):
+        # three well-separated directions in R^4 with small jitter
+        import random
+
+        rnd = random.Random(7)
+        dirs = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                [0.0, 0.0, 1.0, 0.0]]
+        rows = []
+        i = 0
+        for g, d in enumerate(dirs):
+            for _ in range(per):
+                rows.append((i, [x + rnd.uniform(-0.05, 0.05)
+                                 for x in d], g))
+                i += 1
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, truth int"), dirs
+
+    def test_recovers_planted_clusters_kmeans(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            embedding_cluster)
+
+        df, _ = self._planted(spark)
+        assigned, centers = embedding_cluster(
+            df, 3, init="kmeans", keep_cols=["truth"])
+        assert len(centers) == 3
+        rows = assigned.collect()
+        # every truth group lands in exactly one cluster, no mixing
+        by_truth = {}
+        for r in rows:
+            by_truth.setdefault(r.truth, set()).add(r.cluster)
+        assert all(len(v) == 1 for v in by_truth.values())
+        assert len({next(iter(v)) for v in by_truth.values()}) == 3
+
+    def test_pinned_init_matches_python(self, spark):
+        import math as m
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            embedding_cluster)
+
+        df, _ = self._planted(spark)
+        vecs = {r.vec_id: [float(x) for x in r.embedding]
+                for r in df.collect()}
+        centers = [vecs[i] for i in (0, 1, 2)]
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (m.sqrt(sum(x * x for x in a))
+                        * m.sqrt(sum(y * y for y in b)))
+
+        assigned, got_centers = embedding_cluster(df, 3, init="first")
+        assert [[round(x, 5) for x in c] for c in got_centers] == \
+               [[round(x, 5) for x in c] for c in centers]
+        for r in assigned.collect():
+            sims = [round(cos(vecs[r.vec_id], c), 6) for c in centers]
+            want = max(range(3), key=lambda j: (sims[j], -j))
+            assert r.cluster == want
+            assert r.cos == pytest.approx(sims[want], abs=2e-6)
+
+    def test_matmul_path_parity(self, spark):
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        df, _ = self._planted(spark)
+        expr, centers = sim.embedding_cluster(df, 3, init="first")
+        want = sorted((r.vec_id, r.cluster, r.cos)
+                      for r in expr.collect())
+        got = sorted(
+            (r.vec_id, r.cluster, r.cos)
+            for r in sim._assign_cosine_matmul(
+                df, centers, vec_col="embedding", id_col="vec_id",
+                keep_cols=[], round_to=6).collect())
+        assert [(v, c) for v, c, _ in got] == [(v, c) for v, c, _ in want]
+        for (_, _, a), (_, _, b) in zip(got, want):
+            assert a == pytest.approx(b, abs=2e-6)
+
+    def test_large_k_dispatches_to_matmul(self, spark):
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        df, _ = self._planted(spark, per=30)   # 90 rows > 65 centers
+        assigned, centers = sim.embedding_cluster(df, 65, init="first")
+        assert len(centers) == 65
+        # matmul path materializes through mapInPandas — plan has Python
+        assert "mapInPandas" in assigned._jdf.queryExecution().toString() \
+            or assigned.count() == 90
+
+    def test_center_reuse_skips_fit(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            embedding_cluster)
+
+        df, dirs = self._planted(spark)
+        assigned, centers = embedding_cluster(df, 3, centers=dirs)
+        assert centers == dirs
+        for r in assigned.collect():
+            assert r.cluster == r.vec_id // 6   # planted order
+
+    def test_cluster_stats(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_stats, embedding_cluster)
+
+        df, dirs = self._planted(spark)
+        assigned, _ = embedding_cluster(df, 3, centers=dirs)
+        stats = {r.cluster: (r.n, r.avg_cos)
+                 for r in cluster_stats(assigned).collect()}
+        assert {c: n for c, (n, _) in stats.items()} == {0: 6, 1: 6, 2: 6}
+        assert all(a > 0.99 for _, a in stats.values())
+
+    def test_tie_breaks_to_lower_index(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            embedding_cluster)
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id bigint, embedding array<float>")
+        # duplicate centers -> exact cosine tie -> cluster 0 must win
+        assigned, _ = embedding_cluster(
+            df, 2, centers=[[1.0, 0.0], [1.0, 0.0]])
+        assert assigned.collect()[0].cluster == 0
+
+    def test_validation(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_centers, embedding_cluster)
+
+        df, _ = self._planted(spark)
+        with pytest.raises(ValueError, match="k must be"):
+            cluster_centers(df, 0)
+        with pytest.raises(ValueError, match="need 100 rows"):
+            cluster_centers(df, 100, init="first")
+        with pytest.raises(ValueError, match="init must be"):
+            cluster_centers(df, 3, init="nope")
+        with pytest.raises(ValueError, match="non-empty"):
+            embedding_cluster(df, 3, centers=[])

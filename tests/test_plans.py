@@ -450,3 +450,28 @@ class TestDSIRPlans:
         plan = _plan(dsir_sample(docs, target, 50, buckets=1024))
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestEmbeddingClusterPlans:
+    def test_assignment_is_pure_projection(self, engine):
+        # expression-path assignment (k <= CLUSTER_EXPR_MAX_K) must ride
+        # the scan: no shuffle, no Python, no join
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            embedding_cluster)
+
+        emb = engine.metastore.get("embeddings").df
+        assigned, _ = embedding_cluster(emb, 8, init="first")
+        plan = _plan(assigned)
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+        assert "Join" not in plan
+
+    def test_stats_single_aggregate(self, engine):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_stats, embedding_cluster)
+
+        emb = engine.metastore.get("embeddings").df
+        assigned, _ = embedding_cluster(emb, 8, init="first")
+        plan = _plan(cluster_stats(assigned))
+        assert plan.count("Exchange") == 1    # one shuffle on cluster id
+        assert "CartesianProduct" not in plan
