@@ -1030,6 +1030,17 @@ def _q_embedding_cluster_stats(spark, sf):
     return cluster_stats(assigned)
 
 
+def _q_quality_buckets(spark, sf):
+    # CCNet-style perplexity bucketing: the unigram self-LM score cut
+    # into 4 exact-quartile tiers (score on a threshold -> lower tier).
+    from confluent_ksql_charm_spark.pipeline.sampling import score_buckets
+    from confluent_ksql_charm_spark.pipeline.text import unigram_logprob
+
+    scores = unigram_logprob(_docs(spark, sf), vocab_size=100)
+    return (score_buckets(scores, "avg_logprob", n_buckets=4)
+            .select("doc_id", "avg_logprob", "bucket"))
+
+
 def _q_cluster_balanced_cap(spark, sf):
     # cluster-balanced sampling: the pinned-center assignment capped at
     # 30 vectors per cluster (lowest id first) — the diversity-aware
@@ -1511,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cluster": _q_embedding_cluster,
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "cluster_balanced_cap": _q_cluster_balanced_cap,
+        "quality_buckets": _q_quality_buckets,
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
@@ -2774,6 +2786,37 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY vec_id ORDER BY cos DESC, j) AS rn FROM s) "
             "SELECT cluster, count(*) AS n, ROUND(AVG(cos), 6) AS avg_cos "
             "FROM a WHERE rn = 1 GROUP BY cluster"
+        ),
+        "quality_buckets": (
+            # unigram self-LM score (same replay as unigram_logprob)
+            # quartile-bucketed: bucket = #interior thresholds strictly
+            # below the score; quantile_cont == Spark exact percentile
+            "WITH toks AS (SELECT doc_id, lower(unnest("
+            "string_split_regex(trim(text), '\\s+'))) AS token "
+            "FROM documents), "
+            "cnt AS (SELECT token, count(*) AS cnt FROM toks "
+            "GROUP BY token), "
+            "tot AS (SELECT SUM(cnt) AS total FROM cnt), "
+            "model AS (SELECT token, cnt FROM cnt "
+            "ORDER BY cnt DESC, token ASC LIMIT 100), "
+            "iv AS (SELECT SUM(cnt) AS in_vocab FROM model), "
+            "scored AS (SELECT m.token, ln(m.cnt * 1.0 / t.total) AS lp "
+            "FROM model m, tot t), "
+            "oov AS (SELECT CASE WHEN t.total > i.in_vocab THEN "
+            "ln((t.total - i.in_vocab) * 1.0 / t.total) END AS olp "
+            "FROM tot t, iv i), "
+            "sc AS (SELECT doc_id, "
+            "ROUND(AVG(COALESCE(s.lp, o.olp)), 6) AS avg_logprob "
+            "FROM toks LEFT JOIN scored s USING (token) CROSS JOIN oov o "
+            "GROUP BY doc_id), "
+            "th AS (SELECT quantile_cont(avg_logprob, 0.25) AS q1, "
+            "quantile_cont(avg_logprob, 0.5) AS q2, "
+            "quantile_cont(avg_logprob, 0.75) AS q3 FROM sc) "
+            "SELECT doc_id, avg_logprob, "
+            "(CASE WHEN avg_logprob > q1 THEN 1 ELSE 0 END + "
+            "CASE WHEN avg_logprob > q2 THEN 1 ELSE 0 END + "
+            "CASE WHEN avg_logprob > q3 THEN 1 ELSE 0 END) AS bucket "
+            "FROM sc CROSS JOIN th"
         ),
         "cluster_balanced_cap": (
             # the pinned-center assignment capped at 30/cluster, lowest

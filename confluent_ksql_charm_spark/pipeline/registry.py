@@ -65,6 +65,8 @@ _SIGNATURES = {
               "[, MAX_TOKENS='512'][, STRIDE='512'])"),
     "EMBED_CLUSTER": ("EMBED_CLUSTER(emb, K='8'[, ID='vec_id']"
                       "[, VEC='embedding'][, INIT='kmeans|first'])"),
+    "SCORE_BUCKETS": ("SCORE_BUCKETS(src, SCORE='col'[, N='4']"
+                      "[, EXACT='true'])"),
     "DSIR_SCORE": ("DSIR_SCORE(raw, target, ID='doc_id', TEXT='text'"
                    "[, BUCKETS='10000'][, ALPHA='1.0']"
                    "[, BIGRAMS='true'])"),
@@ -274,6 +276,12 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                                _need(spec, "TEXT"),
                                max_tokens=mx,
                                stride=int(p.get("STRIDE", mx)))
+    if op == "SCORE_BUCKETS":
+        from .sampling import score_buckets
+        _need_sources(spec, 1)
+        return score_buckets(dfs[0], _need(spec, "SCORE"),
+                             n_buckets=int(p.get("N", 4)),
+                             exact=p.get("EXACT", "true").lower() == "true")
     if op == "EMBED_CLUSTER":
         from .similarity import embedding_cluster
         _need_sources(spec, 1)

@@ -514,3 +514,43 @@ def dsir_sample(df: DataFrame, target: DataFrame, k: int, *,
             .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, "log_ratio", "gumbel_key"))
+
+
+def score_buckets(df: DataFrame, score_col: str, *, n_buckets: int = 4,
+                  exact: bool = True, accuracy: int = 10_000,
+                  out_col: str = "bucket") -> DataFrame:
+    """Quantile-bucket a score column into `n_buckets` equal-mass tiers —
+    the CCNet "perplexity bucketing" shape (head/middle/tail by LM score)
+    used to stratify corpus quality before per-tier sampling. Beyond-
+    reference LLM-pipeline operator (SURVEY §3.11).
+
+    Bucket b ∈ [0, n_buckets) = number of interior quantile thresholds
+    strictly below the row's score (a score exactly ON a threshold stays
+    in the lower bucket; NULL scores get a NULL bucket). Thresholds are
+    EXACT percentiles by default — deterministic and replayable by an
+    outside engine (DuckDB ``quantile_cont`` computes the identical
+    interpolation, the equivalence `corpus_stats` already gates).
+
+    Scale shape: one aggregate computes all n−1 thresholds (exact
+    percentile sorts per-group state — fine up to ~10⁹ distinct scores;
+    at 100 TB set ``exact=False`` for `approx_percentile`, a bounded-
+    memory KLL-style sketch with `accuracy` as the trade-off knob),
+    then a 1-row broadcast attach + a pure comparison projection. No
+    global sort, no window over the full corpus — this is the
+    distributed alternative to ``ntile() OVER (ORDER BY score)``, which
+    would funnel everything through one partition.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    s = F.col(score_col)
+    pct = (F.percentile(s, F.lit(probs)) if exact
+           else F.approx_percentile(s, F.lit(probs), F.lit(accuracy)))
+    th = df.agg(pct.alias("__th"))
+    rank = F.aggregate(
+        F.col("__th"), F.lit(0),
+        lambda acc, t: acc + F.when(s > t, 1).otherwise(0))
+    return (df.crossJoin(F.broadcast(th))
+            .withColumn(out_col,
+                        F.when(s.isNotNull(), rank).cast("int"))
+            .drop("__th"))

@@ -497,6 +497,16 @@ class TestPipelineStatements:
         assert [r.vec_id for r in rows] == [1, 2]
         assert rows[0].acos == pytest.approx(1.0, abs=0.05)
 
+    def test_score_buckets_via_sql(self, peng, spark):
+        peng.register_source("scored_docs", df=spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 9)],
+            "doc_id bigint, q double"))
+        peng.execute("CREATE TABLE tiers AS PIPELINE SCORE_BUCKETS("
+                     "scored_docs, SCORE='q', N='4');")
+        got = {r.doc_id: r.bucket for r in peng.sql(
+            "SELECT doc_id, bucket FROM tiers").collect()}
+        assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+
     def test_embed_cluster_via_sql(self, peng, spark):
         # pinned-init clustering from a PIPELINE statement: the two
         # axis-aligned pairs must land in their seed's cluster

@@ -4052,3 +4052,64 @@ class TestEmbeddingCluster:
             cluster_centers(df, 3, init="nope")
         with pytest.raises(ValueError, match="non-empty"):
             embedding_cluster(df, 3, centers=[])
+
+
+class TestScoreBuckets:
+    def test_equal_mass_quartiles(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            score_buckets)
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 9)], "id bigint, s double")
+        got = {r.id: r.bucket
+               for r in score_buckets(df, "s", n_buckets=4).collect()}
+        # thresholds at exact quartiles of 1..8: 2.75, 4.5, 6.25
+        assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+
+    def test_score_on_threshold_stays_low(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            score_buckets)
+
+        # odd count -> median IS a data point (frac=0): that row must
+        # land in the LOWER bucket (strict > contract)
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in (1, 2, 3)], "id bigint, s double")
+        got = {r.id: r.bucket
+               for r in score_buckets(df, "s", n_buckets=2).collect()}
+        assert got == {1: 0, 2: 0, 3: 1}
+
+    def test_null_scores_get_null_bucket(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            score_buckets)
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 3.0), (4, 4.0)],
+            "id bigint, s double")
+        got = {r.id: r.bucket
+               for r in score_buckets(df, "s", n_buckets=2).collect()}
+        assert got[2] is None
+        assert None not in (got[1], got[3], got[4])
+
+    def test_approx_path_matches_exact_on_small_data(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            score_buckets)
+
+        df = spark.createDataFrame(
+            [(i, float(i * 7 % 13)) for i in range(30)],
+            "id bigint, s double")
+        exact = {r.id: r.bucket
+                 for r in score_buckets(df, "s", n_buckets=3).collect()}
+        approx = {r.id: r.bucket
+                  for r in score_buckets(df, "s", n_buckets=3,
+                                         exact=False).collect()}
+        # high-accuracy sketch on 30 rows is exact up to threshold
+        # placement between identical neighbors: buckets must agree
+        assert sum(exact[i] != approx[i] for i in exact) <= 2
+
+    def test_validation(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            score_buckets)
+
+        df = spark.createDataFrame([(1, 1.0)], "id bigint, s double")
+        with pytest.raises(ValueError, match="n_buckets"):
+            score_buckets(df, "s", n_buckets=1)

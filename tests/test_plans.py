@@ -475,3 +475,21 @@ class TestEmbeddingClusterPlans:
         plan = _plan(cluster_stats(assigned))
         assert plan.count("Exchange") == 1    # one shuffle on cluster id
         assert "CartesianProduct" not in plan
+
+
+class TestScoreBucketsPlans:
+    def test_no_global_sort_no_window(self, engine):
+        # bucketing must be agg + 1-row broadcast attach + projection —
+        # never the single-partition ntile window it replaces
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            score_buckets)
+        from confluent_ksql_charm_spark.pipeline.text import quality_score
+
+        docs = engine.metastore.get("documents").df
+        scored = docs.select("doc_id",
+                             quality_score("text").alias("q"))
+        plan = _plan(score_buckets(scored, "q", n_buckets=4))
+        assert "Window" not in plan
+        assert "Sort" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan   # the 1-row attach
