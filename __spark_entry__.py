@@ -1030,6 +1030,21 @@ def _q_embedding_cluster_stats(spark, sf):
     return cluster_stats(assigned)
 
 
+def _q_cluster_terms(spark, sf):
+    # TF-IDF cluster labeling over the pinned-center assignment
+    # (vec_id aligns with doc_id in the testdata): top-5 terms per
+    # cluster by (score desc, term asc).
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        cluster_terms, embedding_cluster)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    assigned, _ = embedding_cluster(emb, 8, init="first")
+    joined = _docs(spark, sf).join(
+        assigned.select(F.col("vec_id").alias("doc_id"), "cluster"),
+        "doc_id")
+    return cluster_terms(joined, top_n=5)
+
+
 def _q_quality_buckets(spark, sf):
     # CCNet-style perplexity bucketing: the unigram self-LM score cut
     # into 4 exact-quartile tiers (score on a threshold -> lower tier).
@@ -1523,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cluster_stats": _q_embedding_cluster_stats,
         "cluster_balanced_cap": _q_cluster_balanced_cap,
         "quality_buckets": _q_quality_buckets,
+        "cluster_terms": _q_cluster_terms,
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
@@ -2786,6 +2802,40 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY vec_id ORDER BY cos DESC, j) AS rn FROM s) "
             "SELECT cluster, count(*) AS n, ROUND(AVG(cos), 6) AS avg_cos "
             "FROM a WHERE rn = 1 GROUP BY cluster"
+        ),
+        "cluster_terms": (
+            # pinned-center assignment (as embedding_cluster) joined to
+            # documents on vec_id=doc_id, then cluster-level TF-IDF:
+            # tf * ln((1+n_clusters)/(1+df)), top-5 per cluster by
+            # (score desc, term asc)
+            "WITH c AS (SELECT embedding AS ce, row_number() OVER ("
+            "ORDER BY vec_id) - 1 AS j FROM "
+            "(SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)), "
+            "sim AS (SELECT e.vec_id, c.j, ROUND("
+            "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+            "i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) / "
+            "(sqrt(list_sum(list_transform(generate_series(1, "
+            "len(e.embedding)), i -> e.embedding[i]::DOUBLE * "
+            "e.embedding[i]::DOUBLE))) * "
+            "sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), "
+            "i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))), 6) AS cos "
+            "FROM embeddings e CROSS JOIN c), "
+            "a AS (SELECT vec_id, j AS cluster FROM (SELECT vec_id, j, "
+            "row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY cos DESC, j) AS rn FROM sim) WHERE rn = 1), "
+            "terms AS (SELECT a.cluster, lower(unnest("
+            "string_split_regex(trim(d.text), '\\s+'))) AS term "
+            "FROM documents d JOIN a ON d.doc_id = a.vec_id), "
+            "tf AS (SELECT cluster, term, count(*) AS tf FROM terms "
+            "GROUP BY cluster, term), "
+            "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "ncl AS (SELECT count(DISTINCT cluster) AS ncl FROM tf), "
+            "sc AS (SELECT cluster, tf.term, ROUND(tf * ln((1.0 + ncl) / "
+            "(1.0 + df)), 6) AS score FROM tf JOIN dfq USING (term) "
+            "CROSS JOIN ncl) "
+            "SELECT cluster, term, score, rank FROM (SELECT cluster, "
+            "term, score, row_number() OVER (PARTITION BY cluster "
+            "ORDER BY score DESC, term) AS rank FROM sc) WHERE rank <= 5"
         ),
         "quality_buckets": (
             # unigram self-LM score (same replay as unigram_logprob)

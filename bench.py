@@ -56,6 +56,11 @@ HEADLINE = [
     # BASELINE.md round-8 table)
     "pq_topk",
     "filtered_rerank_topk",
+    # round-8 session-2 additions (DSIR + clustering + bucketing;
+    # baselines: BASELINE.md round-8 additions table)
+    "dsir_sample",
+    "embedding_cluster",
+    "quality_buckets",
 ]
 
 

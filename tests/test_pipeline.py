@@ -4113,3 +4113,64 @@ class TestScoreBuckets:
         df = spark.createDataFrame([(1, 1.0)], "id bigint, s double")
         with pytest.raises(ValueError, match="n_buckets"):
             score_buckets(df, "s", n_buckets=1)
+
+
+class TestClusterTerms:
+    def test_cluster_specific_vocab_rises(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_terms)
+
+        df = spark.createDataFrame(
+            [(0, "quantum field quantum gauge shared"),
+             (0, "quantum theory shared"),
+             (1, "recipe butter recipe flour shared"),
+             (1, "recipe oven shared")],
+            "cluster int, text string")
+        rows = cluster_terms(df, top_n=2).collect()
+        top = {r.cluster: [x.term for x in sorted(
+            [q for q in rows if q.cluster == r.cluster],
+            key=lambda q: q.rank)] for r in rows}
+        assert top[0][0] == "quantum"    # tf=3, df=1
+        assert top[1][0] == "recipe"     # tf=3, df=1
+        # 'shared' appears in both clusters -> idf ln(3/3)=~0.4... no:
+        # ln((1+2)/(1+2)) = 0 -> score 0, never beats specific vocab
+        assert "shared" not in (top[0][0], top[1][0])
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_terms)
+
+        data = [(0, "a a b c"), (0, "b d"), (1, "c c e"), (1, "a e e")]
+        df = spark.createDataFrame(data, "cluster int, text string")
+        from collections import Counter
+        tf = Counter()
+        for cl, t in data:
+            for tok in t.split():
+                tf[(cl, tok)] += 1
+        dfq = Counter(tok for (_, tok) in tf)
+        ncl = len({cl for cl, _ in data})
+        want = {}
+        for (cl, tok), n in tf.items():
+            want[(cl, tok)] = round(
+                n * math.log((1.0 + ncl) / (1.0 + dfq[tok])), 6)
+        got = cluster_terms(df, top_n=100).collect()
+        assert len(got) == len(want)
+        for r in got:
+            assert r.score == pytest.approx(want[(r.cluster, r.term)],
+                                            abs=2e-6)
+        # ranks are dense 1..n per cluster, (score desc, term asc)
+        for cl in (0, 1):
+            rows = sorted([r for r in got if r.cluster == cl],
+                          key=lambda r: r.rank)
+            keys = [(-r.score, r.term) for r in rows]
+            assert keys == sorted(keys)
+
+    def test_validation(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_terms)
+
+        df = spark.createDataFrame([(0, "a")], "cluster int, text string")
+        with pytest.raises(ValueError, match="top_n"):
+            cluster_terms(df, top_n=0)

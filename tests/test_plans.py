@@ -493,3 +493,21 @@ class TestScoreBucketsPlans:
         assert "Sort" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan   # the 1-row attach
+
+
+class TestClusterTermsPlans:
+    def test_rank_filter_lowers_to_window_group_limit(self, engine):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_terms, embedding_cluster)
+        from pyspark.sql import functions as F
+
+        emb = engine.metastore.get("embeddings").df
+        docs = engine.metastore.get("documents").df
+        assigned, _ = embedding_cluster(emb, 8, init="first")
+        joined = docs.join(
+            assigned.select(F.col("vec_id").alias("doc_id"), "cluster"),
+            "doc_id")
+        plan = _plan(cluster_terms(joined, top_n=5))
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
