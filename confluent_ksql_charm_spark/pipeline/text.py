@@ -776,3 +776,110 @@ def dsir_logratio(df: DataFrame, target: DataFrame,
             .groupBy(id_col)
             .agg(F.count("*").alias("n_feats"),
                  F.round(F.sum("__lr"), 6).alias("log_ratio")))
+
+
+def dsir_fit(raw: DataFrame, target: DataFrame, *,
+             text_col: str = "text", buckets: int = 10_000,
+             alpha: float = 1.0, bigrams: bool = True,
+             lowercase: bool = True, salt: str = "dsir") -> dict:
+    """Fit the DSIR bucket models ONCE and return a reusable model —
+    the deployed shape (`dsir_logratio` recomputes both models per
+    call, which is right for one-shot selection but wrong for scoring
+    a stream of incoming batches against a fixed reference).
+
+    Returns ``{"lr": DataFrame(bucket, lr), "default_lr", "buckets",
+    "alpha", "bigrams", "lowercase", "salt"}``: `lr` covers every
+    bucket seen in EITHER corpus (full outer of the two count
+    relations — still ≤ `buckets` rows), `default_lr` =
+    ln((T_raw+αB)/(T_tgt+αB)) is the smoothed log-ratio of a bucket
+    seen in neither, so scoring handles arbitrary future vocabulary.
+    Totals are collected at fit time (two scalar aggregates) and baked
+    into the relation as literals — a fit is an action, a score is not.
+
+    Persist with `save_dsir_model` / `load_dsir_model`; score with
+    `dsir_score`. Scoring a corpus under a model fit on itself equals
+    `dsir_logratio` exactly (parity-tested).
+    """
+    import math as _math
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from .lazy import maybe_checkpoint
+
+    feats = dsir_features_col(text_col, bigrams=bigrams,
+                              lowercase=lowercase)
+    def _counts(frame):
+        return (frame.select(F.explode(feats).alias("__f"))
+                .select(dsir_bucket(F.col("__f"), buckets, salt)
+                        .alias("bucket"))
+                .groupBy("bucket").agg(F.count("*").alias("cnt")))
+    rc = maybe_checkpoint(_counts(raw))
+    tc = maybe_checkpoint(_counts(target))
+    tr = rc.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
+    tt = tc.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0]
+    a, ab = float(alpha), float(alpha) * buckets
+    lr = (rc.withColumnRenamed("cnt", "__cr")
+          .join(tc.withColumnRenamed("cnt", "__ct"), "bucket", "full")
+          .select("bucket",
+                  (F.log((F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(a))
+                         / F.lit(float(tt) + ab))
+                   - F.log((F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(a))
+                           / F.lit(float(tr) + ab))).alias("lr")))
+    return {"lr": lr, "default_lr": _math.log((tr + ab) / (tt + ab)),
+            "buckets": buckets, "alpha": a, "bigrams": bigrams,
+            "lowercase": lowercase, "salt": salt}
+
+
+def dsir_score(df: DataFrame, model: dict, *, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Score documents under a fitted DSIR `model` (from `dsir_fit` /
+    `load_dsir_model`): (id, n_feats, log_ratio round-6), same contract
+    as `dsir_logratio`. Buckets the model never saw fall back to its
+    smoothed `default_lr`, so arbitrary incoming vocabulary scores
+    finitely.
+
+    Scale shape: the model relation is ≤ `buckets` rows → broadcast
+    scoring join; the batch pays one explode + join + per-doc agg.
+    This is the per-microbatch cost of an in-stream DSIR gate — the
+    model build is amortized across every batch scored."""
+    feats = dsir_features_col(text_col, bigrams=model["bigrams"],
+                              lowercase=model["lowercase"])
+    b = (df.select(F.col(id_col), F.explode(feats).alias("__f"))
+         .select(id_col, dsir_bucket(F.col("__f"), model["buckets"],
+                                     model["salt"]).alias("bucket")))
+    return (b.join(F.broadcast(model["lr"]), "bucket", "left")
+            .select(id_col,
+                    F.coalesce(F.col("lr"),
+                               F.lit(float(model["default_lr"])))
+                    .alias("__lr"))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_feats"),
+                 F.round(F.sum("__lr"), 6).alias("log_ratio")))
+
+
+def save_dsir_model(model: dict, path: str) -> None:
+    """Persist a `dsir_fit` model: parquet for the (bucket, lr)
+    relation, JSON sidecar for the scalars a scorer must replay —
+    the same persistence contract as `similarity.save_ann_index`."""
+    import json
+    import os
+
+    model["lr"].write.mode("overwrite").parquet(
+        os.path.join(path, "model.parquet"))
+    with open(os.path.join(path, "meta.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump({k: v for k, v in model.items() if k != "lr"}, fh)
+
+
+def load_dsir_model(spark, path: str) -> dict:
+    """Load a `save_dsir_model` directory back into a scoring-ready
+    model dict (see `dsir_fit` for the shape)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    meta["lr"] = spark.read.parquet(os.path.join(path, "model.parquet"))
+    return meta

@@ -4174,3 +4174,74 @@ class TestClusterTerms:
         df = spark.createDataFrame([(0, "a")], "cluster int, text string")
         with pytest.raises(ValueError, match="top_n"):
             cluster_terms(df, top_n=0)
+
+
+class TestDSIRModel:
+    """Deployed DSIR shape: fit once -> persist -> score batches."""
+
+    def test_self_score_parity_with_logratio(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            dsir_fit, dsir_logratio, dsir_score)
+
+        df, target = TestDSIR()._frames(spark)
+        model = dsir_fit(df, target, buckets=64)
+        got = {r.doc_id: (r.n_feats, r.log_ratio)
+               for r in dsir_score(df, model).collect()}
+        want = {r.doc_id: (r.n_feats, r.log_ratio)
+                for r in dsir_logratio(df, target, buckets=64).collect()}
+        assert got == want
+
+    def test_unseen_vocabulary_uses_default(self, spark):
+        import hashlib
+        import math
+        from collections import Counter
+
+        from confluent_ksql_charm_spark.pipeline.text import (
+            dsir_fit, dsir_score)
+
+        df, target = TestDSIR()._frames(spark)
+        model = dsir_fit(df, target, buckets=1 << 20)  # no collisions
+        new = spark.createDataFrame(
+            [(100, "zzyzx qwxj")], "doc_id bigint, text string")
+        got = dsir_score(new, model).collect()[0]
+        # python reference with full smoothing incl. both-absent buckets
+        def feats(t):
+            toks = t.split()
+            return toks + [f"{toks[i]} {toks[i+1]}"
+                           for i in range(len(toks) - 1)]
+        def bucket(f):
+            return int(hashlib.md5(
+                (f + ":dsir").encode()).hexdigest()[:13], 16) % (1 << 20)
+        raw = Counter(bucket(f) for _, t in TestDSIR.DOCS for f in feats(t))
+        tgt = Counter(bucket(f) for i, t in TestDSIR.DOCS
+                      if i in TestDSIR.TARGET_IDS for f in feats(t))
+        tr, tt, ab = sum(raw.values()), sum(tgt.values()), 1.0 * (1 << 20)
+        want = sum(
+            math.log((tgt.get(b, 0) + 1.0) / (tt + ab))
+            - math.log((raw.get(b, 0) + 1.0) / (tr + ab))
+            for b in (bucket(f) for f in feats("zzyzx qwxj")))
+        assert got.n_feats == 3
+        assert got.log_ratio == pytest.approx(want, abs=2e-6)
+
+    def test_save_load_round_trip(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            dsir_fit, dsir_score, load_dsir_model, save_dsir_model)
+
+        df, target = TestDSIR()._frames(spark)
+        model = dsir_fit(df, target, buckets=64)
+        save_dsir_model(model, str(tmp_path / "dsir"))
+        loaded = load_dsir_model(spark, str(tmp_path / "dsir"))
+        assert loaded["buckets"] == 64
+        assert loaded["default_lr"] == pytest.approx(model["default_lr"])
+        a = sorted(map(tuple, dsir_score(df, model).collect()))
+        b = sorted(map(tuple, dsir_score(df, loaded).collect()))
+        assert a == b
+
+    def test_fit_validation(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import dsir_fit
+
+        df, target = TestDSIR()._frames(spark)
+        with pytest.raises(ValueError, match="buckets"):
+            dsir_fit(df, target, buckets=0)
+        with pytest.raises(ValueError, match="alpha"):
+            dsir_fit(df, target, alpha=-1.0)
