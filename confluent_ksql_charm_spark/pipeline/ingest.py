@@ -139,6 +139,8 @@ def corpus_ingest_batch_fn(
     bench_n: int = 8,
     fuzzy_bench: bool = False,
     fuzzy_threshold: float = 0.5,
+    dsir_model_path: str | None = None,
+    dsir_min_logratio: float = 0.0,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function for `start_corpus_ingest` (also
     directly callable with a static DataFrame for backfill runs).
@@ -163,7 +165,16 @@ def corpus_ingest_batch_fn(
     broadcast into every batch — per-batch cost is batch-proportional
     only, the same contract as the signature sidecar. With
     `fuzzy_bench`, batch `id_col` values must be nonnegative (benchmark
-    rows ride the verify union under fresh negative ids)."""
+    rows ride the verify union under fresh negative ids).
+
+    `dsir_model_path`: a `text.save_dsir_model` directory — every
+    microbatch is DSIR-scored under the persisted model (loaded once
+    per ingest process, its ≤buckets-row relation cached and broadcast
+    into every batch) and docs with ``log_ratio < dsir_min_logratio``
+    are rejected in-stream: the "looks like the target corpus" gate as
+    a streaming admission filter. Per-batch cost is one explode +
+    broadcast join + per-doc agg — batch-proportional, the amortized
+    half of the fit-once/score-forever contract `dsir_fit` documents."""
 
     # benchmark-derived relations, computed lazily on the first batch
     # and reused (benchmarks are MBs — both fit the broadcast path)
@@ -221,6 +232,21 @@ def corpus_ingest_batch_fn(
             out = out.join(F.broadcast(fuzzy_hit), id_col, "left_anti")
         return out
 
+    dsir_state: dict = {}
+
+    def _dsir_gate(batch: DataFrame) -> DataFrame:
+        from .text import dsir_score, load_dsir_model
+
+        if "model" not in dsir_state:
+            model = load_dsir_model(batch.sparkSession, dsir_model_path)
+            model["lr"] = model["lr"].cache()
+            dsir_state["model"] = model
+        keep = (dsir_score(batch, dsir_state["model"],
+                           id_col=id_col, text_col=text_col)
+                .where(F.col("log_ratio") >= F.lit(dsir_min_logratio))
+                .select(id_col))
+        return batch.join(F.broadcast(keep), id_col, "left_semi")
+
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         # 1. batch-internal exact dedup (keep the smallest id per text)
@@ -232,6 +258,9 @@ def corpus_ingest_batch_fn(
         # 3b. benchmark decontamination (exact grams, optionally fuzzy)
         if bench_path:
             batch = _decontaminate(batch)
+        # 3c. DSIR target-likeness admission gate
+        if dsir_model_path:
+            batch = _dsir_gate(batch)
         # 4. dedup against the persisted corpus
         corpus = _corpus_df(spark, corpus_path, batch_df.schema)
         if corpus is not None:
@@ -275,6 +304,8 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
                         bench_n: int = 8,
                         fuzzy_bench: bool = False,
                         fuzzy_threshold: float = 0.5,
+                        dsir_model_path: str | None = None,
+                        dsir_min_logratio: float = 0.0,
                         available_now: bool = False):
     """Start the streaming ingestion query over a streaming DataFrame
     (file/kafka source). Returns the StreamingQuery; exactly the
@@ -288,7 +319,9 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
             clean_min_words=clean_min_words, quality_gate=quality_gate,
             signatures_path=signatures_path, bench_path=bench_path,
             bench_n=bench_n, fuzzy_bench=fuzzy_bench,
-            fuzzy_threshold=fuzzy_threshold))
+            fuzzy_threshold=fuzzy_threshold,
+            dsir_model_path=dsir_model_path,
+            dsir_min_logratio=dsir_min_logratio))
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )

@@ -4245,3 +4245,42 @@ class TestDSIRModel:
             dsir_fit(df, target, buckets=0)
         with pytest.raises(ValueError, match="alpha"):
             dsir_fit(df, target, alpha=-1.0)
+
+
+class TestIngestDSIRGate:
+    def test_off_distribution_docs_rejected_in_stream(self, spark,
+                                                      tmp_path):
+        from confluent_ksql_charm_spark.pipeline.ingest import (
+            corpus_ingest_batch_fn)
+        from confluent_ksql_charm_spark.pipeline.text import (
+            dsir_fit, dsir_score, save_dsir_model)
+
+        # reference fit: physics target vs mixed raw
+        raw = spark.createDataFrame(TestDSIR.DOCS,
+                                    "doc_id bigint, text string")
+        target = raw.where(f"doc_id in {TestDSIR.TARGET_IDS}")
+        model = dsir_fit(raw, target, buckets=4096)
+        save_dsir_model(model, str(tmp_path / "model"))
+
+        batch = spark.createDataFrame(
+            [(10, "quantum gauge theory field notes"),
+             (11, "the lazy brown dog runs all day")],
+            "doc_id bigint, text string")
+        scores = {r.doc_id: r.log_ratio
+                  for r in dsir_score(batch, model).collect()}
+        assert scores[10] > scores[11]
+        thr = (scores[10] + scores[11]) / 2
+
+        corpus_path = str(tmp_path / "corpus")
+        fn = corpus_ingest_batch_fn(
+            corpus_path, clean=False, quality_gate=False,
+            dsir_model_path=str(tmp_path / "model"),
+            dsir_min_logratio=thr)
+        fn(batch, 0)
+        kept = {r.doc_id
+                for r in spark.read.parquet(corpus_path).collect()}
+        assert kept == {10}
+
+        # replay self-heals: the gate + corpus anti-join keep it a no-op
+        fn(batch, 0)
+        assert spark.read.parquet(corpus_path).count() == 1
