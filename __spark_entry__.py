@@ -1030,6 +1030,18 @@ def _q_embedding_cluster_stats(spark, sf):
     return cluster_stats(assigned)
 
 
+def _q_dup_size_histogram(spark, sf):
+    # duplication profile: dedup_clusters' assignment folded to a
+    # (cluster_size, n_clusters) histogram.
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        dedup_cluster_sizes, dedup_clusters)
+
+    clusters = dedup_clusters(_docs(spark, sf), "doc_id", "text",
+                              threshold=0.5,
+                              signatures=_doc_signatures(spark, sf))
+    return dedup_cluster_sizes(clusters)
+
+
 def _q_cluster_terms(spark, sf):
     # TF-IDF cluster labeling over the pinned-center assignment
     # (vec_id aligns with doc_id in the testdata): top-5 terms per
@@ -1539,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_cap": _q_cluster_balanced_cap,
         "quality_buckets": _q_quality_buckets,
         "cluster_terms": _q_cluster_terms,
+        "dup_size_histogram": _q_dup_size_histogram,
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
@@ -2488,6 +2501,32 @@ def oracle_sql() -> dict[str, str]:
             "comp AS (SELECT u AS doc_id, MIN(r) AS c FROM reach GROUP BY u) "
             "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster_id "
             "FROM documents d LEFT JOIN comp USING (doc_id)"
+        ),
+        "dup_size_histogram": (
+            # dedup_clusters' CC replay folded to the size histogram
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) >= 3 "
+            "THEN [array_to_string(t[i:i+2], ' ') "
+            "FOR i IN generate_series(1, length(t) - 2)] "
+            "ELSE [array_to_string(t, ' ')] END) AS s FROM toks), "
+            "prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE length(list_intersect(a.s, b.s)) * 1.0 / "
+            "(length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))) "
+            ">= 0.5), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM prs "
+            "UNION SELECT id_b, id_a FROM prs), "
+            "reach AS (SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) "
+            "UNION SELECT e.u, reach.r FROM edges e "
+            "JOIN reach ON e.v = reach.u), "
+            "comp AS (SELECT u AS doc_id, MIN(r) AS c FROM reach GROUP BY u), "
+            "asg AS (SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cl "
+            "FROM documents d LEFT JOIN comp USING (doc_id)), "
+            "szs AS (SELECT cl, count(*) AS cluster_size FROM asg "
+            "GROUP BY cl) "
+            "SELECT cluster_size, count(*) AS n_clusters FROM szs "
+            "GROUP BY cluster_size"
         ),
         "decontaminate": (
             "WITH toks AS (SELECT doc_id, "

@@ -1045,3 +1045,21 @@ def _simhash_pairs_collapsed(df: DataFrame, id_col: str, text_col: str, *,
         max_hamming)
     return _expand_member_pairs(rep_pairs, members, "hamming",
                                 F.lit(0).cast("int"))
+
+
+def dedup_cluster_sizes(clusters: DataFrame, *,
+                        cluster_col: str = "cluster") -> DataFrame:
+    """Duplication-profile histogram over a `dedup_clusters` assignment:
+    (cluster_size, n_clusters) — how many singletons, pairs, 10-way
+    groups... The observability readout that sizes a dedup pass before
+    committing to it (expected rows removed = Σ (size−1)·n) and the
+    regression tripwire for drifting near-dup thresholds. SURVEY §3.11.
+
+    Two k-bounded hash aggregates (map-side combined) over the
+    assignment — nothing corpus-sized shuffles twice: the first agg's
+    output is one row per cluster, the second's one row per distinct
+    size."""
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"))

@@ -473,7 +473,7 @@ def dsir_sample(df: DataFrame, target: DataFrame, k: int, *,
                 id_col: str = "doc_id", text_col: str = "text",
                 buckets: int = 10_000, alpha: float = 1.0,
                 bigrams: bool = True, lowercase: bool = True,
-                salt: str = "dsir",
+                salt: str = "dsir", hash: str = "portable",
                 gumbel_salt: str = "dsir-gumbel") -> DataFrame:
     """DSIR importance RESAMPLING (Xie et al. 2023 §2.3): draw the k
     documents with the largest ``log_ratio + Gumbel`` keys — the
@@ -504,7 +504,7 @@ def dsir_sample(df: DataFrame, target: DataFrame, k: int, *,
 
     scores = dsir_logratio(df, target, id_col, text_col,
                            buckets=buckets, alpha=alpha, bigrams=bigrams,
-                           lowercase=lowercase, salt=salt)
+                           lowercase=lowercase, salt=salt, hash=hash)
     h = (F.conv(F.substring(F.md5(F.concat(
         F.col(id_col).cast("string"), F.lit(":" + gumbel_salt))),
         1, 13), 16, 10).cast("bigint"))

@@ -4284,3 +4284,68 @@ class TestIngestDSIRGate:
         # replay self-heals: the gate + corpus anti-join keep it a no-op
         fn(batch, 0)
         assert spark.read.parquet(corpus_path).count() == 1
+
+
+class TestDedupClusterSizes:
+    def test_histogram(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            dedup_cluster_sizes)
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+            "doc_id bigint, cluster bigint")
+        got = {r.cluster_size: r.n_clusters
+               for r in dedup_cluster_sizes(clusters).collect()}
+        assert got == {3: 1, 1: 1, 2: 1}
+
+    def test_end_to_end_planted_dups(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            dedup_cluster_sizes, dedup_clusters)
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, base),
+             (4, "totally different words entirely here now"),
+             (5, "another unrelated document about nothing shared")],
+            "doc_id bigint, text string")
+        hist = {r.cluster_size: r.n_clusters
+                for r in dedup_cluster_sizes(
+                    dedup_clusters(df, "doc_id", "text")).collect()}
+        assert hist == {3: 1, 1: 2}
+
+
+class TestDSIRFastHash:
+    def test_fast_hash_selects_target_like_docs(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
+
+        df, target = TestDSIR()._frames(spark)
+        got = {r.doc_id: r.log_ratio
+               for r in dsir_logratio(df, target, buckets=4096,
+                                      hash="fast").collect()}
+        web = [got[i] for i in (1, 2, 4, 6)]
+        assert min(got[3], got[5]) > max(web)
+
+    def test_fit_records_hash_and_score_uses_it(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            dsir_fit, dsir_logratio, dsir_score, load_dsir_model,
+            save_dsir_model)
+
+        df, target = TestDSIR()._frames(spark)
+        model = dsir_fit(df, target, buckets=64, hash="fast")
+        assert model["hash"] == "fast"
+        got = {r.doc_id: r.log_ratio
+               for r in dsir_score(df, model).collect()}
+        want = {r.doc_id: r.log_ratio
+                for r in dsir_logratio(df, target, buckets=64,
+                                       hash="fast").collect()}
+        assert got == want
+        save_dsir_model(model, str(tmp_path / "m"))
+        loaded = load_dsir_model(spark, str(tmp_path / "m"))
+        assert loaded["hash"] == "fast"
+
+    def test_unknown_hash_rejected(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
+
+        df, target = TestDSIR()._frames(spark)
+        with pytest.raises(ValueError, match="hash"):
+            dsir_logratio(df, target, hash="sha9000").collect()
