@@ -6,6 +6,9 @@ operator family in this repo exists to serve, as one runnable script:
       → exact dedup                                    (dedup.py)
       → near-dup cluster dedup, keep the LONGEST copy  (dedup.py)
       → benchmark decontamination, exact + fuzzy       (contamination.py)
+      → DSIR target-likeness scoring, drop the bottom
+        quality quartile (hashed-n-gram importance
+        weights + quantile bucketing — no driver math)  (text.py, sampling.py)
       → PII redaction with Luhn-gated cards            (pii.py)
       → temperature mixture over languages             (sampling.py)
       → sliding-window chunking to the context length  (sampling.py)
@@ -46,8 +49,10 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
     from confluent_ksql_charm_spark.pipeline.ingest import clean_and_gate
     from confluent_ksql_charm_spark.pipeline.pii import redact_pii
     from confluent_ksql_charm_spark.pipeline.sampling import (
-        chunk_documents, length_bucketed_batches, mixture_sample)
-    from confluent_ksql_charm_spark.pipeline.text import token_count
+        chunk_documents, length_bucketed_batches, mixture_sample,
+        score_buckets)
+    from confluent_ksql_charm_spark.pipeline.text import (
+        dsir_logratio, token_count)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
         .select("doc_id", "text", "lang")
@@ -70,6 +75,21 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
     docs = fuzzy_decontaminate(docs, bench.select(
         (-1 - F.col("doc_id")).alias("doc_id"), "text"),
         "doc_id", "text", threshold=0.6)
+
+    # 4b. DSIR selection: score every doc's likeness to a curated seed
+    #     slice (hashed uni+bigram importance weights, fast-hash
+    #     production path), quantile-bucket the scores, drop the bottom
+    #     quartile — selection without any driver-side count
+    seed = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")) \
+        .where(F.col("doc_id") % 89 == 0).select("text")
+    scores = dsir_logratio(docs, seed, "doc_id", "text",
+                           buckets=4096, hash="fast")
+    # the keep set is corpus-sized (3/4 of docs) — a plain semi join,
+    # NOT a broadcast: at 100 TB this must shuffle on the id
+    keep = (score_buckets(scores, "log_ratio", n_buckets=4)
+            .where(F.col("bucket") >= 1).select("doc_id"))
+    docs = docs.join(keep, "doc_id", "left_semi")
 
     # 5. PII redaction, Luhn-gated credit cards
     docs = redact_pii(docs, "text", with_counts=False, luhn_validate=True)
