@@ -620,8 +620,13 @@ def save_ann_index(index, path: str, *, kind: str, params: dict,
         df, codebook = index
         params = dict(params, codebook=codebook)
     elif kind == "ivf_pq":
-        df, centers, codebook = index
-        params = dict(params, centers=centers, codebook=codebook)
+        if len(index) == 4:           # residual variant's 4-tuple
+            df, centers, codebook = index[0], index[1], index[2]
+            params = dict(params, centers=centers, codebook=codebook,
+                          by_residual=True)
+        else:
+            df, centers, codebook = index
+            params = dict(params, centers=centers, codebook=codebook)
     elif kind in ("lsh", "banded_lsh"):
         df = index
     else:
@@ -676,7 +681,10 @@ def load_ann_index(spark, path: str):
     if kind == "ivf_pq":
         df = df.withColumn("__cell", F.col("__cell").cast("int"))
         centers = params.pop("centers")
-        return (df, centers, params.pop("codebook")), params
+        codebook = params.pop("codebook")
+        if params.get("by_residual"):
+            return (df, centers, codebook, "residual"), params
+        return (df, centers, codebook), params
     raise ValueError(f"unknown ANN index kind {kind!r} in {path}")
 
 
@@ -1693,17 +1701,26 @@ def ivf_pq_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     """
     if index is None:
         _warn_per_call_build(df, "ivf_pq_topk")
-    codes, centers, codebook = index if index is not None else \
-        ivf_pq_index(df, nlist=nlist, m=m, ksub=ksub, vec_col=vec_col,
-                     id_col=id_col, seed=seed,
-                     sample_fraction=sample_fraction, packed=packed,
-                     keep=keep_cols)
+    residual = index is not None and len(index) == 4
+    if residual:
+        codes, centers, codebook = index[0], index[1], index[2]
+    else:
+        codes, centers, codebook = index if index is not None else \
+            ivf_pq_index(df, nlist=nlist, m=m, ksub=ksub, vec_col=vec_col,
+                         id_col=id_col, seed=seed,
+                         sample_fraction=sample_fraction, packed=packed,
+                         keep=keep_cols)
     cells = _nearest_cells(centers, query_vec, nprobe)
-    cand = codes.where(F.col("__cell").isin(cells)).drop("__cell")
+    cand = codes.where(F.col("__cell").isin(cells))
+    if not residual:
+        cand = cand.drop("__cell")       # the residual scan needs the cell
     if where is not None:
         cand = cand.where(where)
     if keep_cols:
         cand = cand.drop(*keep_cols)
+    if residual:
+        return pq_topk_residual(cand, query_vec, codebook, centers, k,
+                                id_col=id_col, round_to=round_to)
     return pq_topk(cand, query_vec, codebook, k, id_col=id_col,
                    round_to=round_to)
 
@@ -2738,3 +2755,157 @@ def cluster_terms(df: DataFrame, *, cluster_col: str = "cluster",
         F.col("score").desc(), F.col("term").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_n))
+
+
+# --------------------------------------------------------------------------
+# Residual IVF-PQ (faiss's by_residual=1 default): PQ codes quantize
+# u - c_cell (the vector's offset from its coarse centroid) instead of
+# the raw vector. Residuals are tighter-spread than vectors, so the same
+# ksub budget spends its codes on fine structure — recall at the same
+# byte cost goes up. Costs a per-(cell, sub-space, code) cross-term
+# table in the scan (nlist x m x ksub doubles, driver-bounded like the
+# codebook) and is NOT externally replayable (the residual fit depends
+# on the KMeans|| centers), so the oracle-gated entries keep
+# by_residual=0 and this path is pytest-graded: an exactness anchor
+# (ksub >= n residuals + init='first' + n_iter=0 makes the decode exact
+# -> full probe == brute force) plus a measured reconstruction-error
+# win on clustered data.
+# --------------------------------------------------------------------------
+
+def _residual_frame(assigned: DataFrame, centers: list[list[float]], *,
+                    vec_col: str, id_col: str,
+                    keep: list[str] | None = None) -> DataFrame:
+    """(id, __cell, __res, *keep): L2-normalized vector minus its cell
+    center — one Arrow-batched numpy pass, the residual twin of
+    `assign_cells`'s math (normalize first: cell assignment is
+    spherical, and cosine is scale-invariant so scoring in normalized
+    space is exact)."""
+    import numpy as np
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    keep = list(keep or [])
+    c = np.asarray(centers, dtype=np.float64)
+    in_fields = {f.name: f for f in assigned.schema.fields}
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("__cell", IntegerType()),
+        StructField("__res", ArrayType(DoubleType())),
+        *[in_fields[k] for k in keep]])
+
+    def _res(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            u = x / n
+            cell = pdf["__cell"].values.astype(np.int64)
+            r = u - c[cell]
+            out = {id_col: pdf[id_col].values,
+                   "__cell": cell.astype("int32"), "__res": list(r)}
+            for kc in keep:
+                out[kc] = pdf[kc].values
+            yield pd.DataFrame(out)
+
+    return assigned.select(id_col, vec_col, "__cell", *keep).mapInPandas(
+        _res, schema=schema)
+
+
+def ivf_pq_index_residual(df: DataFrame, *, nlist: int = 16, m: int = 8,
+                          ksub: int = 256, vec_col: str = "embedding",
+                          id_col: str = "vec_id", n_iter: int = 10,
+                          init: str = "sample", seed: int = 42,
+                          sample_fraction: float | None | str = "auto",
+                          packed: bool = True,
+                          keep: list[str] | None = None):
+    """faiss ``IVF<nlist>,PQ<m>`` with ``by_residual=1``: the PQ
+    codebook is trained on (and encodes) residuals vs the coarse
+    centroid. Returns ``(codes_df, centers, codebook, "residual")`` —
+    a 4-tuple so probes can tell the scan apart; feed it to
+    `ivf_pq_topk(index=...)` / `ivf_pq_rerank_topk(index=...)` and
+    persist via ``save_ann_index(kind="ivf_pq")`` (the marker rides the
+    sidecar params)."""
+    assigned, centers = ivf_index(df, nlist=nlist, vec_col=vec_col,
+                                  seed=seed,
+                                  sample_fraction=sample_fraction)
+    res = _residual_frame(assigned, centers, vec_col=vec_col,
+                          id_col=id_col, keep=keep)
+    codebook = pq_fit(res, m=m, ksub=ksub, vec_col="__res",
+                      id_col=id_col, n_iter=n_iter, init=init, seed=seed)
+    codes = pq_encode(res, codebook, vec_col="__res", id_col=id_col,
+                      keep=["__cell"] + list(keep or []), packed=packed)
+    return codes, centers, codebook, "residual"
+
+
+def pq_topk_residual(codes_df: DataFrame, query_vec: list[float],
+                     codebook: list, centers: list[list[float]],
+                     k: int = 10, *, id_col: str = "vec_id",
+                     round_to: int | None = 4) -> DataFrame:
+    """ADC top-k over RESIDUAL PQ codes: v~ = c_cell + r~, so
+    dot(q, v~) = dot(q, c_cell) + Σ_s LUT_dot[s, code] and |v~|² =
+    |c_cell|² + 2·Σ_s CROSS[cell, s, code] + Σ_s LUT_n2[s, code] —
+    three driver-bounded tables (the cross-term one is nlist x m x ksub
+    doubles: 16 MB at nlist=1024, m=8, ksub=256 — codebook-class state,
+    shipped in the task closure like the LUTs). Same rounded,
+    id-tiebroken per-batch cut as `pq_topk`; `codes_df` must carry
+    ``__cell`` (the `ivf_pq_index_residual` layout)."""
+    import numpy as np
+
+    cb = [np.asarray(c, dtype=np.float64) for c in codebook]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(
+            f"pq_topk_residual: query dim {q.shape[0]} != m*dsub = "
+            f"{m * dsub}")
+    cen = np.asarray(centers, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum())) or 1.0
+    lut_dot = np.stack([cb[s] @ q[s * dsub:(s + 1) * dsub]
+                        for s in range(m)])              # m x ksub
+    lut_n2 = np.stack([(cb[s] * cb[s]).sum(1) for s in range(m)])
+    qc = cen @ q                                          # nlist
+    cn2 = (cen * cen).sum(1)                              # nlist
+    # cross[c, s, j] = center_c[sub s] . codebook[s][j]
+    cross = np.stack([cen[:, s * dsub:(s + 1) * dsub] @ cb[s].T
+                      for s in range(m)], axis=1)         # nlist x m x ksub
+    packed = "pq_bytes" in codes_df.columns
+    code_col = "pq_bytes" if packed else "pq_code"
+    sub_idx = np.arange(m)
+    schema = f"{id_col} long, acos double"
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if packed:
+                codes = np.frombuffer(
+                    b"".join(pdf[code_col]), dtype=np.uint8
+                ).reshape(len(pdf), m)
+            else:
+                codes = np.asarray([np.asarray(c, dtype=np.uint8)
+                                    for c in pdf[code_col]])
+            cell = pdf["__cell"].values.astype(np.int64)
+            dots = qc[cell] + lut_dot[sub_idx, codes].sum(1)
+            n2 = (cn2[cell]
+                  + 2.0 * cross[cell[:, None], sub_idx, codes].sum(1)
+                  + lut_n2[sub_idx, codes].sum(1))
+            nrm = np.sqrt(np.maximum(n2, 0.0)) * qn
+            acos = dots / np.where(nrm == 0, 1.0, nrm)
+            if round_to is not None:
+                acos = np.round(acos, round_to)
+            out = pd.DataFrame({id_col: pdf[id_col].values,
+                                "acos": acos})
+            yield (out.sort_values(["acos", id_col],
+                                   ascending=[False, True])
+                      .head(min(k, len(out))))
+
+    scored = codes_df.mapInPandas(_scan, schema=schema)
+    return scored.orderBy(F.desc("acos"), F.col(id_col)).limit(k)

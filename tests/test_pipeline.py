@@ -4349,3 +4349,132 @@ class TestDSIRFastHash:
         df, target = TestDSIR()._frames(spark)
         with pytest.raises(ValueError, match="hash"):
             dsir_logratio(df, target, hash="sha9000").collect()
+
+
+class TestIVFPQResidual:
+    """by_residual=1 IVF-PQ: exactness anchor, reconstruction-error win
+    over raw-vector codes, probe/rerank/persistence integration."""
+
+    @staticmethod
+    def _clustered(spark, per=40, dim=8, seed=11):
+        # 4 well-separated unit-ish clusters with small within-cluster
+        # spread — the regime residual coding exists for
+        import random
+
+        rnd = random.Random(seed)
+        base = [[1, 0, 0, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0, 0, 0],
+                [0, 0, 1, 0, 0, 0, 0, 0], [0, 0, 0, 1, 0, 0, 0, 0]]
+        rows = []
+        i = 0
+        for b in base:
+            for _ in range(per):
+                rows.append((i, [x + rnd.uniform(-0.08, 0.08)
+                                 for x in b]))
+                i += 1
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+
+    def test_exactness_anchor_full_probe(self, spark):
+        # ksub >= n with init='first'/n_iter=0 makes every residual its
+        # own centroid -> decode is EXACT -> full probe == brute force
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        df = self._clustered(spark, per=10)   # 40 rows
+        idx = sim.ivf_pq_index_residual(
+            df, nlist=4, m=2, ksub=40, n_iter=0, init="first",
+            sample_fraction=None)
+        assert len(idx) == 4 and idx[3] == "residual"
+        q = [1.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        got = [(r.vec_id, r.acos) for r in sim.ivf_pq_topk(
+            df, q, k=10, nprobe=4, index=idx).collect()]
+        want = [(r.vec_id, round(r.cosine, 4)) for r in sim.cosine_topk(
+            df, q, k=10).collect()]
+        assert [v for v, _ in got] == [v for v, _ in want]
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, abs=2e-4)
+
+    def test_residual_reconstruction_beats_raw(self, spark):
+        # same byte budget (m=2, ksub=8) on clustered data: mean squared
+        # decode error of residual codes must be lower than raw codes
+        import numpy as np
+
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        df = self._clustered(spark)
+        rows = df.collect()
+        vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+                for r in rows}
+        unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+
+        def decode_err(codes_df, codebook, centers=None):
+            cb = [np.asarray(c) for c in codebook]
+            m, dsub = len(cb), cb[0].shape[1]
+            errs = []
+            for r in codes_df.collect():
+                code = np.frombuffer(r.pq_bytes, dtype=np.uint8)
+                dec = np.concatenate([cb[s][code[s]] for s in range(m)])
+                if centers is not None:
+                    dec = dec + np.asarray(centers[r["__cell"]])
+                errs.append(((dec - unit[r.vec_id]) ** 2).sum())
+            return float(np.mean(errs))
+
+        ridx = sim.ivf_pq_index_residual(df, nlist=4, m=2, ksub=8,
+                                         seed=3, sample_fraction=None)
+        flat_codes, flat_cb = sim.pq_index(
+            df.select("vec_id",
+                      F.expr("transform(embedding, x -> x / "
+                             "sqrt(aggregate(transform(embedding, "
+                             "y -> double(y*y)), 0D, (a,b) -> a+b)))")
+                      .alias("embedding")),
+            m=2, ksub=8, seed=3)
+        r_err = decode_err(ridx[0], ridx[2], ridx[1])
+        f_err = decode_err(flat_codes, flat_cb)
+        assert r_err < f_err * 0.8    # decisive, not marginal
+
+    def test_partial_probe_and_rerank(self, spark):
+        # within one tight cluster all cosines are near-ties, so absolute
+        # ADC recall is the wrong yardstick — assert the residual codes
+        # rank AT LEAST as well as raw-vector codes at the same byte
+        # budget, and that the refine tier recovers exactness
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        df = self._clustered(spark)
+        q = [0.0, 0.0, 1.0, 0.02, 0.0, 0.0, 0.0, 0.0]
+        exact = {r.vec_id for r in sim.cosine_topk(df, q, k=10).collect()}
+        ridx = sim.ivf_pq_index_residual(df, nlist=4, m=2, ksub=16,
+                                         seed=5, sample_fraction=None)
+        pidx = sim.ivf_pq_index(df, nlist=4, m=2, ksub=16,
+                                seed=5, sample_fraction=None)
+        r_hit = len({r.vec_id for r in sim.ivf_pq_topk(
+            df, q, k=10, nprobe=1, index=ridx).collect()} & exact)
+        p_hit = len({r.vec_id for r in sim.ivf_pq_topk(
+            df, q, k=10, nprobe=1, index=pidx).collect()} & exact)
+        assert r_hit >= p_hit
+        # rerank over the whole probed cell = exact top-10 (all of the
+        # exact top-10 live in the query's cluster by construction)
+        rr = sim.ivf_pq_rerank_topk(df, q, k=10, rerank=40, nprobe=1,
+                                    index=ridx).collect()
+        assert {r.vec_id for r in rr} == exact
+        cos = {r.vec_id: r.cosine
+               for r in sim.cosine_topk(df, q, k=160).collect()}
+        for r in rr:
+            assert r.cosine == pytest.approx(cos[r.vec_id], abs=1e-6)
+
+    def test_save_load_round_trip(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        df = self._clustered(spark, per=10)
+        idx = sim.ivf_pq_index_residual(df, nlist=4, m=2, ksub=16,
+                                        sample_fraction=None)
+        sim.save_ann_index(idx, str(tmp_path / "rpq"), kind="ivf_pq",
+                           params={"m": 2, "ksub": 16},
+                           partition_by="__cell")
+        loaded, params = sim.load_ann_index(spark, str(tmp_path / "rpq"))
+        assert len(loaded) == 4 and loaded[3] == "residual"
+        assert params["by_residual"] is True
+        q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        a = [(r.vec_id, r.acos) for r in sim.ivf_pq_topk(
+            df, q, k=5, nprobe=2, index=idx).collect()]
+        b = [(r.vec_id, r.acos) for r in sim.ivf_pq_topk(
+            df, q, k=5, nprobe=2, index=loaded).collect()]
+        assert a == b
