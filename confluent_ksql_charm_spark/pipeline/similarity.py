@@ -2829,7 +2829,18 @@ def ivf_pq_index_residual(df: DataFrame, *, nlist: int = 16, m: int = 8,
     a 4-tuple so probes can tell the scan apart; feed it to
     `ivf_pq_topk(index=...)` / `ivf_pq_rerank_topk(index=...)` and
     persist via ``save_ann_index(kind="ivf_pq")`` (the marker rides the
-    sidecar params)."""
+    sidecar params).
+
+    WHEN TO USE (measured, BASELINE round-8 session-2): residual coding
+    pays only when within-cell spread << vector norm — the genuinely
+    clustered regime (check `cluster_stats` cohesion: mean cos to
+    center >= ~0.9), where it wins >20% reconstruction error at equal
+    bytes. On near-uniform corpora it LOSES recall to the raw-code
+    default (0.30 vs 0.42 @ np=4 on the sf1 synthetic embeddings):
+    residuals are as big as the vectors, one global codebook faces a
+    harder per-cell mixture, and the cross-term decode adds noise. Keep
+    `ivf_pq_index` (by_residual=0, the oracle-gated path) as the
+    default; the refine tier is the recall lever that always works."""
     assigned, centers = ivf_index(df, nlist=nlist, vec_col=vec_col,
                                   seed=seed,
                                   sample_fraction=sample_fraction)
