@@ -1030,6 +1030,21 @@ def _q_embedding_cluster_stats(spark, sf):
     return cluster_stats(assigned)
 
 
+def _q_ngram_vocab_growth(spark, sf):
+    # Heaps'-law profile: exact total/distinct n-gram counts + TTR for
+    # n in 1..3 over the documents corpus.
+    from confluent_ksql_charm_spark.pipeline.text import ngram_vocab_growth
+
+    return ngram_vocab_growth(_docs(spark, sf))
+
+
+def _q_zipf_fit(spark, sf):
+    # OLS of ln(count) on ln(rank) over the top-100 vocabulary head.
+    from confluent_ksql_charm_spark.pipeline.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf), k=100)
+
+
 def _q_dup_size_histogram(spark, sf):
     # duplication profile: dedup_clusters' assignment folded to a
     # (cluster_size, n_clusters) histogram.
@@ -1552,6 +1567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": _q_quality_buckets,
         "cluster_terms": _q_cluster_terms,
         "dup_size_histogram": _q_dup_size_histogram,
+        "ngram_vocab_growth": _q_ngram_vocab_growth,
+        "zipf_fit": _q_zipf_fit,
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
@@ -2501,6 +2518,40 @@ def oracle_sql() -> dict[str, str]:
             "comp AS (SELECT u AS doc_id, MIN(r) AS c FROM reach GROUP BY u) "
             "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster_id "
             "FROM documents d LEFT JOIN comp USING (doc_id)"
+        ),
+        "ngram_vocab_growth": (
+            # per-order exact total/distinct/TTR; short docs (< n
+            # tokens) contribute one whole-doc gram, exactly the
+            # ngrams_col fallback branch
+            "WITH t AS (SELECT string_split_regex(trim(text), '\\s+') "
+            "AS t FROM documents), "
+            "g AS (SELECT n, lower(unnest(CASE WHEN length(t) >= n THEN "
+            "[array_to_string(t[i:i+n-1], ' ') "
+            "FOR i IN generate_series(1, length(t) - n + 1)] "
+            "ELSE [array_to_string(t, ' ')] END)) AS g "
+            "FROM t CROSS JOIN (SELECT unnest([1, 2, 3]) AS n)) "
+            "SELECT n, count(*) AS total_ngrams, "
+            "count(DISTINCT g) AS distinct_ngrams, "
+            "ROUND(count(DISTINCT g) * 1.0 / count(*), 6) "
+            "AS type_token_ratio FROM g GROUP BY n"
+        ),
+        "zipf_fit": (
+            # vocab_topk's head -> OLS of ln(cnt) on ln(rank)
+            "WITH toks AS (SELECT lower(unnest(string_split_regex("
+            "trim(text), '\\s+'))) AS token FROM documents), "
+            "cnt AS (SELECT token, count(*) AS cnt FROM toks "
+            "GROUP BY token), "
+            "top AS (SELECT cnt, row_number() OVER ("
+            "ORDER BY cnt DESC, token ASC) AS rank FROM cnt "
+            "ORDER BY cnt DESC, token ASC LIMIT 100), "
+            "xy AS (SELECT ln(rank * 1.0) AS x, ln(cnt * 1.0) AS y "
+            "FROM top) "
+            "SELECT CAST(count(*) AS INT) AS k, "
+            "ROUND(covar_pop(x, y) / var_pop(x), 6) AS slope, "
+            "ROUND(AVG(y) - covar_pop(x, y) / var_pop(x) * AVG(x), 6) "
+            "AS intercept, "
+            "ROUND(covar_pop(x, y) * covar_pop(x, y) / "
+            "(var_pop(x) * var_pop(y)), 6) AS r2 FROM xy"
         ),
         "dup_size_histogram": (
             # dedup_clusters' CC replay folded to the size histogram

@@ -905,3 +905,71 @@ def load_dsir_model(spark, path: str) -> dict:
         meta = json.load(fh)
     meta["lr"] = spark.read.parquet(os.path.join(path, "model.parquet"))
     return meta
+
+
+def ngram_vocab_growth(df: DataFrame, text_col: str = "text", *,
+                       ns: tuple[int, ...] = (1, 2, 3),
+                       lowercase: bool = True) -> DataFrame:
+    """Vocabulary-growth readout per n-gram order: (n, total_ngrams,
+    distinct_ngrams, type_token_ratio) — the Heaps'-law profile that
+    flags low-diversity / templated corpora before training (a healthy
+    web corpus has TTR rising steeply with n; boilerplate-heavy dumps
+    plateau). SURVEY §3.11.
+
+    Distinct counts are EXACT (the oracle contract). Scale shape: one
+    explode + two-level hash aggregate per order — the distinct count
+    shuffles a vocabulary-sized relation, which is the honest cost of
+    exactness; at 100 TB swap in `approx_count_distinct` (documented
+    knob, HLL sketch, ~2% error) if the n-gram vocabulary itself is the
+    bottleneck. Orders scan the corpus independently (len(ns) scans):
+    simple and partition-parallel; a single-pass multi-order explode
+    would save scans but entangle the aggregates.
+    """
+    if not ns or any(n < 1 for n in ns):
+        raise ValueError(f"ns must be positive orders, got {ns!r}")
+    out = None
+    norm = (lambda c: F.lower(c)) if lowercase else (lambda c: c)
+    for n in ns:
+        grams = df.select(
+            F.explode(ngrams_col(text_col, n)).alias("g")).select(
+            norm(F.col("g")).alias("g"))
+        agg = grams.agg(
+            F.lit(int(n)).alias("n"),
+            F.count("*").alias("total_ngrams"),
+            F.count_distinct("g").alias("distinct_ngrams"))
+        agg = agg.select(
+            "n", "total_ngrams", "distinct_ngrams",
+            F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6)
+            .alias("type_token_ratio"))
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", *, k: int = 100,
+             lowercase: bool = True) -> DataFrame:
+    """Zipf's-law fit over the vocabulary head: OLS of ln(count) on
+    ln(rank) across `vocab_topk`'s top-k rows — (k, slope, intercept,
+    r2), slope ≈ −1 for natural language; big deviations flag synthetic
+    or heavily deduplicated text. SURVEY §3.11.
+
+    All regression moments are aggregates over the k-row head (the
+    corpus pays only vocab_topk's one tokenize+agg); the math is plain
+    covariance/variance so an outside engine replays it exactly
+    (rounded to 6)."""
+    head = vocab_topk(df, text_col, k, lowercase=lowercase).select(
+        F.log(F.col("rank").cast("double")).alias("__x"),
+        F.log(F.col("cnt").cast("double")).alias("__y"))
+    return (head.agg(
+        F.count("*").alias("__n"),
+        F.covar_pop("__x", "__y").alias("__cxy"),
+        F.var_pop("__x").alias("__vx"),
+        F.var_pop("__y").alias("__vy"),
+        F.avg("__x").alias("__mx"),
+        F.avg("__y").alias("__my"))
+        .select(
+            F.col("__n").cast("int").alias("k"),
+            F.round(F.col("__cxy") / F.col("__vx"), 6).alias("slope"),
+            F.round(F.col("__my") - (F.col("__cxy") / F.col("__vx"))
+                    * F.col("__mx"), 6).alias("intercept"),
+            F.round((F.col("__cxy") * F.col("__cxy"))
+                    / (F.col("__vx") * F.col("__vy")), 6).alias("r2")))

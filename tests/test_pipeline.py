@@ -4478,3 +4478,53 @@ class TestIVFPQResidual:
         b = [(r.vec_id, r.acos) for r in sim.ivf_pq_topk(
             df, q, k=5, nprobe=2, index=loaded).collect()]
         assert a == b
+
+
+class TestCorpusLanguageStats:
+    def test_ngram_vocab_growth_hand_computed(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            ngram_vocab_growth)
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a")], "doc_id bigint, text string")
+        got = {r.n: (r.total_ngrams, r.distinct_ngrams,
+                     r.type_token_ratio)
+               for r in ngram_vocab_growth(df).collect()}
+        # n=1: tokens a b a b a -> 5 total, 2 distinct
+        assert got[1] == (5, 2, 0.4)
+        # n=2: "a b","b a","a b" + short-doc fallback "a" -> 4 total,
+        # 3 distinct
+        assert got[2] == (4, 3, 0.75)
+        # n=3: "a b a","b a b" + fallback "a" -> 3 total 3 distinct
+        assert got[3] == (3, 3, 1.0)
+
+    def test_ngram_vocab_growth_validation(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            ngram_vocab_growth)
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="ns"):
+            ngram_vocab_growth(df, ns=())
+        with pytest.raises(ValueError, match="ns"):
+            ngram_vocab_growth(df, ns=(0,))
+
+    def test_zipf_fit_exact_power_law(self, spark):
+        import math
+
+        from confluent_ksql_charm_spark.pipeline.text import zipf_fit
+
+        # counts = round(1000 / rank) for 5 distinct tokens -> slope
+        # close to -1, r2 close to 1 on the log-log line
+        rows = []
+        doc = []
+        for rank, tok in enumerate(
+                ["alpha", "beta", "gamma", "delta", "eps"], start=1):
+            doc += [tok] * round(1000 / rank)
+        rows.append((1, " ".join(doc)))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = zipf_fit(df, k=5).collect()[0]
+        assert got.k == 5
+        assert got.slope == pytest.approx(-1.0, abs=0.02)
+        assert got.r2 > 0.999
+        # intercept ~ ln(1000)
+        assert got.intercept == pytest.approx(math.log(1000), abs=0.05)
