@@ -125,6 +125,18 @@ def main() -> None:
     out["full_clean"] = run("full_clean", batch=clean_docs, clean=True,
                             bench_path=clean_bench, fuzzy_bench=True)
     out["neardup"] = run("neardup")
+    # DSIR admission gate: model fit ONCE (not billed — the deployed
+    # amortization contract), per-batch cost = score + semi join
+    from confluent_ksql_charm_spark.pipeline.text import (
+        dsir_fit, save_dsir_model)
+
+    model = dsir_fit(base_docs,
+                     base_docs.where("doc_id % 5 = 0"),
+                     buckets=10_000, hash="fast")
+    dsir_dir = os.path.join(work, "dsir_model")
+    save_dsir_model(model, dsir_dir)
+    out["dsir_gate"] = run("dsir_gate", dsir_model_path=dsir_dir,
+                           dsir_min_logratio=-1e9)
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 
