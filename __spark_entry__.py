@@ -1030,6 +1030,18 @@ def _q_embedding_cluster_stats(spark, sf):
     return cluster_stats(assigned)
 
 
+def _q_leakage_safe_split(spark, sf):
+    # deterministic 7/8-1/8 split, then train docs sharing any exact
+    # 5-gram with a test doc are dropped (keyed="text" for exact
+    # engine replay; production default is hashed grams).
+    from confluent_ksql_charm_spark.pipeline.sampling import (
+        leakage_safe_split)
+
+    return leakage_safe_split(_docs(spark, sf),
+                              weights={"train": 0.875, "test": 0.125},
+                              n=5, keyed="text")
+
+
 def _q_ngram_vocab_growth(spark, sf):
     # Heaps'-law profile: exact total/distinct n-gram counts + TTR for
     # n in 1..3 over the documents corpus.
@@ -1569,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_size_histogram": _q_dup_size_histogram,
         "ngram_vocab_growth": _q_ngram_vocab_growth,
         "zipf_fit": _q_zipf_fit,
+        "leakage_safe_split": _q_leakage_safe_split,
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
@@ -2518,6 +2531,29 @@ def oracle_sql() -> dict[str, str]:
             "comp AS (SELECT u AS doc_id, MIN(r) AS c FROM reach GROUP BY u) "
             "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster_id "
             "FROM documents d LEFT JOIN comp USING (doc_id)"
+        ),
+        "leakage_safe_split": (
+            # md5 unit-hash split at 0.875, then anti-join train docs
+            # sharing any distinct 5-gram with the test side
+            "WITH s AS (SELECT doc_id, text, CASE WHEN "
+            "('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 13))"
+            "::BIGINT / 4503599627370496.0 < 0.875 THEN 'train' "
+            "ELSE 'test' END AS split FROM documents), "
+            "toks AS (SELECT doc_id, split, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM s), "
+            "sh AS (SELECT doc_id, split, list_distinct("
+            "CASE WHEN length(t) >= 5 THEN [array_to_string(t[i:i+4], ' ') "
+            "FOR i IN generate_series(1, length(t) - 4)] "
+            "ELSE [array_to_string(t, ' ')] END) AS g FROM toks), "
+            "eg AS (SELECT DISTINCT unnest(g) AS gram FROM sh "
+            "WHERE split = 'test'), "
+            "tg AS (SELECT doc_id, unnest(g) AS gram FROM sh "
+            "WHERE split = 'train'), "
+            "leaky AS (SELECT DISTINCT tg.doc_id FROM tg "
+            "JOIN eg USING (gram)) "
+            "SELECT doc_id, split FROM s WHERE split = 'test' "
+            "UNION ALL SELECT doc_id, split FROM s WHERE split = 'train' "
+            "AND doc_id NOT IN (SELECT doc_id FROM leaky)"
         ),
         "ngram_vocab_growth": (
             # per-order exact total/distinct/TTR; short docs (< n

@@ -554,3 +554,47 @@ def score_buckets(df: DataFrame, score_col: str, *, n_buckets: int = 4,
             .withColumn(out_col,
                         F.when(s.isNotNull(), rank).cast("int"))
             .drop("__th"))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", *,
+                       weights: dict[str, float] | None = None,
+                       eval_splits: tuple[str, ...] = ("test",),
+                       n: int = 8, salt: str = "split",
+                       keyed: str = "hash",
+                       out_col: str = "split") -> DataFrame:
+    """Train/eval split with a LEAKAGE GUARANTEE: deterministic hash
+    split, then every non-eval document sharing >= 1 exact `n`-gram
+    with any eval-split document is DROPPED from its split — so no
+    training row can leak the eval set's content (the train/test twin
+    of benchmark decontamination, applied at split time where the leak
+    is created). Returns (id, split) for the surviving rows; eval rows
+    always survive (the eval set defines the contract, training pays
+    the removals). SURVEY §3.11.
+
+    Scale shape: the split label is a pure hash projection; the leak
+    check is `contamination.flag_contaminated`'s broadcast-gram join —
+    the eval side is the small fraction by construction, its distinct
+    hashed-gram relation broadcasts, and the only corpus-sized work is
+    one shingle+explode pass over the training side. At 100 TB persist
+    the eval gram relation once (`benchmark_grams`) and reuse it for
+    every later corpus refresh. `keyed`: "hash" (xxhash64 grams, the
+    production default) or "text" (raw gram strings — the externally
+    replayable oracle form, same contract as `contamination`).
+    """
+    weights = weights or {"train": 0.9, "test": 0.1}
+    missing = [e for e in eval_splits if e not in weights]
+    if missing:
+        raise ValueError(
+            f"eval_splits {missing} not in weights {sorted(weights)}")
+    from .contamination import flag_contaminated
+
+    s = deterministic_split(df, id_col, weights, salt=salt,
+                            out_col=out_col)
+    is_eval = F.col(out_col).isin(list(eval_splits))
+    ev = s.where(is_eval)
+    train = s.where(~is_eval)
+    leaky = flag_contaminated(train, ev, id_col, text_col,
+                              n=n, keyed=keyed).select(id_col)
+    clean = train.join(F.broadcast(leaky), id_col, "left_anti")
+    return (clean.unionByName(ev)).select(id_col, out_col)

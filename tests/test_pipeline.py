@@ -4528,3 +4528,42 @@ class TestCorpusLanguageStats:
         assert got.r2 > 0.999
         # intercept ~ ln(1000)
         assert got.intercept == pytest.approx(math.log(1000), abs=0.05)
+
+
+class TestLeakageSafeSplit:
+    def test_planted_leak_dropped_from_train(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            deterministic_split, leakage_safe_split)
+
+        base = ("the quick brown fox jumps over the lazy dog "
+                "while the cat watches from the fence")
+        rows = [(i, f"unique document number {i} about topic {i * 7} "
+                    f"with entirely distinct content {i * 13}")
+                for i in range(40)]
+        df0 = spark.createDataFrame(rows, "doc_id bigint, text string")
+        labels = {r.doc_id: r.split for r in deterministic_split(
+            df0, "doc_id", {"train": 0.5, "test": 0.5}).collect()}
+        a_test = next(i for i in labels if labels[i] == "test")
+        a_train = next(i for i in labels if labels[i] == "train")
+        # plant the SAME text on one train and one test doc -> the
+        # train copy must be dropped, the test copy kept
+        rows = [(i, base) if i in (a_test, a_train)
+                else (i, t) for i, t in rows]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r.doc_id: r.split for r in leakage_safe_split(
+            df, weights={"train": 0.5, "test": 0.5}, n=5).collect()}
+        assert a_train not in got
+        assert got[a_test] == "test"
+        # everyone else keeps their deterministic label
+        for i, lab in labels.items():
+            if i != a_train:
+                assert got[i] == lab
+
+    def test_validation(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            leakage_safe_split)
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="eval_splits"):
+            leakage_safe_split(df, weights={"train": 1.0},
+                               eval_splits=("test",))

@@ -59,7 +59,8 @@ def main():
     quadratic_oracles = {"minhash_near_dup", "simhash_near_dup",
                          "ngram_jaccard", "embedding_near_dup",
                          "incremental_dedup", "dedup_clusters",
-                         "semantic_dedup"}
+                         "semantic_dedup", "dedup_keep_best",
+                         "dup_size_histogram"}
     small_sf = "sf0.01" in SF_DIR or "sf0.001" in SF_DIR
     out = {}
     for name, fn in qs.items():
