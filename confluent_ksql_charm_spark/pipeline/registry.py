@@ -67,6 +67,14 @@ _SIGNATURES = {
                       "[, VEC='embedding'][, INIT='kmeans|first'])"),
     "SCORE_BUCKETS": ("SCORE_BUCKETS(src, SCORE='col'[, N='4']"
                       "[, EXACT='true'])"),
+    "CLUSTER_TERMS": ("CLUSTER_TERMS(src, CLUSTER='cluster', "
+                      "TEXT='text'[, TOP_N='5'])"),
+    "DUP_SIZE_HISTOGRAM": ("DUP_SIZE_HISTOGRAM(src, ID='id', "
+                           "TEXT='text'[, THRESHOLD='0.7'])"),
+    "NGRAM_GROWTH": "NGRAM_GROWTH(src, TEXT='text'[, NS='1,2,3'])",
+    "ZIPF_FIT": "ZIPF_FIT(src, TEXT='text'[, K='100'])",
+    "LEAKAGE_SPLIT": ("LEAKAGE_SPLIT(src, ID='id', TEXT='text'"
+                      "[, TRAIN='0.9'][, N='8'])"),
     "DSIR_SCORE": ("DSIR_SCORE(raw, target, ID='doc_id', TEXT='text'"
                    "[, BUCKETS='10000'][, ALPHA='1.0']"
                    "[, BIGRAMS='true'])"),
@@ -276,6 +284,36 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                                _need(spec, "TEXT"),
                                max_tokens=mx,
                                stride=int(p.get("STRIDE", mx)))
+    if op == "CLUSTER_TERMS":
+        from .similarity import cluster_terms
+        _need_sources(spec, 1)
+        return cluster_terms(dfs[0], cluster_col=_need(spec, "CLUSTER"),
+                             text_col=_need(spec, "TEXT"),
+                             top_n=int(p.get("TOP_N", 5)))
+    if op == "DUP_SIZE_HISTOGRAM":
+        from .dedup import dedup_cluster_sizes, dedup_clusters
+        _need_sources(spec, 1)
+        return dedup_cluster_sizes(dedup_clusters(
+            dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
+            threshold=float(p.get("THRESHOLD", 0.7))))
+    if op == "NGRAM_GROWTH":
+        from .text import ngram_vocab_growth
+        _need_sources(spec, 1)
+        ns = tuple(int(x) for x in p.get("NS", "1,2,3").split(","))
+        return ngram_vocab_growth(dfs[0], _need(spec, "TEXT"), ns=ns)
+    if op == "ZIPF_FIT":
+        from .text import zipf_fit
+        _need_sources(spec, 1)
+        return zipf_fit(dfs[0], _need(spec, "TEXT"),
+                        k=int(p.get("K", 100)))
+    if op == "LEAKAGE_SPLIT":
+        from .sampling import leakage_safe_split
+        _need_sources(spec, 1)
+        train = float(p.get("TRAIN", 0.9))
+        return leakage_safe_split(
+            dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
+            weights={"train": train, "test": 1.0 - train},
+            n=int(p.get("N", 8)))
     if op == "SCORE_BUCKETS":
         from .sampling import score_buckets
         _need_sources(spec, 1)

@@ -497,6 +497,27 @@ class TestPipelineStatements:
         assert [r.vec_id for r in rows] == [1, 2]
         assert rows[0].acos == pytest.approx(1.0, abs=0.05)
 
+    def test_session2_stats_ops_via_sql(self, peng):
+        # NGRAM_GROWTH / ZIPF_FIT / DUP_SIZE_HISTOGRAM / LEAKAGE_SPLIT
+        # reachable from the SQL front end
+        peng.execute("CREATE TABLE growth AS PIPELINE NGRAM_GROWTH("
+                     "docs, TEXT='text', NS='1,2');")
+        got = {r.n for r in peng.sql("SELECT n FROM growth").collect()}
+        assert got == {1, 2}
+        peng.execute("CREATE TABLE zf AS PIPELINE ZIPF_FIT("
+                     "docs, TEXT='text', K='10');")
+        assert peng.sql("SELECT k FROM zf").first().k == 10
+        peng.execute("CREATE TABLE dh AS PIPELINE DUP_SIZE_HISTOGRAM("
+                     "docs, ID='doc_id', TEXT='text');")
+        hist = {r.cluster_size: r.n_clusters for r in peng.sql(
+            "SELECT * FROM dh").collect()}
+        assert hist[2] == 1    # the planted exact-dup pair (docs 1, 2)
+        peng.execute("CREATE TABLE ls AS PIPELINE LEAKAGE_SPLIT("
+                     "docs, ID='doc_id', TEXT='text', TRAIN='0.5', "
+                     "N='5');")
+        labs = {r.split for r in peng.sql("SELECT split FROM ls").collect()}
+        assert labs <= {"train", "test"}
+
     def test_score_buckets_via_sql(self, peng, spark):
         peng.register_source("scored_docs", df=spark.createDataFrame(
             [(i, float(i)) for i in range(1, 9)],
