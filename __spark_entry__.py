@@ -1030,6 +1030,20 @@ def _q_embedding_cluster_stats(spark, sf):
     return cluster_stats(assigned)
 
 
+def _q_token_budget_take(spark, sf):
+    # absolute per-language token budgets: hash-ordered take while the
+    # running whitespace-token total fits (strict: first crosser out).
+    from confluent_ksql_charm_spark.pipeline.sampling import (
+        token_budget_take)
+    from confluent_ksql_charm_spark.pipeline.text import token_count
+
+    docs = _docs(spark, sf).select(
+        "doc_id", "lang", token_count("text").alias("n_tok"))
+    return token_budget_take(docs, "lang", "n_tok",
+                             budgets={"en": 5000, "de": 2000},
+                             default_budget=1000)
+
+
 def _q_leakage_safe_split(spark, sf):
     # deterministic 7/8-1/8 split, then train docs sharing any exact
     # 5-gram with a test doc are dropped (keyed="text" for exact
@@ -1582,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_vocab_growth": _q_ngram_vocab_growth,
         "zipf_fit": _q_zipf_fit,
         "leakage_safe_split": _q_leakage_safe_split,
+        "token_budget_take": _q_token_budget_take,
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
@@ -2531,6 +2546,21 @@ def oracle_sql() -> dict[str, str]:
             "comp AS (SELECT u AS doc_id, MIN(r) AS c FROM reach GROUP BY u) "
             "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster_id "
             "FROM documents d LEFT JOIN comp USING (doc_id)"
+        ),
+        "token_budget_take": (
+            # per-lang hash-ordered running token cumsum <= budget
+            # (en 5000, de 2000, default 1000); strict first-crosser-out
+            "WITH d AS (SELECT doc_id, lang, length("
+            "string_split_regex(trim(text), '\\s+')) AS n_tok, "
+            "('0x' || substr(md5(doc_id::VARCHAR || ':budget'), 1, 13))"
+            "::BIGINT AS h FROM documents), "
+            "c AS (SELECT doc_id, lang, n_tok AS tokens, "
+            "SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum_tokens, "
+            "CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 "
+            "ELSE 1000 END AS cap FROM d) "
+            "SELECT doc_id, lang, tokens, cum_tokens FROM c "
+            "WHERE cum_tokens <= cap"
         ),
         "leakage_safe_split": (
             # md5 unit-hash split at 0.875, then anti-join train docs

@@ -75,6 +75,9 @@ _SIGNATURES = {
     "ZIPF_FIT": "ZIPF_FIT(src, TEXT='text'[, K='100'])",
     "LEAKAGE_SPLIT": ("LEAKAGE_SPLIT(src, ID='id', TEXT='text'"
                       "[, TRAIN='0.9'][, N='8'])"),
+    "TOKEN_BUDGET": ("TOKEN_BUDGET(src, STRATUM='lang', TOKENS='n_tok', "
+                     "BUDGETS='en:5000,de:2000'[, DEFAULT='1000']"
+                     "[, ID='doc_id'])"),
     "DSIR_SCORE": ("DSIR_SCORE(raw, target, ID='doc_id', TEXT='text'"
                    "[, BUCKETS='10000'][, ALPHA='1.0']"
                    "[, BIGRAMS='true'])"),
@@ -314,6 +317,19 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
             dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
             weights={"train": train, "test": 1.0 - train},
             n=int(p.get("N", 8)))
+    if op == "TOKEN_BUDGET":
+        from .sampling import token_budget_take
+        _need_sources(spec, 1)
+        budgets = {}
+        for part in _need(spec, "BUDGETS").split(","):
+            if part.strip():
+                s_, b_ = part.split(":")
+                budgets[s_.strip()] = int(b_)
+        d = p.get("DEFAULT")
+        return token_budget_take(dfs[0], _need(spec, "STRATUM"),
+                                 _need(spec, "TOKENS"), budgets=budgets,
+                                 key_col=p.get("ID", "doc_id"),
+                                 default_budget=int(d) if d else None)
     if op == "SCORE_BUCKETS":
         from .sampling import score_buckets
         _need_sources(spec, 1)

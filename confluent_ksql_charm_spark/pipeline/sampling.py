@@ -598,3 +598,60 @@ def leakage_safe_split(df: DataFrame, id_col: str = "doc_id",
                               n=n, keyed=keyed).select(id_col)
     clean = train.join(F.broadcast(leaky), id_col, "left_anti")
     return (clean.unionByName(ev)).select(id_col, out_col)
+
+
+def token_budget_take(df: DataFrame, stratum_col: str, token_col: str, *,
+                      budgets: dict[str, int],
+                      key_col: str = "doc_id",
+                      default_budget: int | None = None,
+                      salt: str = "budget") -> DataFrame:
+    """Assemble a corpus to ABSOLUTE per-stratum token budgets: within
+    each stratum, documents are ordered by the portable key hash (a
+    deterministic shuffle — no temporal/source bias) and taken while
+    the running token total stays within the stratum's budget. The
+    complement of `mixture_sample`'s ratio view: "give me 300B tokens
+    of web, 50B of code, 20B of papers" is a budget, not a fraction.
+    SURVEY §3.11.
+
+    The FIRST document that would cross the budget is excluded (strict
+    contract: kept tokens <= budget always, even when one doc exceeds
+    the whole budget). Strata not in `budgets` use `default_budget`
+    (None = kept whole). Returns (key, stratum, tokens, cum_tokens) for
+    the kept rows — cum_tokens is the running total INCLUDING the row,
+    so the output is its own audit trail.
+
+    Scale shape: one hash-partition shuffle on the stratum + a
+    per-stratum sort for the running-sum window — the same physical
+    layout `shuffle_shard` already pays for export, so budgeting can
+    ride the export sort. Budgets live in a literal CASE (driver-side
+    dict, |strata|-bounded). No driver-side data motion.
+    """
+    if not budgets and default_budget is None:
+        raise ValueError("provide budgets= (and/or default_budget=)")
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"budget for {k!r} must be >= 0, got {v}")
+    from pyspark.sql import Window
+
+    h = (F.conv(F.substring(F.md5(F.concat(
+        F.col(key_col).cast("string"), F.lit(":" + salt))), 1, 13),
+        16, 10).cast("bigint"))
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(h.asc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(token_col)).over(w)
+    cap: Column | None = None
+    for s, b in budgets.items():
+        cond = F.col(stratum_col) == s
+        cap = (F.when(cond, F.lit(b)) if cap is None
+               else cap.when(cond, F.lit(b)))
+    if cap is None:
+        cap = F.lit(default_budget)
+    elif default_budget is not None:
+        cap = cap.otherwise(F.lit(default_budget))
+    out = df.select(F.col(key_col), F.col(stratum_col),
+                    F.col(token_col).alias("tokens"),
+                    cum.alias("cum_tokens"), cap.alias("__cap"))
+    return (out.where(F.col("__cap").isNull()
+                      | (F.col("cum_tokens") <= F.col("__cap")))
+            .drop("__cap"))

@@ -4567,3 +4567,63 @@ class TestLeakageSafeSplit:
         with pytest.raises(ValueError, match="eval_splits"):
             leakage_safe_split(df, weights={"train": 1.0},
                                eval_splits=("test",))
+
+
+class TestTokenBudgetTake:
+    def test_budget_respected_strict(self, spark):
+        import hashlib
+
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            token_budget_take)
+
+        rows = [(i, "w", 10) for i in range(10)]          # 100 tokens
+        df = spark.createDataFrame(rows, "doc_id bigint, s string, t int")
+        got = token_budget_take(df, "s", "t", budgets={"w": 35},
+                                key_col="doc_id").collect()
+        # 10-token docs: exactly 3 fit a 35-token budget (strict)
+        assert len(got) == 3
+        assert max(r.cum_tokens for r in got) == 30
+        # the kept set is the hash-order prefix, recomputable outside
+        def h(i):
+            return (int(hashlib.md5(f"{i}:budget".encode())
+                        .hexdigest()[:13], 16), i)
+        want = sorted(range(10), key=h)[:3]
+        assert sorted(r.doc_id for r in got) == sorted(want)
+
+    def test_default_budget_and_unbudgeted_kept_whole(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            token_budget_take)
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 10), (3, "b", 10), (4, "b", 10)],
+            "doc_id bigint, s string, t int")
+        # budget only for 'a'; no default -> 'b' kept whole
+        got = token_budget_take(df, "s", "t", budgets={"a": 10})
+        by = {}
+        for r in got.collect():
+            by.setdefault(r.s, []).append(r.doc_id)
+        assert len(by["a"]) == 1 and len(by["b"]) == 2
+        # with default: 'b' capped too
+        got2 = token_budget_take(df, "s", "t", budgets={"a": 10},
+                                 default_budget=10)
+        assert got2.count() == 2
+
+    def test_oversize_doc_excluded(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            token_budget_take)
+
+        df = spark.createDataFrame([(1, "a", 100)],
+                                   "doc_id bigint, s string, t int")
+        assert token_budget_take(df, "s", "t",
+                                 budgets={"a": 50}).count() == 0
+
+    def test_validation(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            token_budget_take)
+
+        df = spark.createDataFrame([(1, "a", 1)],
+                                   "doc_id bigint, s string, t int")
+        with pytest.raises(ValueError, match="budgets"):
+            token_budget_take(df, "s", "t", budgets={})
+        with pytest.raises(ValueError, match=">= 0"):
+            token_budget_take(df, "s", "t", budgets={"a": -1})
