@@ -1071,6 +1071,16 @@ def _q_zipf_fit(spark, sf):
     return zipf_fit(_docs(spark, sf), k=100)
 
 
+def _q_top_repeated_spans(spark, sf):
+    # most-duplicated exact 10-token windows with their text, top-20 by
+    # count (ties to the smaller portable window hash).
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        portable_token_hash, top_repeated_spans)
+
+    return top_repeated_spans(_docs(spark, sf), "doc_id", "text",
+                              n=10, k=20, token_hash=portable_token_hash)
+
+
 def _q_dup_size_histogram(spark, sf):
     # duplication profile: dedup_clusters' assignment folded to a
     # (cluster_size, n_clusters) histogram.
@@ -1593,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": _q_quality_buckets,
         "cluster_terms": _q_cluster_terms,
         "dup_size_histogram": _q_dup_size_histogram,
+        "top_repeated_spans": _q_top_repeated_spans,
         "ngram_vocab_growth": _q_ngram_vocab_growth,
         "zipf_fit": _q_zipf_fit,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -2618,6 +2629,21 @@ def oracle_sql() -> dict[str, str]:
             "AS intercept, "
             "ROUND(covar_pop(x, y) * covar_pop(x, y) / "
             "(var_pop(x) * var_pop(y)), 6) AS r2 FROM xy"
+        ),
+        "top_repeated_spans": (
+            # 10-token windows (docs >= 10 tokens), counts + doc counts,
+            # top-20 by (count desc, portable md5-60bit hash asc)
+            "WITH t AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS t FROM documents), "
+            "w AS (SELECT doc_id, unnest([array_to_string(t[i:i+9], ' ') "
+            "FOR i IN generate_series(1, length(t) - 9)]) AS w "
+            "FROM t WHERE length(t) >= 10), "
+            "st AS (SELECT w, count(*) AS n_occurrences, "
+            "count(DISTINCT doc_id) AS n_docs, "
+            "('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w "
+            "GROUP BY w HAVING count(*) >= 2) "
+            "SELECT w AS span_text, n_occurrences, n_docs FROM st "
+            "ORDER BY n_occurrences DESC, h ASC LIMIT 20"
         ),
         "dup_size_histogram": (
             # dedup_clusters' CC replay folded to the size histogram

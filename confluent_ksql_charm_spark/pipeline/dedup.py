@@ -1063,3 +1063,64 @@ def dedup_cluster_sizes(clusters: DataFrame, *,
         F.count("*").alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(
         F.count("*").alias("n_clusters"))
+
+
+def top_repeated_spans(df: DataFrame, id_col: str, text_col: str, *,
+                       n: int = 50, min_dup: int = 2, k: int = 20,
+                       token_hash=None) -> DataFrame:
+    """The most-duplicated exact n-token windows in the corpus, with
+    their text: (span_text, n_occurrences, n_docs) for the top `k`
+    windows by occurrence count — the observability readout that tells
+    you WHAT `substring_dedup` would remove (licence blocks, templated
+    sentences, quoted chunks) before you commit to removing it.
+    SURVEY §3.11.
+
+    Ranking ties break on the window hash ascending (deterministic).
+    ``token_hash`` follows the `fingerprint64` contract: default
+    ``xxhash64`` (fast production path); pass ``portable_token_hash``
+    for the md5 form an outside engine replays bit-identically.
+
+    Scale shape: windows ride the scan as hashes (never strings); one
+    hash-aggregate with map-side combine → repeats only → top-k cut.
+    The span TEXT is rebuilt only for the k winners: one example
+    occurrence per hash (min (doc, pos) struct), then a k-row join back
+    to the corpus — the string materialization cost is O(k·n) tokens,
+    not corpus-sized.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2 tokens, got {n}")
+    if min_dup < 2:
+        raise ValueError(f"min_dup must be >= 2, got {min_dup}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hash_fn = token_hash or F.xxhash64
+    toks = tokens_col(text_col)
+    nt = F.size(toks)
+    win_hashes = F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(0), nt - n),
+            lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    win = ensure_parallelism(df).select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(win_hashes).alias("__pos", "__h"))
+    top = (win.groupBy("__h")
+           .agg(F.count("*").alias("n_occurrences"),
+                F.count_distinct("__doc").alias("n_docs"))
+           .where(F.col("n_occurrences") >= min_dup)
+           .orderBy(F.col("n_occurrences").desc(), F.col("__h").asc())
+           .limit(k))
+    ex = (win.join(F.broadcast(top.select("__h")), "__h")
+          .groupBy("__h")
+          .agg(F.min(F.struct("__doc", "__pos")).alias("__ex")))
+    rebuilt = (ex.select("__h", F.col("__ex.__doc").alias("__doc"),
+                         F.col("__ex.__pos").alias("__pos"))
+               .join(df.select(F.col(id_col).alias("__doc"),
+                               toks.alias("__t")), "__doc")
+               .select("__h", F.concat_ws(
+                   " ", F.slice(F.col("__t"), F.col("__pos") + 1, n))
+                   .alias("span_text")))
+    return (top.join(rebuilt, "__h")
+            .select("span_text", "n_occurrences", "n_docs"))

@@ -78,6 +78,8 @@ _SIGNATURES = {
     "TOKEN_BUDGET": ("TOKEN_BUDGET(src, STRATUM='lang', TOKENS='n_tok', "
                      "BUDGETS='en:5000,de:2000'[, DEFAULT='1000']"
                      "[, ID='doc_id'])"),
+    "REPEATED_SPANS": ("REPEATED_SPANS(src, ID='id', TEXT='text'"
+                       "[, N='50'][, K='20'][, MIN_DUP='2'])"),
     "DSIR_SCORE": ("DSIR_SCORE(raw, target, ID='doc_id', TEXT='text'"
                    "[, BUCKETS='10000'][, ALPHA='1.0']"
                    "[, BIGRAMS='true'])"),
@@ -317,6 +319,14 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
             dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
             weights={"train": train, "test": 1.0 - train},
             n=int(p.get("N", 8)))
+    if op == "REPEATED_SPANS":
+        from .dedup import top_repeated_spans
+        _need_sources(spec, 1)
+        return top_repeated_spans(dfs[0], _need(spec, "ID"),
+                                  _need(spec, "TEXT"),
+                                  n=int(p.get("N", 50)),
+                                  min_dup=int(p.get("MIN_DUP", 2)),
+                                  k=int(p.get("K", 20)))
     if op == "TOKEN_BUDGET":
         from .sampling import token_budget_take
         _need_sources(spec, 1)

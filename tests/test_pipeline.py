@@ -4627,3 +4627,83 @@ class TestTokenBudgetTake:
             token_budget_take(df, "s", "t", budgets={})
         with pytest.raises(ValueError, match=">= 0"):
             token_budget_take(df, "s", "t", budgets={"a": -1})
+
+
+class TestIngestDSIRGateStreaming:
+    SCHEMA = "doc_id bigint, text string"
+
+    def test_dsir_gate_in_full_writestream(self, spark, tmp_path):
+        # the DSIR admission gate through the real streaming path:
+        # readStream -> foreachBatch(gate) -> corpus append, availableNow
+        from confluent_ksql_charm_spark.pipeline.ingest import (
+            start_corpus_ingest)
+        from confluent_ksql_charm_spark.pipeline.text import (
+            dsir_fit, dsir_score, save_dsir_model)
+
+        raw = spark.createDataFrame(TestDSIR.DOCS, self.SCHEMA)
+        target = raw.where(f"doc_id in {TestDSIR.TARGET_IDS}")
+        model = dsir_fit(raw, target, buckets=4096)
+        save_dsir_model(model, str(tmp_path / "model"))
+
+        batch = spark.createDataFrame(
+            [(10, "quantum gauge theory field notes arrive here"),
+             (11, "the lazy brown dog runs around all day long")],
+            self.SCHEMA)
+        scores = {r.doc_id: r.log_ratio
+                  for r in dsir_score(batch, model).collect()}
+        thr = (scores[10] + scores[11]) / 2
+
+        src = tmp_path / "src"
+        batch.write.parquet(str(src))
+        q = start_corpus_ingest(
+            spark.readStream.schema(self.SCHEMA).parquet(str(src)),
+            str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+            clean=False, quality_gate=False,
+            dsir_model_path=str(tmp_path / "model"),
+            dsir_min_logratio=thr, available_now=True)
+        q.awaitTermination(60)
+        kept = {r.doc_id for r in
+                spark.read.parquet(str(tmp_path / "corpus")).collect()}
+        assert kept == {10}
+
+
+class TestTopRepeatedSpans:
+    def test_planted_repeated_block(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            top_repeated_spans)
+
+        block = "one two three four five"
+        df = spark.createDataFrame(
+            [(1, f"{block} alpha beta gamma"),
+             (2, f"{block} delta epsilon zeta"),
+             (3, f"start {block} end tail"),
+             (4, "entirely unrelated words in this document here")],
+            "doc_id bigint, text string")
+        got = top_repeated_spans(df, "doc_id", "text", n=5, k=3).collect()
+        top = got[0] if got[0].n_occurrences >= got[-1].n_occurrences \
+            else got[-1]
+        by_text = {r.span_text: r for r in got}
+        assert block in by_text
+        assert by_text[block].n_occurrences == 3
+        assert by_text[block].n_docs == 3
+
+    def test_no_repeats_empty(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            top_repeated_spans)
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "g h i j k l")],
+            "doc_id bigint, text string")
+        assert top_repeated_spans(df, "doc_id", "text", n=5).count() == 0
+
+    def test_validation(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            top_repeated_spans)
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="n must"):
+            top_repeated_spans(df, "doc_id", "text", n=1)
+        with pytest.raises(ValueError, match="min_dup"):
+            top_repeated_spans(df, "doc_id", "text", min_dup=1)
+        with pytest.raises(ValueError, match="k must"):
+            top_repeated_spans(df, "doc_id", "text", k=0)
