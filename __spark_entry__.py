@@ -1030,6 +1030,18 @@ def _q_embedding_cluster_stats(spark, sf):
     return cluster_stats(assigned)
 
 
+def _q_curriculum_order(spark, sf):
+    # easy-first curriculum positions inside 4 hash shards, difficulty =
+    # whitespace token count (short docs first), ties to the lower id.
+    from confluent_ksql_charm_spark.pipeline.sampling import (
+        curriculum_order)
+    from confluent_ksql_charm_spark.pipeline.text import token_count
+
+    docs = _docs(spark, sf).select(
+        "doc_id", token_count("text").alias("n_tok"))
+    return curriculum_order(docs, "doc_id", "n_tok", num_shards=4)
+
+
 def _q_token_budget_take(spark, sf):
     # absolute per-language token budgets: hash-ordered take while the
     # running whitespace-token total fits (strict: first crosser out).
@@ -1608,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _q_zipf_fit,
         "leakage_safe_split": _q_leakage_safe_split,
         "token_budget_take": _q_token_budget_take,
+        "curriculum_order": _q_curriculum_order,
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
@@ -2557,6 +2570,17 @@ def oracle_sql() -> dict[str, str]:
             "comp AS (SELECT u AS doc_id, MIN(r) AS c FROM reach GROUP BY u) "
             "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster_id "
             "FROM documents d LEFT JOIN comp USING (doc_id)"
+        ),
+        "curriculum_order": (
+            # md5 hash shard in [0,4), dense easy-first position per
+            # shard ordered by (token count asc, doc_id asc)
+            "WITH d AS (SELECT doc_id, length(string_split_regex("
+            "trim(text), '\\s+')) AS score, "
+            "('0x' || substr(md5(doc_id::VARCHAR || ':curriculum'), "
+            "1, 13))::BIGINT % 4 AS shard FROM documents) "
+            "SELECT doc_id, score, CAST(shard AS INT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY shard "
+            "ORDER BY score, doc_id) - 1 AS BIGINT) AS pos FROM d"
         ),
         "token_budget_take": (
             # per-lang hash-ordered running token cumsum <= budget

@@ -80,6 +80,8 @@ _SIGNATURES = {
                      "[, ID='doc_id'])"),
     "REPEATED_SPANS": ("REPEATED_SPANS(src, ID='id', TEXT='text'"
                        "[, N='50'][, K='20'][, MIN_DUP='2'])"),
+    "CURRICULUM": ("CURRICULUM(src, ID='id', SCORE='col'"
+                   "[, SHARDS='8'][, ASC='true'])"),
     "DSIR_SCORE": ("DSIR_SCORE(raw, target, ID='doc_id', TEXT='text'"
                    "[, BUCKETS='10000'][, ALPHA='1.0']"
                    "[, BIGRAMS='true'])"),
@@ -319,6 +321,14 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
             dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
             weights={"train": train, "test": 1.0 - train},
             n=int(p.get("N", 8)))
+    if op == "CURRICULUM":
+        from .sampling import curriculum_order
+        _need_sources(spec, 1)
+        return curriculum_order(dfs[0], _need(spec, "ID"),
+                                _need(spec, "SCORE"),
+                                num_shards=int(p.get("SHARDS", 8)),
+                                ascending=p.get("ASC", "true").lower()
+                                == "true")
     if op == "REPEATED_SPANS":
         from .dedup import top_repeated_spans
         _need_sources(spec, 1)

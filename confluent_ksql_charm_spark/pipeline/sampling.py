@@ -655,3 +655,36 @@ def token_budget_take(df: DataFrame, stratum_col: str, token_col: str, *,
     return (out.where(F.col("__cap").isNull()
                       | (F.col("cum_tokens") <= F.col("__cap")))
             .drop("__cap"))
+
+
+def curriculum_order(df: DataFrame, key_col: str, score_col: str, *,
+                     num_shards: int = 8, ascending: bool = True,
+                     salt: str = "curriculum") -> DataFrame:
+    """Curriculum-learning export order: rows land in a deterministic
+    hash shard and get a dense per-shard position ordered by the
+    difficulty score (ascending = easy-first; ties to the lower key) —
+    so every shard independently reads its examples easy→hard while the
+    shards stay statistically identical slices of the corpus (the hash
+    shard IS the shuffle). The curriculum twin of `shuffle_shard`.
+    SURVEY §3.11.
+
+    Returns (key, score, shard, pos). Scale shape: identical to the
+    export layout's own cost — one hash-partition shuffle on the shard
+    id + a per-shard sort the `partitionBy(shard)` sorted write needs
+    anyway; position is a row_number over that sort, so the curriculum
+    is free relative to plain sharded export.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    from pyspark.sql import Window
+
+    h = (F.conv(F.substring(F.md5(F.concat(
+        F.col(key_col).cast("string"), F.lit(":" + salt))), 1, 13),
+        16, 10).cast("bigint"))
+    s = F.col(score_col)
+    order = [s.asc() if ascending else s.desc(), F.col(key_col).asc()]
+    w = Window.partitionBy("shard").orderBy(*order)
+    return (df.withColumn("shard",
+                          F.pmod(h, F.lit(num_shards)).cast("int"))
+            .select(F.col(key_col), s.alias("score"), "shard",
+                    (F.row_number().over(w) - 1).alias("pos")))

@@ -4707,3 +4707,50 @@ class TestTopRepeatedSpans:
             top_repeated_spans(df, "doc_id", "text", min_dup=1)
         with pytest.raises(ValueError, match="k must"):
             top_repeated_spans(df, "doc_id", "text", k=0)
+
+
+class TestCurriculumOrder:
+    def test_easy_first_within_each_shard(self, spark):
+        import hashlib
+
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            curriculum_order)
+
+        rows = [(i, (i * 37) % 100) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id bigint, difficulty int")
+        got = curriculum_order(df, "doc_id", "difficulty",
+                               num_shards=4).collect()
+        assert len(got) == 50
+        by_shard = {}
+        for r in got:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, members in by_shard.items():
+            members.sort(key=lambda r: r.pos)
+            assert [r.pos for r in members] == list(range(len(members)))
+            keys = [(r.score, r.doc_id) for r in members]
+            assert keys == sorted(keys)          # easy-first, id ties
+        # shard assignment is the portable hash, recomputable outside
+        def shard(i):
+            return int(hashlib.md5(
+                f"{i}:curriculum".encode()).hexdigest()[:13], 16) % 4
+        for r in got:
+            assert r.shard == shard(r.doc_id)
+
+    def test_descending_hard_first(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            curriculum_order)
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 9), (3, 1)], "doc_id bigint, s int")
+        got = sorted(curriculum_order(df, "doc_id", "s", num_shards=1,
+                                      ascending=False).collect(),
+                     key=lambda r: r.pos)
+        assert [r.doc_id for r in got] == [2, 1, 3]
+
+    def test_validation(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            curriculum_order)
+
+        df = spark.createDataFrame([(1, 1)], "doc_id bigint, s int")
+        with pytest.raises(ValueError, match="num_shards"):
+            curriculum_order(df, "doc_id", "s", num_shards=0)
