@@ -688,3 +688,32 @@ def curriculum_order(df: DataFrame, key_col: str, score_col: str, *,
                           F.pmod(h, F.lit(num_shards)).cast("int"))
             .select(F.col(key_col), s.alias("score"), "shard",
                     (F.row_number().over(w) - 1).alias("pos")))
+
+
+def export_jsonl(df: DataFrame, path: str, *, key_col: str,
+                 num_shards: int = 8, salt: str = "shuffle",
+                 compression: str | None = "gzip") -> None:
+    """Training-export writer: the corpus as shard-partitioned JSONL
+    (`path/shard=N/*.json[.gz]`), rows inside every file in the
+    deterministic `shuffle_shard` order — the layout a training loader
+    consumes directly (one reader per shard, sequential scan, no
+    further shuffling needed, re-export with the same salt is
+    byte-stable for unchanged rows). SURVEY §3.11.
+
+    Scale shape: one hash shuffle into `num_shards` partitions + a
+    per-partition sort — exactly the physical work the sorted sharded
+    layout requires; JSON serialization is JVM-side `to_json` (no
+    Python). Size shards to the loader's parallelism; gzip by default
+    (the text writer streams the codec — no extra pass).
+    """
+    from pyspark.sql import functions as F2
+
+    cols = df.columns
+    sharded = shuffle_shard(df, key_col, num_shards, salt=salt)
+    out = (sharded.repartition(num_shards, "shard")
+           .sortWithinPartitions("shard", "pos")
+           .select("shard", F2.to_json(F2.struct(*cols)).alias("value")))
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)

@@ -4754,3 +4754,39 @@ class TestCurriculumOrder:
         df = spark.createDataFrame([(1, 1)], "doc_id bigint, s int")
         with pytest.raises(ValueError, match="num_shards"):
             curriculum_order(df, "doc_id", "s", num_shards=0)
+
+
+class TestExportJsonl:
+    def test_round_trip_and_in_file_order(self, spark, tmp_path):
+        import glob
+        import gzip
+        import json
+
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            export_jsonl, shuffle_shard)
+
+        rows = [(i, f"doc number {i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = str(tmp_path / "export")
+        export_jsonl(df, out, key_col="doc_id", num_shards=4)
+        back = spark.read.json(f"{out}/shard=*/")
+        assert sorted((r.doc_id, r.text) for r in back.collect()) == rows
+        # files inside a shard dir follow the deterministic pos order
+        want = {(r.shard, r.doc_id): r.pos for r in shuffle_shard(
+            df, "doc_id", 4).collect()}
+        for d in glob.glob(f"{out}/shard=*"):
+            shard = int(d.rsplit("=", 1)[1])
+            for f in sorted(glob.glob(f"{d}/*.gz")):
+                poses = [want[(shard, json.loads(line)["doc_id"])]
+                         for line in gzip.open(f, "rt")]
+                assert poses == sorted(poses)
+
+    def test_uncompressed(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            export_jsonl)
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        out = str(tmp_path / "plain")
+        export_jsonl(df, out, key_col="doc_id", num_shards=1,
+                     compression=None)
+        assert spark.read.json(f"{out}/shard=*/").count() == 1
