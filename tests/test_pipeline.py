@@ -4790,3 +4790,26 @@ class TestExportJsonl:
         export_jsonl(df, out, key_col="doc_id", num_shards=1,
                      compression=None)
         assert spark.read.json(f"{out}/shard=*/").count() == 1
+
+
+class TestIVFPQResidualFiltered:
+    def test_where_filters_inside_probed_cells(self, spark):
+        # filtered search composes with the residual scan: full probe +
+        # predicate == exact-over-filtered-corpus ordering
+        from pyspark.sql import functions as F
+
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        df = TestIVFPQResidual._clustered(spark, per=10).withColumn(
+            "label", (F.col("vec_id") % 2).cast("int"))
+        idx = sim.ivf_pq_index_residual(
+            df, nlist=4, m=2, ksub=40, n_iter=0, init="first",
+            sample_fraction=None, keep=["label"])
+        q = [1.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        got = [r.vec_id for r in sim.ivf_pq_topk(
+            df, q, k=8, nprobe=4, index=idx,
+            where=F.col("label") == 1, keep_cols=["label"]).collect()]
+        want = [r.vec_id for r in sim.cosine_topk(
+            df.where("label = 1"), q, k=8).collect()]
+        assert got == want
+        assert all(v % 2 == 1 for v in got)
