@@ -1030,6 +1030,16 @@ def _q_embedding_cluster_stats(spark, sf):
     return cluster_stats(assigned)
 
 
+def _q_weighted_sample(spark, sf):
+    # Efraimidis-Spirakis PPS-without-replacement via Gumbel keys:
+    # 50 docs weighted by n_chars, deterministic md5 noise.
+    from confluent_ksql_charm_spark.pipeline.sampling import (
+        weighted_sample)
+
+    return weighted_sample(_docs(spark, sf), "doc_id", 50,
+                           weight_col="n_chars")
+
+
 def _q_curriculum_order(spark, sf):
     # easy-first curriculum positions inside 4 hash shards, difficulty =
     # whitespace token count (short docs first), ties to the lower id.
@@ -1621,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "token_budget_take": _q_token_budget_take,
         "curriculum_order": _q_curriculum_order,
+        "weighted_sample": _q_weighted_sample,
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
@@ -2570,6 +2581,16 @@ def oracle_sql() -> dict[str, str]:
             "comp AS (SELECT u AS doc_id, MIN(r) AS c FROM reach GROUP BY u) "
             "SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster_id "
             "FROM documents d LEFT JOIN comp USING (doc_id)"
+        ),
+        "weighted_sample": (
+            # top-50 by round(ln(weight) + gumbel(md5), 6), lower-id ties
+            "SELECT doc_id, weight, gumbel_key FROM (SELECT doc_id, "
+            "CAST(n_chars AS DOUBLE) AS weight, "
+            "ROUND(ln(n_chars * 1.0) + (-ln(-ln((('0x' || "
+            "substr(md5(doc_id::VARCHAR || ':wsample'), 1, 13))::BIGINT "
+            "+ 0.5) / 4503599627370496.0))), 6) AS gumbel_key "
+            "FROM documents WHERE n_chars > 0) "
+            "ORDER BY gumbel_key DESC, doc_id LIMIT 50"
         ),
         "curriculum_order": (
             # md5 hash shard in [0,4), dense easy-first position per

@@ -82,6 +82,8 @@ _SIGNATURES = {
                        "[, N='50'][, K='20'][, MIN_DUP='2'])"),
     "CURRICULUM": ("CURRICULUM(src, ID='id', SCORE='col'"
                    "[, SHARDS='8'][, ASC='true'])"),
+    "WEIGHTED_SAMPLE": ("WEIGHTED_SAMPLE(src, ID='id', K='100'"
+                        "[, WEIGHT='col'])"),
     "DSIR_SCORE": ("DSIR_SCORE(raw, target, ID='doc_id', TEXT='text'"
                    "[, BUCKETS='10000'][, ALPHA='1.0']"
                    "[, BIGRAMS='true'])"),
@@ -321,6 +323,12 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
             dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
             weights={"train": train, "test": 1.0 - train},
             n=int(p.get("N", 8)))
+    if op == "WEIGHTED_SAMPLE":
+        from .sampling import weighted_sample
+        _need_sources(spec, 1)
+        return weighted_sample(dfs[0], _need(spec, "ID"),
+                               int(_need(spec, "K")),
+                               weight_col=p.get("WEIGHT"))
     if op == "CURRICULUM":
         from .sampling import curriculum_order
         _need_sources(spec, 1)

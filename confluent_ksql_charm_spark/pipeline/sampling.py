@@ -717,3 +717,48 @@ def export_jsonl(df: DataFrame, path: str, *, key_col: str,
     if compression:
         writer = writer.option("compression", compression)
     writer.text(path)
+
+
+def weighted_sample(df: DataFrame, key_col: str, k: int, *,
+                    weight_col: str | None = None,
+                    salt: str = "wsample") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: take the k
+    rows with the largest ``ln(weight) + Gumbel`` keys — the
+    Efraimidis–Spirakis reservoir scheme in its Gumbel-key form, so the
+    inclusion distribution is exactly probability-proportional-to-weight
+    without replacement. `weight_col=None` degrades to a uniform
+    deterministic sample. The generic primitive behind `dsir_sample`
+    (which uses its importance log-ratio as the log-weight). SURVEY
+    §3.11.
+
+    Rows with NULL or non-positive weight are EXCLUDED (their inclusion
+    probability is zero/undefined — documented, not an error). The
+    Gumbel noise is the portable md5 hash of (key, salt): reproducible
+    across retries, engines, and repartitioning; change `salt` to
+    redraw. Returns (key, weight, gumbel_key) — gumbel_key rounded to 6
+    BEFORE the cut, ties to the lower key.
+
+    Scale shape: one projection + TakeOrderedAndProject (per-partition
+    k-heaps, k rows to the driver) — no shuffle, no global sort; the
+    100 TB cost is the scan it rides.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = (F.conv(F.substring(F.md5(F.concat(
+        F.col(key_col).cast("string"), F.lit(":" + salt))), 1, 13),
+        16, 10).cast("bigint"))
+    u = (h + F.lit(0.5)) / F.lit(_DENOM)
+    g = -F.log(-F.log(u))
+    if weight_col is None:
+        w = F.lit(1.0)
+        out_w = F.lit(1.0).alias("weight")
+    else:
+        w = F.col(weight_col).cast("double")
+        out_w = w.alias("weight")
+    scored = df.select(F.col(key_col), out_w,
+                       F.round(F.log(w) + g, 6).alias("gumbel_key"))
+    if weight_col is not None:
+        scored = scored.where(F.col("weight") > 0)
+    return (scored
+            .orderBy(F.col("gumbel_key").desc(), F.col(key_col).asc())
+            .limit(k))

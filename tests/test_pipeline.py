@@ -4813,3 +4813,50 @@ class TestIVFPQResidualFiltered:
             df.where("label = 1"), q, k=8).collect()]
         assert got == want
         assert all(v % 2 == 1 for v in got)
+
+
+class TestWeightedSample:
+    def test_matches_python_gumbel_keys(self, spark):
+        import hashlib
+        import math
+
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            weighted_sample)
+
+        rows = [(i, float(i + 1)) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id bigint, w double")
+
+        def key(i, w):
+            h = int(hashlib.md5(
+                f"{i}:wsample".encode()).hexdigest()[:13], 16)
+            u = (h + 0.5) / float(1 << 52)
+            return round(math.log(w) + (-math.log(-math.log(u))), 6)
+
+        want = sorted(rows, key=lambda r: (-key(*r), r[0]))[:5]
+        got = weighted_sample(df, "doc_id", 5, weight_col="w").collect()
+        assert [r.doc_id for r in got] == [i for i, _ in want]
+        for r, (i, w) in zip(got, want):
+            assert r.gumbel_key == pytest.approx(key(i, w), abs=2e-6)
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            weighted_sample)
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 0.0), (3, -2.0), (4, None), (5, 3.0)],
+            "doc_id bigint, w double")
+        got = {r.doc_id for r in weighted_sample(
+            df, "doc_id", 10, weight_col="w").collect()}
+        assert got == {1, 5}
+
+    def test_uniform_when_no_weight(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            weighted_sample)
+
+        df = spark.createDataFrame([(i,) for i in range(30)],
+                                   "doc_id bigint")
+        got = weighted_sample(df, "doc_id", 10).collect()
+        assert len(got) == 10
+        assert all(r.weight == 1.0 for r in got)
+        with pytest.raises(ValueError, match="k must"):
+            weighted_sample(df, "doc_id", 0)

@@ -511,3 +511,15 @@ class TestClusterTermsPlans:
         assert "WindowGroupLimit" in plan
         assert "CartesianProduct" not in plan
         assert "Python" not in plan
+
+
+class TestWeightedSamplePlans:
+    def test_take_ordered_no_shuffle(self, engine):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            weighted_sample)
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(weighted_sample(docs, "doc_id", 50,
+                                     weight_col="n_chars"))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
