@@ -706,13 +706,11 @@ def export_jsonl(df: DataFrame, path: str, *, key_col: str,
     Python). Size shards to the loader's parallelism; gzip by default
     (the text writer streams the codec — no extra pass).
     """
-    from pyspark.sql import functions as F2
-
     cols = df.columns
     sharded = shuffle_shard(df, key_col, num_shards, salt=salt)
     out = (sharded.repartition(num_shards, "shard")
            .sortWithinPartitions("shard", "pos")
-           .select("shard", F2.to_json(F2.struct(*cols)).alias("value")))
+           .select("shard", F.to_json(F.struct(*cols)).alias("value")))
     writer = out.write.mode("overwrite").partitionBy("shard")
     if compression:
         writer = writer.option("compression", compression)
