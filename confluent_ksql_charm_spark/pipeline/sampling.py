@@ -756,7 +756,11 @@ def weighted_sample(df: DataFrame, key_col: str, k: int, *,
     scored = df.select(F.col(key_col), out_w,
                        F.round(F.log(w) + g, 6).alias("gumbel_key"))
     if weight_col is not None:
-        scored = scored.where(F.col("weight") > 0)
+        # NaN compares GREATER than any double in Spark SQL, so a bare
+        # `> 0` would let NaN weights through — and ln(NaN)=NaN keys
+        # sort above everything, hijacking the whole top-k
+        scored = scored.where((F.col("weight") > 0)
+                              & ~F.isnan(F.col("weight")))
     return (scored
             .orderBy(F.col("gumbel_key").desc(), F.col(key_col).asc())
             .limit(k))

@@ -4843,10 +4843,13 @@ class TestWeightedSample:
             weighted_sample)
 
         df = spark.createDataFrame(
-            [(1, 1.0), (2, 0.0), (3, -2.0), (4, None), (5, 3.0)],
+            [(1, 1.0), (2, 0.0), (3, -2.0), (4, None), (5, 3.0),
+             (6, float("nan"))],
             "doc_id bigint, w double")
         got = {r.doc_id for r in weighted_sample(
             df, "doc_id", 10, weight_col="w").collect()}
+        # NaN weight must NOT hijack the top-k (NaN > 0 is true in
+        # Spark's ordering semantics — explicitly excluded)
         assert got == {1, 5}
 
     def test_uniform_when_no_weight(self, spark):
