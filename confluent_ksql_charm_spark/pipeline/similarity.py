@@ -1785,8 +1785,17 @@ def ivf_pq_add(spark, path: str, new_df: DataFrame, *,
     existing = spark.read.parquet(os.path.join(path, "index.parquet"))
     packed = "pq_bytes" in existing.columns
     assigned = assign_cells(new_df, centers, vec_col=vec_col)
-    codes = pq_encode(assigned, codebook, vec_col=vec_col,
-                      id_col=id_col, keep=["__cell"], packed=packed)
+    if meta["params"].get("by_residual"):
+        # residual index: codes quantize u - c_cell, so the add must
+        # encode the RESIDUAL under the stored codebook — encoding the
+        # raw vector here would silently corrupt every later probe
+        res = _residual_frame(assigned, centers, vec_col=vec_col,
+                              id_col=id_col)
+        codes = pq_encode(res, codebook, vec_col="__res",
+                          id_col=id_col, keep=["__cell"], packed=packed)
+    else:
+        codes = pq_encode(assigned, codebook, vec_col=vec_col,
+                          id_col=id_col, keep=["__cell"], packed=packed)
     writer = codes.write.mode("append")
     if meta.get("partition_by"):
         writer = writer.partitionBy(meta["partition_by"])

@@ -4863,3 +4863,41 @@ class TestWeightedSample:
         assert all(r.weight == 1.0 for r in got)
         with pytest.raises(ValueError, match="k must"):
             weighted_sample(df, "doc_id", 0)
+
+
+class TestIVFPQResidualAdd:
+    def test_add_equals_rebuild_under_stored_codebook(self, spark,
+                                                      tmp_path):
+        # incremental add to a RESIDUAL index must encode u - c_cell
+        # (raw-vector encoding would silently corrupt probes): probing
+        # after add == probing an index built over base+new with the
+        # SAME centers/codebook
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        full = TestIVFPQResidual._clustered(spark, per=12)   # 48 rows
+        base = full.where("vec_id % 4 != 0")
+        new = full.where("vec_id % 4 = 0")
+        idx = sim.ivf_pq_index_residual(base, nlist=4, m=2, ksub=16,
+                                        seed=7, sample_fraction=None)
+        path = str(tmp_path / "rpq")
+        sim.save_ann_index(idx, path, kind="ivf_pq",
+                           params={"m": 2, "ksub": 16},
+                           partition_by="__cell")
+        sim.ivf_pq_add(spark, path, new)
+        loaded, params = sim.load_ann_index(spark, path)
+        assert params["by_residual"] is True
+        q = [0.0, 1.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0]
+        got = [(r.vec_id, r.acos) for r in sim.ivf_pq_topk(
+            full, q, k=8, nprobe=4, index=loaded).collect()]
+        # reference: encode base+new directly under the same index's
+        # centers+codebook (what a clean rebuild with pinned artifacts
+        # would produce)
+        res = sim._residual_frame(
+            sim.assign_cells(full, idx[1]), idx[1],
+            vec_col="embedding", id_col="vec_id")
+        codes = sim.pq_encode(res, idx[2], vec_col="__res",
+                              id_col="vec_id", keep=["__cell"])
+        want_idx = (codes, idx[1], idx[2], "residual")
+        want = [(r.vec_id, r.acos) for r in sim.ivf_pq_topk(
+            full, q, k=8, nprobe=4, index=want_idx).collect()]
+        assert got == want
