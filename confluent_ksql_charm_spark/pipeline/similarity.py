@@ -1232,6 +1232,15 @@ def ivf_pq_maintain(spark, path: str, new_df: DataFrame, *,
 
     with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
         meta = json.load(fh)
+    if meta.get("params", {}).get("by_residual"):
+        # the error baseline and the refit-republish below are raw-code
+        # math — running them here would silently convert a residual
+        # index to the raw variant mid-maintenance
+        raise ValueError(
+            "ivf_pq_maintain supports the raw-code default; for a "
+            "by_residual index, refit explicitly via "
+            "ivf_pq_index_residual + save_ann_index (adds still work "
+            "through ivf_pq_add, which handles residual encoding)")
     if meta["kind"] != "ivf_pq":
         raise ValueError(
             f"ivf_pq_maintain needs an ivf_pq index, got "

@@ -4901,3 +4901,18 @@ class TestIVFPQResidualAdd:
         want = [(r.vec_id, r.acos) for r in sim.ivf_pq_topk(
             full, q, k=8, nprobe=4, index=want_idx).collect()]
         assert got == want
+
+
+class TestIVFPQResidualMaintainGuard:
+    def test_maintain_rejects_residual_index(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        df = TestIVFPQResidual._clustered(spark, per=10)
+        idx = sim.ivf_pq_index_residual(df, nlist=4, m=2, ksub=16,
+                                        sample_fraction=None)
+        path = str(tmp_path / "rpq")
+        sim.save_ann_index(idx, path, kind="ivf_pq",
+                           params={"m": 2, "ksub": 16},
+                           partition_by="__cell")
+        with pytest.raises(ValueError, match="by_residual"):
+            sim.ivf_pq_maintain(spark, path, df.limit(4), corpus_df=df)
