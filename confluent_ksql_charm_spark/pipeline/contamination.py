@@ -33,6 +33,14 @@ from pyspark.sql import functions as F
 
 from .dedup import ensure_parallelism, shingles_col
 
+#: Hard cap on the benchmark side of the embedding-contamination tier:
+#: it is collected to the driver as a (b x dim) float64 matrix (100k x
+#: dim 64 is ~51 MiB — the same bounded-driver-state budget as
+#: similarity.PQ_TRAIN_TARGET_ROWS). Beyond this, the operator refuses
+#: with a pointer to the distributed banded-LSH alternative rather than
+#: OOMing the driver.
+EMB_BENCH_MAX_ROWS = 100_000
+
 
 def _gram_rows(df: DataFrame, id_col: str, text_col: str, n: int,
                keyed: str) -> DataFrame:
@@ -252,9 +260,26 @@ def embedding_flag_contaminated(corpus_emb: DataFrame,
     the per-row argmax, ties broken toward the LOWEST bench id (bench
     rows are sorted by id; numpy argmax takes the first maximum) — so
     an external engine replays the attribution exactly.
+
+    The driver-bounded contract is ENFORCED: more than
+    `EMB_BENCH_MAX_ROWS` benchmark rows raises a clear ValueError
+    (instead of a driver OOM at `.collect()`) pointing at the
+    banded-LSH near-dup path (`similarity.embedding_near_dup`), which
+    handles a large "benchmark" side as a distributed join.
     """
     import numpy as np
 
+    # bound the pre-check itself: limit(max+1) never scans past the cap
+    n_probe = bench_emb.limit(EMB_BENCH_MAX_ROWS + 1).count()
+    if n_probe > EMB_BENCH_MAX_ROWS:
+        raise ValueError(
+            "embedding_flag_contaminated: benchmark side exceeds "
+            f"{EMB_BENCH_MAX_ROWS} rows — it is collected to the driver "
+            "as a (b x dim) matrix and must stay small (benchmarks are "
+            "MBs by contract). For a large comparison set use the "
+            "distributed banded-LSH path: "
+            "similarity.embedding_near_dup over the union, or thin the "
+            "benchmark side first.")
     brows = (bench_emb.select(id_col, vec_col).orderBy(id_col)
              .collect())
     if not brows:

@@ -290,6 +290,21 @@ def corpus_ingest_batch_fn(
             (minhash_signatures(batch, id_col, text_col)
              .write.mode("append").parquet(signatures_path))
 
+    def release() -> None:
+        """Unpersist the per-process cached relations (benchmark grams
+        / signatures, DSIR lr). All are bounded (benchmark-sized or
+        ≤ `buckets` rows), so leaving them cached for the ingest
+        process lifetime is safe — call this after stopping the query
+        to return the executor memory early, e.g. when the same
+        process restarts ingest against a refreshed model/benchmark."""
+        for state in (bench_state, dsir_state):
+            for v in state.values():
+                rel = v.get("lr") if isinstance(v, dict) else v
+                if isinstance(rel, DataFrame):
+                    rel.unpersist()
+            state.clear()
+
+    ingest.release = release
     return ingest
 
 

@@ -1392,6 +1392,13 @@ def _shortlist_ids(shortlist: DataFrame, id_col: str) -> list:
 #: INDEPENDENT; only the encode pass is O(n), and it rides the scan.
 PQ_TRAIN_TARGET_ROWS = 100_000
 
+#: Above this many shortlist ids (Q x rerank bound), the batch-rerank
+#: fetch switches from an IN-literal pushdown (row-group pruning — the
+#: right plan for small Q) to a broadcast-hash join of the shortlist
+#: relation against the corpus (flat in Q — inlining ~10^5+ literals
+#: blows up driver plan serialization and IN pushdown degrades).
+BATCH_RERANK_IN_MAX = 50_000
+
 
 def _pq_dims(dim: int, m: int) -> int:
     if dim % m != 0:
@@ -2103,6 +2110,16 @@ def ivf_pq_topk_batch(df: DataFrame,
 
     if index is None:
         _warn_per_call_build(df, "ivf_pq_topk_batch")
+    if index is not None and len(index) == 4:
+        # a by_residual store round-trips as a 4-tuple; its LUT math is
+        # per-cell (cross-term tables), which the shared-LUT batch scan
+        # below cannot express — fail clearly, not 'too many values to
+        # unpack'.
+        raise ValueError(
+            "by_residual ivf_pq index is not supported by the batch "
+            "probes (ivf_pq_topk_batch / ivf_pq_rerank_topk_batch); "
+            "use the per-query ivf_pq_topk / ivf_pq_rerank_topk, or "
+            "build the index with by_residual=False for batch scans")
     codes, centers, codebook = index if index is not None else \
         ivf_pq_index(df, nlist=nlist, m=m, ksub=ksub, vec_col=vec_col,
                      id_col=id_col, seed=seed,
@@ -2225,10 +2242,25 @@ def ivf_pq_rerank_topk_batch(df: DataFrame,
         sample_fraction=sample_fraction, index=index,
         where=where, keep_cols=keep_cols)
     pairs = shortlist.select("query_id", id_col)
-    union_ids = [r[0] for r in pairs.select(id_col).distinct().collect()]
-    fetched = (df.where(F.col(id_col).isin(union_ids))
-               .select(id_col, vec_col))
-    cand = pairs.join(fetched, id_col)
+    if len(queries) * rerank <= BATCH_RERANK_IN_MAX:
+        # Small-Q path: materialize the distinct shortlist ids and push
+        # them into the corpus scan as an IN literal — parquet row-group
+        # pruning makes the fetch read only the groups holding
+        # shortlisted rows. Bounded by Q*rerank ids.
+        union_ids = [r[0]
+                     for r in pairs.select(id_col).distinct().collect()]
+        fetched = (df.where(F.col(id_col).isin(union_ids))
+                   .select(id_col, vec_col))
+        cand = pairs.join(fetched, id_col)
+    else:
+        # Large-Q path (kNN-graph workloads, Q in the thousands):
+        # inlining Q*rerank id literals blows up driver plan
+        # serialization and IN pushdown degrades past ~10^5 values —
+        # broadcast-hash-join the shortlist relation itself against the
+        # corpus instead: one full scan, zero driver materialization,
+        # fetch cost flat in Q (measured: tools/bench_pq_batch.py).
+        cand = df.select(id_col, vec_col).join(F.broadcast(pairs),
+                                               id_col)
 
     qmat = {int(q[0]): np.asarray([float(x) for x in q[1]])
             for q in queries}
@@ -2699,7 +2731,11 @@ def embedding_cluster(df: DataFrame, k: int = 8, *,
             df, centers, vec_col=vec_col, id_col=id_col,
             keep_cols=keep, round_to=round_to), centers)
     v = F.col(vec_col)
-    vn = norm(v)
+    # zero-norm vectors: guard the denominator to 1.0 so cos is 0.0,
+    # matching _assign_cosine_matmul's xn[xn == 0] = 1.0 — under ANSI
+    # mode (Spark 4 default) an unguarded divide aborts the whole job.
+    vn_raw = norm(v)
+    vn = F.when(vn_raw == F.lit(0.0), F.lit(1.0)).otherwise(vn_raw)
     entries = []
     for j, c in enumerate(centers):
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0

@@ -802,7 +802,7 @@ def dsir_fit(raw: DataFrame, target: DataFrame, *,
              text_col: str = "text", buckets: int = 10_000,
              alpha: float = 1.0, bigrams: bool = True,
              lowercase: bool = True, salt: str = "dsir",
-             hash: str = "portable") -> dict:
+             hash: str = "fast") -> dict:
     """Fit the DSIR bucket models ONCE and return a reusable model —
     the deployed shape (`dsir_logratio` recomputes both models per
     call, which is right for one-shot selection but wrong for scoring
@@ -819,7 +819,15 @@ def dsir_fit(raw: DataFrame, target: DataFrame, *,
 
     Persist with `save_dsir_model` / `load_dsir_model`; score with
     `dsir_score`. Scoring a corpus under a model fit on itself equals
-    `dsir_logratio` exactly (parity-tested).
+    `dsir_logratio` with the same `hash` exactly (parity-tested).
+
+    Default `hash` is ``"fast"`` (xxhash64) — this is the DEPLOYED
+    shape, and feature hashing is the DSIR hot loop (~2x end-to-end
+    measured at sf0.1); the sidecar records the hash so `dsir_score`
+    always replays the fit's choice. Pass ``hash="portable"`` when an
+    outside engine must replay the buckets (the `fingerprint64`
+    fast-default/portable-opt-in split; the one-shot `dsir_logratio`
+    defaults portable because it IS the oracle-replayed form).
     """
     import math as _math
 
@@ -955,10 +963,20 @@ def zipf_fit(df: DataFrame, text_col: str = "text", *, k: int = 100,
     All regression moments are aggregates over the k-row head (the
     corpus pays only vocab_topk's one tokenize+agg); the math is plain
     covariance/variance so an outside engine replays it exactly
-    (rounded to 6)."""
+    (rounded to 6).
+
+    Degenerate corpora — all top-k counts tied (var_pop(ln cnt) = 0,
+    e.g. every token unique) or a single-rank head (var_pop(ln rank)
+    = 0) — yield NULL slope/intercept/r2 instead of an ANSI
+    DIVIDE_BY_ZERO abort: exactly the heavily-deduplicated/synthetic
+    inputs this health readout exists to flag must not crash it.
+    Requires k >= 2 (one point cannot define a line)."""
+    if k < 2:
+        raise ValueError("zipf_fit requires k >= 2")
     head = vocab_topk(df, text_col, k, lowercase=lowercase).select(
         F.log(F.col("rank").cast("double")).alias("__x"),
         F.log(F.col("cnt").cast("double")).alias("__y"))
+    slope = F.try_divide(F.col("__cxy"), F.col("__vx"))
     return (head.agg(
         F.count("*").alias("__n"),
         F.covar_pop("__x", "__y").alias("__cxy"),
@@ -968,8 +986,9 @@ def zipf_fit(df: DataFrame, text_col: str = "text", *, k: int = 100,
         F.avg("__y").alias("__my"))
         .select(
             F.col("__n").cast("int").alias("k"),
-            F.round(F.col("__cxy") / F.col("__vx"), 6).alias("slope"),
-            F.round(F.col("__my") - (F.col("__cxy") / F.col("__vx"))
-                    * F.col("__mx"), 6).alias("intercept"),
-            F.round((F.col("__cxy") * F.col("__cxy"))
-                    / (F.col("__vx") * F.col("__vy")), 6).alias("r2")))
+            F.round(slope, 6).alias("slope"),
+            F.round(F.col("__my") - slope * F.col("__mx"), 6)
+            .alias("intercept"),
+            F.round(F.try_divide(F.col("__cxy") * F.col("__cxy"),
+                                 F.col("__vx") * F.col("__vy")), 6)
+            .alias("r2")))

@@ -3376,6 +3376,58 @@ class TestIVFPQBatchRerank:
                                            nprobe=1, index=idx).collect()]
             assert got.get(qid, []) == want, f"query {qid} diverged"
 
+    def test_large_q_join_fetch_matches_in_literal_fetch(
+            self, spark, monkeypatch):
+        # above BATCH_RERANK_IN_MAX shortlist ids the fetch switches
+        # from an IN-literal pushdown to a broadcast join of the
+        # shortlist relation — results must be identical (force the
+        # join path by dropping the threshold to 0)
+        import random
+
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        rng = random.Random(93)
+        centers = [[rng.uniform(-1, 1) for _ in range(16)]
+                   for _ in range(4)]
+        rows = [(i, [c + rng.gauss(0, 0.05) for c in centers[i % 4]])
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        idx = sim.ivf_pq_index(df, nlist=4, m=4, ksub=8, n_iter=4)
+        queries = [(10, rows[0][1]), (11, rows[1][1]), (12, rows[2][1])]
+
+        def run():
+            return sorted(
+                (r.query_id, r.vec_id, round(r.cosine, 6)) for r in
+                sim.ivf_pq_rerank_topk_batch(
+                    df, queries, k=5, rerank=20, nprobe=2,
+                    index=idx).collect())
+
+        small = run()
+        monkeypatch.setattr(sim, "BATCH_RERANK_IN_MAX", 0)
+        assert run() == small
+
+    def test_residual_index_rejected_with_clear_error(self, spark):
+        # a by_residual store round-trips as a 4-tuple; the shared-LUT
+        # batch scans cannot express its per-cell math — clear error,
+        # not 'too many values to unpack'
+        import random
+
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        rng = random.Random(94)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+                for i in range(100)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        idx = sim.ivf_pq_index_residual(df, nlist=2, m=4, ksub=8,
+                                        n_iter=4)
+        queries = [(1, rows[0][1])]
+        with pytest.raises(ValueError, match="by_residual"):
+            sim.ivf_pq_topk_batch(df, queries, k=5, index=idx)
+        with pytest.raises(ValueError, match="by_residual"):
+            sim.ivf_pq_rerank_topk_batch(df, queries, k=5, index=idx)
+
 
 def test_pq_fit_ksub_bounds(spark):
     # uint8 code space: ksub > 256 would silently wrap in the packed
@@ -3445,6 +3497,18 @@ class TestEmbeddingDecontamination:
         cdf, bdf = self._fixture(spark)
         with pytest.raises(ValueError, match="benchmark side is empty"):
             embedding_flag_contaminated(cdf, bdf.where("vec_id < 0"))
+
+    def test_oversized_benchmark_rejected_not_collected(
+            self, spark, monkeypatch):
+        # the driver-bounded contract is enforced: a too-large bench
+        # side gets a clear error pointing at the banded-LSH path,
+        # not a driver OOM at .collect()
+        from confluent_ksql_charm_spark.pipeline import contamination
+
+        cdf, bdf = self._fixture(spark)
+        monkeypatch.setattr(contamination, "EMB_BENCH_MAX_ROWS", 1)
+        with pytest.raises(ValueError, match="embedding_near_dup"):
+            contamination.embedding_flag_contaminated(cdf, bdf)
 
 
 class TestVectorIngest:
@@ -4007,6 +4071,28 @@ class TestEmbeddingCluster:
         assert "mapInPandas" in assigned._jdf.queryExecution().toString() \
             or assigned.count() == 90
 
+    def test_zero_norm_vector_parity_across_paths(self, spark):
+        # a zero embedding must not abort the expression path under
+        # ANSI mode (DIVIDE_BY_ZERO); both dispatch paths agree: the
+        # denominator guards to 1.0 and cos comes out 0.0
+        from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+        df, _ = self._planted(spark)
+        zero = spark.createDataFrame(
+            [(99, [0.0, 0.0, 0.0, 0.0], -1)],
+            "vec_id bigint, embedding array<float>, truth int")
+        both = df.unionByName(zero)
+        expr, centers = sim.embedding_cluster(both, 3, init="first")
+        expr_rows = {r.vec_id: (r.cluster, r.cos)
+                     for r in expr.collect()}
+        mat_rows = {r.vec_id: (r.cluster, r.cos)
+                    for r in sim._assign_cosine_matmul(
+                        both, centers, vec_col="embedding",
+                        id_col="vec_id", keep_cols=[],
+                        round_to=6).collect()}
+        assert expr_rows[99][1] == 0.0
+        assert expr_rows[99] == mat_rows[99]
+
     def test_center_reuse_skips_fit(self, spark):
         from confluent_ksql_charm_spark.pipeline.similarity import (
             embedding_cluster)
@@ -4184,7 +4270,7 @@ class TestDSIRModel:
             dsir_fit, dsir_logratio, dsir_score)
 
         df, target = TestDSIR()._frames(spark)
-        model = dsir_fit(df, target, buckets=64)
+        model = dsir_fit(df, target, buckets=64, hash="portable")
         got = {r.doc_id: (r.n_feats, r.log_ratio)
                for r in dsir_score(df, model).collect()}
         want = {r.doc_id: (r.n_feats, r.log_ratio)
@@ -4200,7 +4286,8 @@ class TestDSIRModel:
             dsir_fit, dsir_score)
 
         df, target = TestDSIR()._frames(spark)
-        model = dsir_fit(df, target, buckets=1 << 20)  # no collisions
+        # portable: the python md5 reference below replays the buckets
+        model = dsir_fit(df, target, buckets=1 << 20, hash="portable")
         new = spark.createDataFrame(
             [(100, "zzyzx qwxj")], "doc_id bigint, text string")
         got = dsir_score(new, model).collect()[0]
@@ -4285,6 +4372,12 @@ class TestIngestDSIRGate:
         fn(batch, 0)
         assert spark.read.parquet(corpus_path).count() == 1
 
+        # release() unpersists the per-process cached model relation
+        # and a later batch transparently re-loads it
+        fn.release()
+        fn(batch, 0)
+        assert spark.read.parquet(corpus_path).count() == 1
+
 
 class TestDedupClusterSizes:
     def test_histogram(self, spark):
@@ -4342,6 +4435,22 @@ class TestDSIRFastHash:
         save_dsir_model(model, str(tmp_path / "m"))
         loaded = load_dsir_model(spark, str(tmp_path / "m"))
         assert loaded["hash"] == "fast"
+
+    def test_fit_defaults_to_fast_hash(self, spark):
+        # the deployed shape defaults to xxhash64; the one-shot
+        # dsir_logratio stays portable (the oracle-replayed form)
+        from confluent_ksql_charm_spark.pipeline.text import (
+            dsir_fit, dsir_logratio, dsir_score)
+
+        df, target = TestDSIR()._frames(spark)
+        model = dsir_fit(df, target, buckets=64)
+        assert model["hash"] == "fast"
+        got = {r.doc_id: r.log_ratio
+               for r in dsir_score(df, model).collect()}
+        want = {r.doc_id: r.log_ratio
+                for r in dsir_logratio(df, target, buckets=64,
+                                       hash="fast").collect()}
+        assert got == want
 
     def test_unknown_hash_rejected(self, spark):
         from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
@@ -4528,6 +4637,38 @@ class TestCorpusLanguageStats:
         assert got.r2 > 0.999
         # intercept ~ ln(1000)
         assert got.intercept == pytest.approx(math.log(1000), abs=0.05)
+
+    def test_zipf_fit_degenerate_corpus_yields_null(self, spark):
+        # degenerate corpora must not ANSI-DIVIDE_BY_ZERO abort — the
+        # deduplicated/synthetic inputs this readout exists to flag are
+        # exactly the ones that used to crash it.
+        from confluent_ksql_charm_spark.pipeline.text import zipf_fit
+
+        # (a) all top-k counts tied (every token unique): var_pop(ln
+        # cnt)=0 -> flat slope 0.0, r2 undefined (0/0) -> NULL
+        df = spark.createDataFrame(
+            [(1, "every token here appears exactly once total")],
+            "doc_id bigint, text string")
+        got = zipf_fit(df, k=5).collect()[0]
+        assert got.k == 5
+        assert got.slope == 0.0 and got.intercept == 0.0
+        assert got.r2 is None
+        # (b) single distinct token: one head row, var_pop(ln rank)=0
+        # -> slope/intercept/r2 all NULL
+        one = spark.createDataFrame(
+            [(1, "same same same same")], "doc_id bigint, text string")
+        got1 = zipf_fit(one, k=5).collect()[0]
+        assert got1.k == 1
+        assert got1.slope is None and got1.intercept is None
+        assert got1.r2 is None
+
+    def test_zipf_fit_rejects_k_below_two(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import zipf_fit
+
+        df = spark.createDataFrame(
+            [(1, "a b")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="k >= 2"):
+            zipf_fit(df, k=1)
 
 
 class TestLeakageSafeSplit:
