@@ -1,0 +1,73 @@
+"""Decade-point runner: time any registry queries at any sf_dir with
+bench.py's exact session config and warm-median-of-3 protocol — the
+committed form of the ad-hoc scripts behind BASELINE.md's sf1/sf10
+decade tables, so every operator's 100x verdict is reproducible.
+
+Usage: python tools/bench_decade.py <sf_dir> <query-name> ...
+Prints one JSON line {"sf_dir": ..., "queries": {name: sec}}.
+
+Protocol notes (memory: bench-protocol-pitfalls): run on an idle box,
+strictly serially with any other Spark session; sub-second rows live in
+a +-0.1-0.4 s session band — only ratios across decades matter.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ksql-spark-bench-decade")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(int(cpus) * 8))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in names:                     # untimed global warm-up pass
+        qs[name](spark, sf_dir).count()
+    spark.catalog.clearCache()
+    timings: dict[str, float] = {}
+    for name in names:
+        runs = []
+        for i in range(4):                 # 1 warm-up + 3 timed
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            if i > 0:
+                runs.append(dt)
+        timings[name] = round(statistics.median(runs), 3)
+        spark.catalog.clearCache()
+    print(json.dumps({"sf_dir": sf_dir, "cpus": int(cpus),
+                      "queries": timings,
+                      "total_sec": round(sum(timings.values()), 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,11 +7,19 @@ costs one pass plus a Q-wide LUT gather per Arrow batch).
 Results are asserted identical (same rounded ordering domain) before
 timing is reported, so the speedup is never bought with divergence.
 
-Usage: python tools/bench_pq_batch.py [sf_dir] [Q] [--composed]
+Usage: python tools/bench_pq_batch.py [sf_dir] [Q] [--composed|--fetch]
 Prints one JSON line. With --composed, additionally measures the
 IVF-pruned batch probe (union-of-probed-cells scan, per-query cell
 masks) and the two-scan batch rerank against their per-query loops —
 the deployed retrieval shapes.
+
+With --fetch, measures ONLY the batch-rerank shortlist fetch at large
+Q under both strategies — the IN-literal pushdown (forced) vs the
+broadcast-join of the shortlist relation (the default above
+BATCH_RERANK_IN_MAX ids) — asserting identical results. This is the
+proof that the join path keeps fetch cost flat where inlining
+Q x rerank id literals blows up the driver plan (run with Q=1000:
+100k shortlist ids).
 """
 
 from __future__ import annotations
@@ -36,6 +44,7 @@ def main() -> None:
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -49,6 +58,49 @@ def main() -> None:
              .select("vec_id", "embedding").collect())
     queries = [(r.vec_id, [float(x) for x in r.embedding])
                for r in qrows]
+
+    if "--fetch" in sys.argv:
+        nlist = 1 << max(4, round((n ** 0.5)).bit_length() - 1)
+        nprobe = max(8, nlist // 16)
+        assigned, centers = sim.ivf_index(
+            emb, nlist=nlist,
+            sample_fraction=min(1.0, (100 * nlist) / n)
+            if (100 * nlist) < n else None)
+        ccodes = sim.pq_encode(assigned, cb, keep=["__cell"]).cache()
+        ccodes.count()
+        idx = (ccodes, centers, cb)
+        rerank = 100
+
+        def run_rerank():
+            t0 = time.perf_counter()
+            rows = sim.ivf_pq_rerank_topk_batch(
+                emb, queries, k=10, rerank=rerank, nprobe=nprobe,
+                index=idx).collect()
+            dt = time.perf_counter() - t0
+            return dt, sorted((r.query_id, r.vec_id,
+                               round(r.cosine, 6)) for r in rows)
+
+        run_rerank()                                 # warm
+        saved = sim.BATCH_RERANK_IN_MAX
+        try:
+            sim.BATCH_RERANK_IN_MAX = 10 ** 9        # force IN-literal
+            t_in, res_in = run_rerank()
+            sim.BATCH_RERANK_IN_MAX = 0              # force join
+            t_join, res_join = run_rerank()
+        finally:
+            sim.BATCH_RERANK_IN_MAX = saved
+        assert res_in == res_join, "fetch strategies diverged"
+        print(json.dumps({
+            "sf_dir": SF_DIR, "n_vectors": n, "queries": Q,
+            "rerank": rerank, "shortlist_ids_bound": Q * rerank,
+            "nlist": nlist, "nprobe": nprobe,
+            "in_literal_total_sec": round(t_in, 3),
+            "join_total_sec": round(t_join, 3),
+            "identical_results": True,
+            "default_path": ("join" if Q * rerank > saved
+                             else "in_literal")}))
+        spark.stop()
+        return
 
     # warm both paths once (JIT/codegen), then time
     sim.pq_topk(codes, queries[0][1], cb, k=10).collect()

@@ -23,8 +23,20 @@ This is the committed form of the ad-hoc 10x protocol behind
 BASELINE.md's extrapolation tables, so every round can re-create the
 same second scale point per query.
 
-Usage: python tools/make_sf1.py [out_dir] [sf_dir]
+Usage: python tools/make_sf1.py [out_dir] [sf_dir] [--clustered]
        (defaults: /tmp/sf1  /root/testdata/sf0.1)
+
+--clustered (round 9) replaces the near-uniform embedding scale-up with
+a GENUINELY CLUSTERED space: K planted unit-norm centers (seeded
+python RNG, bit-deterministic), each row assigned to a center by keyed
+hash and placed at center + eps*u elementwise (u in [-1,1] keyed
+xxhash64). With eps=0.05 the within-cluster spread is ~0.23 of the
+vector norm -> mean cos-to-center ~0.97, i.e. the `cluster_stats`
+cohesion >= 0.9 regime where residual IVF-PQ coding is supposed to win
+(see similarity.ivf_pq_index_residual's when-to-use rule). Same row
+count / vec_id scheme as the default mode; label = "c<cluster>".
+Env knobs: SPARK_GRAFT_CLUSTER_K (default 32),
+SPARK_GRAFT_CLUSTER_EPS (default 0.05).
 """
 
 from __future__ import annotations
@@ -35,8 +47,9 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+OUT = _pos[0] if len(_pos) > 0 else "/tmp/sf1"
+SRC = _pos[1] if len(_pos) > 1 else "/root/testdata/sf0.1"
 # SPARK_GRAFT_COPIES=100 builds a ~sf10 point from sf0.1 (third scale
 # decade; documents become a duplication-factor-100 dedup stress)
 COPIES = int(os.environ.get("SPARK_GRAFT_COPIES", "10"))
@@ -159,6 +172,51 @@ def main():
     emb = read("embeddings").repartition(64)
     vid_off = emb.agg(F.max("vec_id")).first()[0] + 1
     m = 10 * COPIES
+
+    if "--clustered" in sys.argv:
+        import random
+
+        k = int(os.environ.get("SPARK_GRAFT_CLUSTER_K", "32"))
+        eps = float(os.environ.get("SPARK_GRAFT_CLUSTER_EPS", "0.05"))
+        rng = random.Random(4242)
+        centers = []
+        for _ in range(k):
+            v = [rng.gauss(0, 1) for _ in range(64)]
+            nrm = sum(x * x for x in v) ** 0.5 or 1.0
+            centers.append([x / nrm for x in v])
+        center_lit = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+        scaled = (
+            emb.select("vec_id",
+                       F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+                       .alias("__c"))
+            .select((F.col("vec_id") + F.col("__c") * F.lit(vid_off))
+                    .alias("vec_id"))
+            .withColumn("__k", F.pmod(F.xxhash64("vec_id", F.lit(55)),
+                                      F.lit(k)))
+            .select(
+                "vec_id",
+                F.zip_with(
+                    F.element_at(center_lit, F.col("__k") + 1),
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda x, j: (
+                        x + F.lit(eps)
+                        * (F.pmod(F.xxhash64(F.col("vec_id"), j,
+                                             F.lit(303)),
+                                  F.lit(2001)) / 1000.0 - 1.0)
+                    ).cast("float")).alias("embedding"),
+                F.concat(F.lit("c"), F.col("__k")).alias("label")))
+        write(scaled, "embeddings", 16)
+        with open(os.path.join(OUT, "embeddings_meta.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"mode": "clustered", "k": k, "eps": eps,
+                       "vid_off": vid_off, "copies": m,
+                       "seed": 4242}, fh)
+        print(f"clustered embeddings at {OUT}")
+        if ONLY == {"embeddings"}:
+            return
+        print(f"sf1 dataset at {OUT}")
+        return
     scaled = (
         emb.select("vec_id", "embedding", "label",
                    F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
