@@ -820,6 +820,30 @@ def _q_embedding_decontaminate(spark, sf):
         emb.where(F.col("vec_id") % 97 == 0), threshold=0.3)
 
 
+def _q_knn_graph(spark, sf):
+    # distributed all-pairs top-5 cosine neighbors (kNN graph): queries
+    # ARE the corpus, scattered to probed cells, cogroup-scored per
+    # cell, window-finished. Full probe (nprobe == nlist) -> exactly
+    # the brute-force graph, which DuckDB replays as a self-join +
+    # QUALIFY rank.
+    from confluent_ksql_charm_spark.pipeline.similarity import knn_graph
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    return knn_graph(emb, k=5, nlist=8, nprobe=8, round_to=4)
+
+
+def _q_hard_negatives(spark, sf):
+    # per-anchor hard negatives: top-5 most similar neighbors whose
+    # rounded cosine is strictly below 0.5 — the contrastive-mining
+    # cut (near the boundary, never across it). Full probe -> exact.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        hard_negatives)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    return hard_negatives(emb, k=5, exclude_above=0.5, nlist=8,
+                          nprobe=8, round_to=4)
+
+
 def _q_semantic_dedup(spark, sf):
     # SemDeDup (embedding-space cluster dedup): EXACT pair path at
     # threshold 0.42 (34 true pairs at sf0.01; nearest pair sits 0.0017
@@ -1609,6 +1633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_batch_rerank": _q_ivf_pq_batch_rerank,
         "embedding_decontaminate": _q_embedding_decontaminate,
         "semantic_dedup": _q_semantic_dedup,
+        "knn_graph": _q_knn_graph,
+        "hard_negatives": _q_hard_negatives,
         "hot_key_join": _q_hot_key_join,
         "ivf_pq_rerank": _q_ivf_pq_rerank,
         "filtered_rerank_topk": _q_filtered_rerank,
@@ -2464,6 +2490,32 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000 "
             "WHERE a.event_type = 'signup' "
             "AND b.event_type = 'purchase'"
+        ),
+        "knn_graph": (
+            # CAST to DOUBLE[]: DuckDB's list_cosine_similarity runs in
+            # float32 on raw FLOAT[] columns, which flips the 4th
+            # decimal vs Spark's double math on ~1/500 of the 2500
+            # all-pairs values
+            "WITH s AS (SELECT a.vec_id AS query_id, b.vec_id, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) "
+            "AS cosine FROM embeddings a JOIN embeddings b "
+            "ON a.vec_id <> b.vec_id) "
+            "SELECT query_id, vec_id, cosine FROM s "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, vec_id) <= 5 "
+            "ORDER BY query_id, cosine DESC, vec_id"
+        ),
+        "hard_negatives": (
+            "WITH s AS (SELECT a.vec_id AS query_id, b.vec_id, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) "
+            "AS cosine FROM embeddings a JOIN embeddings b "
+            "ON a.vec_id <> b.vec_id) "
+            "SELECT query_id, vec_id, cosine FROM s WHERE cosine < 0.5 "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, vec_id) <= 5 "
+            "ORDER BY query_id, cosine DESC, vec_id"
         ),
         "semantic_dedup": (
             "WITH RECURSIVE prs AS (SELECT a.vec_id AS ia, b.vec_id AS ib "

@@ -90,6 +90,12 @@ _SIGNATURES = {
     "DSIR_SAMPLE": ("DSIR_SAMPLE(raw, target, K='1000', ID='doc_id', "
                     "TEXT='text'[, BUCKETS='10000'][, ALPHA='1.0']"
                     "[, BIGRAMS='true'])"),
+    "KNN_GRAPH": ("KNN_GRAPH(emb[, K='10'][, NLIST='16'][, NPROBE='4']"
+                  "[, ID='vec_id'][, VEC='embedding'][, BELOW='0.95'])"),
+    "HARD_NEGATIVES": ("HARD_NEGATIVES(emb[, K='10']"
+                       "[, EXCLUDE_ABOVE='0.95'][, NLIST='16']"
+                       "[, NPROBE='4'][, ID='vec_id']"
+                       "[, VEC='embedding'])"),
 }
 
 
@@ -391,6 +397,26 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                            alpha=float(p.get("ALPHA", 1.0)),
                            bigrams=p.get("BIGRAMS", "true").lower()
                            == "true")
+    if op == "KNN_GRAPH":
+        from .similarity import knn_graph
+        _need_sources(spec, 1)
+        below = p.get("BELOW")
+        return knn_graph(dfs[0], int(p.get("K", 10)),
+                         nlist=int(p.get("NLIST", 16)),
+                         nprobe=int(p.get("NPROBE", 4)),
+                         id_col=p.get("ID", "vec_id"),
+                         vec_col=p.get("VEC", "embedding"),
+                         below=float(below) if below else None)
+    if op == "HARD_NEGATIVES":
+        from .similarity import hard_negatives
+        _need_sources(spec, 1)
+        return hard_negatives(dfs[0], int(p.get("K", 10)),
+                              exclude_above=float(
+                                  p.get("EXCLUDE_ABOVE", 0.95)),
+                              nlist=int(p.get("NLIST", 16)),
+                              nprobe=int(p.get("NPROBE", 4)),
+                              id_col=p.get("ID", "vec_id"),
+                              vec_col=p.get("VEC", "embedding"))
     raise ValueError(
         f"unknown PIPELINE operator {op!r}; available: "
         + ", ".join(sorted(_SIGNATURES)))

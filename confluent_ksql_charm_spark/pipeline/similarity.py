@@ -2456,6 +2456,158 @@ def start_vector_ingest(source_df: DataFrame, index_path: str,
     return writer.start()
 
 
+def knn_graph(df: DataFrame, k: int = 10, *, nlist: int = 16,
+              nprobe: int = 4, vec_col: str = "embedding",
+              id_col: str = "vec_id", seed: int = 42,
+              sample_fraction: float | None | str = "auto",
+              index: tuple | None = None, round_to: int | None = 6,
+              exclude_self: bool = True,
+              below: float | None = None) -> DataFrame:
+    """FULLY DISTRIBUTED k-nearest-neighbor graph: top-`k` cosine
+    neighbors for EVERY corpus vector in one co-partitioned pass — the
+    all-pairs workload behind SemDeDup-style curation, kNN-graph
+    clustering, and hard-negative mining. Beyond-reference LLM-pipeline
+    operator (SURVEY §3.11).
+
+    Unlike the `*_topk_batch` family (driver-materialized query list,
+    right for Q up to thousands), here the QUERIES ARE THE CORPUS:
+    nothing about the query side ever touches the driver. Plan shape:
+
+    1. IVF coarse quantizer (`ivf_index`, KMeans|| on a capped sample)
+       assigns every vector its home cell — the corpus side, n rows.
+    2. Every vector is ALSO scattered to its `nprobe` nearest cells
+       (centers ride the closure, nlist x dim bounded state; one
+       Arrow `mapInPandas` pass, stable argsort = `_nearest_cells`'s
+       tie rule) — the query side, n*nprobe rows.
+    3. `cogroup` by cell: one BLAS matmul per cell scores that cell's
+       queries against that cell's members; per-(query, cell) top-k
+       survives (cosine rounded to `round_to` BEFORE the cut, ties to
+       the lower id — the portable ordering domain).
+    4. A window rank over the <= n*nprobe*k survivors finishes the
+       global per-query top-k.
+
+    100 TB shape: total work is sum over cells of |q_c| x |n_c| x dim
+    ≈ n^2 * nprobe / nlist multiply-adds — the IVF pruning factor —
+    with parallelism = cells and NO all-pairs join anywhere; shuffle
+    volume is n*nprobe vector rows + k-bounded score rows. At
+    ``nprobe == nlist`` the result is EXACTLY the brute-force kNN
+    graph (the oracle-gate property); at nprobe << nlist it is the
+    standard IVF-Flat approximation whose recall follows the
+    single-query probes'.
+
+    `exclude_self` drops the trivial (v, v) edge. `below` (exclusive,
+    applied to the ROUNDED cosine) drops too-similar candidates before
+    the cut — `below=0.95` turns the graph into per-anchor HARD
+    NEGATIVES (most-similar non-near-duplicates, the contrastive-
+    training mining shape; see `hard_negatives`).
+
+    Returns (query_id, `id_col`, cosine), k rows per query, ordered
+    (query_id, cosine desc, id asc).
+    """
+    import numpy as np
+
+    if index is not None:
+        assigned, centers = index
+    else:
+        assigned, centers = ivf_index(df, nlist=nlist, vec_col=vec_col,
+                                      seed=seed,
+                                      sample_fraction=sample_fraction)
+    nprobe = min(nprobe, len(centers))
+    cmat = np.asarray(centers, dtype=np.float64)
+
+    probe_schema = f"{id_col} long, {vec_col} array<float>, __cell int"
+
+    def _scatter(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            xn = np.linalg.norm(x, axis=1)
+            xn[xn == 0] = 1.0
+            u = x / xn[:, None]
+            # squared L2 to centers of the normalized vector — the
+            # _nearest_cells rule; stable argsort keeps its tie order
+            d2 = (u * u).sum(1)[:, None] - 2.0 * (u @ cmat.T) \
+                + (cmat * cmat).sum(1)[None, :]
+            order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            reps = np.repeat(np.arange(len(pdf)), nprobe)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values[reps],
+                vec_col: pdf[vec_col].values[reps],
+                "__cell": order.reshape(-1).astype("int32")})
+
+    qcells = (df.select(id_col, vec_col)
+              .mapInPandas(_scatter, schema=probe_schema))
+    corp = assigned.select(id_col, vec_col, "__cell")
+    out_schema = f"query_id long, {id_col} long, cosine double"
+
+    def _score_cell(qpdf, dpdf):
+        import pandas as pd
+
+        if qpdf.empty or dpdf.empty:
+            return pd.DataFrame(
+                {"query_id": np.array([], dtype=np.int64),
+                 id_col: np.array([], dtype=np.int64),
+                 "cosine": np.array([], dtype=np.float64)})
+        q = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in qpdf[vec_col]])
+        d = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in dpdf[vec_col]])
+        qn = np.linalg.norm(q, axis=1)
+        qn[qn == 0] = 1.0
+        dn = np.linalg.norm(d, axis=1)
+        dn[dn == 0] = 1.0
+        cos = (q @ d.T) / (qn[:, None] * dn[None, :])
+        if round_to is not None:
+            cos = np.round(cos, round_to)
+        qids = np.asarray(qpdf[id_col].values, dtype=np.int64)
+        dids = np.asarray(dpdf[id_col].values, dtype=np.int64)
+        sel_q, sel_i, sel_c = [], [], []
+        for qi in range(len(qids)):
+            keep = np.ones(len(dids), dtype=bool)
+            if exclude_self:
+                keep &= dids != qids[qi]
+            if below is not None:
+                keep &= cos[qi] < below
+            idx = np.nonzero(keep)[0]
+            if idx.size == 0:
+                continue
+            c_q, i_q = cos[qi][idx], dids[idx]
+            order = np.lexsort((i_q, -c_q))[:min(k, idx.size)]
+            sel_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+            sel_i.append(i_q[order])
+            sel_c.append(c_q[order])
+        if not sel_q:
+            return pd.DataFrame(
+                {"query_id": np.array([], dtype=np.int64),
+                 id_col: np.array([], dtype=np.int64),
+                 "cosine": np.array([], dtype=np.float64)})
+        return pd.DataFrame({"query_id": np.concatenate(sel_q),
+                             id_col: np.concatenate(sel_i),
+                             "cosine": np.concatenate(sel_c)})
+
+    scored = (qcells.groupBy("__cell")
+              .cogroup(corp.groupBy("__cell"))
+              .applyInPandas(_score_cell, schema=out_schema))
+    return _batch_rank_finish(scored, id_col, k, "cosine")
+
+
+def hard_negatives(df: DataFrame, k: int = 10, *,
+                   exclude_above: float = 0.95,
+                   **kw) -> DataFrame:
+    """Per-anchor hard negatives for contrastive training: each
+    vector's top-`k` MOST similar neighbors whose rounded cosine is
+    STRICTLY BELOW `exclude_above` — similar enough to be hard, not so
+    similar they are near-duplicates/positives (the SimCLR/DPR mining
+    rule: mine near the decision boundary, never across it). A thin
+    contract over `knn_graph(below=exclude_above)`; same distributed
+    plan, same ordering domain, same 100 TB shape."""
+    return knn_graph(df, k, below=exclude_above, **kw)
+
+
 def semantic_dedup(df: DataFrame, *, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    exact: bool = False,

@@ -497,6 +497,26 @@ class TestPipelineStatements:
         assert [r.vec_id for r in rows] == [1, 2]
         assert rows[0].acos == pytest.approx(1.0, abs=0.05)
 
+    def test_knn_graph_via_sql(self, peng, spark):
+        # distributed kNN graph + hard negatives from the SQL front end
+        peng.register_source("gvecs", df=spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.95, 0.05]), (3, [0.0, 1.0]),
+             (4, [0.1, 0.9])],
+            "vec_id bigint, embedding array<float>"))
+        peng.execute("CREATE TABLE knn AS PIPELINE KNN_GRAPH("
+                     "gvecs, K='1', NLIST='2', NPROBE='2');")
+        got = {r.query_id: r.vec_id for r in peng.sql(
+            "SELECT query_id, vec_id FROM knn").collect()}
+        assert got == {1: 2, 2: 1, 3: 4, 4: 3}
+        peng.execute("CREATE TABLE hn AS PIPELINE HARD_NEGATIVES("
+                     "gvecs, K='1', EXCLUDE_ABOVE='0.9', NLIST='2', "
+                     "NPROBE='2');")
+        hn = {r.query_id: r.vec_id for r in peng.sql(
+            "SELECT query_id, vec_id FROM hn").collect()}
+        # nearest same-direction partner is excluded as a near-dup;
+        # the cross-direction neighbor survives
+        assert hn[1] != 2 and hn[3] != 4
+
     def test_session2_stats_ops_via_sql(self, peng):
         # NGRAM_GROWTH / ZIPF_FIT / DUP_SIZE_HISTOGRAM / LEAKAGE_SPLIT
         # reachable from the SQL front end

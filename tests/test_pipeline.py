@@ -3511,6 +3511,100 @@ class TestEmbeddingDecontamination:
             contamination.embedding_flag_contaminated(cdf, bdf)
 
 
+class TestKnnGraph:
+    """Distributed all-pairs kNN graph: queries ARE the corpus
+    (cell-scatter + cogroup score), full probe == brute force."""
+
+    @staticmethod
+    def _brute(rows, k, exclude_self=True, below=None, round_to=6):
+        import numpy as np
+
+        vecs = {i: np.asarray(v, dtype=np.float32).astype(np.float64)
+                for i, v in rows}
+        out = {}
+        for qid, q in vecs.items():
+            scored = []
+            for did, d in vecs.items():
+                if exclude_self and did == qid:
+                    continue
+                c = float(np.round(
+                    float(q @ d / (np.linalg.norm(q)
+                                   * np.linalg.norm(d))), round_to))
+                if below is not None and c >= below:
+                    continue
+                scored.append((c, did))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            out[qid] = [(d, c) for c, d in scored[:k]]
+        return out
+
+    def _rows(self, n=60, dim=8, seed=17):
+        import random
+
+        rng = random.Random(seed)
+        return [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+                for i in range(n)]
+
+    def test_full_probe_equals_brute_force(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            knn_graph)
+
+        rows = self._rows()
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        got = {}
+        for r in knn_graph(df, k=3, nlist=4, nprobe=4).collect():
+            got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+        assert got == self._brute(rows, 3)
+
+    def test_partial_probe_on_planted_clusters(self, spark):
+        # well-separated clusters: nprobe=1 keeps every in-cluster
+        # neighbor (home cell = the cluster) -> equals full probe
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            knn_graph)
+
+        df, _ = TestEmbeddingCluster._planted(spark, per=8)
+        emb = df.select("vec_id", "embedding")
+        full = sorted((r.query_id, r.vec_id, r.cosine) for r in
+                      knn_graph(emb, k=3, nlist=3, nprobe=3).collect())
+        one = sorted((r.query_id, r.vec_id, r.cosine) for r in
+                     knn_graph(emb, k=3, nlist=3, nprobe=1).collect())
+        assert one == full
+
+    def test_below_excludes_planted_near_dup(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            hard_negatives, knn_graph)
+
+        rows = self._rows(n=30)
+        rows.append((100, [v + 1e-4 for v in rows[0][1]]))  # near-dup of 0
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        plain = {(r.query_id, r.vec_id) for r in
+                 knn_graph(df, k=3, nlist=2, nprobe=2).collect()}
+        assert (0, 100) in plain            # the dup tops the raw graph
+        hn = hard_negatives(df, k=3, exclude_above=0.99, nlist=2,
+                            nprobe=2)
+        pairs = {(r.query_id, r.vec_id) for r in hn.collect()}
+        assert (0, 100) not in pairs and (100, 0) not in pairs
+        got = {}
+        for r in hn.collect():
+            got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+        assert got == self._brute(rows, 3, below=0.99)
+
+    def test_self_edge_included_when_asked(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            knn_graph)
+
+        rows = self._rows(n=10)
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        got = {}
+        for r in knn_graph(df, k=1, nlist=2, nprobe=2,
+                           exclude_self=False).collect():
+            got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+        # each vector's nearest neighbor is itself at cosine 1.0
+        assert all(v == [(qid, 1.0)] for qid, v in got.items())
+
+
 class TestVectorIngest:
     """Streaming vector-index maintenance (the embeddings sibling of
     corpus ingest): bootstrap -> dedup-by-id -> add -> drift-gated

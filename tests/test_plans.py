@@ -523,3 +523,19 @@ class TestWeightedSamplePlans:
                                      weight_col="n_chars"))
         assert "TakeOrderedAndProject" in plan
         assert "Exchange" not in plan
+
+
+class TestKnnGraphPlans:
+    def test_cogroup_no_cartesian_no_driver_side(self, engine):
+        # the all-pairs graph must lower to scatter + cogroup on the
+        # cell key + window finish — NEVER a cartesian/BNLJ join of the
+        # corpus against itself, and no local (driver) relation
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            knn_graph)
+
+        emb = engine.metastore.get("embeddings").df
+        plan = _plan(knn_graph(emb, k=5, nlist=8, nprobe=2))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "FlatMapCoGroupsInPandas" in plan
+        assert "LocalTableScan" not in plan

@@ -197,7 +197,8 @@ def main():
             .select(
                 "vec_id",
                 F.zip_with(
-                    F.element_at(center_lit, F.col("__k") + 1),
+                    F.element_at(center_lit,
+                                 (F.col("__k") + 1).cast("int")),
                     F.sequence(F.lit(0), F.lit(63)),
                     lambda x, j: (
                         x + F.lit(eps)
