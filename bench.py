@@ -61,6 +61,8 @@ HEADLINE = [
     "dsir_sample",
     "embedding_cluster",
     "quality_buckets",
+    # round-9 addition (distributed all-pairs kNN graph)
+    "knn_graph",
 ]
 
 

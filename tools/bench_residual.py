@@ -1,0 +1,85 @@
+"""Residual IVF-PQ vs raw-code IVF-PQ on a CLUSTERED embedding space —
+the other half of the round-8 session-2 verdict. That round measured
+by_residual=1 LOSING recall on the near-uniform sf1 synthetic
+embeddings (the honest physics: residual norms ~ vector norms there)
+and encoded a when-to-use rule: residual coding pays only when
+within-cell spread << vector norm (cluster_stats cohesion >= ~0.9).
+`make_sf1.py --clustered` now builds exactly that regime; this tool
+closes the loop by measuring both variants on it at identical budgets.
+
+Usage: python tools/bench_residual.py [sf_dir] (default /tmp/sfc)
+Prints one JSON line with recall@10 per nprobe for both variants.
+Protocol matches BASELINE r8-s2: nlist=64, m=8, ksub=256, Q queries
+with exact cosine top-10 ground truth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfc"
+N_QUERIES = int(os.environ.get("ANN_BENCH_QUERIES", "8"))
+K = 10
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    n = emb.count()
+    qrows = (emb.where(F.col("vec_id") < N_QUERIES)
+             .select("vec_id", "embedding").collect())
+    queries = [(r.vec_id, [float(x) for x in r.embedding])
+               for r in qrows]
+
+    exact = {}
+    for qid, qv in queries:
+        exact[qid] = [r.vec_id for r in sim.cosine_topk(
+            emb.where(F.col("vec_id") != qid), qv, k=K).collect()]
+
+    out = {"sf_dir": SF_DIR, "n_vectors": n, "queries": len(queries),
+           "nlist": 64, "m": 8, "ksub": 256}
+
+    for kind, builder in (("plain", sim.ivf_pq_index),
+                          ("residual", sim.ivf_pq_index_residual)):
+        t0 = time.perf_counter()
+        idx = builder(emb, nlist=64, m=8, ksub=256)
+        # force the build (codes df is lazy until first probe)
+        idx[0].cache().count()
+        build_s = time.perf_counter() - t0
+        row = {"build_sec": round(build_s, 1)}
+        for nprobe in (4, 8):
+            hits = 0
+            t0 = time.perf_counter()
+            for qid, qv in queries:
+                got = [r.vec_id for r in sim.ivf_pq_topk(
+                    emb.where(F.col("vec_id") != qid), qv, k=K,
+                    nprobe=nprobe, index=idx).collect()]
+                hits += len(set(got) & set(exact[qid]))
+            probe_s = (time.perf_counter() - t0) / len(queries)
+            row[f"recall_at_{K}_np{nprobe}"] = round(
+                hits / (K * len(queries)), 3)
+            row[f"probe_sec_np{nprobe}"] = round(probe_s, 2)
+        idx[0].unpersist()
+        out[kind] = row
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
