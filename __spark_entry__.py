@@ -36,20 +36,31 @@ def _eng(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key in _ENGINES:
         return _ENGINES[key]
+    import os as _os
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     eng = KsqlSparkEngine(spark, data_dir=sf_dir)
-    eng.register_source("events", path=f"{sf_dir}/events.parquet",
-                        key="user_id", timestamp="ts")
-    for t in _TABLES:
+    # decade fixtures (/tmp/sf10) carry only the tables their operators
+    # need — register what exists; full driver dirs register everything
+    have = {t for t in _TABLES
+            if _os.path.exists(f"{sf_dir}/{t}.parquet")}
+    if "events" in have:
+        eng.register_source("events", path=f"{sf_dir}/events.parquet",
+                            key="user_id", timestamp="ts")
+    for t in sorted(have):
         if t != "events":
             eng.register_source(t, path=f"{sf_dir}/{t}.parquet")
-    # TABLE view of the events changelog: latest row per user
-    eng.register_source("user_state", df=eng.metastore.get("events").df,
-                        key="user_id", timestamp="ts", tiebreak=["event_id"],
-                        kind="TABLE")
-    # customer as a keyed dimension TABLE (static snapshot)
-    eng.register_source("customer_t", df=eng.metastore.get("customer").df,
-                        key="c_custkey", kind="TABLE")
+    if "events" in have:
+        # TABLE view of the events changelog: latest row per user
+        eng.register_source("user_state",
+                            df=eng.metastore.get("events").df,
+                            key="user_id", timestamp="ts",
+                            tiebreak=["event_id"], kind="TABLE")
+    if "customer" in have:
+        # customer as a keyed dimension TABLE (static snapshot)
+        eng.register_source("customer_t",
+                            df=eng.metastore.get("customer").df,
+                            key="c_custkey", kind="TABLE")
     _ENGINES[key] = eng
     return eng
 

@@ -7,7 +7,16 @@ queries (BASELINE numbers were measured in a long warm session; without
 this the first query absorbs the JVM/codegen JIT of the whole parquet
 read+join path — measured 1.02s vs 0.74s median for q3_style_chain cold-
 vs warm-position in one session), then per query one warm-up run + median
-of 3 timed runs. df.count() executes the whole plan.
+of 3 timed runs.
+
+Force = noop-sink write (round 9, protocol v2): `df.count()` let
+Catalyst PRUNE unevaluated projection columns — a window/redaction
+column that doesn't change cardinality was never computed, so
+projection-shaped queries (curriculum_order: 0.11 s for 5M docs with
+the Window physically absent from the count plan) were under-measured.
+`write.format("noop")` evaluates every output column JVM-side with no
+sink cost. Agg/join-bound queries are unaffected (their count already
+executed the full plan); BASELINE.md records the v2 re-baseline.
 """
 
 from __future__ import annotations
@@ -66,6 +75,13 @@ HEADLINE = [
 ]
 
 
+def _force(df) -> None:
+    """Execute the FULL plan: noop-sink write evaluates every output
+    column (count() lets Catalyst prune projection columns that don't
+    change cardinality — see module docstring)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -93,7 +109,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     for name in HEADLINE:  # global warm-up pass (untimed, see docstring)
-        qs[name](spark, sf_dir).count()
+        _force(qs[name](spark, sf_dir))
     spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -101,7 +117,7 @@ def main() -> None:
         runs = []
         for i in range(4):  # 1 warm-up + 3 timed
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            _force(fn(spark, sf_dir))
             dt = time.time() - t0
             if i > 0:
                 runs.append(dt)

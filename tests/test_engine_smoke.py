@@ -176,3 +176,20 @@ def test_every_registry_entry_is_oracle_gated():
     qs, orc = set(E.queries()), set(E.oracle_sql())
     assert orc - qs == set(), f"orphan oracles: {orc - qs}"
     assert qs - orc == set(), f"rows-only entries: {qs - orc}"
+
+
+def test_partial_fixture_registration(spark, tmp_path):
+    # decade fixtures (/tmp/sf10) ship only the tables their operators
+    # need; _eng must register what exists instead of failing on the
+    # first absent parquet (round-9 regression: sf10 decade run died
+    # on events.parquet)
+    import shutil
+
+    import __spark_entry__ as E
+
+    src = "/root/testdata/sf0.001"
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    eng = E._eng(spark, str(tmp_path))
+    assert eng.metastore.get("documents").df.count() > 0
+    assert "events" not in eng.metastore.names()

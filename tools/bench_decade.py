@@ -22,6 +22,12 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _force(df) -> None:
+    """Noop-sink write: evaluates every output column (count() lets
+    Catalyst prune projection columns — bench.py protocol v2)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -51,14 +57,14 @@ def main() -> None:
 
     qs = entrymod.queries()
     for name in names:                     # untimed global warm-up pass
-        qs[name](spark, sf_dir).count()
+        _force(qs[name](spark, sf_dir))
     spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in names:
         runs = []
         for i in range(4):                 # 1 warm-up + 3 timed
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            _force(qs[name](spark, sf_dir))
             dt = time.time() - t0
             if i > 0:
                 runs.append(dt)

@@ -1,0 +1,87 @@
+"""knn_graph scale proof: wall + sampled recall at decade scale —
+the 100x verdict for the all-pairs kNN-graph operator.
+
+The operator's claimed work model is n^2 * nprobe / nlist multiply-adds
+with parallelism = cells; this tool pins both knobs at a real decade
+point (default /tmp/sf1, 210k vectors — 100x the sf0.01 oracle corpus)
+and measures (a) full-graph wall per (nlist, nprobe) and (b) recall@k
+against exact ground truth for a sampled anchor set (computed once with
+cosine_topk_batch — one corpus scan for all anchors, NOT Q rescans).
+
+Usage: python tools/bench_knn.py [sf_dir] (default /tmp/sf1)
+Env: KNN_BENCH_ANCHORS (default 64), KNN_BENCH_K (default 10).
+Prints one JSON line. Protocol notes per memory/bench-protocol-pitfalls:
+idle box, strictly serial with any other Spark session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+N_ANCHORS = int(os.environ.get("KNN_BENCH_ANCHORS", "64"))
+K = int(os.environ.get("KNN_BENCH_K", "10"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.pipeline import similarity as sim
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    n = emb.count()
+
+    anchors = [(r.vec_id, [float(x) for x in r.embedding])
+               for r in emb.where(F.col("vec_id") < N_ANCHORS)
+               .select("vec_id", "embedding").collect()]
+    # exact ground truth for the sampled anchors: ONE corpus scan,
+    # same round-6 / low-id tie domain as the graph's cut
+    exact_rows = sim.cosine_topk_batch(
+        emb, anchors, k=K + 1, round_to=6).collect()
+    exact: dict[int, list[int]] = {}
+    for r in exact_rows:
+        if r.vec_id != r.query_id:          # graph excludes self-edges
+            exact.setdefault(r.query_id, []).append(r.vec_id)
+    exact = {q: ids[:K] for q, ids in exact.items()}
+
+    out = {"sf_dir": SF_DIR, "n_vectors": n, "k": K,
+           "anchors": len(anchors), "configs": []}
+
+    for nlist, nprobe in ((256, 8), (256, 16), (256, 32)):
+        t0 = time.perf_counter()
+        g = sim.knn_graph(emb, k=K, nlist=nlist, nprobe=nprobe,
+                          round_to=6)
+        rows = g.count()
+        wall = time.perf_counter() - t0
+        got = (g.where(F.col("query_id") < N_ANCHORS)
+               .select("query_id", "vec_id").collect())
+        by_q: dict[int, set] = {}
+        for r in got:
+            by_q.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(by_q.get(q, set()) & set(ids))
+                   for q, ids in exact.items())
+        denom = sum(len(ids) for ids in exact.values())
+        out["configs"].append({
+            "nlist": nlist, "nprobe": nprobe,
+            "wall_sec": round(wall, 1), "edges": rows,
+            "recall_at_k": round(hits / denom, 3) if denom else None,
+            "work_model_pairs": int(n * n * nprobe / nlist)})
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
