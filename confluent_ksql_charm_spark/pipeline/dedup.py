@@ -44,18 +44,33 @@ def tokens_col(text: str | Column) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def sliding_windows_col(toks: Column, n: int) -> Column:
+    """All overlapping n-token windows of `toks` as space-joined
+    strings, in O(n_tokens) expression work per document: n-1 zip_with
+    passes over shifted O(len) slices. The naive
+    ``transform(sequence(...), i -> concat_ws(" ", slice(toks, i+1, n)))``
+    is O(n_tokens²) per document — every slice copies its window — the
+    DSIR-bigram lesson (15.2 → 4.5 s at sf0.1), generalized to any n
+    and shared by every overlapping-window builder (shingles, Gopher
+    n-gram ratios, substring-dedup / repeated-spans hashes). Strings
+    are identical to the naive form, so oracles and hashes are
+    unaffected. Caller guards ``size(toks) >= n`` (the slice length is
+    non-positive otherwise)."""
+    m = F.size(toks) - F.lit(n - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(toks, 1 + j, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return acc
+
+
 def shingles_col(text: str | Column, k: int = 3) -> Column:
     """Distinct k-token shingles (word n-grams) of a text column."""
     toks = tokens_col(text)
     n = F.size(toks)
     return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(n >= k, sliding_windows_col(toks, k))
+        .otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 
@@ -326,10 +341,8 @@ def substring_dedup(df: DataFrame, id_col: str, text_col: str, *,
     nt = F.size(toks)
     win_hashes = F.when(
         nt >= n,
-        F.transform(
-            F.sequence(F.lit(0), nt - n),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ),
+        F.transform(sliding_windows_col(toks, n),
+                    lambda w: F.xxhash64(w)),
     ).otherwise(F.array().cast("array<bigint>"))
     win = ensure_parallelism(df).select(
         F.col(id_col).alias("__doc"),
@@ -1098,10 +1111,8 @@ def top_repeated_spans(df: DataFrame, id_col: str, text_col: str, *,
     nt = F.size(toks)
     win_hashes = F.when(
         nt >= n,
-        F.transform(
-            F.sequence(F.lit(0), nt - n),
-            lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ),
+        F.transform(sliding_windows_col(toks, n),
+                    lambda w: hash_fn(w)),
     ).otherwise(F.array().cast("array<bigint>"))
     win = ensure_parallelism(df).select(
         F.col(id_col).alias("__doc"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens_col
+from .dedup import sliding_windows_col, tokens_col
 
 # Per-language signal tables for the language-ID heuristic: stopword
 # lists, characteristic character n-grams (space-padded to capture word
@@ -196,11 +196,7 @@ def ngrams_col(text: str | Column, n: int) -> Column:
     toks = tokens_col(text)
     cnt = F.size(toks)
     return F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(0), cnt - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
+        cnt >= n, sliding_windows_col(toks, n)
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
