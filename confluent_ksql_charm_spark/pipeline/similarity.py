@@ -2105,25 +2105,31 @@ def ivf_pq_topk_batch(df: DataFrame,
     partition pruning: overlapping query workloads (the common case —
     production queries cluster) re-read shared cells once instead of
     once per query.
+
+    A ``by_residual`` index (the `ivf_pq_index_residual` 4-tuple, or
+    its persisted round-trip) is scored with the same one-scan shape:
+    the extra ADC terms are query-independent driver-bounded tables
+    (CROSS nlist x m x ksub + |c|² nlist, shipped in the closure like
+    the LUTs) plus a Q x nlist query-center dot block — per query the
+    result is exactly `ivf_pq_topk` on the same index (parity-tested).
     """
     import numpy as np
 
     if index is None:
         _warn_per_call_build(df, "ivf_pq_topk_batch")
-    if index is not None and len(index) == 4:
-        # a by_residual store round-trips as a 4-tuple; its LUT math is
-        # per-cell (cross-term tables), which the shared-LUT batch scan
-        # below cannot express — fail clearly, not 'too many values to
-        # unpack'.
-        raise ValueError(
-            "by_residual ivf_pq index is not supported by the batch "
-            "probes (ivf_pq_topk_batch / ivf_pq_rerank_topk_batch); "
-            "use the per-query ivf_pq_topk / ivf_pq_rerank_topk, or "
-            "build the index with by_residual=False for batch scans")
-    codes, centers, codebook = index if index is not None else \
-        ivf_pq_index(df, nlist=nlist, m=m, ksub=ksub, vec_col=vec_col,
-                     id_col=id_col, seed=seed,
-                     sample_fraction=sample_fraction)
+    residual = index is not None and len(index) == 4
+    if residual:
+        # a by_residual store round-trips as a 4-tuple; its ADC math
+        # adds per-(cell, sub, code) cross terms — query-INDEPENDENT
+        # tables (nlist x m x ksub + Q x nlist), so the shared-LUT
+        # batch scan extends to it directly (round 9; previously a
+        # clear unsupported-variant error)
+        codes, centers, codebook = index[0], index[1], index[2]
+    else:
+        codes, centers, codebook = index if index is not None else \
+            ivf_pq_index(df, nlist=nlist, m=m, ksub=ksub,
+                         vec_col=vec_col, id_col=id_col, seed=seed,
+                         sample_fraction=sample_fraction)
     n_cells = len(centers)
     cells_per_q = [_nearest_cells(centers, qv, nprobe)
                    for _, qv in queries]
@@ -2144,6 +2150,18 @@ def ivf_pq_topk_batch(df: DataFrame,
                   for s in range(mm)])
         for qi in range(len(queries))])
     lut_n2 = np.stack([(cb[s] * cb[s]).sum(1) for s in range(mm)])
+    if residual:
+        # v~ = c_cell + r~: dot(q, v~) = dot(q, c_cell) + LUT sums and
+        # |v~|^2 = |c_cell|^2 + 2*CROSS[cell, s, code] + LUT_n2 sums.
+        # qc rows built per query with the same `cen @ q` expression as
+        # pq_topk_residual so per-query parity is exact; cross is the
+        # identical nlist x m x ksub table (16 MB at nlist=1024, m=8,
+        # ksub=256 — codebook-class closure state).
+        cen = np.asarray(centers, dtype=np.float64)
+        qc = np.stack([cen @ qmat[qi] for qi in range(len(queries))])
+        cn2 = (cen * cen).sum(1)
+        cross = np.stack([cen[:, s * dsub:(s + 1) * dsub] @ cb[s].T
+                          for s in range(mm)], axis=1)
     packed = "pq_bytes" in codes.columns
     code_col = "pq_bytes" if packed else "pq_code"
     sub_idx = np.arange(mm)
@@ -2175,14 +2193,28 @@ def ivf_pq_topk_batch(df: DataFrame,
                 cmat = np.asarray(
                     [np.asarray(c, dtype=np.uint8)
                      for c in pdf[code_col]])
-            nrm = np.sqrt(lut_n2[sub_idx, cmat].sum(1))
-            nrm[nrm == 0] = 1.0
-            acos = lut_dot[:, sub_idx, cmat].sum(2) \
-                / (nrm[None, :] * qn[:, None])
-            if round_to is not None:
-                acos = np.round(acos, round_to)
             ids = np.asarray(pdf[id_col].values)
             cell_vals = np.asarray(pdf["__cell"].values, dtype=np.int64)
+            if residual:
+                # same term order as pq_topk_residual for exact
+                # per-query parity; the reconstructed norm is
+                # query-independent, so it's computed once per batch
+                rn2 = (cn2[cell_vals]
+                       + 2.0 * cross[cell_vals[:, None],
+                                     sub_idx, cmat].sum(1)
+                       + lut_n2[sub_idx, cmat].sum(1))
+                rnrm = np.sqrt(np.maximum(rn2, 0.0))
+                dots = (qc[:, cell_vals]
+                        + lut_dot[:, sub_idx, cmat].sum(2))
+                den = rnrm[None, :] * qn[:, None]
+                acos = dots / np.where(den == 0, 1.0, den)
+            else:
+                nrm = np.sqrt(lut_n2[sub_idx, cmat].sum(1))
+                nrm[nrm == 0] = 1.0
+                acos = lut_dot[:, sub_idx, cmat].sum(2) \
+                    / (nrm[None, :] * qn[:, None])
+            if round_to is not None:
+                acos = np.round(acos, round_to)
             ok = allowed[:, cell_vals]                 # (Q, batch)
             sel_q, sel_i, sel_a = [], [], []
             for qi in range(len(qids)):

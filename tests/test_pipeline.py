@@ -3407,26 +3407,48 @@ class TestIVFPQBatchRerank:
         monkeypatch.setattr(sim, "BATCH_RERANK_IN_MAX", 0)
         assert run() == small
 
-    def test_residual_index_rejected_with_clear_error(self, spark):
-        # a by_residual store round-trips as a 4-tuple; the shared-LUT
-        # batch scans cannot express its per-cell math — clear error,
-        # not 'too many values to unpack'
+    def test_residual_index_batch_equals_per_query(self, spark):
+        # a by_residual 4-tuple is scored by the batch scans with the
+        # same cross-term ADC math as the per-query probe (round 9 —
+        # previously a clear unsupported-variant error): per query,
+        # batch topk == ivf_pq_topk and batch rerank ==
+        # ivf_pq_rerank_topk on the same residual index
         import random
 
         from confluent_ksql_charm_spark.pipeline import similarity as sim
 
         rng = random.Random(94)
-        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
-                for i in range(100)]
+        centers = [[rng.uniform(-1, 1) for _ in range(16)]
+                   for _ in range(4)]
+        rows = [(i, [c + rng.gauss(0, 0.05) for c in centers[i % 4]])
+                for i in range(200)]
         df = spark.createDataFrame(
             rows, "vec_id bigint, embedding array<float>")
-        idx = sim.ivf_pq_index_residual(df, nlist=2, m=4, ksub=8,
+        idx = sim.ivf_pq_index_residual(df, nlist=4, m=4, ksub=8,
                                         n_iter=4)
-        queries = [(1, rows[0][1])]
-        with pytest.raises(ValueError, match="by_residual"):
-            sim.ivf_pq_topk_batch(df, queries, k=5, index=idx)
-        with pytest.raises(ValueError, match="by_residual"):
-            sim.ivf_pq_rerank_topk_batch(df, queries, k=5, index=idx)
+        assert len(idx) == 4
+        queries = [(10, rows[0][1]), (11, rows[1][1]), (12, rows[2][1])]
+        got = {}
+        for r in sim.ivf_pq_topk_batch(df, queries, k=5, nprobe=2,
+                                       index=idx).collect():
+            got.setdefault(r.query_id, []).append((r.vec_id, r.acos))
+        for qid, qv in queries:
+            want = [(r.vec_id, r.acos) for r in
+                    sim.ivf_pq_topk(df, qv, k=5, nprobe=2,
+                                    index=idx).collect()]
+            assert got.get(qid, []) == want, f"query {qid} diverged"
+        got_rr = {}
+        for r in sim.ivf_pq_rerank_topk_batch(
+                df, queries, k=5, rerank=20, nprobe=2,
+                index=idx).collect():
+            got_rr.setdefault(r.query_id, []).append(
+                (r.vec_id, round(r.cosine, 6)))
+        for qid, qv in queries:
+            want = [(r.vec_id, round(r.cosine, 6)) for r in
+                    sim.ivf_pq_rerank_topk(df, qv, k=5, rerank=20,
+                                           nprobe=2,
+                                           index=idx).collect()]
+            assert got_rr.get(qid, []) == want, f"rerank {qid} diverged"
 
 
 def test_pq_fit_ksub_bounds(spark):
