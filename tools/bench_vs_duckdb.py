@@ -64,7 +64,12 @@ def main():
     small_sf = "sf0.01" in SF_DIR or "sf0.001" in SF_DIR
     out = {}
     for name, fn in qs.items():
-        spark_t = median_time(lambda: fn(spark, SF_DIR).count())
+        # noop-sink force (bench.py protocol v2): count() would let
+        # Catalyst prune projection columns, while the DuckDB side
+        # fetchall() always materializes every column
+        spark_t = median_time(
+            lambda: fn(spark, SF_DIR).write.format("noop")
+            .mode("overwrite").save())
         if name in quadratic_oracles and not small_sf:
             out[name] = {"spark": spark_t, "duckdb": None, "ratio": None,
                          "note": "quadratic oracle skipped at this SF"}
