@@ -42,8 +42,12 @@ def luhn_valid(digits: Column) -> Column:
     DuckDB replays exactly — no UDF, rides the scan like every other
     PII expression.
     """
-    arr = F.regexp_extract_all(digits, F.lit("[0-9]"), 0)
-    n = F.size(arr)
+    # one literal-pattern strip + char split instead of a per-char
+    # regexp_extract_all scan (r9: the extract_all was ~the cost of the
+    # whole fold); n from the cleaned LENGTH because split("") = [""]
+    clean = F.regexp_replace(digits, "[^0-9]", "")
+    arr = F.split(clean, "")
+    n = F.length(clean)
     total = F.aggregate(
         F.sequence(F.lit(1), n),
         F.lit(0),
@@ -77,9 +81,15 @@ def _redact_cc_validated(c: Column, pat: str, token: str) -> Column:
     valid = F.filter(cands, luhn_valid)
     alt = F.concat(F.lit(r"\b(?:"), F.array_join(valid, "|"),
                    F.lit(r")\b"))
-    # empty alternation would match zero-width at every word boundary
-    return F.when(F.size(valid) == 0, c).otherwise(
-        F.regexp_replace(c, alt, F.lit(token)))
+    # empty alternation would match zero-width at every word boundary;
+    # when EVERY candidate validates, the static pattern replaces the
+    # same spans — and a literal pattern's compiled regex is cached
+    # across rows, while the per-row alternation recompiles every time
+    # (r9: the all-valid fast path covers most PII-bearing rows)
+    return (F.when(F.size(valid) == 0, c)
+            .when(F.size(valid) == F.size(cands),
+                  F.regexp_replace(c, pat, token))
+            .otherwise(F.regexp_replace(c, alt, F.lit(token))))
 
 
 def redact_col(text: str | Column, *, luhn_validate: bool = False) -> Column:
