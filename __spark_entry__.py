@@ -1412,6 +1412,25 @@ def _q_decontaminate(spark, sf):
                              n=5, keyed="text")
 
 
+def _q_bloom_decontaminate(spark, sf):
+    # Bloom-filter decontamination tier: same benchmark slice as
+    # `decontaminate`, but membership is tested against a fixed
+    # 2^18-bit Bloom filter of the benchmark grams (3 portable-md5
+    # hash functions) instead of a broadcast gram relation — the
+    # constant-size-broadcast scale path for huge eval suites. The
+    # oracle replays the Bloom SEMANTICS (bit build + all-k-bits
+    # test), so false positives are part of the contract, not noise.
+    from confluent_ksql_charm_spark.pipeline.contamination import (
+        bloom_benchmark_filter, bloom_flag_contaminated)
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    bl = bloom_benchmark_filter(bench, "text", n=5, m_bits=1 << 18,
+                                num_hashes=3, hash="portable")
+    return bloom_flag_contaminated(corpus, bl, "doc_id", "text")
+
+
 def _q_fuzzy_decontaminate(spark, sf):
     # Fuzzy (MinHash) decontamination: corpus docs whose shingle-Jaccard
     # vs ANY benchmark doc >= 0.5. Benchmark = the doc_id % 5 == 0 slice
@@ -1614,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # newest / least-proven first (insurance if the cap ever shrinks)
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "pii_redact": _q_pii_redact,
         "bm25_topk": _q_bm25_topk,
@@ -2792,6 +2812,29 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 5 <> 0) "
             "SELECT dg.doc_id, COUNT(*) AS shared_grams "
             "FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id"
+        ),
+        "bloom_decontaminate": (
+            # Bloom tier replay: benchmark grams -> 3 portable-md5 bit
+            # positions each in [0, 2^18); a corpus doc's gram "hits"
+            # iff ALL 3 of its bits are set. Counts hit grams per doc.
+            "WITH toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) >= 5 "
+            "THEN [array_to_string(t[i:i+4], ' ') "
+            "FOR i IN generate_series(1, length(t) - 4)] "
+            "ELSE [array_to_string(t, ' ')] END) AS s FROM toks), "
+            "bbits AS (SELECT DISTINCT ('0x' || substr(md5(gram || "
+            "':bloom:' || j), 1, 15))::BIGINT % 262144 AS bit "
+            "FROM (SELECT DISTINCT unnest(s) AS gram FROM sh "
+            "WHERE doc_id % 5 = 0), generate_series(0, 2) g(j)), "
+            "db AS (SELECT doc_id, gram, ('0x' || substr(md5(gram || "
+            "':bloom:' || j), 1, 15))::BIGINT % 262144 AS bit "
+            "FROM (SELECT doc_id, unnest(s) AS gram FROM sh "
+            "WHERE doc_id % 5 <> 0), generate_series(0, 2) g(j)), "
+            "hit AS (SELECT doc_id, gram FROM db JOIN bbits USING (bit) "
+            "GROUP BY doc_id, gram HAVING count(*) = 3) "
+            "SELECT doc_id, count(*) AS bloom_grams FROM hit "
+            "GROUP BY doc_id"
         ),
         "pii_redact_luhn": _PII_LUHN_ORACLE_SQL,
         "pii_redact": (

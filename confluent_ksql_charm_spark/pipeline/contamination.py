@@ -332,3 +332,154 @@ def embedding_decontaminate(corpus_emb: DataFrame,
         threshold=threshold)
     keep = flags.where(~F.col("contaminated")).select(id_col)
     return corpus_emb.join(keep, id_col, "inner")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter tier: constant-size broadcast for HUGE benchmark suites
+# ---------------------------------------------------------------------------
+
+#: Cap on the packed filter size: 2^30 bits = 128 MiB of longs — the
+#: point where "broadcast a bit array" stops being obviously better
+#: than broadcasting the gram-hash relation itself.
+BLOOM_MAX_BITS = 1 << 30
+
+
+def _bloom_bit(gram, j: int, m_bits: int, hash: str, salt: str):
+    """Bit index of hash function `j` for a gram, in [0, m_bits).
+
+    hash="fast": xxhash64(gram, salt:j) — production.
+    hash="portable": 60-bit md5 prefix of gram||':salt:j' — the
+    DuckDB-replayable family (`dedup.portable_token_hash` contract:
+    ('0x' || substr(md5(g || ':salt:j'), 1, 15))::BIGINT), always
+    non-negative so `%` and `pmod` agree across engines.
+    """
+    if hash == "portable":
+        h = (F.conv(F.substring(
+            F.md5(F.concat(gram, F.lit(f":{salt}:{j}"))), 1, 15), 16, 10)
+            .cast("bigint"))
+    else:
+        h = F.xxhash64(gram, F.lit(f"{salt}:{j}"))
+    return F.pmod(h, F.lit(m_bits)).cast("long")
+
+
+def bloom_benchmark_filter(bench: DataFrame, text_col: str, *,
+                           n: int = 8, m_bits: int = 1 << 24,
+                           num_hashes: int = 4, hash: str = "fast",
+                           salt: str = "bloom",
+                           bench_grams: DataFrame | None = None) -> dict:
+    """Build a Bloom filter of the benchmark's distinct n-grams — the
+    LARGE-benchmark scale tier of exact decontamination.
+
+    `flag_contaminated` broadcasts the gram-hash relation: 8 bytes per
+    distinct gram, which is right while benchmark suites are MBs. A
+    consolidated eval suite with ~1B distinct grams would broadcast
+    8 GB — past executor budgets. This tier replaces it with a FIXED
+    m-bit array (default 2^24 bits = 2 MiB) whose size is chosen by
+    false-positive budget, not benchmark size: fp ≈ (1-e^(-k·g/m))^k
+    for g grams and k hashes. False positives only ever ADD a flagged
+    doc (the conservative direction for decontamination); false
+    negatives are impossible.
+
+    Build shape: distinct grams → k bit indices each → distinct bits →
+    per-64-bit-word `bit_or` aggregate (bounded at m/64 rows, e.g. 256k
+    longs at the default) → driver-packed list. The benchmark is
+    scanned once; driver state is m/64 longs REGARDLESS of benchmark
+    size — same bounded-driver-state budget discipline as
+    `similarity.PQ_TRAIN_TARGET_ROWS` and `EMB_BENCH_MAX_ROWS`.
+
+    Returns ``{"words": [m/64 longs], "m_bits", "num_hashes", "n",
+    "hash", "salt"}``. Persist the dict as JSON alongside the
+    benchmark release and reuse across every corpus sweep.
+    """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError("bloom_benchmark_filter: m_bits must be a "
+                         "positive multiple of 64")
+    if m_bits > BLOOM_MAX_BITS:
+        raise ValueError(
+            f"bloom_benchmark_filter: m_bits {m_bits} exceeds "
+            f"{BLOOM_MAX_BITS} (128 MiB packed) — at that scale "
+            "broadcast the gram-hash relation itself "
+            "(flag_contaminated, 8 B/gram) instead")
+    grams = bench_grams if bench_grams is not None else benchmark_grams(
+        bench, text_col, n=n, keyed="text")
+    gc = F.col("gram")
+    bits = grams.select(F.explode(F.array(*[
+        _bloom_bit(gc, j, m_bits, hash, salt)
+        for j in range(num_hashes)])).alias("bit")).distinct()
+    rows = (bits.select(
+        F.call_function("shiftright", F.col("bit"), F.lit(6))
+        .cast("int").alias("w"),
+        F.call_function("shiftleft", F.lit(1).cast("long"),
+                        F.col("bit").bitwiseAND(F.lit(63)).cast("int"))
+        .alias("m"))
+        .groupBy("w").agg(F.bit_or("m").alias("m")).collect())
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["m"]
+    return {"words": words, "m_bits": m_bits, "num_hashes": num_hashes,
+            "n": n, "hash": hash, "salt": salt}
+
+
+def bloom_flag_contaminated(docs: DataFrame, bloom: dict, id_col: str,
+                            text_col: str) -> DataFrame:
+    """(id, bloom_grams) for every corpus doc with ≥ 1 distinct n-gram
+    whose k Bloom bits are all set — the membership test of the
+    `bloom_benchmark_filter` tier.
+
+    100 TB shape: the packed filter rides a ONE-ROW broadcast attach
+    (the established 1-row BNLJ pattern — constant bytes per executor,
+    never a shuffle); the corpus is scanned once, each doc's distinct
+    grams are tested with pure JVM expressions (k hashes + 2 bitwise
+    ops per gram — no Python, no explode, no join: the gram relation
+    never materializes as rows at all, unlike `flag_contaminated`).
+    The only shuffle output is the flagged-id relation itself.
+    """
+    spark = docs.sparkSession
+    m_bits, k = bloom["m_bits"], bloom["num_hashes"]
+    h, salt, n = bloom["hash"], bloom["salt"], bloom["n"]
+    wdf = spark.createDataFrame([(bloom["words"],)],
+                                "bloom_words array<long>")
+
+    def _set(g, j):
+        bit = _bloom_bit(g, j, m_bits, h, salt)
+        word = F.element_at(
+            F.col("bloom_words"),
+            (F.call_function("shiftright", bit, F.lit(6)) + F.lit(1))
+            .cast("int"))
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"),
+                               bit.bitwiseAND(F.lit(63)).cast("int"))
+        return word.bitwiseAND(mask) != F.lit(0)
+
+    def _hit(g):
+        out = _set(g, 0)
+        for j in range(1, k):
+            out = out & _set(g, j)
+        return out
+
+    return (ensure_parallelism(docs)
+            .select(F.col(id_col), shingles_col(text_col, n).alias("__g"))
+            .crossJoin(F.broadcast(wdf))
+            .select(id_col,
+                    F.size(F.filter(F.col("__g"), _hit))
+                    .alias("bloom_grams"))
+            .where(F.col("bloom_grams") >= 1))
+
+
+def bloom_decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
+                        text_col: str, *, n: int = 8,
+                        m_bits: int = 1 << 24, num_hashes: int = 4,
+                        hash: str = "fast", salt: str = "bloom",
+                        bloom: dict | None = None) -> DataFrame:
+    """Corpus minus Bloom-flagged docs — `decontaminate` for benchmark
+    suites too large to broadcast as a gram relation. Anti-join on the
+    flagged ids, exactly like the exact tier; pass a prebuilt `bloom`
+    (from `bloom_benchmark_filter`, persisted per benchmark release)
+    to skip the build scan. Conservative by construction: Bloom false
+    positives can only drop extra docs, never leak a benchmark gram.
+    """
+    bl = bloom if bloom is not None else bloom_benchmark_filter(
+        bench, text_col, n=n, m_bits=m_bits, num_hashes=num_hashes,
+        hash=hash, salt=salt)
+    flagged = bloom_flag_contaminated(docs, bl, id_col,
+                                      text_col).select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

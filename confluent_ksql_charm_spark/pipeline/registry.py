@@ -23,6 +23,12 @@ _SIGNATURES = {
                           "TEXT='text'[, N='8'])"),
     "FUZZY_DECONTAMINATE": ("FUZZY_DECONTAMINATE(corpus, bench, ID='id', "
                             "TEXT='text'[, THRESHOLD='0.5'])"),
+    "BLOOM_DECONTAMINATE": ("BLOOM_DECONTAMINATE(corpus, bench, ID='id', "
+                            "TEXT='text'[, N='8'][, M_BITS='16777216']"
+                            "[, NUM_HASHES='4'])"),
+    "BLOOM_FLAG_CONTAMINATED": ("BLOOM_FLAG_CONTAMINATED(corpus, bench, "
+                                "ID='id', TEXT='text'[, N='8']"
+                                "[, M_BITS='16777216'][, NUM_HASHES='4'])"),
     "FUZZY_FLAG_CONTAMINATED": ("FUZZY_FLAG_CONTAMINATED(corpus, bench, "
                                 "ID='id', TEXT='text'"
                                 "[, THRESHOLD='0.5'])"),
@@ -140,6 +146,20 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         fn = decontaminate if op == "DECONTAMINATE" else flag_contaminated
         return fn(dfs[0], dfs[1], _need(spec, "ID"), _need(spec, "TEXT"),
                   n=int(p.get("N", 8)))
+    if op in ("BLOOM_DECONTAMINATE", "BLOOM_FLAG_CONTAMINATED"):
+        from .contamination import (bloom_benchmark_filter,
+                                    bloom_decontaminate,
+                                    bloom_flag_contaminated)
+        _need_sources(spec, 2)
+        kw = dict(n=int(p.get("N", 8)),
+                  m_bits=int(p.get("M_BITS", 1 << 24)),
+                  num_hashes=int(p.get("NUM_HASHES", 4)))
+        if op == "BLOOM_DECONTAMINATE":
+            return bloom_decontaminate(dfs[0], dfs[1], _need(spec, "ID"),
+                                       _need(spec, "TEXT"), **kw)
+        bl = bloom_benchmark_filter(dfs[1], _need(spec, "TEXT"), **kw)
+        return bloom_flag_contaminated(dfs[0], bl, _need(spec, "ID"),
+                                       _need(spec, "TEXT"))
     if op in ("FUZZY_DECONTAMINATE", "FUZZY_FLAG_CONTAMINATED"):
         from .contamination import (fuzzy_decontaminate,
                                     fuzzy_flag_contaminated)

@@ -440,6 +440,22 @@ class TestPipelineStatements:
         vr = peng.sql("SELECT token, rank FROM vocab").collect()
         assert len(vr) == 5 and vr[0].rank == 1
 
+    def test_bloom_decontaminate_via_sql(self, peng):
+        peng.execute("CREATE STREAM bclean AS PIPELINE "
+                     "BLOOM_DECONTAMINATE(docs, bench, ID='doc_id', "
+                     "TEXT='text', N='3', M_BITS='65536', "
+                     "NUM_HASHES='3');")
+        ids = {r.doc_id for r in
+               peng.sql("SELECT doc_id FROM bclean").collect()}
+        assert 3 not in ids          # shares 3-grams with the benchmark
+        peng.execute("CREATE TABLE bflag AS PIPELINE "
+                     "BLOOM_FLAG_CONTAMINATED(docs, bench, ID='doc_id', "
+                     "TEXT='text', N='3', M_BITS='65536', "
+                     "NUM_HASHES='3');")
+        flagged = {r.doc_id for r in
+                   peng.sql("SELECT doc_id FROM bflag").collect()}
+        assert 3 in flagged and ids.isdisjoint(flagged)
+
     def test_fuzzy_decontaminate_via_sql(self, peng):
         peng.execute("CREATE STREAM fclean AS PIPELINE "
                      "FUZZY_DECONTAMINATE(docs, bench, ID='doc_id', "

@@ -5173,3 +5173,94 @@ class TestIVFPQResidualMaintainGuard:
                            partition_by="__cell")
         with pytest.raises(ValueError, match="by_residual"):
             sim.ivf_pq_maintain(spark, path, df.limit(4), corpus_df=df)
+
+
+class TestBloomDecontamination:
+    def test_superset_of_exact_tier(self, spark):
+        # Bloom can only ADD flagged docs (false positives), never
+        # miss one the exact tier finds — the conservative contract.
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            bloom_benchmark_filter, bloom_flag_contaminated,
+            flag_contaminated)
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            ["id", "text"])
+        docs = spark.createDataFrame(
+            [(1, "xx quick brown fox jumps yy"),
+             (2, "completely unrelated training text with no overlap"),
+             (3, "quick brown fox jumps over plus extra tokens")],
+            ["id", "text"])
+        bl = bloom_benchmark_filter(bench, "text", n=4, m_bits=1 << 16,
+                                    num_hashes=3)
+        got = {r["id"]: r["bloom_grams"]
+               for r in bloom_flag_contaminated(docs, bl, "id",
+                                                "text").collect()}
+        exact = {r["id"]: r["shared_grams"]
+                 for r in flag_contaminated(docs, bench, "id", "text",
+                                            n=4).collect()}
+        assert set(exact) <= set(got)
+        for i, n_shared in exact.items():
+            assert got[i] >= n_shared   # per-doc counts also dominate
+
+    def test_no_false_negatives_both_hash_families(self, spark):
+        from pyspark.sql import functions as F
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            bloom_benchmark_filter, bloom_flag_contaminated,
+            flag_contaminated)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        bench = docs.where(F.col("doc_id") % 5 == 0)
+        corpus = docs.where(F.col("doc_id") % 5 != 0)
+        exact = {r["doc_id"] for r in flag_contaminated(
+            corpus, bench, "doc_id", "text", n=5).collect()}
+        for h in ("fast", "portable"):
+            bl = bloom_benchmark_filter(bench, "text", n=5,
+                                        m_bits=1 << 18, num_hashes=3,
+                                        hash=h)
+            got = {r["doc_id"] for r in bloom_flag_contaminated(
+                corpus, bl, "doc_id", "text").collect()}
+            assert exact <= got, h
+
+    def test_decontaminate_keeps_clean_docs(self, spark):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            bloom_decontaminate)
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            ["id", "text"])
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta leaked prefix here"),
+             (2, "totally clean document about something else entirely")],
+            ["id", "text"])
+        out = bloom_decontaminate(docs, bench, "id", "text", n=4,
+                                  m_bits=1 << 16, num_hashes=4)
+        assert [r["id"] for r in out.collect()] == [2]
+
+    def test_prebuilt_filter_reused(self, spark):
+        # Persist-once contract: a prebuilt dict gives the same answer
+        # as the build-per-call path.
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            bloom_benchmark_filter, bloom_decontaminate)
+        bench = spark.createDataFrame(
+            [(9, "one two three four five six seven")], ["id", "text"])
+        docs = spark.createDataFrame(
+            [(1, "zero one two three four tail"),
+             (2, "nothing shared at all in this row")], ["id", "text"])
+        bl = bloom_benchmark_filter(bench, "text", n=3, m_bits=1 << 16,
+                                    num_hashes=3)
+        a = sorted(r["id"] for r in bloom_decontaminate(
+            docs, bench, "id", "text", n=3, m_bits=1 << 16,
+            num_hashes=3).collect())
+        b = sorted(r["id"] for r in bloom_decontaminate(
+            docs, bench, "id", "text", bloom=bl).collect())
+        assert a == b == [2]
+
+    def test_size_guards(self, spark):
+        import pytest
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            bloom_benchmark_filter, BLOOM_MAX_BITS)
+        bench = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_benchmark_filter(bench, "text", m_bits=100)
+        with pytest.raises(ValueError, match="exceeds"):
+            bloom_benchmark_filter(bench, "text",
+                                   m_bits=BLOOM_MAX_BITS * 2)
