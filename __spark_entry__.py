@@ -987,6 +987,18 @@ def _q_vocab_topk(spark, sf):
     return vocab_topk(_docs(spark, sf), "text", k=40)
 
 
+def _q_bpe_pair_counts(spark, sf):
+    # BPE trainer's iteration-0 statistics: adjacent (char, char|</w>)
+    # pair counts weighted by word frequency — the fully-distributed,
+    # SQL-replayable surface of tokenizer training (the merge loop
+    # itself runs on the driver over the bounded word histogram and is
+    # parity-tested against a naive recount reference in pytest).
+    from confluent_ksql_charm_spark.pipeline.tokenizer import (
+        bpe_pair_counts)
+
+    return bpe_pair_counts(_docs(spark, sf), "text", k=50)
+
+
 def _q_paragraph_dedup(spark, sf):
     # Global paragraph-level boilerplate removal over real docs UNION the
     # planted cross-doc-duplicate fixture (synthetic docs are single-line
@@ -1701,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dedup": _q_substring_dedup,
         "vocab_topk": _q_vocab_topk,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "corpus_stats": _q_corpus_stats,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
@@ -3360,6 +3373,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(s//24 AS INT) AS chunk_id, "
             "CAST(len(t[s+1 : s+32]) AS INT) AS n_tokens, "
             "array_to_string(t[s+1 : s+32], ' ') AS chunk FROM st"
+        ),
+        "bpe_pair_counts": (
+            # iteration-0 BPE pair statistics: word histogram ->
+            # per-word (char, next-char-or-</w>) pairs weighted by word
+            # count -> top-50 by (cnt desc, left, right)
+            "WITH w AS (SELECT lower(unnest(string_split_regex("
+            "trim(text), '\\s+'))) AS word FROM documents), "
+            "h AS (SELECT word, count(*) AS cnt FROM w "
+            "WHERE word <> '' GROUP BY word), "
+            "ch AS (SELECT cnt, list_append([substr(word, i, 1) "
+            "FOR i IN generate_series(1, length(word))], '</w>') AS cs "
+            "FROM h), "
+            "p AS (SELECT unnest([{'l': cs[i], 'r': cs[i+1]} "
+            "FOR i IN generate_series(1, length(cs) - 1)]) AS pr, cnt "
+            "FROM ch), "
+            "a AS (SELECT pr.l AS \"left\", pr.r AS \"right\", "
+            "sum(cnt)::BIGINT AS cnt FROM p GROUP BY 1, 2) "
+            "SELECT \"left\", \"right\", cnt, rank FROM ("
+            "SELECT \"left\", \"right\", cnt, CAST(row_number() OVER ("
+            "ORDER BY cnt DESC, \"left\", \"right\") AS INT) AS rank "
+            "FROM a) WHERE rank <= 50"
         ),
         "vocab_topk": (
             # exact-BIGINT cumsum, single final division; ties to the

@@ -50,6 +50,10 @@ _SIGNATURES = {
                        "[, ALPHA='0.5'][, FRACTION='0.5']"
                        "[, WEIGHT='n_tokens'])"),
     "VOCAB_TOPK": "VOCAB_TOPK(src, TEXT='text'[, K='100'][, LOWERCASE='true'])",
+    "BPE_PAIR_COUNTS": ("BPE_PAIR_COUNTS(src, TEXT='text'[, K='50']"
+                        "[, MIN_COUNT='1'])"),
+    "BPE_TOKEN_COUNT": ("BPE_TOKEN_COUNT(src, TEXT='text'"
+                        "[, NUM_MERGES='200'][, MIN_COUNT='1'])"),
     "CORPUS_STATS": "CORPUS_STATS(src, TEXT='text'[, LANG='lang'])",
     "SQ8_TOPK": ("SQ8_TOPK(emb, QUERY_VEC='f,f,...'"
                  "[, ID='vec_id'][, VEC='embedding'][, K='10'])"),
@@ -254,6 +258,20 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                           k=int(p.get("K", 100)),
                           lowercase=p.get("LOWERCASE", "true").lower()
                           == "true")
+    if op == "BPE_PAIR_COUNTS":
+        from .tokenizer import bpe_pair_counts
+        _need_sources(spec, 1)
+        return bpe_pair_counts(dfs[0], _need(spec, "TEXT"),
+                               k=int(p.get("K", 50)),
+                               min_count=int(p.get("MIN_COUNT", 1)))
+    if op == "BPE_TOKEN_COUNT":
+        from .tokenizer import bpe_token_count, bpe_train
+        _need_sources(spec, 1)
+        text = _need(spec, "TEXT")
+        model = bpe_train(dfs[0], text_col=text,
+                          num_merges=int(p.get("NUM_MERGES", 200)),
+                          min_count=int(p.get("MIN_COUNT", 1)))
+        return bpe_token_count(dfs[0], model, text_col=text)
     if op == "PARAGRAPH_DEDUP":
         from .dedup import paragraph_dedup
         _need_sources(spec, 1)

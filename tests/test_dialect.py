@@ -465,6 +465,19 @@ class TestPipelineStatements:
         assert 3 not in ids          # exact copy of the benchmark doc
         assert {1, 2, 4, 5} <= ids
 
+    def test_bpe_via_sql(self, peng):
+        peng.execute("CREATE TABLE pairs AS PIPELINE "
+                     "BPE_PAIR_COUNTS(docs, TEXT='text', K='5');")
+        rows = peng.sql(
+            "SELECT cnt, rank FROM pairs").collect()
+        assert len(rows) == 5 and rows[0].rank == 1
+        assert rows[0].cnt >= rows[-1].cnt
+        peng.execute("CREATE TABLE btok AS PIPELINE "
+                     "BPE_TOKEN_COUNT(docs, TEXT='text', "
+                     "NUM_MERGES='20');")
+        got = peng.sql("SELECT doc_id, n_bpe_tokens FROM btok").collect()
+        assert len(got) == 5 and all(r.n_bpe_tokens > 0 for r in got)
+
     def test_substring_dedup_via_sql(self, peng):
         peng.execute("CREATE TABLE sdedup AS PIPELINE "
                      "SUBSTRING_DEDUP(docs, ID='doc_id', TEXT='text', "

@@ -5264,3 +5264,137 @@ class TestBloomDecontamination:
         with pytest.raises(ValueError, match="exceeds"):
             bloom_benchmark_filter(bench, "text",
                                    m_bits=BLOOM_MAX_BITS * 2)
+
+
+class TestBPETokenizer:
+    def _naive_train(self, word_counts, num_merges, eow="</w>"):
+        # brute-force reference: full pair recount each iteration
+        from collections import Counter
+        words = {w: list(w) + [eow] for w in word_counts}
+        merges = []
+        for _ in range(num_merges):
+            stats = Counter()
+            for w, syms in words.items():
+                c = word_counts[w]
+                for a, b in zip(syms, syms[1:]):
+                    stats[(a, b)] += c
+            if not stats:
+                break
+            mx = max(stats.values())
+            best = min(p for p, c in stats.items() if c == mx)
+            merges.append(best)
+            a, b = best
+            for w, syms in words.items():
+                out, j = [], 0
+                while j < len(syms):
+                    if (j + 1 < len(syms) and syms[j] == a
+                            and syms[j + 1] == b):
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                words[w] = out
+        return merges, words
+
+    def test_sennrich_example(self, spark):
+        # the worked example from the BPE paper: 'es' then 'est' merge
+        # out of {low, lower, newest, widest} with these counts
+        from confluent_ksql_charm_spark.pipeline.tokenizer import bpe_train
+        hist = spark.createDataFrame(
+            [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+            ["word", "cnt"])
+        model = bpe_train(None, histogram=hist, num_merges=3)
+        assert model["merges"][:3] == [("e", "s"), ("es", "t"),
+                                       ("est", "</w>")]
+
+    def test_incremental_matches_naive_reference(self, spark):
+        # the incremental pair-count maintenance (inverted index) must
+        # reproduce the recount-per-iteration reference exactly,
+        # including (count desc, pair asc) tie-breaks
+        import random
+        from collections import Counter
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_segment, bpe_train)
+        rng = random.Random(7)
+        for _ in range(4):
+            vocab = ["".join(rng.choice("abcde")
+                             for _ in range(rng.randint(1, 8)))
+                     for _ in range(rng.randint(5, 60))]
+            wc = Counter()
+            for w in vocab:
+                wc[w] += rng.randint(1, 20)
+            hist = spark.createDataFrame(
+                [(w, int(c)) for w, c in wc.items()], ["word", "cnt"])
+            model = bpe_train(None, histogram=hist, num_merges=30)
+            ref_merges, ref_words = self._naive_train(dict(wc), 30)
+            assert model["merges"] == ref_merges
+            # greedy lowest-rank apply == sequential merge application
+            ranks = {p: i for i, p in enumerate(model["merges"])}
+            for w in wc:
+                assert bpe_segment(w, ranks) == ref_words[w]
+
+    def test_encode_round_trip_and_counts(self, spark):
+        from pyspark.sql import functions as F
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_encode, bpe_token_count, bpe_train)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(50)
+        model = bpe_train(docs, text_col="text", num_merges=60)
+        enc = bpe_encode(docs, model)
+        # concatenating a doc's tokens and stripping </w> markers must
+        # reproduce the lowercased whitespace-normalized text exactly
+        rows = (enc.select(
+            F.lower(F.concat_ws(" ", F.split(F.trim("text"), r"\s+")))
+            .alias("norm"),
+            F.array_join("bpe_tokens", "").alias("joined")).collect())
+        assert rows
+        for r in rows:
+            assert r["joined"].replace("</w>", " ").rstrip() == r["norm"]
+        cnt = bpe_token_count(docs, model)
+        got = {r["doc_id"]: r["n_bpe_tokens"] for r in cnt.collect()}
+        ref = {r["doc_id"]: len(r["bpe_tokens"])
+               for r in enc.select("doc_id", "bpe_tokens").collect()}
+        assert got == ref
+        # a learned vocab compresses: fewer tokens than characters
+        chars = {r["doc_id"]: len(r["text"]) for r in docs.collect()}
+        assert all(got[i] < chars[i] for i in got)
+
+    def test_pair_counts_match_histogram_replay(self, spark):
+        from collections import Counter
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_pair_counts)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        got = [(r["left"], r["right"], r["cnt"], r["rank"])
+               for r in bpe_pair_counts(docs, "text", k=15).collect()]
+        wc = Counter()
+        for row in docs.select("text").collect():
+            for w in row["text"].strip().split():
+                wc[w.lower()] += 1
+        stats = Counter()
+        for w, c in wc.items():
+            syms = list(w) + ["</w>"]
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += c
+        ref = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+        assert got == [(a, b, c, i + 1)
+                       for i, ((a, b), c) in enumerate(ref)]
+
+    def test_save_load_round_trip(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_train, load_bpe_model, save_bpe_model)
+        hist = spark.createDataFrame(
+            [("abab", 4), ("abc", 2)], ["word", "cnt"])
+        model = bpe_train(None, histogram=hist, num_merges=5)
+        save_bpe_model(model, str(tmp_path / "bpe"))
+        back = load_bpe_model(str(tmp_path / "bpe"))
+        assert back == model
+
+    def test_histogram_cap_guard(self, spark):
+        import pytest
+        from confluent_ksql_charm_spark.pipeline.tokenizer import bpe_train
+        hist = spark.createDataFrame(
+            [("a", 1), ("b", 1), ("c", 1)], ["word", "cnt"])
+        with pytest.raises(ValueError, match="histogram exceeds"):
+            bpe_train(None, histogram=hist, max_words=2)
