@@ -855,6 +855,19 @@ def _q_hard_negatives(spark, sf):
                           nprobe=8, round_to=4)
 
 
+def _q_mmr_select(spark, sf):
+    # Maximal-marginal-relevance diverse top-10 vs embedding 0 over a
+    # 40-row exact shortlist (lambda 0.7): the greedy loop compares
+    # ROUNDED scores with lowest-id ties, so DuckDB replays the whole
+    # selection with a recursive CTE carrying the chosen-id list.
+    from confluent_ksql_charm_spark.pipeline.similarity import mmr_select
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    return mmr_select(emb.where(F.col("vec_id") != 0),
+                      _query_vec(spark, sf), k=10, lambda_=0.7,
+                      shortlist=40)
+
+
 def _q_semantic_dedup(spark, sf):
     # SemDeDup (embedding-space cluster dedup): EXACT pair path at
     # threshold 0.42 (34 true pairs at sf0.01; nearest pair sits 0.0017
@@ -1678,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "knn_graph": _q_knn_graph,
         "hard_negatives": _q_hard_negatives,
+        "mmr_select": _q_mmr_select,
         "hot_key_join": _q_hot_key_join,
         "ivf_pq_rerank": _q_ivf_pq_rerank,
         "filtered_rerank_topk": _q_filtered_rerank,
@@ -2560,6 +2574,42 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
             "ORDER BY cosine DESC, vec_id) <= 5 "
             "ORDER BY query_id, cosine DESC, vec_id"
+        ),
+        "mmr_select": (
+            # recursive greedy replay: shortlist by exact cosine, then
+            # each iteration picks argmax of round(0.7*rel - 0.3*maxsim
+            # over chosen, 4) with lowest-id ties, carrying the chosen
+            # list through the recursion
+            "WITH RECURSIVE "
+            "c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb, "
+            "list_cosine_similarity(embedding::DOUBLE[], "
+            "(SELECT embedding::DOUBLE[] FROM embeddings "
+            "WHERE vec_id = 0)) AS rel "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY rel DESC, vec_id LIMIT 40), "
+            "s AS (SELECT a.id AS ia, b.id AS ib, "
+            "list_cosine_similarity(a.emb, b.emb) AS sim "
+            "FROM c a JOIN c b ON a.id <> b.id), "
+            "sel AS ("
+            "(SELECT 1 AS mmr_rank, id, rel, 0.0::DOUBLE AS ms, "
+            "round(0.7 * rel, 4) AS score, [id] AS chosen "
+            "FROM c ORDER BY round(0.7 * rel, 4) DESC, id LIMIT 1) "
+            "UNION ALL "
+            "SELECT sel.mmr_rank + 1, nxt.id, nxt.rel, nxt.ms, "
+            "nxt.score, list_append(sel.chosen, nxt.id) "
+            "FROM sel, LATERAL ("
+            "SELECT c.id, c.rel, "
+            "(SELECT max(sim) FROM s WHERE s.ia = c.id "
+            "AND list_contains(sel.chosen, s.ib)) AS ms, "
+            "round(0.7 * c.rel - 0.3 * (SELECT max(sim) FROM s "
+            "WHERE s.ia = c.id "
+            "AND list_contains(sel.chosen, s.ib)), 4) AS score "
+            "FROM c WHERE NOT list_contains(sel.chosen, c.id) "
+            "ORDER BY score DESC, c.id LIMIT 1) nxt "
+            "WHERE sel.mmr_rank < 10) "
+            "SELECT id AS vec_id, mmr_rank, round(rel, 4) AS relevance, "
+            "round(ms, 4) AS max_sim_selected, score AS mmr_score "
+            "FROM sel"
         ),
         "semantic_dedup": (
             "WITH RECURSIVE prs AS (SELECT a.vec_id AS ia, b.vec_id AS ib "

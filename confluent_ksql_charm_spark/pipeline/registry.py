@@ -57,6 +57,9 @@ _SIGNATURES = {
     "CORPUS_STATS": "CORPUS_STATS(src, TEXT='text'[, LANG='lang'])",
     "SQ8_TOPK": ("SQ8_TOPK(emb, QUERY_VEC='f,f,...'"
                  "[, ID='vec_id'][, VEC='embedding'][, K='10'])"),
+    "MMR_SELECT": ("MMR_SELECT(emb, QUERY_VEC='f,f,...'[, K='10']"
+                   "[, LAMBDA='0.5'][, SHORTLIST='50'][, ID='vec_id']"
+                   "[, VEC='embedding'])"),
     "PQ_TOPK": ("PQ_TOPK(emb, QUERY_VEC='f,f,...'"
                 "[, ID='vec_id'][, VEC='embedding'][, K='10']"
                 "[, M='8'][, KSUB='16'][, N_ITER='10'])"),
@@ -221,6 +224,15 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                            k=int(p.get("K", 10)),
                            k_each=int(p.get("K_EACH", 20)),
                            rrf_k=int(p.get("RRF_K", 60)))
+    if op == "MMR_SELECT":
+        from .similarity import mmr_select
+        _need_sources(spec, 1)
+        qvec = [float(x) for x in _need(spec, "QUERY_VEC").split(",")]
+        return mmr_select(dfs[0], qvec, k=int(p.get("K", 10)),
+                          lambda_=float(p.get("LAMBDA", 0.5)),
+                          shortlist=int(p.get("SHORTLIST", 50)),
+                          id_col=p.get("ID", "vec_id"),
+                          vec_col=p.get("VEC", "embedding"))
     if op == "SQ8_TOPK":
         # quantize-then-scan in one statement: codebook fit + encode +
         # ADC top-k (the one-shot form; long-lived deployments encode

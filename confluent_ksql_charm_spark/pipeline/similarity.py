@@ -2640,6 +2640,83 @@ def hard_negatives(df: DataFrame, k: int = 10, *,
     return knn_graph(df, k, below=exclude_above, **kw)
 
 
+def mmr_select(df: DataFrame, query_vec: list[float], k: int = 10, *,
+               lambda_: float = 0.5, shortlist: int = 50,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               round_to: int = 4) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998, public method): greedily pick `k` items maximizing
+    ``lambda·cos(q, d) − (1−lambda)·max_{s∈S} cos(d, s)`` — relevant
+    to the query but dissimilar to what is already selected. The
+    standard diversity-aware retrieval cut for few-shot example
+    selection and topic-balanced data curation, where plain top-k
+    returns `k` paraphrases of the same document.
+
+    Output: (`id_col`, mmr_rank, relevance, max_sim_selected,
+    mmr_score), all similarity columns rounded to `round_to`. The
+    first pick (rank 1) is the plain argmax of relevance with
+    max_sim_selected = 0.0. Ordering domain: every greedy comparison
+    uses ROUNDED scores with ties to the LOWEST id, so an external
+    engine replays the selection exactly (the repo-wide contract).
+
+    100 TB shape — the same two-phase bound as the refine/rerank
+    tiers: phase 1 is a distributed exact top-`shortlist` relevance
+    scan (swap in an ANN tier for huge corpora: the shortlist is just
+    a candidate relation); phase 2 is the inherently-sequential greedy
+    loop, O(k·shortlist) cosines over `shortlist` collected rows —
+    driver-bounded BY the `shortlist` parameter itself (the same
+    bounded-by-construction contract as `ivf_pq_rerank_topk`'s
+    shortlist ids). MMR's data dependence (each pick changes the next
+    penalty) makes the loop irreducible; the scale lever is bounding
+    its input, not distributing it.
+    """
+    import numpy as np
+
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError("mmr_select: lambda_ must be in [0, 1]")
+    if k > shortlist:
+        raise ValueError("mmr_select: k must be <= shortlist")
+    cand = cosine_topk(df, query_vec, k=shortlist,
+                       vec_col=vec_col, id_col=id_col)
+    rows = (df.select(id_col, vec_col)
+            .join(F.broadcast(cand), id_col)
+            .orderBy(id_col).collect())
+    ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    rel = np.asarray([float(r["cosine"]) for r in rows])
+    x = np.asarray([[float(v) for v in r[vec_col]] for r in rows])
+    nrm = np.sqrt((x * x).sum(1))
+    nrm[nrm == 0] = 1.0
+    sim = (x @ x.T) / (nrm[:, None] * nrm[None, :])
+
+    n = len(ids)
+    selected: list[int] = []
+    remaining = list(range(n))
+    # true max over the selected set (can be NEGATIVE — anti-similar
+    # items get a bonus, the standard MMR semantics); -inf = "nothing
+    # selected yet", rendered as penalty 0 for the first pick
+    max_sim = np.full(n, -np.inf)
+    out = []
+    for rank in range(1, min(k, n) + 1):
+        best = None
+        for i in remaining:
+            ms = float(max_sim[i]) if selected else 0.0
+            score = round(lambda_ * rel[i] - (1 - lambda_) * ms,
+                          round_to)
+            key = (-score, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, score, ms)
+        _, i, score, ms = best
+        out.append((int(ids[i]), rank, round(float(rel[i]), round_to),
+                    round(ms, round_to), float(score)))
+        selected.append(i)
+        remaining.remove(i)
+        max_sim = np.maximum(max_sim, sim[:, i])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, f"{id_col} long, mmr_rank int, relevance double, "
+             "max_sim_selected double, mmr_score double")
+
+
 def semantic_dedup(df: DataFrame, *, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    exact: bool = False,

@@ -465,6 +465,18 @@ class TestPipelineStatements:
         assert 3 not in ids          # exact copy of the benchmark doc
         assert {1, 2, 4, 5} <= ids
 
+    def test_mmr_select_via_sql(self, peng, spark):
+        peng.register_source("mmrvecs", df=spark.createDataFrame(
+            [(1, [1.0, 0.05]), (2, [1.0, 0.06]), (3, [0.8, -0.6])],
+            "vec_id bigint, embedding array<float>"))
+        peng.execute("CREATE TABLE diverse AS PIPELINE "
+                     "MMR_SELECT(mmrvecs, QUERY_VEC='1.0,0.0', "
+                     "K='2', LAMBDA='0.5', SHORTLIST='3');")
+        rows = sorted(peng.sql(
+            "SELECT vec_id, mmr_rank FROM diverse").collect(),
+            key=lambda r: r.mmr_rank)
+        assert [r.vec_id for r in rows] == [1, 3]  # near-dup 2 displaced
+
     def test_bpe_via_sql(self, peng):
         peng.execute("CREATE TABLE pairs AS PIPELINE "
                      "BPE_PAIR_COUNTS(docs, TEXT='text', K='5');")

@@ -5398,3 +5398,90 @@ class TestBPETokenizer:
             [("a", 1), ("b", 1), ("c", 1)], ["word", "cnt"])
         with pytest.raises(ValueError, match="histogram exceeds"):
             bpe_train(None, histogram=hist, max_words=2)
+
+
+class TestMMRSelect:
+    def _emb(self, spark):
+        # query direction = [1,0,0,0]; a/b near-duplicates highly
+        # relevant, c relevant but distinct, d orthogonal
+        rows = [
+            (1, [1.0, 0.05, 0.0, 0.0]),    # a
+            (2, [1.0, 0.06, 0.01, 0.0]),   # b ~ a
+            (3, [0.8, -0.6, 0.0, 0.0]),    # c distinct direction
+            (4, [0.0, 0.0, 1.0, 0.0]),     # d orthogonal
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_diversifies_planted_near_dups(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, mmr_select)
+        df = self._emb(spark)
+        q = [1.0, 0.0, 0.0, 0.0]
+        plain = [r["vec_id"] for r in cosine_topk(df, q, k=2).collect()]
+        assert set(plain) == {1, 2}      # top-2 = the duplicate pair
+        got = mmr_select(df, q, k=2, lambda_=0.5, shortlist=4)
+        ids = [r["vec_id"] for r in got.orderBy("mmr_rank").collect()]
+        assert ids[0] == 1               # best relevance first
+        assert ids[1] != 2               # near-dup of #1 displaced
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, mmr_select)
+        df = self._emb(spark)
+        q = [1.0, 0.0, 0.0, 0.0]
+        got = [r["vec_id"] for r in mmr_select(
+            df, q, k=4, lambda_=1.0, shortlist=4)
+            .orderBy("mmr_rank").collect()]
+        ref = [r["vec_id"] for r in cosine_topk(df, q, k=4).collect()]
+        assert got == ref
+
+    def test_matches_python_greedy_replay(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            mmr_select)
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in
+             emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        corpus = emb.where(F.col("vec_id") != 0)
+        got = [(r["vec_id"], r["mmr_rank"], r["relevance"],
+                r["max_sim_selected"], r["mmr_score"])
+               for r in mmr_select(corpus, q, k=6, lambda_=0.7,
+                                   shortlist=30)
+               .orderBy("mmr_rank").collect()]
+        # brute-force replay over all vectors
+        rows = corpus.select("vec_id", "embedding").collect()
+        ids = np.asarray([r["vec_id"] for r in rows])
+        x = np.asarray([[float(v) for v in r["embedding"]]
+                        for r in rows])
+        qv = np.asarray(q)
+        nrm = np.sqrt((x * x).sum(1))
+        rel = (x @ qv) / (nrm * np.sqrt((qv * qv).sum()))
+        order = np.lexsort((ids, -rel))[:30]
+        ids, x, rel, nrm = ids[order], x[order], rel[order], nrm[order]
+        sim = (x @ x.T) / (nrm[:, None] * nrm[None, :])
+        chosen, rem, ref = [], list(range(30)), []
+        for rank in range(1, 7):
+            cand = []
+            for i in rem:
+                ms = max(sim[i][j] for j in chosen) if chosen else 0.0
+                cand.append((-round(0.7 * rel[i] - 0.3 * ms, 4),
+                             ids[i], i, ms))
+            cand.sort()
+            s, vid, i, ms = cand[0]
+            ref.append((int(vid), rank, round(float(rel[i]), 4),
+                        round(float(ms), 4), float(-s)))
+            chosen.append(i)
+            rem.remove(i)
+        assert got == ref
+
+    def test_guards(self, spark):
+        import pytest
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            mmr_select)
+        df = self._emb(spark)
+        with pytest.raises(ValueError, match="lambda_"):
+            mmr_select(df, [1.0, 0, 0, 0], lambda_=1.5)
+        with pytest.raises(ValueError, match="shortlist"):
+            mmr_select(df, [1.0, 0, 0, 0], k=10, shortlist=5)
