@@ -72,6 +72,12 @@ HEADLINE = [
     "quality_buckets",
     # round-9 addition (distributed all-pairs kNN graph)
     "knn_graph",
+    # round-9 session-2 additions (Bloom decontamination tier, BPE
+    # pair statistics, MMR diverse top-k; baselines: BASELINE.md
+    # round-9 session-2 table)
+    "bloom_decontaminate",
+    "bpe_pair_counts",
+    "mmr_select",
 ]
 
 

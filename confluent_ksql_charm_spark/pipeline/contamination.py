@@ -420,6 +420,42 @@ def bloom_benchmark_filter(bench: DataFrame, text_col: str, *,
             "n": n, "hash": hash, "salt": salt}
 
 
+def save_bloom_filter(bloom: dict, path: str) -> None:
+    """Persist a `bloom_benchmark_filter` dict as a JSON sidecar with
+    the packed words base64-encoded (little-endian int64) — a 2 MiB
+    filter serializes to ~2.8 MB instead of ~5 MB of digit strings.
+    Benchmarks are versioned artifacts: build + save once per release,
+    load in every corpus sweep / ingest process."""
+    import base64
+    import json
+    import os
+
+    import numpy as np
+
+    os.makedirs(path, exist_ok=True)
+    blob = {k: v for k, v in bloom.items() if k != "words"}
+    blob["words_b64"] = base64.b64encode(
+        np.asarray(bloom["words"], dtype="<i8").tobytes()).decode()
+    with open(os.path.join(path, "bloom.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump(blob, fh)
+
+
+def load_bloom_filter(path: str) -> dict:
+    import base64
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "bloom.json"), encoding="utf-8") as fh:
+        blob = json.load(fh)
+    words = np.frombuffer(base64.b64decode(blob.pop("words_b64")),
+                          dtype="<i8")
+    blob["words"] = [int(w) for w in words]
+    return blob
+
+
 def bloom_flag_contaminated(docs: DataFrame, bloom: dict, id_col: str,
                             text_col: str) -> DataFrame:
     """(id, bloom_grams) for every corpus doc with ≥ 1 distinct n-gram

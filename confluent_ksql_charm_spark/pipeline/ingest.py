@@ -141,6 +141,7 @@ def corpus_ingest_batch_fn(
     fuzzy_threshold: float = 0.5,
     dsir_model_path: str | None = None,
     dsir_min_logratio: float = 0.0,
+    bloom_path: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function for `start_corpus_ingest` (also
     directly callable with a static DataFrame for backfill runs).
@@ -174,7 +175,17 @@ def corpus_ingest_batch_fn(
     are rejected in-stream: the "looks like the target corpus" gate as
     a streaming admission filter. Per-batch cost is one explode +
     broadcast join + per-doc agg — batch-proportional, the amortized
-    half of the fit-once/score-forever contract `dsir_fit` documents."""
+    half of the fit-once/score-forever contract `dsir_fit` documents.
+
+    `bloom_path`: a `contamination.save_bloom_filter` directory — the
+    LARGE-benchmark decontamination tier: when the eval suite's gram
+    relation outgrows the 8 B/gram broadcast `bench_path` uses, the
+    fixed m-bit Bloom filter (loaded once per ingest process, a plain
+    in-memory long array riding the task closure as a 1-row broadcast
+    attach) rejects docs whose grams hit all k bits. False positives
+    only ever REJECT extra docs — the conservative direction for an
+    admission gate. Orthogonal to `bench_path` (small suites keep the
+    exact tier: zero FPs and a shared-gram count)."""
 
     # benchmark-derived relations, computed lazily on the first batch
     # and reused (benchmarks are MBs — both fit the broadcast path)
@@ -232,6 +243,18 @@ def corpus_ingest_batch_fn(
             out = out.join(F.broadcast(fuzzy_hit), id_col, "left_anti")
         return out
 
+    bloom_state: dict = {}
+
+    def _bloom_gate(batch: DataFrame) -> DataFrame:
+        from .contamination import (bloom_flag_contaminated,
+                                    load_bloom_filter)
+
+        if "bloom" not in bloom_state:
+            bloom_state["bloom"] = load_bloom_filter(bloom_path)
+        flagged = bloom_flag_contaminated(
+            batch, bloom_state["bloom"], id_col, text_col).select(id_col)
+        return batch.join(F.broadcast(flagged), id_col, "left_anti")
+
     dsir_state: dict = {}
 
     def _dsir_gate(batch: DataFrame) -> DataFrame:
@@ -258,6 +281,9 @@ def corpus_ingest_batch_fn(
         # 3b. benchmark decontamination (exact grams, optionally fuzzy)
         if bench_path:
             batch = _decontaminate(batch)
+        # 3b2. Bloom tier for benchmark suites too big to broadcast
+        if bloom_path:
+            batch = _bloom_gate(batch)
         # 3c. DSIR target-likeness admission gate
         if dsir_model_path:
             batch = _dsir_gate(batch)
@@ -297,7 +323,7 @@ def corpus_ingest_batch_fn(
         process lifetime is safe — call this after stopping the query
         to return the executor memory early, e.g. when the same
         process restarts ingest against a refreshed model/benchmark."""
-        for state in (bench_state, dsir_state):
+        for state in (bench_state, dsir_state, bloom_state):
             for v in state.values():
                 rel = v.get("lr") if isinstance(v, dict) else v
                 if isinstance(rel, DataFrame):
@@ -321,6 +347,7 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
                         fuzzy_threshold: float = 0.5,
                         dsir_model_path: str | None = None,
                         dsir_min_logratio: float = 0.0,
+                        bloom_path: str | None = None,
                         available_now: bool = False):
     """Start the streaming ingestion query over a streaming DataFrame
     (file/kafka source). Returns the StreamingQuery; exactly the
@@ -336,7 +363,8 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
             bench_n=bench_n, fuzzy_bench=fuzzy_bench,
             fuzzy_threshold=fuzzy_threshold,
             dsir_model_path=dsir_model_path,
-            dsir_min_logratio=dsir_min_logratio))
+            dsir_min_logratio=dsir_min_logratio,
+            bloom_path=bloom_path))
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )

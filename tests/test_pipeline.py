@@ -5485,3 +5485,49 @@ class TestMMRSelect:
             mmr_select(df, [1.0, 0, 0, 0], lambda_=1.5)
         with pytest.raises(ValueError, match="shortlist"):
             mmr_select(df, [1.0, 0, 0, 0], k=10, shortlist=5)
+
+
+class TestIngestBloomGate:
+    def test_bloom_save_load_round_trip(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            bloom_benchmark_filter, load_bloom_filter, save_bloom_filter)
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], ["id", "text"])
+        bl = bloom_benchmark_filter(bench, "text", n=4, m_bits=1 << 16,
+                                    num_hashes=3)
+        save_bloom_filter(bl, str(tmp_path / "bloom"))
+        back = load_bloom_filter(str(tmp_path / "bloom"))
+        assert back == bl
+
+    def test_contaminated_docs_rejected_in_stream(self, spark, tmp_path):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            bloom_benchmark_filter, save_bloom_filter)
+        from confluent_ksql_charm_spark.pipeline.ingest import (
+            corpus_ingest_batch_fn)
+        bench = spark.createDataFrame(
+            [(1, "which ocean is the largest on earth the pacific")],
+            ["doc_id", "text"])
+        bl = bloom_benchmark_filter(bench, "text", n=5, m_bits=1 << 16,
+                                    num_hashes=3)
+        save_bloom_filter(bl, str(tmp_path / "bloom"))
+
+        batch = spark.createDataFrame(
+            [(10, "quiz leak which ocean is the largest on earth"),
+             (11, "a perfectly clean training document about engines")],
+            "doc_id bigint, text string")
+        corpus_path = str(tmp_path / "corpus")
+        fn = corpus_ingest_batch_fn(
+            corpus_path, clean=False, quality_gate=False,
+            bloom_path=str(tmp_path / "bloom"))
+        fn(batch, 0)
+        kept = {r.doc_id
+                for r in spark.read.parquet(corpus_path).collect()}
+        assert kept == {11}
+
+        # replay self-heals; release() drops the cached dict and a
+        # later batch transparently re-loads the filter
+        fn(batch, 0)
+        assert spark.read.parquet(corpus_path).count() == 1
+        fn.release()
+        fn(batch, 0)
+        assert spark.read.parquet(corpus_path).count() == 1
