@@ -1000,6 +1000,18 @@ def _q_vocab_topk(spark, sf):
     return vocab_topk(_docs(spark, sf), "text", k=40)
 
 
+def _q_gopher_quality(spark, sf):
+    # The published Gopher rule set (Rae et al. 2021 A1.1) as one
+    # expression projection: raw stats + per-rule booleans + keep.
+    # min_words/min_stopwords relaxed so the synthetic corpus exercises
+    # both outcomes of every rule that can fire on it.
+    from confluent_ksql_charm_spark.pipeline.text import (
+        gopher_quality_flags)
+
+    return gopher_quality_flags(_docs(spark, sf), min_words=40,
+                                min_stopwords=1)
+
+
 def _q_bpe_pair_counts(spark, sf):
     # BPE trainer's iteration-0 statistics: adjacent (char, char|</w>)
     # pair counts weighted by word frequency — the fully-distributed,
@@ -1728,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "vocab_topk": _q_vocab_topk,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "gopher_quality": _q_gopher_quality,
         "corpus_stats": _q_corpus_stats,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
@@ -3423,6 +3436,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(s//24 AS INT) AS chunk_id, "
             "CAST(len(t[s+1 : s+32]) AS INT) AS n_tokens, "
             "array_to_string(t[s+1 : s+32], ' ') AS chunk FROM st"
+        ),
+        "gopher_quality": (
+            # Gopher A1.1 replay: identical integer-count ratios,
+            # round-to-6 comparison domain, conjunction keep
+            "WITH t AS (SELECT doc_id, text, "
+            "string_split_regex(trim(text), '\\s+') AS toks, "
+            "string_split(text, chr(10)) AS lines FROM documents), "
+            "m AS (SELECT doc_id, length(toks) AS n_words, "
+            "round(CASE WHEN length(toks) > 0 THEN "
+            "list_sum(list_transform(toks, x -> length(x))) * 1.0 / "
+            "length(toks) ELSE 0 END, 6) AS mean_word_len, "
+            "round(((length(text) - length(replace(text, '#', ''))) "
+            "+ (length(text) - length(replace(text, '...', ''))) / 3.0 "
+            "+ (length(text) - length(replace(text, '…', '')))) "
+            "/ greatest(length(toks), 1), 6) AS symbol_ratio, "
+            "round(length(list_filter(lines, l -> "
+            "regexp_matches(ltrim(l), '^[-*•]'))) * 1.0 / "
+            "greatest(length(lines), 1), 6) AS bullet_ratio, "
+            "round(length(list_filter(lines, l -> "
+            "regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) * 1.0 / "
+            "greatest(length(lines), 1), 6) AS ellipsis_ratio, "
+            "round(length(list_filter(toks, x -> "
+            "regexp_matches(x, '[a-zA-Z]'))) * 1.0 / "
+            "greatest(length(toks), 1), 6) AS alpha_word_ratio, "
+            "length(list_intersect(list_distinct(list_transform(toks, "
+            "x -> lower(x))), ['the','be','to','of','and','that',"
+            "'have','with'])) AS n_stopwords FROM t) "
+            "SELECT doc_id, n_words, mean_word_len, symbol_ratio, "
+            "bullet_ratio, ellipsis_ratio, alpha_word_ratio, "
+            "n_stopwords, "
+            "n_words >= 40 AND n_words <= 100000 AS ok_words, "
+            "mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
+            "AS ok_word_len, "
+            "symbol_ratio <= 0.1 AS ok_symbols, "
+            "bullet_ratio <= 0.9 AS ok_bullets, "
+            "ellipsis_ratio <= 0.3 AS ok_ellipsis, "
+            "alpha_word_ratio >= 0.8 AS ok_alpha, "
+            "n_stopwords >= 1 AS ok_stopwords, "
+            "(n_words >= 40 AND n_words <= 100000) "
+            "AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0) "
+            "AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 "
+            "AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8 "
+            "AND n_stopwords >= 1 AS keep FROM m"
         ),
         "bpe_pair_counts": (
             # iteration-0 BPE pair statistics: word histogram ->

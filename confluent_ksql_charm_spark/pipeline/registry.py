@@ -39,6 +39,9 @@ _SIGNATURES = {
     "INCREMENTAL_NEAR_DUP": ("INCREMENTAL_NEAR_DUP(new, corpus, ID='id', "
                              "TEXT='text'[, THRESHOLD='0.7'])"),
     "REPETITION_STATS": "REPETITION_STATS(src, ID='id', TEXT='text')",
+    "GOPHER_RULES": ("GOPHER_RULES(src, ID='id', TEXT='text'"
+                     "[, MIN_WORDS='50'][, MAX_WORDS='100000']"
+                     "[, MIN_STOPWORDS='2'])"),
     "C4_CLEAN": "C4_CLEAN(src, ID='id', TEXT='text'[, MIN_WORDS='5'])",
     "PACK_SEQUENCES": ("PACK_SEQUENCES(src, KEY='id', TOKENS='n_tokens', "
                        "BUDGET='2048'[, SHARDS='8'])"),
@@ -270,6 +273,14 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                           k=int(p.get("K", 100)),
                           lowercase=p.get("LOWERCASE", "true").lower()
                           == "true")
+    if op == "GOPHER_RULES":
+        from .text import gopher_quality_flags
+        _need_sources(spec, 1)
+        return gopher_quality_flags(
+            dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
+            min_words=int(p.get("MIN_WORDS", 50)),
+            max_words=int(p.get("MAX_WORDS", 100_000)),
+            min_stopwords=int(p.get("MIN_STOPWORDS", 2)))
     if op == "BPE_PAIR_COUNTS":
         from .tokenizer import bpe_pair_counts
         _need_sources(spec, 1)

@@ -988,3 +988,93 @@ def zipf_fit(df: DataFrame, text_col: str = "text", *, k: int = 100,
             F.round(F.try_divide(F.col("__cxy") * F.col("__cxy"),
                                  F.col("__vx") * F.col("__vy")), 6)
             .alias("r2")))
+
+
+#: Gopher's required stop words (Rae et al. 2021, A1.1): a document
+#: must contain at least `GOPHER_MIN_STOPWORDS` distinct members.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", *,
+                         min_words: int = 50,
+                         max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         max_bullet_ratio: float = 0.9,
+                         max_ellipsis_ratio: float = 0.3,
+                         min_alpha_word_ratio: float = 0.8,
+                         min_stopwords: int = 2) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al.
+    2021, Appendix A1.1) as one expression-only projection — the
+    standard pre-filter every LLM pretrain pipeline applies before the
+    model-based stages. Per doc: the raw statistics, one boolean per
+    rule, and `keep` = their conjunction.
+
+    Rules (defaults are the paper's): word count in [50, 100k]; mean
+    word length in [3, 10]; symbol-to-word ratio ('#' chars +
+    '...'/'…' runs) <= 0.1; <= 90% of lines bullet-led; <= 30% of
+    lines ellipsis-terminated; >= 80% of words containing an
+    alphabetic character; >= 2 distinct required stop words present.
+
+    All ratios are exact integer-count divisions rounded to 6 — both
+    boundary behavior and the rounding domain replay bit-identically
+    in an external engine (the oracle contract). 100 TB shape: a pure
+    projection, zero shuffles, rides the scan under whole-stage
+    codegen; compose with `repetition_stats` for the paper's
+    repetition block (already implemented separately).
+    """
+    c = F.col(text_col)
+    toks = F.split(F.trim(c), r"\s+")
+    n_words = F.size(toks)
+    mwl = mean_word_length(c)
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#")))
+    n_ell = ((F.length(c) - F.length(F.replace(c, F.lit("...")))) / 3
+             + (F.length(c) - F.length(F.replace(c, F.lit("…")))))
+    sym_ratio = F.round((n_hash + n_ell)
+                        / F.greatest(n_words, F.lit(1)), 6)
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = F.round(F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike(r"^[-*•]")))
+        / n_lines, 6)
+    ellipsis_ratio = F.round(F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        / n_lines, 6)
+    alpha_ratio_words = F.round(F.size(F.filter(
+        toks, lambda t: t.rlike("[a-zA-Z]")))
+        / F.greatest(n_words, F.lit(1)), 6)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(toks, F.lower)), stop_arr))
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio_words.alias("alpha_word_ratio"),
+        n_stop.alias("n_stopwords"),
+    )
+    return out.select(
+        "*",
+        ((F.col("n_words") >= min_words)
+         & (F.col("n_words") <= max_words)).alias("ok_words"),
+        ((F.col("mean_word_len") >= min_mean_word_len)
+         & (F.col("mean_word_len") <= max_mean_word_len))
+        .alias("ok_word_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("ok_symbols"),
+        (F.col("bullet_ratio") <= max_bullet_ratio).alias("ok_bullets"),
+        (F.col("ellipsis_ratio") <= max_ellipsis_ratio)
+        .alias("ok_ellipsis"),
+        (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        .alias("ok_alpha"),
+        (F.col("n_stopwords") >= min_stopwords).alias("ok_stopwords"),
+    ).select(
+        "*",
+        (F.col("ok_words") & F.col("ok_word_len") & F.col("ok_symbols")
+         & F.col("ok_bullets") & F.col("ok_ellipsis")
+         & F.col("ok_alpha") & F.col("ok_stopwords")).alias("keep"))

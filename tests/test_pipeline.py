@@ -5531,3 +5531,60 @@ class TestIngestBloomGate:
         fn.release()
         fn(batch, 0)
         assert spark.read.parquet(corpus_path).count() == 1
+
+
+class TestGopherQualityFlags:
+    def test_each_rule_fires_on_its_planted_doc(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            gopher_quality_flags)
+        good = ("the quick brown fox jumps over the lazy dog and "
+                "then runs off to the river with great joy today")
+        rows = [
+            (1, good),                                    # passes all
+            (2, "too short to keep"),                     # ok_words
+            (3, "a b c d e f g h i j k l m n o p q r s the to"),  # word len
+            (4, good + " ## ## ## ## ## ## ## ## ## ##"),  # symbols
+            (5, "- the bullet one\n- the bullet two"),     # bullets
+            (6, "the line one...\nthe line two...\nplain"),  # ellipsis
+            (7, "the 123 456 789 012 345 678 901 234 567 890 111 "
+                "222 333 444 555 666 777 888 999 000"),   # alpha ratio
+            (8, "zebra quokka vortex plasma nimbus " * 4),  # stopwords
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r["doc_id"]: r for r in gopher_quality_flags(
+            df, min_words=15, min_stopwords=2).collect()}
+        assert got[1]["keep"]
+        assert not got[2]["ok_words"]
+        assert not got[3]["ok_word_len"]          # mean word len < 3
+        assert not got[4]["ok_symbols"]
+        assert not got[5]["ok_bullets"]           # 100% bullet lines
+        assert not got[6]["ok_ellipsis"]          # 2/3 ellipsis lines
+        assert not got[7]["ok_alpha"]             # digits-only words
+        assert not got[8]["ok_stopwords"]
+        for i in range(2, 9):
+            assert not got[i]["keep"], i
+
+    def test_ratios_are_exact_counts(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            gopher_quality_flags)
+        df = spark.createDataFrame(
+            [(1, "alpha beta # ... gamma…")],
+            "doc_id bigint, text string")
+        r = gopher_quality_flags(df).first()
+        assert r["n_words"] == 5
+        # 1 '#' + 1 '...' + 1 '…' over 5 words
+        assert r["symbol_ratio"] == 0.6
+        assert r["alpha_word_ratio"] == 0.6   # '#','...' not alphabetic
+
+    def test_via_sql_dialect(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+        eng = KsqlSparkEngine(spark)
+        eng.register_source("docs", df=spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "x")], "doc_id bigint, text string"))
+        eng.execute("CREATE TABLE gq AS PIPELINE GOPHER_RULES(docs, "
+                    "ID='doc_id', TEXT='text', MIN_WORDS='5', "
+                    "MIN_STOPWORDS='1');")
+        got = {r.doc_id: r.keep
+               for r in eng.sql("SELECT doc_id, keep FROM gq").collect()}
+        assert got == {1: True, 2: False}
