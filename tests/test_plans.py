@@ -539,3 +539,69 @@ class TestKnnGraphPlans:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "FlatMapCoGroupsInPandas" in plan
         assert "LocalTableScan" not in plan
+
+
+class TestBloomPlans:
+    def test_membership_is_one_row_attach_no_gram_join(self, engine):
+        # the Bloom tier's point: membership must be pure expressions
+        # over a 1-row broadcast attach — never a gram explode + join
+        # (that's the exact tier), never a shuffle before the final
+        # flagged-id aggregate... which here is a plain filter, so the
+        # whole test is "one BNLJ, zero everything else"
+        from pyspark.sql import functions as F
+
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            bloom_benchmark_filter, bloom_flag_contaminated)
+
+        docs = engine.metastore.get("documents").df
+        bench = docs.where(F.col("doc_id") % 5 == 0)
+        bl = bloom_benchmark_filter(bench, "text", n=5,
+                                    m_bits=1 << 16, num_hashes=3)
+        plan = _plan(bloom_flag_contaminated(
+            docs.where(F.col("doc_id") % 5 != 0), bl, "doc_id", "text"))
+        assert plan.count("BroadcastNestedLoopJoin") == 1   # 1-row attach
+        assert "Generate" not in plan        # no gram explode
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "Python" not in plan          # all JVM-side
+
+
+class TestGopherPlans:
+    def test_pure_projection_no_shuffle(self, engine):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            gopher_quality_flags)
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(gopher_quality_flags(docs))
+        # no ensure_parallelism repartition here: genuinely zero shuffles
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestBpePlans:
+    def test_pair_counts_is_vocab_bounded_aggs(self, engine):
+        # corpus-scale work = the word-histogram aggregate; the pair
+        # explode runs over the VOCABULARY relation, not the corpus.
+        # Plan shape: aggregates + exchanges only — no joins at all.
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_pair_counts)
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(bpe_pair_counts(docs, "text", k=20))
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+
+
+class TestMMRPlans:
+    def test_shortlist_scan_is_take_ordered(self, engine):
+        # the distributed phase of MMR is the shortlist relevance scan:
+        # it must lower to TakeOrderedAndProject (per-partition heaps),
+        # not a global sort
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk)
+
+        emb = engine.metastore.get("embeddings").df
+        plan = _plan(cosine_topk(emb, [0.1] * 4, k=50))
+        assert "TakeOrderedAndProject" in plan
