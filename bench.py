@@ -78,6 +78,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "bpe_pair_counts",
     "mmr_select",
+    "gopher_quality",
 ]
 
 
