@@ -3,6 +3,8 @@ operator family in this repo exists to serve, as one runnable script:
 
     raw documents
       → C4 line cleaning + Gopher repetition gate     (text.py)
+      → Gopher rule-set gate (word count, word shape,
+        symbol/bullet/ellipsis ratios, alpha words)    (text.py)
       → exact dedup                                    (dedup.py)
       → near-dup cluster dedup, keep the LONGEST copy  (dedup.py)
       → benchmark decontamination, exact + fuzzy       (contamination.py)
@@ -52,13 +54,23 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
         chunk_documents, length_bucketed_batches, mixture_sample,
         score_buckets)
     from confluent_ksql_charm_spark.pipeline.text import (
-        dsir_logratio, token_count)
+        dsir_logratio, gopher_quality_flags, token_count)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
         .select("doc_id", "text", "lang")
 
     # 1-2. clean + quality-gate, then exact dedup (smallest id survives)
     docs = clean_and_gate(docs, "doc_id", "text", clean=clean)
+
+    # 1b. Gopher rule set (Rae et al. 2021 A1.1) — pure projection,
+    #     rides the same scan. The synthetic corpus has no English
+    #     stopword density, so that one rule is disabled here; real
+    #     corpora keep the default min_stopwords=2.
+    gq = gopher_quality_flags(docs, "doc_id", "text",
+                              min_words=10, min_stopwords=0)
+    docs = docs.join(gq.where(F.col("keep")).select("doc_id"),
+                     "doc_id", "left_semi")
+
     docs = exact_dedup(docs, ["text"], "doc_id")
 
     # 3. near-dup cluster dedup keeping the longest copy per cluster
@@ -67,7 +79,10 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
 
     # 4. benchmark decontamination (exact n-gram tier, then the fuzzy
     #    MinHash tier for mutated leaks) — benchmark = any held-out
-    #    eval set; here a deterministic slice stands in
+    #    eval set; here a deterministic slice stands in. For eval
+    #    suites whose gram relation is too big to broadcast, swap the
+    #    exact tier for contamination.bloom_decontaminate (fixed-size
+    #    filter, same anti-join shape).
     bench = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")) \
         .where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
