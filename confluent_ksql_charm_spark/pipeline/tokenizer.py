@@ -319,3 +319,45 @@ def load_bpe_model(path: str) -> dict:
         blob = json.load(fh)
     blob["merges"] = [tuple(p) for p in blob["merges"]]
     return blob
+
+
+def bpe_corpus_stats(df: DataFrame, model: dict, *,
+                     text_col: str = "text") -> DataFrame:
+    """One-row tokenizer-eval summary under a `bpe_train` model:
+
+    - `fertility` = tokens per word (the standard tokenizer-quality
+      readout: ~1.0 = whole-word vocabulary, ~word-length = char
+      fallback; multilingual corpora watch this per language);
+    - `chars_per_token` = word characters per emitted token (the
+      compression the context window actually feels);
+    - `distinct_tokens` = vocabulary actually exercised by this corpus
+      (vs the ~num_merges + alphabet the model defines — a big gap
+      means merges were learned on text unlike this corpus).
+
+    Scale shape: one encode pass (Arrow UDF, per-batch word memo) +
+    one global aggregate; the distinct-token count is a
+    vocabulary-bounded second aggregate. No oracle entry — encoding is
+    merge-loop-dependent and not SQL-expressible; parity is pytest's
+    job (`bpe_encode` round-trip), this is its reporting layer."""
+    enc = bpe_encode(df, model, text_col=text_col, out_col="__bpe")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    per = enc.select(
+        F.size(F.filter(toks, lambda t: t != F.lit(""))).alias("__w"),
+        F.aggregate(F.filter(toks, lambda t: t != F.lit("")),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).alias("__c"),
+        F.size("__bpe").alias("__t"),
+        F.col("__bpe"))
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__c").alias("n_word_chars"),
+        F.sum("__t").alias("n_tokens"))
+    distinct = (per.select(F.explode("__bpe").alias("tok"))
+                .agg(F.count_distinct("tok").alias("distinct_tokens")))
+    return (agg.crossJoin(F.broadcast(distinct))
+            .select("n_docs", "n_words", "n_tokens", "distinct_tokens",
+                    F.round(F.col("n_tokens") / F.col("n_words"), 6)
+                    .alias("fertility"),
+                    F.round(F.col("n_word_chars") / F.col("n_tokens"), 6)
+                    .alias("chars_per_token")))

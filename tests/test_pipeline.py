@@ -5588,3 +5588,27 @@ class TestGopherQualityFlags:
         got = {r.doc_id: r.keep
                for r in eng.sql("SELECT doc_id, keep FROM gq").collect()}
         assert got == {1: True, 2: False}
+
+
+class TestBPECorpusStats:
+    def test_consistent_with_encode(self, spark):
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_corpus_stats, bpe_encode, bpe_train)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(100)
+        model = bpe_train(docs, num_merges=80)
+        row = bpe_corpus_stats(docs, model).first()
+        enc = bpe_encode(docs, model).collect()
+        n_tokens = sum(len(r["bpe_tokens"]) for r in enc)
+        n_words = sum(len(r["text"].split()) for r in enc)
+        n_chars = sum(sum(len(w) for w in r["text"].split())
+                      for r in enc)
+        assert row["n_docs"] == 100
+        assert row["n_tokens"] == n_tokens
+        assert row["n_words"] == n_words
+        assert row["fertility"] == round(n_tokens / n_words, 6)
+        assert row["chars_per_token"] == round(n_chars / n_tokens, 6)
+        distinct = len({t for r in enc for t in r["bpe_tokens"]})
+        assert row["distinct_tokens"] == distinct
+        # fertility must beat character-level tokenization by a lot
+        assert row["fertility"] < 3.0
