@@ -2643,7 +2643,8 @@ def hard_negatives(df: DataFrame, k: int = 10, *,
 def mmr_select(df: DataFrame, query_vec: list[float], k: int = 10, *,
                lambda_: float = 0.5, shortlist: int = 50,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               round_to: int = 4) -> DataFrame:
+               round_to: int = 4,
+               candidates: DataFrame | None = None) -> DataFrame:
     """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
     1998, public method): greedily pick `k` items maximizing
     ``lambda·cos(q, d) − (1−lambda)·max_{s∈S} cos(d, s)`` — relevant
@@ -2669,15 +2670,22 @@ def mmr_select(df: DataFrame, query_vec: list[float], k: int = 10, *,
     shortlist ids). MMR's data dependence (each pick changes the next
     penalty) makes the loop irreducible; the scale lever is bounding
     its input, not distributing it.
+
+    `candidates`: a prebuilt shortlist relation with (`id_col`,
+    cosine) — e.g. an ANN tier's output (`ivf_pq_rerank_topk`,
+    `lsh_bucket_topk`) — to skip the exact scan; its row count is the
+    bounded-driver contract, so keep it shortlist-sized.
     """
     import numpy as np
 
     if not 0.0 <= lambda_ <= 1.0:
         raise ValueError("mmr_select: lambda_ must be in [0, 1]")
-    if k > shortlist:
+    if candidates is None and k > shortlist:
         raise ValueError("mmr_select: k must be <= shortlist")
-    cand = cosine_topk(df, query_vec, k=shortlist,
-                       vec_col=vec_col, id_col=id_col)
+    cand = (candidates.select(id_col, "cosine")
+            if candidates is not None
+            else cosine_topk(df, query_vec, k=shortlist,
+                             vec_col=vec_col, id_col=id_col))
     rows = (df.select(id_col, vec_col)
             .join(F.broadcast(cand), id_col)
             .orderBy(id_col).collect())

@@ -5612,3 +5612,25 @@ class TestBPECorpusStats:
         assert row["distinct_tokens"] == distinct
         # fertility must beat character-level tokenization by a lot
         assert row["fertility"] < 3.0
+
+
+class TestMMRCandidates:
+    def test_ann_shortlist_feeds_mmr(self, spark):
+        # candidates= path: same answer as the built-in exact shortlist
+        # when the ANN tier is run at full recall
+        from pyspark.sql import functions as F
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, mmr_select)
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in
+             emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        corpus = emb.where(F.col("vec_id") != 0)
+        pre = cosine_topk(corpus, q, k=25)
+        a = [tuple(r) for r in mmr_select(
+            corpus, q, k=5, lambda_=0.7, candidates=pre)
+            .orderBy("mmr_rank").collect()]
+        b = [tuple(r) for r in mmr_select(
+            corpus, q, k=5, lambda_=0.7, shortlist=25)
+            .orderBy("mmr_rank").collect()]
+        assert a == b
