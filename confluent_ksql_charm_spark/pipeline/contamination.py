@@ -457,7 +457,8 @@ def load_bloom_filter(path: str) -> dict:
 
 
 def bloom_flag_contaminated(docs: DataFrame, bloom: dict, id_col: str,
-                            text_col: str) -> DataFrame:
+                            text_col: str, *,
+                            count_grams: bool = True) -> DataFrame:
     """(id, bloom_grams) for every corpus doc with ≥ 1 distinct n-gram
     whose k Bloom bits are all set — the membership test of the
     `bloom_benchmark_filter` tier.
@@ -469,6 +470,14 @@ def bloom_flag_contaminated(docs: DataFrame, bloom: dict, id_col: str,
     ops per gram — no Python, no explode, no join: the gram relation
     never materializes as rows at all, unlike `flag_contaminated`).
     The only shuffle output is the flagged-id relation itself.
+
+    ``count_grams=False`` returns (id) only, via a short-circuiting
+    `exists` instead of counting every hit: a clean doc still pays all
+    grams × k hashes, but a contaminated one stops at its first hit —
+    and the flag predicate is evaluated once instead of twice
+    (Catalyst pushes the `where` into the join condition AND keeps the
+    count projection; `flag→count` is the oracle/report shape,
+    `exists` is the filter shape `bloom_decontaminate` uses).
     """
     spark = docs.sparkSession
     m_bits, k = bloom["m_bits"], bloom["num_hashes"]
@@ -492,12 +501,16 @@ def bloom_flag_contaminated(docs: DataFrame, bloom: dict, id_col: str,
             out = out & _set(g, j)
         return out
 
-    return (ensure_parallelism(docs)
-            .select(F.col(id_col), shingles_col(text_col, n).alias("__g"))
-            .crossJoin(F.broadcast(wdf))
-            .select(id_col,
-                    F.size(F.filter(F.col("__g"), _hit))
-                    .alias("bloom_grams"))
+    base = (ensure_parallelism(docs)
+            .select(F.col(id_col),
+                    shingles_col(text_col, n).alias("__g"))
+            .crossJoin(F.broadcast(wdf)))
+    if not count_grams:
+        return (base.where(F.exists(F.col("__g"), _hit))
+                .select(id_col))
+    return (base.select(id_col,
+                        F.size(F.filter(F.col("__g"), _hit))
+                        .alias("bloom_grams"))
             .where(F.col("bloom_grams") >= 1))
 
 
@@ -516,6 +529,6 @@ def bloom_decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
     bl = bloom if bloom is not None else bloom_benchmark_filter(
         bench, text_col, n=n, m_bits=m_bits, num_hashes=num_hashes,
         hash=hash, salt=salt)
-    flagged = bloom_flag_contaminated(docs, bl, id_col,
-                                      text_col).select(id_col)
+    flagged = bloom_flag_contaminated(docs, bl, id_col, text_col,
+                                      count_grams=False)
     return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -252,7 +252,8 @@ def corpus_ingest_batch_fn(
         if "bloom" not in bloom_state:
             bloom_state["bloom"] = load_bloom_filter(bloom_path)
         flagged = bloom_flag_contaminated(
-            batch, bloom_state["bloom"], id_col, text_col).select(id_col)
+            batch, bloom_state["bloom"], id_col, text_col,
+            count_grams=False)
         return batch.join(F.broadcast(flagged), id_col, "left_anti")
 
     dsir_state: dict = {}

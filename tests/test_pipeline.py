@@ -5634,3 +5634,21 @@ class TestMMRCandidates:
             corpus, q, k=5, lambda_=0.7, shortlist=25)
             .orderBy("mmr_rank").collect()]
         assert a == b
+
+
+class TestBloomExistsPath:
+    def test_exists_and_count_paths_flag_same_ids(self, spark):
+        from pyspark.sql import functions as F
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            bloom_benchmark_filter, bloom_flag_contaminated)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        bench = docs.where(F.col("doc_id") % 5 == 0)
+        corpus = docs.where(F.col("doc_id") % 5 != 0)
+        bl = bloom_benchmark_filter(bench, "text", n=5, m_bits=1 << 18,
+                                    num_hashes=3)
+        counted = {r["doc_id"] for r in bloom_flag_contaminated(
+            corpus, bl, "doc_id", "text").collect()}
+        exists = {r["doc_id"] for r in bloom_flag_contaminated(
+            corpus, bl, "doc_id", "text", count_grams=False).collect()}
+        assert counted == exists
