@@ -5317,9 +5317,13 @@ class TestBPETokenizer:
         from confluent_ksql_charm_spark.pipeline.tokenizer import (
             bpe_segment, bpe_train)
         rng = random.Random(7)
-        for _ in range(4):
-            vocab = ["".join(rng.choice("abcde")
-                             for _ in range(rng.randint(1, 8)))
+        # alphabet "ab" with long words stresses overlapping
+        # occurrences (aaaa under merge (a,a)) where the incremental
+        # neighbor bookkeeping is most fragile
+        alphabets = ["abcde", "abcde", "ab", "ab"]
+        for alphabet in alphabets:
+            vocab = ["".join(rng.choice(alphabet)
+                             for _ in range(rng.randint(1, 12)))
                      for _ in range(rng.randint(5, 60))]
             wc = Counter()
             for w in vocab:

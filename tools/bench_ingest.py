@@ -20,6 +20,10 @@ corpus dir each (sf0.1 documents as the batch, ~50k docs):
 - neardup:         base + corpus MinHash near-dup against a pre-seeded
                    10% corpus with signature sidecar (batch-proportional
                    path)
+- dsir_gate:       base + DSIR admission scoring under a prebuilt model
+- bloom_gate:      base + Bloom decontamination under a prebuilt filter
+                   (the large-benchmark tier; build not billed — the
+                   once-per-release amortization contract)
 
 Benchmark sidecar = 100 documents sampled from the batch itself (every
 one an exact leak → worst-case join hit rate for the exact tier).
@@ -137,6 +141,17 @@ def main() -> None:
     save_dsir_model(model, dsir_dir)
     out["dsir_gate"] = run("dsir_gate", dsir_model_path=dsir_dir,
                            dsir_min_logratio=-1e9)
+    # Bloom admission gate: filter built ONCE per benchmark release
+    # (not billed — same amortization contract as the DSIR model);
+    # per-batch cost = k hashes + bit tests riding the scan
+    from confluent_ksql_charm_spark.pipeline.contamination import (
+        bloom_benchmark_filter, save_bloom_filter)
+
+    bl = bloom_benchmark_filter(
+        spark.read.parquet(bench_path), "text", n=8)
+    bloom_dir = os.path.join(work, "bloom")
+    save_bloom_filter(bl, bloom_dir)
+    out["bloom_gate"] = run("bloom_gate", bloom_path=bloom_dir)
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
 
