@@ -1000,6 +1000,24 @@ def _q_vocab_topk(spark, sf):
     return vocab_topk(_docs(spark, sf), "text", k=40)
 
 
+def _q_corpus_diff(spark, sf):
+    # release diff between two deterministic snapshot views of the
+    # corpus: old = doc_id % 7 != 0, new = doc_id % 11 != 0 with every
+    # % 13 == 0 text edited — exercises added/removed/changed in one
+    # relation. portable=True so DuckDB replays the content hash.
+    from confluent_ksql_charm_spark.pipeline.maintenance import (
+        corpus_diff)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = (docs.where(F.col("doc_id") % 11 != 0)
+           .withColumn("text", F.when(
+               F.col("doc_id") % 13 == 0,
+               F.concat(F.col("text"), F.lit(" edited")))
+               .otherwise(F.col("text"))))
+    return corpus_diff(old, new, portable=True)
+
+
 def _q_gopher_quality(spark, sf):
     # The published Gopher rule set (Rae et al. 2021 A1.1) as one
     # expression projection: raw stats + per-rule booleans + keep.
@@ -1741,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "gopher_quality": _q_gopher_quality,
+        "corpus_diff": _q_corpus_diff,
         "corpus_stats": _q_corpus_stats,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
@@ -3436,6 +3455,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(s//24 AS INT) AS chunk_id, "
             "CAST(len(t[s+1 : s+32]) AS INT) AS n_tokens, "
             "array_to_string(t[s+1 : s+32], ' ') AS chunk FROM st"
+        ),
+        "corpus_diff": (
+            # full-content portable hash (md5 60-bit) per side, full
+            # outer join on id, unchanged rows excluded
+            "WITH o AS (SELECT doc_id, ('0x' || substr(md5(text), 1, "
+            "15))::BIGINT AS f FROM documents WHERE doc_id % 7 <> 0), "
+            "n AS (SELECT doc_id, ('0x' || substr(md5(CASE WHEN "
+            "doc_id % 13 = 0 THEN text || ' edited' ELSE text END), "
+            "1, 15))::BIGINT AS f FROM documents "
+            "WHERE doc_id % 11 <> 0) "
+            "SELECT doc_id, status FROM ("
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.f IS NULL THEN 'added' "
+            "WHEN n.f IS NULL THEN 'removed' "
+            "WHEN o.f <> n.f THEN 'changed' "
+            "ELSE 'unchanged' END AS status "
+            "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) "
+            "WHERE status <> 'unchanged'"
         ),
         "gopher_quality": (
             # Gopher A1.1 replay: identical integer-count ratios,

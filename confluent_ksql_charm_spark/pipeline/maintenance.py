@@ -53,3 +53,43 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str, *,
     out.write.mode("overwrite").parquet(out_path)
     after = parquet_file_stats(spark, out_path)
     return {"before": stats, "after": after, "target_files": n_out}
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", *,
+                portable: bool = False) -> DataFrame:
+    """Release diff between two corpus snapshots: (`id_col`, status)
+    for every id whose membership or content changed — `added`
+    (only in new), `removed` (only in old), `changed` (both, text
+    fingerprint differs). Unchanged docs are NOT emitted: at 100 TB the
+    overwhelmingly-common case must not dominate the output relation.
+
+    The standing ops question between corpus releases ("what did this
+    re-crawl / new filter pass actually do?") answered as one full
+    outer hash join on the id — both sides shuffle once on `id_col`,
+    comparison is one 64-bit FULL-CONTENT hash per row (NOT
+    `fingerprint64`: a min-shingle MinHash is deliberately robust to
+    edits, which is exactly wrong for a diff — an appended sentence
+    usually leaves the min shingle intact; a release diff must detect
+    every byte change). `portable=True` swaps xxhash64 for the md5
+    family an external engine replays bit-identically (the oracle
+    contract; production default stays xxhash64).
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import portable_token_hash
+
+    def _h(c):
+        return (portable_token_hash(F.col(c)) if portable
+                else F.xxhash64(F.col(c)))
+
+    o = old.select(F.col(id_col), _h(text_col).alias("__fo"))
+    n = new.select(F.col(id_col), _h(text_col).alias("__fn"))
+    j = o.join(n, id_col, "full_outer")
+    return (j.select(
+        id_col,
+        F.when(F.col("__fo").isNull(), F.lit("added"))
+        .when(F.col("__fn").isNull(), F.lit("removed"))
+        .when(F.col("__fo") != F.col("__fn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged")).alias("status"))
+        .where(F.col("status") != "unchanged"))

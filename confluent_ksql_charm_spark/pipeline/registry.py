@@ -36,6 +36,8 @@ _SIGNATURES = {
     "BM25_TOPK": ("BM25_TOPK(src, QUERY='term term ...', ID='id', "
                   "TEXT='text'[, K='10'])"),
     "INCREMENTAL_DEDUP": "INCREMENTAL_DEDUP(new, corpus, ON='col[,col]')",
+    "CORPUS_DIFF": ("CORPUS_DIFF(old, new[, ID='doc_id']"
+                    "[, TEXT='text'])"),
     "INCREMENTAL_NEAR_DUP": ("INCREMENTAL_NEAR_DUP(new, corpus, ID='id', "
                              "TEXT='text'[, THRESHOLD='0.7'])"),
     "REPETITION_STATS": "REPETITION_STATS(src, ID='id', TEXT='text')",
@@ -273,6 +275,11 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                           k=int(p.get("K", 100)),
                           lowercase=p.get("LOWERCASE", "true").lower()
                           == "true")
+    if op == "CORPUS_DIFF":
+        from .maintenance import corpus_diff
+        _need_sources(spec, 2)
+        return corpus_diff(dfs[0], dfs[1],
+                           p.get("ID", "doc_id"), p.get("TEXT", "text"))
     if op == "GOPHER_RULES":
         from .text import gopher_quality_flags
         _need_sources(spec, 1)

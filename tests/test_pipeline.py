@@ -5656,3 +5656,61 @@ class TestBloomExistsPath:
         exists = {r["doc_id"] for r in bloom_flag_contaminated(
             corpus, bl, "doc_id", "text", count_grams=False).collect()}
         assert counted == exists
+
+
+class TestCorpusDiff:
+    def test_three_statuses_and_unchanged_excluded(self, spark):
+        from confluent_ksql_charm_spark.pipeline.maintenance import (
+            corpus_diff)
+        old = spark.createDataFrame(
+            [(1, "kept verbatim"), (2, "will be edited"),
+             (3, "will be removed")], "doc_id bigint, text string")
+        new = spark.createDataFrame(
+            [(1, "kept verbatim"), (2, "will be edited indeed"),
+             (4, "brand new document")], "doc_id bigint, text string")
+        got = {r["doc_id"]: r["status"]
+               for r in corpus_diff(old, new).collect()}
+        assert got == {2: "changed", 3: "removed", 4: "added"}
+
+    def test_portable_and_fast_agree(self, spark):
+        from pyspark.sql import functions as F
+        from confluent_ksql_charm_spark.pipeline.maintenance import (
+            corpus_diff)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet") \
+            .select("doc_id", "text")
+        old = docs.where(F.col("doc_id") % 7 != 0)
+        new = docs.where(F.col("doc_id") % 11 != 0)
+        a = {(r["doc_id"], r["status"])
+             for r in corpus_diff(old, new).collect()}
+        b = {(r["doc_id"], r["status"])
+             for r in corpus_diff(old, new, portable=True).collect()}
+        assert a == b
+
+    def test_min_shingle_trap_detected(self, spark):
+        # the reason corpus_diff hashes FULL content: an appended
+        # sentence usually leaves fingerprint64's min shingle intact
+        from confluent_ksql_charm_spark.pipeline.maintenance import (
+            corpus_diff)
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau")
+        old = spark.createDataFrame([(1, base)],
+                                    "doc_id bigint, text string")
+        new = spark.createDataFrame([(1, base + " appended tail")],
+                                    "doc_id bigint, text string")
+        got = corpus_diff(old, new).collect()
+        assert [(r["doc_id"], r["status"]) for r in got] == [
+            (1, "changed")]
+
+    def test_via_sql_dialect(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+        eng = KsqlSparkEngine(spark)
+        eng.register_source("oldc", df=spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id bigint, text string"))
+        eng.register_source("newc", df=spark.createDataFrame(
+            [(1, "a"), (3, "c")], "doc_id bigint, text string"))
+        eng.execute("CREATE TABLE diff AS PIPELINE "
+                    "CORPUS_DIFF(oldc, newc);")
+        got = {r.doc_id: r.status for r in
+               eng.sql("SELECT doc_id, status FROM diff").collect()}
+        assert got == {2: "removed", 3: "added"}
