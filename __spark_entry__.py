@@ -1000,6 +1000,22 @@ def _q_vocab_topk(spark, sf):
     return vocab_topk(_docs(spark, sf), "text", k=40)
 
 
+def _q_normalize_text(spark, sf):
+    # unicode/whitespace normalization over the real docs UNION the
+    # planted messy fixture (the synthetic corpus is clean ascii and
+    # cannot exercise the mapping table); fixture ids offset 4M. The
+    # oracle rebuilds the fixture strings from chr() codepoints so no
+    # invisible-character drift can creep into the SQL literal.
+    from confluent_ksql_charm_spark.pipeline.text import (
+        NORMALIZE_FIXTURE, normalize_text)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    fx = spark.createDataFrame(
+        [(4_000_000 + i, t) for i, t in NORMALIZE_FIXTURE],
+        "doc_id bigint, text string")
+    return normalize_text(docs.unionByName(fx))
+
+
 def _q_corpus_diff(spark, sf):
     # release diff between two deterministic snapshot views of the
     # corpus: old = doc_id % 7 != 0, new = doc_id % 11 != 0 with every
@@ -1760,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "gopher_quality": _q_gopher_quality,
         "corpus_diff": _q_corpus_diff,
+        "normalize_text": _q_normalize_text,
         "corpus_stats": _q_corpus_stats,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
@@ -3455,6 +3472,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(s//24 AS INT) AS chunk_id, "
             "CAST(len(t[s+1 : s+32]) AS INT) AS n_tokens, "
             "array_to_string(t[s+1 : s+32], ' ') AS chunk FROM st"
+        ),
+        "normalize_text": (
+            # translate table + regexp chain rebuilt from chr()
+            # codepoints (no invisible characters in the literal);
+            # fixture rows appended under ids 4M+
+            "WITH src AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT 4000000, chr(8220)||'Sm'||chr(8216)||"
+            "'art'||chr(8217)||' quotes'||chr(8221)||' '||chr(8211)||"
+            "' and'||chr(8230)||' tabs'||chr(9)||'here' "
+            "UNION ALL SELECT 4000001, 'hard'||chr(160)||"
+            "'space and runs      of   spaces' "
+            "UNION ALL SELECT 4000002, 'bell'||chr(7)||'strip '||"
+            "chr(10)||'  line  edges  '||chr(10)||'keep' "
+            "UNION ALL SELECT 4000003, "
+            "'plain ascii stays exactly as is') "
+            "SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_replace(translate(text, "
+            "chr(8216)||chr(8217)||chr(8218)||chr(8220)||chr(8221)||"
+            "chr(8222)||chr(8211)||chr(8212)||chr(160)||chr(8199)||"
+            "chr(8239), chr(39)||chr(39)||','||chr(34)||chr(34)||"
+            "chr(34)||'--   '), chr(8230), '...', 'g'), "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+            "'[ \\t]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g')) AS text "
+            "FROM src"
         ),
         "corpus_diff": (
             # full-content portable hash (md5 60-bit) per side, full

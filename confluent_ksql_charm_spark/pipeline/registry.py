@@ -45,6 +45,7 @@ _SIGNATURES = {
                      "[, MIN_WORDS='50'][, MAX_WORDS='100000']"
                      "[, MIN_STOPWORDS='2'])"),
     "C4_CLEAN": "C4_CLEAN(src, ID='id', TEXT='text'[, MIN_WORDS='5'])",
+    "NORMALIZE_TEXT": "NORMALIZE_TEXT(src[, TEXT='text'])",
     "PACK_SEQUENCES": ("PACK_SEQUENCES(src, KEY='id', TOKENS='n_tokens', "
                        "BUDGET='2048'[, SHARDS='8'])"),
     "PARAGRAPH_DEDUP": ("PARAGRAPH_DEDUP(src, ID='id', TEXT='text'"
@@ -275,6 +276,10 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                           k=int(p.get("K", 100)),
                           lowercase=p.get("LOWERCASE", "true").lower()
                           == "true")
+    if op == "NORMALIZE_TEXT":
+        from .text import normalize_text
+        _need_sources(spec, 1)
+        return normalize_text(dfs[0], p.get("TEXT", "text"))
     if op == "CORPUS_DIFF":
         from .maintenance import corpus_diff
         _need_sources(spec, 2)

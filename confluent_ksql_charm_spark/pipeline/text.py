@@ -1078,3 +1078,52 @@ def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
         (F.col("ok_words") & F.col("ok_word_len") & F.col("ok_symbols")
          & F.col("ok_bullets") & F.col("ok_ellipsis")
          & F.col("ok_alpha") & F.col("ok_stopwords")).alias("keep"))
+
+
+#: 1:1 unicode→ascii normalization pairs (curly quotes, dashes,
+#: non-breaking/zero-widthish spaces) applied via translate — the
+#: cheap, deterministic subset of ftfy-style cleanup. Multi-char
+#: expansions (ellipsis) go through regexp_replace separately.
+NORMALIZE_TRANSLATE_FROM = ("\u2018\u2019\u201a"   # curly singles
+                            "\u201c\u201d\u201e"   # curly doubles
+                            "\u2013\u2014"         # en/em dash
+                            "\u00a0\u2007\u202f")  # nbsp variants
+NORMALIZE_TRANSLATE_TO = "''," + '"""' + "--" + "   "
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str | None = None) -> DataFrame:
+    """Deterministic unicode/whitespace normalization — the first
+    projection of every ingest chain (before hashing, shingling or
+    dedup, so byte-level variants of the same content collapse):
+
+    1. strip C0/C1 control characters (keeping \\t and \\n);
+    2. map curly quotes / en-em dashes / hard spaces to ascii (1:1
+       `translate`), expand '…' to '...';
+    3. collapse runs of spaces/tabs to one space, trim line edges.
+
+    Pure expression chain (translate + 3 regexp_replace) — zero
+    shuffle, rides the scan; replays bit-identically in an external
+    engine (simple character classes, no engine-specific regex
+    features). Replaces `text_col` in place unless `out_col` is given.
+    """
+    c = F.col(text_col)
+    c = F.translate(c, NORMALIZE_TRANSLATE_FROM, NORMALIZE_TRANSLATE_TO)
+    c = F.regexp_replace(c, "…", "...")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    out = out_col or text_col
+    return df.withColumn(out, F.trim(c))
+
+
+#: Planted messy-text fixture for oracle-gating normalize_text (the
+#: synthetic corpus is clean ascii, so it cannot exercise the mapping
+#: table). Shared by the registry entry (Spark side) and mirrored as
+#: SQL literals in the DuckDB oracle; ids offset 4_000_000.
+NORMALIZE_FIXTURE: list[tuple[int, str]] = [
+    (0, "“Sm‘art’ quotes” – and… tabs\there"),
+    (1, "hard space and runs      of   spaces"),
+    (2, "bell\x07strip \n  line  edges  \nkeep"),
+    (3, "plain ascii stays exactly as is"),
+]

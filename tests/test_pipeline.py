@@ -5714,3 +5714,38 @@ class TestCorpusDiff:
         got = {r.doc_id: r.status for r in
                eng.sql("SELECT doc_id, status FROM diff").collect()}
         assert got == {2: "removed", 3: "added"}
+
+
+class TestNormalizeText:
+    def test_fixture_normalizes_as_specified(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            NORMALIZE_FIXTURE, normalize_text)
+        df = spark.createDataFrame(NORMALIZE_FIXTURE,
+                                   "doc_id bigint, text string")
+        got = {r["doc_id"]: r["text"]
+               for r in normalize_text(df).collect()}
+        assert got[0] == "\"Sm'art' quotes\" - and... tabs here"
+        assert got[1] == "hard space and runs of spaces"
+        assert got[2] == "bellstrip\nline edges\nkeep"
+        assert got[3] == "plain ascii stays exactly as is"
+
+    def test_idempotent_and_newline_preserved(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            NORMALIZE_FIXTURE, normalize_text)
+        df = spark.createDataFrame(NORMALIZE_FIXTURE,
+                                   "doc_id bigint, text string")
+        once = normalize_text(df)
+        twice = normalize_text(once)
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, twice.collect()))
+        assert "\n" in {r["text"] for r in once.collect()
+                        if r["doc_id"] == 2}.pop()
+
+    def test_via_sql_dialect(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+        eng = KsqlSparkEngine(spark)
+        eng.register_source("raw", df=spark.createDataFrame(
+            [(1, "a b   c")], "doc_id bigint, text string"))
+        eng.execute("CREATE STREAM cleaned AS PIPELINE "
+                    "NORMALIZE_TEXT(raw);")
+        assert eng.sql("SELECT text FROM cleaned").first().text == "a b c"
