@@ -131,6 +131,7 @@ def corpus_ingest_batch_fn(
     *,
     near_dup: bool = False,
     threshold: float = 0.7,
+    normalize: bool = False,
     clean: bool = True,
     clean_min_words: int = 1,
     quality_gate: bool = True,
@@ -145,6 +146,10 @@ def corpus_ingest_batch_fn(
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function for `start_corpus_ingest` (also
     directly callable with a static DataFrame for backfill runs).
+
+    `normalize=True` runs `text.normalize_text` as step 0 — byte-level
+    variants of the same content (curly quotes, nbsp, space runs)
+    collapse BEFORE the dedup hash or any gram/shingle sees them.
 
     `signatures_path` (with `near_dup=True`) maintains the corpus's
     MinHash signature table as a sidecar: each microbatch reads it as
@@ -273,6 +278,13 @@ def corpus_ingest_batch_fn(
 
     def ingest(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # 0. unicode/whitespace normalization FIRST (opt-in), so
+        # byte-level variants of the same content collapse before the
+        # dedup hash or any gram/shingle sees them
+        if normalize:
+            from .text import normalize_text
+
+            batch_df = normalize_text(batch_df, text_col)
         # 1. batch-internal exact dedup (keep the smallest id per text)
         batch = exact_dedup(batch_df, [text_col], id_col)
         # 2-3. cleaning + quality gates
@@ -339,6 +351,7 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
                         checkpoint: str, *,
                         id_col: str = "doc_id", text_col: str = "text",
                         near_dup: bool = False, threshold: float = 0.7,
+                        normalize: bool = False,
                         clean: bool = True, clean_min_words: int = 1,
                         quality_gate: bool = True,
                         signatures_path: str | None = None,
@@ -358,7 +371,7 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
         source_df.writeStream
         .foreachBatch(corpus_ingest_batch_fn(
             corpus_path, id_col, text_col, near_dup=near_dup,
-            threshold=threshold, clean=clean,
+            threshold=threshold, normalize=normalize, clean=clean,
             clean_min_words=clean_min_words, quality_gate=quality_gate,
             signatures_path=signatures_path, bench_path=bench_path,
             bench_n=bench_n, fuzzy_bench=fuzzy_bench,

@@ -5749,3 +5749,27 @@ class TestNormalizeText:
         eng.execute("CREATE STREAM cleaned AS PIPELINE "
                     "NORMALIZE_TEXT(raw);")
         assert eng.sql("SELECT text FROM cleaned").first().text == "a b c"
+
+
+class TestIngestNormalize:
+    def test_byte_variants_collapse_under_normalize(self, spark,
+                                                    tmp_path):
+        from confluent_ksql_charm_spark.pipeline.ingest import (
+            corpus_ingest_batch_fn)
+        # same content, one with curly quotes + double spaces: without
+        # normalization these are distinct texts; with it, exact dedup
+        # collapses them to the smaller id
+        batch = spark.createDataFrame(
+            [(10, "the “same” document  here"),
+             (11, 'the "same" document here'),
+             (12, "a genuinely different document")],
+            "doc_id bigint, text string")
+        plain = str(tmp_path / "plain")
+        corpus_ingest_batch_fn(plain, clean=False,
+                               quality_gate=False)(batch, 0)
+        assert spark.read.parquet(plain).count() == 3
+        norm = str(tmp_path / "norm")
+        corpus_ingest_batch_fn(norm, clean=False, quality_gate=False,
+                               normalize=True)(batch, 0)
+        kept = {r.doc_id for r in spark.read.parquet(norm).collect()}
+        assert kept == {10, 12}
