@@ -60,7 +60,10 @@ def main():
                          "ngram_jaccard", "embedding_near_dup",
                          "incremental_dedup", "dedup_clusters",
                          "semantic_dedup", "dedup_keep_best",
-                         "dup_size_histogram"}
+                         "dup_size_histogram",
+                         # full self-join graph replays: n² cosines is
+                         # the oracle's point, hours at sf0.1
+                         "knn_graph", "hard_negatives"}
     small_sf = "sf0.01" in SF_DIR or "sf0.001" in SF_DIR
     out = {}
     for name, fn in qs.items():
