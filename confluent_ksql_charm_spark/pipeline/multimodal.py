@@ -272,3 +272,65 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000,
             )
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZE_SCHEMA_DDL = (
+    "doc_id long, src_width int, src_height int, dst_width int, "
+    "dst_height int, scale_x double, scale_y double, stub boolean, "
+    "resized binary"
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int = -1, *,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Image-resize plumbing via `mapInPandas` — the Spark-side half
+    of the resize stage (schema, Arrow batch shape, aspect-ratio /
+    scale metadata math, partition behavior) with the pixel resample
+    itself STUBBED: actual decoding/resampling of compressed pixels
+    needs an image library (PIL / opencv), which this container does
+    not ship. The stub emits a deterministic fake payload (the first
+    64 source bytes — enough for round-trip identity tests) and marks
+    every row ``stub=true`` so no caller can mistake it for pixels.
+
+    `height=-1` preserves aspect ratio from the decoded source
+    dimensions (stdlib header decode — REAL, see `decode_media`);
+    sources whose dimensions cannot be decoded pass through with NULL
+    dst dims. Swap the stub body for a PIL/cv2 call on a cluster that
+    has one — every other line is production shape.
+    """
+    if width <= 0:
+        raise ValueError("resize_images: width must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "src_width", "src_height",
+                                    "dst_width", "dst_height", "scale_x",
+                                    "scale_y", "stub", "resized")}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                d = decode_media(payload)
+                sw, sh = d["width"], d["height"]
+                rows["doc_id"].append(did)
+                rows["src_width"].append(sw)
+                rows["src_height"].append(sh)
+                if sw is None or sh is None or sw <= 0 or sh <= 0:
+                    rows["dst_width"].append(None)
+                    rows["dst_height"].append(None)
+                    rows["scale_x"].append(None)
+                    rows["scale_y"].append(None)
+                    rows["stub"].append(True)
+                    rows["resized"].append(None)
+                    continue
+                dw = width
+                dh = height if height > 0 else max(
+                    1, round(sh * width / sw))
+                rows["dst_width"].append(dw)
+                rows["dst_height"].append(dh)
+                rows["scale_x"].append(dw / sw)
+                rows["scale_y"].append(dh / sh)
+                rows["stub"].append(True)
+                rows["resized"].append(
+                    bytes(payload[:64]) if payload else None)
+            yield pd.DataFrame(rows)
+
+    flat = media.select(F.col(id_col), F.col("payload"))
+    return flat.mapInPandas(run, schema=RESIZE_SCHEMA_DDL)

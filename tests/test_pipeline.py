@@ -5773,3 +5773,47 @@ class TestIngestNormalize:
                                normalize=True)(batch, 0)
         kept = {r.doc_id for r in spark.read.parquet(norm).collect()}
         assert kept == {10, 12}
+
+
+class TestResizeImages:
+    def _png(self, w, h):
+        import struct
+        import zlib
+
+        def chunk(tag, data):
+            c = struct.pack(">I", len(data)) + tag + data
+            return c + struct.pack(">I", zlib.crc32(tag + data))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", b"\x00" * 8) + chunk(b"IEND", b""))
+
+    def test_aspect_preserving_metadata_math(self, spark):
+        from confluent_ksql_charm_spark.pipeline.multimodal import (
+            resize_images)
+        media = spark.createDataFrame(
+            [(1, self._png(640, 480)), (2, self._png(100, 300)),
+             (3, b"not an image at all")],
+            "doc_id bigint, payload binary")
+        got = {r["doc_id"]: r for r in resize_images(
+            media, 320).collect()}
+        assert (got[1]["src_width"], got[1]["src_height"]) == (640, 480)
+        assert (got[1]["dst_width"], got[1]["dst_height"]) == (320, 240)
+        assert got[1]["scale_x"] == 0.5 and got[1]["scale_y"] == 0.5
+        assert got[2]["dst_height"] == 960   # 300 * 320/100
+        # undecodable payload: passes through with NULL dims, never kills
+        assert got[3]["dst_width"] is None and got[3]["resized"] is None
+        # the stub flag is ALWAYS true — no caller can mistake fake bytes
+        assert all(got[i]["stub"] for i in (1, 2, 3))
+
+    def test_fixed_both_dims_and_guard(self, spark):
+        import pytest
+        from confluent_ksql_charm_spark.pipeline.multimodal import (
+            resize_images)
+        media = spark.createDataFrame(
+            [(1, self._png(640, 480))], "doc_id bigint, payload binary")
+        r = resize_images(media, 100, 100).first()
+        assert (r["dst_width"], r["dst_height"]) == (100, 100)
+        assert round(r["scale_y"], 6) == round(100 / 480, 6)
+        with pytest.raises(ValueError, match="width"):
+            resize_images(media, 0)
