@@ -2,6 +2,7 @@
 operator family in this repo exists to serve, as one runnable script:
 
     raw documents
+      → unicode/whitespace normalization              (text.py)
       → C4 line cleaning + Gopher repetition gate     (text.py)
       → Gopher rule-set gate (word count, word shape,
         symbol/bullet/ellipsis ratios, alpha words)    (text.py)
@@ -54,10 +55,15 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
         chunk_documents, length_bucketed_batches, mixture_sample,
         score_buckets)
     from confluent_ksql_charm_spark.pipeline.text import (
-        dsir_logratio, gopher_quality_flags, token_count)
+        dsir_logratio, gopher_quality_flags, normalize_text, token_count)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
         .select("doc_id", "text", "lang")
+
+    # 0. normalization FIRST: byte-level variants of the same content
+    #    (curly quotes, nbsp, space runs) must collapse before any
+    #    dedup hash or gram builder sees them
+    docs = normalize_text(docs, "text")
 
     # 1-2. clean + quality-gate, then exact dedup (smallest id survives)
     docs = clean_and_gate(docs, "doc_id", "text", clean=clean)
