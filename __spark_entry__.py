@@ -3500,11 +3500,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": (
             # full-content portable hash (md5 60-bit) per side, full
             # outer join on id, unchanged rows excluded
-            "WITH o AS (SELECT doc_id, ('0x' || substr(md5(text), 1, "
-            "15))::BIGINT AS f FROM documents WHERE doc_id % 7 <> 0), "
-            "n AS (SELECT doc_id, ('0x' || substr(md5(CASE WHEN "
-            "doc_id % 13 = 0 THEN text || ' edited' ELSE text END), "
-            "1, 15))::BIGINT AS f FROM documents "
+            "WITH o AS (SELECT doc_id, COALESCE(('0x' || "
+            "substr(md5(text), 1, 15))::BIGINT, -1) AS f "
+            "FROM documents WHERE doc_id % 7 <> 0), "
+            "n AS (SELECT doc_id, COALESCE(('0x' || substr(md5(CASE "
+            "WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text "
+            "END), 1, 15))::BIGINT, -1) AS f FROM documents "
             "WHERE doc_id % 11 <> 0) "
             "SELECT doc_id, status FROM ("
             "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "

@@ -80,8 +80,12 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     from .dedup import portable_token_hash
 
     def _h(c):
-        return (portable_token_hash(F.col(c)) if portable
-                else F.xxhash64(F.col(c)))
+        h = (portable_token_hash(F.col(c)) if portable
+             else F.xxhash64(F.col(c)))
+        # NULL text must hash to a sentinel, not NULL: a null __fo/__fn
+        # is this function's "row absent" signal, and a doc with NULL
+        # text in BOTH snapshots would otherwise report as 'added'
+        return F.coalesce(h, F.lit(-1))
 
     o = old.select(F.col(id_col), _h(text_col).alias("__fo"))
     n = new.select(F.col(id_col), _h(text_col).alias("__fn"))

@@ -5817,3 +5817,21 @@ class TestResizeImages:
         assert round(r["scale_y"], 6) == round(100 / 480, 6)
         with pytest.raises(ValueError, match="width"):
             resize_images(media, 0)
+
+
+class TestCorpusDiffNullText:
+    def test_null_text_in_both_snapshots_is_unchanged(self, spark):
+        from confluent_ksql_charm_spark.pipeline.maintenance import (
+            corpus_diff)
+        old = spark.createDataFrame(
+            [(1, None), (2, "real text")], "doc_id bigint, text string")
+        new = spark.createDataFrame(
+            [(1, None), (2, "real text")], "doc_id bigint, text string")
+        assert corpus_diff(old, new).count() == 0
+        # null -> text counts as changed, and vice versa
+        new2 = spark.createDataFrame(
+            [(1, "now present"), (2, None)],
+            "doc_id bigint, text string")
+        got = {r["doc_id"]: r["status"]
+               for r in corpus_diff(old, new2).collect()}
+        assert got == {1: "changed", 2: "changed"}
