@@ -1000,6 +1000,19 @@ def _q_vocab_topk(spark, sf):
     return vocab_topk(_docs(spark, sf), "text", k=40)
 
 
+def _q_contained_docs(spark, sf):
+    # asymmetric containment report: docs >= 90% shingle-contained in
+    # another doc (bottom-5 sketch equi-join candidates -> exact
+    # verify). portable hash so DuckDB replays the sketch rule.
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        contained_docs, portable_token_hash)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    return contained_docs(docs, "doc_id", "text", threshold=0.9,
+                          shingle_k=3, bottom_k=5,
+                          token_hash=portable_token_hash)
+
+
 def _q_normalize_text(spark, sf):
     # unicode/whitespace normalization over the real docs UNION the
     # planted messy fixture (the synthetic corpus is clean ascii and
@@ -1777,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "corpus_diff": _q_corpus_diff,
         "normalize_text": _q_normalize_text,
+        "contained_docs": _q_contained_docs,
         "corpus_stats": _q_corpus_stats,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
@@ -3472,6 +3486,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(s//24 AS INT) AS chunk_id, "
             "CAST(len(t[s+1 : s+32]) AS INT) AS n_tokens, "
             "array_to_string(t[s+1 : s+32], ' ') AS chunk FROM st"
+        ),
+        "contained_docs": (
+            # bottom-5 portable-hash sketch candidates -> exact
+            # containment |Sa ∩ Sb| / |Sa| >= 0.9; heavy shingles
+            # (holders > 200) excluded from the b side, as in Spark
+            "WITH reps AS (SELECT min(doc_id) AS doc_id, text "
+            "FROM documents GROUP BY text), "
+            "toks AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM reps), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) >= 3 "
+            "THEN [array_to_string(t[i:i+2], ' ') "
+            "FOR i IN generate_series(1, length(t) - 2)] "
+            "ELSE [array_to_string(t, ' ')] END) AS s FROM toks), "
+            "hh AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))"
+            "::BIGINT AS v FROM (SELECT doc_id, unnest(s) AS g FROM sh)), "
+            "bk AS (SELECT doc_id AS id_a, v FROM (SELECT doc_id, v, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY v) AS rn "
+            "FROM hh) WHERE rn <= 5), "
+            "heavy AS (SELECT v FROM hh GROUP BY v "
+            "HAVING count(*) > 200), "
+            "fr AS (SELECT doc_id AS id_b, v FROM hh "
+            "WHERE v NOT IN (SELECT v FROM heavy)), "
+            "cand AS (SELECT DISTINCT id_a, id_b FROM bk "
+            "JOIN fr USING (v) WHERE id_a <> id_b), "
+            "scored AS (SELECT c.id_a, c.id_b, "
+            "round(length(list_intersect(a.s, b.s)) * 1.0 / "
+            "length(a.s), 4) AS containment "
+            "FROM cand c JOIN sh a ON a.doc_id = c.id_a "
+            "JOIN sh b ON b.doc_id = c.id_b) "
+            "SELECT id_a, id_b, containment FROM scored "
+            "WHERE containment >= 0.9"
         ),
         "normalize_text": (
             # translate table + regexp chain rebuilt from chr()

@@ -1135,3 +1135,123 @@ def top_repeated_spans(df: DataFrame, id_col: str, text_col: str, *,
                    .alias("span_text")))
     return (top.join(rebuilt, "__h")
             .select("span_text", "n_occurrences", "n_docs"))
+
+
+def containment_for_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
+                          text_col: str, *,
+                          shingle_k: int = 3) -> DataFrame:
+    """Exact Broder CONTAINMENT for given (id_a, id_b) pairs:
+    ``containment = |Sa ∩ Sb| / |Sa|`` — how much of doc a's distinct
+    shingle set also appears in doc b. The ASYMMETRIC near-dup measure:
+    a short document quoted verbatim inside a long one has containment
+    ~1.0 while its Jaccard is tiny (|∩|/|∪| is diluted by the long
+    doc), so Jaccard thresholds structurally miss the quote/boilerplate
+    case this exists for.
+
+    Same scale shape as `jaccard_for_pairs`: only pair participants
+    are shingled (semi-join pre-filter), two equi-joins against the
+    small pair relation. Rounded to 4 (oracle contract).
+    """
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    sh = maybe_checkpoint(
+        ensure_parallelism(df.join(ids, id_col, "left_semi")).select(
+            F.col(id_col), shingles_col(text_col, shingle_k).alias("sh")
+        ))
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size("sh_a"), 4).alias("containment"),
+        )
+    )
+
+
+def containment_candidates(df: DataFrame, id_col: str, text_col: str, *,
+                           shingle_k: int = 3, bottom_k: int = 5,
+                           token_hash=None,
+                           max_bucket: int | None = 200) -> DataFrame:
+    """Candidate (id_a, id_b) pairs where doc a may be θ-contained in
+    doc b — WITHOUT the symmetric-LSH recall hole.
+
+    MinHash-band LSH approximates JACCARD, so "short doc inside long
+    doc" (containment ~1, Jaccard ~|Sa|/|Sb| → 0) never collides.
+    This generator uses the containment-native rule instead: if a is
+    θ-contained in b, each of a's `bottom_k` smallest shingle hashes
+    independently lands in Sa∩Sb ⊆ Sb with probability ≥ θ (the hash
+    order is uniform over Sa), so the probability that NO bottom-k
+    hash of a appears among b's shingles is ≤ (1-θ)^bottom_k — 1e-5
+    at θ=0.9, k=5. Candidates = equi-join of a's bottom-k sketch
+    (k rows/doc) against the corpus (doc, shingle-hash) relation —
+    hash-join on 8-byte keys, NEVER all-pairs; heavy shingles (stop
+    phrases shared by everything) are capped exactly like
+    `bucketed_pairs` buckets via `max_bucket` on the b side.
+
+    Emits DIRECTED pairs (a candidate-contained-in b, a ≠ b); verify
+    with `containment_for_pairs`. `token_hash` as in `fingerprint64`:
+    default xxhash64, pass `portable_token_hash` for oracle replay.
+    """
+    hash_fn = token_hash or F.xxhash64
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.transform(shingles_col(text_col, shingle_k),
+                    lambda s: hash_fn(s)).alias("__h"))
+    base = maybe_checkpoint(base)
+    bk = base.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(F.slice(F.array_sort("__h"), 1, bottom_k)).alias("__s"))
+    full = base.select(
+        F.col(id_col).alias("id_b"), F.explode("__h").alias("__s"))
+    if max_bucket is not None:
+        # cap ubiquitous shingles: a stop-phrase hash shared by half
+        # the corpus would fan every holder into a candidate of every
+        # other — identical degenerate tail to LSH bucket capping
+        heavy = (full.groupBy("__s")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .where(F.col("__n") > max_bucket)
+                 .select("__s"))
+        full = full.join(F.broadcast(heavy), "__s", "left_anti")
+    return (bk.join(full, "__s")
+            .where(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def contained_docs(df: DataFrame, id_col: str, text_col: str, *,
+                   threshold: float = 0.9, shingle_k: int = 3,
+                   bottom_k: int = 5, token_hash=None,
+                   max_bucket: int | None = 200) -> DataFrame:
+    """(id_a, id_b, containment) for every doc a whose distinct
+    shingles are ≥ `threshold` contained in some OTHER doc b — the
+    quote/boilerplate report Jaccard dedup cannot produce. Composition:
+    exact-dup collapse → `containment_candidates` (bottom-k sketch
+    equi-join, miss prob ≤ (1-θ)^bottom_k) → exact
+    `containment_for_pairs` verify. Drop flagged `id_a`s (anti-join)
+    to keep only content that is not a subset of other content.
+
+    Pairs are reported at EXACT-DUP-REPRESENTATIVE level (min id per
+    distinct text): identical texts are trivially mutually contained
+    and belong to `exact_dedup`, and carrying them through the sketch
+    join makes the candidate set quadratic in the duplication factor.
+    Distinct-text containment (reformatted copies, quotes) reports
+    normally.
+    """
+    # adaptive exact-dup collapse (the dedup_clusters lesson): exact
+    # duplicates are mutually contained BY DEFINITION and form dense
+    # candidate cliques that blow up quadratically under duplication
+    # (the dup-10 sf1 fixture ran >10 min before this; exact dups are
+    # exact_dedup's domain, not this report's). Candidates and verify
+    # run on one representative (min id) per distinct text; pairs are
+    # reported at rep level.
+    reps = (df.groupBy(text_col)
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, text_col))
+    cands = containment_candidates(
+        reps, id_col, text_col, shingle_k=shingle_k, bottom_k=bottom_k,
+        token_hash=token_hash, max_bucket=max_bucket)
+    scored = containment_for_pairs(reps, cands, id_col, text_col,
+                                   shingle_k=shingle_k)
+    return scored.where(F.col("containment") >= threshold)

@@ -17,6 +17,9 @@ _SIGNATURES = {
                        "[, THRESHOLD='0.7'])"),
     "DEDUP_CLUSTERS": ("DEDUP_CLUSTERS(src, ID='id', TEXT='text'"
                        "[, THRESHOLD='0.7'])"),
+    "CONTAINED_DOCS": ("CONTAINED_DOCS(src, ID='id', TEXT='text'"
+                       "[, THRESHOLD='0.9'][, SHINGLE_K='3']"
+                       "[, BOTTOM_K='5'])"),
     "DECONTAMINATE": ("DECONTAMINATE(corpus, bench, ID='id', TEXT='text'"
                       "[, N='8'])"),
     "FLAG_CONTAMINATED": ("FLAG_CONTAMINATED(corpus, bench, ID='id', "
@@ -276,6 +279,14 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                           k=int(p.get("K", 100)),
                           lowercase=p.get("LOWERCASE", "true").lower()
                           == "true")
+    if op == "CONTAINED_DOCS":
+        from .dedup import contained_docs
+        _need_sources(spec, 1)
+        return contained_docs(
+            dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
+            threshold=float(p.get("THRESHOLD", 0.9)),
+            shingle_k=int(p.get("SHINGLE_K", 3)),
+            bottom_k=int(p.get("BOTTOM_K", 5)))
     if op == "NORMALIZE_TEXT":
         from .text import normalize_text
         _need_sources(spec, 1)

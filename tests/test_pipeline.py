@@ -5835,3 +5835,80 @@ class TestCorpusDiffNullText:
         got = {r["doc_id"]: r["status"]
                for r in corpus_diff(old, new2).collect()}
         assert got == {1: "changed", 2: "changed"}
+
+
+class TestContainedDocs:
+    BIG = ("the quick brown fox jumps over the lazy dog while the rain "
+           "in spain falls mainly on the plain and many other words "
+           "follow in this very long container document about subjects")
+    QUOTE = "the rain in spain falls mainly on the plain"
+
+    def test_quote_found_where_jaccard_misses(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            contained_docs, jaccard_for_pairs)
+        df = spark.createDataFrame(
+            [(1, self.BIG), (2, self.QUOTE),
+             (3, "completely unrelated text about spark engines")],
+            "doc_id bigint, text string")
+        got = [(r["id_a"], r["id_b"], r["containment"])
+               for r in contained_docs(df, "doc_id", "text",
+                                       threshold=0.9).collect()]
+        assert got == [(2, 1, 1.0)]
+        # the same pair is invisible to a Jaccard threshold
+        p = spark.createDataFrame([(2, 1)], "id_a bigint, id_b bigint")
+        j = jaccard_for_pairs(df, p, "doc_id", "text").first()["jaccard"]
+        assert j < 0.3
+
+    def test_directed_not_symmetric(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            containment_for_pairs)
+        df = spark.createDataFrame(
+            [(1, self.BIG), (2, self.QUOTE)], "doc_id bigint, text string")
+        pairs = spark.createDataFrame(
+            [(2, 1), (1, 2)], "id_a bigint, id_b bigint")
+        got = {(r["id_a"], r["id_b"]): r["containment"]
+               for r in containment_for_pairs(df, pairs, "doc_id",
+                                              "text").collect()}
+        assert got[(2, 1)] == 1.0          # quote fully inside big
+        assert got[(1, 2)] < 0.35          # big barely inside quote
+
+    def test_exact_dups_collapsed_not_reported(self, spark):
+        # identical texts are exact_dedup's domain: the rep collapse
+        # keeps them out of the candidate cliques (the dup-10 sf1
+        # blowup), while distinct-text containment still reports
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            contained_docs)
+        df = spark.createDataFrame(
+            [(1, self.BIG), (2, self.BIG), (3, self.BIG),
+             (4, self.QUOTE)], "doc_id bigint, text string")
+        got = {(r["id_a"], r["id_b"])
+               for r in contained_docs(df, "doc_id", "text",
+                                       threshold=0.9).collect()}
+        assert got == {(4, 1)}   # quote vs the min-id rep only
+
+    def test_heavy_shingle_cap_prunes(self, spark):
+        # every doc shares one ubiquitous shingle; with max_bucket=1 the
+        # shared shingle is pruned from the b side, so no candidates
+        # survive except via rarer shingles
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            containment_candidates)
+        boil = "shared boiler plate"
+        df = spark.createDataFrame(
+            [(i, f"{boil} unique{i} tail{i} words{i}") for i in range(6)],
+            "doc_id bigint, text string")
+        n_capped = containment_candidates(
+            df, "doc_id", "text", max_bucket=1).count()
+        n_uncapped = containment_candidates(
+            df, "doc_id", "text", max_bucket=None).count()
+        assert n_capped < n_uncapped
+
+    def test_via_sql_dialect(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+        eng = KsqlSparkEngine(spark)
+        eng.register_source("cd_docs", df=spark.createDataFrame(
+            [(1, self.BIG), (2, self.QUOTE)], "doc_id bigint, text string"))
+        eng.execute("CREATE TABLE contained AS PIPELINE "
+                    "CONTAINED_DOCS(cd_docs, ID='doc_id', TEXT='text', "
+                    "THRESHOLD='0.9');")
+        rows = eng.sql("SELECT id_a, id_b FROM contained").collect()
+        assert [(r.id_a, r.id_b) for r in rows] == [(2, 1)]

@@ -605,3 +605,15 @@ class TestMMRPlans:
         emb = engine.metastore.get("embeddings").df
         plan = _plan(cosine_topk(emb, [0.1] * 4, k=50))
         assert "TakeOrderedAndProject" in plan
+
+
+class TestContainmentPlans:
+    def test_candidates_are_equi_join_never_cartesian(self, engine):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            contained_docs)
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(contained_docs(docs, "doc_id", "text"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan
