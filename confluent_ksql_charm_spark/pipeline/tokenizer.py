@@ -136,7 +136,9 @@ def bpe_train(df: DataFrame, *, text_col: str = "text",
     ~40× slower at a 50k-word histogram).
 
     Returns ``{"merges": [(left, right), ...], "end_of_word",
-    "lowercase", "min_count"}``.
+    "lowercase", "min_count", "alphabet"}`` (`alphabet` = sorted
+    characters seen + the end-of-word marker — the id-0..n base of
+    `bpe_vocab`).
     """
     hist = histogram if histogram is not None else word_histogram(
         df, text_col, lowercase=lowercase)
@@ -152,9 +154,11 @@ def bpe_train(df: DataFrame, *, text_col: str = "text",
 
     words: list[list[str]] = []
     counts: list[int] = []
+    alphabet: set[str] = {end_of_word}
     for r in rows:
         words.append(list(r["word"]) + [end_of_word])
         counts.append(r["cnt"])
+        alphabet.update(r["word"])
 
     # pair statistics + inverted index (pair -> word idx -> occurrences)
     stats: dict[tuple[str, str], int] = {}
@@ -219,7 +223,8 @@ def bpe_train(df: DataFrame, *, text_col: str = "text",
         stats.pop(best, None)
         index.pop(best, None)
     return {"merges": merges, "end_of_word": end_of_word,
-            "lowercase": lowercase, "min_count": min_count}
+            "lowercase": lowercase, "min_count": min_count,
+            "alphabet": sorted(alphabet)}
 
 
 def bpe_segment(word: str, ranks: dict[tuple[str, str], int],
@@ -361,3 +366,80 @@ def bpe_corpus_stats(df: DataFrame, model: dict, *,
                     .alias("fertility"),
                     F.round(F.col("n_word_chars") / F.col("n_tokens"), 6)
                     .alias("chars_per_token")))
+
+
+#: Reserved id 0 for characters never seen at training time.
+UNK_TOKEN = "<unk>"
+
+
+def bpe_vocab(model: dict) -> dict[str, int]:
+    """token → id under a `bpe_train` model: `<unk>` = 0, then the
+    sorted training alphabet, then every merge's output symbol in
+    merge order — the standard deterministic layout (ids are stable
+    across re-trainings on the same corpus because the merge list is).
+    """
+    vocab = {UNK_TOKEN: 0}
+    for ch in model["alphabet"]:
+        vocab.setdefault(ch, len(vocab))
+    for a, b in model["merges"]:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_encode_ids(df: DataFrame, model: dict, *,
+                   text_col: str = "text",
+                   out_col: str = "input_ids") -> DataFrame:
+    """Append `out_col`: the document's integer token-id sequence —
+    the training-ready form (`pack_sequences` / `export_jsonl` feed).
+    Same Arrow word-memo shape as `bpe_encode`; tokens containing any
+    character outside the training alphabet segment down to chars as
+    usual and unseen chars map to UNK (id 0)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
+    vocab = bpe_vocab(model)
+    eow = model["end_of_word"]
+    lower = model["lowercase"]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _enc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[int]] = {}
+        out = []
+        for t in texts:
+            ids: list[int] = []
+            if t is not None:
+                for w in t.split():
+                    if lower:
+                        w = w.lower()
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = [vocab.get(s, 0)
+                               for s in bpe_segment(w, ranks, eow)]
+                        memo[w] = seg
+                    ids.extend(seg)
+            out.append(ids)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def export_subword_nmt(model: dict, path: str) -> None:
+    """Write the merge list in the subword-nmt `merges.txt` format
+    (Sennrich et al.'s published BPE toolchain: a `#version: 0.2`
+    header then one `left right` pair per line, `</w>` marker inline)
+    plus a `vocab.json` (token → id, `bpe_vocab` layout) — the
+    interop surface an external tokenizer loader consumes. The JSON
+    sidecar (`save_bpe_model`) stays the lossless round-trip form.
+    """
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "merges.txt"), "w",
+              encoding="utf-8") as fh:
+        fh.write("#version: 0.2\n")
+        for a, b in model["merges"]:
+            fh.write(f"{a} {b}\n")
+    with open(os.path.join(path, "vocab.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump(bpe_vocab(model), fh, ensure_ascii=False)

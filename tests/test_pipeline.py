@@ -5912,3 +5912,53 @@ class TestContainedDocs:
                     "THRESHOLD='0.9');")
         rows = eng.sql("SELECT id_a, id_b FROM contained").collect()
         assert [(r.id_a, r.id_b) for r in rows] == [(2, 1)]
+
+
+class TestBPEIds:
+    def test_ids_round_trip_to_tokens(self, spark):
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_encode, bpe_encode_ids, bpe_train, bpe_vocab)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(40)
+        model = bpe_train(docs, num_merges=60)
+        vocab = bpe_vocab(model)
+        inv = {i: t for t, i in vocab.items()}
+        toks = {r["doc_id"]: r["bpe_tokens"]
+                for r in bpe_encode(docs, model).collect()}
+        ids = {r["doc_id"]: r["input_ids"]
+               for r in bpe_encode_ids(docs, model).collect()}
+        assert set(toks) == set(ids)
+        for d in toks:
+            assert [inv[i] for i in ids[d]] == toks[d]
+        # vocab layout: unk=0, alphabet next, merge outputs in order
+        assert vocab["<unk>"] == 0
+        assert vocab[model["alphabet"][0]] == 1
+        first_merge = model["merges"][0]
+        assert first_merge[0] + first_merge[1] in vocab
+
+    def test_unseen_chars_map_to_unk(self, spark):
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_encode_ids, bpe_train)
+        train = spark.createDataFrame(
+            [(1, "abc abc abd")], "doc_id bigint, text string")
+        model = bpe_train(train, num_merges=5)
+        apply_df = spark.createDataFrame(
+            [(2, "abz")], "doc_id bigint, text string")
+        ids = bpe_encode_ids(apply_df, model).first()["input_ids"]
+        assert 0 in ids        # 'z' never seen -> UNK
+
+    def test_subword_nmt_export(self, spark, tmp_path):
+        import json
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_train, bpe_vocab, export_subword_nmt)
+        docs = spark.createDataFrame(
+            [(1, "low lower lowest low low")], "doc_id bigint, text string")
+        model = bpe_train(docs, num_merges=10)
+        export_subword_nmt(model, str(tmp_path / "tok"))
+        lines = (tmp_path / "tok" / "merges.txt").read_text(
+            encoding="utf-8").splitlines()
+        assert lines[0] == "#version: 0.2"
+        assert [tuple(ln.split(" ")) for ln in lines[1:]] == model["merges"]
+        vocab = json.loads((tmp_path / "tok" / "vocab.json").read_text(
+            encoding="utf-8"))
+        assert vocab == bpe_vocab(model)
