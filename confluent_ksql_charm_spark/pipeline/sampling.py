@@ -764,3 +764,45 @@ def weighted_sample(df: DataFrame, key_col: str, k: int, *,
     return (scored
             .orderBy(F.col("gumbel_key").desc(), F.col(key_col).asc())
             .limit(k))
+
+
+def chunk_ids(df: DataFrame, ids_col: str = "input_ids",
+              id_col: str = "doc_id", *, max_tokens: int = 512,
+              stride: int | None = None,
+              drop_last_lt: int = 1) -> DataFrame:
+    """Split integer token-id sequences (`tokenizer.bpe_encode_ids`
+    output) into context windows of at most `max_tokens` ids — the
+    TOKENIZER-DOMAIN sibling of `chunk_documents`: context budgets are
+    measured in tokenizer tokens, and chunking whitespace words then
+    encoding can overflow the window by the fertility factor. Chunk
+    the ids, not the words.
+
+    Returns (id, chunk_id, n_tokens, `ids_col`); `drop_last_lt` drops
+    trailing windows shorter than the given length (default 1 = keep
+    everything non-empty; set to `max_tokens` for fixed-size-only
+    training samples). Same plan shape as `chunk_documents`: sequence
+    of starts → posexplode → slice, a single codegen projection, zero
+    shuffles, zero Python.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(
+            f"stride must be in [1, max_tokens], got {stride}")
+    ids = F.col(ids_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(ids) - 1, F.lit(0)),
+                        F.lit(stride))
+    return (
+        df.select(F.col(id_col), ids.alias("__ids"),
+                  starts.alias("__starts"))
+        .select(id_col, "__ids",
+                F.posexplode("__starts").alias("chunk_id", "__start"))
+        .select(
+            id_col, "chunk_id",
+            F.slice(F.col("__ids"), F.col("__start") + 1,
+                    max_tokens).alias(ids_col))
+        .where(F.size(ids_col) >= drop_last_lt)
+        .select(id_col, "chunk_id",
+                F.size(ids_col).alias("n_tokens"), ids_col)
+    )

@@ -5962,3 +5962,48 @@ class TestBPEIds:
         vocab = json.loads((tmp_path / "tok" / "vocab.json").read_text(
             encoding="utf-8"))
         assert vocab == bpe_vocab(model)
+
+
+class TestChunkIds:
+    def test_matches_python_reference(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import chunk_ids
+        rows = [(1, list(range(10))), (2, list(range(3))), (3, [])]
+        df = spark.createDataFrame(rows, "doc_id bigint, input_ids array<int>")
+        got = sorted((r["doc_id"], r["chunk_id"], r["input_ids"])
+                     for r in chunk_ids(df, max_tokens=4,
+                                        stride=3).collect())
+        ref = []
+        for d, ids in rows:
+            starts = range(0, max(len(ids), 1), 3)
+            for ci, s in enumerate(starts):
+                w = ids[s:s + 4]
+                if w:
+                    ref.append((d, ci, w))
+        assert got == sorted(ref)
+
+    def test_fixed_size_only(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import chunk_ids
+        df = spark.createDataFrame(
+            [(1, list(range(10)))], "doc_id bigint, input_ids array<int>")
+        got = chunk_ids(df, max_tokens=4, stride=4,
+                        drop_last_lt=4).collect()
+        assert all(r["n_tokens"] == 4 for r in got)
+        assert len(got) == 2    # the trailing 2-id window dropped
+
+    def test_end_to_end_with_bpe_ids(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import chunk_ids
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_encode_ids, bpe_train)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(20)
+        model = bpe_train(docs, num_merges=40)
+        enc = bpe_encode_ids(docs, model)
+        out = chunk_ids(enc, max_tokens=32)
+        rows = out.collect()
+        assert rows and all(r["n_tokens"] <= 32 for r in rows)
+        # reassembling every doc's chunks reproduces its full sequence
+        full = {r["doc_id"]: r["input_ids"] for r in enc.collect()}
+        rebuilt: dict = {}
+        for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+            rebuilt.setdefault(r["doc_id"], []).extend(r["input_ids"])
+        assert rebuilt == {d: v for d, v in full.items() if v}
