@@ -15,7 +15,10 @@ operator family in this repo exists to serve, as one runnable script:
       → PII redaction with Luhn-gated cards            (pii.py)
       → temperature mixture over languages             (sampling.py)
       → sliding-window chunking to the context length  (sampling.py)
-      → padding-aware length-bucketed batches          (sampling.py)
+      → BPE tokenizer trained on the curated corpus;
+        chunks encoded to integer input_ids             (tokenizer.py)
+      → padding-aware length-bucketed batches sized
+        by id length (the unit the loader pads to)      (sampling.py)
       → sharded parquet export, batch-sorted layout
 
 Every step is a DataFrame transformation — nothing collects to the
@@ -40,6 +43,7 @@ from pyspark.sql import functions as F
 
 def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
             context_tokens: int = 512, stride: int = 384,
+            num_merges: int = 200,
             batch_size: int = 64, num_shards: int = 8,
             mixture_alpha: float = 0.5, target_fraction: float = 0.9,
             clean: bool = True) -> DataFrame:
@@ -56,6 +60,8 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
         score_buckets)
     from confluent_ksql_charm_spark.pipeline.text import (
         dsir_logratio, gopher_quality_flags, normalize_text, token_count)
+    from confluent_ksql_charm_spark.pipeline.tokenizer import (
+        bpe_encode_ids, bpe_train)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
         .select("doc_id", "text", "lang")
@@ -129,8 +135,18 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
         "doc_id", "chunk_id", "chunk",
         token_count("chunk").alias("n_tok"))
 
+    # 7b. REAL training samples: train a BPE tokenizer on the curated
+    #     corpus (word-histogram reduce + driver merge loop — the only
+    #     corpus-scale cost is the histogram aggregate) and encode each
+    #     chunk to integer ids; batches are sized by ID length, the
+    #     unit the training loader actually pads to (word counts
+    #     under-state it by the fertility factor)
+    model = bpe_train(docs, text_col="text", num_merges=num_merges)
+    chunks = bpe_encode_ids(chunks, model, text_col="chunk")
+    chunks = chunks.withColumn("n_ids", F.size("input_ids"))
+
     # 8. padding-aware batches; export sharded, batch-sorted
-    batches = length_bucketed_batches(chunks, "chunk_key", "n_tok",
+    batches = length_bucketed_batches(chunks, "chunk_key", "n_ids",
                                       batch_size=batch_size,
                                       num_shards=num_shards)
     export = (chunks.join(batches.select(

@@ -2440,15 +2440,21 @@ class TestPrepareCorpusExample:
         got = spark.read.parquet(out)
         rows = got.collect()
         assert rows, "export is empty"
-        # chunk length bound + batch padding invariant
+        # chunk length bound + real training-sample invariants: every
+        # row carries integer input_ids under the corpus-trained BPE,
+        # n_ids is their true length (fertility >= 1: a word is never
+        # fewer than one token), and batches are sized by ID length —
+        # the unit the loader pads to
         assert all(r.n_tok <= 64 for r in rows)
+        assert all(len(r.input_ids) == r.n_ids and r.n_ids >= r.n_tok
+                   for r in rows)
         by_batch = {}
         for r in rows:
             by_batch.setdefault((r.shard, r.batch_id), []).append(r)
         for (sh, b), members in by_batch.items():
-            toks = [m.n_tok for m in members]
+            nids = [m.n_ids for m in members]
             assert len(members) <= 8
-            assert all(m.batch_max == max(toks) for m in members)
+            assert all(m.batch_max == max(nids) for m in members)
             assert sorted(m.batch_pos for m in members) == list(
                 range(len(members)))
         # decontamination: no chunk may contain an 8-gram of the bench
