@@ -85,6 +85,9 @@ _SIGNATURES = {
                         "[, ID='doc_id'][, VOCAB='100'; '0'=uncapped])"),
     "CHUNK": ("CHUNK(src, TEXT='text'[, ID='doc_id']"
               "[, MAX_TOKENS='512'][, STRIDE='512'])"),
+    "CHUNK_IDS": ("CHUNK_IDS(src[, IDS='input_ids'][, ID='doc_id']"
+                  "[, MAX_TOKENS='512'][, STRIDE='512']"
+                  "[, DROP_LAST_LT='1'])"),
     "EMBED_CLUSTER": ("EMBED_CLUSTER(emb, K='8'[, ID='vec_id']"
                       "[, VEC='embedding'][, INIT='kmeans|first'])"),
     "SCORE_BUCKETS": ("SCORE_BUCKETS(src, SCORE='col'[, N='4']"
@@ -383,6 +386,14 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                                _need(spec, "TEXT"),
                                max_tokens=mx,
                                stride=int(p.get("STRIDE", mx)))
+    if op == "CHUNK_IDS":
+        from .sampling import chunk_ids
+        _need_sources(spec, 1)
+        mx = int(p.get("MAX_TOKENS", 512))
+        return chunk_ids(dfs[0], p.get("IDS", "input_ids"),
+                         p.get("ID", "doc_id"), max_tokens=mx,
+                         stride=int(p.get("STRIDE", mx)),
+                         drop_last_lt=int(p.get("DROP_LAST_LT", 1)))
     if op == "CLUSTER_TERMS":
         from .similarity import cluster_terms
         _need_sources(spec, 1)

@@ -6013,3 +6013,16 @@ class TestChunkIds:
         for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
             rebuilt.setdefault(r["doc_id"], []).extend(r["input_ids"])
         assert rebuilt == {d: v for d, v in full.items() if v}
+
+
+class TestChunkIdsDialect:
+    def test_via_sql(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+        eng = KsqlSparkEngine(spark)
+        eng.register_source("enc", df=spark.createDataFrame(
+            [(1, list(range(10)))], "doc_id bigint, input_ids array<int>"))
+        eng.execute("CREATE TABLE windows AS PIPELINE CHUNK_IDS(enc, "
+                    "MAX_TOKENS='4', STRIDE='4', DROP_LAST_LT='4');")
+        rows = sorted(eng.sql(
+            "SELECT chunk_id, n_tokens FROM windows").collect())
+        assert [(r.chunk_id, r.n_tokens) for r in rows] == [(0, 4), (1, 4)]
