@@ -3531,32 +3531,36 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 4000002, 'bell'||chr(7)||'strip '||"
             "chr(10)||'  line  edges  '||chr(10)||'keep' "
             "UNION ALL SELECT 4000003, "
-            "'plain ascii stays exactly as is') "
+            "'plain ascii stays exactly as is' "
+            "UNION ALL SELECT 4000004, 'crlf line'||chr(13)||"
+            "chr(10)||'next'||chr(13)||'and c1'||chr(133)||"
+            "'control'||chr(159)||'gone') "
             "SELECT doc_id, trim(regexp_replace(regexp_replace("
-            "regexp_replace(regexp_replace(translate(text, "
+            "regexp_replace(regexp_replace(regexp_replace(translate(text, "
             "chr(8216)||chr(8217)||chr(8218)||chr(8220)||chr(8221)||"
             "chr(8222)||chr(8211)||chr(8212)||chr(160)||chr(8199)||"
             "chr(8239), chr(39)||chr(39)||','||chr(34)||chr(34)||"
             "chr(34)||'--   '), chr(8230), '...', 'g'), "
-            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+            "'\\r\\n?', chr(10), 'g'), "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x80-\\x9f]', '', 'g'), "
             "'[ \\t]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g')) AS text "
             "FROM src"
         ),
         "corpus_diff": (
             # full-content portable hash (md5 60-bit) per side, full
             # outer join on id, unchanged rows excluded
-            "WITH o AS (SELECT doc_id, COALESCE(('0x' || "
-            "substr(md5(text), 1, 15))::BIGINT, -1) AS f "
+            "WITH o AS (SELECT doc_id, ('0x' || "
+            "substr(md5(text), 1, 15))::BIGINT AS f, TRUE AS p "
             "FROM documents WHERE doc_id % 7 <> 0), "
-            "n AS (SELECT doc_id, COALESCE(('0x' || substr(md5(CASE "
+            "n AS (SELECT doc_id, ('0x' || substr(md5(CASE "
             "WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text "
-            "END), 1, 15))::BIGINT, -1) AS f FROM documents "
+            "END), 1, 15))::BIGINT AS f, TRUE AS p FROM documents "
             "WHERE doc_id % 11 <> 0) "
             "SELECT doc_id, status FROM ("
             "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
-            "CASE WHEN o.f IS NULL THEN 'added' "
-            "WHEN n.f IS NULL THEN 'removed' "
-            "WHEN o.f <> n.f THEN 'changed' "
+            "CASE WHEN o.p IS NULL THEN 'added' "
+            "WHEN n.p IS NULL THEN 'removed' "
+            "WHEN o.f IS DISTINCT FROM n.f THEN 'changed' "
             "ELSE 'unchanged' END AS status "
             "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) "
             "WHERE status <> 'unchanged'"

@@ -190,7 +190,13 @@ def corpus_ingest_batch_fn(
     attach) rejects docs whose grams hit all k bits. False positives
     only ever REJECT extra docs — the conservative direction for an
     admission gate. Orthogonal to `bench_path` (small suites keep the
-    exact tier: zero FPs and a shared-gram count)."""
+    exact tier: zero FPs and a shared-gram count). With
+    ``normalize=True`` the persisted filter MUST have been built over
+    `text.normalize_text`-ed benchmark text (the filter is a baked bit
+    array — unlike `bench_path`, whose gram relation this function
+    re-derives in the normalized domain automatically); a raw-text
+    filter would stop matching normalized batches, silently weakening
+    the gate."""
 
     # benchmark-derived relations, computed lazily on the first batch
     # and reused (benchmarks are MBs — both fit the broadcast path)
@@ -203,6 +209,16 @@ def corpus_ingest_batch_fn(
         spark = batch.sparkSession
         if "grams" not in bench_state:
             bench = spark.read.parquet(bench_path).select(text_col)
+            if normalize:
+                # the batch was normalized in step 0 — the benchmark's
+                # derived relations must see the SAME text domain, or
+                # a leaked copy whose curly quotes/nbsp were normalized
+                # away would no longer match the raw benchmark grams
+                # and slip through the gate (the non-conservative
+                # direction decontamination must never take)
+                from .text import normalize_text
+
+                bench = normalize_text(bench, text_col)
             bench_state["grams"] = benchmark_grams(
                 bench, text_col, n=bench_n).cache()
             if fuzzy_bench:

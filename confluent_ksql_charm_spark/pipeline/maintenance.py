@@ -80,20 +80,24 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     from .dedup import portable_token_hash
 
     def _h(c):
-        h = (portable_token_hash(F.col(c)) if portable
-             else F.xxhash64(F.col(c)))
-        # NULL text must hash to a sentinel, not NULL: a null __fo/__fn
-        # is this function's "row absent" signal, and a doc with NULL
-        # text in BOTH snapshots would otherwise report as 'added'
-        return F.coalesce(h, F.lit(-1))
+        return (portable_token_hash(F.col(c)) if portable
+                else F.xxhash64(F.col(c)))
 
-    o = old.select(F.col(id_col), _h(text_col).alias("__fo"))
-    n = new.select(F.col(id_col), _h(text_col).alias("__fn"))
+    # row presence gets its own marker column — overloading a NULL (or
+    # any in-band sentinel) hash as "row absent" would misreport docs
+    # whose text is NULL, or whose content hashes to the sentinel
+    # (review finding r9-s2); the content comparison itself is
+    # null-safe (eqNullSafe: NULL text == NULL text → unchanged)
+    o = old.select(F.col(id_col), _h(text_col).alias("__fo"),
+                   F.lit(True).alias("__po"))
+    n = new.select(F.col(id_col), _h(text_col).alias("__fn"),
+                   F.lit(True).alias("__pn"))
     j = o.join(n, id_col, "full_outer")
     return (j.select(
         id_col,
-        F.when(F.col("__fo").isNull(), F.lit("added"))
-        .when(F.col("__fn").isNull(), F.lit("removed"))
-        .when(F.col("__fo") != F.col("__fn"), F.lit("changed"))
+        F.when(F.col("__po").isNull(), F.lit("added"))
+        .when(F.col("__pn").isNull(), F.lit("removed"))
+        .when(~F.col("__fo").eqNullSafe(F.col("__fn")),
+              F.lit("changed"))
         .otherwise(F.lit("unchanged")).alias("status"))
         .where(F.col("status") != "unchanged"))

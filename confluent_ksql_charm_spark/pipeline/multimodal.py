@@ -274,15 +274,9 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000,
     )
 
 
-RESIZE_SCHEMA_DDL = (
-    "doc_id long, src_width int, src_height int, dst_width int, "
-    "dst_height int, scale_x double, scale_y double, stub boolean, "
-    "resized binary"
-)
-
-
 def resize_images(media: DataFrame, width: int, height: int = -1, *,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
     """Image-resize plumbing via `mapInPandas` — the Spark-side half
     of the resize stage (schema, Arrow batch shape, aspect-ratio /
     scale metadata math, partition behavior) with the pixel resample
@@ -300,16 +294,19 @@ def resize_images(media: DataFrame, width: int, height: int = -1, *,
     """
     if width <= 0:
         raise ValueError("resize_images: width must be positive")
+    schema = (f"{id_col} long, src_width int, src_height int, "
+              "dst_width int, dst_height int, scale_x double, "
+              "scale_y double, stub boolean, resized binary")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k: [] for k in ("doc_id", "src_width", "src_height",
+            rows = {k: [] for k in (id_col, "src_width", "src_height",
                                     "dst_width", "dst_height", "scale_x",
                                     "scale_y", "stub", "resized")}
-            for did, payload in zip(pdf[id_col], pdf["payload"]):
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 d = decode_media(payload)
                 sw, sh = d["width"], d["height"]
-                rows["doc_id"].append(did)
+                rows[id_col].append(did)
                 rows["src_width"].append(sw)
                 rows["src_height"].append(sh)
                 if sw is None or sh is None or sw <= 0 or sh <= 0:
@@ -332,5 +329,5 @@ def resize_images(media: DataFrame, width: int, height: int = -1, *,
                     bytes(payload[:64]) if payload else None)
             yield pd.DataFrame(rows)
 
-    flat = media.select(F.col(id_col), F.col("payload"))
-    return flat.mapInPandas(run, schema=RESIZE_SCHEMA_DDL)
+    flat = media.select(F.col(id_col), F.col(payload_col))
+    return flat.mapInPandas(run, schema=schema)

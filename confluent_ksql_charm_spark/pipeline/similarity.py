@@ -2656,9 +2656,16 @@ def mmr_select(df: DataFrame, query_vec: list[float], k: int = 10, *,
     Output: (`id_col`, mmr_rank, relevance, max_sim_selected,
     mmr_score), all similarity columns rounded to `round_to`. The
     first pick (rank 1) is the plain argmax of relevance with
-    max_sim_selected = 0.0. Ordering domain: every greedy comparison
-    uses ROUNDED scores with ties to the LOWEST id, so an external
-    engine replays the selection exactly (the repo-wide contract).
+    max_sim_selected = 0.0. Ordering domain: each greedy comparison
+    uses the COMBINED score rounded to `round_to` with ties to the
+    LOWEST id, so an external engine replays the selection (the
+    repo-wide contract) — with the honest caveat that the inputs to
+    that rounding (raw float64 cosines; numpy pairwise-matmul sims
+    here vs sequential folds elsewhere) can differ in the last ulp
+    across engines, so a score landing EXACTLY on a rounding boundary
+    could pick differently; the shortlist cut likewise orders raw
+    cosines, like the gated `embedding_cosine_topk`. Measured stable
+    on the oracle fixtures; not a bit-level guarantee at boundaries.
 
     100 TB shape — the same two-phase bound as the refine/rerank
     tiers: phase 1 is a distributed exact top-`shortlist` relevance

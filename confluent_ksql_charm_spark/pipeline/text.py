@@ -1097,12 +1097,15 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     projection of every ingest chain (before hashing, shingling or
     dedup, so byte-level variants of the same content collapse):
 
-    1. strip C0/C1 control characters (keeping \\t and \\n);
-    2. map curly quotes / en-em dashes / hard spaces to ascii (1:1
+    1. fold CRLF / lone CR to \\n (the single most common byte variant
+       of the same content);
+    2. strip the remaining C0 controls, DEL, and the C1 block
+       U+0080–U+009F (keeping \\t and \\n);
+    3. map curly quotes / en-em dashes / hard spaces to ascii (1:1
        `translate`), expand '…' to '...';
-    3. collapse runs of spaces/tabs to one space, trim line edges.
+    4. collapse runs of spaces/tabs to one space, trim line edges.
 
-    Pure expression chain (translate + 3 regexp_replace) — zero
+    Pure expression chain (translate + 4 regexp_replace) — zero
     shuffle, rides the scan; replays bit-identically in an external
     engine (simple character classes, no engine-specific regex
     features). Replaces `text_col` in place unless `out_col` is given.
@@ -1110,7 +1113,9 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     c = F.col(text_col)
     c = F.translate(c, NORMALIZE_TRANSLATE_FROM, NORMALIZE_TRANSLATE_TO)
     c = F.regexp_replace(c, "…", "...")
-    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "\\r\\n?", "\n")
+    c = F.regexp_replace(
+        c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x80-\\x9f]", "")
     c = F.regexp_replace(c, "[ \\t]+", " ")
     c = F.regexp_replace(c, " ?\\n ?", "\n")
     out = out_col or text_col
@@ -1126,4 +1131,5 @@ NORMALIZE_FIXTURE: list[tuple[int, str]] = [
     (1, "hard space and runs      of   spaces"),
     (2, "bell\x07strip \n  line  edges  \nkeep"),
     (3, "plain ascii stays exactly as is"),
+    (4, "crlf line\r\nnext\rand c1\x85control\x9fgone"),
 ]

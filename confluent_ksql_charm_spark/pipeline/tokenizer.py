@@ -344,15 +344,20 @@ def bpe_corpus_stats(df: DataFrame, model: dict, *,
     vocabulary-bounded second aggregate. No oracle entry — encoding is
     merge-loop-dependent and not SQL-expressible; parity is pytest's
     job (`bpe_encode` round-trip), this is its reporting layer."""
+    from .lazy import maybe_checkpoint
+
     enc = bpe_encode(df, model, text_col=text_col, out_col="__bpe")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    per = enc.select(
+    # materialize: the aggregate branch and the distinct-token branch
+    # are two independent consumers — without this the Arrow encode
+    # UDF runs over the corpus TWICE (review finding r9-s2)
+    per = maybe_checkpoint(enc.select(
         F.size(F.filter(toks, lambda t: t != F.lit(""))).alias("__w"),
         F.aggregate(F.filter(toks, lambda t: t != F.lit("")),
                     F.lit(0).cast("long"),
                     lambda acc, t: acc + F.length(t)).alias("__c"),
         F.size("__bpe").alias("__t"),
-        F.col("__bpe"))
+        F.col("__bpe")))
     agg = per.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__w").alias("n_words"),

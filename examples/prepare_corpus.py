@@ -14,9 +14,10 @@ operator family in this repo exists to serve, as one runnable script:
         weights + quantile bucketing — no driver math)  (text.py, sampling.py)
       → PII redaction with Luhn-gated cards            (pii.py)
       → temperature mixture over languages             (sampling.py)
-      → sliding-window chunking to the context length  (sampling.py)
       → BPE tokenizer trained on the curated corpus;
-        chunks encoded to integer input_ids             (tokenizer.py)
+        docs encoded to integer input_ids               (tokenizer.py)
+      → context windows slid over the ID sequence —
+        samples are <= context_tokens BY CONSTRUCTION   (sampling.py)
       → padding-aware length-bucketed batches sized
         by id length (the unit the loader pads to)      (sampling.py)
       → sharded parquet export, batch-sorted layout
@@ -56,10 +57,10 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
     from confluent_ksql_charm_spark.pipeline.ingest import clean_and_gate
     from confluent_ksql_charm_spark.pipeline.pii import redact_pii
     from confluent_ksql_charm_spark.pipeline.sampling import (
-        chunk_documents, length_bucketed_batches, mixture_sample,
+        chunk_ids, length_bucketed_batches, mixture_sample,
         score_buckets)
     from confluent_ksql_charm_spark.pipeline.text import (
-        dsir_logratio, gopher_quality_flags, normalize_text, token_count)
+        dsir_logratio, gopher_quality_flags, normalize_text)
     from confluent_ksql_charm_spark.pipeline.tokenizer import (
         bpe_encode_ids, bpe_train)
 
@@ -125,27 +126,35 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
     docs = mixture_sample(docs, "doc_id", "lang", alpha=mixture_alpha,
                           target_fraction=target_fraction).drop("rate")
 
-    # 7. context-window chunking (chunk_id joins the key so chunk keys
-    #    stay unique for the shard hash)
-    chunks = chunk_documents(docs, "doc_id", "text",
-                             max_tokens=context_tokens, stride=stride)
+    # 7. tokenize THEN chunk — context budgets are measured in
+    #    TOKENIZER tokens: chunking words first and encoding after
+    #    overflows the window by the fertility factor (chunk_ids'
+    #    docstring; review finding r9-s2). Train the BPE tokenizer on
+    #    the curated corpus (the only corpus-scale cost is the
+    #    word-histogram aggregate), encode whole docs to integer ids,
+    #    and slide the context window over the id sequence — every
+    #    sample is <= context_tokens ids BY CONSTRUCTION.
+    # materialize the curated corpus before tokenization: production
+    # persists it here anyway (the curation chain shouldn't re-run
+    # inside every downstream consumer), and the boundary keeps the
+    # Arrow encode UDF's input a plain column instead of the full
+    # redaction expression tree (which trips Spark 4's subexpression
+    # proxies inside shuffle stages)
+    from confluent_ksql_charm_spark.pipeline.lazy import maybe_checkpoint
+    docs = maybe_checkpoint(docs)
+
+    model = bpe_train(docs, text_col="text", num_merges=num_merges)
+    enc = bpe_encode_ids(docs, model)
+    chunks = chunk_ids(enc, "input_ids", "doc_id",
+                       max_tokens=context_tokens, stride=stride)
     chunks = chunks.select(
         F.concat_ws("#", F.col("doc_id"), F.col("chunk_id"))
         .alias("chunk_key"),
-        "doc_id", "chunk_id", "chunk",
-        token_count("chunk").alias("n_tok"))
+        "doc_id", "chunk_id", "input_ids",
+        F.col("n_tokens").alias("n_ids"))
 
-    # 7b. REAL training samples: train a BPE tokenizer on the curated
-    #     corpus (word-histogram reduce + driver merge loop — the only
-    #     corpus-scale cost is the histogram aggregate) and encode each
-    #     chunk to integer ids; batches are sized by ID length, the
-    #     unit the training loader actually pads to (word counts
-    #     under-state it by the fertility factor)
-    model = bpe_train(docs, text_col="text", num_merges=num_merges)
-    chunks = bpe_encode_ids(chunks, model, text_col="chunk")
-    chunks = chunks.withColumn("n_ids", F.size("input_ids"))
-
-    # 8. padding-aware batches; export sharded, batch-sorted
+    # 8. padding-aware batches sized by ID length (the unit the loader
+    #    pads to); export sharded, batch-sorted
     batches = length_bucketed_batches(chunks, "chunk_key", "n_ids",
                                       batch_size=batch_size,
                                       num_shards=num_shards)

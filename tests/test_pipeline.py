@@ -2440,14 +2440,12 @@ class TestPrepareCorpusExample:
         got = spark.read.parquet(out)
         rows = got.collect()
         assert rows, "export is empty"
-        # chunk length bound + real training-sample invariants: every
-        # row carries integer input_ids under the corpus-trained BPE,
-        # n_ids is their true length (fertility >= 1: a word is never
-        # fewer than one token), and batches are sized by ID length —
-        # the unit the loader pads to
-        assert all(r.n_tok <= 64 for r in rows)
-        assert all(len(r.input_ids) == r.n_ids and r.n_ids >= r.n_tok
-                   for r in rows)
+        # real training-sample invariants: samples are integer id
+        # sequences bounded by the context window BY CONSTRUCTION
+        # (chunking happens in the tokenizer domain — chunking words
+        # first would overflow by the fertility factor), and batches
+        # are sized by ID length, the unit the loader pads to
+        assert all(len(r.input_ids) == r.n_ids <= 64 for r in rows)
         by_batch = {}
         for r in rows:
             by_batch.setdefault((r.shard, r.batch_id), []).append(r)
@@ -2457,19 +2455,20 @@ class TestPrepareCorpusExample:
             assert all(m.batch_max == max(nids) for m in members)
             assert sorted(m.batch_pos for m in members) == list(
                 range(len(members)))
-        # decontamination: no chunk may contain an 8-gram of the bench
-        # slice (doc_id % 97 == 0) verbatim
+        # decontamination: no SURVIVING doc (every sample derives from
+        # one) may share an 8-gram with the bench slice (doc_id % 97)
         from confluent_ksql_charm_spark.pipeline.contamination import (
             flag_contaminated)
         from pyspark.sql import functions as F
 
-        bench = spark.read.parquet(
-            "/root/testdata/sf0.001/documents.parquet").where(
+        src_docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        bench = src_docs.where(
             F.col("doc_id") % 97 == 0).select("doc_id", "text")
-        leaked = flag_contaminated(
-            got.select(F.col("chunk_key").alias("k"),
-                       F.col("chunk").alias("text")),
-            bench, "k", "text", n=8)
+        kept_ids = got.select("doc_id").distinct()
+        kept_docs = src_docs.join(kept_ids, "doc_id", "left_semi")
+        leaked = flag_contaminated(kept_docs, bench, "doc_id", "text",
+                                   n=8)
         assert leaked.count() == 0
 
 
@@ -5734,6 +5733,8 @@ class TestNormalizeText:
         assert got[1] == "hard space and runs of spaces"
         assert got[2] == "bellstrip\nline edges\nkeep"
         assert got[3] == "plain ascii stays exactly as is"
+        # CRLF/lone-CR fold to \n; C1 controls (U+0085, U+009F) strip
+        assert got[4] == "crlf line\nnext\nand c1controlgone"
 
     def test_idempotent_and_newline_preserved(self, spark):
         from confluent_ksql_charm_spark.pipeline.text import (
@@ -6026,3 +6027,36 @@ class TestChunkIdsDialect:
         rows = sorted(eng.sql(
             "SELECT chunk_id, n_tokens FROM windows").collect())
         assert [(r.chunk_id, r.n_tokens) for r in rows] == [(0, 4), (1, 4)]
+
+
+class TestIngestNormalizeDecontamination:
+    def test_normalized_leak_still_caught(self, spark, tmp_path):
+        # review finding (r9-s2): with normalize=True the batch text is
+        # normalized BEFORE decontamination, so the benchmark gram
+        # relation must be derived in the same text domain — a leaked
+        # copy whose curly quotes get normalized away must still match
+        from confluent_ksql_charm_spark.pipeline.ingest import (
+            corpus_ingest_batch_fn)
+        bench_dir = str(tmp_path / "bench")
+        spark.createDataFrame(
+            [("which ocean is the “largest” on earth the "
+              "pacific of course",)], ["text"]).write.parquet(bench_dir)
+        batch = spark.createDataFrame(
+            [(10, "which ocean is the “largest” on earth the "
+                  "pacific of course"),        # verbatim leak
+             (11, 'which ocean is the "largest" on earth the '
+                  "pacific of course"),        # normalized-variant leak
+             (12, "a clean training document about engines")],
+            "doc_id bigint, text string")
+        corpus = str(tmp_path / "corpus")
+        fn = corpus_ingest_batch_fn(
+            corpus, clean=False, quality_gate=False, normalize=True,
+            bench_path=bench_dir, bench_n=5)
+        fn(batch, 0)
+        kept = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+        # both leak variants rejected (they normalize to the same text,
+        # which the normalized bench grams match); clean doc kept.
+        # NOTE: 10 and 11 normalize identically, so exact dedup keeps
+        # only one of them even before the gate — the assertion is that
+        # NEITHER survives.
+        assert kept == {12}
