@@ -1059,6 +1059,15 @@ def _q_gopher_quality(spark, sf):
                                 min_stopwords=1)
 
 
+def _q_gopher_report(spark, sf):
+    # per-language Gopher rule dashboard: doc count + per-rule pass
+    # rates + keep rate, same relaxed thresholds as gopher_quality
+    from confluent_ksql_charm_spark.pipeline.text import gopher_report
+
+    return gopher_report(_docs(spark, sf), "lang", min_words=40,
+                         min_stopwords=1)
+
+
 def _q_bpe_pair_counts(spark, sf):
     # BPE trainer's iteration-0 statistics: adjacent (char, char|</w>)
     # pair counts weighted by word frequency — the fully-distributed,
@@ -1788,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "gopher_quality": _q_gopher_quality,
+        "gopher_report": _q_gopher_report,
         "corpus_diff": _q_corpus_diff,
         "normalize_text": _q_normalize_text,
         "contained_docs": _q_contained_docs,
@@ -3564,6 +3574,54 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'unchanged' END AS status "
             "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) "
             "WHERE status <> 'unchanged'"
+        ),
+        "gopher_report": (
+            # same per-doc stat CTE as gopher_quality, then one
+            # GROUP BY lang of rule pass rates (avg of booleans)
+            "WITH t AS (SELECT doc_id, lang, text, "
+            "string_split_regex(trim(text), '\\s+') AS toks, "
+            "string_split(text, chr(10)) AS lines FROM documents), "
+            "m AS (SELECT doc_id, lang, length(toks) AS n_words, "
+            "round(CASE WHEN length(toks) > 0 THEN "
+            "list_sum(list_transform(toks, x -> length(x))) * 1.0 / "
+            "length(toks) ELSE 0 END, 6) AS mean_word_len, "
+            "round(((length(text) - length(replace(text, '#', ''))) "
+            "+ (length(text) - length(replace(text, '...', ''))) / 3.0 "
+            "+ (length(text) - length(replace(text, chr(8230), '')))) "
+            "/ greatest(length(toks), 1), 6) AS symbol_ratio, "
+            "round(length(list_filter(lines, l -> "
+            "regexp_matches(ltrim(l), '^[-*' || chr(8226) || ']'))) "
+            "* 1.0 / greatest(length(lines), 1), 6) AS bullet_ratio, "
+            "round(length(list_filter(lines, l -> "
+            "regexp_matches(rtrim(l), '(\\.\\.\\.|' || chr(8230) "
+            "|| ')$'))) * 1.0 / greatest(length(lines), 1), 6) "
+            "AS ellipsis_ratio, "
+            "round(length(list_filter(toks, x -> "
+            "regexp_matches(x, '[a-zA-Z]'))) * 1.0 / "
+            "greatest(length(toks), 1), 6) AS alpha_word_ratio, "
+            "length(list_intersect(list_distinct(list_transform(toks, "
+            "x -> lower(x))), ['the','be','to','of','and','that',"
+            "'have','with'])) AS n_stopwords FROM t), "
+            "f AS (SELECT lang, "
+            "(n_words >= 40 AND n_words <= 100000)::INT AS ok_words, "
+            "(mean_word_len >= 3.0 AND mean_word_len <= 10.0)::INT "
+            "AS ok_word_len, "
+            "(symbol_ratio <= 0.1)::INT AS ok_symbols, "
+            "(bullet_ratio <= 0.9)::INT AS ok_bullets, "
+            "(ellipsis_ratio <= 0.3)::INT AS ok_ellipsis, "
+            "(alpha_word_ratio >= 0.8)::INT AS ok_alpha, "
+            "(n_stopwords >= 1)::INT AS ok_stopwords FROM m) "
+            "SELECT lang, count(*) AS n_docs, "
+            "round(avg(ok_words), 6) AS ok_words_rate, "
+            "round(avg(ok_word_len), 6) AS ok_word_len_rate, "
+            "round(avg(ok_symbols), 6) AS ok_symbols_rate, "
+            "round(avg(ok_bullets), 6) AS ok_bullets_rate, "
+            "round(avg(ok_ellipsis), 6) AS ok_ellipsis_rate, "
+            "round(avg(ok_alpha), 6) AS ok_alpha_rate, "
+            "round(avg(ok_stopwords), 6) AS ok_stopwords_rate, "
+            "round(avg(ok_words * ok_word_len * ok_symbols * "
+            "ok_bullets * ok_ellipsis * ok_alpha * ok_stopwords), 6) "
+            "AS keep_rate FROM f GROUP BY lang"
         ),
         "gopher_quality": (
             # Gopher A1.1 replay: identical integer-count ratios,

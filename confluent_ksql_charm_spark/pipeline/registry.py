@@ -47,6 +47,9 @@ _SIGNATURES = {
     "GOPHER_RULES": ("GOPHER_RULES(src, ID='id', TEXT='text'"
                      "[, MIN_WORDS='50'][, MAX_WORDS='100000']"
                      "[, MIN_STOPWORDS='2'])"),
+    "GOPHER_REPORT": ("GOPHER_REPORT(src, BY='lang'[, ID='doc_id']"
+                      "[, TEXT='text'][, MIN_WORDS='50']"
+                      "[, MIN_STOPWORDS='2'])"),
     "C4_CLEAN": "C4_CLEAN(src, ID='id', TEXT='text'[, MIN_WORDS='5'])",
     "NORMALIZE_TEXT": "NORMALIZE_TEXT(src[, TEXT='text'])",
     "PACK_SEQUENCES": ("PACK_SEQUENCES(src, KEY='id', TOKENS='n_tokens', "
@@ -306,6 +309,14 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
             dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
             min_words=int(p.get("MIN_WORDS", 50)),
             max_words=int(p.get("MAX_WORDS", 100_000)),
+            min_stopwords=int(p.get("MIN_STOPWORDS", 2)))
+    if op == "GOPHER_REPORT":
+        from .text import gopher_report
+        _need_sources(spec, 1)
+        return gopher_report(
+            dfs[0], _need(spec, "BY"), p.get("ID", "doc_id"),
+            p.get("TEXT", "text"),
+            min_words=int(p.get("MIN_WORDS", 50)),
             min_stopwords=int(p.get("MIN_STOPWORDS", 2)))
     if op == "BPE_PAIR_COUNTS":
         from .tokenizer import bpe_pair_counts

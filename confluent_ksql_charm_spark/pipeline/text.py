@@ -1133,3 +1133,30 @@ NORMALIZE_FIXTURE: list[tuple[int, str]] = [
     (3, "plain ascii stays exactly as is"),
     (4, "crlf line\r\nnext\rand c1\x85control\x9fgone"),
 ]
+
+
+def gopher_report(df: DataFrame, by: str = "lang",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  **rule_kw) -> DataFrame:
+    """Per-stratum Gopher rule dashboard: for each value of `by`
+    (language, source, crawl...), the doc count, each rule's pass
+    RATE, and the overall keep rate — the before/after readout a
+    filtering run is judged by ("the rule that kills 40% of language
+    X" is a bug in the rule or the pipeline, and this is the table
+    that shows it). `rule_kw` forwards threshold overrides to
+    `gopher_quality_flags`.
+
+    One projection (the flags) + one hash aggregate over |strata|
+    groups — rides the scan, shuffles only stratum-level partials.
+    Rates rounded to 6 (oracle contract).
+    """
+    flags = gopher_quality_flags(df, id_col, text_col, **rule_kw)
+    strata = df.select(F.col(id_col), F.col(by))
+    joined = flags.join(strata, id_col)
+    rules = ["ok_words", "ok_word_len", "ok_symbols", "ok_bullets",
+             "ok_ellipsis", "ok_alpha", "ok_stopwords", "keep"]
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for r in rules:
+        aggs.append(F.round(F.avg(F.col(r).cast("double")), 6)
+                    .alias(f"{r}_rate"))
+    return joined.groupBy(by).agg(*aggs)

@@ -6060,3 +6060,44 @@ class TestIngestNormalizeDecontamination:
         # only one of them even before the gate — the assertion is that
         # NEITHER survives.
         assert kept == {12}
+
+
+class TestGopherReport:
+    def test_rates_match_flag_replay(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            gopher_quality_flags, gopher_report)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        rep = {r["lang"]: r for r in gopher_report(
+            docs, "lang", min_words=10, min_stopwords=1).collect()}
+        flags = gopher_quality_flags(docs, min_words=10,
+                                     min_stopwords=1)
+        joined = flags.join(docs.select("doc_id", "lang"), "doc_id")
+        ref: dict = {}
+        for r in joined.collect():
+            d = ref.setdefault(r["lang"], {"n": 0, "keep": 0,
+                                           "ok_alpha": 0})
+            d["n"] += 1
+            d["keep"] += int(r["keep"])
+            d["ok_alpha"] += int(r["ok_alpha"])
+        for lang, d in ref.items():
+            assert rep[lang]["n_docs"] == d["n"]
+            assert rep[lang]["keep_rate"] == round(d["keep"] / d["n"], 6)
+            assert rep[lang]["ok_alpha_rate"] == round(
+                d["ok_alpha"] / d["n"], 6)
+
+    def test_via_sql_dialect(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+        eng = KsqlSparkEngine(spark)
+        eng.register_source("gdocs", df=spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog", "en"),
+             (2, "x", "en"), (3, "der hund und die katze laufen", "de")],
+            "doc_id bigint, text string, lang string"))
+        eng.execute("CREATE TABLE grep2 AS PIPELINE GOPHER_REPORT("
+                    "gdocs, BY='lang', MIN_WORDS='5', "
+                    "MIN_STOPWORDS='0');")
+        got = {r.lang: r for r in eng.sql(
+            "SELECT lang, n_docs, keep_rate FROM grep2").collect()}
+        assert got["en"]["n_docs"] == 2 and got["de"]["n_docs"] == 1
+        assert got["en"]["keep_rate"] == 0.5   # 'x' fails ok_words
+        assert got["de"]["keep_rate"] == 1.0
