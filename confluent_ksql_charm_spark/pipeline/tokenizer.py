@@ -448,3 +448,14 @@ def export_subword_nmt(model: dict, path: str) -> None:
     with open(os.path.join(path, "vocab.json"), "w",
               encoding="utf-8") as fh:
         json.dump(bpe_vocab(model), fh, ensure_ascii=False)
+
+
+def merge_word_histograms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two `word_histogram` relations (union + sum — histograms
+    are additive). The incremental-refit primitive: persist the corpus
+    histogram once, histogram only each ingest DELTA, merge, and
+    `bpe_train(histogram=...)` refits without ever re-scanning the
+    corpus — the same fit-once/maintain-incrementally contract as the
+    ANN index add path and `dsir_fit`."""
+    return (a.unionByName(b)
+            .groupBy("word").agg(F.sum("cnt").alias("cnt")))

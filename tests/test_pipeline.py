@@ -6101,3 +6101,23 @@ class TestGopherReport:
         assert got["en"]["n_docs"] == 2 and got["de"]["n_docs"] == 1
         assert got["en"]["keep_rate"] == 0.5   # 'x' fails ok_words
         assert got["de"]["keep_rate"] == 1.0
+
+
+class TestWordHistogramMerge:
+    def test_merge_equals_full_rescan(self, spark):
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_train, merge_word_histograms, word_histogram)
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        old = docs.where("doc_id % 3 != 0")
+        delta = docs.where("doc_id % 3 = 0")
+        merged = merge_word_histograms(word_histogram(old),
+                                       word_histogram(delta))
+        full = word_histogram(docs)
+        assert (sorted(map(tuple, merged.collect()))
+                == sorted(map(tuple, full.collect())))
+        # and the refit trained on the merged histogram equals the
+        # full-rescan tokenizer merge-for-merge
+        m1 = bpe_train(None, histogram=merged, num_merges=40)
+        m2 = bpe_train(None, histogram=full, num_merges=40)
+        assert m1 == m2
