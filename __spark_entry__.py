@@ -1723,7 +1723,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # embedding near-dup; split+stratified-sample; fingerprint+lang-guess)
     # — coverage unchanged, one slot each. Least-proven ops lead the order.
     return {
-        # newest / least-proven first (insurance if the cap ever shrinks)
+        # newest / least-proven first — the driver samples the FIRST 50
+        # keys, so the 10 entries no driver round has ever sampled lead
+        # (round-10 reorder; they stay pinned here until a driver round
+        # covers them), then the round-9 wave, then the long tail.
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "gopher_quality": _q_gopher_quality,
+        "gopher_report": _q_gopher_report,
+        "corpus_diff": _q_corpus_diff,
+        "normalize_text": _q_normalize_text,
+        "contained_docs": _q_contained_docs,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "token_budget_take": _q_token_budget_take,
+        "curriculum_order": _q_curriculum_order,
+        "weighted_sample": _q_weighted_sample,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
         "bloom_decontaminate": _q_bloom_decontaminate,
@@ -1779,10 +1792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_repeated_spans": _q_top_repeated_spans,
         "ngram_vocab_growth": _q_ngram_vocab_growth,
         "zipf_fit": _q_zipf_fit,
-        "leakage_safe_split": _q_leakage_safe_split,
-        "token_budget_take": _q_token_budget_take,
-        "curriculum_order": _q_curriculum_order,
-        "weighted_sample": _q_weighted_sample,
         "chunk_documents": _q_chunk_documents,
         "contamination_report": _q_contamination_report,
         "pii_redact_luhn": _q_pii_redact_luhn,
@@ -1795,12 +1804,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dedup": _q_substring_dedup,
         "vocab_topk": _q_vocab_topk,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "gopher_quality": _q_gopher_quality,
-        "gopher_report": _q_gopher_report,
-        "corpus_diff": _q_corpus_diff,
-        "normalize_text": _q_normalize_text,
-        "contained_docs": _q_contained_docs,
         "corpus_stats": _q_corpus_stats,
         "pack_sequences": _q_pack_sequences,
         "mixture_sample": _q_mixture_sample,
@@ -3579,7 +3582,8 @@ def oracle_sql() -> dict[str, str]:
             # same per-doc stat CTE as gopher_quality, then one
             # GROUP BY lang of rule pass rates (avg of booleans)
             "WITH t AS (SELECT doc_id, lang, text, "
-            "string_split_regex(trim(text), '\\s+') AS toks, "
+            "list_filter(string_split_regex(trim(text), '\\s+'), "
+            "x -> x <> '') AS toks, "
             "string_split(text, chr(10)) AS lines FROM documents), "
             "m AS (SELECT doc_id, lang, length(toks) AS n_words, "
             "round(CASE WHEN length(toks) > 0 THEN "
@@ -3627,7 +3631,8 @@ def oracle_sql() -> dict[str, str]:
             # Gopher A1.1 replay: identical integer-count ratios,
             # round-to-6 comparison domain, conjunction keep
             "WITH t AS (SELECT doc_id, text, "
-            "string_split_regex(trim(text), '\\s+') AS toks, "
+            "list_filter(string_split_regex(trim(text), '\\s+'), "
+            "x -> x <> '') AS toks, "
             "string_split(text, chr(10)) AS lines FROM documents), "
             "m AS (SELECT doc_id, length(toks) AS n_words, "
             "round(CASE WHEN length(toks) > 0 THEN "

@@ -86,11 +86,22 @@ def flag_contaminated(docs: DataFrame, bench: DataFrame, id_col: str,
 def decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
                   text_col: str, *, n: int = 8,
                   keyed: str = "hash") -> DataFrame:
-    """Corpus minus contaminated docs (broadcast anti-join on the
-    flagged-id relation, which is far smaller than the corpus)."""
+    """Corpus minus contaminated docs (anti-join on the flagged-id
+    relation).
+
+    Join-hint policy (uniform across all three decontamination
+    tiers): the flagged relation gets NO forced broadcast — it is
+    contamination-proportional, not structurally bounded (every
+    duplicate of a contaminated doc is contaminated, so a dirty
+    corpus can push it to corpus scale), and a forced broadcast
+    past executor memory is an OOM where AQE's runtime choice
+    (broadcast when small, shuffle when not) degrades gracefully.
+    Contrast the bench-gram/banded relations, which ARE forced:
+    those are bounded by the benchmark suite size by construction.
+    """
     flagged = flag_contaminated(docs, bench, id_col, text_col,
                                 n=n, keyed=keyed).select(id_col)
-    return docs.join(F.broadcast(flagged), id_col, "left_anti")
+    return docs.join(flagged, id_col, "left_anti")
 
 
 #: Planted fuzzy-contamination fixture: each corpus doc is a MUTATED
@@ -191,15 +202,16 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
                         shingle_k: int = 3,
                         bench_signatures: DataFrame | None = None,
                         ) -> DataFrame:
-    """Corpus minus fuzzy-contaminated docs (broadcast anti-join on the
-    flagged ids — far smaller than the corpus). Compose AFTER the exact
-    tier: `decontaminate` is cheaper per doc, this tier catches what
+    """Corpus minus fuzzy-contaminated docs (anti-join on the flagged
+    ids; no forced broadcast — AQE decides, see `decontaminate` for
+    the family-wide hint policy). Compose AFTER the exact tier:
+    `decontaminate` is cheaper per doc, this tier catches what
     survives it."""
     flagged = fuzzy_flag_contaminated(
         docs, bench, id_col, text_col, threshold=threshold,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
         bench_signatures=bench_signatures).select(id_col)
-    return docs.join(F.broadcast(flagged), id_col, "left_anti")
+    return docs.join(flagged, id_col, "left_anti")
 
 
 def contamination_report(docs: DataFrame, bench: DataFrame, id_col: str,
@@ -521,9 +533,13 @@ def bloom_decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
                         bloom: dict | None = None) -> DataFrame:
     """Corpus minus Bloom-flagged docs — `decontaminate` for benchmark
     suites too large to broadcast as a gram relation. Anti-join on the
-    flagged ids, exactly like the exact tier; pass a prebuilt `bloom`
-    (from `bloom_benchmark_filter`, persisted per benchmark release)
-    to skip the build scan. Conservative by construction: Bloom false
+    flagged ids, exactly like the exact tier (and with the same
+    no-forced-broadcast hint policy — see `decontaminate`; Bloom FPs
+    make this tier's flagged relation strictly LARGER than the exact
+    tier's, so it is the one most likely to outgrow a forced
+    broadcast); pass a prebuilt `bloom` (from
+    `bloom_benchmark_filter`, persisted per benchmark release) to
+    skip the build scan. Conservative by construction: Bloom false
     positives can only drop extra docs, never leak a benchmark gram.
     """
     bl = bloom if bloom is not None else bloom_benchmark_filter(
@@ -531,4 +547,4 @@ def bloom_decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
         hash=hash, salt=salt)
     flagged = bloom_flag_contaminated(docs, bl, id_col, text_col,
                                       count_grams=False)
-    return docs.join(F.broadcast(flagged), id_col, "left_anti")
+    return docs.join(flagged, id_col, "left_anti")

@@ -242,6 +242,12 @@ def corpus_ingest_batch_fn(
                     bench_ided, id_col, text_col).cache()
         grams = bench_state["grams"]
         doc_grams = _gram_rows(batch, id_col, text_col, bench_n, "hash")
+        # the ingest-path flagged relations keep the broadcast hint
+        # the batch tiers dropped: here flagged ⊆ batch ids, so the
+        # relation is STRUCTURALLY bounded by the micro-batch size (a
+        # user-controlled constant), which is exactly the condition
+        # the family policy requires for a forced hint (see
+        # contamination.decontaminate)
         exact_hit = (doc_grams.join(F.broadcast(grams), "gram")
                      .select(id_col).distinct())
         out = batch.join(F.broadcast(exact_hit), id_col, "left_anti")

@@ -1006,7 +1006,8 @@ def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
                          max_bullet_ratio: float = 0.9,
                          max_ellipsis_ratio: float = 0.3,
                          min_alpha_word_ratio: float = 0.8,
-                         min_stopwords: int = 2) -> DataFrame:
+                         min_stopwords: int = 2,
+                         carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """The published Gopher document-quality rule set (Rae et al.
     2021, Appendix A1.1) as one expression-only projection — the
     standard pre-filter every LLM pretrain pipeline applies before the
@@ -1019,17 +1020,31 @@ def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
     lines ellipsis-terminated; >= 80% of words containing an
     alphabetic character; >= 2 distinct required stop words present.
 
+    Words are split on whitespace with empty tokens dropped, so text
+    with leading/trailing tabs or newlines (which `trim` alone leaves
+    as phantom '' tokens) counts exactly the paper's way.
+
     All ratios are exact integer-count divisions rounded to 6 — both
     boundary behavior and the rounding domain replay bit-identically
     in an external engine (the oracle contract). 100 TB shape: a pure
     projection, zero shuffles, rides the scan under whole-stage
     codegen; compose with `repetition_stats` for the paper's
     repetition block (already implemented separately).
+
+    `carry_cols`: extra input columns to pass through unchanged —
+    lets downstream aggregations (`gopher_report`'s stratum column)
+    stay inside this single projection instead of re-joining the
+    source at corpus scale.
     """
     c = F.col(text_col)
-    toks = F.split(F.trim(c), r"\s+")
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
     n_words = F.size(toks)
-    mwl = mean_word_length(c)
+    mwl = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t).cast("long"))
+        / n_words,
+    ).otherwise(F.lit(0.0))
     n_hash = F.length(c) - F.length(F.replace(c, F.lit("#")))
     n_ell = ((F.length(c) - F.length(F.replace(c, F.lit("...")))) / 3
              + (F.length(c) - F.length(F.replace(c, F.lit("…")))))
@@ -1051,6 +1066,7 @@ def gopher_quality_flags(df: DataFrame, id_col: str = "doc_id",
         F.array_distinct(F.transform(toks, F.lower)), stop_arr))
     out = df.select(
         F.col(id_col),
+        *[F.col(k) for k in carry_cols],
         n_words.alias("n_words"),
         F.round(mwl, 6).alias("mean_word_len"),
         sym_ratio.alias("symbol_ratio"),
@@ -1146,17 +1162,20 @@ def gopher_report(df: DataFrame, by: str = "lang",
     that shows it). `rule_kw` forwards threshold overrides to
     `gopher_quality_flags`.
 
-    One projection (the flags) + one hash aggregate over |strata|
-    groups — rides the scan, shuffles only stratum-level partials.
-    Rates rounded to 6 (oracle contract).
+    One projection (the flags, with the stratum column carried
+    through via `carry_cols`) + one hash aggregate over |strata|
+    groups — ONE scan, zero joins, shuffles only stratum-level
+    partials. (The first cut re-joined the corpus to recover `by` —
+    2 scans + a corpus×corpus hash join for a column the projection
+    already had; `carry_cols` removed it.) Rates rounded to 6
+    (oracle contract).
     """
-    flags = gopher_quality_flags(df, id_col, text_col, **rule_kw)
-    strata = df.select(F.col(id_col), F.col(by))
-    joined = flags.join(strata, id_col)
+    flags = gopher_quality_flags(df, id_col, text_col,
+                                 carry_cols=(by,), **rule_kw)
     rules = ["ok_words", "ok_word_len", "ok_symbols", "ok_bullets",
              "ok_ellipsis", "ok_alpha", "ok_stopwords", "keep"]
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     for r in rules:
         aggs.append(F.round(F.avg(F.col(r).cast("double")), 6)
                     .alias(f"{r}_rate"))
-    return joined.groupBy(by).agg(*aggs)
+    return flags.groupBy(by).agg(*aggs)

@@ -209,6 +209,32 @@ class TestDedupPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
 
+    def test_flagged_anti_join_is_aqe_broadcast_not_forced(self, engine):
+        # family hint policy (round-10): the flagged-id relation is
+        # contamination-proportional, so the anti-join carries NO
+        # forced broadcast hint — yet at small scale AQE must still
+        # CHOOSE broadcast at runtime. Pin both halves: no static
+        # hint in the logical plan, broadcast in the executed plan.
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            decontaminate)
+        import pyspark.sql.functions as F
+
+        docs = engine.metastore.get("documents").df
+        bench = docs.where(F.col("doc_id") % 17 == 0)
+        out = decontaminate(docs, bench, "doc_id", "text")
+        logical = out._jdf.queryExecution().optimizedPlan().toString()
+        # the LAST join (docs ⟕̸ flagged) must be hint-free; the gram
+        # join above it keeps its structural-bound hint
+        anti_line = logical[logical.index("LeftAnti"):].splitlines()[0]
+        assert "hint" not in anti_line.lower()
+        # ...and yet the planner (static size estimate, or AQE at
+        # runtime) still picks broadcast for the small flagged side
+        physical = _plan(out)
+        anti = physical.splitlines()[
+            next(i for i, l in enumerate(physical.splitlines())
+                 if "LeftAnti" in l)]
+        assert "BroadcastHashJoin" in anti
+
     def test_checkpoint_width_bound_spares_scan_rooted_plans(self, spark):
         # The checkpoint width bound exists to stop AQE's wide
         # initialPartitionNum from pinning hundreds of empty SHUFFLE
@@ -577,6 +603,20 @@ class TestGopherPlans:
         assert "Exchange" not in plan
         assert "Python" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_report_has_zero_joins(self, engine):
+        # the stratum column is carried through the flags projection
+        # (carry_cols), so the dashboard is ONE scan + a |strata|-group
+        # aggregate — the round-9 corpus self-join must never return
+        from confluent_ksql_charm_spark.pipeline.text import gopher_report
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(gopher_report(docs, "lang"))
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan
+        # exactly the stratum-partials exchange, nothing else
+        assert plan.count("Exchange") <= 2
 
 
 class TestBpePlans:
