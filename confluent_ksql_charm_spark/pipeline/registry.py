@@ -325,12 +325,18 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                                k=int(p.get("K", 50)),
                                min_count=int(p.get("MIN_COUNT", 1)))
     if op == "BPE_TOKEN_COUNT":
-        from .tokenizer import bpe_token_count, bpe_train
+        from .tokenizer import bpe_token_count, bpe_train, load_bpe_model
         _need_sources(spec, 1)
         text = _need(spec, "TEXT")
-        model = bpe_train(dfs[0], text_col=text,
-                          num_merges=int(p.get("NUM_MERGES", 200)),
-                          min_count=int(p.get("MIN_COUNT", 1)))
+        # fit-once/score-forever contract (the DSIR/Bloom precedent):
+        # MODEL_PATH loads a persisted save_bpe_model sidecar and skips
+        # the corpus scan + driver merge loop entirely (ADVICE r9)
+        if "MODEL_PATH" in p:
+            model = load_bpe_model(p["MODEL_PATH"])
+        else:
+            model = bpe_train(dfs[0], text_col=text,
+                              num_merges=int(p.get("NUM_MERGES", 200)),
+                              min_count=int(p.get("MIN_COUNT", 1)))
         return bpe_token_count(dfs[0], model, text_col=text)
     if op == "PARAGRAPH_DEDUP":
         from .dedup import paragraph_dedup

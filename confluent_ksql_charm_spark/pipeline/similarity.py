@@ -2689,6 +2689,15 @@ def mmr_select(df: DataFrame, query_vec: list[float], k: int = 10, *,
         raise ValueError("mmr_select: lambda_ must be in [0, 1]")
     if candidates is None and k > shortlist:
         raise ValueError("mmr_select: k must be <= shortlist")
+    # the greedy loop and output schema assume integral ids (the repo
+    # convention); fail up front with a clear message instead of a
+    # numpy cast error three stages deep (ADVICE r9)
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            f"mmr_select: {id_col!r} must be an integral column "
+            f"(got {id_type}); map string ids to longs first "
+            "(e.g. zipWithIndex-style surrogate, or xxhash64)")
     cand = (candidates.select(id_col, "cosine")
             if candidates is not None
             else cosine_topk(df, query_vec, k=shortlist,

@@ -30,6 +30,8 @@ is. So:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -48,6 +50,23 @@ BPE_MAX_WORDS = 2_000_000
 #: Sennrich et al.'s construction, so merges never cross word
 #: boundaries and a merged token "ing</w>" differs from mid-word "ing".
 END_OF_WORD = "</w>"
+
+#: Java's \s character class (what Spark's `split(.., "\\s+")` and
+#: therefore `word_histogram` uses) is ASCII-only. Python's
+#: `str.split()` additionally splits on Unicode whitespace (thin
+#: space, ideographic space, ...), which would give encode-time a
+#: DIFFERENT word definition than train time: a doc containing U+2009
+#: trains as one word but encodes as two. The UDF side must mirror
+#: Java exactly (ADVICE r9).
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _java_ws_words(text: str) -> list[str]:
+    """Whitespace words under Spark's \\s+ definition — the ONE
+    tokenization rule shared by the Spark-side `word_histogram` and
+    the Arrow encode UDFs. Empty strings (leading/trailing space)
+    dropped, matching `word != ''` in the histogram."""
+    return [w for w in _JAVA_WS.split(text) if w]
 
 
 def word_histogram(df: DataFrame, text_col: str = "text", *,
@@ -278,7 +297,7 @@ def bpe_encode(df: DataFrame, model: dict, *, text_col: str = "text",
         for t in texts:
             toks: list[str] = []
             if t is not None:
-                for w in t.split():
+                for w in _java_ws_words(t):
                     if lower:
                         w = w.lower()
                     seg = memo.get(w)
@@ -413,7 +432,7 @@ def bpe_encode_ids(df: DataFrame, model: dict, *,
         for t in texts:
             ids: list[int] = []
             if t is not None:
-                for w in t.split():
+                for w in _java_ws_words(t):
                     if lower:
                         w = w.lower()
                     seg = memo.get(w)

@@ -490,6 +490,28 @@ class TestPipelineStatements:
         got = peng.sql("SELECT doc_id, n_bpe_tokens FROM btok").collect()
         assert len(got) == 5 and all(r.n_bpe_tokens > 0 for r in got)
 
+    def test_bpe_token_count_model_path(self, peng, spark, tmp_path):
+        # fit-once/score-forever from SQL (ADVICE r9): MODEL_PATH loads
+        # a persisted sidecar and must reproduce the retrain exactly —
+        # without rerunning bpe_train (proven by pointing the path at a
+        # model trained on DIFFERENT text: counts follow the sidecar).
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_train, save_bpe_model)
+        docs = peng.sql("SELECT doc_id, text FROM docs")
+        model = bpe_train(docs, text_col="text", num_merges=20)
+        save_bpe_model(model, str(tmp_path / "bpe"))
+        peng.execute("CREATE TABLE btok2 AS PIPELINE "
+                     "BPE_TOKEN_COUNT(docs, TEXT='text', "
+                     f"MODEL_PATH='{tmp_path / 'bpe'}');")
+        reload = {r.doc_id: r.n_bpe_tokens for r in peng.sql(
+            "SELECT doc_id, n_bpe_tokens FROM btok2").collect()}
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_token_count)
+        direct = {r.doc_id: r.n_bpe_tokens
+                  for r in bpe_token_count(docs, model).select(
+                      "doc_id", "n_bpe_tokens").collect()}
+        assert reload == direct and len(reload) == 5
+
     def test_substring_dedup_via_sql(self, peng):
         peng.execute("CREATE TABLE sdedup AS PIPELINE "
                      "SUBSTRING_DEDUP(docs, ID='doc_id', TEXT='text', "

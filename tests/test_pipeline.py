@@ -5343,6 +5343,24 @@ class TestBPETokenizer:
             for w in wc:
                 assert bpe_segment(w, ranks) == ref_words[w]
 
+    def test_unicode_whitespace_single_word_domain(self, spark):
+        # ADVICE r9: Java \s (the train-side split) is ASCII-only, but
+        # Python str.split() also breaks on Unicode whitespace (thin
+        # space U+2009, ideographic space...). Train and encode must
+        # share ONE word definition: a thin-space-joined pair is a
+        # single word on BOTH sides.
+        from confluent_ksql_charm_spark.pipeline.tokenizer import (
+            bpe_encode, bpe_train, word_histogram)
+        docs = spark.createDataFrame(
+            [("ab cd ab cd xy",)], ["text"])
+        hist = word_histogram(docs)
+        words = {r["word"]: r["cnt"] for r in hist.collect()}
+        assert words == {"ab cd": 2, "xy": 1}  # train side
+        model = bpe_train(None, histogram=hist, num_merges=5)
+        enc = bpe_encode(docs, model).collect()[0]["bpe_tokens"]
+        # encode side: 3 word boundaries (str.split would give 5)
+        assert "".join(enc).count("</w>") == 3
+
     def test_encode_round_trip_and_counts(self, spark):
         from pyspark.sql import functions as F
         from confluent_ksql_charm_spark.pipeline.tokenizer import (
@@ -5494,6 +5512,12 @@ class TestMMRSelect:
             mmr_select(df, [1.0, 0, 0, 0], lambda_=1.5)
         with pytest.raises(ValueError, match="shortlist"):
             mmr_select(df, [1.0, 0, 0, 0], k=10, shortlist=5)
+        # string ids: clear up-front ValueError, not a numpy cast
+        # error deep in the greedy loop (ADVICE r9)
+        sdf = df.withColumn(
+            "vec_id", df["vec_id"].cast("string"))
+        with pytest.raises(ValueError, match="integral"):
+            mmr_select(sdf, [1.0, 0, 0, 0], k=2)
 
 
 class TestIngestBloomGate:
