@@ -5426,6 +5426,24 @@ class TestBPETokenizer:
         with pytest.raises(ValueError, match="histogram exceeds"):
             bpe_train(None, histogram=hist, max_words=2)
 
+    def test_histogram_cap_boundary_and_min_count_relief(self, spark):
+        # exactly max_words rows trains fine (the cap is exclusive),
+        # and min_count prunes hapax words BEFORE the cap check — the
+        # documented relief valve for over-cap vocabularies
+        from confluent_ksql_charm_spark.pipeline.tokenizer import bpe_train
+        hist = spark.createDataFrame(
+            [("aa", 5), ("ab", 3), ("zq", 1)], ["word", "cnt"])
+        model = bpe_train(None, histogram=hist, max_words=3,
+                          num_merges=2)
+        assert model["merges"]
+        # 3 distinct words > cap 2 — but min_count=2 drops the hapax
+        # first, so the SAME cap now passes and the hapax's characters
+        # never reach the alphabet
+        relieved = bpe_train(None, histogram=hist, max_words=2,
+                             min_count=2, num_merges=2)
+        assert relieved["min_count"] == 2
+        assert "z" not in relieved["alphabet"]
+
 
 class TestMMRSelect:
     def _emb(self, spark):

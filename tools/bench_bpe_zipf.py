@@ -1,0 +1,94 @@
+"""BPE trainer wall vs VOCABULARY size — the round-9 verdict's last
+unmeasured regime.
+
+The corpus-size flatness of `bpe_train` is already measured
+(BASELINE.md round-9 s2: train wall constant across a 100× corpus
+decade, because statistics factor through the word histogram). What
+was never measured end-to-end is the OTHER axis: how the driver-side
+merge loop and the histogram collect behave as the VOCABULARY grows —
+the `--zipf-text` fixture (tools/make_sf1.py) exists for exactly this.
+
+Protocol: one warm session; for each histogram size (varied the way a
+real pipeline would, via the `min_count` relief valve over the same
+fixed corpus), time
+
+  - hist_sec: word_histogram agg + the driver collect (corpus scan),
+  - train_sec: the pure driver merge loop (histogram passed in
+    pre-collected via a cached DataFrame, num_merges fixed),
+
+and print one JSON line per point. Also demonstrates the
+BPE_MAX_WORDS guard: the full-vocab histogram against a deliberately
+small cap must raise, not OOM.
+
+Usage: python tools/bench_bpe_zipf.py [zipf_dir] [num_merges]
+       (defaults: /tmp/zipf 500)
+
+Run serially on an idle box (bench protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/tmp/zipf"
+NUM_MERGES = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.pipeline.tokenizer import (
+        bpe_train, word_histogram)
+
+    spark = (SparkSession.builder.master("local[32]")
+             .appName("bench-bpe-zipf")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    full = word_histogram(docs, "text").cache()
+    n_full = full.count()  # warm the cache + the scan
+    print(f"# corpus: {docs.count()} docs, full vocabulary {n_full}",
+          file=sys.stderr)
+
+    results = []
+    for min_count in (1, 2, 5, 20, 100):
+        pruned = (full if min_count == 1
+                  else full.where(F.col("cnt") >= min_count))
+        t0 = time.monotonic()
+        rows = pruned.count()
+        hist_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        model = bpe_train(None, histogram=pruned,
+                          num_merges=NUM_MERGES,
+                          max_words=max(rows + 1, 10))
+        train_sec = time.monotonic() - t0
+        point = {"min_count": min_count, "hist_rows": rows,
+                 "num_merges": NUM_MERGES,
+                 "n_merges_learned": len(model["merges"]),
+                 "hist_sec": round(hist_sec, 3),
+                 "train_sec": round(train_sec, 3)}
+        results.append(point)
+        print(json.dumps(point))
+
+    # the relief-valve boundary: full vocab vs a deliberately small cap
+    try:
+        bpe_train(None, histogram=full, num_merges=10,
+                  max_words=max(n_full // 2, 1))
+        print(json.dumps({"cap_guard": "FAILED - no raise"}))
+    except ValueError as e:
+        print(json.dumps({"cap_guard": "raised",
+                          "message": str(e)[:80]}))
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()

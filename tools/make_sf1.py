@@ -37,6 +37,19 @@ cohesion >= 0.9 regime where residual IVF-PQ coding is supposed to win
 count / vec_id scheme as the default mode; label = "c<cluster>".
 Env knobs: SPARK_GRAFT_CLUSTER_K (default 32),
 SPARK_GRAFT_CLUSTER_EPS (default 0.05).
+
+--zipf-text (round 10) writes ONLY documents.parquet, synthesized with
+a LARGE Zipf-ish vocabulary — the regime the driver corpus (31
+distinct words) cannot exercise: the BPE trainer's driver merge loop
+vs a 100k+-row word histogram, and the min_count relief valve. Word
+ranks are log-uniform (P(r) ∝ 1/r, the s=1 Zipf tail): rank =
+ceil(V^u) with u a keyed-xxhash64 uniform per (doc, position) —
+bit-deterministic, expression-only, no Python. Word text = 'w' +
+base36(rank) (so rank 1..V are distinct words of 2-5 chars). Schema
+matches the driver documents table (doc_id, text, lang, source,
+n_chars). Env knobs: SPARK_GRAFT_ZIPF_DOCS (default 20000),
+SPARK_GRAFT_ZIPF_VOCAB (default 150000), SPARK_GRAFT_ZIPF_LEN (words
+per doc, default 200).
 """
 
 from __future__ import annotations
@@ -94,6 +107,39 @@ def main():
         df.repartition(parts).write.mode("overwrite").parquet(
             f"{OUT}/{t}.parquet")
         print(f"  {t}: {df.count()} rows")
+
+    if "--zipf-text" in sys.argv:
+        n_docs = int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "20000"))
+        vocab = int(os.environ.get("SPARK_GRAFT_ZIPF_VOCAB", "150000"))
+        length = int(os.environ.get("SPARK_GRAFT_ZIPF_LEN", "200"))
+        # u in (0,1] per (doc, pos); rank = ceil(V^u) -> log-uniform
+        # ranks, i.e. P(rank=r) ~ 1/(r ln V): the Zipf s=1 shape whose
+        # histogram actually exercises a 100k+ word vocabulary
+        word = lambda j: F.concat(  # noqa: E731
+            F.lit("w"),
+            F.conv(F.ceil(F.pow(
+                F.lit(float(vocab)),
+                (F.pmod(F.xxhash64(F.col("doc_id"), j, F.lit(77)),
+                        F.lit(1_000_000)) + 1) / 1_000_000.0
+            )).cast("string"), 10, 36))
+        docs = (spark.range(n_docs).select(F.col("id").alias("doc_id"))
+                .repartition(32)
+                .select(
+                    "doc_id",
+                    F.concat_ws(" ", F.transform(
+                        F.sequence(F.lit(1), F.lit(length)), word))
+                    .alias("text"),
+                    F.lit("zipf").alias("lang"),
+                    F.lit("synthetic").alias("source"))
+                .withColumn("n_chars", F.length("text")))
+        write(docs, "documents", 16)
+        with open(os.path.join(OUT, "zipf_meta.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"mode": "zipf-text", "n_docs": n_docs,
+                       "vocab": vocab, "words_per_doc": length,
+                       "seed": 77}, fh)
+        print(f"zipf-text documents at {OUT}")
+        return
 
     for t in PASSTHROUGH:
         if _wanted(t):
