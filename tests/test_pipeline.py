@@ -2472,6 +2472,52 @@ class TestPrepareCorpusExample:
         assert leaked.count() == 0
 
 
+class TestVectorSearchExample:
+    def test_lifecycle_invariants(self, spark, tmp_path):
+        # the ANN family's composed showcase gets the same rot-proofing
+        # prepare_corpus.py has (round-9 verdict #7): run the WHOLE
+        # deployed lifecycle and assert the retrieval invariants
+        import sys
+        sys.path.insert(0, "/root/repo/examples")
+        import vector_search
+
+        res = vector_search.lifecycle(
+            spark, "/root/testdata/sf0.001", str(tmp_path / "idx"))
+        n = res["n"]
+        assert n > 0
+        # raw ADC / refined / filtered all return full top-5
+        assert len(res["raw"]) == 5
+        assert len(res["refined"]) == 5
+        assert len(res["filtered"]) == 5
+        # the query IS the first vector: exact refine must rank it 1
+        # with cosine ~1.0 (ADC scores are quantized, refine is exact)
+        top = res["refined"][0]
+        assert top["cosine"] > 0.999
+        # refined exact scores are sorted and within [-1, 1]
+        cos = [r["cosine"] for r in res["refined"]]
+        assert cos == sorted(cos, reverse=True)
+        assert all(-1.0 <= c <= 1.0 + 1e-9 for c in cos)
+        # quantization-error report: one row per PQ sub-space
+        assert len(res["err"]) == 8
+        # incremental add landed without refit: 20 extra rows visible
+        # in the reloaded index
+        assert res["post_add_rows"] == n + 20
+        # batch retrieval: 3 queries x k=3, and each query (a corpus
+        # member) retrieves ITSELF at rank 1
+        assert len(res["batch"]) == 9
+        by_q = {}
+        for r in res["batch"]:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert len(by_q) == 3
+        for qid, rows in by_q.items():
+            best = min(rows, key=lambda r: r["rank"])
+            assert best["vec_id"] == qid
+        # curation pair: dedup keeps a subset; decontamination returns
+        # only non-bench rows
+        assert 0 < res["n_dedup"] <= n
+        assert 0 < res["n_decon"] < n
+
+
 class TestIVFSQ8Rerank:
     def _clustered(self, spark, n=150, dim=8, ncenters=4, seed=33):
         import random
