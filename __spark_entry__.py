@@ -1068,6 +1068,51 @@ def _q_gopher_report(spark, sf):
                          min_stopwords=1)
 
 
+def _q_winnow_fingerprints(spark, sf):
+    # Winnowing (Schleimer et al. 2003 / MOSS) fingerprint selection:
+    # char-8-gram hashes, rightmost-min per window of 4 — the
+    # substring-locality dedup sketch. Portable hash for the replay.
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        portable_token_hash, winnow_fingerprints)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    return winnow_fingerprints(docs, "doc_id", "text", k=8, window=4,
+                               token_hash=portable_token_hash)
+
+
+def _q_winnow_overlap(spark, sf):
+    # pairwise fingerprint overlap (the MOSS report): pairs sharing
+    # >= 3 selected fingerprints, boilerplate fps (df > 50) capped
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        portable_token_hash, winnow_fingerprints, winnow_overlap)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=8, window=4,
+                              token_hash=portable_token_hash)
+    return winnow_overlap(fps, "doc_id", min_shared=3, max_df=50)
+
+
+def _q_cluster_outliers(spark, sf):
+    # prototypicality filter: pinned-center assignment (the
+    # embedding_cluster oracle pattern), then drop each cluster's
+    # least-cohesive 10% by the exact rank cut
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        cluster_outlier_filter, embedding_cluster)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    assigned, _ = embedding_cluster(emb, 8, init="first")
+    return cluster_outlier_filter(assigned, 0.1)
+
+
+def _q_distinct_ngrams(spark, sf):
+    # per-language distinct-n diversity report (Li et al. 2016), the
+    # cross-document duplication alarm repetition_stats cannot see
+    from confluent_ksql_charm_spark.pipeline.text import (
+        distinct_ngram_ratios)
+
+    return distinct_ngram_ratios(_docs(spark, sf), max_n=3, by="lang")
+
+
 def _q_bpe_pair_counts(spark, sf):
     # BPE trainer's iteration-0 statistics: adjacent (char, char|</w>)
     # pair counts weighted by word frequency — the fully-distributed,
@@ -1724,9 +1769,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # — coverage unchanged, one slot each. Least-proven ops lead the order.
     return {
         # newest / least-proven first — the driver samples the FIRST 50
-        # keys, so the 10 entries no driver round has ever sampled lead
-        # (round-10 reorder; they stay pinned here until a driver round
-        # covers them), then the round-9 wave, then the long tail.
+        # keys, so the round-10 additions and the 10 entries no driver
+        # round has ever sampled lead (they stay pinned here until a
+        # driver round covers them), then the round-9 wave, the tail.
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_overlap": _q_winnow_overlap,
+        "cluster_outliers": _q_cluster_outliers,
+        "distinct_ngrams": _q_distinct_ngrams,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "gopher_quality": _q_gopher_quality,
         "gopher_report": _q_gopher_report,
@@ -3670,6 +3719,102 @@ def oracle_sql() -> dict[str, str]:
             "AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 "
             "AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8 "
             "AND n_stopwords >= 1 AS keep FROM m"
+        ),
+        "winnow_fingerprints": (
+            # full winnowing replay: char-8-gram portable hashes,
+            # rightmost-min of every 4-window (pos = s + w -
+            # list_position(reversed_slice, min)), short-doc fallback
+            # to the single global rightmost-min, distinct (pos, fp)
+            "WITH t AS (SELECT doc_id, lower(text) AS tx "
+            "FROM documents), "
+            "g AS (SELECT doc_id, "
+            "[('0x' || substr(md5(substr(tx, i, 8)), 1, 15))::BIGINT "
+            "FOR i IN generate_series(1, length(tx) - 7)] AS hs "
+            "FROM t WHERE length(tx) >= 8), "
+            "sel AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN "
+            "[{'pos': s + 4 - list_position(list_reverse(hs[s:s+3]), "
+            "list_min(hs[s:s+3])), 'fp': list_min(hs[s:s+3])} "
+            "FOR s IN generate_series(1, len(hs) - 3)] "
+            "ELSE [{'pos': len(hs) + 1 - "
+            "list_position(list_reverse(hs), list_min(hs)), "
+            "'fp': list_min(hs)}] END AS fps FROM g) "
+            "SELECT DISTINCT doc_id, CAST(u.pos AS INT) AS pos, "
+            "u.fp AS fp "
+            "FROM (SELECT doc_id, unnest(fps) AS u FROM sel)"
+        ),
+        "winnow_overlap": (
+            # the same selection, reduced to distinct (doc, fp), hot
+            # fps (df > 50) capped, then the fp-keyed pair count
+            "WITH t AS (SELECT doc_id, lower(text) AS tx "
+            "FROM documents), "
+            "g AS (SELECT doc_id, "
+            "[('0x' || substr(md5(substr(tx, i, 8)), 1, 15))::BIGINT "
+            "FOR i IN generate_series(1, length(tx) - 7)] AS hs "
+            "FROM t WHERE length(tx) >= 8), "
+            "sel AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN "
+            "[{'pos': s + 4 - list_position(list_reverse(hs[s:s+3]), "
+            "list_min(hs[s:s+3])), 'fp': list_min(hs[s:s+3])} "
+            "FOR s IN generate_series(1, len(hs) - 3)] "
+            "ELSE [{'pos': len(hs) + 1 - "
+            "list_position(list_reverse(hs), list_min(hs)), "
+            "'fp': list_min(hs)}] END AS fps FROM g), "
+            "f AS (SELECT DISTINCT doc_id, u.fp AS fp "
+            "FROM (SELECT doc_id, unnest(fps) AS u FROM sel)), "
+            "cap AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM f "
+            "GROUP BY fp) WHERE c <= 50), "
+            "fc AS (SELECT f.doc_id, f.fp FROM f JOIN cap USING (fp)) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS shared_fps "
+            "FROM fc a JOIN fc b ON a.fp = b.fp "
+            "AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 3"
+        ),
+        "cluster_outliers": (
+            # pinned-center assignment (the embedding_cluster replay)
+            # + the exact per-cluster rank cut: drop the floor(10%)
+            # lowest-cohesion rows, rank by (cos asc, vec_id asc)
+            "WITH c AS (SELECT embedding AS ce, row_number() OVER ("
+            "ORDER BY vec_id) - 1 AS j FROM "
+            "(SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)), "
+            "s AS (SELECT e.vec_id, c.j, ROUND("
+            "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+            "i -> e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) / "
+            "(sqrt(list_sum(list_transform(generate_series(1, "
+            "len(e.embedding)), i -> e.embedding[i]::DOUBLE * "
+            "e.embedding[i]::DOUBLE))) * "
+            "sqrt(list_sum(list_transform(generate_series(1, len(c.ce)), "
+            "i -> c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))), 6) AS cos "
+            "FROM embeddings e CROSS JOIN c), "
+            "a AS (SELECT vec_id, cluster, cos FROM (SELECT vec_id, "
+            "j AS cluster, cos, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY cos DESC, j) AS rn FROM s) WHERE rn = 1), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY cluster "
+            "ORDER BY cos ASC, vec_id ASC) AS rr, "
+            "count(*) OVER (PARTITION BY cluster) AS nn FROM a) "
+            "SELECT vec_id, cluster, cos FROM r "
+            "WHERE rr > floor(0.1 * nn)"
+        ),
+        "distinct_ngrams": (
+            # per-language distinct-n: one level per n (1..3), total
+            # vs distinct gram counts, ratio rounded to 6
+            "WITH t AS (SELECT lang, "
+            "list_filter(string_split_regex(trim(lower(text)), "
+            "'\\s+'), x -> x <> '') AS toks FROM documents), "
+            "lv AS ("
+            "SELECT lang, 1 AS n, unnest(toks) AS gram FROM t "
+            "UNION ALL "
+            "SELECT lang, 2 AS n, unnest([toks[i] || ' ' || toks[i+1] "
+            "FOR i IN generate_series(1, len(toks) - 1)]) AS gram "
+            "FROM t "
+            "UNION ALL "
+            "SELECT lang, 3 AS n, unnest([toks[i] || ' ' || toks[i+1] "
+            "|| ' ' || toks[i+2] "
+            "FOR i IN generate_series(1, len(toks) - 2)]) AS gram "
+            "FROM t) "
+            "SELECT lang, n, count(*) AS total_ngrams, "
+            "count(DISTINCT gram) AS distinct_ngrams, "
+            "round(count(DISTINCT gram) * 1.0 / count(*), 6) "
+            "AS distinct_ratio FROM lv GROUP BY lang, n"
         ),
         "bpe_pair_counts": (
             # iteration-0 BPE pair statistics: word histogram ->

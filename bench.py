@@ -79,6 +79,12 @@ HEADLINE = [
     "bpe_pair_counts",
     "mmr_select",
     "gopher_quality",
+    # round-10 additions (winnowing fingerprints, prototypicality
+    # filter, distinct-n diversity; baselines: BASELINE.md round-10
+    # consolidated v2 table)
+    "winnow_fingerprints",
+    "cluster_outliers",
+    "distinct_ngrams",
 ]
 
 

@@ -124,6 +124,19 @@ _SIGNATURES = {
                        "[, EXCLUDE_ABOVE='0.95'][, NLIST='16']"
                        "[, NPROBE='4'][, ID='vec_id']"
                        "[, VEC='embedding'])"),
+    "WINNOW_FINGERPRINTS": ("WINNOW_FINGERPRINTS(src, ID='id', "
+                            "TEXT='text'[, K='8'][, WINDOW='4']"
+                            "[, LOWERCASE='true'])"),
+    "WINNOW_OVERLAP": ("WINNOW_OVERLAP(src, ID='id', TEXT='text'"
+                       "[, K='8'][, WINDOW='4'][, MIN_SHARED='2']"
+                       "[, MAX_DF='1000'])"),
+    "CLUSTER_OUTLIERS": ("CLUSTER_OUTLIERS(emb, K='8'"
+                         "[, DROP_FRACTION='0.1'][, THRESHOLD='0.8']"
+                         "[, KEEP_OUTLIERS='false'][, ID='vec_id']"
+                         "[, VEC='embedding'][, INIT='kmeans|first'])"),
+    "DISTINCT_NGRAMS": ("DISTINCT_NGRAMS(src, TEXT='text'"
+                        "[, MAX_N='4'][, BY='lang']"
+                        "[, LOWERCASE='true'])"),
 }
 
 
@@ -519,6 +532,46 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                          id_col=p.get("ID", "vec_id"),
                          vec_col=p.get("VEC", "embedding"),
                          below=float(below) if below else None)
+    if op == "WINNOW_FINGERPRINTS":
+        from .dedup import winnow_fingerprints
+        _need_sources(spec, 1)
+        return winnow_fingerprints(
+            dfs[0], _need(spec, "ID"), _need(spec, "TEXT"),
+            k=int(p.get("K", 8)), window=int(p.get("WINDOW", 4)),
+            lowercase=p.get("LOWERCASE", "true").lower() == "true")
+    if op == "WINNOW_OVERLAP":
+        from .dedup import winnow_fingerprints, winnow_overlap
+        _need_sources(spec, 1)
+        id_col = _need(spec, "ID")
+        fps = winnow_fingerprints(
+            dfs[0], id_col, _need(spec, "TEXT"),
+            k=int(p.get("K", 8)), window=int(p.get("WINDOW", 4)))
+        max_df = p.get("MAX_DF", "1000")
+        return winnow_overlap(
+            fps, id_col, min_shared=int(p.get("MIN_SHARED", 2)),
+            max_df=None if max_df.lower() == "none" else int(max_df))
+    if op == "CLUSTER_OUTLIERS":
+        from .similarity import cluster_outlier_filter, embedding_cluster
+        _need_sources(spec, 1)
+        assigned, _ = embedding_cluster(
+            dfs[0], int(_need(spec, "K")),
+            id_col=p.get("ID", "vec_id"),
+            vec_col=p.get("VEC", "embedding"),
+            init=p.get("INIT", "kmeans"))
+        thr = p.get("THRESHOLD")
+        return cluster_outlier_filter(
+            assigned, float(p.get("DROP_FRACTION", 0.1)),
+            threshold=float(thr) if thr else None,
+            id_col=p.get("ID", "vec_id"),
+            keep_outliers=p.get("KEEP_OUTLIERS", "false").lower()
+            == "true")
+    if op == "DISTINCT_NGRAMS":
+        from .text import distinct_ngram_ratios
+        _need_sources(spec, 1)
+        return distinct_ngram_ratios(
+            dfs[0], _need(spec, "TEXT"),
+            max_n=int(p.get("MAX_N", 4)), by=p.get("BY"),
+            lowercase=p.get("LOWERCASE", "true").lower() == "true")
     if op == "HARD_NEGATIVES":
         from .similarity import hard_negatives
         _need_sources(spec, 1)

@@ -3047,6 +3047,62 @@ def cluster_stats(assigned: DataFrame, *, cluster_col: str = "cluster",
                  F.round(F.avg(sim_col), 6).alias("avg_cos")))
 
 
+def cluster_outlier_filter(assigned: DataFrame,
+                           drop_fraction: float = 0.1, *,
+                           threshold: float | None = None,
+                           cluster_col: str = "cluster",
+                           sim_col: str = "cos",
+                           id_col: str = "vec_id",
+                           keep_outliers: bool = False) -> DataFrame:
+    """Prototypicality filter over an `embedding_cluster` assignment:
+    drop each cluster's least-cohesive tail — the rows farthest from
+    their own centroid, which in curated-pretraining practice are the
+    mislabeled/off-topic/garbled points (the SemDeDup-family pipelines
+    pair exactly this cut with semantic dedup; public method, e.g.
+    Abbas et al. 2023 §B, Sorscher et al. 2022 prototypicality).
+
+    Two cut modes:
+
+    - ``drop_fraction`` (default): per cluster, remove the
+      ``floor(drop_fraction * n_c)`` rows with the LOWEST cosine —
+      a rank cut, not a quantile cut, so ties and boundaries replay
+      exactly in an external engine (rank by (cos asc, id asc), the
+      repo's rounded/lowest-id ordering contract).
+    - ``threshold=``: keep rows with ``cos >= threshold`` — a pure
+      zero-shuffle filter for when the cut is a fixed policy number
+      rather than a per-cluster budget.
+
+    ``keep_outliers=True`` returns the DROPPED rows instead (the
+    audit view: what is about to be thrown away).
+
+    100 TB shape: threshold mode rides the scan (zero shuffle).
+    Fraction mode is one window rank + one per-cluster count — a
+    single hash-partition shuffle on the cluster key; clusters are
+    size-skewed in real corpora, so for k << partitions pre-aggregate
+    counts (done here via a window COUNT over the same partition, no
+    second shuffle) and note the biggest cluster bounds the sort.
+    """
+    if threshold is None and not 0.0 <= drop_fraction < 1.0:
+        raise ValueError("cluster_outlier_filter: drop_fraction must "
+                         "be in [0, 1)")
+    if threshold is not None:
+        cond = F.col(sim_col) >= F.lit(float(threshold))
+        return assigned.where(~cond if keep_outliers else cond)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col)
+    rank = F.row_number().over(
+        w.orderBy(F.col(sim_col).asc(), F.col(id_col).asc()))
+    n_c = F.count(F.lit(1)).over(w)
+    cut = F.floor(n_c * F.lit(float(drop_fraction)))
+    out = (assigned
+           .withColumn("__r", rank)
+           .withColumn("__cut", cut))
+    cond = F.col("__r") > F.col("__cut")
+    return (out.where(~cond if keep_outliers else cond)
+            .drop("__r", "__cut"))
+
+
 def cluster_terms(df: DataFrame, *, cluster_col: str = "cluster",
                   text_col: str = "text", top_n: int = 5,
                   lowercase: bool = True) -> DataFrame:

@@ -512,6 +512,42 @@ class TestPipelineStatements:
                       "doc_id", "n_bpe_tokens").collect()}
         assert reload == direct and len(reload) == 5
 
+    def test_winnow_via_sql(self, peng):
+        peng.execute("CREATE TABLE wfp AS PIPELINE "
+                     "WINNOW_FINGERPRINTS(docs, ID='doc_id', "
+                     "TEXT='text', K='8', WINDOW='4');")
+        rows = peng.sql("SELECT doc_id, pos, fp FROM wfp").collect()
+        assert rows and all(r.pos >= 1 for r in rows)
+        peng.execute("CREATE TABLE wov AS PIPELINE "
+                     "WINNOW_OVERLAP(docs, ID='doc_id', TEXT='text', "
+                     "K='8', WINDOW='4', MIN_SHARED='1', "
+                     "MAX_DF='none');")
+        pairs = {(r.id_a, r.id_b) for r in peng.sql(
+            "SELECT id_a, id_b FROM wov").collect()}
+        assert (1, 2) in pairs  # exact dups share every fingerprint
+
+    def test_cluster_outliers_via_sql(self, peng, spark):
+        peng.register_source("covecs", df=spark.createDataFrame(
+            [(i, [1.0, 0.0] if i < 4 else [0.8, 0.6])
+             for i in range(6)],
+            "vec_id bigint, embedding array<float>"))
+        peng.execute("CREATE TABLE proto AS PIPELINE "
+                     "CLUSTER_OUTLIERS(covecs, K='2', INIT='first', "
+                     "DROP_FRACTION='0.25');")
+        kept = peng.sql("SELECT vec_id FROM proto").collect()
+        assert 0 < len(kept) < 6
+
+    def test_distinct_ngrams_via_sql(self, peng):
+        peng.execute("CREATE TABLE divr AS PIPELINE "
+                     "DISTINCT_NGRAMS(docs, TEXT='text', MAX_N='2');")
+        got = {r.n: r for r in peng.sql(
+            "SELECT n, total_ngrams, distinct_ngrams, distinct_ratio "
+            "FROM divr").collect()}
+        assert set(got) == {1, 2}
+        # docs 1 and 2 are exact dups: distinct < total at both levels
+        assert got[1].distinct_ngrams < got[1].total_ngrams
+        assert 0 < got[2].distinct_ratio < 1
+
     def test_substring_dedup_via_sql(self, peng):
         peng.execute("CREATE TABLE sdedup AS PIPELINE "
                      "SUBSTRING_DEDUP(docs, ID='doc_id', TEXT='text', "

@@ -6209,3 +6209,195 @@ class TestWordHistogramMerge:
         m1 = bpe_train(None, histogram=merged, num_merges=40)
         m2 = bpe_train(None, histogram=full, num_merges=40)
         assert m1 == m2
+
+
+class TestWinnowing:
+    @staticmethod
+    def _naive(text, k=8, window=4, lowercase=True):
+        # straight-from-the-paper reference: hash all k-grams, pick the
+        # rightmost minimum of every window, dedupe (pos, fp)
+        import hashlib
+        if lowercase:
+            text = text.lower()
+        grams = [text[i:i + k] for i in range(len(text) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+              for g in grams]
+        if not hs:
+            return set()
+        sel = set()
+        if len(hs) < window:
+            m = min(hs)
+            p = max(i for i, h in enumerate(hs) if h == m)
+            return {(p + 1, m)}
+        for s in range(len(hs) - window + 1):
+            sl = hs[s:s + window]
+            m = min(sl)
+            p = s + max(i for i, h in enumerate(sl) if h == m)
+            sel.add((p + 1, m))
+        return sel
+
+    def test_matches_naive_reference(self, spark):
+        import random
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            portable_token_hash, winnow_fingerprints)
+        rng = random.Random(11)
+        texts = ["".join(rng.choice("abcd ")
+                         for _ in range(rng.randint(0, 60)))
+                 for _ in range(25)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string")
+        got = winnow_fingerprints(df, k=5, window=3,
+                                  token_hash=portable_token_hash)
+        by_doc = {}
+        for r in got.collect():
+            by_doc.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+        for i, t in enumerate(texts):
+            assert by_doc.get(i, set()) == self._naive(
+                t, k=5, window=3), f"doc {i}: {t!r}"
+
+    def test_locality_guarantee(self, spark):
+        # the winnowing theorem: any shared substring of length
+        # >= window + k - 1 chars guarantees a shared fingerprint —
+        # the property MinHash cannot give
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            winnow_fingerprints, winnow_overlap)
+        k, w = 8, 4
+        shared = "this exact licensed paragraph is reused verbatim"
+        assert len(shared) >= w + k - 1
+        df = spark.createDataFrame(
+            [(1, "prefix one %s suffix alpha" % shared),
+             (2, "totally different lead-in %s and tail" % shared),
+             (3, "unrelated filler text with nothing in common zz")],
+            "doc_id bigint, text string")
+        fp = winnow_fingerprints(df, k=k, window=w)
+        ov = winnow_overlap(fp, min_shared=1, max_df=None)
+        pairs = {(r.id_a, r.id_b) for r in ov.collect()}
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_overlap_max_df_drops_boilerplate(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            winnow_overlap)
+        # fp 99 is in every doc (boilerplate); fp 7 only in docs 1,2
+        rows = [(d, 99, 1) for d in (1, 2, 3, 4)] + [(1, 7, 9),
+                                                     (2, 7, 9)]
+        fps = spark.createDataFrame(rows, "doc_id bigint, pos int, "
+                                          "fp bigint")
+        capped = winnow_overlap(
+            fps.selectExpr("doc_id", "fp"), min_shared=1, max_df=3)
+        assert {(r.id_a, r.id_b, r.shared_fps)
+                for r in capped.collect()} == {(1, 2, 1)}
+        uncapped = winnow_overlap(
+            fps.selectExpr("doc_id", "fp"), min_shared=1, max_df=None)
+        assert uncapped.count() == 6  # all C(4,2) pairs + the 1-2 extra
+
+    def test_short_and_empty_edges(self, spark):
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            winnow_fingerprints)
+        df = spark.createDataFrame(
+            [(1, ""), (2, "abc"), (3, "abcdefgh"), (4, None)],
+            "doc_id bigint, text string")
+        got = winnow_fingerprints(df, k=8, window=4)
+        rows = got.collect()
+        # only doc 3 (exactly one k-gram) yields a fingerprint
+        assert [(r.doc_id, r.pos) for r in rows] == [(3, 1)]
+
+
+class TestClusterOutlierFilter:
+    def test_fraction_cut_per_cluster(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_outlier_filter)
+        asg = spark.createDataFrame(
+            [(i, i % 2, 1.0 - 0.05 * i) for i in range(10)],
+            "vec_id bigint, cluster int, cos double")
+        kept = cluster_outlier_filter(asg, 0.4)
+        assert sorted(r.vec_id for r in kept.collect()) == [0, 1, 2,
+                                                            3, 4, 5]
+        dropped = cluster_outlier_filter(asg, 0.4, keep_outliers=True)
+        assert sorted(r.vec_id for r in dropped.collect()) == [6, 7,
+                                                               8, 9]
+        # kept + dropped partition the input
+        assert kept.count() + dropped.count() == 10
+
+    def test_tie_break_lowest_id_dropped_first(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_outlier_filter)
+        asg = spark.createDataFrame(
+            [(1, 0, 0.5), (2, 0, 0.5), (3, 0, 0.9), (4, 0, 0.9)],
+            "vec_id bigint, cluster int, cos double")
+        dropped = cluster_outlier_filter(asg, 0.25, keep_outliers=True)
+        # one row cut; among the 0.5 tie the LOWEST id ranks first
+        assert [r.vec_id for r in dropped.collect()] == [1]
+
+    def test_threshold_mode_and_guard(self, spark):
+        import pytest
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_outlier_filter)
+        asg = spark.createDataFrame(
+            [(1, 0, 0.99), (2, 0, 0.40)],
+            "vec_id bigint, cluster int, cos double")
+        kept = cluster_outlier_filter(asg, threshold=0.5)
+        assert [r.vec_id for r in kept.collect()] == [1]
+        with pytest.raises(ValueError, match="drop_fraction"):
+            cluster_outlier_filter(asg, 1.0)
+
+    def test_composes_with_embedding_cluster(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_outlier_filter, embedding_cluster)
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        asg, _ = embedding_cluster(emb, 4, init="first")
+        n = asg.count()
+        kept = cluster_outlier_filter(asg, 0.2)
+        assert 0 < kept.count() < n
+        # per cluster, the kept minimum cosine >= the dropped maximum
+        from pyspark.sql import functions as F
+        dropped = cluster_outlier_filter(asg, 0.2, keep_outliers=True)
+        kmin = {r.cluster: r.m for r in kept.groupBy("cluster")
+                .agg(F.min("cos").alias("m")).collect()}
+        dmax = {r.cluster: r.m for r in dropped.groupBy("cluster")
+                .agg(F.max("cos").alias("m")).collect()}
+        for cl, mx in dmax.items():
+            assert kmin[cl] >= mx
+
+
+class TestDistinctNgramRatios:
+    def test_hand_computed(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            distinct_ngram_ratios)
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c d")],
+            "doc_id bigint, text string")
+        got = {r.n: r for r in distinct_ngram_ratios(
+            docs, max_n=3).collect()}
+        assert (got[1].total_ngrams, got[1].distinct_ngrams) == (8, 4)
+        assert (got[2].total_ngrams, got[2].distinct_ngrams) == (6, 4)
+        # trigrams: doc1 {aba, bab}, doc2 {abc, bcd} -> 4 total 4 dist
+        assert (got[3].total_ngrams, got[3].distinct_ngrams) == (4, 4)
+        assert got[1].distinct_ratio == 0.5
+
+    def test_by_stratum_and_duplication_alarm(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            distinct_ngram_ratios)
+        # the duplicated stratum shows a collapsed distinct-2 ratio
+        # relative to the diverse one — the metric's whole point
+        docs = spark.createDataFrame(
+            [(1, "x y z w", "dup"), (2, "x y z w", "dup"),
+             (3, "a b c d", "div"), (4, "e f g h", "div")],
+            "doc_id bigint, text string, lang string")
+        got = {(r.lang, r.n): r.distinct_ratio
+               for r in distinct_ngram_ratios(
+                   docs, max_n=2, by="lang").collect()}
+        assert got[("dup", 2)] == 0.5
+        assert got[("div", 2)] == 1.0
+
+    def test_short_doc_edge(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            distinct_ngram_ratios)
+        docs = spark.createDataFrame(
+            [(1, "solo")], "doc_id bigint, text string")
+        got = {r.n: r for r in distinct_ngram_ratios(
+            docs, max_n=3).collect()}
+        assert got[1].total_ngrams == 1
+        assert 2 not in got and 3 not in got

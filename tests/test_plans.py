@@ -657,3 +657,62 @@ class TestContainmentPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Python" not in plan
+
+
+class TestWinnowPlans:
+    def test_fingerprints_pure_projection(self, engine):
+        # expression-only selection: zero Exchange, zero Python, and
+        # the O(len^2) per-start-slice trap must never return (the
+        # plan carries the zip_with fold, not a nested slice-of-
+        # transform per window start)
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            winnow_fingerprints)
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(winnow_fingerprints(docs))
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_overlap_is_fp_keyed_equi_join(self, engine):
+        # candidate pairs come from the fp-keyed self-equi-join —
+        # never a cartesian/BNL product
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            winnow_fingerprints, winnow_overlap)
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(winnow_overlap(winnow_fingerprints(docs)))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "Python" not in plan
+
+
+class TestDiversityPlans:
+    def test_distinct_ngrams_one_scan_no_join(self, engine):
+        # all n levels ride ONE combined explode: no join, no union of
+        # per-n scans, no Python
+        from confluent_ksql_charm_spark.pipeline.text import (
+            distinct_ngram_ratios)
+
+        docs = engine.metastore.get("documents").df
+        plan = _plan(distinct_ngram_ratios(docs, max_n=4, by="lang"))
+        assert "Join" not in plan
+        assert "Union" not in plan
+        assert "Python" not in plan
+        assert plan.count("FileScan") <= 1
+
+    def test_cluster_outliers_single_window_shuffle(self, engine):
+        # fraction mode: one hash-partition shuffle on the cluster key
+        # feeding the rank+count window; threshold mode: zero shuffle
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cluster_outlier_filter, embedding_cluster)
+
+        emb = engine.metastore.get("embeddings").df
+        asg, _ = embedding_cluster(emb, 8, init="first")
+        plan = _plan(cluster_outlier_filter(asg, 0.1))
+        assert plan.count("Exchange") == 1
+        assert "Window" in plan
+        assert "Python" not in plan
+        thr_plan = _plan(cluster_outlier_filter(asg, threshold=0.9))
+        assert "Exchange" not in thr_plan
+        assert "Window" not in thr_plan
