@@ -661,17 +661,20 @@ class TestContainmentPlans:
 
 class TestWinnowPlans:
     def test_fingerprints_pure_projection(self, engine):
-        # expression-only selection: zero Exchange, zero Python, and
-        # the O(len^2) per-start-slice trap must never return (the
-        # plan carries the zip_with fold, not a nested slice-of-
-        # transform per window start)
+        # expression-only selection: no Python, no join, and the only
+        # allowed Exchange is ensure_parallelism's small-input
+        # round-robin spread (a no-op at real scale) — the O(len^2)
+        # per-start-slice trap must never return (the plan carries the
+        # zip_with fold, not a nested slice-of-transform per start)
         from confluent_ksql_charm_spark.pipeline.dedup import (
             winnow_fingerprints)
 
         docs = engine.metastore.get("documents").df
         plan = _plan(winnow_fingerprints(docs))
-        assert "Exchange" not in plan
+        assert plan.count("Exchange") <= 1
+        assert "hashpartitioning" not in plan  # spread, not a shuffle key
         assert "Python" not in plan
+        assert "Join" not in plan
         assert "CartesianProduct" not in plan
 
     def test_overlap_is_fp_keyed_equi_join(self, engine):
