@@ -1113,6 +1113,16 @@ def _q_distinct_ngrams(spark, sf):
     return distinct_ngram_ratios(_docs(spark, sf), max_n=3, by="lang")
 
 
+def _q_embedding_covariance(spark, sf):
+    # distributed covariance reduce (the PCA fit's corpus-scale half):
+    # Arrow-batched X^T X partials -> one (i, j)-keyed aggregate
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        embedding_covariance)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    return embedding_covariance(emb)
+
+
 def _q_bpe_pair_counts(spark, sf):
     # BPE trainer's iteration-0 statistics: adjacent (char, char|</w>)
     # pair counts weighted by word frequency — the fully-distributed,
@@ -1776,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": _q_winnow_overlap,
         "cluster_outliers": _q_cluster_outliers,
         "distinct_ngrams": _q_distinct_ngrams,
+        "embedding_covariance": _q_embedding_covariance,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "gopher_quality": _q_gopher_quality,
         "gopher_report": _q_gopher_report,
@@ -3719,6 +3730,20 @@ def oracle_sql() -> dict[str, str]:
             "AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 "
             "AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8 "
             "AND n_stopwords >= 1 AS keep FROM m"
+        ),
+        "embedding_covariance": (
+            # exact upper-triangle covariance: E[xy] - E[x]E[y] per
+            # (i, j), i <= j, float64 math, round 6; the batch-partial
+            # plan and this direct replay must agree below rounding
+            "WITH x AS (SELECT [v::DOUBLE FOR v IN embedding] AS vv "
+            "FROM embeddings), "
+            "idx AS (SELECT a.i, b.j FROM "
+            "(SELECT unnest(generate_series(0, 63)) AS i) a, "
+            "(SELECT unnest(generate_series(0, 63)) AS j) b "
+            "WHERE a.i <= b.j) "
+            "SELECT i, j, round(avg(vv[i+1] * vv[j+1]) "
+            "- avg(vv[i+1]) * avg(vv[j+1]), 6) AS cov "
+            "FROM x CROSS JOIN idx GROUP BY i, j"
         ),
         "winnow_fingerprints": (
             # full winnowing replay: char-8-gram portable hashes,

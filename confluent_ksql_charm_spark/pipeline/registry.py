@@ -137,6 +137,9 @@ _SIGNATURES = {
     "DISTINCT_NGRAMS": ("DISTINCT_NGRAMS(src, TEXT='text'"
                         "[, MAX_N='4'][, BY='lang']"
                         "[, LOWERCASE='true'])"),
+    "EMBED_COVARIANCE": ("EMBED_COVARIANCE(emb[, VEC='embedding'])"),
+    "PCA_PROJECT": ("PCA_PROJECT(emb, N='8'[, ID='vec_id']"
+                    "[, VEC='embedding'][, OUT='pca'])"),
 }
 
 
@@ -565,6 +568,18 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
             id_col=p.get("ID", "vec_id"),
             keep_outliers=p.get("KEEP_OUTLIERS", "false").lower()
             == "true")
+    if op == "EMBED_COVARIANCE":
+        from .similarity import embedding_covariance
+        _need_sources(spec, 1)
+        return embedding_covariance(dfs[0],
+                                    vec_col=p.get("VEC", "embedding"))
+    if op == "PCA_PROJECT":
+        from .similarity import pca_fit, pca_project
+        _need_sources(spec, 1)
+        vec = p.get("VEC", "embedding")
+        model = pca_fit(dfs[0], int(_need(spec, "N")), vec_col=vec)
+        return pca_project(dfs[0], model, vec_col=vec,
+                           out_col=p.get("OUT", "pca"))
     if op == "DISTINCT_NGRAMS":
         from .text import distinct_ngram_ratios
         _need_sources(spec, 1)

@@ -3315,3 +3315,147 @@ def pq_topk_residual(codes_df: DataFrame, query_vec: list[float],
 
     scored = codes_df.mapInPandas(_scan, schema=schema)
     return scored.orderBy(F.desc("acos"), F.col(id_col)).limit(k)
+
+
+# --------------------------------------------------------------------------
+# PCA dimension reduction (public method: principal component analysis,
+# the standard pre-ANN shrink — faiss's PCAMatrix / OPQ pre-transform
+# role: project dim-768 embeddings to dim-64 before IVF/PQ so every
+# downstream scan, codebook and index partition pays 1/12 of the bytes).
+# Spark-first split: the covariance reduce is the ONLY corpus-scale pass
+# (Arrow-batched numpy X^T X partials -> one (i, j)-keyed aggregate,
+# d(d+1)/2 rows total); the eigendecomposition is O(d^3) DRIVER work on
+# bounded state (the PQ_TRAIN/BPE precedent); projection is a pure
+# expression riding the scan.
+
+
+def embedding_covariance(df: DataFrame, *, vec_col: str = "embedding",
+                         round_to: int = 6) -> DataFrame:
+    """Upper-triangle covariance of the embedding columns: one row per
+    (i, j), i <= j, with ``cov`` rounded to `round_to` (oracle
+    contract).
+
+    100 TB shape: each Arrow batch emits ONE d(d+1)/2-row partial
+    (numpy ``X.T @ X`` — BLAS, not per-element Python) carrying batch
+    count / per-dim sums / pair sums; a single hash aggregate keyed on
+    (i, j) merges partials map-side. No driver state, no corpus-row
+    explode (the naive per-row pair explode amplifies the corpus
+    d(d+1)/2 times — 2080x at dim 64; the batch partial is ~0.2x for
+    10k-row batches).
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = df.select(F.size(vec_col)).first()[0]
+    iu, ju = np.triu_indices(dim)
+
+    def _partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.asarray([list(v) for v in pdf[vec_col]],
+                           dtype=np.float64)
+            s = x.sum(axis=0)
+            sxy = x.T @ x
+            yield pd.DataFrame({
+                "i": iu.astype("int32"), "j": ju.astype("int32"),
+                "n": np.int64(len(x)),
+                "sx": s[iu], "sy": s[ju], "sxy": sxy[iu, ju]})
+
+    parts = df.select(vec_col).mapInPandas(
+        _partials, schema="i int, j int, n long, sx double, "
+                          "sy double, sxy double")
+    return (parts.groupBy("i", "j")
+            .agg(F.sum("n").alias("__n"), F.sum("sx").alias("__sx"),
+                 F.sum("sy").alias("__sy"), F.sum("sxy").alias("__sxy"))
+            .select("i", "j",
+                    F.round(F.col("__sxy") / F.col("__n")
+                            - (F.col("__sx") / F.col("__n"))
+                            * (F.col("__sy") / F.col("__n")),
+                            round_to).alias("cov")))
+
+
+def pca_fit(df: DataFrame, n_components: int, *,
+            vec_col: str = "embedding") -> dict:
+    """Fit a PCA model: exact covariance (distributed, see
+    `embedding_covariance` — here unrounded for the eigensolve) +
+    driver-side ``numpy.linalg.eigh`` on the bounded d x d matrix.
+    Deterministic: the covariance is exact, eigh is deterministic for
+    a given matrix, and each component's sign is fixed by the
+    convention that its largest-|.| coordinate is positive (eigh's
+    sign is otherwise arbitrary, which would break replay).
+
+    Returns ``{"components": [[...] x n_components], "mean": [...],
+    "explained_variance": [...], "dim": d}`` — kilobytes, the same
+    persist-and-reuse contract as the PQ codebooks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim = df.select(F.size(vec_col)).first()[0]
+    if not 1 <= n_components <= dim:
+        raise ValueError(f"pca_fit: n_components must be in [1, {dim}]"
+                         f", got {n_components}")
+    iu, ju = np.triu_indices(dim)
+
+    def _partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.asarray([list(v) for v in pdf[vec_col]],
+                           dtype=np.float64)
+            s = x.sum(axis=0)
+            sxy = x.T @ x
+            yield pd.DataFrame({
+                "i": iu.astype("int32"), "j": ju.astype("int32"),
+                "n": np.int64(len(x)),
+                "sx": s[iu], "sy": s[ju], "sxy": sxy[iu, ju]})
+
+    rows = (df.select(vec_col).mapInPandas(
+        _partials, schema="i int, j int, n long, sx double, "
+                          "sy double, sxy double")
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+             F.sum("sy").alias("sy"), F.sum("sxy").alias("sxy"))
+        .collect())  # bounded: d(d+1)/2 rows
+    n = rows[0]["n"]
+    cov = np.zeros((dim, dim))
+    mean = np.zeros(dim)
+    for r in rows:
+        c = r["sxy"] / n - (r["sx"] / n) * (r["sy"] / n)
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = c
+        if r["i"] == r["j"]:
+            mean[r["i"]] = r["sx"] / n
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = []
+    for idx in order:
+        vec = v[:, idx]
+        if vec[int(np.argmax(np.abs(vec)))] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+    return {"components": comps, "mean": [float(m) for m in mean],
+            "explained_variance": [float(w[i]) for i in order],
+            "dim": int(dim)}
+
+
+def pca_project(df: DataFrame, model: dict, *,
+                vec_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Replace/append `out_col` = the centered projection onto the
+    fitted components — ``[(v - mean) . c_0, ..., (v - mean) .
+    c_{k-1}]`` as ``array<double>``.
+
+    Pure expression projection (one dot per component, the
+    `embedding_cluster` k<=32 shape): centering folds into a
+    precomputed per-component scalar (``(v - mean).c = v.c -
+    mean.c``), so the plan is k dot products riding the scan under
+    codegen — zero shuffle, zero Python. Compose with any ANN tier on
+    the reduced column.
+    """
+    v = F.col(vec_col)
+    outs = []
+    for comp in model["components"]:
+        const = sum(m * c for m, c in zip(model["mean"], comp))
+        outs.append(dot(v, _vec_lit(comp)) - F.lit(float(const)))
+    return df.withColumn(out_col, F.array(*outs))

@@ -5661,6 +5661,28 @@ class TestGopherQualityFlags:
         for i in range(2, 9):
             assert not got[i]["keep"], i
 
+    def test_boundary_whitespace_word_domain(self, spark):
+        # ADVICE r9: F.trim strips only SPACES, so a leading tab or
+        # newline used to inject a phantom '' token (inflating n_words,
+        # deflating the ratios). The regex pre-trim must count exactly
+        # the paper's words; empty / whitespace-only docs count zero.
+        from confluent_ksql_charm_spark.pipeline.text import (
+            gopher_quality_flags)
+        body = "the quick brown fox jumps over a lazy dog"
+        rows = [(1, body), (2, "\t" + body + "\n"),
+                (3, "\n\t " + body), (4, ""), (5, " \t\n ")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r["doc_id"]: r for r in gopher_quality_flags(
+            df, min_words=5, min_stopwords=1).collect()}
+        for d in (1, 2, 3):
+            assert got[d]["n_words"] == 9, d
+            assert got[d]["mean_word_len"] == got[1]["mean_word_len"]
+            assert got[d]["alpha_word_ratio"] == 1.0
+        for d in (4, 5):
+            assert got[d]["n_words"] == 0
+            assert got[d]["mean_word_len"] == 0.0
+            assert not got[d]["keep"]
+
     def test_ratios_are_exact_counts(self, spark):
         from confluent_ksql_charm_spark.pipeline.text import (
             gopher_quality_flags)
@@ -6401,3 +6423,89 @@ class TestDistinctNgramRatios:
             docs, max_n=3).collect()}
         assert got[1].total_ngrams == 1
         assert 2 not in got and 3 not in got
+
+
+class TestPCA:
+    def _rank2(self, spark, n=200, dim=6, seed=5):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=(n, 2)) @ rng.normal(size=(2, dim))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(n)],
+            "vec_id bigint, embedding array<double>")
+        return df, base
+
+    def test_covariance_matches_numpy(self, spark):
+        import numpy as np
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            embedding_covariance)
+        df, base = self._rank2(spark)
+        got = {(r.i, r.j): r.cov
+               for r in embedding_covariance(df).collect()}
+        ref = np.cov(base.T, bias=True)
+        assert len(got) == 6 * 7 // 2
+        for i in range(6):
+            for j in range(i, 6):
+                assert abs(got[(i, j)] - ref[i, j]) < 1e-5
+
+    def test_fit_recovers_rank_and_projection_variance(self, spark):
+        import numpy as np
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            pca_fit, pca_project)
+        df, base = self._rank2(spark)
+        m = pca_fit(df, 3)
+        ev = m["explained_variance"]
+        # rank-2 data: two real components, the third ~0; sorted desc
+        assert ev[0] >= ev[1] > 1e-6 > abs(ev[2])
+        proj = np.array([r.pca for r in pca_project(df, m).collect()])
+        # projection variance per component == its eigenvalue
+        assert np.allclose(proj.var(axis=0), ev, atol=1e-6)
+        # components are orthonormal
+        C = np.array(m["components"])
+        assert np.allclose(C @ C.T, np.eye(3), atol=1e-9)
+
+    def test_sign_convention_is_deterministic(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import pca_fit
+        df, _ = self._rank2(spark)
+        m1 = pca_fit(df, 2)
+        m2 = pca_fit(df.repartition(7), 2)  # different partitioning
+        for a, b in zip(m1["components"], m2["components"]):
+            assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+        assert all(max(c, key=abs) > 0 for c in m1["components"])
+
+    def test_projection_preserves_neighborhoods(self, spark):
+        # the reason the op exists: when variance is concentrated
+        # (real embedding spaces — NOT the near-isotropic synthetic
+        # testdata, where reduction rightly loses neighborhoods), ANN
+        # on the reduced column agrees with ANN on the full column.
+        # Rank-8 structure in 64 dims + small noise, reduced to 16.
+        import numpy as np
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, pca_fit, pca_project)
+        rng = np.random.default_rng(9)
+        base = (rng.normal(size=(400, 8)) @ rng.normal(size=(8, 64))
+                + 0.01 * rng.normal(size=(400, 64)))
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(400)],
+            "vec_id bigint, embedding array<double>")
+        m = pca_fit(emb, 16)
+        # >=99% of total variance captured on rank-8-plus-noise data
+        cov_trace = float((base - base.mean(0)).var(0).sum())
+        assert sum(m["explained_variance"]) / cov_trace > 0.99
+        red = pca_project(emb, m, out_col="embedding_r")
+        q = [float(x) for x in base[0]]
+        full = [r.vec_id for r in cosine_topk(emb, q, k=10).collect()]
+        qr = red.where(red.vec_id == 0).first().embedding_r
+        reduced = [r.vec_id for r in cosine_topk(
+            red.select("vec_id",
+                       red.embedding_r.alias("embedding")),
+            [float(x) for x in qr], k=10).collect()]
+        assert full[0] == reduced[0] == 0
+        assert len(set(full) & set(reduced)) >= 8
+
+    def test_guard(self, spark):
+        import pytest
+        from confluent_ksql_charm_spark.pipeline.similarity import pca_fit
+        df, _ = self._rank2(spark)
+        with pytest.raises(ValueError, match="n_components"):
+            pca_fit(df, 99)

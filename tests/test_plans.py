@@ -719,3 +719,32 @@ class TestDiversityPlans:
         thr_plan = _plan(cluster_outlier_filter(asg, threshold=0.9))
         assert "Exchange" not in thr_plan
         assert "Window" not in thr_plan
+
+
+class TestPCAPlans:
+    def test_covariance_is_batch_partials_one_agg(self, engine):
+        # the only corpus-scale pass: Arrow batch partials (Python IS
+        # expected here — numpy BLAS per batch) into ONE (i, j)-keyed
+        # aggregate; no join, no corpus-row explode
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            embedding_covariance)
+
+        emb = engine.metastore.get("embeddings").df
+        plan = _plan(embedding_covariance(emb))
+        assert "Join" not in plan
+        assert "Generate" not in plan  # no explode amplification
+        assert plan.count("Exchange") <= 1
+        assert plan.count("HashAggregate") >= 2  # map-side partials
+
+    def test_project_rides_the_scan(self, engine):
+        # projection = k dot products as pure expressions: zero
+        # shuffle, zero Python
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            pca_fit, pca_project)
+
+        emb = engine.metastore.get("embeddings").df
+        model = pca_fit(emb, 4)
+        plan = _plan(pca_project(emb, model))
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+        assert "Join" not in plan
