@@ -3742,7 +3742,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT unnest(generate_series(0, 63)) AS j) b "
             "WHERE a.i <= b.j) "
             "SELECT i, j, round(avg(vv[i+1] * vv[j+1]) "
-            "- avg(vv[i+1]) * avg(vv[j+1]), 6) AS cov "
+            "- avg(vv[i+1]) * avg(vv[j+1]), 6) + 0.0 AS cov "
             "FROM x CROSS JOIN idx GROUP BY i, j"
         ),
         "winnow_fingerprints": (

@@ -3369,10 +3369,14 @@ def embedding_covariance(df: DataFrame, *, vec_col: str = "embedding",
             .agg(F.sum("n").alias("__n"), F.sum("sx").alias("__sx"),
                  F.sum("sy").alias("__sy"), F.sum("sxy").alias("__sxy"))
             .select("i", "j",
-                    F.round(F.col("__sxy") / F.col("__n")
-                            - (F.col("__sx") / F.col("__n"))
-                            * (F.col("__sy") / F.col("__n")),
-                            round_to).alias("cov")))
+                    # + 0.0 canonicalizes IEEE -0.0 (a near-zero
+                    # covariance rounds to minus zero on whichever
+                    # side's float error lands negative; the gate's
+                    # string sort distinguishes "-0.0" from "0.0")
+                    (F.round(F.col("__sxy") / F.col("__n")
+                             - (F.col("__sx") / F.col("__n"))
+                             * (F.col("__sy") / F.col("__n")),
+                             round_to) + F.lit(0.0)).alias("cov")))
 
 
 def pca_fit(df: DataFrame, n_components: int, *,

@@ -537,6 +537,22 @@ class TestPipelineStatements:
         kept = peng.sql("SELECT vec_id FROM proto").collect()
         assert 0 < len(kept) < 6
 
+    def test_pca_via_sql(self, peng, spark):
+        import numpy as np
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(60, 2)) @ rng.normal(size=(2, 6))
+        peng.register_source("pcavecs", df=spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(60)],
+            "vec_id bigint, embedding array<double>"))
+        peng.execute("CREATE TABLE covm AS PIPELINE "
+                     "EMBED_COVARIANCE(pcavecs);")
+        assert peng.sql("SELECT count(*) AS n FROM covm") \
+            .first().n == 6 * 7 // 2
+        peng.execute("CREATE TABLE reduced AS PIPELINE "
+                     "PCA_PROJECT(pcavecs, N='2');")
+        rows = peng.sql("SELECT vec_id, pca FROM reduced").collect()
+        assert len(rows) == 60 and all(len(r.pca) == 2 for r in rows)
+
     def test_distinct_ngrams_via_sql(self, peng):
         peng.execute("CREATE TABLE divr AS PIPELINE "
                      "DISTINCT_NGRAMS(docs, TEXT='text', MAX_N='2');")
