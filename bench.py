@@ -85,6 +85,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "cluster_outliers",
     "distinct_ngrams",
+    "embedding_covariance",
 ]
 
 
