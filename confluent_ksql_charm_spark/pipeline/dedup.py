@@ -1360,9 +1360,14 @@ def winnow_overlap(fps: DataFrame, id_col: str = "doc_id", *,
     100 TB shape: distinct (fp, id) → optional frequency cap
     (vocabulary-bounded agg) → fp-keyed self-equi-join (shuffle on
     fp, never all-pairs) → pair-count agg. Skew lives exactly in the
-    capped hot fps.
+    capped hot fps. The distinct fp relation is CHECKPOINTED: it has
+    three static consumers (the df-cap aggregate + both join sides),
+    and without the cut the upstream fingerprint projection — the
+    expensive per-char hashing — re-executes per consumer (the
+    near-dup candidate-list lesson; measured 239 s at sf10 where one
+    fingerprint pass is 129 s).
     """
-    base = fps.select(id_col, "fp").distinct()
+    base = maybe_checkpoint(fps.select(id_col, "fp").distinct())
     if max_df is not None:
         hot = (base.groupBy("fp")
                .agg(F.count(F.lit(1)).alias("__df"))

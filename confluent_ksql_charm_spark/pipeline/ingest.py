@@ -143,6 +143,10 @@ def corpus_ingest_batch_fn(
     dsir_model_path: str | None = None,
     dsir_min_logratio: float = 0.0,
     bloom_path: str | None = None,
+    winnow_path: str | None = None,
+    winnow_min_shared: int = 3,
+    winnow_k: int = 8,
+    winnow_window: int = 4,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function for `start_corpus_ingest` (also
     directly callable with a static DataFrame for backfill runs).
@@ -196,7 +200,20 @@ def corpus_ingest_batch_fn(
     array — unlike `bench_path`, whose gram relation this function
     re-derives in the normalized domain automatically); a raw-text
     filter would stop matching normalized batches, silently weakening
-    the gate."""
+    the gate.
+
+    `winnow_path`: a persisted `dedup.winnow_fingerprints` output for
+    a reference set (licensed text, eval suites) — the PARTIAL-
+    verbatim-reuse tier: docs sharing >= `winnow_min_shared` selected
+    fingerprints with the reference are rejected. Catches the case
+    both other tiers miss structurally (a paragraph lifted into an
+    otherwise-original doc: too edited for the exact gram tier at
+    doc granularity to matter, too small a fraction for whole-doc
+    Jaccard). The reference's distinct-fp relation loads once per
+    process (cached + broadcast); `winnow_k`/`winnow_window` MUST
+    match the values the sidecar was built with, and with
+    ``normalize=True`` the sidecar must be built over normalized
+    reference text (same baked-artifact rule as `bloom_path`)."""
 
     # benchmark-derived relations, computed lazily on the first batch
     # and reused (benchmarks are MBs — both fit the broadcast path)
@@ -283,6 +300,37 @@ def corpus_ingest_batch_fn(
             count_grams=False)
         return batch.join(F.broadcast(flagged), id_col, "left_anti")
 
+    winnow_state: dict = {}
+
+    def _winnow_gate(batch: DataFrame) -> DataFrame:
+        # PARTIAL-verbatim-reuse tier: exact n-grams (bench_path)
+        # need a full gram match, the fuzzy tier needs high WHOLE-DOC
+        # Jaccard — a paragraph lifted into an otherwise-original doc
+        # slips both. Winnowing's locality guarantee (any shared
+        # substring >= window+k-1 chars shares a fingerprint) catches
+        # it: reject batch docs sharing >= winnow_min_shared selected
+        # fingerprints with the persisted reference relation (a
+        # `winnow_fingerprints` output — licensed text, eval suites —
+        # versioned, so its distinct-fp set loads ONCE per process,
+        # cached + broadcast; per-batch cost is fingerprinting the
+        # BATCH only).
+        from .dedup import winnow_fingerprints
+
+        if "fps" not in winnow_state:
+            winnow_state["fps"] = (
+                batch.sparkSession.read.parquet(winnow_path)
+                .select("fp").distinct().cache())
+        ref = winnow_state["fps"]
+        hits = (winnow_fingerprints(batch, id_col, text_col,
+                                    k=winnow_k, window=winnow_window)
+                .select(id_col, "fp").distinct()
+                .join(F.broadcast(ref), "fp")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("__shared"))
+                .where(F.col("__shared") >= winnow_min_shared)
+                .select(id_col))
+        return batch.join(hits, id_col, "left_anti")
+
     dsir_state: dict = {}
 
     def _dsir_gate(batch: DataFrame) -> DataFrame:
@@ -319,6 +367,10 @@ def corpus_ingest_batch_fn(
         # 3b2. Bloom tier for benchmark suites too big to broadcast
         if bloom_path:
             batch = _bloom_gate(batch)
+        # 3b3. winnowing tier for PARTIAL verbatim reuse (a lifted
+        # paragraph inside an otherwise-original doc)
+        if winnow_path:
+            batch = _winnow_gate(batch)
         # 3c. DSIR target-likeness admission gate
         if dsir_model_path:
             batch = _dsir_gate(batch)
@@ -358,7 +410,8 @@ def corpus_ingest_batch_fn(
         process lifetime is safe — call this after stopping the query
         to return the executor memory early, e.g. when the same
         process restarts ingest against a refreshed model/benchmark."""
-        for state in (bench_state, dsir_state, bloom_state):
+        for state in (bench_state, dsir_state, bloom_state,
+                      winnow_state):
             for v in state.values():
                 rel = v.get("lr") if isinstance(v, dict) else v
                 if isinstance(rel, DataFrame):
@@ -384,6 +437,8 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
                         dsir_model_path: str | None = None,
                         dsir_min_logratio: float = 0.0,
                         bloom_path: str | None = None,
+                        winnow_path: str | None = None,
+                        winnow_min_shared: int = 3,
                         available_now: bool = False):
     """Start the streaming ingestion query over a streaming DataFrame
     (file/kafka source). Returns the StreamingQuery; exactly the
@@ -400,7 +455,9 @@ def start_corpus_ingest(source_df: DataFrame, corpus_path: str,
             fuzzy_threshold=fuzzy_threshold,
             dsir_model_path=dsir_model_path,
             dsir_min_logratio=dsir_min_logratio,
-            bloom_path=bloom_path))
+            bloom_path=bloom_path,
+            winnow_path=winnow_path,
+            winnow_min_shared=winnow_min_shared))
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )

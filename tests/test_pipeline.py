@@ -5630,6 +5630,70 @@ class TestIngestBloomGate:
         assert spark.read.parquet(corpus_path).count() == 1
 
 
+class TestIngestWinnowGate:
+    def test_partial_verbatim_reuse_rejected(self, spark, tmp_path):
+        # the tier's reason to exist: a LIFTED PARAGRAPH inside an
+        # otherwise-original doc — whole-doc Jaccard is low (the fuzzy
+        # tier misses it) but winnowing's locality guarantee fires
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            winnow_fingerprints)
+        from confluent_ksql_charm_spark.pipeline.ingest import (
+            corpus_ingest_batch_fn)
+        licensed = ("this exact licensed paragraph must never appear "
+                    "in any training corpus under the content deal")
+        ref = spark.createDataFrame([(1, licensed)],
+                                    "doc_id bigint, text string")
+        (winnow_fingerprints(ref, k=8, window=4)
+         .write.parquet(str(tmp_path / "winnow")))
+
+        filler_a = ("an otherwise original training document that "
+                    "talks at length about distributed query engines "
+                    "and columnar formats before quoting: ")
+        filler_b = (" and then continues with its own analysis for "
+                    "several further sentences of original prose")
+        batch = spark.createDataFrame(
+            [(10, filler_a + licensed + filler_b),   # lifted paragraph
+             (11, filler_a + "nothing quoted here at all" + filler_b)],
+            "doc_id bigint, text string")
+        corpus_path = str(tmp_path / "corpus")
+        fn = corpus_ingest_batch_fn(
+            corpus_path, clean=False, quality_gate=False,
+            winnow_path=str(tmp_path / "winnow"), winnow_min_shared=3)
+        fn(batch, 0)
+        kept = {r.doc_id
+                for r in spark.read.parquet(corpus_path).collect()}
+        assert kept == {11}
+        # replay idempotence + release/reload
+        fn(batch, 0)
+        assert spark.read.parquet(corpus_path).count() == 1
+        fn.release()
+        fn(batch, 0)
+        assert spark.read.parquet(corpus_path).count() == 1
+
+    def test_fuzzy_tier_misses_what_winnow_catches(self, spark,
+                                                   tmp_path):
+        # document the structural gap: the SAME lifted-paragraph doc
+        # passes a fuzzy (whole-doc Jaccard) decontamination gate
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            fuzzy_flag_contaminated)
+        licensed = ("this exact licensed paragraph must never appear "
+                    "in any training corpus under the content deal")
+        filler = ("an otherwise original training document that talks "
+                  "at length about distributed query engines and "
+                  "columnar storage formats and partition pruning and "
+                  "adaptive execution before briefly quoting: ")
+        doc = spark.createDataFrame(
+            [(10, filler + licensed + " and then continues with its "
+              "own analysis for several further sentences of prose "
+              "about shuffle hash joins and broadcast thresholds")],
+            "doc_id bigint, text string")
+        bench = spark.createDataFrame([(1, licensed)],
+                                      "doc_id bigint, text string")
+        flagged = fuzzy_flag_contaminated(doc, bench, "doc_id", "text",
+                                          threshold=0.5)
+        assert flagged.count() == 0  # fuzzy tier: blind to it
+
+
 class TestGopherQualityFlags:
     def test_each_rule_fires_on_its_planted_doc(self, spark):
         from confluent_ksql_charm_spark.pipeline.text import (
