@@ -1113,6 +1113,19 @@ def _q_distinct_ngrams(spark, sf):
     return distinct_ngram_ratios(_docs(spark, sf), max_n=3, by="lang")
 
 
+def _q_random_projection(spark, sf):
+    # JL sparse random projection, flattened to (vec_id, j, val) rows
+    # for the gate; portable sign hashes so DuckDB replays the matrix
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        random_projection)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    rp = random_projection(emb, 8, portable=True, round_to=6)
+    return rp.select(
+        "vec_id", F.posexplode("rp").alias("j", "val")
+    ).select("vec_id", "j", (F.col("val") + F.lit(0.0)).alias("val"))
+
+
 def _q_embedding_covariance(spark, sf):
     # distributed covariance reduce (the PCA fit's corpus-scale half):
     # Arrow-batched X^T X partials -> one (i, j)-keyed aggregate
@@ -1787,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_outliers": _q_cluster_outliers,
         "distinct_ngrams": _q_distinct_ngrams,
         "embedding_covariance": _q_embedding_covariance,
+        "random_projection": _q_random_projection,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "gopher_quality": _q_gopher_quality,
         "gopher_report": _q_gopher_report,
@@ -3730,6 +3744,21 @@ def oracle_sql() -> dict[str, str]:
             "AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 "
             "AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8 "
             "AND n_stopwords >= 1 AS keep FROM m"
+        ),
+        "random_projection": (
+            # JL replay: sign(i, j) = parity of the portable md5 hash
+            # of 'i:j:seed'; out_j = sum_i v_i*sign / sqrt(k), round 6
+            # (+0.0 canonicalizes IEEE minus zero on both sides)
+            "WITH x AS (SELECT vec_id, "
+            "[v::DOUBLE FOR v IN embedding] AS vv FROM embeddings), "
+            "js AS (SELECT unnest(generate_series(0, 7)) AS j) "
+            "SELECT vec_id, j, "
+            "round(list_sum(list_transform("
+            "generate_series(1, len(vv)), i -> vv[i] * "
+            "(CASE WHEN (('0x' || substr(md5((i - 1)::VARCHAR || ':' "
+            "|| j::VARCHAR || ':42'), 1, 15))::BIGINT % 2) = 0 "
+            "THEN 1.0 ELSE -1.0 END))) / sqrt(8.0), 6) + 0.0 AS val "
+            "FROM x CROSS JOIN js"
         ),
         "embedding_covariance": (
             # exact upper-triangle covariance: E[xy] - E[x]E[y] per

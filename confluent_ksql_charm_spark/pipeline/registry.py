@@ -140,6 +140,8 @@ _SIGNATURES = {
     "EMBED_COVARIANCE": ("EMBED_COVARIANCE(emb[, VEC='embedding'])"),
     "PCA_PROJECT": ("PCA_PROJECT(emb, N='8'[, ID='vec_id']"
                     "[, VEC='embedding'][, OUT='pca'])"),
+    "RANDOM_PROJECT": ("RANDOM_PROJECT(emb, K='8'[, VEC='embedding']"
+                       "[, OUT='rp'][, SEED='42'])"),
 }
 
 
@@ -580,6 +582,13 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         model = pca_fit(dfs[0], int(_need(spec, "N")), vec_col=vec)
         return pca_project(dfs[0], model, vec_col=vec,
                            out_col=p.get("OUT", "pca"))
+    if op == "RANDOM_PROJECT":
+        from .similarity import random_projection
+        _need_sources(spec, 1)
+        return random_projection(
+            dfs[0], int(_need(spec, "K")),
+            vec_col=p.get("VEC", "embedding"),
+            out_col=p.get("OUT", "rp"), seed=int(p.get("SEED", 42)))
     if op == "DISTINCT_NGRAMS":
         from .text import distinct_ngram_ratios
         _need_sources(spec, 1)

@@ -3463,3 +3463,64 @@ def pca_project(df: DataFrame, model: dict, *,
         const = sum(m * c for m, c in zip(model["mean"], comp))
         outs.append(dot(v, _vec_lit(comp)) - F.lit(float(const)))
     return df.withColumn(out_col, F.array(*outs))
+
+
+def random_projection(df: DataFrame, k: int, *,
+                      vec_col: str = "embedding",
+                      out_col: str = "rp", seed: int = 42,
+                      portable: bool = False,
+                      round_to: int | None = None) -> DataFrame:
+    """Sparse random projection (Achlioptas 2003 / the
+    Johnson-Lindenstrauss transform — public method): append `out_col`
+    = the dim→k projection under a DATA-INDEPENDENT ±1 sign matrix
+    derived from keyed hashes, scaled by 1/sqrt(k).
+
+    The fit-free sibling of `pca_fit`/`pca_project`: JL guarantees
+    pairwise distances are preserved within (1±eps) for
+    k = O(log n / eps²) WITHOUT looking at the data — so there is no
+    covariance pass, no model artifact, and adding corpus never
+    invalidates the projection (the property PCA cannot have). Use
+    PCA when variance is genuinely concentrated (better k for the
+    same distortion); use this when the corpus grows continuously or
+    a fit pass over 100 TB is not worth scheduling.
+
+    Deterministic: sign(i → j) = parity of xxhash64(i, j, seed)
+    (or the portable md5 family with ``portable=True``, making the
+    whole projection replayable in an external engine — pass
+    ``round_to`` to put outputs in the rounded oracle domain).
+
+    100 TB shape: one expression projection riding the scan — k
+    zip_with folds over the input vector, zero shuffle, zero Python;
+    the "matrix" never materializes anywhere (signs are recomputed
+    per element, ~1 hash per (i, j) term).
+    """
+    import math as _math
+
+    if k < 1:
+        raise ValueError(f"random_projection: k must be >= 1, got {k}")
+    v = F.col(vec_col)
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    scale = 1.0 / _math.sqrt(k)
+
+    def _sign(i: Column, j: int) -> Column:
+        if portable:
+            from .dedup import portable_token_hash
+
+            h = portable_token_hash(
+                F.concat_ws(":", i.cast("string"), F.lit(str(j)),
+                            F.lit(str(seed))))
+        else:
+            h = F.xxhash64(i, F.lit(j), F.lit(seed))
+        return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1.0)) \
+            .otherwise(F.lit(-1.0))
+
+    outs = []
+    for j in range(k):
+        term = F.aggregate(
+            F.zip_with(v, idx,
+                       lambda x, i: x.cast("double") * _sign(i, j)),
+            F.lit(0.0), lambda acc, x: acc + x) * F.lit(scale)
+        if round_to is not None:
+            term = F.round(term, round_to)
+        outs.append(term)
+    return df.withColumn(out_col, F.array(*outs))

@@ -553,6 +553,15 @@ class TestPipelineStatements:
         rows = peng.sql("SELECT vec_id, pca FROM reduced").collect()
         assert len(rows) == 60 and all(len(r.pca) == 2 for r in rows)
 
+    def test_random_project_via_sql(self, peng, spark):
+        peng.register_source("rpvecs", df=spark.createDataFrame(
+            [(i, [float(i), 1.0, -2.0]) for i in range(10)],
+            "vec_id bigint, embedding array<double>"))
+        peng.execute("CREATE TABLE rpred AS PIPELINE "
+                     "RANDOM_PROJECT(rpvecs, K='2');")
+        rows = peng.sql("SELECT vec_id, rp FROM rpred").collect()
+        assert len(rows) == 10 and all(len(r.rp) == 2 for r in rows)
+
     def test_distinct_ngrams_via_sql(self, peng):
         peng.execute("CREATE TABLE divr AS PIPELINE "
                      "DISTINCT_NGRAMS(docs, TEXT='text', MAX_N='2');")

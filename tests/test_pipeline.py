@@ -6573,3 +6573,76 @@ class TestPCA:
         df, _ = self._rank2(spark)
         with pytest.raises(ValueError, match="n_components"):
             pca_fit(df, 99)
+
+
+class TestRandomProjection:
+    def test_jl_distance_preservation(self, spark):
+        import itertools
+        import numpy as np
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            random_projection)
+        rng = np.random.default_rng(2)
+        base = rng.normal(size=(200, 64))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(200)],
+            "vec_id bigint, embedding array<double>")
+        got = {r.vec_id: np.array(r.rp)
+               for r in random_projection(df, 16).collect()}
+        pairs = list(itertools.combinations(range(0, 60, 7), 2))
+        ratios = []
+        for a, b in pairs:
+            full = np.linalg.norm(base[a] - base[b])
+            red = np.linalg.norm(got[a] - got[b])
+            ratios.append(red / full)
+        # JL at k=16: distances preserved within a generous band
+        assert 0.5 < min(ratios) and max(ratios) < 1.6
+        assert abs(float(np.mean(ratios)) - 1.0) < 0.15
+
+    def test_deterministic_and_data_independent(self, spark):
+        # same seed -> identical projection regardless of partitioning
+        # or WHICH OTHER ROWS are present (the fit-free property)
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            random_projection)
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0, -2.0, float(i % 3)])
+             for i in range(20)],
+            "vec_id bigint, embedding array<double>")
+        a = {r.vec_id: r.rp for r in random_projection(df, 4).collect()}
+        b = {r.vec_id: r.rp
+             for r in random_projection(
+                 df.where("vec_id < 5").repartition(3), 4).collect()}
+        for i in range(5):
+            assert a[i] == b[i]
+        # different seed -> different matrix
+        c = {r.vec_id: r.rp
+             for r in random_projection(df, 4, seed=7).collect()}
+        assert any(a[i] != c[i] for i in range(20))
+
+    def test_portable_matches_python_reference(self, spark):
+        import hashlib
+        import math
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            random_projection)
+        vec = [0.5, -1.25, 2.0]
+        df = spark.createDataFrame([(1, vec)],
+                                   "vec_id bigint, embedding array<double>")
+        got = random_projection(df, 2, portable=True,
+                                round_to=6).first().rp
+
+        def sign(i, j):
+            h = int(hashlib.md5(f"{i}:{j}:42".encode())
+                    .hexdigest()[:15], 16)
+            return 1.0 if h % 2 == 0 else -1.0
+
+        want = [round(sum(v * sign(i, j) for i, v in enumerate(vec))
+                      / math.sqrt(2), 6) for j in range(2)]
+        assert [round(g, 6) for g in got] == want
+
+    def test_guard(self, spark):
+        import pytest
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            random_projection)
+        df = spark.createDataFrame([(1, [1.0])],
+                                   "vec_id bigint, embedding array<double>")
+        with pytest.raises(ValueError, match="k must be"):
+            random_projection(df, 0)

@@ -748,3 +748,15 @@ class TestPCAPlans:
         assert "Exchange" not in plan
         assert "Python" not in plan
         assert "Join" not in plan
+
+    def test_random_projection_rides_the_scan(self, engine):
+        # fit-free JL transform: pure expression projection — zero
+        # shuffle, zero Python, the sign matrix never materializes
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            random_projection)
+
+        emb = engine.metastore.get("embeddings").df
+        plan = _plan(random_projection(emb, 8))
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+        assert "Join" not in plan
