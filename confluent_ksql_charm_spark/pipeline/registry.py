@@ -142,6 +142,8 @@ _SIGNATURES = {
                     "[, VEC='embedding'][, OUT='pca'])"),
     "RANDOM_PROJECT": ("RANDOM_PROJECT(emb, K='8'[, VEC='embedding']"
                        "[, OUT='rp'][, SEED='42'])"),
+    "PACK_BINS": ("PACK_BINS(src, KEY='id', TOKENS='n_tokens', "
+                  "BUDGET='2048'[, SHARDS='8'])"),
 }
 
 
@@ -582,6 +584,13 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         model = pca_fit(dfs[0], int(_need(spec, "N")), vec_col=vec)
         return pca_project(dfs[0], model, vec_col=vec,
                            out_col=p.get("OUT", "pca"))
+    if op == "PACK_BINS":
+        from .sampling import pack_bins
+        _need_sources(spec, 1)
+        return pack_bins(dfs[0], _need(spec, "KEY"),
+                         _need(spec, "TOKENS"),
+                         budget=int(_need(spec, "BUDGET")),
+                         num_shards=int(p.get("SHARDS", 8)))
     if op == "RANDOM_PROJECT":
         from .similarity import random_projection
         _need_sources(spec, 1)

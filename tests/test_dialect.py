@@ -553,6 +553,18 @@ class TestPipelineStatements:
         rows = peng.sql("SELECT vec_id, pca FROM reduced").collect()
         assert len(rows) == 60 and all(len(r.pca) == 2 for r in rows)
 
+    def test_pack_bins_via_sql(self, peng, spark):
+        peng.register_source("sized", df=spark.createDataFrame(
+            [(i, 300 + i * 50) for i in range(10)],
+            "doc_id bigint, n_tokens bigint"))
+        peng.execute("CREATE TABLE binned AS PIPELINE "
+                     "PACK_BINS(sized, KEY='doc_id', "
+                     "TOKENS='n_tokens', BUDGET='1024', SHARDS='2');")
+        rows = peng.sql(
+            "SELECT doc_id, bin, overflow FROM binned").collect()
+        assert len(rows) == 10
+        assert all(not r.overflow and r.bin >= 0 for r in rows)
+
     def test_random_project_via_sql(self, peng, spark):
         peng.register_source("rpvecs", df=spark.createDataFrame(
             [(i, [float(i), 1.0, -2.0]) for i in range(10)],

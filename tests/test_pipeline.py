@@ -6646,3 +6646,82 @@ class TestRandomProjection:
                                    "vec_id bigint, embedding array<double>")
         with pytest.raises(ValueError, match="k must be"):
             random_projection(df, 0)
+
+
+class TestPackBins:
+    def _df(self, spark):
+        rows = ([(i, 100 + (i * 137) % 900) for i in range(120)]
+                + [(900, 5000), (901, 0)])
+        return spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+
+    def test_invariants_and_overflow(self, spark):
+        import collections
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            bin_packing_stats, pack_bins)
+        out = pack_bins(self._df(spark), "doc_id", "n_tokens",
+                        1024, 4).collect()
+        fills = collections.defaultdict(int)
+        poss = collections.defaultdict(list)
+        for r in out:
+            if r.bin >= 0:
+                fills[(r.shard, r.bin)] += r.n_tokens
+                poss[(r.shard, r.bin)].append(r.bin_pos)
+        # no bin over budget; bin positions dense from 0
+        assert all(v <= 1024 for v in fills.values())
+        assert all(sorted(p) == list(range(len(p)))
+                   for p in poss.values())
+        # oversize and zero-token docs flagged, never binned
+        assert {r.doc_id for r in out if r.overflow} == {900, 901}
+        # every other doc packed exactly once
+        assert sum(1 for r in out if not r.overflow) == 120
+
+    def test_matches_python_ffd_reference(self, spark):
+        import hashlib
+        from confluent_ksql_charm_spark.pipeline.sampling import pack_bins
+        df = self._df(spark)
+        got = {(r.doc_id): (r.shard, r.bin)
+               for r in pack_bins(df, "doc_id", "n_tokens",
+                                  1024, 2).collect() if not r.overflow}
+        rows = [(i, t) for i, t in df.collect() if 0 < t <= 1024]
+
+        def shard_of(k):
+            h = int(hashlib.md5(f"{k}:packbin".encode())
+                    .hexdigest()[:13], 16)
+            return h % 2
+
+        for s in (0, 1):
+            docs = sorted(((t, k) for k, t in rows
+                           if shard_of(k) == s),
+                          key=lambda x: (-x[0], x[1]))
+            fills = []
+            for t, k in docs:
+                for b, fill in enumerate(fills):
+                    if fill + t <= 1024:
+                        fills[b] += t
+                        assert got[k] == (s, b), k
+                        break
+                else:
+                    assert got[k] == (s, len(fills)), k
+                    fills.append(t)
+
+    def test_beats_one_doc_per_bin_and_stats(self, spark):
+        from confluent_ksql_charm_spark.pipeline.sampling import (
+            bin_packing_stats, pack_bins)
+        out = pack_bins(self._df(spark), "doc_id", "n_tokens", 1024, 2)
+        stats = {r.shard: r for r in
+                 bin_packing_stats(out, 1024).collect()}
+        for s, r in stats.items():
+            assert r.n_bins < r.n_docs          # actually packs
+            assert 0 <= r.padding_fraction < 0.5
+            # fill accounting: padding == 1 - packed/(bins*budget)
+            assert abs(r.padding_fraction
+                       - (1 - r.packed_tokens / (r.n_bins * 1024))) < 1e-6
+
+    def test_guards(self, spark):
+        import pytest
+        from confluent_ksql_charm_spark.pipeline.sampling import pack_bins
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="budget"):
+            pack_bins(df, "doc_id", "n_tokens", 0, 2)
+        with pytest.raises(ValueError, match="num_shards"):
+            pack_bins(df, "doc_id", "n_tokens", 10, 0)
