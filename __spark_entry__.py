@@ -1029,6 +1029,38 @@ def _q_normalize_text(spark, sf):
     return normalize_text(docs.unionByName(fx))
 
 
+def _q_secret_scan(spark, sf):
+    # secret/credential scanning (catalog regexes + Shannon-entropy
+    # tier) over real docs UNION the planted SECRET_FIXTURE (the
+    # synthetic corpus is clean word soup with no credential shapes —
+    # zero 10+-char base64ish runs at sf0.01); fixture ids offset 5M.
+    # Pure projection: counts per kind, entropy-tier count, max
+    # entropy, has_secret.
+    from confluent_ksql_charm_spark.pipeline.secrets import (
+        SECRET_FIXTURE, scan_secrets)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    fx = spark.createDataFrame(
+        [(5_000_000 + i, t) for i, t in SECRET_FIXTURE],
+        "doc_id bigint, text string")
+    return scan_secrets(docs.unionByName(fx)).drop("text")
+
+
+def _q_secret_redact(spark, sf):
+    # typed-token redaction of the same two tiers; entropy-gated
+    # candidates replaced literally (F.replace fold — no regex
+    # splicing), which DuckDB replays via list_reduce.
+    from confluent_ksql_charm_spark.pipeline.secrets import (
+        SECRET_FIXTURE, redact_secrets)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    fx = spark.createDataFrame(
+        [(5_000_000 + i, t) for i, t in SECRET_FIXTURE],
+        "doc_id bigint, text string")
+    return (redact_secrets(docs.unionByName(fx), out_col="redacted")
+            .select("doc_id", "redacted"))
+
+
 def _q_corpus_diff(spark, sf):
     # release diff between two deterministic snapshot views of the
     # corpus: old = doc_id % 7 != 0, new = doc_id % 11 != 0 with every
@@ -1795,6 +1827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keys, so the round-10 additions and the 10 entries no driver
         # round has ever sampled lead (they stay pinned here until a
         # driver round covers them), then the round-9 wave, the tail.
+        "secret_scan": _q_secret_scan,
+        "secret_redact": _q_secret_redact,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap": _q_winnow_overlap,
         "cluster_outliers": _q_cluster_outliers,
@@ -2369,8 +2403,77 @@ _FILTERED_RERANK_ORACLE_SQL = (
 )
 
 
+def _secret_src_sql() -> str:
+    """documents UNION the planted SECRET_FIXTURE, rebuilt from the
+    same Python list the Spark query uses (fixture is plain ASCII, so
+    plain literals — only quote-doubling needed)."""
+    from confluent_ksql_charm_spark.pipeline.secrets import SECRET_FIXTURE
+    rows = " ".join(
+        f"UNION ALL SELECT {5_000_000 + i}, '" + t.replace("'", "''") + "'"
+        for i, t in SECRET_FIXTURE)
+    return f"SELECT doc_id, text FROM documents {rows}"
+
+
+def _secret_ent_sql(s: str) -> str:
+    """Shannon entropy (bits/char) of string expression `s` — the
+    DuckDB replay of secrets.shannon_entropy, verified bit-identical
+    at 6 dp (4.606756 on the AWS docs example in both engines)."""
+    cnt = f"len(list_filter(string_split({s},''), ch -> ch = d))::DOUBLE"
+    return (f"list_sum(list_transform(list_distinct(string_split({s},'')), "
+            f"d -> -1.0 * ({cnt} / length({s})) "
+            f"* log2({cnt} / length({s}))))")
+
+
+def _secret_scan_sqls() -> tuple[str, str]:
+    """(scan, redact) oracle SQL: the same progressive-redaction chain
+    secrets.scan_secrets/redact_secrets build, with the identical
+    pattern strings (Java-regex ∩ RE2 subset by construction)."""
+    from confluent_ksql_charm_spark.pipeline.secrets import (
+        DEFAULT_ENTROPY_THRESHOLD, ENTROPY_CANDIDATE, SECRET_PATTERNS)
+    thr = DEFAULT_ENTROPY_THRESHOLD
+    cand = ENTROPY_CANDIDATE.replace("'", "''")
+    # chained CTEs: each level counts on the text the previous tiers
+    # left behind, then redacts its own kind (the pii.py contract)
+    ctes, prev, lvl = [], "text", 0
+    count_cols = []
+    for kind, pat, token in SECRET_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        nxt = f"t{lvl + 1}"
+        keep = ", ".join(["doc_id"] + count_cols)
+        ctes.append(
+            f"s{lvl + 1} AS (SELECT {keep}, "
+            f"len(regexp_extract_all({prev}, '{sql_pat}')) AS n_{kind}, "
+            f"regexp_replace({prev}, '{sql_pat}', '{token}', 'g') AS {nxt} "
+            f"FROM {'src' if lvl == 0 else f's{lvl}'})")
+        count_cols.append(f"n_{kind}")
+        prev, lvl = nxt, lvl + 1
+    chain = f"WITH src AS ({_secret_src_sql()}), " + ", ".join(ctes)
+    counts = ", ".join(count_cols)
+    ent = _secret_ent_sql("s")
+    scan = (
+        f"{chain} SELECT doc_id, {counts}, "
+        f"len(list_filter(regexp_extract_all({prev}, '{cand}'), "
+        f"s -> round({ent}, 6) >= {thr})) AS n_high_entropy, "
+        f"round(coalesce(list_max(list_transform("
+        f"regexp_extract_all({prev}, '{cand}'), s -> {ent})), 0.0), 6) "
+        f"AS max_entropy, "
+        f"({' + '.join(count_cols)} + len(list_filter("
+        f"regexp_extract_all({prev}, '{cand}'), "
+        f"s -> round({ent}, 6) >= {thr}))) > 0 AS has_secret "
+        f"FROM s{lvl}")
+    redact = (
+        f"{chain} SELECT doc_id, list_reduce(list_prepend({prev}, "
+        f"list_filter(list_distinct(regexp_extract_all({prev}, '{cand}')), "
+        f"s -> round({ent}, 6) >= {thr})), "
+        f"(a, b) -> replace(a, b, '<SECRET>')) AS redacted FROM s{lvl}")
+    return scan, redact
+
+
 def oracle_sql() -> dict[str, str]:
+    _secret_scan_oracle, _secret_redact_oracle = _secret_scan_sqls()
     return {
+        "secret_scan": _secret_scan_oracle,
+        "secret_redact": _secret_redact_oracle,
         "project_filter": (
             "SELECT event_id, user_id, ROUND(value, 4) AS value "
             "FROM events WHERE event_type = 'error'"

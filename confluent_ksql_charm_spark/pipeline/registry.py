@@ -36,6 +36,10 @@ _SIGNATURES = {
                                 "ID='id', TEXT='text'"
                                 "[, THRESHOLD='0.5'])"),
     "PII_REDACT": "PII_REDACT(src[, TEXT='text'][, COUNTS='true'])",
+    "SECRET_SCAN": ("SECRET_SCAN(src[, TEXT='text']"
+                    "[, ENTROPY_THRESHOLD='4.2'])"),
+    "SECRET_REDACT": ("SECRET_REDACT(src[, TEXT='text']"
+                      "[, ENTROPY_THRESHOLD='4.2'])"),
     "BM25_TOPK": ("BM25_TOPK(src, QUERY='term term ...', ID='id', "
                   "TEXT='text'[, K='10'])"),
     "INCREMENTAL_DEDUP": "INCREMENTAL_DEDUP(new, corpus, ON='col[,col]')",
@@ -215,6 +219,12 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         _need_sources(spec, 1)
         return redact_pii(dfs[0], p.get("TEXT", "text"),
                           with_counts=p.get("COUNTS", "true").lower() == "true")
+    if op in ("SECRET_SCAN", "SECRET_REDACT"):
+        from .secrets import redact_secrets, scan_secrets
+        _need_sources(spec, 1)
+        fn = scan_secrets if op == "SECRET_SCAN" else redact_secrets
+        return fn(dfs[0], p.get("TEXT", "text"),
+                  entropy_threshold=float(p.get("ENTROPY_THRESHOLD", 4.2)))
     if op == "BM25_TOPK":
         from .search import bm25_topk
         _need_sources(spec, 1)
