@@ -1029,6 +1029,22 @@ def _q_normalize_text(spark, sf):
     return normalize_text(docs.unionByName(fx))
 
 
+def _q_quality_classifier(spark, sf):
+    # CCNet/GPT-3-style hashed-feature quality classifier: NB log-odds
+    # over the DSIR uni+bigram bucket features, fit en-vs-rest on the
+    # corpus itself, then score every doc (logit = prior + Σw, prob =
+    # σ). portable hash so DuckDB replays fit AND score.
+    from confluent_ksql_charm_spark.pipeline.quality import (
+        quality_fit, quality_score)
+
+    docs = _docs(spark, sf)
+    pos = docs.where(F.col("lang") == "en")
+    neg = docs.where(F.col("lang") != "en")
+    m = quality_fit(pos, neg, buckets=1024, alpha=1.0, hash="portable",
+                    salt="qual")
+    return quality_score(docs, m)
+
+
 def _q_secret_scan(spark, sf):
     # secret/credential scanning (catalog regexes + Shannon-entropy
     # tier) over real docs UNION the planted SECRET_FIXTURE (the
@@ -1827,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keys, so the round-10 additions and the 10 entries no driver
         # round has ever sampled lead (they stay pinned here until a
         # driver round covers them), then the round-9 wave, the tail.
+        "quality_classifier": _q_quality_classifier,
         "secret_scan": _q_secret_scan,
         "secret_redact": _q_secret_redact,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -2474,6 +2491,39 @@ def oracle_sql() -> dict[str, str]:
     return {
         "secret_scan": _secret_scan_oracle,
         "secret_redact": _secret_redact_oracle,
+        "quality_classifier": (
+            # NB log-odds quality classifier: same feature/bucket CTEs
+            # as dsir_logratio (salt 'qual'), labeled en-vs-rest counts,
+            # doc prior, per-doc logit + sigmoid. Every scored bucket is
+            # in the model (fit on the scored corpus), so the inner
+            # join replays the left-join-coalesce exactly.
+            "WITH t AS (SELECT doc_id, lang, list_transform("
+            "string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS t "
+            "FROM documents), "
+            "f AS (SELECT doc_id, lang, unnest(list_concat(t, "
+            "CASE WHEN length(t) >= 2 THEN [t[i] || ' ' || t[i+1] "
+            "FOR i IN generate_series(1, length(t) - 1)] "
+            "ELSE []::VARCHAR[] END)) AS f FROM t), "
+            "fb AS (SELECT doc_id, lang, ('0x' || substr(md5(f || "
+            "':qual'), 1, 13))::BIGINT % 1024 AS b FROM f), "
+            "cnt AS (SELECT b, SUM(CASE WHEN lang = 'en' THEN 1 "
+            "ELSE 0 END) AS cp, count(*) AS ct FROM fb GROUP BY b), "
+            "tot AS (SELECT SUM(cp) AS tp, SUM(ct) - SUM(cp) AS tn "
+            "FROM cnt), "
+            "nd AS (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 "
+            "END) AS np, SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 "
+            "END) AS nn FROM documents), "
+            "model AS (SELECT b, "
+            "ln((cp + 1.0) / (tp + 1.0 * 1024)) - "
+            "ln((ct - cp + 1.0) / (tn + 1.0 * 1024)) AS w "
+            "FROM cnt CROSS JOIN tot), "
+            "s AS (SELECT doc_id, count(*) AS n_feats, "
+            "ROUND(ln(np * 1.0 / nn) + SUM(w), 6) AS logit "
+            "FROM fb JOIN model USING (b) CROSS JOIN nd "
+            "GROUP BY doc_id, np, nn) "
+            "SELECT doc_id, n_feats, logit, "
+            "ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob FROM s"
+        ),
         "project_filter": (
             "SELECT event_id, user_id, ROUND(value, 4) AS value "
             "FROM events WHERE event_type = 'error'"

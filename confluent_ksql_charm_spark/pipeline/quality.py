@@ -1,0 +1,240 @@
+"""Hashed-feature quality classifier — the CCNet / GPT-3-style
+"quality filter" (public knowledge: Wenzek et al. 2019 train a linear
+model over hashed n-gram features to separate a trusted reference
+corpus from raw crawl; GPT-3's appendix A documents the same shape).
+
+North-star extension (SURVEY.md §3.11). Distinct from DSIR
+(`text.dsir_*`): DSIR estimates *importance ratios* between two
+unlabeled feature distributions for resampling; this is a *supervised
+binary classifier* (labeled positive/negative corpora, class prior,
+calibrated probability, keep/drop decision). Both share the feature
+pipeline (`dsir_features_col` uni+bigram bag, `dsir_bucket` portable
+md5 / fast xxhash64 hashing) so one tokenization rule governs every
+hashed-text model in the repo.
+
+Model: multinomial Naive Bayes log-odds per feature bucket —
+``w_b = ln((c⁺_b+α)/(T⁺+αB)) − ln((c⁻_b+α)/(T⁻+αB))``, doc logit =
+``ln(N⁺/N⁻) + Σ_f w_{bucket(f)}``. Closed form: the fit is ONE
+corpus-scale explode + hash-aggregate down to ≤B rows (map-side
+partial combine; B defaults 65536) — no iterative gradient passes, so
+fit cost is a single scan at 100 TB and the model relation is
+broadcastable by construction.
+
+Scoring offers two shapes:
+- ``method="join"`` (default, any hash): explode → broadcast-join the
+  ≤B-row weight relation → per-doc sum. One shuffle (the per-doc agg).
+- ``method="arrow"`` (requires ``hash="portable"``): zero-shuffle
+  `mapInPandas` scorer with the dense weight vector in the closure
+  (B doubles; 0.5 MiB at the default) and a per-batch feature→weight
+  memo (the `tokenizer.bpe_encode` per-DISTINCT-word trick — Zipf says
+  most features repeat, so the md5 cost is paid per distinct feature
+  per batch). Parity with the join path is exact at the round-6
+  contract (tested).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import dsir_bucket, dsir_features_col
+
+#: arrow scorer materializes a dense weight vector of `buckets` doubles
+#: in the closure — 32 MiB at this cap; beyond it, use method="join"
+#: (the relation stays distributed and broadcast-joins).
+ARROW_MAX_BUCKETS = 1 << 22
+
+
+def quality_fit(pos: DataFrame, neg: DataFrame, *,
+                text_col: str = "text", buckets: int = 65536,
+                alpha: float = 1.0, bigrams: bool = True,
+                lowercase: bool = True, salt: str = "qual",
+                hash: str = "fast") -> dict:
+    """Fit the NB log-odds model from a labeled pair of corpora.
+
+    Returns ``{"w": DataFrame(bucket, w), "default_w", "prior",
+    "buckets", "alpha", "bigrams", "lowercase", "salt", "hash"}``.
+    `default_w` covers buckets seen in neither class (α-smoothed), so
+    arbitrary future vocabulary scores finitely; `prior` = ln(N⁺/N⁻)
+    over DOCUMENT counts (the NB class prior). A fit is an action
+    (three scalar aggregates); a score is not — the `dsir_fit`
+    contract.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from .lazy import maybe_checkpoint
+
+    feats = dsir_features_col(text_col, bigrams=bigrams,
+                              lowercase=lowercase)
+
+    def _lab(frame: DataFrame, y: int) -> DataFrame:
+        return (frame.select(F.explode(feats).alias("__f"))
+                .select(dsir_bucket(F.col("__f"), buckets, salt, hash)
+                        .alias("bucket"), F.lit(y).alias("__y")))
+
+    cnt = maybe_checkpoint(
+        _lab(pos, 1).unionByName(_lab(neg, 0))
+        .groupBy("bucket")
+        .agg(F.sum("__y").alias("__cp"), F.count("*").alias("__ct")))
+    tp, tt = cnt.agg(F.coalesce(F.sum("__cp"), F.lit(0)),
+                     F.coalesce(F.sum("__ct"), F.lit(0))).first()
+    tn = tt - tp
+    n_pos, n_neg = pos.count(), neg.count()
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("quality_fit needs non-empty pos AND neg "
+                         f"corpora, got {n_pos}/{n_neg} docs")
+    a, ab = float(alpha), float(alpha) * buckets
+    w = cnt.select(
+        "bucket",
+        (F.log((F.col("__cp") + F.lit(a)) / F.lit(tp + ab))
+         - F.log((F.col("__ct") - F.col("__cp") + F.lit(a))
+                 / F.lit(tn + ab))).alias("w"))
+    return {"w": w,
+            "default_w": math.log(a / (tp + ab)) - math.log(a / (tn + ab)),
+            "prior": math.log(n_pos / n_neg),
+            "buckets": buckets, "alpha": a, "bigrams": bigrams,
+            "lowercase": lowercase, "salt": salt, "hash": hash}
+
+
+def _score_join(df: DataFrame, model: dict, id_col: str,
+                text_col: str) -> DataFrame:
+    feats = dsir_features_col(text_col, bigrams=model["bigrams"],
+                              lowercase=model["lowercase"])
+    b = (df.select(F.col(id_col), F.explode(feats).alias("__f"))
+         .select(id_col, dsir_bucket(
+             F.col("__f"), model["buckets"], model["salt"],
+             model.get("hash", "portable")).alias("bucket")))
+    logit = F.round(F.lit(float(model["prior"])) + F.sum("__w"), 6)
+    return (b.join(F.broadcast(model["w"]), "bucket", "left")
+            .select(id_col, F.coalesce(
+                F.col("w"), F.lit(float(model["default_w"])))
+                .alias("__w"))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_feats"), logit.alias("logit"))
+            .withColumn("prob", F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6)))
+
+
+def _score_arrow(df: DataFrame, model: dict, id_col: str,
+                 text_col: str) -> DataFrame:
+    if model.get("hash", "portable") != "portable":
+        raise ValueError(
+            "method='arrow' requires a hash='portable' model — the "
+            "Python scorer replays the md5 bucket; xxhash64 has no "
+            "Python replay. Refit with hash='portable' or use "
+            "method='join'.")
+    if model["buckets"] > ARROW_MAX_BUCKETS:
+        raise ValueError(
+            f"buckets={model['buckets']} exceeds ARROW_MAX_BUCKETS="
+            f"{ARROW_MAX_BUCKETS}; the dense closure vector would be "
+            f"{model['buckets'] * 8 >> 20} MiB — use method='join'")
+    import numpy as np
+
+    # bounded by construction: the weight relation has ≤ buckets rows
+    w_arr = np.full(model["buckets"], float(model["default_w"]))
+    for r in model["w"].collect():
+        w_arr[r["bucket"]] = r["w"]
+    prior = float(model["prior"])
+    buckets, salt = model["buckets"], model["salt"]
+    bigrams, lowercase = model["bigrams"], model["lowercase"]
+
+    def score_batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        from .tokenizer import _JAVA_WS
+
+        def feats_of(text: str) -> list[str]:
+            t = (text or "").strip(" \t\n\x0b\f\r")
+            toks = [t] if t == "" else _JAVA_WS.split(t)
+            if lowercase:
+                toks = [w.lower() for w in toks]
+            if bigrams and len(toks) >= 2:
+                return toks + [f"{a} {b}" for a, b
+                               in zip(toks, toks[1:])]
+            return toks
+
+        for pdf in it:
+            memo: dict[str, float] = {}
+            n_out, l_out = [], []
+            for text in pdf[text_col]:
+                s, n = 0.0, 0
+                for f in feats_of(text):
+                    wv = memo.get(f)
+                    if wv is None:
+                        bkt = int(hashlib.md5(
+                            (f + ":" + salt).encode("utf-8"))
+                            .hexdigest()[:13], 16) % buckets
+                        wv = memo[f] = float(w_arr[bkt])
+                    s += wv
+                    n += 1
+                n_out.append(n)
+                l_out.append(round(prior + s, 6))
+            logit = pd.Series(l_out)
+            yield pd.DataFrame({
+                id_col: pdf[id_col], "n_feats": n_out, "logit": logit,
+                "prob": (1.0 / (1.0 + np.exp(-logit))).round(6)})
+
+    schema = f"{id_col} bigint, n_feats bigint, logit double, prob double"
+    return df.select(id_col, text_col).mapInPandas(score_batches, schema)
+
+
+def quality_score(df: DataFrame, model: dict, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  method: str = "join") -> DataFrame:
+    """Score documents under a fitted quality `model`: (id, n_feats,
+    logit round-6, prob round-6). logit = prior + Σ bucket weights;
+    prob = σ(logit). Docs whose text yields zero features (impossible
+    under the `tokens_col` rule — empty text still emits the ''
+    token) always appear.
+
+    `method`: "join" (broadcast weight relation, works with any hash)
+    or "arrow" (zero-shuffle mapInPandas, portable-hash models only —
+    see module docstring for the cost model)."""
+    if method == "join":
+        return _score_join(df, model, id_col, text_col)
+    if method == "arrow":
+        return _score_arrow(df, model, id_col, text_col)
+    raise ValueError(f"method must be 'join' or 'arrow', got {method!r}")
+
+
+def quality_filter(df: DataFrame, model: dict, *,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   threshold: float = 0.0,
+                   method: str = "join") -> DataFrame:
+    """Keep rows the classifier calls positive: logit >= `threshold`
+    (threshold is in logit space; 0.0 ≡ prob 0.5). Preserves the input
+    schema — scores are computed, used for the cut, and dropped."""
+    keep = (quality_score(df, model, id_col=id_col, text_col=text_col,
+                          method=method)
+            .where(F.col("logit") >= F.lit(float(threshold)))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def save_quality_model(model: dict, path: str) -> None:
+    """Persist: parquet for (bucket, w), JSON sidecar for scalars —
+    the `save_dsir_model` / `save_ann_index` persistence contract."""
+    import json
+    import os
+
+    model["w"].write.mode("overwrite").parquet(
+        os.path.join(path, "model.parquet"))
+    with open(os.path.join(path, "meta.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump({k: v for k, v in model.items() if k != "w"}, fh)
+
+
+def load_quality_model(spark, path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    meta["w"] = spark.read.parquet(os.path.join(path, "model.parquet"))
+    return meta

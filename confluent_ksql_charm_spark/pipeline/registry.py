@@ -38,6 +38,13 @@ _SIGNATURES = {
     "PII_REDACT": "PII_REDACT(src[, TEXT='text'][, COUNTS='true'])",
     "SECRET_SCAN": ("SECRET_SCAN(src[, TEXT='text']"
                     "[, ENTROPY_THRESHOLD='4.2'])"),
+    "QUALITY_SCORE": ("QUALITY_SCORE(src, pos, neg | src with "
+                      "MODEL_PATH='dir'[, ID='doc_id'][, TEXT='text']"
+                      "[, BUCKETS='65536'][, ALPHA='1.0'])"),
+    "QUALITY_FILTER": ("QUALITY_FILTER(src, pos, neg | src with "
+                       "MODEL_PATH='dir'[, ID='doc_id'][, TEXT='text']"
+                       "[, BUCKETS='65536'][, ALPHA='1.0']"
+                       "[, THRESHOLD='0.0'])"),
     "SECRET_REDACT": ("SECRET_REDACT(src[, TEXT='text']"
                       "[, ENTROPY_THRESHOLD='4.2'])"),
     "BM25_TOPK": ("BM25_TOPK(src, QUERY='term term ...', ID='id', "
@@ -219,6 +226,29 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         _need_sources(spec, 1)
         return redact_pii(dfs[0], p.get("TEXT", "text"),
                           with_counts=p.get("COUNTS", "true").lower() == "true")
+    if op in ("QUALITY_SCORE", "QUALITY_FILTER"):
+        # fit-once/score-forever (ADVICE r9: model-backed ops accept a
+        # prebuilt sidecar): MODEL_PATH loads a save_quality_model dir
+        # and takes 1 source; otherwise 3 sources fit inline
+        from .quality import (load_quality_model, quality_filter,
+                              quality_fit, quality_score)
+        if "MODEL_PATH" in p:
+            _need_sources(spec, 1)
+            model = load_quality_model(dfs[0].sparkSession,
+                                       p["MODEL_PATH"])
+        else:
+            _need_sources(spec, 3)
+            model = quality_fit(dfs[1], dfs[2],
+                                text_col=p.get("TEXT", "text"),
+                                buckets=int(p.get("BUCKETS", 65536)),
+                                alpha=float(p.get("ALPHA", 1.0)))
+        kw = dict(id_col=p.get("ID", "doc_id"),
+                  text_col=p.get("TEXT", "text"))
+        if op == "QUALITY_SCORE":
+            return quality_score(dfs[0], model, **kw)
+        return quality_filter(dfs[0], model,
+                              threshold=float(p.get("THRESHOLD", 0.0)),
+                              **kw)
     if op in ("SECRET_SCAN", "SECRET_REDACT"):
         from .secrets import redact_secrets, scan_secrets
         _need_sources(spec, 1)

@@ -1,0 +1,162 @@
+"""Hashed-feature quality classifier (pipeline.quality): NB log-odds
+fit, join/arrow scoring parity, persistence, dialect, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from confluent_ksql_charm_spark.pipeline.quality import (
+    ARROW_MAX_BUCKETS,
+    load_quality_model,
+    quality_filter,
+    quality_fit,
+    quality_score,
+    save_quality_model,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    return quality_fit(docs.where(F.col("lang") == "en"),
+                       docs.where(F.col("lang") != "en"),
+                       buckets=1024, hash="portable")
+
+
+class TestFit:
+    def test_validation(self, docs, spark):
+        empty = docs.where(F.lit(False))
+        with pytest.raises(ValueError, match="non-empty"):
+            quality_fit(empty, docs)
+        with pytest.raises(ValueError, match="buckets"):
+            quality_fit(docs, docs, buckets=0)
+        with pytest.raises(ValueError, match="alpha"):
+            quality_fit(docs, docs, alpha=0)
+
+    def test_model_shape(self, model):
+        assert model["w"].count() <= 1024
+        assert model["prior"] < 0  # en is the minority class here
+        cols = set(model["w"].columns)
+        assert cols == {"bucket", "w"}
+
+    def test_separates_languages(self, docs, model):
+        sc = (quality_score(docs, model)
+              .join(docs.select("doc_id", "lang"), "doc_id")
+              .groupBy(F.col("lang") == "en")
+              .agg(F.avg("logit").alias("m")).collect())
+        means = {r[0]: r.m for r in sc}
+        assert means[True] > 0 > means[False]
+        assert means[True] - means[False] > 2.0
+
+
+class TestScore:
+    def test_arrow_join_parity_exact(self, docs, model):
+        j = {r.doc_id: (r.n_feats, r.logit, r.prob)
+             for r in quality_score(docs, model).collect()}
+        a = {r.doc_id: (r.n_feats, r.logit, r.prob)
+             for r in quality_score(docs, model,
+                                    method="arrow").collect()}
+        assert j == a
+
+    def test_unseen_vocabulary_scores_finitely(self, spark, model):
+        df = spark.createDataFrame(
+            [(1, "zzqx9 wvvk7 entirely novel tokens qqzz")],
+            "doc_id bigint, text string")
+        row = quality_score(df, model).collect()[0]
+        assert row.logit == pytest.approx(row.logit)  # finite, not nan
+        assert 0.0 <= row.prob <= 1.0
+
+    def test_arrow_requires_portable(self, docs):
+        m = quality_fit(docs.limit(10), docs.limit(10), buckets=64,
+                        hash="fast")
+        with pytest.raises(ValueError, match="portable"):
+            quality_score(docs, m, method="arrow")
+
+    def test_arrow_bucket_cap(self, docs, model):
+        big = dict(model, buckets=ARROW_MAX_BUCKETS + 1)
+        with pytest.raises(ValueError, match="ARROW_MAX_BUCKETS"):
+            quality_score(docs, big, method="arrow")
+
+    def test_bad_method(self, docs, model):
+        with pytest.raises(ValueError, match="method"):
+            quality_score(docs, model, method="rdd")
+
+
+class TestFilter:
+    def test_keeps_schema_and_positives(self, docs, model):
+        kept = quality_filter(docs, model)
+        assert kept.columns == docs.columns
+        langs = {r.lang for r in kept.select("lang").distinct().collect()}
+        # at logit>=0 the kept set is dominated by the positive class
+        counts = {r.lang: r["count"] for r in
+                  kept.groupBy("lang").count().collect()}
+        assert counts.get("en", 0) > sum(
+            v for k, v in counts.items() if k != "en")
+        assert "en" in langs
+
+    def test_threshold_monotone(self, docs, model):
+        n_loose = quality_filter(docs, model, threshold=-5.0).count()
+        n_tight = quality_filter(docs, model, threshold=5.0).count()
+        assert n_loose > n_tight
+
+
+class TestPersistence:
+    def test_save_load_same_scores(self, docs, model, tmp_path):
+        path = str(tmp_path / "qmodel")
+        save_quality_model(model, path)
+        m2 = load_quality_model(docs.sparkSession, path)
+        a = {r.doc_id: r.logit
+             for r in quality_score(docs.limit(50), model).collect()}
+        b = {r.doc_id: r.logit
+             for r in quality_score(docs.limit(50), m2).collect()}
+        assert a == b
+
+
+class TestQualityPlans:
+    def test_join_score_broadcasts_model(self, docs, model):
+        plan = quality_score(docs, model)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_arrow_score_zero_shuffle(self, docs, model):
+        plan = quality_score(docs, model, method="arrow") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestQualityDialect:
+    @pytest.fixture(scope="class")
+    def peng(self, spark, docs, tmp_path_factory):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(
+            spark, data_dir=str(tmp_path_factory.mktemp("qual_dialect")))
+        eng.register_source("docs", df=docs)
+        eng.register_source("pos", df=docs.where(F.col("lang") == "en"))
+        eng.register_source("neg", df=docs.where(F.col("lang") != "en"))
+        return eng
+
+    def test_quality_score_via_sql(self, peng):
+        peng.execute("CREATE TABLE qs AS PIPELINE QUALITY_SCORE("
+                     "docs, pos, neg, ID='doc_id', TEXT='text', "
+                     "BUCKETS='1024');")
+        rows = peng.sql("SELECT count(*) AS n FROM qs").collect()
+        assert rows[0].n == 500
+
+    def test_quality_filter_via_model_path(self, peng, model, tmp_path):
+        path = str(tmp_path / "qm")
+        save_quality_model(model, path)
+        peng.execute(f"CREATE STREAM qf AS PIPELINE QUALITY_FILTER("
+                     f"docs, MODEL_PATH='{path}', ID='doc_id', "
+                     f"TEXT='text', THRESHOLD='0.0');")
+        n = peng.sql("SELECT count(*) AS n FROM qf").collect()[0].n
+        assert 0 < n < 500
