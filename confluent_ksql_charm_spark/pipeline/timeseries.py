@@ -1,0 +1,285 @@
+"""Event-time analytics: as-of join, sessionization, rolling windows,
+funnels.
+
+North-star extension (SURVEY.md §3.11) — public KSQL 5.x has windowed
+aggregations and WITHIN-banded stream joins, but no point-in-time
+(as-of) join, no gap-based session *assignment* (SESSION windows only
+aggregate), no trailing time-range rolling aggregates, and no ordered
+funnel. These are the four queries every event/metrics corpus needs
+before it can feed a training pipeline (feature backfill at label
+time = as-of join; per-session context assembly = sessionize; rate
+features = rolling; behavioural cohort labels = funnel).
+
+Scale notes (the 100 TB plan for each):
+
+* `asof_join` is the union-merge formulation: tag both sides, sort ONE
+  unioned relation by (key, ts, tag), and carry the latest right-side
+  row forward with `last(.., ignorenulls=True)`. That is exactly the
+  sort-merge-join physical strategy — one shuffle of L+R on the key,
+  one window scan, ZERO range explosion (a naive `l JOIN r ON l.key =
+  r.key AND r.ts <= l.ts` + max() builds |L|·|R| per key before
+  pruning). Skew lives in the window partitionBy; a pathological hot
+  key serializes into one task, in which case pre-split the key range
+  by time bucket and replicate the last right row per bucket boundary
+  (documented, not needed at the synthetic key cardinalities).
+* `sessionize` is gaps-and-islands: lag + cumulative sum over the same
+  (key, ts) sort — one shuffle, one window scan, linear at any scale.
+* `rolling_aggregates` uses a RANGE frame over epoch-microseconds —
+  Spark evaluates sliding frames incrementally per partition; again one
+  shuffle on the key.
+* `funnel_counts` folds each user's (bounded) event history collected
+  as a sorted struct array — per-key state is O(events per user), the
+  same contract applyInPandasWithState would give, but expression-only
+  (JVM, no Python). Users with millions of events would need the
+  incremental two-pass variant (min-ts per step with k passes);
+  documented on the function.
+
+All four are DuckDB-replayable: ASOF JOIN is native DuckDB syntax, the
+others are ANSI window SQL — so every op here carries a full value-hash
+oracle entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "session_stats",
+    "rolling_aggregates",
+    "funnel_counts",
+]
+
+
+def _epoch_us(c: Column) -> Column:
+    """Microseconds since the epoch, timezone-FREE.
+
+    The parquet sources surface event timestamps as TIMESTAMP_NTZ
+    (sources/parquet.py NTZ contract), which `unix_micros` rejects and
+    a cast to TIMESTAMP would shift by the driver session timezone —
+    an offset that cancels in differences except across DST folds, so
+    it must not enter the math at all. `timestampdiff(MICROSECOND,
+    epoch, ts)` is exact integer wall-clock micros for both TIMESTAMP
+    and TIMESTAMP_NTZ inputs and equals DuckDB's `epoch_us(ts)` on its
+    (naive) TIMESTAMP type.
+    """
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+        c.cast("timestamp_ntz"),
+    )
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
+              left_ts: str = "ts", right_ts: str | None = None,
+              right_cols: list[str] | None = None,
+              suffix: str = "_r",
+              tolerance_us: int | None = None) -> DataFrame:
+    """Point-in-time join: for each left row, attach the right row with
+    the largest `right_ts` <= `left_ts` within the same key group
+    (ties at equal timestamps match, like DuckDB `ASOF JOIN ... ON
+    l.ts >= r.ts`). Left rows with no prior right row keep NULLs
+    (left-outer semantics).
+
+    Implementation: union-merge. Right rows are tagged 0, left rows 1;
+    one window sorted by (key, ts, tag) carries the latest right-side
+    payload forward as an atomic struct (`last(ignorenulls)` over the
+    struct, NOT per column — a NULL inside a right payload column must
+    not fall through to an older right row). Equal timestamps sort the
+    right row first, which is what makes the match inclusive.
+
+    `tolerance_us` (microseconds) turns matches older than the
+    tolerance into NULLs — pandas `merge_asof(tolerance=...)` parity.
+
+    If `right` can contain duplicate (key, ts) rows, dedupe it first
+    (the match would be the last one in unspecified struct order);
+    `sessionize`/`funnel_counts` callers in this repo always pass
+    deduped dimensions.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    payload = right_cols or [c for c in right.columns
+                             if c not in keys and c != right_ts]
+
+    out_ts = f"{left_ts}{suffix}"
+    out_payload = [f"{c}{suffix}" if c in left.columns else c
+                   for c in payload]
+
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.struct(
+            F.col(right_ts).alias(out_ts),
+            *[F.col(c).alias(a) for c, a in zip(payload, out_payload)],
+        ).alias("__r"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+
+    # align schemas for the union: left payload columns are NULL on the
+    # right-side rows
+    left_cols = [c for c in left.columns]
+    r_aligned = r.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in keys else F.col(c) for c in left_cols],
+        "__ts", "__tag", "__r",
+    )
+    u = l.select(*left_cols, "__ts", "__tag", "__r").unionByName(r_aligned)
+
+    w = (Window.partitionBy(*keys).orderBy("__ts", "__tag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+
+    out = matched.where(F.col("__tag") == 1)
+    if tolerance_us is not None:
+        lag_ok = (_epoch_us(F.col("__ts"))
+                  - _epoch_us(F.col("__m")[out_ts])) <= F.lit(
+                      int(tolerance_us))
+        out = out.withColumn(
+            "__m", F.when(lag_ok, F.col("__m")))
+    return out.select(
+        *left_cols,
+        *[F.col("__m")[a].alias(a) for a in [out_ts, *out_payload]],
+    )
+
+
+def sessionize(df: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", gap_s: int = 1800,
+               order_cols: list[str] | None = None) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the gap
+    from the previous event of the same key exceeds `gap_s` seconds
+    (strictly greater — an event exactly `gap_s` later continues the
+    session, matching KSQL SESSION window inclusive-gap semantics,
+    engine.py SESSION translation).
+
+    Gaps-and-islands: `lag` marks session starts, a cumulative sum
+    numbers them. Adds `session_seq` (1-based per key). Ordering ties
+    at equal timestamps are broken by `order_cols` (default: none —
+    pass the event id for determinism when timestamps can collide).
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    wl = Window.partitionBy(key_col).orderBy(*order)
+    wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.lit(int(gap_s) * 1_000_000)
+    prev = F.lag(_epoch_us(F.col(ts_col))).over(wl)
+    is_start = F.when(
+        prev.isNull()
+        | ((_epoch_us(F.col(ts_col)) - prev) > gap_us), 1
+    ).otherwise(0)
+    return df.withColumn("session_seq",
+                         F.sum(is_start).over(wc).cast("long"))
+
+
+def session_stats(df: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts", gap_s: int = 1800,
+                  value_col: str | None = None,
+                  order_cols: list[str] | None = None) -> DataFrame:
+    """Per-session rollup over `sessionize` output: event count,
+    start/end, duration in seconds (microsecond-exact arithmetic so
+    DuckDB replays it bit-for-bit), and optionally the value sum."""
+    s = sessionize(df, key_col, ts_col, gap_s, order_cols=order_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        ((F.max(_epoch_us(F.col(ts_col)))
+          - F.min(_epoch_us(F.col(ts_col)))) / 1_000_000.0
+         ).alias("duration_s"),
+    ]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    return s.groupBy(key_col, "session_seq").agg(*aggs)
+
+
+def rolling_aggregates(df: DataFrame, key_col: str = "user_id",
+                       ts_col: str = "ts", value_col: str = "value",
+                       window_s: int = 3600,
+                       order_cols: list[str] | None = None) -> DataFrame:
+    """Trailing time-range aggregates per key: for every event, the
+    count / sum / mean of `value_col` over the window
+    `[ts - window_s, ts]` (inclusive both ends — RANGE frame semantics,
+    identical in Spark and DuckDB; rows tied on ts are all inside each
+    other's frame in both engines).
+
+    The frame is computed over epoch-microseconds so the boundary
+    arithmetic is integer-exact. One shuffle on the key; Spark
+    evaluates the sliding frame incrementally per partition, so cost is
+    O(events) not O(events × window population).
+    """
+    ep = _epoch_us(F.col(ts_col))
+    w = (Window.partitionBy(key_col).orderBy(ep.cast("long"))
+         .rangeBetween(-int(window_s) * 1_000_000, 0))
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+        F.sum(value_col).over(w).alias("rolling_sum"),
+        F.avg(value_col).over(w).alias("rolling_avg"),
+    )
+
+
+def funnel_counts(df: DataFrame, steps: list[str],
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel: how many keys reached step i, where step i
+    counts only if it happens STRICTLY after that key's step-(i-1)
+    completion time (earliest-completion semantics: t1 = min ts of
+    step 1, t2 = min ts of step 2 with ts > t1, ...).
+
+    Implementation: each key's relevant events are collected as a
+    sorted (ts, type) struct array — per-key state is bounded by that
+    key's event count, the same contract a stateful streaming operator
+    would hold — and the stage times fall out of k array filters, all
+    JVM-side expressions (no Python). For keys with unboundedly many
+    events, pre-aggregate with the two-pass variant instead: per step
+    a conditional-min aggregation joined back (k small passes); this
+    one-pass shape is the right default when per-key history fits in
+    tens of MB, which a month of per-user events does by orders of
+    magnitude.
+
+    Returns one row per step: (step_idx, step, n_reached) — counts are
+    monotone non-increasing.
+    """
+    relevant = df.where(F.col(type_col).isin(list(steps)))
+    g = relevant.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(
+            F.struct(F.col(ts_col).alias("ts"),
+                     F.col(type_col).alias("tp")))).alias("ev"))
+
+    # stage completion times: t_i = first event of type steps[i] with
+    # ts strictly greater than t_{i-1}. Lambdas are built by a closure
+    # factory: pyspark's higher-order-function binding inspects lambda
+    # arity, so default-arg capture would mis-register as a 3-ary lambda.
+    def _stage_filter(step: str, t_prev: Column | None):
+        if t_prev is None:
+            return lambda e: e["tp"] == F.lit(step)
+        return lambda e: ((e["tp"] == F.lit(step))
+                          & t_prev.isNotNull() & (e["ts"] > t_prev))
+
+    t_prev: Column | None = None
+    stage_cols = []
+    for i, s in enumerate(steps):
+        # try_element_at: the candidate list is legitimately empty for
+        # keys that never reach this step (ANSI element_at would throw)
+        cand = F.filter("ev", _stage_filter(s, t_prev))
+        t_prev = F.try_element_at(cand, F.lit(1))["ts"]
+        stage_cols.append(t_prev.alias(f"__t{i}"))
+
+    staged = g.select(key_col, *stage_cols)
+    counts = staged.agg(*[
+        F.count(F.col(f"__t{i}")).alias(f"__n{i}")
+        for i in range(len(steps))])
+
+    rows = F.array(*[
+        F.struct(F.lit(i + 1).alias("step_idx"),
+                 F.lit(s).alias("step"),
+                 F.col(f"__n{i}").alias("n_reached"))
+        for i, s in enumerate(steps)])
+    return (counts.select(F.explode(rows).alias("r"))
+            .select("r.step_idx", "r.step", "r.n_reached"))

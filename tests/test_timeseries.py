@@ -1,0 +1,186 @@
+"""Event-time analytics family (pipeline/timeseries.py).
+
+Edge-case tests: as-of tie/no-match/tolerance/payload-NULL atomicity,
+the sessionize gap boundary, rolling frame inclusivity, and funnel
+strict ordering. Oracle parity at corpus scale is covered by the
+asof_join / user_sessions / rolling_user_stats / funnel entries in
+__spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from confluent_ksql_charm_spark.pipeline.timeseries import (
+    asof_join,
+    funnel_counts,
+    rolling_aggregates,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-01T10:00:00")),
+             (2, 1, _ts("2024-01-01T12:00:00")),
+             (3, 2, _ts("2024-01-01T09:00:00"))],
+            "event_id bigint, user_id bigint, ts timestamp_ntz")
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:00:00"), 5.0),
+             (1, _ts("2024-01-01T11:30:00"), 7.0),
+             (2, _ts("2024-01-01T09:30:00"), 9.0)],
+            "user_id bigint, ts timestamp_ntz, v double")
+        return left, right
+
+    def test_backward_match_and_tie(self, spark):
+        left, right = self._frames(spark)
+        out = {r["event_id"]: r["v"]
+               for r in asof_join(left, right, on="user_id").collect()}
+        # tie at 10:00 matches (inclusive, DuckDB ASOF >= semantics)
+        assert out[1] == 5.0
+        # 12:00 picks the latest prior (11:30), not the earliest
+        assert out[2] == 7.0
+        # user 2 at 09:00 has no prior right row -> NULL (left outer)
+        assert out[3] is None
+
+    def test_tolerance_nulls_stale_match(self, spark):
+        left, right = self._frames(spark)
+        out = {r["event_id"]: r["v"]
+               for r in asof_join(left, right, on="user_id",
+                                  tolerance_us=20 * 60 * 1_000_000)
+               .collect()}
+        assert out[1] == 5.0      # 0 lag, inside tolerance
+        assert out[2] is None     # 30 min lag > 20 min tolerance
+        assert out[3] is None
+
+    def test_payload_null_is_atomic(self, spark):
+        """A NULL column inside the matched right row must surface as
+        NULL, not fall through to an older right row's value."""
+        left = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-01T12:00:00"))],
+            "event_id bigint, user_id bigint, ts timestamp_ntz")
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:00:00"), 5.0),
+             (1, _ts("2024-01-01T11:00:00"), None)],
+            "user_id bigint, ts timestamp_ntz, v double")
+        row = asof_join(left, right, on="user_id").first()
+        assert row["ts_r"] == _ts("2024-01-01T11:00:00")
+        assert row["v"] is None
+
+    def test_name_collision_gets_suffix(self, spark):
+        left = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-01T12:00:00"), 1.0)],
+            "event_id bigint, user_id bigint, ts timestamp_ntz, v double")
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:00:00"), 5.0)],
+            "user_id bigint, ts timestamp_ntz, v double")
+        row = asof_join(left, right, on="user_id").first()
+        assert row["v"] == 1.0 and row["v_r"] == 5.0
+
+
+class TestSessionize:
+    def test_gap_boundary_inclusive(self, spark):
+        # events exactly gap_s apart stay in ONE session (KSQL SESSION
+        # inclusive-gap parity); one microsecond more starts a new one
+        df = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-01T10:00:00")),
+             (2, 1, _ts("2024-01-01T10:30:00")),
+             (3, 1, _ts("2024-01-01T11:00:00.000001")),
+             (4, 2, _ts("2024-01-01T10:00:00"))],
+            "event_id bigint, user_id bigint, ts timestamp_ntz")
+        out = {r["event_id"]: r["session_seq"]
+               for r in sessionize(df, gap_s=1800,
+                                   order_cols=["event_id"]).collect()}
+        assert out[1] == 1 and out[2] == 1   # exactly 1800 s: same
+        assert out[3] == 2                   # 1800.000001 s: new
+        assert out[4] == 1                   # other key independent
+
+    def test_session_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-01T10:00:00"), 2.0),
+             (2, 1, _ts("2024-01-01T10:10:00"), 3.0),
+             (3, 1, _ts("2024-01-01T20:00:00"), 4.0)],
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "value double")
+        rows = {r["session_seq"]: r for r in session_stats(
+            df, gap_s=1800, value_col="value",
+            order_cols=["event_id"]).collect()}
+        assert rows[1]["n_events"] == 2
+        assert rows[1]["duration_s"] == 600.0
+        assert rows[1]["value_sum"] == 5.0
+        assert rows[2]["n_events"] == 1 and rows[2]["duration_s"] == 0.0
+
+
+class TestRolling:
+    def test_trailing_frame_inclusive_both_ends(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-01T10:00:00"), 1.0),
+             (2, 1, _ts("2024-01-01T11:00:00"), 2.0),
+             (3, 1, _ts("2024-01-01T12:00:00"), 4.0)],
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "value double")
+        out = {r["event_id"]: r for r in rolling_aggregates(
+            df, window_s=3600).collect()}
+        assert out[1]["rolling_n"] == 1
+        # 11:00 frame = [10:00, 11:00] -> both rows (boundary inclusive)
+        assert out[2]["rolling_n"] == 2 and out[2]["rolling_sum"] == 3.0
+        # 12:00 frame = [11:00, 12:00] -> row 1 aged out
+        assert out[3]["rolling_n"] == 2 and out[3]["rolling_sum"] == 6.0
+        assert out[3]["rolling_avg"] == 3.0
+
+    def test_ties_share_frame(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-01T10:00:00"), 1.0),
+             (2, 1, _ts("2024-01-01T10:00:00"), 2.0)],
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "value double")
+        out = rolling_aggregates(df, window_s=60).collect()
+        # RANGE frame: peer rows at the same ts see each other
+        assert all(r["rolling_n"] == 2 and r["rolling_sum"] == 3.0
+                   for r in out)
+
+
+class TestFunnel:
+    def test_strict_ordering(self, spark):
+        # user 1 completes view->click->purchase in order; user 2 has
+        # a purchase BEFORE the click, which must not count; user 3
+        # never clicks
+        df = spark.createDataFrame(
+            [(1, "view", _ts("2024-01-01T10:00:00")),
+             (1, "click", _ts("2024-01-01T10:05:00")),
+             (1, "purchase", _ts("2024-01-01T10:10:00")),
+             (2, "view", _ts("2024-01-01T10:00:00")),
+             (2, "purchase", _ts("2024-01-01T10:02:00")),
+             (2, "click", _ts("2024-01-01T10:05:00")),
+             (3, "view", _ts("2024-01-01T10:00:00"))],
+            "user_id bigint, event_type string, ts timestamp_ntz")
+        out = {r["step"]: r["n_reached"] for r in funnel_counts(
+            df, ["view", "click", "purchase"]).collect()}
+        assert out == {"view": 3, "click": 2, "purchase": 1}
+
+    def test_same_ts_does_not_chain(self, spark):
+        # strictly-after: a click at the exact view timestamp does not
+        # complete the click stage
+        df = spark.createDataFrame(
+            [(1, "view", _ts("2024-01-01T10:00:00")),
+             (1, "click", _ts("2024-01-01T10:00:00"))],
+            "user_id bigint, event_type string, ts timestamp_ntz")
+        out = {r["step"]: r["n_reached"] for r in funnel_counts(
+            df, ["view", "click"]).collect()}
+        assert out == {"view": 1, "click": 0}
+
+    def test_monotone_on_corpus(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rows = (funnel_counts(ev, ["signup", "view", "click", "purchase"])
+                .orderBy("step_idx").collect())
+        counts = [r["n_reached"] for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        assert counts[0] > 0
