@@ -1831,6 +1831,79 @@ def _q_multimodal_features(spark, sf):
                         "sample_rate", "n_channels", "duration_ms")
 
 
+def _events(spark, sf):
+    return _eng(spark, sf).metastore.get("events").df
+
+
+def _q_asof_join(spark, sf):
+    # point-in-time join: each click gets the latest prior (or same-
+    # instant) purchase of the same user — the union-merge plan (one
+    # shuffle on user_id, window scan, zero range explosion). The right
+    # side is deduped by (user, ts) so the match is deterministic; the
+    # oracle is DuckDB's native ASOF LEFT JOIN.
+    from confluent_ksql_charm_spark.pipeline.timeseries import asof_join
+
+    ev = _events(spark, sf)
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    right = (ev.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts").agg(F.max("value").alias("r_value")))
+    out = asof_join(left, right, on="user_id", left_ts="ts",
+                    right_cols=["r_value"])
+    return out.select("event_id", "user_id", F.col("ts_r"),
+                      F.round("r_value", 4).alias("r_value"))
+
+
+def _q_user_sessions(spark, sf):
+    # gap-based sessionization (gaps-and-islands: lag + cumulative sum,
+    # one shuffle) + per-session rollup. value runs through
+    # DECIMAL(20,6) so the session sum is exact in both engines;
+    # duration is integer-µs arithmetic (micros/1e6 yields the same
+    # double bit pattern in both — no rounding, which would trip on
+    # exact decimal halves).
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        session_stats)
+
+    ev = _events(spark, sf).withColumn(
+        "value", F.col("value").cast("decimal(20,6)"))
+    out = session_stats(ev, "user_id", "ts", gap_s=3600,
+                        value_col="value", order_cols=["event_id"])
+    return out.select(
+        "user_id", "session_seq", "n_events", "duration_s",
+        F.col("value_sum").cast("double").alias("value_sum"))
+
+
+def _q_rolling_user_stats(spark, sf):
+    # trailing 24h per-user rate features via a RANGE frame over epoch
+    # micros — Spark evaluates the sliding frame incrementally (O(n),
+    # not O(n x frame)). DECIMAL sum for cross-engine exactness; the
+    # mean is derived as sum/n from those exact quantities.
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        rolling_aggregates)
+
+    ev = _events(spark, sf).withColumn(
+        "value", F.col("value").cast("decimal(20,6)"))
+    out = rolling_aggregates(ev, "user_id", "ts", "value",
+                             window_s=86400)
+    return out.select(
+        "event_id", "rolling_n",
+        F.col("rolling_sum").cast("double").alias("rolling_sum"),
+        (F.col("rolling_sum").cast("double") / F.col("rolling_n"))
+        .alias("rolling_avg"))
+
+
+def _q_funnel_steps(spark, sf):
+    # ordered funnel with strictly-after chaining (t_i = min ts of step
+    # i with ts > t_{i-1}); per-user history folds as a sorted struct
+    # array, all JVM expressions. Oracle = k staged conditional-min
+    # CTEs.
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        funnel_counts)
+
+    return funnel_counts(_events(spark, sf),
+                         ["signup", "view", "click", "purchase"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Exactly 50 entries (the driver's correctness harness checks 50), so
     # every operator gets a CORRECTNESS row each round. Same-row-set entries
@@ -1843,6 +1916,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keys, so the round-10 additions and the 10 entries no driver
         # round has ever sampled lead (they stay pinned here until a
         # driver round covers them), then the round-9 wave, the tail.
+        "asof_join": _q_asof_join,
+        "user_sessions": _q_user_sessions,
+        "rolling_user_stats": _q_rolling_user_stats,
+        "funnel_steps": _q_funnel_steps,
         "quality_classifier": _q_quality_classifier,
         "secret_scan": _q_secret_scan,
         "secret_redact": _q_secret_redact,
@@ -2489,6 +2566,68 @@ def _secret_scan_sqls() -> tuple[str, str]:
 def oracle_sql() -> dict[str, str]:
     _secret_scan_oracle, _secret_redact_oracle = _secret_scan_sqls()
     return {
+        "asof_join": (
+            # native DuckDB ASOF LEFT JOIN (largest r.ts <= l.ts, ties
+            # inclusive) — exactly the union-merge window semantics
+            "WITH l AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "r AS (SELECT user_id, ts, max(value) AS r_value FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT l.event_id, l.user_id, r.ts AS ts_r, "
+            "ROUND(r.r_value, 4) AS r_value "
+            "FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "user_sessions": (
+            # gaps-and-islands with the same (ts, event_id) tiebreak and
+            # ROWS cumulative frame; DECIMAL(20,6) sum; duration from
+            # integer epoch-µs (unrounded — micros/1e6 is the identical
+            # double in both engines, and rounding would flip on exact
+            # decimal halves)
+            "WITH s AS (SELECT user_id, ts, event_id, "
+            "value::DECIMAL(20,6) AS value, "
+            "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+            "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000 "
+            "THEN 1 ELSE 0 END AS st FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s2 AS (SELECT *, sum(st) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS session_seq FROM s) "
+            "SELECT user_id, session_seq, count(*) AS n_events, "
+            "(max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 "
+            "AS duration_s, CAST(sum(value) AS DOUBLE) AS value_sum "
+            "FROM s2 GROUP BY 1, 2"
+        ),
+        "rolling_user_stats": (
+            # trailing-24h RANGE frame over epoch micros, inclusive both
+            # ends in both engines; DECIMAL sum, mean derived as sum/n
+            "WITH r AS (SELECT event_id, count(*) OVER w AS rolling_n, "
+            "CAST(sum(value::DECIMAL(20,6)) OVER w AS DOUBLE) "
+            "AS rolling_sum FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)) "
+            "SELECT event_id, rolling_n, rolling_sum, "
+            "rolling_sum / rolling_n AS rolling_avg FROM r"
+        ),
+        "funnel_steps": (
+            # staged conditional-min funnel, strictly-after chaining
+            "WITH t1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'signup' GROUP BY 1), "
+            "t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t "
+            "WHERE e.event_type = 'view' GROUP BY 1), "
+            "t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "t4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN t3 ON e.user_id = t3.user_id AND e.ts > t3.t "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT 1 AS step_idx, 'signup' AS step, "
+            "(SELECT count(*) FROM t1) AS n_reached "
+            "UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2) "
+            "UNION ALL SELECT 3, 'click', (SELECT count(*) FROM t3) "
+            "UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM t4)"
+        ),
         "secret_scan": _secret_scan_oracle,
         "secret_redact": _secret_redact_oracle,
         "quality_classifier": (
