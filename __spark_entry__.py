@@ -1904,6 +1904,31 @@ def _q_funnel_steps(spark, sf):
                          ["signup", "view", "click", "purchase"])
 
 
+def _q_hamming_topk(spark, sf):
+    # 1-bit sign-quantization shortlist (8 bytes/vector, xor+popcount
+    # scan) -> exact cosine rerank: the 32x compression tier under
+    # SQ8 (4x) and PQ (8x). The oracle replays the identical
+    # differing-sign-bit count and the same two deterministic
+    # orderings.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        hamming_topk)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    out = hamming_topk(emb.where(F.col("vec_id") != 0),
+                       _query_vec(spark, sf), k=10, rerank=50)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_length_quantiles(spark, sf):
+    # per-language exact interpolated quantiles of doc length — the
+    # distribution dashboard behind length-cut decisions. percentile()
+    # is bit-identical to DuckDB quantile_cont (probe: both returned
+    # 7.6000000000000005), so values ship UNROUNDED.
+    from confluent_ksql_charm_spark.pipeline.text import value_quantiles
+
+    return value_quantiles(_docs(spark, sf), "n_chars", by="lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Exactly 50 entries (the driver's correctness harness checks 50), so
     # every operator gets a CORRECTNESS row each round. Same-row-set entries
@@ -1916,6 +1941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keys, so the round-10 additions and the 10 entries no driver
         # round has ever sampled lead (they stay pinned here until a
         # driver round covers them), then the round-9 wave, the tail.
+        "hamming_topk": _q_hamming_topk,
+        "length_quantiles": _q_length_quantiles,
         "asof_join": _q_asof_join,
         "user_sessions": _q_user_sessions,
         "rolling_user_stats": _q_rolling_user_stats,
@@ -2566,6 +2593,39 @@ def _secret_scan_sqls() -> tuple[str, str]:
 def oracle_sql() -> dict[str, str]:
     _secret_scan_oracle, _secret_redact_oracle = _secret_scan_sqls()
     return {
+        "hamming_topk": (
+            # identical sign-bit Hamming: count of dims where the sign
+            # (> 0) differs from the query's — exactly what
+            # xor+popcount over the packed words computes — then the
+            # same (hamming asc, id) shortlist and exact cosine cut
+            "WITH q AS (SELECT embedding AS qe FROM embeddings "
+            "WHERE vec_id = 0), "
+            # qe reaches the lambda via a single-row cross join (DuckDB
+            # rejects subqueries inside lambda bodies)
+            "h AS (SELECT vec_id, list_sum(list_transform("
+            "generate_series(1, 64), i -> CASE WHEN "
+            "(embedding[i] > 0) <> (qe[i] > 0) "
+            "THEN 1 ELSE 0 END)) AS hd "
+            "FROM embeddings, q WHERE vec_id <> 0), "
+            "short AS (SELECT vec_id FROM h ORDER BY hd, vec_id "
+            "LIMIT 50) "
+            "SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, "
+            "(SELECT qe FROM q)), 4) AS cosine "
+            "FROM embeddings e JOIN short USING (vec_id) "
+            "ORDER BY list_cosine_similarity(e.embedding, "
+            "(SELECT qe FROM q)) DESC, e.vec_id LIMIT 10"
+        ),
+        "length_quantiles": (
+            # quantile_cont == Spark percentile (type-7 interpolation,
+            # bit-identical probe) — unrounded
+            "SELECT lang, count(*) AS n, "
+            "quantile_cont(n_chars, 0.25) AS p25, "
+            "quantile_cont(n_chars, 0.5) AS p50, "
+            "quantile_cont(n_chars, 0.75) AS p75, "
+            "quantile_cont(n_chars, 0.9) AS p90, "
+            "quantile_cont(n_chars, 0.99) AS p99 "
+            "FROM documents GROUP BY lang"
+        ),
         "asof_join": (
             # native DuckDB ASOF LEFT JOIN (largest r.ts <= l.ts, ties
             # inclusive) — exactly the union-merge window semantics

@@ -3524,3 +3524,92 @@ def random_projection(df: DataFrame, k: int, *,
             term = F.round(term, round_to)
         outs.append(term)
     return df.withColumn(out_col, F.array(*outs))
+
+
+# ---------------------------------------------------------------------------
+# Binary sign quantization: the 1-bit compression tier (faiss/SimHash shape)
+# ---------------------------------------------------------------------------
+
+def sign_quantize(df: DataFrame, dim: int, *, vec_col: str = "embedding",
+                  out_col: str = "sign_bits",
+                  word_bits: int = 32) -> DataFrame:
+    """1-bit-per-dimension sign codes packed into 32-bit words inside
+    BIGINTs: bit j of word w is set iff ``vec[w*32 + j] > 0``.
+
+    This is the most aggressive compression tier in the family
+    (dim 64: 8 bytes/vector vs 256 for float32 — 32x; SQ8 is 4x, PQ8
+    8x at m=8), and the coarsest: Hamming distance on sign bits only
+    approximates angular order, so it is a SHORTLIST tier that always
+    pairs with an exact rerank (`hamming_topk`), never a final score.
+
+    32-bit words (not 64) keep every shift in the DuckDB-safe range —
+    a checked ``1::BIGINT << 63`` overflows there, and the oracle
+    replays the identical packing. The unrolled when-sum per word stays
+    inside whole-stage codegen; at 100 TB the packed column is the only
+    thing the candidate scan reads (column pruning drops the floats).
+    """
+    if word_bits > 63:
+        raise ValueError("word_bits must be <= 63 (BIGINT shift range)")
+    words = []
+    for w in range(0, dim, word_bits):
+        word: Column = F.lit(0).cast("long")
+        for j in range(min(word_bits, dim - w)):
+            word = word + F.when(F.col(vec_col)[w + j] > 0,
+                                 F.lit(1 << j).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        words.append(word)
+    return df.withColumn(out_col, F.array(*words))
+
+
+def pack_sign_query(query_vec: list[float],
+                    word_bits: int = 32) -> list[int]:
+    """Driver-side packing of the query vector, same layout."""
+    words = []
+    for w in range(0, len(query_vec), word_bits):
+        word = 0
+        for j in range(min(word_bits, len(query_vec) - w)):
+            if float(query_vec[w + j]) > 0:
+                word |= 1 << j
+        words.append(word)
+    return words
+
+
+def hamming_distance_col(packed_col: Column,
+                         q_words: list[int]) -> Column:
+    """popcount(xor) summed across words — differing-sign-bit count."""
+    d: Column = F.lit(0)
+    for w, qw in enumerate(q_words):
+        d = d + F.bit_count(packed_col[w].bitwiseXOR(
+            F.lit(int(qw)).cast("long")))
+    return d
+
+
+def hamming_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
+                 rerank: int = 50, vec_col: str = "embedding",
+                 id_col: str = "vec_id",
+                 word_bits: int = 32) -> DataFrame:
+    """Two-stage ANN: Hamming-on-sign-bits shortlist (deterministic
+    order: distance asc, id asc) -> exact cosine rerank of the
+    `rerank` fetched full-precision vectors, cut to `k` (cosine desc,
+    id asc — the family's ordering contract).
+
+    The shortlist scan reads 8 bytes/vector and evaluates two
+    xor+popcounts — the cheapest candidate generator in the family; the
+    rerank fetch is the same bounded id-IN pushdown the SQ8/PQ refine
+    tiers use (row-group pruning, not a join job). At 100 TB the
+    whole first stage is CPU-trivial and scan-bound at 1/32 of the
+    float bytes; recall comes from the rerank width (rerank/k ratio),
+    measured in BASELINE.md's decade table.
+    """
+    dim = len(query_vec)
+    q_words = pack_sign_query(query_vec, word_bits)
+    packed = sign_quantize(df, dim, vec_col=vec_col,
+                           word_bits=word_bits)
+    shortlist = (packed
+                 .select(F.col(id_col),
+                         hamming_distance_col(F.col("sign_bits"),
+                                              q_words).alias("hamming"))
+                 .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+                 .limit(rerank))
+    cand = df.where(F.col(id_col).isin(_shortlist_ids(shortlist, id_col)))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

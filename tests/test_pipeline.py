@@ -6725,3 +6725,86 @@ class TestPackBins:
             pack_bins(df, "doc_id", "n_tokens", 0, 2)
         with pytest.raises(ValueError, match="num_shards"):
             pack_bins(df, "doc_id", "n_tokens", 10, 0)
+
+
+class TestSignQuantization:
+    def test_pack_layout(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            pack_sign_query, sign_quantize)
+
+        # dims 0 and 33 positive -> bit 0 of word 0, bit 1 of word 1
+        vec = [0.0] * 64
+        vec[0] = 1.0
+        vec[33] = 2.0
+        assert pack_sign_query(vec) == [1, 2]
+        df = spark.createDataFrame([(1, vec)],
+                                   "vec_id bigint, embedding array<float>")
+        row = sign_quantize(df, 64).first()
+        assert list(row["sign_bits"]) == [1, 2]
+
+    def test_zero_is_not_positive(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            pack_sign_query)
+
+        assert pack_sign_query([0.0, -1.0, 1.0]) == [4]
+
+    def test_hamming_topk_recall_vs_exact(self, spark):
+        """At rerank=50 over 500 vectors, the sign-bit shortlist +
+        exact rerank should recover most of the exact cosine top-10
+        (clustered synthetic embeddings: sign patterns separate
+        clusters well)."""
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, hamming_topk)
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in
+             emb.where("vec_id = 0").first()["embedding"]]
+        body = emb.where("vec_id <> 0")
+        exact = {r["vec_id"] for r in cosine_topk(body, q, 10).collect()}
+        ham = {r["vec_id"] for r in hamming_topk(body, q, 10,
+                                                 rerank=50).collect()}
+        assert len(exact & ham) >= 7
+
+    def test_word_bits_guard(self, spark):
+        import pytest as _pytest
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            sign_quantize)
+
+        df = spark.createDataFrame([(1, [1.0])],
+                                   "vec_id bigint, embedding array<float>")
+        with _pytest.raises(ValueError):
+            sign_quantize(df, 1, word_bits=64)
+
+
+class TestValueQuantiles:
+    def test_matches_duck_quantile_cont(self, spark, duck):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            value_quantiles)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        got = {r["lang"]: r for r in value_quantiles(
+            docs, "n_chars", by="lang").collect()}
+        want = duck.sql(
+            "SELECT lang, count(*) AS n, "
+            "quantile_cont(n_chars, 0.5) AS p50, "
+            "quantile_cont(n_chars, 0.99) AS p99 "
+            "FROM documents GROUP BY lang").fetchall()
+        for lang, n, p50, p99 in want:
+            assert got[lang]["n"] == n
+            assert got[lang]["p50"] == p50      # bit-identical, no tol
+            assert got[lang]["p99"] == p99
+
+    def test_global_and_approx_schema(self, spark):
+        from confluent_ksql_charm_spark.pipeline.text import (
+            value_quantiles)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        exact = value_quantiles(docs, "n_chars", by=None)
+        approx = value_quantiles(docs, "n_chars", by=None, approx=True)
+        assert exact.columns == approx.columns
+        r = exact.first()
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p90"] <= r["p99"]
