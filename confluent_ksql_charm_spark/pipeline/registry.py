@@ -155,6 +155,24 @@ _SIGNATURES = {
                        "[, OUT='rp'][, SEED='42'])"),
     "PACK_BINS": ("PACK_BINS(src, KEY='id', TOKENS='n_tokens', "
                   "BUDGET='2048'[, SHARDS='8'])"),
+    "ASOF_JOIN": ("ASOF_JOIN(left, right, ON='key[,key]'[, TS='ts']"
+                  "[, RIGHT_TS='ts'][, COLS='col,col']"
+                  "[, TOLERANCE_US='n'][, SUFFIX='_r'])"),
+    "SESSIONIZE": ("SESSIONIZE(src[, KEY='user_id'][, TS='ts']"
+                   "[, GAP_S='1800'][, ORDER='event_id'])"),
+    "SESSION_STATS": ("SESSION_STATS(src[, KEY='user_id'][, TS='ts']"
+                      "[, GAP_S='1800'][, VALUE='value']"
+                      "[, ORDER='event_id'])"),
+    "ROLLING_AGG": ("ROLLING_AGG(src[, KEY='user_id'][, TS='ts']"
+                    "[, VALUE='value'][, WINDOW_S='3600'])"),
+    "FUNNEL": ("FUNNEL(src, STEPS='view,click,purchase'"
+               "[, KEY='user_id'][, TS='ts'][, TYPE='event_type'])"),
+    "HAMMING_TOPK": ("HAMMING_TOPK(emb, QUERY_VEC='f,f,...'[, K='10']"
+                     "[, RERANK='50'][, ID='vec_id']"
+                     "[, VEC='embedding'])"),
+    "QUANTILES": ("QUANTILES(src, VALUE='n_chars'[, BY='lang']"
+                  "[, PS='0.25,0.5,0.75,0.9,0.99']"
+                  "[, APPROX='false'])"),
 }
 
 
@@ -655,6 +673,62 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                               nprobe=int(p.get("NPROBE", 4)),
                               id_col=p.get("ID", "vec_id"),
                               vec_col=p.get("VEC", "embedding"))
+    if op == "ASOF_JOIN":
+        from .timeseries import asof_join
+        _need_sources(spec, 2)
+        on = [c.strip() for c in _need(spec, "ON").split(",")]
+        tol = p.get("TOLERANCE_US")
+        return asof_join(dfs[0], dfs[1], on,
+                         left_ts=p.get("TS", "ts"),
+                         right_ts=p.get("RIGHT_TS"),
+                         right_cols=([c.strip() for c in
+                                      p["COLS"].split(",")]
+                                     if "COLS" in p else None),
+                         suffix=p.get("SUFFIX", "_r"),
+                         tolerance_us=int(tol) if tol else None)
+    if op in ("SESSIONIZE", "SESSION_STATS"):
+        from .timeseries import session_stats, sessionize
+        _need_sources(spec, 1)
+        kw = dict(key_col=p.get("KEY", "user_id"),
+                  ts_col=p.get("TS", "ts"),
+                  gap_s=int(p.get("GAP_S", 1800)),
+                  order_cols=([c.strip() for c in p["ORDER"].split(",")]
+                              if "ORDER" in p else None))
+        if op == "SESSIONIZE":
+            return sessionize(dfs[0], **kw)
+        return session_stats(dfs[0], value_col=p.get("VALUE"), **kw)
+    if op == "ROLLING_AGG":
+        from .timeseries import rolling_aggregates
+        _need_sources(spec, 1)
+        return rolling_aggregates(dfs[0],
+                                  key_col=p.get("KEY", "user_id"),
+                                  ts_col=p.get("TS", "ts"),
+                                  value_col=p.get("VALUE", "value"),
+                                  window_s=int(p.get("WINDOW_S", 3600)))
+    if op == "FUNNEL":
+        from .timeseries import funnel_counts
+        _need_sources(spec, 1)
+        steps = [s.strip() for s in _need(spec, "STEPS").split(",")]
+        return funnel_counts(dfs[0], steps,
+                             key_col=p.get("KEY", "user_id"),
+                             ts_col=p.get("TS", "ts"),
+                             type_col=p.get("TYPE", "event_type"))
+    if op == "HAMMING_TOPK":
+        from .similarity import hamming_topk
+        _need_sources(spec, 1)
+        qv = [float(x) for x in _need(spec, "QUERY_VEC").split(",")]
+        return hamming_topk(dfs[0], qv, k=int(p.get("K", 10)),
+                            rerank=int(p.get("RERANK", 50)),
+                            id_col=p.get("ID", "vec_id"),
+                            vec_col=p.get("VEC", "embedding"))
+    if op == "QUANTILES":
+        from .text import value_quantiles
+        _need_sources(spec, 1)
+        ps = [float(x) for x in
+              p.get("PS", "0.25,0.5,0.75,0.9,0.99").split(",")]
+        return value_quantiles(
+            dfs[0], _need(spec, "VALUE"), by=p.get("BY"), ps=ps,
+            approx=p.get("APPROX", "false").lower() == "true")
     raise ValueError(
         f"unknown PIPELINE operator {op!r}; available: "
         + ", ".join(sorted(_SIGNATURES)))

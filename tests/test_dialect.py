@@ -801,3 +801,74 @@ class TestPipelineStatements:
         rows = {(r.doc_id, r.bench_id) for r in
                 peng.sql("SELECT doc_id, bench_id FROM report").collect()}
         assert rows == {(3, 100)}     # doc 3 == the bench doc's text
+
+    def _events_src(self, peng, spark):
+        import datetime as dt
+
+        def t(s):
+            return dt.datetime.fromisoformat(s)
+
+        rows = [
+            (1, 1, t("2024-01-01T10:00:00"), "view", 1.0),
+            (2, 1, t("2024-01-01T10:05:00"), "click", 2.0),
+            (3, 1, t("2024-01-01T12:00:00"), "purchase", 8.0),
+            (4, 2, t("2024-01-01T10:00:00"), "view", 3.0),
+            (5, 2, t("2024-01-01T10:01:00"), "purchase", 4.0),
+        ]
+        peng.register_source("ev", df=spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts timestamp_ntz, "
+                  "event_type string, value double"))
+
+    def test_asof_join_via_sql(self, peng, spark):
+        self._events_src(peng, spark)
+        peng.execute("CREATE TABLE clicks AS SELECT * FROM ev "
+                     "WHERE event_type = 'click';")
+        peng.execute("CREATE TABLE buys AS SELECT * FROM ev "
+                     "WHERE event_type = 'purchase';")
+        peng.execute("CREATE TABLE backfill AS PIPELINE "
+                     "ASOF_JOIN(clicks, buys, ON='user_id', TS='ts', "
+                     "COLS='value');")
+        rows = peng.sql(
+            "SELECT event_id, value_r FROM backfill").collect()
+        # the only click (user 1 at 10:05) has no prior purchase
+        assert len(rows) == 1 and rows[0].value_r is None
+
+    def test_sessionize_and_stats_via_sql(self, peng, spark):
+        self._events_src(peng, spark)
+        peng.execute("CREATE TABLE sess AS PIPELINE "
+                     "SESSION_STATS(ev, GAP_S='1800', VALUE='value', "
+                     "ORDER='event_id');")
+        rows = {(r.user_id, r.session_seq): r for r in peng.sql(
+            "SELECT * FROM sess").collect()}
+        assert rows[(1, 1)].n_events == 2      # 10:00+10:05 together
+        assert rows[(1, 2)].n_events == 1      # 12:00 is a new session
+        assert rows[(2, 1)].value_sum == 7.0
+
+    def test_rolling_and_funnel_via_sql(self, peng, spark):
+        self._events_src(peng, spark)
+        peng.execute("CREATE TABLE roll AS PIPELINE "
+                     "ROLLING_AGG(ev, WINDOW_S='600');")
+        byid = {r.event_id: r for r in peng.sql(
+            "SELECT event_id, rolling_n, rolling_sum FROM roll").collect()}
+        assert byid[2].rolling_n == 2 and byid[2].rolling_sum == 3.0
+        assert byid[3].rolling_n == 1          # 12:00 frame excludes 10:05
+        peng.execute("CREATE TABLE fun AS PIPELINE "
+                     "FUNNEL(ev, STEPS='view,click,purchase');")
+        got = {r.step: r.n_reached for r in peng.sql(
+            "SELECT step, n_reached FROM fun").collect()}
+        # user 2's purchase precedes any click -> funnel purchase = 1
+        assert got == {"view": 2, "click": 1, "purchase": 1}
+
+    def test_hamming_and_quantiles_via_sql(self, peng, spark):
+        peng.register_source("hvecs", df=spark.createDataFrame(
+            [(i, [1.0 if (i >> b) & 1 else -1.0 for b in range(4)])
+             for i in range(16)],
+            "vec_id bigint, embedding array<float>"))
+        peng.execute("CREATE TABLE hnn AS PIPELINE "
+                     "HAMMING_TOPK(hvecs, QUERY_VEC='1,1,1,1', K='3', "
+                     "RERANK='4');")
+        rows = peng.sql("SELECT vec_id FROM hnn").collect()
+        assert rows[0].vec_id == 15            # identical sign pattern
+        peng.execute("CREATE TABLE lq AS PIPELINE "
+                     "QUANTILES(docs, VALUE='doc_id', PS='0.5');")
+        assert peng.sql("SELECT * FROM lq").first().p50 == 3.0
