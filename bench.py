@@ -86,6 +86,14 @@ HEADLINE = [
     "cluster_outliers",
     "distinct_ngrams",
     "embedding_covariance",
+    # round-10 session-3 additions (event-time analytics family + the
+    # 1-bit sign-quantization ANN tier; baselines: BASELINE.md
+    # round-10 session-3 table)
+    "asof_join",
+    "user_sessions",
+    "rolling_user_stats",
+    "funnel_steps",
+    "hamming_topk",
 ]
 
 
