@@ -1892,6 +1892,16 @@ def _q_rolling_user_stats(spark, sf):
         .alias("rolling_avg"))
 
 
+def _q_retention_cohorts(spark, sf):
+    # cohort retention triangle, single-pass window formulation (no
+    # first-seen dimension join — one shuffle fewer than the textbook
+    # shape); ISO-Monday week buckets agree across engines.
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        retention_cohorts)
+
+    return retention_cohorts(_events(spark, sf))
+
+
 def _q_funnel_steps(spark, sf):
     # ordered funnel with strictly-after chaining (t_i = min ts of step
     # i with ts > t_{i-1}); per-user history folds as a sorted struct
@@ -1947,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": _q_user_sessions,
         "rolling_user_stats": _q_rolling_user_stats,
         "funnel_steps": _q_funnel_steps,
+        "retention_cohorts": _q_retention_cohorts,
         "quality_classifier": _q_quality_classifier,
         "secret_scan": _q_secret_scan,
         "secret_redact": _q_secret_redact,
@@ -2668,6 +2679,16 @@ def oracle_sql() -> dict[str, str]:
             "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)) "
             "SELECT event_id, rolling_n, rolling_sum, "
             "rolling_sum / rolling_n AS rolling_avg FROM r"
+        ),
+        "retention_cohorts": (
+            # same single-pass window shape; DATE buckets, day-diff/7
+            'WITH act AS (SELECT DISTINCT user_id, '
+            "CAST(date_trunc('week', ts) AS DATE) AS bk FROM events), "
+            "w AS (SELECT user_id, bk, min(bk) OVER "
+            "(PARTITION BY user_id) AS cohort FROM act) "
+            "SELECT cohort, CAST(date_diff('day', cohort, bk) / 7 "
+            'AS BIGINT) AS "offset", count(*) AS n_keys '
+            "FROM w GROUP BY 1, 2"
         ),
         "funnel_steps": (
             # staged conditional-min funnel, strictly-after chaining

@@ -173,6 +173,8 @@ _SIGNATURES = {
     "QUANTILES": ("QUANTILES(src, VALUE='n_chars'[, BY='lang']"
                   "[, PS='0.25,0.5,0.75,0.9,0.99']"
                   "[, APPROX='false'])"),
+    "RETENTION": ("RETENTION(src[, KEY='user_id'][, TS='ts']"
+                  "[, GRANULARITY='week'])"),
 }
 
 
@@ -721,6 +723,13 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                             rerank=int(p.get("RERANK", 50)),
                             id_col=p.get("ID", "vec_id"),
                             vec_col=p.get("VEC", "embedding"))
+    if op == "RETENTION":
+        from .timeseries import retention_cohorts
+        _need_sources(spec, 1)
+        return retention_cohorts(dfs[0],
+                                 key_col=p.get("KEY", "user_id"),
+                                 ts_col=p.get("TS", "ts"),
+                                 granularity=p.get("GRANULARITY", "week"))
     if op == "QUANTILES":
         from .text import value_quantiles
         _need_sources(spec, 1)

@@ -50,6 +50,7 @@ __all__ = [
     "session_stats",
     "rolling_aggregates",
     "funnel_counts",
+    "retention_cohorts",
 ]
 
 
@@ -293,3 +294,36 @@ def funnel_counts(df: DataFrame, steps: list[str],
         for i, s in enumerate(steps)])
     return (counts.select(F.explode(rows).alias("r"))
             .select("r.step_idx", "r.step", "r.n_reached"))
+
+
+def retention_cohorts(df: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts",
+                      granularity: str = "week") -> DataFrame:
+    """Cohort retention triangle: keys are cohorted by the bucket of
+    their FIRST event; each (cohort, offset) cell counts the keys from
+    that cohort active `offset` buckets later. `granularity` is 'day'
+    or 'week' (ISO-Monday weeks — Spark and DuckDB date_trunc agree).
+
+    Single-pass shape — no self-join: distinct (key, bucket) -> window
+    min per key attaches the cohort (one shuffle on the key, the same
+    partitioning the distinct can feed) -> one final aggregate over
+    |cohorts x offsets| cells. The naive formulation joins the
+    activity relation against a first-seen dimension — a second
+    full-size shuffle of the fact table that the window formulation
+    simply does not have.
+    """
+    days = {"day": 1, "week": 7}
+    if granularity not in days:
+        raise ValueError("granularity must be 'day' or 'week'")
+    bucket = F.to_date(F.date_trunc(granularity, F.col(ts_col)))
+    act = df.select(F.col(key_col), bucket.alias("__bk")).distinct()
+    w = Window.partitionBy(key_col)
+    cohorted = act.select(
+        F.col(key_col),
+        F.col("__bk"),
+        F.min("__bk").over(w).alias("cohort"))
+    offset = (F.datediff(F.col("__bk"), F.col("cohort"))
+              / days[granularity]).cast("bigint")
+    return (cohorted
+            .groupBy("cohort", offset.alias("offset"))
+            .agg(F.count(F.lit(1)).alias("n_keys")))

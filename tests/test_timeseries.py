@@ -184,3 +184,48 @@ class TestFunnel:
         counts = [r["n_reached"] for r in rows]
         assert counts == sorted(counts, reverse=True)
         assert counts[0] > 0
+
+
+class TestRetention:
+    def test_triangle(self, spark):
+        df = spark.createDataFrame(
+            # u1 first week W0, active W0+W1; u2 first W0 only;
+            # u3 first W1 only
+            [(1, _ts("2024-01-01T10:00:00")),   # Mon W0
+             (1, _ts("2024-01-03T10:00:00")),   # still W0
+             (1, _ts("2024-01-08T10:00:00")),   # Mon W1
+             (2, _ts("2024-01-02T10:00:00")),
+             (3, _ts("2024-01-09T10:00:00"))],
+            "user_id bigint, ts timestamp_ntz")
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            retention_cohorts)
+
+        cells = {(str(r["cohort"]), r["offset"]): r["n_keys"]
+                 for r in retention_cohorts(df).collect()}
+        assert cells == {("2024-01-01", 0): 2,   # u1+u2 in W0
+                         ("2024-01-01", 1): 1,   # u1 retained W1
+                         ("2024-01-08", 0): 1}   # u3's own cohort
+
+    def test_granularity_guard(self, spark):
+        import pytest as _pytest
+
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            retention_cohorts)
+
+        df = spark.createDataFrame([(1, _ts("2024-01-01T10:00:00"))],
+                                   "user_id bigint, ts timestamp_ntz")
+        with _pytest.raises(ValueError):
+            retention_cohorts(df, granularity="fortnight")
+
+    def test_via_dialect(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(spark)
+        eng.register_source("rev", df=spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:00:00")),
+             (1, _ts("2024-01-02T10:00:00"))],
+            "user_id bigint, ts timestamp_ntz"))
+        eng.execute("CREATE TABLE ret AS PIPELINE "
+                    "RETENTION(rev, GRANULARITY='day');")
+        rows = eng.sql("SELECT * FROM ret").collect()
+        assert {(r.offset, r.n_keys) for r in rows} == {(0, 1), (1, 1)}
