@@ -91,3 +91,118 @@ def streaming_dedup_by_key(
             timeoutConf=timeout,
         )
     )
+
+
+def streaming_sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    value_col: str | None = None,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Gap-based session aggregation over a stream — the custom
+    stateful operator KSQL runs as a SESSION-window Kafka Streams
+    processor over RocksDB; here per-key state is ONE open session
+    (start, last_ts, n_events, value_sum — four scalars, the smallest
+    possible session state) and a session row is emitted the moment a
+    later event closes it (gap exceeded, same strictly-greater
+    semantics as the batch `pipeline/timeseries.sessionize`).
+
+    Emission contract: only CLOSED sessions are appended. The open
+    session per key stays in state until a newer event closes it or
+    the processing-time TTL fires (set `ttl_ms` > the max expected
+    event delay for continuous streams; leave None for bounded
+    replays, where the final open session per key is intentionally
+    unemitted — batch-parity tests account for exactly that).
+
+    Ordering contract: events are sorted per batch; an event arriving
+    in a LATER batch with ts <= the open session's last_ts (cross-batch
+    late data) is folded into the open session (count/sum/min-start)
+    without advancing last_ts. Pair the source with a watermark-sorted
+    upstream when stronger ordering is needed.
+
+    At scale: state is O(live keys), not O(events); Arrow-batched; the
+    shuffle is the groupBy(key) every stateful op pays.
+    """
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   TimestampNTZType)
+
+    ts_type = df.schema[ts_col].dataType
+    if not isinstance(ts_type, TimestampNTZType):
+        from pyspark.sql.types import TimestampType
+        if not isinstance(ts_type, TimestampType):
+            raise ValueError(f"{ts_col} must be a timestamp column")
+    from pyspark.sql.types import DoubleType
+    out_schema = StructType([
+        StructField(key_col, df.schema[key_col].dataType),
+        StructField("session_start", ts_type),
+        StructField("session_end", ts_type),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ])
+    state_schema = ("start long, last long, n long, vsum double")
+    gap_us = int(gap_s) * 1_000_000
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+               else GroupStateTimeout.NoTimeout)
+
+    def _emit(key, start_us, last_us, n, vsum):
+        return pd.DataFrame({
+            key_col: [key[0]],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n],
+            "value_sum": [vsum],
+        })
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # TTL flush: emit the open session and drop the state
+            if state.exists:
+                start, last, n, vsum = state.get
+                state.remove()
+                yield _emit(key, start, last, n, vsum)
+            return
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        ev = pd.concat(batches).sort_values(ts_col)
+        ts_us = ev[ts_col].astype("int64") // 1000  # ns -> us
+        vals = (ev[value_col].astype(float) if value_col
+                else pd.Series(0.0, index=ev.index))
+        if state.exists:
+            start, last, n, vsum = state.get
+        else:
+            start = last = None
+            n, vsum = 0, 0.0
+        for t, v in zip(ts_us.tolist(), vals.tolist()):
+            if start is None:
+                start, last, n, vsum = t, t, 1, v
+            elif t <= last:
+                # cross-batch late event: fold in, don't advance
+                n += 1
+                vsum += v
+                start = min(start, t)
+            elif t - last > gap_us:
+                yield _emit(key, start, last, n, vsum)
+                start, last, n, vsum = t, t, 1, v
+            else:
+                last = t
+                n += 1
+                vsum += v
+        state.update((start, last, n, vsum))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

@@ -417,3 +417,55 @@ def test_insert_into_preserves_explicit_ts_rowtime(engine):
     ).first().n  # < 2025-01-01: all testdata event times are in 2024
     total = engine.sql("SELECT COUNT(*) AS n FROM rt_t").first().n
     assert n_2024 == total > 0
+
+
+def test_streaming_sessionize_batch_parity(spark, seng, tmp_path):
+    """Streaming gap-sessionizer == batch sessionizer on a bounded
+    replay, minus each key's final (still-open) session — the
+    emission contract: only closed sessions append; the open one
+    stays in state (TTL flushes it on continuous streams)."""
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        session_stats)
+    from confluent_ksql_charm_spark.streaming.stateful import (
+        streaming_sessionize)
+
+    events = seng.metastore.get("events").df
+    out = streaming_sessionize(events, "user_id", "ts", gap_s=3600,
+                               value_col="value")
+    sq = (out.writeStream.format("memory").queryName("sess_t")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "sck"))
+          .trigger(availableNow=True).start())
+    assert sq.awaitTermination(180)
+    got = {(r["user_id"], str(r["session_start"])):
+           (r["n_events"], str(r["session_end"]), round(r["value_sum"], 6))
+           for r in spark.table("sess_t").collect()}
+
+    from pyspark.sql import functions as F
+
+    batch_src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = session_stats(batch_src, "user_id", "ts", gap_s=3600,
+                          value_col="value")
+    # drop each user's LAST session (open at end of the replay)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    closed = (batch
+              .withColumn("__mx", F.max("session_seq").over(w))
+              .where(F.col("session_seq") < F.col("__mx")))
+    want = {(r["user_id"], str(r["session_start"])):
+            (r["n_events"], str(r["session_end"]), round(r["value_sum"], 6))
+            for r in closed.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_streaming_sessionize_requires_ts(spark, seng):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.streaming.stateful import (
+        streaming_sessionize)
+
+    df = seng.metastore.get("events").df.withColumn("bad", F.lit("x"))
+    with _pytest.raises(ValueError):
+        streaming_sessionize(df, "user_id", "bad")
