@@ -1,0 +1,119 @@
+"""Event-time analytics end to end — the round-10 session-3 family as
+one runnable script (the events-side sibling of prepare_corpus.py):
+
+    events
+      → sessionize: gap-based session ids + per-session rollup
+      → rolling:   trailing 24h per-user rate features
+      → as-of:     each click backfilled with the latest prior purchase
+      → funnel:    signup → view → click → purchase, strictly ordered
+      → retention: weekly cohort triangle
+      → streaming replay: the SAME sessions from the streaming
+        gap-sessionizer (applyInPandasWithState), batch-parity checked
+
+Scale shape (SCALE.md): every batch stage is one key-shuffle + a linear
+window scan — no self-joins, no range explosion; the streaming stage
+carries one open session (4 scalars) per live key. At 100 TB the same
+script is the plan: the family's risk is per-key depth, not corpus
+size, and the sf10 decade (100x events over fixed keys — the
+adversarial shape) stayed sub-linear for every stage (BASELINE.md
+round-10 session-3 table).
+
+Usage:
+    python examples/event_analytics.py [sf_dir]
+    (default: /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def lifecycle(spark, sf_dir: str) -> dict:
+    """Run the whole pipeline; returns per-stage results so the smoke
+    test (TestEventAnalyticsExample) can assert the invariants."""
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        asof_join, funnel_counts, retention_cohorts,
+        rolling_aggregates, session_stats)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out: dict = {"n_events": ev.count()}
+
+    # 1. sessions: gap 1h, deterministic tiebreak on event_id
+    sessions = session_stats(ev, "user_id", "ts", gap_s=3600,
+                             value_col="value",
+                             order_cols=["event_id"])
+    out["sessions"] = sessions.cache()
+    out["n_sessions"] = out["sessions"].count()
+
+    # 2. trailing-24h rate features per user
+    out["rolling"] = rolling_aggregates(ev, "user_id", "ts", "value",
+                                        window_s=86400)
+
+    # 3. point-in-time backfill: latest prior purchase per click
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts").agg(F.max("value").alias("buy_value")))
+    out["backfill"] = asof_join(clicks, buys, on="user_id",
+                                left_ts="ts", right_cols=["buy_value"])
+
+    # 4. ordered funnel
+    out["funnel"] = funnel_counts(
+        ev, ["signup", "view", "click", "purchase"]).orderBy("step_idx")
+
+    # 5. weekly cohort retention triangle
+    out["retention"] = retention_cohorts(ev)
+
+    # 6. streaming replay of stage 1 (bounded availableNow; closed
+    #    sessions only — the open tail per key stays in state)
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+    from confluent_ksql_charm_spark.streaming.stateful import (
+        streaming_sessionize)
+
+    seng = KsqlSparkEngine(spark, data_dir=sf_dir, streaming=True)
+    seng.register_source("events",
+                         path=os.path.join(sf_dir, "events.parquet"),
+                         key="user_id", timestamp="ts")
+    sev = seng.metastore.get("events").df
+    stream_out = streaming_sessionize(sev, "user_id", "ts", gap_s=3600,
+                                      value_col="value")
+    with tempfile.TemporaryDirectory() as ck:
+        sq = (stream_out.writeStream.format("memory")
+              .queryName("ex_sessions").outputMode("append")
+              .option("checkpointLocation", ck)
+              .trigger(availableNow=True).start())
+        sq.awaitTermination(180)
+    out["stream_sessions"] = spark.table("ex_sessions").cache()
+    out["n_stream_sessions"] = out["stream_sessions"].count()
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("event-analytics-example")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    r = lifecycle(spark, sf_dir)
+    print(f"events:            {r['n_events']}")
+    print(f"sessions (batch):  {r['n_sessions']}")
+    print(f"sessions (stream): {r['n_stream_sessions']} closed")
+    print("funnel:")
+    for row in r["funnel"].collect():
+        print(f"  {row['step_idx']}. {row['step']:10s} {row['n_reached']}")
+    print("retention cohorts:", r["retention"].count(), "cells")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2472,7 +2472,11 @@ class TestPrepareCorpusExample:
         assert leaked.count() == 0
 
 
-class TestVectorSearchExample:
+class TestVectorSearchExampleBasics:
+    # NOTE: renamed from TestVectorSearchExample (round 10 s3) — a later
+    # session added a second, richer class under the SAME name further
+    # down this module, which silently shadowed this one (Python class
+    # redefinition); both now run.
     def test_lifecycle_invariants(self, spark, tmp_path):
         # the ANN family's composed showcase gets the same rot-proofing
         # prepare_corpus.py has (round-9 verdict #7): run the WHOLE
@@ -6808,3 +6812,50 @@ class TestValueQuantiles:
         assert exact.columns == approx.columns
         r = exact.first()
         assert r["p25"] <= r["p50"] <= r["p75"] <= r["p90"] <= r["p99"]
+
+
+class TestEventAnalyticsExample:
+    def test_lifecycle_invariants(self, spark):
+        # the event-time family's composed showcase, rot-proofed like
+        # vector_search/prepare_corpus: run the WHOLE pipeline and
+        # assert the cross-stage invariants
+        import sys
+        sys.path.insert(0, "/root/repo/examples")
+        import event_analytics
+
+        r = event_analytics.lifecycle(spark, "/root/testdata/sf0.001")
+        assert r["n_events"] == 1000
+        # sessions partition the events exactly
+        total = sum(row["n_events"] for row in r["sessions"].collect())
+        assert total == r["n_events"]
+        # rolling frames always include the row itself
+        assert r["rolling"].where("rolling_n < 1").count() == 0
+        # as-of: one output row per click, matches never in the future
+        n_clicks = r["backfill"].count()
+        assert n_clicks > 0
+        assert r["backfill"].where("ts_r > ts").count() == 0
+        # funnel counts are monotone non-increasing
+        counts = [row["n_reached"] for row in r["funnel"].collect()]
+        assert counts == sorted(counts, reverse=True) and counts[0] > 0
+        # retention: every cohort has an offset-0 cell and offsets >= 0
+        ret = r["retention"]
+        assert ret.where("offset < 0").count() == 0
+        cohorts = {row["cohort"] for row in ret.collect()}
+        zero = {row["cohort"] for row in
+                ret.where("offset = 0").collect()}
+        assert cohorts == zero
+        # streaming replay: closed-session set == batch sessions minus
+        # each user's final open one (the emission contract)
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        batch = r["sessions"]
+        w = Window.partitionBy("user_id")
+        closed = (batch.withColumn("__mx",
+                                   F.max("session_seq").over(w))
+                  .where("session_seq < __mx"))
+        want = {(row["user_id"], str(row["session_start"]))
+                for row in closed.collect()}
+        got = {(row["user_id"], str(row["session_start"]))
+               for row in r["stream_sessions"].collect()}
+        assert got == want and len(got) > 0
