@@ -1892,6 +1892,17 @@ def _q_rolling_user_stats(spark, sf):
         .alias("rolling_avg"))
 
 
+def _q_skew_report(spark, sf):
+    # pre-shuffle key-distribution audit: heavy hitters + share + skew
+    # ratio + integer-exact suggested salt factor (ceil via `div`, not
+    # floating ceil — engine-exact at boundaries).
+    from confluent_ksql_charm_spark.pipeline.maintenance import (
+        skew_report)
+
+    return skew_report(_events(spark, sf), "user_id", top=10,
+                       partitions=32)
+
+
 def _q_retention_cohorts(spark, sf):
     # cohort retention triangle, single-pass window formulation (no
     # first-seen dimension join — one shuffle fewer than the textbook
@@ -1958,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_stats": _q_rolling_user_stats,
         "funnel_steps": _q_funnel_steps,
         "retention_cohorts": _q_retention_cohorts,
+        "skew_report": _q_skew_report,
         "quality_classifier": _q_quality_classifier,
         "secret_scan": _q_secret_scan,
         "secret_redact": _q_secret_redact,
@@ -2679,6 +2691,17 @@ def oracle_sql() -> dict[str, str]:
             "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)) "
             "SELECT event_id, rolling_n, rolling_sum, "
             "rolling_sum / rolling_n AS rolling_avg FROM r"
+        ),
+        "skew_report": (
+            # same counts + broadcast-summary attach; `//` = Spark div
+            "WITH c AS (SELECT coalesce(CAST(user_id AS VARCHAR), "
+            "'NULL') AS key, count(*) AS cnt FROM events GROUP BY 1), "
+            "s AS (SELECT sum(cnt) AS total, avg(cnt) AS mean_cnt "
+            "FROM c) "
+            "SELECT key, cnt, ROUND(cnt * 1.0 / total, 6) AS share, "
+            "ROUND(cnt / mean_cnt, 4) AS skew_ratio, "
+            "(cnt * 32 + total - 1) // total AS suggested_salt "
+            "FROM c, s ORDER BY cnt DESC, key LIMIT 10"
         ),
         "retention_cohorts": (
             # same single-pass window shape; DATE buckets, day-diff/7

@@ -101,3 +101,49 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
               F.lit("changed"))
         .otherwise(F.lit("unchanged")).alias("status"))
         .where(F.col("status") != "unchanged"))
+
+
+def skew_report(df: DataFrame, key_cols: list[str] | str,
+                top: int = 10, partitions: int = 32) -> DataFrame:
+    """Pre-shuffle key-distribution audit: the question to answer
+    BEFORE pointing a groupBy/join/window at a key at 100 TB is "how
+    hot is the hottest key?" — this answers it with one scan + one
+    aggregate over the (bounded) key relation.
+
+    Returns the `top` heaviest keys with:
+      key          — the key (multi-column keys joined with '|'; NULL
+                     parts fold to the string 'NULL')
+      cnt          — rows carrying it
+      share        — cnt / total rows
+      skew_ratio   — cnt / mean rows-per-key (1.0 = perfectly uniform)
+      suggested_salt — ceil(cnt * partitions / total), i.e. how many
+                     sub-keys split this key into fair one-partition
+                     shares; 1 = no salting needed. Integer arithmetic
+                     (no double ceil — engine-exact at boundaries).
+
+    Interpreting it: `skew_salted_agg` (operators/skew.py) wants a
+    salt factor ~ the max suggested_salt; a window partitionBy on a
+    key whose suggested_salt is large wants the time-bucket pre-split
+    documented on `timeseries.asof_join`.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(k).cast("string"), F.lit("NULL"))
+               for k in keys]).alias("key")
+    counts = df.select(key).groupBy("key").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    summary = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.avg("cnt").alias("__mean"))
+    # integer ceil-division via `div` (floating ceil can flip at exact
+    # boundaries between engines)
+    out = counts.crossJoin(F.broadcast(summary)).select(
+        "key", "cnt",
+        F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+        F.round(F.col("cnt") / F.col("__mean"), 4).alias("skew_ratio"),
+        F.expr(f"(cnt * {int(partitions)} + __total - 1) div __total")
+        .alias("suggested_salt"),
+    )
+    return out.orderBy(F.desc("cnt"), F.col("key")).limit(top)

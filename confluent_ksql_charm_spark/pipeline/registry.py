@@ -175,6 +175,8 @@ _SIGNATURES = {
                   "[, APPROX='false'])"),
     "RETENTION": ("RETENTION(src[, KEY='user_id'][, TS='ts']"
                   "[, GRANULARITY='week'])"),
+    "SKEW_REPORT": ("SKEW_REPORT(src, ON='key[,key]'[, TOP='10']"
+                    "[, PARTITIONS='32'])"),
 }
 
 
@@ -723,6 +725,13 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                             rerank=int(p.get("RERANK", 50)),
                             id_col=p.get("ID", "vec_id"),
                             vec_col=p.get("VEC", "embedding"))
+    if op == "SKEW_REPORT":
+        from .maintenance import skew_report
+        _need_sources(spec, 1)
+        return skew_report(dfs[0],
+                           [c.strip() for c in _need(spec, "ON").split(",")],
+                           top=int(p.get("TOP", 10)),
+                           partitions=int(p.get("PARTITIONS", 32)))
     if op == "RETENTION":
         from .timeseries import retention_cohorts
         _need_sources(spec, 1)

@@ -6859,3 +6859,48 @@ class TestEventAnalyticsExample:
         got = {(row["user_id"], str(row["session_start"]))
                for row in r["stream_sessions"].collect()}
         assert got == want and len(got) > 0
+
+
+class TestSkewReport:
+    def test_hot_key_diagnosis(self, spark):
+        from confluent_ksql_charm_spark.pipeline.maintenance import (
+            skew_report)
+
+        # 90 rows of key 1, 10 of key 2, 1 each of keys 3..12
+        rows = ([(1,)] * 90 + [(2,)] * 10
+                + [(k,) for k in range(3, 13)])
+        df = spark.createDataFrame(rows, "k bigint")
+        out = {r["key"]: r for r in
+               skew_report(df, "k", top=3, partitions=10).collect()}
+        # top-3; ties broken on the STRING key ("10" < "3" lexicog.)
+        assert set(out) == {"1", "2", "10"}
+        hot = out["1"]
+        assert hot["cnt"] == 90
+        # total=110, mean=110/12; share and ratio match that
+        assert abs(hot["share"] - round(90 / 110, 6)) < 1e-9
+        assert abs(hot["skew_ratio"] - round(90 / (110 / 12), 4)) < 1e-9
+        # fair share = 11 rows/partition -> 90 needs ceil(900/110)=9
+        assert hot["suggested_salt"] == 9
+        assert out["10"]["suggested_salt"] == 1  # singleton: no salting
+
+    def test_null_and_multicol_keys(self, spark):
+        from confluent_ksql_charm_spark.pipeline.maintenance import (
+            skew_report)
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (None, "a"), (1, None)],
+            "k bigint, s string")
+        out = {r["key"]: r["cnt"] for r in
+               skew_report(df, ["k", "s"], top=10).collect()}
+        assert out == {"1|a": 2, "NULL|a": 1, "1|NULL": 1}
+
+    def test_via_dialect(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(spark)
+        eng.register_source("skv", df=spark.createDataFrame(
+            [(1,)] * 5 + [(2,)], "k bigint"))
+        eng.execute("CREATE TABLE skr AS PIPELINE "
+                    "SKEW_REPORT(skv, ON='k', TOP='1');")
+        r = eng.sql("SELECT * FROM skr").first()
+        assert r.key == "1" and r.cnt == 5
