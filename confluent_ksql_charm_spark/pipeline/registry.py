@@ -167,8 +167,8 @@ _SIGNATURES = {
                     "[, VALUE='value'][, WINDOW_S='3600'])"),
     "FUNNEL": ("FUNNEL(src, STEPS='view,click,purchase'"
                "[, KEY='user_id'][, TS='ts'][, TYPE='event_type'])"),
-    "HAMMING_TOPK": ("HAMMING_TOPK(emb, QUERY_VEC='f,f,...'[, K='10']"
-                     "[, RERANK='50'][, ID='vec_id']"
+    "HAMMING_TOPK": ("HAMMING_TOPK(emb[, packed], QUERY_VEC='f,f,...'"
+                     "[, K='10'][, RERANK='50'][, ID='vec_id']"
                      "[, VEC='embedding'])"),
     "QUANTILES": ("QUANTILES(src, VALUE='n_chars'[, BY='lang']"
                   "[, PS='0.25,0.5,0.75,0.9,0.99']"
@@ -719,12 +719,16 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                              type_col=p.get("TYPE", "event_type"))
     if op == "HAMMING_TOPK":
         from .similarity import hamming_topk
-        _need_sources(spec, 1)
+        if len(spec.sources) not in (1, 2):
+            raise ValueError(
+                f"PIPELINE HAMMING_TOPK takes 1 or 2 source(s); usage: "
+                f"{_SIGNATURES['HAMMING_TOPK']}")
         qv = [float(x) for x in _need(spec, "QUERY_VEC").split(",")]
         return hamming_topk(dfs[0], qv, k=int(p.get("K", 10)),
                             rerank=int(p.get("RERANK", 50)),
                             id_col=p.get("ID", "vec_id"),
-                            vec_col=p.get("VEC", "embedding"))
+                            vec_col=p.get("VEC", "embedding"),
+                            packed=dfs[1] if len(dfs) > 1 else None)
     if op == "SKEW_REPORT":
         from .maintenance import skew_report
         _need_sources(spec, 1)

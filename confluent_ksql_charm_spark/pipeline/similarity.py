@@ -3587,7 +3587,8 @@ def hamming_distance_col(packed_col: Column,
 def hamming_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
                  rerank: int = 50, vec_col: str = "embedding",
                  id_col: str = "vec_id",
-                 word_bits: int = 32) -> DataFrame:
+                 word_bits: int = 32,
+                 packed: DataFrame | None = None) -> DataFrame:
     """Two-stage ANN: Hamming-on-sign-bits shortlist (deterministic
     order: distance asc, id asc) -> exact cosine rerank of the
     `rerank` fetched full-precision vectors, cut to `k` (cosine desc,
@@ -3596,15 +3597,21 @@ def hamming_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     The shortlist scan reads 8 bytes/vector and evaluates two
     xor+popcounts — the cheapest candidate generator in the family; the
     rerank fetch is the same bounded id-IN pushdown the SQ8/PQ refine
-    tiers use (row-group pruning, not a join job). At 100 TB the
-    whole first stage is CPU-trivial and scan-bound at 1/32 of the
-    float bytes; recall comes from the rerank width (rerank/k ratio),
-    measured in BASELINE.md's decade table.
+    tiers use (row-group pruning, not a join job). Recall comes from
+    the rerank width (rerank/k ratio), measured in BASELINE.md's
+    decade table.
+
+    `packed`: a persisted `sign_quantize` output (id_col + sign_bits).
+    The DEPLOYED shape — without it every probe re-derives the codes
+    from the float vectors, which costs the full float scan plus 64
+    conditionals/vector (measured 10.0 s zero-setup vs 0.68 s probing a
+    persisted packed column at 2.1M vectors; packing once cost 12.4 s).
+    Same pack-once/probe-many contract as the IVF/PQ/SQ8 index builds.
     """
     dim = len(query_vec)
     q_words = pack_sign_query(query_vec, word_bits)
-    packed = sign_quantize(df, dim, vec_col=vec_col,
-                           word_bits=word_bits)
+    packed = packed if packed is not None else sign_quantize(
+        df, dim, vec_col=vec_col, word_bits=word_bits)
     shortlist = (packed
                  .select(F.col(id_col),
                          hamming_distance_col(F.col("sign_bits"),

@@ -6904,3 +6904,26 @@ class TestSkewReport:
                     "SKEW_REPORT(skv, ON='k', TOP='1');")
         r = eng.sql("SELECT * FROM skr").first()
         assert r.key == "1" and r.cnt == 5
+
+
+class TestHammingPackedPath:
+    def test_prepacked_equals_zero_setup(self, spark, tmp_path):
+        # the deployed pack-once/probe-many path must return exactly
+        # the zero-setup result (same codes, same orderings)
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            hamming_topk, sign_quantize)
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in
+             emb.where("vec_id = 0").first()["embedding"]]
+        body = emb.where("vec_id <> 0")
+        p = str(tmp_path / "signbits")
+        sign_quantize(body, 64).select(
+            "vec_id", "sign_bits").write.parquet(p)
+        pk = spark.read.parquet(p)
+        a = [(r.vec_id, round(r.cosine, 9)) for r in
+             hamming_topk(body, q, 10, rerank=50).collect()]
+        b = [(r.vec_id, round(r.cosine, 9)) for r in
+             hamming_topk(body, q, 10, rerank=50, packed=pk).collect()]
+        assert a == b and len(a) == 10
