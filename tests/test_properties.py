@@ -460,3 +460,116 @@ def test_group_cap_reference_properties(spark, rows, n):
         ref.setdefault(g, []).append(i)
     for g, ids in ref.items():
         assert got.get(g, set()) == set(sorted(ids)[:n]), g
+
+
+# ---------------------------------------------------------------------------
+# Event-time family vs naive Python references (round 10 s3)
+# ---------------------------------------------------------------------------
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),          # key
+        st.integers(min_value=0, max_value=10_000),     # ts seconds
+        st.sampled_from(["a", "b", "c"]),               # type
+    ),
+    min_size=1, max_size=60,
+)
+
+
+def _mk_events(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(i, k, base + dt.timedelta(seconds=t), tp)
+            for i, (k, t, tp) in enumerate(rows)]
+    return data, spark.createDataFrame(
+        data, "event_id bigint, user_id bigint, ts timestamp_ntz, "
+              "event_type string")
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EVENTS)
+def test_asof_join_matches_quadratic_reference(spark, rows):
+    from confluent_ksql_charm_spark.pipeline.timeseries import asof_join
+
+    data, df = _mk_events(spark, rows)
+    left = df.where("event_type = 'a'").select("event_id", "user_id", "ts")
+    # dedupe right on (key, ts): keep max event_id as the payload
+    right = (df.where("event_type = 'b'")
+             .groupBy("user_id", "ts")
+             .agg(spark_max_("event_id")))
+    got = {r["event_id"]: r["pay"]
+           for r in asof_join(left, right, on="user_id",
+                              right_cols=["pay"]).collect()}
+    # naive quadratic reference
+    rights = {}
+    for (eid, k, ts, tp) in data:
+        if tp == "b":
+            cur = rights.setdefault(k, {})
+            cur[ts] = max(cur.get(ts, -1), eid)
+    for (eid, k, ts, tp) in data:
+        if tp != "a":
+            continue
+        prior = [(t, p) for t, p in rights.get(k, {}).items() if t <= ts]
+        want = max(prior)[1] if prior else None
+        assert got[eid] == want, (eid, got[eid], want)
+
+
+def spark_max_(col):
+    from pyspark.sql import functions as F
+
+    return F.max(col).alias("pay")
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EVENTS)
+def test_sessionize_matches_linear_reference(spark, rows):
+    from confluent_ksql_charm_spark.pipeline.timeseries import sessionize
+
+    data, df = _mk_events(spark, rows)
+    gap = 600
+    got = {r["event_id"]: r["session_seq"]
+           for r in sessionize(df, gap_s=gap,
+                               order_cols=["event_id"]).collect()}
+    # python reference: sort per key by (ts, event_id), new session on
+    # strictly-greater-than-gap
+    bykey: dict = {}
+    for (eid, k, ts, tp) in data:
+        bykey.setdefault(k, []).append((ts, eid))
+    for k, evs in bykey.items():
+        evs.sort()
+        seq, last = 0, None
+        for ts, eid in evs:
+            if last is None or (ts - last).total_seconds() > gap:
+                seq += 1
+            last = ts
+            assert got[eid] == seq, (eid, got[eid], seq)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EVENTS)
+def test_funnel_matches_staged_reference(spark, rows):
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        funnel_counts)
+
+    data, df = _mk_events(spark, rows)
+    steps = ["a", "b", "c"]
+    got = {r["step"]: r["n_reached"]
+           for r in funnel_counts(df, steps).collect()}
+    # python reference: earliest-completion staged mins
+    bykey: dict = {}
+    for (eid, k, ts, tp) in data:
+        bykey.setdefault(k, []).append((ts, eid, tp))
+    reached = {s: 0 for s in steps}
+    for k, evs in bykey.items():
+        evs.sort()
+        t_prev = None
+        for i, s in enumerate(steps):
+            cand = [ts for ts, _, tp in evs
+                    if tp == s and (i == 0
+                                    or (t_prev is not None and ts > t_prev))]
+            t_prev = min(cand) if cand else None
+            if t_prev is None:
+                break
+            reached[s] += 1
+    assert got == reached
