@@ -1892,6 +1892,19 @@ def _q_rolling_user_stats(spark, sf):
         .alias("rolling_avg"))
 
 
+def _q_novelty_report(spark, sf):
+    # GPT-3-style eval "dirtiness": per bench doc, the fraction of its
+    # distinct 5-grams present anywhere in the corpus. keyed='text' so
+    # DuckDB replays the gram join; deployment ships xxhash64 keys.
+    from confluent_ksql_charm_spark.pipeline.contamination import (
+        novelty_report)
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 5 == 0)
+    corp = docs.where(F.col("doc_id") % 5 != 0)
+    return novelty_report(bench, corp, n=5, keyed="text")
+
+
 def _q_skew_report(spark, sf):
     # pre-shuffle key-distribution audit: heavy hitters + share + skew
     # ratio + integer-exact suggested salt factor (ceil via `div`, not
@@ -1970,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": _q_funnel_steps,
         "retention_cohorts": _q_retention_cohorts,
         "skew_report": _q_skew_report,
+        "novelty_report": _q_novelty_report,
         "quality_classifier": _q_quality_classifier,
         "secret_scan": _q_secret_scan,
         "secret_redact": _q_secret_redact,
@@ -2691,6 +2705,28 @@ def oracle_sql() -> dict[str, str]:
             "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)) "
             "SELECT event_id, rolling_n, rolling_sum, "
             "rolling_sum / rolling_n AS rolling_avg FROM r"
+        ),
+        "novelty_report": (
+            # same 5-gram shingle CTE as the decontaminate oracle;
+            # per-bench-doc distinct grams vs the corpus gram set
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), "
+            "'\\s+') AS t FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN length(t) >= 5 "
+            "THEN [array_to_string(t[i:i+4], ' ') "
+            "FOR i IN generate_series(1, length(t) - 4)] "
+            "ELSE [array_to_string(t, ' ')] END) AS s FROM toks), "
+            "bgd AS (SELECT doc_id, unnest(s) AS gram FROM sh "
+            "WHERE doc_id % 5 = 0), "
+            "tot AS (SELECT doc_id, count(*) AS n_grams FROM bgd "
+            "GROUP BY 1), "
+            "cg AS (SELECT DISTINCT unnest(s) AS gram FROM sh "
+            "WHERE doc_id % 5 <> 0), "
+            "seen AS (SELECT bgd.doc_id, count(*) AS n_seen FROM bgd "
+            "JOIN cg USING (gram) GROUP BY 1) "
+            "SELECT tot.doc_id, n_grams, coalesce(n_seen, 0) AS n_seen, "
+            "ROUND(coalesce(n_seen, 0) * 1.0 / n_grams, 6) "
+            "AS overlap_frac "
+            "FROM tot LEFT JOIN seen ON tot.doc_id = seen.doc_id"
         ),
         "skew_report": (
             # same counts + broadcast-summary attach; `//` = Spark div

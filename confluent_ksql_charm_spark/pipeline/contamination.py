@@ -548,3 +548,40 @@ def bloom_decontaminate(docs: DataFrame, bench: DataFrame, id_col: str,
     flagged = bloom_flag_contaminated(docs, bl, id_col, text_col,
                                       count_grams=False)
     return docs.join(flagged, id_col, "left_anti")
+
+
+def novelty_report(bench: DataFrame, corpus: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text", *,
+                   n: int = 8, keyed: str = "hash") -> DataFrame:
+    """Per-benchmark-doc overlap rate against the corpus — the GPT-3
+    appendix-C style "dirtiness" metric: for each eval doc, what
+    fraction of its distinct n-grams appears ANYWHERE in the training
+    corpus (flag_contaminated answers "which corpus docs are dirty";
+    this answers "how compromised is each EVAL doc", which is what an
+    eval-integrity review quotes).
+
+    Returns (id, n_grams, n_seen, overlap_frac, is_clean at 0 overlap).
+
+    Plan: the bench side's distinct (doc, gram) relation is
+    benchmark-bounded and BROADCAST; the corpus gram stream rides the
+    scan into the broadcast join (no corpus-wide distinct — dedupe
+    happens AFTER the selective join, on a relation bounded by
+    |bench grams|), then two small aggregates. One corpus scan at any
+    scale. `keyed='hash'` ships 8-byte gram hashes (deployment);
+    `'text'` keeps strings (oracle replay) — the family convention.
+    """
+    c = shingles_col(text_col, n)
+    bg = bench.select(F.col(id_col), F.explode(c).alias("gram")).distinct()
+    if keyed == "hash":
+        bg = bg.select(id_col, F.xxhash64("gram").alias("gram")).distinct()
+    totals = bg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    cg = _gram_rows(corpus, id_col, text_col, n, keyed).select("gram")
+    seen = (cg.join(F.broadcast(bg), "gram")
+            .select(id_col, "gram").distinct()
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_seen")))
+    return (totals.join(seen, id_col, "left")
+            .select(F.col(id_col),
+                    "n_grams",
+                    F.coalesce(F.col("n_seen"), F.lit(0)).alias("n_seen"),
+                    F.round(F.coalesce(F.col("n_seen"), F.lit(0))
+                            / F.col("n_grams"), 6).alias("overlap_frac")))

@@ -177,6 +177,8 @@ _SIGNATURES = {
                   "[, GRANULARITY='week'])"),
     "SKEW_REPORT": ("SKEW_REPORT(src, ON='key[,key]'[, TOP='10']"
                     "[, PARTITIONS='32'])"),
+    "NOVELTY_REPORT": ("NOVELTY_REPORT(bench, corpus[, ID='doc_id']"
+                       "[, TEXT='text'][, N='8'])"),
 }
 
 
@@ -729,6 +731,13 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                             id_col=p.get("ID", "vec_id"),
                             vec_col=p.get("VEC", "embedding"),
                             packed=dfs[1] if len(dfs) > 1 else None)
+    if op == "NOVELTY_REPORT":
+        from .contamination import novelty_report
+        _need_sources(spec, 2)
+        return novelty_report(dfs[0], dfs[1],
+                              id_col=p.get("ID", "doc_id"),
+                              text_col=p.get("TEXT", "text"),
+                              n=int(p.get("N", 8)))
     if op == "SKEW_REPORT":
         from .maintenance import skew_report
         _need_sources(spec, 1)

@@ -6927,3 +6927,59 @@ class TestHammingPackedPath:
         b = [(r.vec_id, round(r.cosine, 9)) for r in
              hamming_topk(body, q, 10, rerank=50, packed=pk).collect()]
         assert a == b and len(a) == 10
+
+
+class TestNoveltyReport:
+    def test_overlap_fractions(self, spark):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            novelty_report)
+
+        bench = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"),       # grams fully leaked
+             (2, "epsilon zeta eta theta"),       # half leaked
+             (3, "iota kappa lam mu")],           # clean
+            "doc_id bigint, text string")
+        corpus = spark.createDataFrame(
+            [(100, "alpha beta gamma delta trailing words here"),
+             (101, "prefix epsilon zeta eta misc misc misc")],
+            "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in novelty_report(
+            bench, corpus, n=3, keyed="text").collect()}
+        # doc 1: grams {a b g, b g d} both present -> 1.0
+        assert out[1]["n_grams"] == 2 and out[1]["overlap_frac"] == 1.0
+        # doc 2: {e z e, z e t} -> only 'epsilon zeta eta' present
+        assert out[2]["n_grams"] == 2 and out[2]["n_seen"] == 1
+        assert out[2]["overlap_frac"] == 0.5
+        # doc 3: clean
+        assert out[3]["n_seen"] == 0 and out[3]["overlap_frac"] == 0.0
+
+    def test_hash_and_text_domains_agree(self, spark):
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            novelty_report)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text")
+        from pyspark.sql import functions as F
+
+        bench = docs.where(F.col("doc_id") % 7 == 0)
+        corp = docs.where(F.col("doc_id") % 7 != 0)
+        a = sorted(tuple(r) for r in novelty_report(
+            bench, corp, n=4, keyed="text").collect())
+        b = sorted(tuple(r) for r in novelty_report(
+            bench, corp, n=4, keyed="hash").collect())
+        assert a == b    # 64-bit collisions absent at this scale
+
+    def test_via_dialect(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(spark)
+        eng.register_source("nb", df=spark.createDataFrame(
+            [(1, "one two three four")], "doc_id bigint, text string"))
+        eng.register_source("nc", df=spark.createDataFrame(
+            [(2, "zero one two three four five")],
+            "doc_id bigint, text string"))
+        eng.execute("CREATE TABLE nov AS PIPELINE "
+                    "NOVELTY_REPORT(nb, nc, N='4');")
+        r = eng.sql("SELECT * FROM nov").first()
+        assert r.doc_id == 1 and r.overlap_frac == 1.0
