@@ -1892,6 +1892,28 @@ def _q_rolling_user_stats(spark, sf):
         .alias("rolling_avg"))
 
 
+def _q_scd2_join(spark, sf):
+    # SCD2 validity-interval dimension lookup via the as-of machinery
+    # (asof on valid_from + expiry NULL-out) — the oracle is the
+    # INDEPENDENT textbook range join, so the algebraic shortcut is
+    # validated against the semantics it replaces, not against itself.
+    from pyspark.sql import Window
+
+    from confluent_ksql_charm_spark.pipeline.timeseries import scd2_join
+
+    ev = _events(spark, sf)
+    facts = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = (ev.where(F.col("event_type") == "signup")
+           .groupBy("user_id", F.col("ts").alias("valid_from"))
+           .agg(F.max("value").alias("dim_value"))
+           .withColumn("valid_to", F.lead("valid_from").over(w)))
+    out = scd2_join(facts, dim, on="user_id", fact_ts="ts")
+    return out.select("event_id", "valid_from_dim", "valid_to_dim",
+                      F.round("dim_value", 4).alias("dim_value"))
+
+
 def _q_novelty_report(spark, sf):
     # GPT-3-style eval "dirtiness": per bench doc, the fraction of its
     # distinct 5-grams present anywhere in the corpus. keyed='text' so
@@ -1984,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "skew_report": _q_skew_report,
         "novelty_report": _q_novelty_report,
+        "scd2_join": _q_scd2_join,
         "quality_classifier": _q_quality_classifier,
         "secret_scan": _q_secret_scan,
         "secret_redact": _q_secret_redact,
@@ -2705,6 +2728,24 @@ def oracle_sql() -> dict[str, str]:
             "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)) "
             "SELECT event_id, rolling_n, rolling_sum, "
             "rolling_sum / rolling_n AS rolling_avg FROM r"
+        ),
+        "scd2_join": (
+            # INDEPENDENT formulation: the textbook validity-interval
+            # range join (the plan our asof+expire shortcut avoids)
+            "WITH f AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "d0 AS (SELECT user_id, ts AS valid_from, max(value) AS "
+            "dim_value FROM events WHERE event_type = 'signup' "
+            "GROUP BY 1, 2), "
+            "d AS (SELECT user_id, valid_from, lead(valid_from) OVER "
+            "(PARTITION BY user_id ORDER BY valid_from) AS valid_to, "
+            "dim_value FROM d0) "
+            "SELECT f.event_id, d.valid_from AS valid_from_dim, "
+            "d.valid_to AS valid_to_dim, "
+            "ROUND(d.dim_value, 4) AS dim_value "
+            "FROM f LEFT JOIN d ON f.user_id = d.user_id "
+            "AND f.ts >= d.valid_from "
+            "AND (d.valid_to IS NULL OR f.ts < d.valid_to)"
         ),
         "novelty_report": (
             # same 5-gram shingle CTE as the decontaminate oracle;

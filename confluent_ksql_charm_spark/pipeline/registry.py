@@ -179,6 +179,9 @@ _SIGNATURES = {
                     "[, PARTITIONS='32'])"),
     "NOVELTY_REPORT": ("NOVELTY_REPORT(bench, corpus[, ID='doc_id']"
                        "[, TEXT='text'][, N='8'])"),
+    "SCD2_JOIN": ("SCD2_JOIN(facts, dim, ON='key[,key]'[, TS='ts']"
+                  "[, VALID_FROM='valid_from'][, VALID_TO='valid_to']"
+                  "[, COLS='col,col'][, SUFFIX='_dim'])"),
 }
 
 
@@ -731,6 +734,18 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                             id_col=p.get("ID", "vec_id"),
                             vec_col=p.get("VEC", "embedding"),
                             packed=dfs[1] if len(dfs) > 1 else None)
+    if op == "SCD2_JOIN":
+        from .timeseries import scd2_join
+        _need_sources(spec, 2)
+        return scd2_join(dfs[0], dfs[1],
+                         [c.strip() for c in _need(spec, "ON").split(",")],
+                         fact_ts=p.get("TS", "ts"),
+                         valid_from=p.get("VALID_FROM", "valid_from"),
+                         valid_to=p.get("VALID_TO", "valid_to"),
+                         dim_cols=([c.strip() for c in
+                                    p["COLS"].split(",")]
+                                   if "COLS" in p else None),
+                         suffix=p.get("SUFFIX", "_dim"))
     if op == "NOVELTY_REPORT":
         from .contamination import novelty_report
         _need_sources(spec, 2)

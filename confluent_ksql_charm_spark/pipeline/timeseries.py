@@ -51,6 +51,7 @@ __all__ = [
     "rolling_aggregates",
     "funnel_counts",
     "retention_cohorts",
+    "scd2_join",
 ]
 
 
@@ -327,3 +328,49 @@ def retention_cohorts(df: DataFrame, key_col: str = "user_id",
     return (cohorted
             .groupBy("cohort", offset.alias("offset"))
             .agg(F.count(F.lit(1)).alias("n_keys")))
+
+
+def scd2_join(facts: DataFrame, dim: DataFrame, on: list[str] | str,
+              fact_ts: str = "ts",
+              valid_from: str = "valid_from",
+              valid_to: str = "valid_to",
+              dim_cols: list[str] | None = None,
+              suffix: str = "_dim") -> DataFrame:
+    """Slowly-changing-dimension (type 2) lookup: attach to each fact
+    row the dimension version whose validity interval contains the
+    fact's timestamp (`valid_from <= ts < valid_to`; an open current
+    version has NULL `valid_to`). Facts with no covering version keep
+    NULLs.
+
+    Implementation: this is the as-of join in disguise — match on the
+    largest `valid_from` <= ts (ties inclusive), then NULL the payload
+    when the matched version's `valid_to` has already passed (ts >=
+    valid_to). Inherits the union-merge plan: one sort shuffle of
+    facts+dim on the key, zero interval explosion — the textbook
+    `f JOIN d ON key AND ts >= from AND (ts < to OR to IS NULL)` range
+    join degenerates to per-key cross products before pruning, which
+    is exactly what a 100 TB fact table cannot pay. Correct for the
+    standard SCD2 contract of non-overlapping versions per key (with
+    overlaps, the latest-starting version wins — deterministic, but
+    dedupe the dim if that is not the intent).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = dim_cols or [c for c in dim.columns
+                           if c not in keys and c not in (valid_from,
+                                                          valid_to)]
+    joined = asof_join(
+        facts, dim.select(*keys, valid_from, valid_to, *payload),
+        on=keys, left_ts=fact_ts, right_ts=valid_from,
+        right_cols=[valid_to, *payload], suffix=suffix)
+    vt = f"{valid_to}{suffix}" if valid_to in facts.columns else valid_to
+    out_cols = [f"{c}{suffix}" if c in facts.columns else c
+                for c in payload]
+    expired = F.col(vt).isNotNull() & (F.col(fact_ts) >= F.col(vt))
+    out = joined.select(
+        *facts.columns,
+        *[F.when(~expired, F.col(c)).alias(c)
+          for c in [f"{fact_ts}{suffix}", vt, *out_cols]],
+    ).withColumnRenamed(f"{fact_ts}{suffix}", f"{valid_from}{suffix}")
+    if vt != f"{valid_to}{suffix}":
+        out = out.withColumnRenamed(vt, f"{valid_to}{suffix}")
+    return out

@@ -229,3 +229,68 @@ class TestRetention:
                     "RETENTION(rev, GRANULARITY='day');")
         rows = eng.sql("SELECT * FROM ret").collect()
         assert {(r.offset, r.n_keys) for r in rows} == {(0, 1), (1, 1)}
+
+
+class TestScd2Join:
+    def _frames(self, spark):
+        facts = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-05T00:00:00")),   # inside v1
+             (2, 1, _ts("2024-01-15T00:00:00")),   # inside v2 (open)
+             (3, 1, _ts("2024-01-01T00:00:00")),   # before any version
+             (4, 2, _ts("2024-01-05T00:00:00"))],  # key with no dim
+            "event_id bigint, user_id bigint, ts timestamp_ntz")
+        dim = spark.createDataFrame(
+            [(1, _ts("2024-01-02T00:00:00"),
+              _ts("2024-01-10T00:00:00"), "v1"),
+             (1, _ts("2024-01-10T00:00:00"), None, "v2")],
+            "user_id bigint, valid_from timestamp_ntz, "
+            "valid_to timestamp_ntz, ver string")
+        return facts, dim
+
+    def test_interval_containment(self, spark):
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            scd2_join)
+
+        facts, dim = self._frames(spark)
+        out = {r["event_id"]: r for r in
+               scd2_join(facts, dim, on="user_id").collect()}
+        assert out[1]["ver"] == "v1"
+        assert out[2]["ver"] == "v2"           # open current version
+        assert out[3]["ver"] is None           # before valid_from
+        assert out[4]["ver"] is None           # no dim rows at all
+
+    def test_boundary_semantics(self, spark):
+        # ts == valid_from is IN; ts == valid_to is OUT (half-open)
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            scd2_join)
+
+        facts = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-02T00:00:00")),
+             (2, 1, _ts("2024-01-10T00:00:00"))],
+            "event_id bigint, user_id bigint, ts timestamp_ntz")
+        dim = spark.createDataFrame(
+            [(1, _ts("2024-01-02T00:00:00"),
+              _ts("2024-01-10T00:00:00"), "v1")],
+            "user_id bigint, valid_from timestamp_ntz, "
+            "valid_to timestamp_ntz, ver string")
+        out = {r["event_id"]: r["ver"] for r in
+               scd2_join(facts, dim, on="user_id").collect()}
+        assert out[1] == "v1" and out[2] is None
+
+    def test_expired_gap_between_versions(self, spark):
+        # a fact BETWEEN two versions (after v1 expired, before v2
+        # starts) must get NULLs, not the stale v1 payload
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            scd2_join)
+
+        facts = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-05T00:00:00"))],
+            "event_id bigint, user_id bigint, ts timestamp_ntz")
+        dim = spark.createDataFrame(
+            [(1, _ts("2024-01-01T00:00:00"),
+              _ts("2024-01-03T00:00:00"), "v1"),
+             (1, _ts("2024-01-08T00:00:00"), None, "v2")],
+            "user_id bigint, valid_from timestamp_ntz, "
+            "valid_to timestamp_ntz, ver string")
+        r = scd2_join(facts, dim, on="user_id").first()
+        assert r["ver"] is None and r["valid_from_dim"] is None
