@@ -573,3 +573,68 @@ def test_funnel_matches_staged_reference(spark, rows):
                 break
             reached[s] += 1
     assert got == reached
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EVENTS)
+def test_scd2_matches_range_join_reference(spark, rows):
+    from confluent_ksql_charm_spark.pipeline.timeseries import scd2_join
+
+    data, df = _mk_events(spark, rows)
+    # dim versions from 'b' events: starts deduped per (key, ts),
+    # valid_to = next start (None for the last)
+    facts = df.where("event_type = 'a'").select("event_id", "user_id", "ts")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dim = (df.where("event_type = 'b'")
+           .groupBy("user_id", F.col("ts").alias("valid_from"))
+           .agg(F.max("event_id").alias("pay"))
+           .withColumn("valid_to", F.lead("valid_from").over(
+               Window.partitionBy("user_id").orderBy("valid_from"))))
+    got = {r["event_id"]: r["pay"]
+           for r in scd2_join(facts, dim, on="user_id").collect()}
+    # quadratic reference over the same dim construction
+    starts: dict = {}
+    for (eid, k, ts, tp) in data:
+        if tp == "b":
+            cur = starts.setdefault(k, {})
+            cur[ts] = max(cur.get(ts, -1), eid)
+    versions = {}
+    for k, m in starts.items():
+        ordered = sorted(m.items())
+        versions[k] = [
+            (vf, ordered[i + 1][0] if i + 1 < len(ordered) else None, pay)
+            for i, (vf, pay) in enumerate(ordered)]
+    for (eid, k, ts, tp) in data:
+        if tp != "a":
+            continue
+        want = None
+        for vf, vt, pay in versions.get(k, []):
+            if vf <= ts and (vt is None or ts < vt):
+                want = pay
+        assert got[eid] == want, (eid, got[eid], want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EVENTS)
+def test_retention_matches_reference(spark, rows):
+    import datetime as dt
+
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        retention_cohorts)
+
+    data, df = _mk_events(spark, rows)
+    got = {(str(r["cohort"]), r["offset"]): r["n_keys"]
+           for r in retention_cohorts(df, granularity="day").collect()}
+    # python reference
+    bykey: dict = {}
+    for (eid, k, ts, tp) in data:
+        bykey.setdefault(k, set()).add(ts.date())
+    want: dict = {}
+    for k, days in bykey.items():
+        first = min(days)
+        for d in days:
+            cell = (str(first), (d - first).days)
+            want[cell] = want.get(cell, 0) + 1
+    assert got == want
