@@ -102,6 +102,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
+    reserved = {"__ts", "__tag", "__r", "__m"} & set(left.columns)
+    if reserved:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(reserved)}; "
+            "rename them on the left input")
     payload = right_cols or [c for c in right.columns
                              if c not in keys and c != right_ts]
 

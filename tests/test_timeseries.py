@@ -294,3 +294,18 @@ class TestScd2Join:
             "valid_to timestamp_ntz, ver string")
         r = scd2_join(facts, dim, on="user_id").first()
         assert r["ver"] is None and r["valid_from_dim"] is None
+
+
+def test_asof_reserved_name_guard(spark):
+    import pytest as _pytest
+
+    from confluent_ksql_charm_spark.pipeline.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:00:00"), 0)],
+        "event_id bigint, user_id bigint, ts timestamp_ntz, __tag int")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 1.0)],
+        "user_id bigint, ts timestamp_ntz, v double")
+    with _pytest.raises(ValueError, match="reserves internal"):
+        asof_join(left, right, on="user_id")
