@@ -206,3 +206,83 @@ def streaming_sessionize(
             timeoutConf=timeout,
         )
     )
+
+
+def streaming_funnel(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel stage completions over a stream: emits one row
+    (key, step_idx, step, ts) the moment a key completes a stage,
+    with the same strictly-after chaining as the batch
+    `pipeline/timeseries.funnel_counts` (stage i counts only strictly
+    after stage i-1's completion). Aggregate the output by step for a
+    live funnel dashboard.
+
+    Per-key state is exactly `len(steps)` epoch-µs scalars — stage
+    completions are monotone (set once, never retracted), so unlike
+    the sessionizer there is NO open-tail caveat: on a bounded
+    in-order replay the emitted completions per step equal the batch
+    funnel counts exactly (pinned by
+    test_streaming_funnel_batch_parity).
+
+    Ordering contract (same as streaming_sessionize): events are
+    sorted per micro-batch; cross-batch out-of-order events are
+    processed in arrival order, so pair with a time-ordered source
+    for exact batch parity.
+    """
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType,
+                                   TimestampNTZType, TimestampType)
+
+    ts_type = df.schema[ts_col].dataType
+    if not isinstance(ts_type, (TimestampNTZType, TimestampType)):
+        raise ValueError(f"{ts_col} must be a timestamp column")
+    out_schema = StructType([
+        StructField(key_col, df.schema[key_col].dataType),
+        StructField("step_idx", IntegerType()),
+        StructField("step", StringType()),
+        StructField(ts_col, ts_type),
+    ])
+    state_schema = ", ".join(f"t{i} long" for i in range(len(steps)))
+    idx = {s: i for i, s in enumerate(steps)}
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        ev = pd.concat(batches)
+        ev = ev[ev[type_col].isin(idx)].sort_values(ts_col)
+        stages = list(state.get) if state.exists else [None] * len(steps)
+        new_rows = []
+        for t, tp in zip((ev[ts_col].astype("int64") // 1000).tolist(),
+                         ev[type_col].tolist()):
+            i = idx[tp]
+            if stages[i] is not None:
+                continue
+            if i > 0 and (stages[i - 1] is None or t <= stages[i - 1]):
+                continue
+            stages[i] = t
+            new_rows.append((i, t))
+        state.update(tuple(stages))
+        if new_rows:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(new_rows),
+                "step_idx": [i + 1 for i, _ in new_rows],
+                "step": [steps[i] for i, _ in new_rows],
+                ts_col: [pd.Timestamp(t, unit="us") for _, t in new_rows],
+            })
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

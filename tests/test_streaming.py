@@ -469,3 +469,31 @@ def test_streaming_sessionize_requires_ts(spark, seng):
     df = seng.metastore.get("events").df.withColumn("bad", F.lit("x"))
     with _pytest.raises(ValueError):
         streaming_sessionize(df, "user_id", "bad")
+
+
+def test_streaming_funnel_batch_parity(spark, seng, tmp_path):
+    """Stage completions are monotone, so the streaming funnel has NO
+    open-tail caveat: per-step emitted counts on a bounded in-order
+    replay equal the batch funnel_counts exactly."""
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        funnel_counts)
+    from confluent_ksql_charm_spark.streaming.stateful import (
+        streaming_funnel)
+
+    steps = ["signup", "view", "click", "purchase"]
+    events = seng.metastore.get("events").df
+    out = streaming_funnel(events, steps)
+    sq = (out.writeStream.format("memory").queryName("funnel_t")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "fck"))
+          .trigger(availableNow=True).start())
+    assert sq.awaitTermination(180)
+    got = {r["step"]: r["cnt"] for r in spark.sql(
+        "SELECT step, count(*) AS cnt FROM funnel_t GROUP BY step"
+    ).collect()}
+
+    batch_src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {r["step"]: r["n_reached"]
+            for r in funnel_counts(batch_src, steps).collect()
+            if r["n_reached"] > 0}
+    assert got == want and len(got) > 0
