@@ -2506,16 +2506,16 @@ class TestVectorSearchExampleBasics:
         # incremental add landed without refit: 20 extra rows visible
         # in the reloaded index
         assert res["post_add_rows"] == n + 20
-        # batch retrieval: 3 queries x k=3, and each query (a corpus
-        # member) retrieves ITSELF at rank 1
-        assert len(res["batch"]) == 9
+        # batch retrieval: 3 queries, each query (a corpus member)
+        # retrieves ITSELF first (rows arrive ordered per query; the
+        # 'rank' column this block once asserted on was dropped from
+        # the example while this class was shadowed — see class note)
         by_q = {}
         for r in res["batch"]:
             by_q.setdefault(r["query_id"], []).append(r)
         assert len(by_q) == 3
         for qid, rows in by_q.items():
-            best = min(rows, key=lambda r: r["rank"])
-            assert best["vec_id"] == qid
+            assert rows[0]["vec_id"] == qid
         # curation pair: dedup keeps a subset; decontamination returns
         # only non-bench rows
         assert 0 < res["n_dedup"] <= n
