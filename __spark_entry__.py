@@ -1961,9 +1961,9 @@ def _q_funnel_steps(spark, sf):
 
 
 def _q_hamming_topk(spark, sf):
-    # 1-bit sign-quantization shortlist (8 bytes/vector, xor+popcount
-    # scan) -> exact cosine rerank: the 32x compression tier under
-    # SQ8 (4x) and PQ (8x). The oracle replays the identical
+    # 1-bit sign-quantization shortlist (two BIGINT words = 16
+    # bytes/vector of 64 sign bits, xor+popcount scan) -> exact
+    # cosine rerank: the cheapest-scan tier under SQ8 (4x). The oracle replays the identical
     # differing-sign-bit count and the same two deterministic
     # orderings.
     from confluent_ksql_charm_spark.pipeline.similarity import (

@@ -3536,9 +3536,13 @@ def sign_quantize(df: DataFrame, dim: int, *, vec_col: str = "embedding",
     """1-bit-per-dimension sign codes packed into 32-bit words inside
     BIGINTs: bit j of word w is set iff ``vec[w*32 + j] > 0``.
 
-    This is the most aggressive compression tier in the family
-    (dim 64: 8 bytes/vector vs 256 for float32 — 32x; SQ8 is 4x, PQ8
-    8x at m=8), and the coarsest: Hamming distance on sign bits only
+    This is the most aggressive compression tier in the family —
+    64 sign BITS per dim-64 vector; stored as two BIGINT words =
+    16 bytes vs 256 for float32 (16x; SQ8 is 4x, PQ8 m=8 is 32x as
+    codes but needs its LUT ADC — the sign scan is two xor+popcount
+    ops). A single 8-byte word would need 64-bit shifts the oracle
+    engine cannot replay (checked `1::BIGINT << 63` overflows) —
+    and the coarsest: Hamming distance on sign bits only
     approximates angular order, so it is a SHORTLIST tier that always
     pairs with an exact rerank (`hamming_topk`), never a final score.
 
@@ -3594,8 +3598,8 @@ def hamming_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     `rerank` fetched full-precision vectors, cut to `k` (cosine desc,
     id asc — the family's ordering contract).
 
-    The shortlist scan reads 8 bytes/vector and evaluates two
-    xor+popcounts — the cheapest candidate generator in the family; the
+    The shortlist scan reads 16 bytes/vector (two BIGINT words;
+    64 bits of code) and evaluates two xor+popcounts — the cheapest candidate generator in the family; the
     rerank fetch is the same bounded id-IN pushdown the SQ8/PQ refine
     tiers use (row-group pruning, not a join job). Recall comes from
     the rerank width (rerank/k ratio), measured in BASELINE.md's
