@@ -379,3 +379,124 @@ def scd2_join(facts: DataFrame, dim: DataFrame, on: list[str] | str,
     if vt != f"{valid_to}{suffix}":
         out = out.withColumnRenamed(vt, f"{valid_to}{suffix}")
     return out
+
+
+def asof_join_bucketed(left: DataFrame, right: DataFrame,
+                       on: list[str] | str,
+                       left_ts: str = "ts",
+                       right_ts: str | None = None,
+                       right_cols: list[str] | None = None,
+                       suffix: str = "_r",
+                       bucket_s: int = 86400) -> DataFrame:
+    """Hot-key-safe as-of join: identical semantics to `asof_join`
+    (largest right ts <= left ts per key, ties inclusive, left-outer),
+    but the window partitions on (key, TIME BUCKET) instead of the key
+    alone — the documented remedy for the measured hot-key cliff
+    (BASELINE round-10 s3 key-cardinality sweep: one key serializes
+    the whole window sort into one task, 22.3 s vs 5.5 s for 10M
+    rows).
+
+    Three phases, all bounded:
+      1. per (key, bucket): the LAST right row inside that bucket —
+         an aggregate over the right side only;
+      2. running carry: for every (key, bucket) the latest right row
+         from any EARLIER bucket — a window over the (key, bucket)
+         relation, which is |keys x active buckets| rows, tiny next
+         to the fact volume;
+      3. the union-merge window from `asof_join`, but partitioned by
+         (key, bucket) with the carry-in injected as a pseudo right
+         row that sorts before everything in its bucket — so matches
+         crossing bucket boundaries resolve without any cross-bucket
+         scan.
+
+    Parallelism becomes keys x buckets; pick `bucket_s` so a single
+    key's bucket holds ~1e5-1e6 rows. For well-distributed keys the
+    plain `asof_join` is one shuffle cheaper — this variant exists
+    for the skewed shape `maintenance.skew_report` flags.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    reserved = {"__ts", "__tag", "__r", "__b"} & set(left.columns)
+    if reserved:
+        raise ValueError(
+            f"asof_join_bucketed reserves internal column names "
+            f"{sorted(reserved)}; rename them on the left input")
+    payload = right_cols or [c for c in right.columns
+                             if c not in keys and c != right_ts]
+    out_ts = f"{left_ts}{suffix}"
+    out_payload = [f"{c}{suffix}" if c in left.columns else c
+                   for c in payload]
+    bucket_us = int(bucket_s) * 1_000_000
+
+    def _bucket(c: Column) -> Column:
+        return F.floor(_epoch_us(c) / bucket_us).cast("long")
+
+    rstruct = F.struct(
+        F.col(right_ts).alias(out_ts),
+        *[F.col(c).alias(a) for c, a in zip(payload, out_payload)],
+    )
+    r = right.select(*keys, F.col(right_ts).alias("__ts"),
+                     _bucket(F.col(right_ts)).alias("__b"),
+                     rstruct.alias("__r"))
+
+    # phase 1: last right row per (key, bucket) — max_by keeps the
+    # whole struct atomically; phase 2: the running latest per key up
+    # to and including each bucket (a window over the tiny
+    # |keys x active buckets| relation).
+    per_bucket = (r.groupBy(*keys, "__b")
+                  .agg(F.max_by("__r", F.col("__ts")).alias("__last")))
+    running = per_bucket.select(
+        *keys, "__b",
+        F.last("__last", ignorenulls=True).over(
+            Window.partitionBy(*keys).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__cr"))
+
+    # a bucket with LEFT rows needs the carry from the latest right
+    # bucket STRICTLY BEFORE it (its own right rows already sit inside
+    # the phase-3 window — an inclusive carry would let a late
+    # in-bucket right row match left rows that precede it). An as-of
+    # on the bucket axis at b-1 over the two tiny bucket relations
+    # resolves exactly that, including left-only buckets.
+    left_buckets = (left.select(
+        *keys, _bucket(F.col(left_ts)).alias("__b")).distinct()
+        .withColumn("__bprev", F.col("__b") - 1))
+    lb = asof_join(left_buckets, running.withColumnRenamed("__b", "__bprev"),
+                   on=keys, left_ts="__bprev",
+                   right_cols=["__cr"], suffix="__carry")
+    carry_rows = (lb.where(F.col("__cr").isNotNull())
+                  .select(*keys, "__b",
+                          F.col("__cr").alias("__r")))
+
+    # phase 3: union-merge within (key, bucket); carry rows get tag -1
+    # so they sort before every real row in the bucket
+    l2 = left.select(
+        "*", F.col(left_ts).alias("__ts"),
+        _bucket(F.col(left_ts)).alias("__b"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"))
+    left_cols = list(left.columns)
+    r2 = r.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in keys else F.col(c) for c in left_cols],
+        "__ts", "__b", F.lit(0).alias("__tag"), "__r")
+    c2 = carry_rows.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in keys else F.col(c) for c in left_cols],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("__ts"),
+        "__b", F.lit(-1).alias("__tag"), "__r")
+    u = (l2.select(*left_cols, "__ts", "__b", "__tag", "__r")
+         .unionByName(r2).unionByName(c2))
+
+    # leading sort key pins the carry pseudo-row (tag -1, NULL __ts)
+    # strictly first within its (key, bucket) partition
+    w = (Window.partitionBy(*keys, "__b")
+         .orderBy(F.when(F.col("__tag") == -1, 0).otherwise(1),
+                  "__ts", "__tag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out = matched.where(F.col("__tag") == 1)
+    return out.select(
+        *left_cols,
+        *[F.col("__m")[a].alias(a) for a in [out_ts, *out_payload]],
+    )

@@ -309,3 +309,57 @@ def test_asof_reserved_name_guard(spark):
         "user_id bigint, ts timestamp_ntz, v double")
     with _pytest.raises(ValueError, match="reserves internal"):
         asof_join(left, right, on="user_id")
+
+
+class TestAsofBucketed:
+    def test_cross_bucket_carry(self, spark):
+        # right row in an EARLIER bucket must reach left rows buckets
+        # later, including across an empty middle bucket
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            asof_join_bucketed)
+
+        left = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-03T12:00:00"))],
+            "event_id bigint, user_id bigint, ts timestamp_ntz")
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-01T10:00:00"), 5.0)],
+            "user_id bigint, ts timestamp_ntz, v double")
+        r = asof_join_bucketed(left, right, on="user_id",
+                               bucket_s=86400).first()
+        assert r["v"] == 5.0
+
+    def test_in_bucket_late_right_not_carried_early(self, spark):
+        # the carry is strictly-earlier-bucket: a right row LATER in
+        # the same bucket must not match a left row that precedes it
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            asof_join_bucketed)
+
+        left = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-02T01:00:00"))],
+            "event_id bigint, user_id bigint, ts timestamp_ntz")
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-02T05:00:00"), 9.0),   # same bucket, later
+             (1, _ts("2024-01-01T23:00:00"), 5.0)],  # prior bucket
+            "user_id bigint, ts timestamp_ntz, v double")
+        r = asof_join_bucketed(left, right, on="user_id",
+                               bucket_s=86400).first()
+        assert r["v"] == 5.0
+
+    def test_equals_plain_asof_on_corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            asof_join, asof_join_bucketed)
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        left = ev.where("event_type = 'click'").select(
+            "event_id", "user_id", "ts")
+        right = (ev.where("event_type = 'purchase'")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("v")))
+        a = sorted(tuple(r) for r in asof_join(
+            left, right, on="user_id", right_cols=["v"]).collect())
+        b = sorted(tuple(r) for r in asof_join_bucketed(
+            left, right, on="user_id", right_cols=["v"],
+            bucket_s=3600).collect())
+        assert a == b and len(a) > 0
