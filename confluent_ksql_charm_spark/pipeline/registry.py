@@ -157,7 +157,8 @@ _SIGNATURES = {
                   "BUDGET='2048'[, SHARDS='8'])"),
     "ASOF_JOIN": ("ASOF_JOIN(left, right, ON='key[,key]'[, TS='ts']"
                   "[, RIGHT_TS='ts'][, COLS='col,col']"
-                  "[, TOLERANCE_US='n'][, SUFFIX='_r'])"),
+                  "[, TOLERANCE_US='n'][, SUFFIX='_r']"
+                  "[, BUCKET_S='n' — hot-key-safe variant])"),
     "SESSIONIZE": ("SESSIONIZE(src[, KEY='user_id'][, TS='ts']"
                    "[, GAP_S='1800'][, ORDER='event_id'])"),
     "SESSION_STATS": ("SESSION_STATS(src[, KEY='user_id'][, TS='ts']"
@@ -683,18 +684,23 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                               id_col=p.get("ID", "vec_id"),
                               vec_col=p.get("VEC", "embedding"))
     if op == "ASOF_JOIN":
-        from .timeseries import asof_join
+        from .timeseries import asof_join, asof_join_bucketed
         _need_sources(spec, 2)
         on = [c.strip() for c in _need(spec, "ON").split(",")]
         tol = p.get("TOLERANCE_US")
+        kw = dict(left_ts=p.get("TS", "ts"),
+                  right_ts=p.get("RIGHT_TS"),
+                  right_cols=([c.strip() for c in p["COLS"].split(",")]
+                              if "COLS" in p else None),
+                  suffix=p.get("SUFFIX", "_r"))
+        if "BUCKET_S" in p:
+            if tol:
+                raise ValueError("ASOF_JOIN: TOLERANCE_US is not "
+                                 "supported with BUCKET_S")
+            return asof_join_bucketed(dfs[0], dfs[1], on,
+                                      bucket_s=int(p["BUCKET_S"]), **kw)
         return asof_join(dfs[0], dfs[1], on,
-                         left_ts=p.get("TS", "ts"),
-                         right_ts=p.get("RIGHT_TS"),
-                         right_cols=([c.strip() for c in
-                                      p["COLS"].split(",")]
-                                     if "COLS" in p else None),
-                         suffix=p.get("SUFFIX", "_r"),
-                         tolerance_us=int(tol) if tol else None)
+                         tolerance_us=int(tol) if tol else None, **kw)
     if op in ("SESSIONIZE", "SESSION_STATS"):
         from .timeseries import session_stats, sessionize
         _need_sources(spec, 1)

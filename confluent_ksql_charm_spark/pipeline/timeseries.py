@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join",
+    "asof_join_bucketed",
     "sessionize",
     "session_stats",
     "rolling_aggregates",

@@ -872,3 +872,20 @@ class TestPipelineStatements:
         peng.execute("CREATE TABLE lq AS PIPELINE "
                      "QUANTILES(docs, VALUE='doc_id', PS='0.5');")
         assert peng.sql("SELECT * FROM lq").first().p50 == 3.0
+
+    def test_asof_bucketed_via_sql(self, peng, spark):
+        self._events_src(peng, spark)
+        peng.execute("CREATE TABLE clicks2 AS SELECT * FROM ev "
+                     "WHERE event_type = 'click';")
+        peng.execute("CREATE TABLE buys2 AS SELECT * FROM ev "
+                     "WHERE event_type = 'purchase';")
+        peng.execute("CREATE TABLE bf2 AS PIPELINE "
+                     "ASOF_JOIN(clicks2, buys2, ON='user_id', TS='ts', "
+                     "COLS='value', BUCKET_S='3600');")
+        rows = peng.sql("SELECT event_id, value_r FROM bf2").collect()
+        assert len(rows) == 1 and rows[0].value_r is None
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="TOLERANCE_US"):
+            peng.execute("CREATE TABLE bad2 AS PIPELINE "
+                         "ASOF_JOIN(clicks2, buys2, ON='user_id', "
+                         "BUCKET_S='60', TOLERANCE_US='5');")
