@@ -1892,6 +1892,26 @@ def _q_user_sessions(spark, sf):
         F.col("value_sum").cast("double").alias("value_sum"))
 
 
+def _q_user_sessions_bucketed(spark, sf):
+    # hot-key-safe sessionizer: local (key, 2h-bucket) sessions merged
+    # across boundaries by a second gaps-and-islands over the SESSION
+    # relation — same boundaries, same rollup, same oracle as
+    # user_sessions (DECIMAL value => partial sums are exact, so even
+    # the fp-order difference of bucketed partials vanishes).
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        session_stats_bucketed)
+
+    ev = _events(spark, sf).withColumn(
+        "value", F.col("value").cast("decimal(20,6)"))
+    out = session_stats_bucketed(ev, "user_id", "ts", gap_s=3600,
+                                 value_col="value",
+                                 order_cols=["event_id"],
+                                 bucket_s=7200)
+    return out.select(
+        "user_id", "session_seq", "n_events", "duration_s",
+        F.col("value_sum").cast("double").alias("value_sum"))
+
+
 def _q_rolling_user_stats(spark, sf):
     # trailing 24h per-user rate features via a RANGE frame over epoch
     # micros — Spark evaluates the sliding frame incrementally (O(n),
@@ -2021,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "asof_join_bucketed": _q_asof_join_bucketed,
         "user_sessions": _q_user_sessions,
+        "user_sessions_bucketed": _q_user_sessions_bucketed,
         "rolling_user_stats": _q_rolling_user_stats,
         "funnel_steps": _q_funnel_steps,
         "retention_cohorts": _q_retention_cohorts,
@@ -2670,7 +2691,7 @@ def _secret_scan_sqls() -> tuple[str, str]:
     return scan, redact
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     _secret_scan_oracle, _secret_redact_oracle = _secret_scan_sqls()
     return {
         "hamming_topk": (
@@ -4522,3 +4543,12 @@ def oracle_sql() -> dict[str, str]:
             "< r.mix_rate"
         ),
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # identical semantics => identical oracle: the bucketed variants
+    # reproduce their plain operators' output bit-for-bit (DECIMAL
+    # sums make even partial-aggregation order exact)
+    d["user_sessions_bucketed"] = d["user_sessions"]
+    return d

@@ -163,7 +163,8 @@ _SIGNATURES = {
                    "[, GAP_S='1800'][, ORDER='event_id'])"),
     "SESSION_STATS": ("SESSION_STATS(src[, KEY='user_id'][, TS='ts']"
                       "[, GAP_S='1800'][, VALUE='value']"
-                      "[, ORDER='event_id'])"),
+                      "[, ORDER='event_id']"
+                      "[, BUCKET_S='n' — hot-key-safe variant])"),
     "ROLLING_AGG": ("ROLLING_AGG(src[, KEY='user_id'][, TS='ts']"
                     "[, VALUE='value'][, WINDOW_S='3600'])"),
     "FUNNEL": ("FUNNEL(src, STEPS='view,click,purchase'"
@@ -711,6 +712,11 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                               if "ORDER" in p else None))
         if op == "SESSIONIZE":
             return sessionize(dfs[0], **kw)
+        if "BUCKET_S" in p:
+            from .timeseries import session_stats_bucketed
+            return session_stats_bucketed(
+                dfs[0], value_col=p.get("VALUE"),
+                bucket_s=int(p["BUCKET_S"]), **kw)
         return session_stats(dfs[0], value_col=p.get("VALUE"), **kw)
     if op == "ROLLING_AGG":
         from .timeseries import rolling_aggregates

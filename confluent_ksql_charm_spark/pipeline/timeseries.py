@@ -501,3 +501,81 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame,
         *left_cols,
         *[F.col("__m")[a].alias(a) for a in [out_ts, *out_payload]],
     )
+
+
+def session_stats_bucketed(df: DataFrame, key_col: str = "user_id",
+                           ts_col: str = "ts", gap_s: int = 1800,
+                           value_col: str | None = None,
+                           order_cols: list[str] | None = None,
+                           bucket_s: int = 86400) -> DataFrame:
+    """Hot-key-safe `session_stats`: identical output (same session
+    boundaries, same rollup, same oracle), but the per-event window
+    runs on (key, TIME BUCKET) partitions and sessions are merged
+    across bucket boundaries afterwards — the sessionizer's version of
+    the `asof_join_bucketed` remedy for the measured 1-key cliff.
+
+    Two phases:
+      1. LOCAL sessions per (key, bucket): the usual gaps-and-islands,
+         partitioned by (key, bucket) — parallelism keys x buckets.
+         Rolled up to one row per local session (n, start, end, sum).
+      2. MERGE: gaps-and-islands AGAIN, but over the local-session
+         relation ordered by start — two adjacent local sessions of
+         the same key merge when the gap between one's end and the
+         next's start is <= gap_s (sessions inside one bucket already
+         satisfy > gap, so only boundary-spanning chains merge; a
+         session spanning many buckets merges transitively). The
+         session relation is bounded by the SESSION count, which is
+         what makes the second window cheap even on the hot key —
+         the per-event sort never sees the full key.
+
+    `session_seq` numbering matches `session_stats` (1-based per key
+    in start order) because merge preserves start order.
+    """
+    gap_us = int(gap_s) * 1_000_000
+    bucket_us = int(bucket_s) * 1_000_000
+    ep = _epoch_us(F.col(ts_col))
+    bucket = F.floor(ep / bucket_us).cast("long")
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    wl = (Window.partitionBy(key_col, "__b").orderBy(*order))
+    wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(_epoch_us(F.col(ts_col))).over(wl)
+    is_start = F.when(
+        prev.isNull() | ((_epoch_us(F.col(ts_col)) - prev)
+                         > F.lit(gap_us)), 1).otherwise(0)
+    local = (df.withColumn("__b", bucket)
+             .withColumn("__ls", F.sum(is_start).over(wc)))
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.min(ts_col).alias("__start"),
+        F.max(ts_col).alias("__end"),
+    ]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("__vsum"))
+    sess = local.groupBy(key_col, "__b", "__ls").agg(*aggs)
+
+    # phase 2: merge boundary-spanning chains over the session relation
+    wk = Window.partitionBy(key_col).orderBy("__start")
+    wkc = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_end = F.lag(_epoch_us(F.col("__end"))).over(wk)
+    new_global = F.when(
+        prev_end.isNull()
+        | ((_epoch_us(F.col("__start")) - prev_end) > F.lit(gap_us)), 1
+    ).otherwise(0)
+    merged = sess.withColumn(
+        "session_seq", F.sum(new_global).over(wkc).cast("long"))
+    aggs2 = [
+        F.sum("__n").alias("n_events"),
+        F.min("__start").alias("session_start"),
+        F.max("__end").alias("session_end"),
+    ]
+    if value_col:
+        aggs2.append(F.sum("__vsum").alias("value_sum"))
+    out = merged.groupBy(key_col, "session_seq").agg(*aggs2)
+    dur = ((_epoch_us(F.col("session_end"))
+            - _epoch_us(F.col("session_start"))) / 1_000_000.0
+           ).alias("duration_s")
+    cols = [key_col, "session_seq", "n_events", "session_start",
+            "session_end"]
+    return out.select(*cols[:5], dur,
+                      *([F.col("value_sum")] if value_col else []))

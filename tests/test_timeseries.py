@@ -363,3 +363,56 @@ class TestAsofBucketed:
             left, right, on="user_id", right_cols=["v"],
             bucket_s=3600).collect())
         assert a == b and len(a) > 0
+
+
+class TestSessionStatsBucketed:
+    def test_equals_plain_on_corpus(self, spark):
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            session_stats, session_stats_bucketed)
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        kw = dict(gap_s=3600, value_col="value",
+                  order_cols=["event_id"])
+        a = sorted(
+            (r["user_id"], r["session_seq"], r["n_events"],
+             str(r["session_start"]), str(r["session_end"]),
+             round(r["duration_s"], 6), round(r["value_sum"], 6))
+            for r in session_stats(ev, **kw).collect())
+        b = sorted(
+            (r["user_id"], r["session_seq"], r["n_events"],
+             str(r["session_start"]), str(r["session_end"]),
+             round(r["duration_s"], 6), round(r["value_sum"], 6))
+            for r in session_stats_bucketed(
+                ev, bucket_s=7200, **kw).collect())
+        assert a == b and len(a) > 0
+
+    def test_session_spanning_many_buckets_merges(self, spark):
+        # one session with events every 30 min across 4 one-hour
+        # buckets must come back as ONE session (transitive merge)
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            session_stats_bucketed)
+
+        rows = [(i, 1, _ts("2024-01-01T00:00:00")
+                 + __import__("datetime").timedelta(minutes=30 * i))
+                for i in range(8)]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts timestamp_ntz")
+        out = session_stats_bucketed(df, gap_s=1800,
+                                     order_cols=["event_id"],
+                                     bucket_s=3600).collect()
+        assert len(out) == 1 and out[0]["n_events"] == 8
+
+    def test_boundary_gap_not_merged(self, spark):
+        # sessions in adjacent buckets separated by MORE than the gap
+        # stay separate
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            session_stats_bucketed)
+
+        df = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-01T00:50:00")),
+             (2, 1, _ts("2024-01-01T01:55:00"))],
+            "event_id bigint, user_id bigint, ts timestamp_ntz")
+        out = session_stats_bucketed(df, gap_s=1800,
+                                     order_cols=["event_id"],
+                                     bucket_s=3600).collect()
+        assert len(out) == 2
