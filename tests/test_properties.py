@@ -638,3 +638,42 @@ def test_retention_matches_reference(spark, rows):
             cell = (str(first), (d - first).days)
             want[cell] = want.get(cell, 0) + 1
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EVENTS, st.sampled_from([60, 600, 3600, 86400]))
+def test_bucketed_asof_equals_plain(spark, rows, bucket_s):
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        asof_join, asof_join_bucketed)
+
+    data, df = _mk_events(spark, rows)
+    left = df.where("event_type = 'a'").select("event_id", "user_id", "ts")
+    right = (df.where("event_type = 'b'")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("pay")))
+    a = sorted(tuple(r) for r in asof_join(
+        left, right, on="user_id", right_cols=["pay"]).collect())
+    b = sorted(tuple(r) for r in asof_join_bucketed(
+        left, right, on="user_id", right_cols=["pay"],
+        bucket_s=bucket_s).collect())
+    assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EVENTS, st.sampled_from([60, 600, 3600]))
+def test_bucketed_sessions_equal_plain(spark, rows, bucket_s):
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        session_stats, session_stats_bucketed)
+
+    data, df = _mk_events(spark, rows)
+    kw = dict(gap_s=600, order_cols=["event_id"])
+    a = sorted((r["user_id"], r["session_seq"], r["n_events"],
+                str(r["session_start"]), str(r["session_end"]))
+               for r in session_stats(df, **kw).collect())
+    b = sorted((r["user_id"], r["session_seq"], r["n_events"],
+                str(r["session_start"]), str(r["session_end"]))
+               for r in session_stats_bucketed(
+                   df, bucket_s=bucket_s, **kw).collect())
+    assert a == b
