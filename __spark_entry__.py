@@ -1977,6 +1977,17 @@ def _q_skew_report(spark, sf):
                        partitions=32)
 
 
+def _q_funnel_steps_staged(spark, sf):
+    # hot-key-safe funnel: k staged conditional-min aggregations (no
+    # per-key array — map-side combine absorbs skew); identical output
+    # => shares funnel_steps' oracle.
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        funnel_counts_staged)
+
+    return funnel_counts_staged(_events(spark, sf),
+                                ["signup", "view", "click", "purchase"])
+
+
 def _q_retention_cohorts(spark, sf):
     # cohort retention triangle, single-pass window formulation (no
     # first-seen dimension join — one shuffle fewer than the textbook
@@ -2044,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions_bucketed": _q_user_sessions_bucketed,
         "rolling_user_stats": _q_rolling_user_stats,
         "funnel_steps": _q_funnel_steps,
+        "funnel_steps_staged": _q_funnel_steps_staged,
         "retention_cohorts": _q_retention_cohorts,
         "skew_report": _q_skew_report,
         "novelty_report": _q_novelty_report,
@@ -4551,4 +4563,5 @@ def oracle_sql() -> dict[str, str]:
     # reproduce their plain operators' output bit-for-bit (DECIMAL
     # sums make even partial-aggregation order exact)
     d["user_sessions_bucketed"] = d["user_sessions"]
+    d["funnel_steps_staged"] = d["funnel_steps"]
     return d

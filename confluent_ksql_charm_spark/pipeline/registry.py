@@ -168,7 +168,8 @@ _SIGNATURES = {
     "ROLLING_AGG": ("ROLLING_AGG(src[, KEY='user_id'][, TS='ts']"
                     "[, VALUE='value'][, WINDOW_S='3600'])"),
     "FUNNEL": ("FUNNEL(src, STEPS='view,click,purchase'"
-               "[, KEY='user_id'][, TS='ts'][, TYPE='event_type'])"),
+               "[, KEY='user_id'][, TS='ts'][, TYPE='event_type']"
+               "[, STAGED='false' — hot-key-safe k-pass variant])"),
     "HAMMING_TOPK": ("HAMMING_TOPK(emb[, packed], QUERY_VEC='f,f,...'"
                      "[, K='10'][, RERANK='50'][, ID='vec_id']"
                      "[, VEC='embedding'])"),
@@ -727,13 +728,16 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                                   value_col=p.get("VALUE", "value"),
                                   window_s=int(p.get("WINDOW_S", 3600)))
     if op == "FUNNEL":
-        from .timeseries import funnel_counts
+        from .timeseries import funnel_counts, funnel_counts_staged
         _need_sources(spec, 1)
         steps = [s.strip() for s in _need(spec, "STEPS").split(",")]
-        return funnel_counts(dfs[0], steps,
-                             key_col=p.get("KEY", "user_id"),
-                             ts_col=p.get("TS", "ts"),
-                             type_col=p.get("TYPE", "event_type"))
+        fn = (funnel_counts_staged
+              if p.get("STAGED", "false").lower() == "true"
+              else funnel_counts)
+        return fn(dfs[0], steps,
+                  key_col=p.get("KEY", "user_id"),
+                  ts_col=p.get("TS", "ts"),
+                  type_col=p.get("TYPE", "event_type"))
     if op == "HAMMING_TOPK":
         from .similarity import hamming_topk
         if len(spec.sources) not in (1, 2):

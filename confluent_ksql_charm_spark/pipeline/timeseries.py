@@ -51,6 +51,8 @@ __all__ = [
     "session_stats",
     "rolling_aggregates",
     "funnel_counts",
+    "funnel_counts_staged",
+    "session_stats_bucketed",
     "retention_cohorts",
     "scd2_join",
 ]
@@ -579,3 +581,44 @@ def session_stats_bucketed(df: DataFrame, key_col: str = "user_id",
             "session_end"]
     return out.select(*cols[:5], dur,
                       *([F.col("value_sum")] if value_col else []))
+
+
+def funnel_counts_staged(df: DataFrame, steps: list[str],
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         type_col: str = "event_type") -> DataFrame:
+    """Hot-key-safe `funnel_counts`: identical semantics and output
+    (strictly-after earliest-completion chaining), computed as k
+    staged conditional-min AGGREGATIONS instead of one per-key array
+    fold. Stage i joins the step-i events against the stage-(i-1)
+    completion relation (|keys| rows, AQE-broadcastable) and takes
+    min(ts) where ts > t_{i-1} — map-side partial combine absorbs any
+    key skew, and no per-key array ever materializes (the fold variant
+    collects each key's history; a key with 10^8 events would OOM a
+    task there, while this shape never sorts or collects per key).
+
+    Cost trade: k passes over the (step-filtered) fact relation vs the
+    fold's single pass — prefer the fold for bounded per-key history,
+    this for unbounded. Output schema matches `funnel_counts`
+    exactly, so the two share an oracle.
+    """
+    relevant = df.where(F.col(type_col).isin(list(steps)))
+    t_prev = None
+    stage_counts = []
+    for i, s in enumerate(steps):
+        ev_s = relevant.where(F.col(type_col) == s)
+        if t_prev is None:
+            t_df = ev_s.groupBy(key_col).agg(F.min(ts_col).alias("__t"))
+        else:
+            t_df = (ev_s.join(t_prev.withColumnRenamed("__t", "__tp"),
+                              key_col)
+                    .where(F.col(ts_col) > F.col("__tp"))
+                    .groupBy(key_col).agg(F.min(ts_col).alias("__t")))
+        stage_counts.append(
+            t_df.agg(F.count(F.lit(1)).alias("n_reached"))
+            .select(F.lit(i + 1).alias("step_idx"),
+                    F.lit(s).alias("step"), "n_reached"))
+        t_prev = t_df
+    out = stage_counts[0]
+    for c in stage_counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -677,3 +677,17 @@ def test_bucketed_sessions_equal_plain(spark, rows, bucket_s):
                for r in session_stats_bucketed(
                    df, bucket_s=bucket_s, **kw).collect())
     assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EVENTS)
+def test_staged_funnel_equals_fold(spark, rows):
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        funnel_counts, funnel_counts_staged)
+
+    data, df = _mk_events(spark, rows)
+    steps = ["a", "b", "c"]
+    a = sorted(tuple(r) for r in funnel_counts(df, steps).collect())
+    b = sorted(tuple(r) for r in
+               funnel_counts_staged(df, steps).collect())
+    assert a == b
