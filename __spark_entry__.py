@@ -1912,6 +1912,28 @@ def _q_user_sessions_bucketed(spark, sf):
         F.col("value_sum").cast("double").alias("value_sum"))
 
 
+def _q_incremental_sessions(spark, sf):
+    # nightly-ingest contract: sessions of days < 21 are the PERSISTED
+    # table; days >= 21 arrive as the new batch; incremental merge must
+    # equal the full recompute — so the oracle IS user_sessions' SQL
+    # over all events (the strongest possible check for an incremental
+    # operator).
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        incremental_sessions, session_stats)
+
+    ev = _events(spark, sf).withColumn(
+        "value", F.col("value").cast("decimal(20,6)"))
+    cut = F.col("ts") < F.lit("2024-01-21").cast("timestamp_ntz")
+    stored = session_stats(ev.where(cut), "user_id", "ts", gap_s=3600,
+                           value_col="value", order_cols=["event_id"])
+    out = incremental_sessions(stored, ev.where(~cut), "user_id", "ts",
+                               gap_s=3600, value_col="value",
+                               order_cols=["event_id"])
+    return out.select(
+        "user_id", "session_seq", "n_events", "duration_s",
+        F.col("value_sum").cast("double").alias("value_sum"))
+
+
 def _q_rolling_user_stats(spark, sf):
     # trailing 24h per-user rate features via a RANGE frame over epoch
     # micros — Spark evaluates the sliding frame incrementally (O(n),
@@ -2053,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_bucketed": _q_asof_join_bucketed,
         "user_sessions": _q_user_sessions,
         "user_sessions_bucketed": _q_user_sessions_bucketed,
+        "incremental_sessions": _q_incremental_sessions,
         "rolling_user_stats": _q_rolling_user_stats,
         "funnel_steps": _q_funnel_steps,
         "funnel_steps_staged": _q_funnel_steps_staged,
@@ -4564,4 +4587,6 @@ def oracle_sql() -> dict[str, str]:
     # sums make even partial-aggregation order exact)
     d["user_sessions_bucketed"] = d["user_sessions"]
     d["funnel_steps_staged"] = d["funnel_steps"]
+    # incremental == full recompute: share the full-recompute oracle
+    d["incremental_sessions"] = d["user_sessions"]
     return d

@@ -182,6 +182,10 @@ _SIGNATURES = {
                     "[, PARTITIONS='32'])"),
     "NOVELTY_REPORT": ("NOVELTY_REPORT(bench, corpus[, ID='doc_id']"
                        "[, TEXT='text'][, N='8'])"),
+    "INCREMENTAL_SESSIONS": ("INCREMENTAL_SESSIONS(stored, new"
+                             "[, KEY='user_id'][, TS='ts']"
+                             "[, GAP_S='1800'][, VALUE='value']"
+                             "[, ORDER='event_id'])"),
     "SCD2_JOIN": ("SCD2_JOIN(facts, dim, ON='key[,key]'[, TS='ts']"
                   "[, VALID_FROM='valid_from'][, VALID_TO='valid_to']"
                   "[, COLS='col,col'][, SUFFIX='_dim'])"),
@@ -750,6 +754,17 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                             id_col=p.get("ID", "vec_id"),
                             vec_col=p.get("VEC", "embedding"),
                             packed=dfs[1] if len(dfs) > 1 else None)
+    if op == "INCREMENTAL_SESSIONS":
+        from .timeseries import incremental_sessions
+        _need_sources(spec, 2)
+        return incremental_sessions(
+            dfs[0], dfs[1],
+            key_col=p.get("KEY", "user_id"),
+            ts_col=p.get("TS", "ts"),
+            gap_s=int(p.get("GAP_S", 1800)),
+            value_col=p.get("VALUE"),
+            order_cols=([c.strip() for c in p["ORDER"].split(",")]
+                        if "ORDER" in p else None))
     if op == "SCD2_JOIN":
         from .timeseries import scd2_join
         _need_sources(spec, 2)

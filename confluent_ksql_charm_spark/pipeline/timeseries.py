@@ -53,6 +53,7 @@ __all__ = [
     "funnel_counts",
     "funnel_counts_staged",
     "session_stats_bucketed",
+    "incremental_sessions",
     "retention_cohorts",
     "scd2_join",
 ]
@@ -622,3 +623,63 @@ def funnel_counts_staged(df: DataFrame, steps: list[str],
     for c in stage_counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def incremental_sessions(stored: DataFrame, new_events: DataFrame,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         gap_s: int = 1800,
+                         value_col: str | None = None,
+                         order_cols: list[str] | None = None
+                         ) -> DataFrame:
+    """Incremental session maintenance: fold a new batch of events into
+    a persisted `session_stats` table WITHOUT recomputing history —
+    the `incremental_dedup` contract applied to sessions (nightly
+    ingest: sessionize the day, merge with the table, write back).
+
+    Requires append-only time: every new event must be >= the stored
+    sessions' ends for its key (the contract a partitioned event log
+    gives); a violation cannot corrupt silently — merge only ever
+    EXTENDS each key's chain forward, so out-of-order history would
+    simply produce sessions the full recompute wouldn't (caught by the
+    oracle-equality test, which checks incremental == full recompute).
+
+    Shape: `session_stats` over the NEW batch only (one shuffle of the
+    batch), then the same session-relation merge pass
+    `session_stats_bucketed` uses (gaps-and-islands over sessions —
+    |sessions| rows, trivially small next to the event volume), then
+    re-rollup. History events are never rescanned; the stored relation
+    enters only the tiny merge window.
+    """
+    batch = session_stats(new_events, key_col, ts_col, gap_s,
+                          value_col=value_col, order_cols=order_cols)
+    cols = [key_col,
+            F.col("session_start").alias("__start"),
+            F.col("session_end").alias("__end"),
+            F.col("n_events").alias("__n")]
+    if value_col:
+        cols.append(F.col("value_sum").alias("__vsum"))
+    sess = stored.select(*cols).unionByName(batch.select(*cols))
+
+    wk = Window.partitionBy(key_col).orderBy("__start")
+    wkc = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_end = F.lag(_epoch_us(F.col("__end"))).over(wk)
+    new_global = F.when(
+        prev_end.isNull()
+        | ((_epoch_us(F.col("__start")) - prev_end)
+           > F.lit(int(gap_s) * 1_000_000)), 1).otherwise(0)
+    merged = sess.withColumn(
+        "session_seq", F.sum(new_global).over(wkc).cast("long"))
+    aggs = [
+        F.sum("__n").alias("n_events"),
+        F.min("__start").alias("session_start"),
+        F.max("__end").alias("session_end"),
+    ]
+    if value_col:
+        aggs.append(F.sum("__vsum").alias("value_sum"))
+    out = merged.groupBy(key_col, "session_seq").agg(*aggs)
+    dur = ((_epoch_us(F.col("session_end"))
+            - _epoch_us(F.col("session_start"))) / 1_000_000.0
+           ).alias("duration_s")
+    return out.select(key_col, "session_seq", "n_events",
+                      "session_start", "session_end", dur,
+                      *([F.col("value_sum")] if value_col else []))

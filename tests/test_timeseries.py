@@ -416,3 +416,50 @@ class TestSessionStatsBucketed:
                                      order_cols=["event_id"],
                                      bucket_s=3600).collect()
         assert len(out) == 2
+
+
+class TestIncrementalSessions:
+    def test_boundary_session_merges(self, spark):
+        # a session straddling the stored/new cut must merge into ONE
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            incremental_sessions, session_stats)
+
+        old = spark.createDataFrame(
+            [(1, 1, _ts("2024-01-01T10:00:00"), 1.0),
+             (2, 1, _ts("2024-01-01T10:20:00"), 2.0)],
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "value double")
+        new = spark.createDataFrame(
+            [(3, 1, _ts("2024-01-01T10:40:00"), 4.0),   # within gap
+             (4, 1, _ts("2024-01-01T20:00:00"), 8.0)],  # new session
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "value double")
+        stored = session_stats(old, gap_s=1800, value_col="value",
+                               order_cols=["event_id"])
+        out = {r["session_seq"]: r for r in incremental_sessions(
+            stored, new, gap_s=1800, value_col="value",
+            order_cols=["event_id"]).collect()}
+        assert len(out) == 2
+        assert out[1]["n_events"] == 3 and out[1]["value_sum"] == 7.0
+        assert out[2]["n_events"] == 1
+
+    def test_equals_full_recompute_on_corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        from confluent_ksql_charm_spark.pipeline.timeseries import (
+            incremental_sessions, session_stats)
+
+        ev = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet").withColumn(
+            "value", F.col("value").cast("decimal(20,6)"))
+        cut = F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz")
+        kw = dict(gap_s=3600, value_col="value",
+                  order_cols=["event_id"])
+        stored = session_stats(ev.where(cut), **kw)
+        inc = incremental_sessions(stored, ev.where(~cut), **kw)
+        full = session_stats(ev, **kw)
+        key = lambda r: (r["user_id"], r["session_seq"], r["n_events"],
+                         str(r["session_start"]), str(r["session_end"]),
+                         float(r["value_sum"]))
+        assert sorted(map(key, inc.collect())) == \
+            sorted(map(key, full.collect()))
