@@ -2020,6 +2020,27 @@ def _q_retention_cohorts(spark, sf):
     return retention_cohorts(_events(spark, sf))
 
 
+def _q_rolling_user_stats_bucketed(spark, sf):
+    # hot-key-safe rolling: (key, bucket) RANGE frames with the
+    # trailing window_s of each bucket replicated into the next as
+    # frame-context-only rows (bucket_s >= window_s => one-bucket
+    # lookback is exact); identical output => shares
+    # rolling_user_stats' oracle.
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        rolling_aggregates_bucketed)
+
+    ev = _events(spark, sf).withColumn(
+        "value", F.col("value").cast("decimal(20,6)"))
+    out = rolling_aggregates_bucketed(ev, "user_id", "ts", "value",
+                                      window_s=86400,
+                                      bucket_s=7 * 86400)
+    return out.select(
+        "event_id", "rolling_n",
+        F.col("rolling_sum").cast("double").alias("rolling_sum"),
+        (F.col("rolling_sum").cast("double") / F.col("rolling_n"))
+        .alias("rolling_avg"))
+
+
 def _q_funnel_steps(spark, sf):
     # ordered funnel with strictly-after chaining (t_i = min ts of step
     # i with ts > t_{i-1}); per-user history folds as a sorted struct
@@ -2077,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions_bucketed": _q_user_sessions_bucketed,
         "incremental_sessions": _q_incremental_sessions,
         "rolling_user_stats": _q_rolling_user_stats,
+        "rolling_user_stats_bucketed": _q_rolling_user_stats_bucketed,
         "funnel_steps": _q_funnel_steps,
         "funnel_steps_staged": _q_funnel_steps_staged,
         "retention_cohorts": _q_retention_cohorts,
@@ -4589,4 +4611,5 @@ def oracle_sql() -> dict[str, str]:
     d["funnel_steps_staged"] = d["funnel_steps"]
     # incremental == full recompute: share the full-recompute oracle
     d["incremental_sessions"] = d["user_sessions"]
+    d["rolling_user_stats_bucketed"] = d["rolling_user_stats"]
     return d

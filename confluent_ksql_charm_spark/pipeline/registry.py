@@ -166,7 +166,8 @@ _SIGNATURES = {
                       "[, ORDER='event_id']"
                       "[, BUCKET_S='n' — hot-key-safe variant])"),
     "ROLLING_AGG": ("ROLLING_AGG(src[, KEY='user_id'][, TS='ts']"
-                    "[, VALUE='value'][, WINDOW_S='3600'])"),
+                    "[, VALUE='value'][, WINDOW_S='3600']"
+                    "[, BUCKET_S='n >= WINDOW_S' — hot-key-safe])"),
     "FUNNEL": ("FUNNEL(src, STEPS='view,click,purchase'"
                "[, KEY='user_id'][, TS='ts'][, TYPE='event_type']"
                "[, STAGED='false' — hot-key-safe k-pass variant])"),
@@ -724,13 +725,17 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
                 bucket_s=int(p["BUCKET_S"]), **kw)
         return session_stats(dfs[0], value_col=p.get("VALUE"), **kw)
     if op == "ROLLING_AGG":
-        from .timeseries import rolling_aggregates
+        from .timeseries import (rolling_aggregates,
+                                 rolling_aggregates_bucketed)
         _need_sources(spec, 1)
-        return rolling_aggregates(dfs[0],
-                                  key_col=p.get("KEY", "user_id"),
-                                  ts_col=p.get("TS", "ts"),
-                                  value_col=p.get("VALUE", "value"),
-                                  window_s=int(p.get("WINDOW_S", 3600)))
+        kw = dict(key_col=p.get("KEY", "user_id"),
+                  ts_col=p.get("TS", "ts"),
+                  value_col=p.get("VALUE", "value"),
+                  window_s=int(p.get("WINDOW_S", 3600)))
+        if "BUCKET_S" in p:
+            return rolling_aggregates_bucketed(
+                dfs[0], bucket_s=int(p["BUCKET_S"]), **kw)
+        return rolling_aggregates(dfs[0], **kw)
     if op == "FUNNEL":
         from .timeseries import funnel_counts, funnel_counts_staged
         _need_sources(spec, 1)

@@ -53,6 +53,7 @@ __all__ = [
     "funnel_counts",
     "funnel_counts_staged",
     "session_stats_bucketed",
+    "rolling_aggregates_bucketed",
     "incremental_sessions",
     "retention_cohorts",
     "scd2_join",
@@ -683,3 +684,48 @@ def incremental_sessions(stored: DataFrame, new_events: DataFrame,
     return out.select(key_col, "session_seq", "n_events",
                       "session_start", "session_end", dur,
                       *([F.col("value_sum")] if value_col else []))
+
+
+def rolling_aggregates_bucketed(df: DataFrame,
+                                key_col: str = "user_id",
+                                ts_col: str = "ts",
+                                value_col: str = "value",
+                                window_s: int = 3600,
+                                bucket_s: int = 86400) -> DataFrame:
+    """Hot-key-safe `rolling_aggregates`: identical output, but the
+    RANGE-frame window runs on (key, TIME BUCKET) partitions, with each
+    bucket's trailing `window_s` of events REPLICATED into the next
+    bucket as frame-context-only rows (they populate frames, never the
+    output) — so no frame ever needs to look across a partition
+    boundary. Requires `bucket_s >= window_s` (one-bucket lookback is
+    then sufficient by construction; enforced).
+
+    Cost: the replicated fraction is ~window_s/bucket_s of the events
+    (1/24 at the defaults) — the classic overlap-replication trade for
+    sliding computations over partitioned data.
+    """
+    if bucket_s < window_s:
+        raise ValueError("bucket_s must be >= window_s (one-bucket "
+                         "lookback is what makes the split exact)")
+    bucket_us = int(bucket_s) * 1_000_000
+    win_us = int(window_s) * 1_000_000
+    ep = _epoch_us(F.col(ts_col))
+    base = df.select(
+        "*", ep.alias("__e"),
+        F.floor(ep / bucket_us).cast("long").alias("__b"))
+    own = base.withColumn("__ctx", F.lit(0))
+    # tail of bucket b (last window_s) also serves bucket b+1's frames
+    ctx = (base.where(
+        F.col("__e") >= (F.col("__b") + 1) * bucket_us - win_us)
+        .withColumn("__b", F.col("__b") + 1)
+        .withColumn("__ctx", F.lit(1)))
+    u = own.unionByName(ctx)
+    w = (Window.partitionBy(key_col, "__b").orderBy(F.col("__e"))
+         .rangeBetween(-win_us, 0))
+    rolled = u.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("rolling_n"),
+        F.sum(value_col).over(w).alias("rolling_sum"),
+        F.avg(value_col).over(w).alias("rolling_avg"))
+    return (rolled.where(F.col("__ctx") == 0)
+            .drop("__ctx", "__e", "__b"))

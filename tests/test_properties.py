@@ -691,3 +691,23 @@ def test_staged_funnel_equals_fold(spark, rows):
     b = sorted(tuple(r) for r in
                funnel_counts_staged(df, steps).collect())
     assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(_EVENTS, st.sampled_from([600, 3600]))
+def test_bucketed_rolling_equals_plain(spark, rows, window_s):
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        rolling_aggregates, rolling_aggregates_bucketed)
+
+    data, df = _mk_events(spark, rows)
+    df = df.withColumn("value", (F.col("event_id") + 1.0))
+    sel = ["event_id", "rolling_n", "rolling_sum"]
+    a = sorted(tuple(r[c] for c in sel) for r in rolling_aggregates(
+        df, window_s=window_s).collect())
+    b = sorted(tuple(r[c] for c in sel)
+               for r in rolling_aggregates_bucketed(
+                   df, window_s=window_s,
+                   bucket_s=window_s * 2).collect())
+    assert a == b
