@@ -463,3 +463,16 @@ class TestIncrementalSessions:
                          float(r["value_sum"]))
         assert sorted(map(key, inc.collect())) == \
             sorted(map(key, full.collect()))
+
+
+def test_rolling_bucketed_guard(spark):
+    import pytest as _pytest
+
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        rolling_aggregates_bucketed)
+
+    df = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:00:00"), 1.0)],
+        "event_id bigint, user_id bigint, ts timestamp_ntz, value double")
+    with _pytest.raises(ValueError, match="bucket_s"):
+        rolling_aggregates_bucketed(df, window_s=3600, bucket_s=60)
