@@ -94,6 +94,13 @@ HEADLINE = [
     "rolling_user_stats",
     "funnel_steps",
     "hamming_topk",
+    # round-10 session-3 second wave (cohorts, SCD2, diagnostics,
+    # eval dirtiness, exact quantiles)
+    "retention_cohorts",
+    "scd2_join",
+    "skew_report",
+    "novelty_report",
+    "length_quantiles",
 ]
 
 
