@@ -889,3 +889,40 @@ class TestPipelineStatements:
             peng.execute("CREATE TABLE bad2 AS PIPELINE "
                          "ASOF_JOIN(clicks2, buys2, ON='user_id', "
                          "BUCKET_S='60', TOLERANCE_US='5');")
+
+    def test_skew_variants_via_sql(self, peng, spark):
+        self._events_src(peng, spark)
+        peng.execute("CREATE TABLE rollb AS PIPELINE "
+                     "ROLLING_AGG(ev, WINDOW_S='600', BUCKET_S='600');")
+        byid = {r.event_id: r.rolling_n for r in peng.sql(
+            "SELECT event_id, rolling_n FROM rollb").collect()}
+        assert byid[2] == 2                  # same as the plain variant
+        peng.execute("CREATE TABLE funs AS PIPELINE "
+                     "FUNNEL(ev, STEPS='view,click,purchase', "
+                     "STAGED='true');")
+        got = {r.step: r.n_reached for r in peng.sql(
+            "SELECT step, n_reached FROM funs").collect()}
+        assert got == {"view": 2, "click": 1, "purchase": 1}
+
+    def test_incremental_sessions_via_sql(self, peng, spark):
+        import datetime as dt
+
+        def t(s):
+            return dt.datetime.fromisoformat(s)
+
+        peng.register_source("evold", df=spark.createDataFrame(
+            [(1, 1, t("2024-01-01T10:00:00"), 1.0)],
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "value double"))
+        peng.register_source("evnew", df=spark.createDataFrame(
+            [(2, 1, t("2024-01-01T10:10:00"), 2.0)],
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "value double"))
+        peng.execute("CREATE TABLE oldsess AS PIPELINE "
+                     "SESSION_STATS(evold, GAP_S='1800', "
+                     "VALUE='value', ORDER='event_id');")
+        peng.execute("CREATE TABLE merged AS PIPELINE "
+                     "INCREMENTAL_SESSIONS(oldsess, evnew, "
+                     "GAP_S='1800', VALUE='value', ORDER='event_id');")
+        r = peng.sql("SELECT * FROM merged").collect()
+        assert len(r) == 1 and r[0].n_events == 2 and r[0].value_sum == 3.0
