@@ -2086,61 +2086,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # embedding near-dup; split+stratified-sample; fingerprint+lang-guess)
     # — coverage unchanged, one slot each. Least-proven ops lead the order.
     return {
-        # newest / least-proven first — the driver samples the FIRST 50
-        # keys, so the round-10 additions and the 10 entries no driver
-        # round has ever sampled lead (they stay pinned here until a
-        # driver round covers them), then the round-9 wave, the tail.
-        "hamming_topk": _q_hamming_topk,
-        "length_quantiles": _q_length_quantiles,
-        "asof_join": _q_asof_join,
-        "asof_join_bucketed": _q_asof_join_bucketed,
+        # Rotation policy (the driver samples the FIRST 50 keys each
+        # round): lead with (a) the 5 entries that failed the r10 driver
+        # hash (HUGEINT oracle dtype — fixed this round, must re-confirm),
+        # then (b) every entry whose last driver-green round is <= r8,
+        # oldest wave first (r4 joins, r5 joins, r6 agg/window, r8 text
+        # stats, then 17 of the 23 r7 entries — dialect functions +
+        # text/dedup/quality). 45 of the 50 slots re-prove rows not
+        # sampled since r8. The 6 deferred r7 sampling/packing entries +
+        # the r9 ANN wave + the r10 greens form the tail for r12.
         "user_sessions": _q_user_sessions,
         "user_sessions_bucketed": _q_user_sessions_bucketed,
         "incremental_sessions": _q_incremental_sessions,
-        "rolling_user_stats": _q_rolling_user_stats,
-        "rolling_user_stats_bucketed": _q_rolling_user_stats_bucketed,
-        "funnel_steps": _q_funnel_steps,
-        "funnel_steps_staged": _q_funnel_steps_staged,
-        "retention_cohorts": _q_retention_cohorts,
         "skew_report": _q_skew_report,
-        "novelty_report": _q_novelty_report,
-        "scd2_join": _q_scd2_join,
-        "quality_classifier": _q_quality_classifier,
-        "secret_scan": _q_secret_scan,
-        "secret_redact": _q_secret_redact,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_overlap": _q_winnow_overlap,
-        "cluster_outliers": _q_cluster_outliers,
-        "distinct_ngrams": _q_distinct_ngrams,
-        "embedding_covariance": _q_embedding_covariance,
-        "random_projection": _q_random_projection,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "gopher_quality": _q_gopher_quality,
-        "gopher_report": _q_gopher_report,
-        "corpus_diff": _q_corpus_diff,
-        "normalize_text": _q_normalize_text,
-        "contained_docs": _q_contained_docs,
-        "leakage_safe_split": _q_leakage_safe_split,
         "token_budget_take": _q_token_budget_take,
-        "curriculum_order": _q_curriculum_order,
-        "weighted_sample": _q_weighted_sample,
-        "dedup_clusters": _q_dedup_clusters,
-        "decontaminate": _q_decontaminate,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
-        "pii_redact": _q_pii_redact,
-        "bm25_topk": _q_bm25_topk,
-        "hybrid_search_rrf": _q_hybrid_search,
-        "shuffle_shard": _q_shuffle_shard,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "multimodal_features": _q_multimodal_features,
-        "text_signals": _q_text_signals,
-        # pipeline operators
-        "dedup_exact": _q_dedup_exact,
-        "incremental_dedup": _q_incremental_dedup,
-        "minhash_near_dup": _q_minhash_near_dup,
-        "simhash_near_dup": _q_simhash_near_dup,
+        # last green r4
+        "full_outer_join_within": _q_full_outer_join_within,
+        "decimal_agg_join": _q_decimal_agg_join,
+        "q3_style_chain": _q_q3_style_chain,
+        "dim_chain": _q_dim_chain,
+        "full_outer_join": _q_full_outer_join,
+        "collect_list_csv": _q_collect_list,
+        "partition_by_rekey": _q_partition_by,
+        "insert_into_union": _q_insert_into,
+        # last green r5
+        "stream_table_join": _q_stream_table_join,
+        "table_table_join": _q_table_table_join,
+        "stream_stream_join_within": _q_stream_stream_join,
+        "left_outer_join_within": _q_left_outer_join_within,
+        # last green r6
+        "conditional_agg": _q_conditional_agg,
+        "pricing_summary": _q_pricing_summary,
+        "skew_salted_agg": _q_salted_agg,
+        "groupby_expr": _q_groupby_expr,
+        "topk_per_group": _q_topk,
+        "topkdistinct_per_group": _q_topkdistinct,
+        "histogram": _q_histogram,
+        "collect_set_csv": _q_collect_set_csv,
+        "tumbling_window": _q_tumbling_window,
+        "hopping_window": _q_hopping_window,
+        "session_window": _q_session_window,
+        "latest_per_key": _q_latest_per_key,
+        # last green r8
+        "dup_size_histogram": _q_dup_size_histogram,
+        "top_repeated_spans": _q_top_repeated_spans,
+        "ngram_vocab_growth": _q_ngram_vocab_growth,
+        "zipf_fit": _q_zipf_fit,
+        # last green r7 (17 of 23 — dialect functions + text/dedup)
+        "project_filter": _q_project_filter,
+        "case_when_cast": _q_case_when_cast,
+        "string_mask_url_funcs": _q_string_mask_url_funcs,
+        "json_funcs": _q_json_funcs,
+        "datetime_funcs": _q_datetime_funcs,
+        "array_funcs": _q_array_funcs,
+        "math_funcs": _q_math_funcs,
+        "pii_redact_luhn": _q_pii_redact_luhn,
+        "bigram_logprob": _q_bigram_logprob,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "doc_quality": _q_doc_quality,
+        "repetition_stats": _q_repetition_stats,
+        "c4_line_clean": _q_c4_line_clean,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "substring_dedup": _q_substring_dedup,
+        "vocab_topk": _q_vocab_topk,
+        "corpus_stats": _q_corpus_stats,
+        # ---- end of the 50-slot driver window ----
+        # r7 remainder (deferred to r12)
+        "chunk_documents": _q_chunk_documents,
+        "contamination_report": _q_contamination_report,
+        "length_batches": _q_length_batches,
+        "pack_sequences": _q_pack_sequences,
+        "mixture_sample": _q_mixture_sample,
+        "mixture_waterfill": _q_mixture_waterfill,
+        # r9 ANN/statistics wave
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_cosine_topk": _q_embedding_topk,
         "sq8_topk": _q_sq8_topk,
@@ -2175,58 +2193,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_cap": _q_cluster_balanced_cap,
         "quality_buckets": _q_quality_buckets,
         "cluster_terms": _q_cluster_terms,
-        "dup_size_histogram": _q_dup_size_histogram,
-        "top_repeated_spans": _q_top_repeated_spans,
-        "ngram_vocab_growth": _q_ngram_vocab_growth,
-        "zipf_fit": _q_zipf_fit,
-        "chunk_documents": _q_chunk_documents,
-        "contamination_report": _q_contamination_report,
-        "pii_redact_luhn": _q_pii_redact_luhn,
-        "length_batches": _q_length_batches,
-        "bigram_logprob": _q_bigram_logprob,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "doc_quality": _q_doc_quality,
-        "repetition_stats": _q_repetition_stats,
-        "c4_line_clean": _q_c4_line_clean,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "substring_dedup": _q_substring_dedup,
-        "vocab_topk": _q_vocab_topk,
-        "corpus_stats": _q_corpus_stats,
-        "pack_sequences": _q_pack_sequences,
-        "mixture_sample": _q_mixture_sample,
-        "mixture_waterfill": _q_mixture_waterfill,
-        # KSQL dialect surface
-        "project_filter": _q_project_filter,
-        "case_when_cast": _q_case_when_cast,
-        "string_mask_url_funcs": _q_string_mask_url_funcs,
-        "json_funcs": _q_json_funcs,
-        "datetime_funcs": _q_datetime_funcs,
-        "array_funcs": _q_array_funcs,
-        "math_funcs": _q_math_funcs,
-        "conditional_agg": _q_conditional_agg,
-        "pricing_summary": _q_pricing_summary,
-        "skew_salted_agg": _q_salted_agg,
-        "groupby_expr": _q_groupby_expr,
-        "topk_per_group": _q_topk,
-        "topkdistinct_per_group": _q_topkdistinct,
-        "histogram": _q_histogram,
-        "collect_set_csv": _q_collect_set_csv,
-        "tumbling_window": _q_tumbling_window,
-        "hopping_window": _q_hopping_window,
-        "session_window": _q_session_window,
-        "latest_per_key": _q_latest_per_key,
-        "stream_table_join": _q_stream_table_join,
-        "table_table_join": _q_table_table_join,
-        "stream_stream_join_within": _q_stream_stream_join,
-        "left_outer_join_within": _q_left_outer_join_within,
-        "full_outer_join_within": _q_full_outer_join_within,
-        "decimal_agg_join": _q_decimal_agg_join,
-        "q3_style_chain": _q_q3_style_chain,
-        "dim_chain": _q_dim_chain,
-        "full_outer_join": _q_full_outer_join,
-        "collect_list_csv": _q_collect_list,
-        "partition_by_rekey": _q_partition_by,
-        "insert_into_union": _q_insert_into,
+        # r10 wave (driver-proven in CORRECTNESS_r10)
+        "hamming_topk": _q_hamming_topk,
+        "length_quantiles": _q_length_quantiles,
+        "asof_join": _q_asof_join,
+        "asof_join_bucketed": _q_asof_join_bucketed,
+        "rolling_user_stats": _q_rolling_user_stats,
+        "rolling_user_stats_bucketed": _q_rolling_user_stats_bucketed,
+        "funnel_steps": _q_funnel_steps,
+        "funnel_steps_staged": _q_funnel_steps_staged,
+        "retention_cohorts": _q_retention_cohorts,
+        "novelty_report": _q_novelty_report,
+        "scd2_join": _q_scd2_join,
+        "quality_classifier": _q_quality_classifier,
+        "secret_scan": _q_secret_scan,
+        "secret_redact": _q_secret_redact,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_overlap": _q_winnow_overlap,
+        "cluster_outliers": _q_cluster_outliers,
+        "distinct_ngrams": _q_distinct_ngrams,
+        "embedding_covariance": _q_embedding_covariance,
+        "random_projection": _q_random_projection,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "gopher_quality": _q_gopher_quality,
+        "gopher_report": _q_gopher_report,
+        "corpus_diff": _q_corpus_diff,
+        "normalize_text": _q_normalize_text,
+        "contained_docs": _q_contained_docs,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "curriculum_order": _q_curriculum_order,
+        "weighted_sample": _q_weighted_sample,
+        "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "pii_redact": _q_pii_redact,
+        "bm25_topk": _q_bm25_topk,
+        "hybrid_search_rrf": _q_hybrid_search,
+        "shuffle_shard": _q_shuffle_shard,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "multimodal_features": _q_multimodal_features,
+        "text_signals": _q_text_signals,
+        "dedup_exact": _q_dedup_exact,
+        "incremental_dedup": _q_incremental_dedup,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "simhash_near_dup": _q_simhash_near_dup,
     }
 
 
@@ -2819,8 +2831,11 @@ def _oracle_sql_base() -> dict[str, str]:
             "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000 "
             "THEN 1 ELSE 0 END AS st FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
-            "s2 AS (SELECT *, sum(st) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+            # CAST: DuckDB sum(int) over a window is HUGEINT (int128);
+            # the driver's value hash is dtype-sensitive, so pin to the
+            # BIGINT Spark emits (values are bit-identical either way)
+            "s2 AS (SELECT *, CAST(sum(st) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
             "AS session_seq FROM s) "
             "SELECT user_id, session_seq, count(*) AS n_events, "
             "(max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 "
@@ -2886,7 +2901,10 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM c) "
             "SELECT key, cnt, ROUND(cnt * 1.0 / total, 6) AS share, "
             "ROUND(cnt / mean_cnt, 4) AS skew_ratio, "
-            "(cnt * 32 + total - 1) // total AS suggested_salt "
+            # CAST: total is sum(BIGINT) -> HUGEINT in DuckDB; pin the
+            # integer-div result to BIGINT to match Spark's dtype
+            "CAST((cnt * 32 + total - 1) // total AS BIGINT) "
+            "AS suggested_salt "
             "FROM c, s ORDER BY cnt DESC, key LIMIT 10"
         ),
         "retention_cohorts": (
@@ -3493,7 +3511,11 @@ def _oracle_sql_base() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS cum_tokens, "
             "CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 "
             "ELSE 1000 END AS cap FROM d) "
-            "SELECT doc_id, lang, tokens, cum_tokens FROM c "
+            # CASTs: Spark emits tokens as INT (size() of the split) and
+            # cum_tokens as BIGINT; DuckDB emits BIGINT and HUGEINT —
+            # pin both to the Spark dtypes (driver hash is dtype-aware)
+            "SELECT doc_id, lang, CAST(tokens AS INTEGER) AS tokens, "
+            "CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c "
             "WHERE cum_tokens <= cap"
         ),
         "leakage_safe_split": (
@@ -4602,6 +4624,46 @@ def _oracle_sql_base() -> dict[str, str]:
     }
 
 
+# Oracle output-dtype pins (round 11): the driver's value hash is
+# dtype-sensitive at the pandas level — DuckDB HUGEINT becomes float64
+# (the r10 incident) and width drift is one conversion away from the
+# same class of bug. Each entry below rewrites the oracle's physical
+# column type to exactly what the Spark query emits, via `SELECT *
+# REPLACE` (values unchanged: cosine is float32->float64 widening of
+# an already-ROUND(,4)ed value; the INTEGER pins are small counts).
+_ORACLE_DTYPE_PINS: dict[str, dict[str, str]] = {
+    # DuckDB list_cosine_similarity(FLOAT[], ...) returns FLOAT;
+    # Spark computes the cosine in DOUBLE
+    "hamming_topk": {"cosine": "DOUBLE"},
+    "ann_lsh_topk": {"cosine": "DOUBLE"},
+    "ann_ivf_topk": {"cosine": "DOUBLE"},
+    "cosine_batch_topk": {"cosine": "DOUBLE"},
+    "embedding_cosine_topk": {"cosine": "DOUBLE"},
+    "embedding_decontaminate": {"max_cos": "DOUBLE"},
+    "filtered_ivf_topk": {"cosine": "DOUBLE"},
+    "filtered_rerank_topk": {"cosine": "DOUBLE"},
+    "ivf_pq_batch_rerank": {"cosine": "DOUBLE"},
+    "ivf_pq_rerank": {"cosine": "DOUBLE"},
+    "ivf_sq8_rerank": {"cosine": "DOUBLE"},
+    # Spark emits 32-bit ints (size(), row_number(), literal buckets);
+    # the DuckDB equivalents default to BIGINT
+    "bloom_decontaminate": {"bloom_grams": "INTEGER"},
+    "cluster_balanced_cap": {"cluster": "INTEGER"},
+    "cluster_outliers": {"cluster": "INTEGER"},
+    "cluster_terms": {"cluster": "INTEGER", "rank": "INTEGER"},
+    "curriculum_order": {"pos": "INTEGER", "score": "INTEGER"},
+    "embedding_cluster": {"cluster": "INTEGER"},
+    "embedding_cluster_stats": {"cluster": "INTEGER"},
+    "embedding_covariance": {"i": "INTEGER", "j": "INTEGER"},
+    "random_projection": {"j": "INTEGER"},
+    "gopher_quality": {"n_stopwords": "INTEGER", "n_words": "INTEGER"},
+    "secret_scan": {c: "INTEGER" for c in (
+        "n_aws_key", "n_bearer", "n_gh_token", "n_high_entropy",
+        "n_jwt", "n_kv_secret", "n_private_key")},
+    "string_mask_url_funcs": {"name_len": "INTEGER"},
+}
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     # identical semantics => identical oracle: the bucketed variants
@@ -4612,4 +4674,9 @@ def oracle_sql() -> dict[str, str]:
     # incremental == full recompute: share the full-recompute oracle
     d["incremental_sessions"] = d["user_sessions"]
     d["rolling_user_stats_bucketed"] = d["rolling_user_stats"]
+    for name, casts in _ORACLE_DTYPE_PINS.items():
+        rep = ", ".join(f"CAST({c} AS {t}) AS {c}"
+                        for c, t in casts.items())
+        d[name] = (f"SELECT * REPLACE ({rep}) "
+                   f"FROM ({d[name]}) AS __dtype_pin")
     return d

@@ -560,7 +560,8 @@ def novelty_report(bench: DataFrame, corpus: DataFrame,
     this answers "how compromised is each EVAL doc", which is what an
     eval-integrity review quotes).
 
-    Returns (id, n_grams, n_seen, overlap_frac, is_clean at 0 overlap).
+    Returns (id, n_grams, n_seen, overlap_frac); a doc is clean when
+    overlap_frac == 0.
 
     Plan: the bench side's distinct (doc, gram) relation is
     benchmark-bounded and BROADCAST; the corpus gram stream rides the

@@ -79,6 +79,24 @@ def _epoch_us(c: Column) -> Column:
     )
 
 
+def _check_out_names(left_cols: list[str], out_names: list[str],
+                     op: str) -> None:
+    """Attached-column names must be fresh: a suffixed output that
+    still collides with a left column (or with another output) would
+    produce a duplicate/ambiguous column instead of an error."""
+    seen: set[str] = set()
+    clashes = set()
+    for n in out_names:
+        if n in left_cols or n in seen:
+            clashes.add(n)
+        seen.add(n)
+    if clashes:
+        raise ValueError(
+            f"{op}: output column(s) {sorted(clashes)} collide with an "
+            "existing left column or each other; pass a different "
+            "suffix= or rename the inputs")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
               left_ts: str = "ts", right_ts: str | None = None,
               right_cols: list[str] | None = None,
@@ -118,6 +136,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     out_ts = f"{left_ts}{suffix}"
     out_payload = [f"{c}{suffix}" if c in left.columns else c
                    for c in payload]
+    _check_out_names(left.columns, [out_ts, *out_payload], "asof_join")
 
     r = right.select(
         *[F.col(k) for k in keys],
@@ -368,6 +387,11 @@ def scd2_join(facts: DataFrame, dim: DataFrame, on: list[str] | str,
     payload = dim_cols or [c for c in dim.columns
                            if c not in keys and c not in (valid_from,
                                                           valid_to)]
+    _check_out_names(
+        facts.columns,
+        [f"{valid_from}{suffix}", f"{valid_to}{suffix}",
+         *[f"{c}{suffix}" if c in facts.columns else c for c in payload]],
+        "scd2_join")
     joined = asof_join(
         facts, dim.select(*keys, valid_from, valid_to, *payload),
         on=keys, left_ts=fact_ts, right_ts=valid_from,
@@ -431,6 +455,8 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame,
     out_ts = f"{left_ts}{suffix}"
     out_payload = [f"{c}{suffix}" if c in left.columns else c
                    for c in payload]
+    _check_out_names(left.columns, [out_ts, *out_payload],
+                     "asof_join_bucketed")
     bucket_us = int(bucket_s) * 1_000_000
 
     def _bucket(c: Column) -> Column:
@@ -535,6 +561,11 @@ def session_stats_bucketed(df: DataFrame, key_col: str = "user_id",
     `session_seq` numbering matches `session_stats` (1-based per key
     in start order) because merge preserves start order.
     """
+    reserved = {"__b", "__ls"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"session_stats_bucketed reserves internal column names "
+            f"{sorted(reserved)}; rename them on the input")
     gap_us = int(gap_s) * 1_000_000
     bucket_us = int(bucket_s) * 1_000_000
     ep = _epoch_us(F.col(ts_col))
@@ -707,6 +738,11 @@ def rolling_aggregates_bucketed(df: DataFrame,
     if bucket_s < window_s:
         raise ValueError("bucket_s must be >= window_s (one-bucket "
                          "lookback is what makes the split exact)")
+    reserved = {"__b", "__e", "__ctx"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"rolling_aggregates_bucketed reserves internal column "
+            f"names {sorted(reserved)}; rename them on the input")
     bucket_us = int(bucket_s) * 1_000_000
     win_us = int(window_s) * 1_000_000
     ep = _epoch_us(F.col(ts_col))

@@ -476,3 +476,60 @@ def test_rolling_bucketed_guard(spark):
         "event_id bigint, user_id bigint, ts timestamp_ntz, value double")
     with _pytest.raises(ValueError, match="bucket_s"):
         rolling_aggregates_bucketed(df, window_s=3600, bucket_s=60)
+
+
+def test_asof_output_name_collision_guard(spark):
+    # a left column named exactly like the suffixed output (ts_r, v_r)
+    # must raise instead of silently producing a duplicate column
+    import pytest as _pytest
+
+    from confluent_ksql_charm_spark.pipeline.timeseries import asof_join
+
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 1.0)],
+        "user_id bigint, ts timestamp_ntz, v double")
+    left_ts_clash = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T08:00:00"))],
+        "event_id bigint, user_id bigint, ts timestamp_ntz, "
+        "ts_r timestamp_ntz")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left_ts_clash, right, on="user_id")
+    left_payload_clash = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:00:00"), 0.0, 0.0)],
+        "event_id bigint, user_id bigint, ts timestamp_ntz, "
+        "v double, v_r double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left_payload_clash, right, on="user_id")
+
+
+def test_scd2_output_name_collision_guard(spark):
+    import pytest as _pytest
+
+    from confluent_ksql_charm_spark.pipeline.timeseries import scd2_join
+
+    facts = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-02T00:00:00"), "x")],
+        "event_id bigint, user_id bigint, ts timestamp_ntz, "
+        "valid_from_dim string")
+    dim = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), None, "v1")],
+        "user_id bigint, valid_from timestamp_ntz, "
+        "valid_to timestamp_ntz, ver string")
+    with _pytest.raises(ValueError, match="collide"):
+        scd2_join(facts, dim, on="user_id")
+
+
+def test_session_bucketed_reserved_name_guard(spark):
+    import pytest as _pytest
+
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        rolling_aggregates_bucketed, session_stats_bucketed)
+
+    df = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01T10:00:00"), 1.0, 7)],
+        "event_id bigint, user_id bigint, ts timestamp_ntz, "
+        "value double, __b int")
+    with _pytest.raises(ValueError, match="reserves internal"):
+        session_stats_bucketed(df)
+    with _pytest.raises(ValueError, match="reserves internal"):
+        rolling_aggregates_bucketed(df)

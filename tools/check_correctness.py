@@ -6,6 +6,17 @@ comparison (column-name-sorted, rows sorted, EXACT values after the same
 round(x, 6) normalization the driver applies — no tolerance: a 1e-4
 relative tolerance here masked two driver hash failures in round 1).
 
+ALSO dtype-exact (added round 11 after the r10 HUGEINT incident): the
+driver's value hash is dtype-sensitive — a DuckDB HUGEINT (sum(int) in
+a window) converts to float64 in pandas, so 9147 renders as 9147.0 and
+the hash misses even though Python-level values are identical. Every
+oracle column's type CLASS (int / float / decimal / string / bool /
+date / timestamp / array<...>) must match the Spark column's, and
+HUGEINT / UBIGINT anywhere is a hard FAIL. Same-class width drift
+(INTEGER vs BIGINT) is a WARN only — r1–r10 driver evidence shows the
+hash collapses integer widths (dozens of green rows have int32-vs-int64
+drift), but warnings are listed so they can be pinned at the source.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -38,6 +49,86 @@ def norm_rows(cols, rows):
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in order], out
+
+
+_DUCK_INT = {"TINYINT": 8, "SMALLINT": 16, "INTEGER": 32, "BIGINT": 64,
+             "UTINYINT": 8, "USMALLINT": 16, "UINTEGER": 32}
+_SPARK_INT = {"byte": 8, "short": 16, "int": 32, "integer": 32,
+              "bigint": 64, "long": 64}
+
+
+def duck_canon(t):
+    """Canonical (class, detail) tag for a DuckDB type string."""
+    s = str(t).upper()
+    if s.endswith("[]"):
+        return ("array", duck_canon(s[:-2]))
+    if s in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        return ("int128", 128)
+    if s in _DUCK_INT:
+        return ("int", _DUCK_INT[s])
+    if s == "DOUBLE":
+        return ("float", 64)
+    if s in ("FLOAT", "REAL"):
+        return ("float", 32)
+    if s.startswith("DECIMAL"):
+        return ("decimal", s[7:])
+    if s == "VARCHAR":
+        return ("string", None)
+    if s == "BOOLEAN":
+        return ("bool", None)
+    if s == "DATE":
+        return ("date", None)
+    if s.startswith("TIMESTAMP"):
+        return ("timestamp", None)
+    return ("other", s)
+
+
+def spark_canon(dt):
+    """Canonical (class, detail) tag for a Spark DataType."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.ArrayType):
+        return ("array", spark_canon(dt.elementType))
+    s = dt.simpleString()
+    if s in _SPARK_INT:
+        return ("int", _SPARK_INT[s])
+    if s == "double":
+        return ("float", 64)
+    if s == "float":
+        return ("float", 32)
+    if s.startswith("decimal"):
+        return ("decimal", s[7:].upper())
+    if s == "string":
+        return ("string", None)
+    if s == "boolean":
+        return ("bool", None)
+    if s == "date":
+        return ("date", None)
+    if s.startswith("timestamp"):
+        return ("timestamp", None)
+    return ("other", s)
+
+
+def dtype_verdicts(scols, sschema, ocols, otypes):
+    """Per-column dtype comparison -> (fails, warns) message lists."""
+    stags = {f.name: spark_canon(f.dataType) for f in sschema.fields}
+    otags = {c: duck_canon(t) for c, t in zip(ocols, otypes)}
+    fails, warns = [], []
+    for c in sorted(set(scols) & set(otags)):
+        a, b = stags[c], otags[c]
+        if b[0] == "int128" or a[0] == "int128":
+            fails.append(f"{c}: oracle {b[0]} (pandas->float64) vs spark "
+                         f"{a[0]}{a[1] or ''} — HUGEINT-class driver-hash bug")
+        elif a[0] != b[0]:
+            # decimal<->int/float currently hash-safe (r1-r10 greens) but
+            # int<->float / string<->numeric etc. render differently
+            if {a[0], b[0]} <= {"decimal", "int", "float"} and \
+                    "decimal" in (a[0], b[0]):
+                warns.append(f"{c}: spark {a} vs oracle {b}")
+            else:
+                fails.append(f"{c}: class mismatch spark {a} vs oracle {b}")
+        elif a[1] != b[1]:
+            warns.append(f"{c}: width spark {a} vs oracle {b}")
+    return fails, warns
 
 
 def approx_eq(a, b):
@@ -83,6 +174,7 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            sschema = sdf.schema
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
@@ -94,15 +186,24 @@ def main():
             n_pass += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = list(rel.types)
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+            n_fail += 1
+            continue
+        dfails, dwarns = dtype_verdicts(scols, sschema, ocols, otypes)
+        for w in dwarns:
+            print(f"  dtype-warn {name}: {w}")
+        if dfails:
+            for m in dfails:
+                print(f"FAIL {name}: DTYPE {m}")
             n_fail += 1
             continue
         if len(srows) != len(orows):
