@@ -3329,42 +3329,64 @@ def pq_topk_residual(codes_df: DataFrame, query_vec: list[float],
 # expression riding the scan.
 
 
+def _cov_partials(vec_col: str, iu, ju):
+    """mapInPandas closure shared by `embedding_covariance` / `pca_fit`:
+    fold every Arrow batch of a partition into ONE running (n, sums,
+    pair-sums) accumulator — BLAS per batch, one d(d+1)/2-row emit per
+    partition (emitting per batch shuffles |batches|/|partitions| times
+    more rows for zero information)."""
+    import numpy as np
+    import pandas as pd
+
+    def _partials(it):
+        n = 0
+        s = None
+        sxy = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            n += len(x)
+            if s is None:
+                s = x.sum(axis=0)
+                sxy = x.T @ x
+            else:
+                s += x.sum(axis=0)
+                sxy += x.T @ x
+        if n:
+            yield pd.DataFrame({
+                "i": iu.astype("int32"), "j": ju.astype("int32"),
+                "n": np.int64(n),
+                "sx": s[iu], "sy": s[ju], "sxy": sxy[iu, ju]})
+
+    return _partials
+
+
 def embedding_covariance(df: DataFrame, *, vec_col: str = "embedding",
                          round_to: int = 6) -> DataFrame:
     """Upper-triangle covariance of the embedding columns: one row per
     (i, j), i <= j, with ``cov`` rounded to `round_to` (oracle
     contract).
 
-    100 TB shape: each Arrow batch emits ONE d(d+1)/2-row partial
-    (numpy ``X.T @ X`` — BLAS, not per-element Python) carrying batch
-    count / per-dim sums / pair sums; a single hash aggregate keyed on
-    (i, j) merges partials map-side. No driver state, no corpus-row
-    explode (the naive per-row pair explode amplifies the corpus
-    d(d+1)/2 times — 2080x at dim 64; the batch partial is ~0.2x for
-    10k-row batches).
+    100 TB shape: each PARTITION emits ONE d(d+1)/2-row partial (numpy
+    ``X.T @ X`` per Arrow batch — BLAS, not per-element Python — summed
+    across the partition's batches before emitting); a single hash
+    aggregate keyed on (i, j) merges partials map-side. No driver
+    state, no corpus-row explode (the naive per-row pair explode
+    amplifies the corpus d(d+1)/2 times — 2080x at dim 64; the
+    partition partial is ~1/rows_per_partition of that). Folding to
+    per-partition (round 11) cut the shuffled partial relation
+    |batches| -> |partitions| and halved the sf0.1 wall.
     """
     import numpy as np
-    import pandas as pd
 
     dim = df.select(F.size(vec_col)).first()[0]
     iu, ju = np.triu_indices(dim)
 
-    def _partials(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            x = np.asarray([list(v) for v in pdf[vec_col]],
-                           dtype=np.float64)
-            s = x.sum(axis=0)
-            sxy = x.T @ x
-            yield pd.DataFrame({
-                "i": iu.astype("int32"), "j": ju.astype("int32"),
-                "n": np.int64(len(x)),
-                "sx": s[iu], "sy": s[ju], "sxy": sxy[iu, ju]})
-
     parts = df.select(vec_col).mapInPandas(
-        _partials, schema="i int, j int, n long, sx double, "
-                          "sy double, sxy double")
+        _cov_partials(vec_col, iu, ju),
+        schema="i int, j int, n long, sx double, sy double, sxy double")
     return (parts.groupBy("i", "j")
             .agg(F.sum("n").alias("__n"), F.sum("sx").alias("__sx"),
                  F.sum("sy").alias("__sy"), F.sum("sxy").alias("__sxy"))
@@ -3394,7 +3416,6 @@ def pca_fit(df: DataFrame, n_components: int, *,
     persist-and-reuse contract as the PQ codebooks.
     """
     import numpy as np
-    import pandas as pd
 
     dim = df.select(F.size(vec_col)).first()[0]
     if not 1 <= n_components <= dim:
@@ -3402,22 +3423,9 @@ def pca_fit(df: DataFrame, n_components: int, *,
                          f", got {n_components}")
     iu, ju = np.triu_indices(dim)
 
-    def _partials(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            x = np.asarray([list(v) for v in pdf[vec_col]],
-                           dtype=np.float64)
-            s = x.sum(axis=0)
-            sxy = x.T @ x
-            yield pd.DataFrame({
-                "i": iu.astype("int32"), "j": ju.astype("int32"),
-                "n": np.int64(len(x)),
-                "sx": s[iu], "sy": s[ju], "sxy": sxy[iu, ju]})
-
     rows = (df.select(vec_col).mapInPandas(
-        _partials, schema="i int, j int, n long, sx double, "
-                          "sy double, sxy double")
+        _cov_partials(vec_col, iu, ju),
+        schema="i int, j int, n long, sx double, sy double, sxy double")
         .groupBy("i", "j")
         .agg(F.sum("n").alias("n"), F.sum("sx").alias("sx"),
              F.sum("sy").alias("sy"), F.sum("sxy").alias("sxy"))
