@@ -309,6 +309,29 @@ def _take_expr_until(cur: _Cursor, stop_kws: set[str], stop_comma: bool = False)
 _SELECT_STOPS = {"FROM"}
 _FROM_STOPS = _CLAUSE_STARTS | {"JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "ON", "WITHIN"}
 
+# Deliberate KSQL 5.x absences (SURVEY §3.7): these must FAIL with a
+# message naming the gap as intentional, not be swallowed as an
+# implicit alias (which previously turned `... ORDER BY x` into alias
+# "ORDER" + "trailing tokens: BY x").
+_UNSUPPORTED_AFTER_FROM = {
+    "ORDER": ("ORDER BY is not part of KSQL 5.x (an unbounded stream "
+              "cannot be sorted); use TOPK(col, k) for per-group top-k "
+              "or LIMIT on a transient push query"),
+    "UNION": ("UNION is not part of KSQL 5.x; use INSERT INTO "
+              "<target> SELECT ... for append-union semantics"),
+    "INTERSECT": "INTERSECT is not part of KSQL 5.x",
+    "EXCEPT": "EXCEPT is not part of KSQL 5.x",
+    "MINUS": "MINUS is not part of KSQL 5.x",
+}
+
+
+_UNSUP_WORDS = set(_UNSUPPORTED_AFTER_FROM)
+
+
+def _reject_unsupported(cur: _Cursor) -> None:
+    if not cur.eof() and cur.peek().upper in _UNSUPPORTED_AFTER_FROM:
+        raise ValueError(_UNSUPPORTED_AFTER_FROM[cur.peek().upper])
+
 
 def parse_select(cur: _Cursor) -> SelectSpec:
     cur.expect_kw("SELECT")
@@ -328,7 +351,8 @@ def parse_select(cur: _Cursor) -> SelectSpec:
             alias = _ident_text(cur.next())
         elif (not cur.eof() and not cur.at_op(",") and not cur.at_kw("FROM")
               and cur.peek().kind == IDENT
-              and cur.peek().upper not in _CLAUSE_STARTS):
+              and cur.peek().upper not in _CLAUSE_STARTS
+              and cur.peek().upper not in _UNSUPPORTED_AFTER_FROM):
             # implicit alias: `expr name`
             alias = _ident_text(cur.next())
         select_items.append((expr, alias))
@@ -340,6 +364,7 @@ def parse_select(cur: _Cursor) -> SelectSpec:
     cur.expect_kw("FROM")
     source = _ident_text(cur.next())
     source_alias: str | None = None
+    _reject_unsupported(cur)
     if (not cur.eof() and cur.peek().kind == IDENT
             and cur.peek().upper not in _FROM_STOPS):
         if cur.at_kw("AS"):
@@ -358,14 +383,14 @@ def parse_select(cur: _Cursor) -> SelectSpec:
     where: list[Token] = []
     if cur.at_kw("WHERE"):
         cur.next()
-        where = _take_expr_until(cur, _CLAUSE_STARTS - {"WINDOW"})
+        where = _take_expr_until(cur, (_CLAUSE_STARTS - {"WINDOW"}) | _UNSUP_WORDS)
 
     group_by: list[list[Token]] = []
     if cur.at_kw("GROUP"):
         cur.next()
         cur.expect_kw("BY")
         while True:
-            g = _take_expr_until(cur, _CLAUSE_STARTS, stop_comma=True)
+            g = _take_expr_until(cur, _CLAUSE_STARTS | _UNSUP_WORDS, stop_comma=True)
             group_by.append(g)
             if cur.at_op(","):
                 cur.next()
@@ -375,13 +400,13 @@ def parse_select(cur: _Cursor) -> SelectSpec:
     having: list[Token] = []
     if cur.at_kw("HAVING"):
         cur.next()
-        having = _take_expr_until(cur, _CLAUSE_STARTS)
+        having = _take_expr_until(cur, _CLAUSE_STARTS | _UNSUP_WORDS)
 
     partition_by: list[Token] = []
     if cur.at_kw("PARTITION"):
         cur.next()
         cur.expect_kw("BY")
-        partition_by = _take_expr_until(cur, _CLAUSE_STARTS)
+        partition_by = _take_expr_until(cur, _CLAUSE_STARTS | _UNSUP_WORDS)
 
     limit: int | None = None
     if cur.at_kw("LIMIT"):
@@ -397,6 +422,7 @@ def parse_select(cur: _Cursor) -> SelectSpec:
             cur.next()
             limit = int(cur.next().text)
 
+    _reject_unsupported(cur)
     if not cur.eof():
         raise ValueError(f"trailing tokens in SELECT: {cur.toks[cur.i:cur.i + 5]}")
 

@@ -926,3 +926,47 @@ class TestPipelineStatements:
                      "GAP_S='1800', VALUE='value', ORDER='event_id');")
         r = peng.sql("SELECT * FROM merged").collect()
         assert len(r) == 1 and r[0].n_events == 2 and r[0].value_sum == 3.0
+
+
+class TestDeliberateAbsences:
+    """KSQL 5.x has no ORDER BY / set ops (SURVEY §3.7) — the dialect
+    must REJECT them with a message naming the gap as intentional, not
+    swallow the keyword as an implicit alias. SELECT DISTINCT is the
+    one documented exceeding-surface extension (SURVEY §3.7 note)."""
+
+    def test_order_by_rejected_everywhere(self):
+        import pytest as _pytest
+        for q in (
+            "SELECT user_id FROM ev ORDER BY user_id;",
+            "SELECT user_id FROM ev WHERE user_id > 1 ORDER BY user_id;",
+            "SELECT user_id, COUNT(*) AS n FROM ev GROUP BY user_id "
+            "ORDER BY n;",
+            "SELECT user_id FROM ev e WHERE e.user_id > 0 "
+            "ORDER BY user_id LIMIT 5;",
+        ):
+            with _pytest.raises(ValueError, match="ORDER BY is not part"):
+                parse_statement(q)
+
+    def test_set_ops_rejected(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="UNION is not part"):
+            parse_statement(
+                "SELECT user_id FROM a UNION SELECT user_id FROM b;")
+        with _pytest.raises(ValueError, match="INTERSECT is not part"):
+            parse_statement(
+                "SELECT user_id FROM a INTERSECT SELECT user_id FROM b;")
+        with _pytest.raises(ValueError, match="EXCEPT is not part"):
+            parse_statement(
+                "SELECT user_id FROM a EXCEPT SELECT user_id FROM b;")
+
+    def test_distinct_is_the_documented_extension(self, spark):
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        spec = parse_statement("SELECT DISTINCT user_id FROM ev;")
+        assert spec.distinct
+        eng = KsqlSparkEngine(spark)
+        eng.register_source("evd", df=spark.createDataFrame(
+            [(1,), (1,), (2,)], "user_id bigint"))
+        got = sorted(r.user_id for r in
+                     eng.sql("SELECT DISTINCT user_id FROM evd").collect())
+        assert got == [1, 2]
