@@ -514,7 +514,8 @@ class KsqlSparkEngine:
             # registry location (WITH (SCHEMA_REGISTRY=...) or engine
             # config) is either an http(s):// Confluent Schema Registry
             # URL or a local directory of .avsc files — same contract.
-            from .sources.avro import schema_registry_for
+            from .sources.avro import (registry_kwargs_from_properties,
+                                       schema_registry_for)
 
             reg_loc = (spec.props.get("SCHEMA_REGISTRY")
                        or self.config.properties.get("schema.registry.url")
@@ -527,7 +528,9 @@ class KsqlSparkEngine:
                     "engine property")
             from .sources.kafka import _fields as _split_ddl_fields
 
-            inferred = schema_registry_for(reg_loc).value_schema_ddl(topic)
+            inferred = schema_registry_for(
+                reg_loc, **registry_kwargs_from_properties(
+                    self.config.properties)).value_schema_ddl(topic)
             spec = replace(spec, columns=[
                 (f.split(maxsplit=1)[0], f.split(maxsplit=1)[1])
                 for f in _split_ddl_fields(inferred)])

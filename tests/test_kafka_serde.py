@@ -428,3 +428,160 @@ def test_missing_connector_error(spark):
             "CREATE STREAM k (id BIGINT) WITH (KAFKA_TOPIC='t', "
             "BOOTSTRAP_SERVERS='localhost:9092', VALUE_FORMAT='JSON');"
         )
+
+
+class TestHttpSchemaRegistryAuthTls:
+    """Auth + TLS on the HTTP registry client (production registries —
+    Confluent REST contract: HTTP basic via basic.auth.user.info, and
+    private-CA / mutual-TLS endpoints)."""
+
+    AVSC = TestSchemaRegistryInference.AVSC
+
+    def _handler(self, require_auth=None):
+        import http.server
+        import json as _json
+
+        avsc = self.AVSC
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                if require_auth is not None and \
+                        self.headers.get("Authorization") != require_auth:
+                    self.send_response(401)
+                    self.end_headers()
+                    self.wfile.write(b'{"message": "Unauthorized"}')
+                    return
+                routes = {
+                    "/subjects/events_avro-value/versions/latest": {
+                        "subject": "events_avro-value", "version": 3,
+                        "id": 17, "schema": _json.dumps(avsc)},
+                    "/subjects/events_avro-value/versions/2": {
+                        "subject": "events_avro-value", "version": 2,
+                        "id": 11, "schema": _json.dumps(avsc)},
+                }
+                if self.path in routes:
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(_json.dumps(routes[self.path]).encode())
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    self.wfile.write(b'{"error_code": 40401}')
+
+        return Handler
+
+    @pytest.fixture()
+    def auth_server(self):
+        import base64
+        import http.server
+        import threading
+
+        expect = "Basic " + base64.b64encode(b"alice:s3cret").decode()
+        srv = http.server.HTTPServer(
+            ("127.0.0.1", 0), self._handler(require_auth=expect))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_basic_auth_tuple_and_string(self, auth_server):
+        from confluent_ksql_charm_spark.sources.avro import (
+            HttpSchemaRegistry)
+
+        url = f"http://{auth_server}"
+        for auth in (("alice", "s3cret"), "alice:s3cret"):
+            ddl = HttpSchemaRegistry(url, auth=auth).value_schema_ddl(
+                "events_avro")
+            assert "id" in ddl
+
+    def test_url_userinfo_honoured_and_stripped(self, auth_server):
+        from confluent_ksql_charm_spark.sources.avro import (
+            HttpSchemaRegistry)
+
+        reg = HttpSchemaRegistry(f"http://alice:s3cret@{auth_server}")
+        assert "s3cret" not in reg.base  # never leaks into error text
+        assert "id" in reg.value_schema_ddl("events_avro")
+
+    def test_rejected_credentials_message(self, auth_server):
+        from confluent_ksql_charm_spark.sources.avro import (
+            HttpSchemaRegistry)
+
+        reg = HttpSchemaRegistry(f"http://{auth_server}",
+                                 auth=("alice", "wrong"))
+        with pytest.raises(ValueError, match="rejected credentials"):
+            reg.value_schema_ddl("events_avro")
+
+    def test_pinned_version_lookup(self, auth_server):
+        from confluent_ksql_charm_spark.sources.avro import (
+            HttpSchemaRegistry)
+
+        reg = HttpSchemaRegistry(f"http://{auth_server}",
+                                 auth=("alice", "s3cret"))
+        assert reg.schema("events_avro-value", version=2)["name"] == \
+            self.AVSC["name"]
+
+    @pytest.fixture()
+    def tls_server(self, tmp_path):
+        import http.server
+        import ssl
+        import subprocess
+        import threading
+
+        cert = tmp_path / "sr.pem"
+        key = tmp_path / "sr.key"
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", str(key), "-out", str(cert), "-days", "1",
+             "-subj", "/CN=127.0.0.1",
+             "-addext", "subjectAltName=IP:127.0.0.1"],
+            check=True, capture_output=True)
+        srv = http.server.HTTPServer(("127.0.0.1", 0), self._handler())
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(str(cert), str(key))
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"https://127.0.0.1:{srv.server_address[1]}", str(cert)
+        srv.shutdown()
+
+    def test_tls_private_ca(self, tls_server):
+        from confluent_ksql_charm_spark.sources.avro import (
+            HttpSchemaRegistry)
+
+        url, cert = tls_server
+        # trusting the private CA works; the system store rejects it
+        assert "id" in HttpSchemaRegistry(
+            url, ca_file=cert).value_schema_ddl("events_avro")
+        with pytest.raises(ValueError, match="unreachable"):
+            HttpSchemaRegistry(url, timeout=2).value_schema_ddl(
+                "events_avro")
+
+    def test_tls_verify_false_escape_hatch(self, tls_server):
+        from confluent_ksql_charm_spark.sources.avro import (
+            HttpSchemaRegistry)
+
+        url, _ = tls_server
+        assert "id" in HttpSchemaRegistry(
+            url, verify=False).value_schema_ddl("events_avro")
+
+    def test_engine_properties_reach_the_registry(self, spark, tmp_path,
+                                                  auth_server):
+        # end-to-end: SET'able engine properties (public Confluent
+        # naming) carry basic-auth credentials to schema inference
+        from confluent_ksql_charm_spark import KsqlSparkEngine
+
+        eng = KsqlSparkEngine(spark, data_dir=str(tmp_path))
+        spark.createDataFrame(
+            [(1, "a", 0.5, ["x"])], "id bigint, name string, score double, "
+            "tags array<string>").write.parquet(
+                str(tmp_path / "events_avro.parquet"))
+        eng.execute("SET 'schema.registry.basic.auth.user.info' = "
+                    "'alice:s3cret';")
+        eng.execute(
+            "CREATE STREAM inferred_auth WITH (KAFKA_TOPIC='events_avro', "
+            f"VALUE_FORMAT='AVRO', SCHEMA_REGISTRY='http://{auth_server}');")
+        assert eng.sql(
+            "SELECT id FROM inferred_auth").collect()[0].id == 1
