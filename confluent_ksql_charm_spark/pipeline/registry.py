@@ -178,11 +178,11 @@ _SIGNATURES = {
                   "[, PS='0.25,0.5,0.75,0.9,0.99']"
                   "[, APPROX='false'])"),
     "RETENTION": ("RETENTION(src[, KEY='user_id'][, TS='ts']"
-                  "[, GRANULARITY='week'])"),
+                  "[, GRANULARITY='week'][, KEY_SAMPLE='1.0'])"),
     "SKEW_REPORT": ("SKEW_REPORT(src, ON='key[,key]'[, TOP='10']"
                     "[, PARTITIONS='32'])"),
     "NOVELTY_REPORT": ("NOVELTY_REPORT(bench, corpus[, ID='doc_id']"
-                       "[, TEXT='text'][, N='8'])"),
+                       "[, TEXT='text'][, N='8'][, SAMPLE='1.0'])"),
     "INCREMENTAL_SESSIONS": ("INCREMENTAL_SESSIONS(stored, new"
                              "[, KEY='user_id'][, TS='ts']"
                              "[, GAP_S='1800'][, VALUE='value']"
@@ -788,7 +788,8 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         return novelty_report(dfs[0], dfs[1],
                               id_col=p.get("ID", "doc_id"),
                               text_col=p.get("TEXT", "text"),
-                              n=int(p.get("N", 8)))
+                              n=int(p.get("N", 8)),
+                              sample=float(p.get("SAMPLE", 1.0)))
     if op == "SKEW_REPORT":
         from .maintenance import skew_report
         _need_sources(spec, 1)
@@ -802,7 +803,8 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         return retention_cohorts(dfs[0],
                                  key_col=p.get("KEY", "user_id"),
                                  ts_col=p.get("TS", "ts"),
-                                 granularity=p.get("GRANULARITY", "week"))
+                                 granularity=p.get("GRANULARITY", "week"),
+                                 key_sample=float(p.get("KEY_SAMPLE", 1.0)))
     if op == "QUANTILES":
         from .text import value_quantiles
         _need_sources(spec, 1)

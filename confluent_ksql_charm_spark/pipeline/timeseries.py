@@ -328,7 +328,8 @@ def funnel_counts(df: DataFrame, steps: list[str],
 
 def retention_cohorts(df: DataFrame, key_col: str = "user_id",
                       ts_col: str = "ts",
-                      granularity: str = "week") -> DataFrame:
+                      granularity: str = "week",
+                      key_sample: float = 1.0) -> DataFrame:
     """Cohort retention triangle: keys are cohorted by the bucket of
     their FIRST event; each (cohort, offset) cell counts the keys from
     that cohort active `offset` buckets later. `granularity` is 'day'
@@ -341,10 +342,24 @@ def retention_cohorts(df: DataFrame, key_col: str = "user_id",
     activity relation against a first-seen dimension — a second
     full-size shuffle of the fact table that the window formulation
     simply does not have.
+
+    `key_sample < 1.0` is the APPROX tier for decade-scale populations:
+    a deterministic hash-subsample of the KEY universe (every kept
+    key's full history survives, so each kept key's cohort/offset cells
+    are EXACT — `n_keys` then counts a ~key_sample fraction of each
+    cohort, which is what retention CURVES, a per-cohort ratio, need;
+    scale absolute counts by 1/key_sample if quoting them).
     """
     days = {"day": 1, "week": 7}
     if granularity not in days:
         raise ValueError("granularity must be 'day' or 'week'")
+    if not 0.0 < key_sample <= 1.0:
+        raise ValueError(f"key_sample must be in (0, 1], got {key_sample}")
+    if key_sample < 1.0:
+        scale = 1 << 30
+        df = df.where(F.pmod(
+            F.xxhash64(F.col(key_col), F.lit("retention-sample")),
+            F.lit(scale)) < F.lit(int(key_sample * scale)))
     bucket = F.to_date(F.date_trunc(granularity, F.col(ts_col)))
     act = df.select(F.col(key_col), bucket.alias("__bk")).distinct()
     w = Window.partitionBy(key_col)

@@ -6970,6 +6970,86 @@ class TestNoveltyReport:
             bench, corp, n=4, keyed="hash").collect())
         assert a == b    # 64-bit collisions absent at this scale
 
+    def test_sample_tier(self, spark):
+        # approx tier: deterministic gram-universe subsample — kept
+        # grams keep EXACT overlap status, the denominator is sampled
+        import statistics
+
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            novelty_report)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text")
+        bench = docs.where(F.col("doc_id") % 5 == 0)
+        corp = docs.where(F.col("doc_id") % 5 != 0)
+        full = {r.doc_id: r for r in novelty_report(
+            bench, corp, n=5).collect()}
+        # sample=1.0 is the exact path, bit-for-bit
+        s1 = {r.doc_id: r for r in novelty_report(
+            bench, corp, n=5, sample=1.0).collect()}
+        assert {k: tuple(v) for k, v in full.items()} == \
+            {k: tuple(v) for k, v in s1.items()}
+        half = {r.doc_id: r for r in novelty_report(
+            bench, corp, n=5, sample=0.5).collect()}
+        again = {r.doc_id: r for r in novelty_report(
+            bench, corp, n=5, sample=0.5).collect()}
+        assert {k: tuple(v) for k, v in half.items()} == \
+            {k: tuple(v) for k, v in again.items()}  # deterministic
+        assert half
+        n_half = sum(r.n_grams for r in half.values())
+        n_full = sum(r.n_grams for r in full.values())
+        assert 0.3 < n_half / n_full < 0.7  # ~half the gram universe
+        for d, r in half.items():
+            assert r.n_grams <= full[d].n_grams
+            assert r.n_seen <= r.n_grams
+            # every kept gram's status is exact, so a fully-leaked /
+            # fully-clean doc stays that way in any subsample
+            if full[d].overlap_frac == 1.0:
+                assert r.overlap_frac == 1.0
+            if full[d].overlap_frac == 0.0:
+                assert r.overlap_frac == 0.0
+        m_full = statistics.mean(r.overlap_frac for r in full.values())
+        m_half = statistics.mean(half[d].overlap_frac for d in half)
+        assert abs(m_full - m_half) < 0.15  # unbiased-ratio sanity
+        with _pytest.raises(ValueError, match="sample"):
+            novelty_report(bench, corp, sample=0.0)
+
+    def test_persisted_corpus_grams_probe(self, spark, tmp_path):
+        # pack-once/probe-many: a persisted corpus_gram_rows relation
+        # must reproduce the direct path bit-for-bit, without touching
+        # the corpus text again
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from confluent_ksql_charm_spark.pipeline.contamination import (
+            corpus_gram_rows, novelty_report)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text")
+        bench = docs.where(F.col("doc_id") % 5 == 0)
+        corp = docs.where(F.col("doc_id") % 5 != 0)
+        path = str(tmp_path / "corpus_grams.parquet")
+        corpus_gram_rows(corp, n=5).write.parquet(path)
+        packed = spark.read.parquet(path)
+        a = sorted(tuple(r) for r in novelty_report(
+            bench, corp, n=5).collect())
+        b = sorted(tuple(r) for r in novelty_report(
+            bench, None, n=5, corpus_grams=packed).collect())
+        assert a == b
+        # the sampled tier composes with the packed relation
+        c = sorted(tuple(r) for r in novelty_report(
+            bench, corp, n=5, sample=0.5).collect())
+        d = sorted(tuple(r) for r in novelty_report(
+            bench, None, n=5, sample=0.5, corpus_grams=packed).collect())
+        assert c == d
+        with _pytest.raises(ValueError, match="corpus"):
+            novelty_report(bench, None, n=5)
+
     def test_via_dialect(self, spark):
         from confluent_ksql_charm_spark import KsqlSparkEngine
 

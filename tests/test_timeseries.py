@@ -533,3 +533,33 @@ def test_session_bucketed_reserved_name_guard(spark):
         session_stats_bucketed(df)
     with _pytest.raises(ValueError, match="reserves internal"):
         rolling_aggregates_bucketed(df)
+
+
+def test_retention_key_sample_tier(spark):
+    # approx tier: deterministic key-universe subsample — a kept key's
+    # full history survives, so the sampled result EQUALS the exact
+    # computation restricted to the kept keys
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from confluent_ksql_charm_spark.pipeline.timeseries import (
+        retention_cohorts)
+
+    ev = spark.createDataFrame(
+        [(u, _ts(f"2024-01-{d:02d}T10:00:00"))
+         for u in range(1, 41) for d in (1, 8, 15) if (u + d) % 3],
+        "user_id bigint, ts timestamp_ntz")
+    full = sorted(tuple(r) for r in retention_cohorts(
+        ev, key_sample=1.0).collect())
+    exact = sorted(tuple(r) for r in retention_cohorts(ev).collect())
+    assert full == exact
+    scale = 1 << 30
+    kept = ev.where(F.pmod(
+        F.xxhash64(F.col("user_id"), F.lit("retention-sample")),
+        F.lit(scale)) < F.lit(int(0.5 * scale)))
+    a = sorted(tuple(r) for r in retention_cohorts(
+        ev, key_sample=0.5).collect())
+    b = sorted(tuple(r) for r in retention_cohorts(kept).collect())
+    assert a == b and 0 < kept.select("user_id").distinct().count() < 40
+    with _pytest.raises(ValueError, match="key_sample"):
+        retention_cohorts(ev, key_sample=1.5)
