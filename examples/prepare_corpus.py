@@ -104,6 +104,26 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
         (-1 - F.col("doc_id")).alias("doc_id"), "text"),
         "doc_id", "text", threshold=0.6)
 
+    # 4a. eval-integrity report, pack-once/probe-many (round 11): the
+    #     corpus gram fingerprint is persisted ONCE at ingest; every
+    #     future benchmark review probes it without rescanning corpus
+    #     text (sf10 measured: 1.05 s probe vs 7.75 s direct). The
+    #     distinct-gram set is vocabulary-bounded (Heaps'), so probe
+    #     cost is independent of corpus bytes.
+    from confluent_ksql_charm_spark.pipeline.contamination import (
+        corpus_gram_rows, novelty_report)
+
+    grams_path = os.path.join(out_dir, "corpus_grams.parquet")
+    (corpus_gram_rows(docs, "doc_id", "text", n=8)
+     .select("gram").distinct().write.mode("overwrite")
+     .parquet(grams_path))
+    report = novelty_report(
+        bench, None, "doc_id", "text", n=8,
+        corpus_grams=spark.read.parquet(grams_path))
+    dirty = report.where(F.col("overlap_frac") > 0.1).count()
+    print(f"eval-integrity: {dirty} benchmark docs >10% leaked "
+          "(post-decontamination this should be ~0)")
+
     # 4b. DSIR selection: score every doc's likeness to a curated seed
     #     slice (hashed uni+bigram importance weights, fast-hash
     #     production path), quantile-bucket the scores, drop the bottom
