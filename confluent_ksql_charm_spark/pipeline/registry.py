@@ -147,7 +147,8 @@ _SIGNATURES = {
                          "[, VEC='embedding'][, INIT='kmeans|first'])"),
     "DISTINCT_NGRAMS": ("DISTINCT_NGRAMS(src, TEXT='text'"
                         "[, MAX_N='4'][, BY='lang']"
-                        "[, LOWERCASE='true'])"),
+                        "[, LOWERCASE='true']"
+                        "[, APPROX='false'][, RSD='0.05'])"),
     "EMBED_COVARIANCE": ("EMBED_COVARIANCE(emb[, VEC='embedding'])"),
     "PCA_PROJECT": ("PCA_PROJECT(emb, N='8'[, ID='vec_id']"
                     "[, VEC='embedding'][, OUT='pca'])"),
@@ -679,7 +680,9 @@ def pipeline_op_df(spec, dfs: list[DataFrame]) -> DataFrame:
         return distinct_ngram_ratios(
             dfs[0], _need(spec, "TEXT"),
             max_n=int(p.get("MAX_N", 4)), by=p.get("BY"),
-            lowercase=p.get("LOWERCASE", "true").lower() == "true")
+            lowercase=p.get("LOWERCASE", "true").lower() == "true",
+            approx=p.get("APPROX", "false").lower() == "true",
+            rsd=float(p.get("RSD", 0.05)))
     if op == "HARD_NEGATIVES":
         from .similarity import hard_negatives
         _need_sources(spec, 1)

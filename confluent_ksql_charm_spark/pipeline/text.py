@@ -1199,7 +1199,9 @@ NORMALIZE_FIXTURE: list[tuple[int, str]] = [
 
 def distinct_ngram_ratios(df: DataFrame, text_col: str = "text", *,
                           max_n: int = 4, lowercase: bool = True,
-                          by: str | None = None) -> DataFrame:
+                          by: str | None = None,
+                          approx: bool = False,
+                          rsd: float = 0.05) -> DataFrame:
     """Corpus diversity report: for each n in 1..`max_n`, the total
     and distinct token-n-gram counts and their ratio — the standard
     distinct-n diversity metric (Li et al. 2016, "A Diversity-
@@ -1220,6 +1222,13 @@ def distinct_ngram_ratios(df: DataFrame, text_col: str = "text", *,
     |strata|×max_n) re-aggregate. distinct-counting shuffles the gram
     relation once; it is vocabulary-bounded per n (Heaps'), not
     corpus-bounded.
+
+    `approx=True` is the 100 TB tier the exact path's SCALE note
+    promises: `approx_count_distinct` (HyperLogLog++, `rsd` relative
+    error, default 5%) replaces the exact distinct — the sketch merges
+    map-side, so the gram relation NEVER shuffles (partials are
+    |strata|×max_n sketch rows); the diversity ALARM (a collapsing
+    distinct-2/3 trend) needs nowhere near 5% precision. Same schema.
     """
     from .dedup import sliding_windows_col, tokens_col
 
@@ -1242,9 +1251,11 @@ def distinct_ngram_ratios(df: DataFrame, text_col: str = "text", *,
     rows = df.select(*keys, F.explode(combined).alias("g")).select(
         *keys, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     gb = ([by] if by else []) + ["n"]
+    dcount = (F.approx_count_distinct("gram", rsd) if approx
+              else F.count_distinct("gram"))
     return (rows.groupBy(*gb)
             .agg(F.count(F.lit(1)).alias("total_ngrams"),
-                 F.count_distinct("gram").alias("distinct_ngrams"))
+                 dcount.alias("distinct_ngrams"))
             .withColumn("distinct_ratio",
                         F.round(F.col("distinct_ngrams")
                                 / F.col("total_ngrams"), 6)))

@@ -6492,6 +6492,36 @@ class TestDistinctNgramRatios:
         assert got[1].total_ngrams == 1
         assert 2 not in got and 3 not in got
 
+    def test_approx_tier(self, spark):
+        # HLL tier: totals exact, distinct within the sketch's rsd,
+        # and NO gram-relation shuffle (the sketch merges map-side)
+        from pyspark.sql import functions as F
+
+        from confluent_ksql_charm_spark.pipeline.text import (
+            distinct_ngram_ratios)
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text")
+        exact = {r.n: r for r in distinct_ngram_ratios(
+            docs, max_n=3).collect()}
+        appr = {r.n: r for r in distinct_ngram_ratios(
+            docs, max_n=3, approx=True, rsd=0.02).collect()}
+        assert set(exact) == set(appr)
+        for n in exact:
+            assert appr[n].total_ngrams == exact[n].total_ngrams
+            rel = abs(appr[n].distinct_ngrams
+                      - exact[n].distinct_ngrams) \
+                / exact[n].distinct_ngrams
+            assert rel < 0.06, (n, rel)  # 3x the 2% rsd
+        # plan shape: exact pays the distinct expand/shuffle on the
+        # gram relation; approx must not (partial HLL merge instead)
+        plan_appr = distinct_ngram_ratios(
+            docs, max_n=3, approx=True)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "approx_count_distinct" in plan_appr
+        assert "Expand" not in plan_appr
+
 
 class TestPCA:
     def _rank2(self, spark, n=200, dim=6, seed=5):
