@@ -1366,6 +1366,13 @@ def winnow_overlap(fps: DataFrame, id_col: str = "doc_id", *,
     expensive per-char hashing — re-executes per consumer (the
     near-dup candidate-list lesson; measured 239 s at sf10 where one
     fingerprint pass is 129 s).
+
+    Pack-once/probe-many (the `novelty_report(corpus_grams=)`
+    contract): `fps` is ALREADY the split point — persist
+    `winnow_fingerprints(...)` to parquet at ingest and pass the read
+    relation here for every subsequent report; the 129 s/sf10
+    fingerprint pass is then paid once per corpus version, and this
+    operator's own cost is the capped fp join only.
     """
     base = maybe_checkpoint(fps.select(id_col, "fp").distinct())
     if max_df is not None:
