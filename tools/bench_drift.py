@@ -1,0 +1,95 @@
+"""Per-round bench drift ledger (BASELINE.md round-11 contract).
+
+Compares a bench run — a driver BENCH_r{N}.json (with the JSON line
+embedded in its "tail" field) or a raw bench.py JSON line file —
+against the BINDING per-query table in BASELINE.md (the round-10
+consolidated table plus the s3 binding rows; first occurrence of a
+query name wins, matching how the tables were layered historically).
+
+Prints the aggregate ratio (sum/sum), median per-query ratio, the worst
+rows, and a ready-to-paste markdown ledger row. Uniform drift (every
+row shifted by a similar factor) is box state; an isolated multiple is
+a real regression — this tool exists so the two are distinguishable at
+a glance each round.
+
+Usage: python tools/bench_drift.py BENCH_r11.json [--top 5]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+import statistics
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def load_run(path: str) -> dict[str, float]:
+    raw = pathlib.Path(path).read_text()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict) and "queries" in d:
+        return d["queries"]
+    if isinstance(d, dict) and "tail" in d:  # driver BENCH_r{N} wrapper
+        m = re.search(r'\{"metric".*\}', d["tail"])
+        if not m:
+            raise SystemExit(f"no bench JSON line inside {path}")
+        return json.loads(m.group(0))["queries"]
+    m = re.search(r'\{"metric".*\}', raw)
+    if not m:
+        raise SystemExit(f"unrecognized bench file: {path}")
+    return json.loads(m.group(0))["queries"]
+
+
+def load_binding() -> dict[str, float]:
+    txt = (REPO / "BASELINE.md").read_text()
+    sec = txt.split("## Round-10 consolidated v2 baseline")[1]
+    binding: dict[str, float] = {}
+    for m in re.finditer(r"^\| (\w+) \| ([\d.]+) \|", sec, re.M):
+        binding.setdefault(m.group(1), float(m.group(2)))
+    return binding
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    top = 5
+    for a in sys.argv[1:]:
+        if a.startswith("--top"):
+            top = int(a.split("=", 1)[1]) if "=" in a else top
+    if not args:
+        print(__doc__)
+        return 2
+    run = load_run(args[0])
+    binding = load_binding()
+    rows = sorted(
+        ((run[q] / binding[q], q, run[q], binding[q])
+         for q in run if q in binding),
+        reverse=True)
+    missing = [q for q in run if q not in binding]
+    if not rows:
+        raise SystemExit("no overlapping queries with the binding table")
+    agg = sum(r[2] for r in rows) / sum(r[3] for r in rows)
+    med = statistics.median(r[0] for r in rows)
+    total = sum(run[q] for q in run)
+    print(f"run total {total:.2f} s over {len(run)} queries; "
+          f"{len(rows)} with binding rows"
+          + (f"; NO binding row: {missing}" if missing else ""))
+    print(f"aggregate vs binding: {agg:.3f}x   median: {med:.3f}x")
+    print(f"worst {top}:")
+    for r in rows[:top]:
+        print(f"  {r[0]:5.2f}x  {r[1]}  ({r[2]} vs {r[3]})")
+    over2 = [r for r in rows if r[0] > 2.0]
+    print(f"rows over the 2x gate: {len(over2)}")
+    w = rows[0]
+    print("\nledger row (paste into the BASELINE drift table):")
+    print(f"| <run name> | {total:.2f} | {agg:.2f}x | {med:.2f}x | "
+          f"{w[1]} {w[0]:.2f}x |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
