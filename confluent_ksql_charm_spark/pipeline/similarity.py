@@ -520,10 +520,59 @@ def _warn_per_call_build(df: DataFrame, fn: str) -> None:
             "to amortize the fit.", stacklevel=3)
 
 
+def _lloyd_fit(x, k: int, seed: int, max_iter: int = 20,
+               tol: float = 1e-4, max_points_per_centroid: int = 256):
+    """Driver-side spherical-KMeans fit: kmeans++ init + Lloyd over the
+    (already bounded) training sample, subsampled further to
+    ``max_points_per_centroid * k`` points — the public FAISS training
+    rule for coarse quantizers. Deterministic for a given (x, k, seed):
+    legacy `np.random.RandomState` semantics are version-pinned, argmin
+    ties go to the lowest center index (the `_nearest_cells` rule).
+
+    Empty cells keep their previous coordinates; if the corpus has fewer
+    than `k` points the last center is repeated so ``len(centers) == k``
+    (probe code sizes nprobe by len(centers)). Returns (k, dim) float64.
+    """
+    import numpy as np
+
+    n = len(x)
+    rng = np.random.RandomState(seed)
+    cap = max_points_per_centroid * k
+    if n > cap:
+        x = x[rng.choice(n, size=cap, replace=False)]
+        n = cap
+    k_eff = min(k, n)
+    centers = np.empty((k_eff, x.shape[1]), dtype=np.float64)
+    centers[0] = x[rng.randint(n)]
+    d2 = ((x - centers[0]) ** 2).sum(1)
+    for i in range(1, k_eff):          # kmeans++: exact D^2 sampling
+        tot = d2.sum()
+        idx = rng.choice(n, p=d2 / tot) if tot > 0 else rng.randint(n)
+        centers[i] = x[idx]
+        d2 = np.minimum(d2, ((x - centers[i]) ** 2).sum(1))
+    for _ in range(max_iter):
+        dist = ((x * x).sum(1)[:, None] - 2.0 * (x @ centers.T)
+                + (centers * centers).sum(1)[None, :])
+        lab = dist.argmin(1)
+        moved = 0.0
+        for j in range(k_eff):
+            m = lab == j
+            if m.any():
+                nc = x[m].mean(0)
+                moved = max(moved, float(((nc - centers[j]) ** 2).sum()))
+                centers[j] = nc
+        if moved <= tol * tol:
+            break
+    if k_eff < k:
+        centers = np.vstack([centers] + [centers[-1:]] * (k - k_eff))
+    return centers
+
+
 def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
               seed: int = 42,
-              sample_fraction: float | None | str = "auto"):
-    """IVF coarse quantizer: KMeans|| over L2-normalized vectors.
+              sample_fraction: float | None | str = "auto",
+              fit: str = "driver"):
+    """IVF coarse quantizer: spherical k-means over L2-normalized vectors.
 
     Returns ``(assigned_df, centers)`` — the input with an ``__cell``
     nearest-centroid column, and the centroid coordinates (list of lists).
@@ -535,18 +584,34 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
     to `IVF_TRAIN_TARGET_ROWS` rows and on a ~100k-row sample beyond —
     the deployed-index default (VERDICT r6 #1: the per-call full fit was
     the family's only superlinear build cost). ``None`` forces the full
-    fit; an explicit float pins the fraction.
+    training set; an explicit float pins the fraction.
 
-    Scale shape: training runs distributed (KMeans||) on the capped
-    sample — at 100 TB fit once, persist the centers, and make
-    ``__cell`` a partition column of the stored index so a query's
+    `fit="driver"` (default, round 11): the quantizer is fit ON THE
+    DRIVER with kmeans++ + Lloyd over the capped sample, further
+    subsampled to 256 points per centroid (the public FAISS
+    `max_points_per_centroid` training rule). The training input was
+    ALREADY bounded driver-scale state (`IVF_TRAIN_TARGET_ROWS`, the
+    same contract as the SQ8/PQ codebook fits), so the previous
+    distributed KMeans|| bought no scale — only ~20 Spark jobs of
+    scheduling overhead per index build, the measured fixed floor of
+    every per-call build (BASELINE round-9: ~45 s at 210k vectors).
+    Driver memory is 256*nlist*dim float64 (e.g. 8 MB at nlist=1024,
+    dim=64 after subsample; the pre-subsample collect is at most
+    IVF_TRAIN_TARGET_ROWS*dim). `fit="ml"` keeps the distributed
+    KMeans|| path for regimes where the single-node Lloyd itself would
+    be the wall (nlist in the many thousands with large dim).
+
+    Scale shape: the fit sees bounded state however large the corpus;
+    at 100 TB fit once, persist the centers (`save_ann_index`), and
+    make ``__cell`` a partition column of the stored index so a query's
     probe prunes partitions instead of filtering a full scan. The
-    assignment pass is a JVM `model.transform` over the full corpus
-    (embarrassingly parallel, no Python per row) and is the build cost
-    that remains O(n) by necessity — every vector needs a cell.
+    assignment pass — the build cost that remains O(n) by necessity —
+    is one Arrow-batched BLAS pass over the corpus (the same sanctioned
+    `mapInPandas` shape as the scan tiers), embarrassingly parallel,
+    with the (nlist x dim) centers riding the closure.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     if sample_fraction == "auto":
         from .lazy import lazy_plan_active
@@ -568,14 +633,46 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
         "__unit",
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
     ).drop("__n")
-    featurized = unit.withColumn("__features", array_to_vector(F.col("__unit")))
-    train = (featurized.sample(sample_fraction, seed=seed)
-             if sample_fraction else featurized)
-    model = KMeans(k=nlist, seed=seed, featuresCol="__features",
-                   predictionCol="__cell").fit(train)
-    assigned = (model.transform(featurized)
-                .drop("__features", "__unit"))
-    centers = [c.tolist() for c in model.clusterCenters()]
+    if fit == "ml":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        featurized = unit.withColumn(
+            "__features", array_to_vector(F.col("__unit")))
+        train = (featurized.sample(sample_fraction, seed=seed)
+                 if sample_fraction else featurized)
+        model = KMeans(k=nlist, seed=seed, featuresCol="__features",
+                       predictionCol="__cell").fit(train)
+        assigned = (model.transform(featurized)
+                    .drop("__features", "__unit"))
+        centers = [c.tolist() for c in model.clusterCenters()]
+        return assigned, centers
+
+    train = unit.sample(sample_fraction, seed=seed) if sample_fraction else unit
+    x = np.asarray([r[0] for r in train.select("__unit").collect()],
+                   dtype=np.float64)
+    centers = [c.tolist() for c in _lloyd_fit(x, nlist, seed)]
+    cmat = np.asarray(centers, dtype=np.float64)
+    out_schema = StructType(
+        list(df.schema) + [StructField("__cell", IntegerType())])
+
+    def _assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(__cell=np.array([], dtype="int32"))
+                continue
+            xx = np.asarray([np.asarray(v, dtype=np.float64)
+                             for v in pdf[vec_col]])
+            nn = np.linalg.norm(xx, axis=1)
+            nn[nn == 0] = 1.0
+            u = xx / nn[:, None]
+            # squared L2 to centers of the normalized vector, first-min
+            # tie — the `_nearest_cells` / `_scatter` rule
+            d2 = ((u * u).sum(1)[:, None] - 2.0 * (u @ cmat.T)
+                  + (cmat * cmat).sum(1)[None, :])
+            yield pdf.assign(__cell=d2.argmin(1).astype("int32"))
+
+    assigned = df.mapInPandas(_assign, schema=out_schema)
     return assigned, centers
 
 

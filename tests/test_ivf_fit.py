@@ -1,0 +1,128 @@
+"""Driver-side IVF coarse-quantizer fit (round 11).
+
+`ivf_index` trains the coarse quantizer on the driver over the capped,
+per-centroid-subsampled training set (the FAISS `max_points_per_centroid`
+practice) instead of running a 20-job distributed KMeans|| — the fit input
+was already bounded (IVF_TRAIN_TARGET_ROWS), so the distributed fit bought
+no scale, only per-iteration job-scheduling overhead that dominated every
+per-call index build (knn_graph's measured fixed floor, BASELINE round-9).
+
+These tests pin the properties the swap must preserve: determinism,
+full-probe exactness (the oracle-gate property), clustered-data recall,
+the k > n edge, and the `fit="ml"` escape hatch for very-large-nlist
+regimes where a single-node Lloyd would be the bottleneck.
+"""
+import random
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .appName("ivf-fit-tests").getOrCreate())
+    yield s
+
+
+def _clustered(spark, n=200, seed=12, n_centers=4, dim=8):
+    rng = random.Random(seed)
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)]
+               for _ in range(n_centers)]
+    rows = [(i, [c + rng.gauss(0, 0.05) for c in centers[i % n_centers]])
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"), rows
+
+
+class TestDriverFit:
+    def test_deterministic_across_calls(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
+
+        df, _ = _clustered(spark)
+        a1, c1 = ivf_index(df, nlist=4, seed=13)
+        a2, c2 = ivf_index(df, nlist=4, seed=13)
+        assert c1 == c2
+        assert (sorted((r.vec_id, r["__cell"]) for r in a1.collect())
+                == sorted((r.vec_id, r["__cell"]) for r in a2.collect()))
+
+    def test_full_probe_is_exact(self, spark):
+        # nprobe == nlist scans every cell regardless of where the fit
+        # put the centroids — the property every IVF oracle entry uses
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, ivf_topk)
+
+        df, rows = _clustered(spark, seed=21)
+        q = rows[5][1]
+        exact = [(r.vec_id, round(r.cosine, 6))
+                 for r in cosine_topk(df, q, k=10).collect()]
+        got = [(r.vec_id, round(r.cosine, 6))
+               for r in ivf_topk(df, q, k=10, nlist=4, nprobe=4).collect()]
+        assert got == exact
+
+    def test_partial_probe_recall_clustered(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, ivf_topk)
+
+        df, rows = _clustered(spark, seed=12)
+        q = rows[0][1]
+        exact = {r.vec_id for r in cosine_topk(df, q, k=10).collect()}
+        got = {r.vec_id for r in
+               ivf_topk(df, q, k=10, nlist=4, nprobe=1).collect()}
+        assert len(got & exact) / 10 >= 0.8
+
+    def test_nlist_exceeds_corpus(self, spark):
+        # degenerate corpora must still yield nlist centers (probe code
+        # sizes nprobe by len(centers)) and a full assignment
+        from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
+
+        df, _ = _clustered(spark, n=3)
+        assigned, centers = ivf_index(df, nlist=8, seed=1)
+        assert len(centers) == 8
+        assert assigned.count() == 3
+        assert {r["__cell"] for r in assigned.collect()} <= set(range(8))
+
+    def test_per_centroid_training_cap(self, spark):
+        # the fit subsamples to max_points_per_centroid * nlist points
+        # driver-side; the result must still recover tight clusters
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            _lloyd_fit)
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        true = rng.randn(4, 8)
+        x = np.vstack([true[i % 4] + rng.randn(8) * 0.01
+                       for i in range(5000)])
+        c = _lloyd_fit(x, 4, seed=42, max_points_per_centroid=64)
+        # 64*4 = 256 of 5000 points used; every true center recovered
+        d = ((true[:, None, :] - c[None, :, :]) ** 2).sum(2)
+        assert d.min(1).max() < 0.05
+
+    def test_ml_escape_hatch_full_probe_exact(self, spark):
+        # fit="ml" keeps the distributed KMeans|| path alive for
+        # very-large-nlist builds; results stay exact at full probe
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, ivf_index, ivf_topk)
+
+        df, rows = _clustered(spark, seed=33)
+        idx = ivf_index(df, nlist=4, seed=13, fit="ml")
+        q = rows[2][1]
+        exact = [(r.vec_id, round(r.cosine, 6))
+                 for r in cosine_topk(df, q, k=5).collect()]
+        got = [(r.vec_id, round(r.cosine, 6))
+               for r in ivf_topk(df, q, k=5, nlist=4, nprobe=4,
+                                 index=idx).collect()]
+        assert got == exact
+
+    def test_assignment_schema_appends_cell(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
+
+        df, _ = _clustered(spark)
+        df = df.withColumn("label", F.lit(1))
+        assigned, _ = ivf_index(df, nlist=4, seed=13)
+        assert assigned.columns == ["vec_id", "embedding", "label",
+                                    "__cell"]
+        assert dict(assigned.dtypes)["__cell"] == "int"
