@@ -520,6 +520,44 @@ def _warn_per_call_build(df: DataFrame, fn: str) -> None:
             "to amortize the fit.", stacklevel=3)
 
 
+def _hash_sample(df: DataFrame, col: str, fraction, seed: int) -> DataFrame:
+    """Deterministic ~`fraction` row sample via a content-keyed hash
+    filter (`xxhash64(col, seed)`), the mixture_sample/shuffle_shard
+    device. `DataFrame.sample(seed=)` is NOT stable across actions on a
+    multi-split scan (measured: three same-seed samples of a 16-file
+    parquet returned 99851/99392/100025 rows with different contents),
+    which silently made every sampled quantizer/codebook fit
+    nondeterministic; a hash predicate depends only on row content.
+    Content-duplicate rows are kept or dropped together — harmless for
+    quantizer training (identical points add no information)."""
+    if not fraction or fraction >= 1.0:
+        return df
+    denom = 1 << 20
+    return df.where(
+        F.pmod(F.xxhash64(F.col(col), F.lit(int(seed))), F.lit(denom))
+        < int(fraction * denom))
+
+
+def _collect_vector_matrix(df_col: DataFrame):
+    """One-column vector relation → (n, dim) float64 matrix via Arrow
+    (`DataFrame.toArrow`, config-independent — `toPandas` silently falls
+    back to row serialization when Arrow isn't enabled on the session):
+    zero-copy flat-buffer reshape for the fixed-dim no-null case, per-row
+    fallback otherwise."""
+    import numpy as np
+
+    col = df_col.toArrow().column(0).combine_chunks()
+    try:
+        lens = np.diff(np.asarray(col.offsets))
+        if len(lens) and (lens == lens[0]).all() and col.null_count == 0:
+            flat = np.asarray(col.values, dtype=np.float64)
+            return flat.reshape(len(lens), int(lens[0]))
+    except AttributeError:       # not a list column — let the caller fail
+        pass
+    return np.asarray([np.asarray(v, dtype=np.float64)
+                       for v in col.to_pylist()])
+
+
 def _lloyd_fit(x, k: int, seed: int, max_iter: int = 20,
                tol: float = 1e-4, max_points_per_centroid: int = 256):
     """Driver-side spherical-KMeans fit: kmeans++ init + Lloyd over the
@@ -532,6 +570,13 @@ def _lloyd_fit(x, k: int, seed: int, max_iter: int = 20,
     Empty cells keep their previous coordinates; if the corpus has fewer
     than `k` points the last center is repeated so ``len(centers) == k``
     (probe code sizes nprobe by len(centers)). Returns (k, dim) float64.
+
+    Hot-path layout (measured at the worst sanctioned shape, 65k x 64
+    points, k=256): distances/assignment run in float32 sgemm (halves
+    the memory traffic of the (n, k) distance matrix — the wall), the
+    center UPDATE accumulates in float64 via one stable argsort +
+    `np.add.reduceat` over present-cluster segment starts (a per-cluster
+    boolean-mask Python loop costs ~10s at k=256; this is ~0.5s).
     """
     import numpy as np
 
@@ -542,25 +587,41 @@ def _lloyd_fit(x, k: int, seed: int, max_iter: int = 20,
         x = x[rng.choice(n, size=cap, replace=False)]
         n = cap
     k_eff = min(k, n)
+    x32 = np.ascontiguousarray(x, dtype=np.float32)
+    xsq = (x32 * x32).sum(1)
     centers = np.empty((k_eff, x.shape[1]), dtype=np.float64)
     centers[0] = x[rng.randint(n)]
-    d2 = ((x - centers[0]) ** 2).sum(1)
+    c32 = centers[0].astype(np.float32)
+    d2 = xsq - 2.0 * (x32 @ c32) + np.float32(c32 @ c32)
+    np.maximum(d2, 0.0, out=d2)
     for i in range(1, k_eff):          # kmeans++: exact D^2 sampling
-        tot = d2.sum()
-        idx = rng.choice(n, p=d2 / tot) if tot > 0 else rng.randint(n)
+        p = d2.astype(np.float64)
+        tot = p.sum()
+        idx = rng.choice(n, p=p / tot) if tot > 0 else rng.randint(n)
         centers[i] = x[idx]
-        d2 = np.minimum(d2, ((x - centers[i]) ** 2).sum(1))
+        c32 = centers[i].astype(np.float32)
+        dc = xsq - 2.0 * (x32 @ c32) + np.float32(c32 @ c32)
+        np.maximum(dc, 0.0, out=dc)
+        np.minimum(d2, dc, out=d2)
     for _ in range(max_iter):
-        dist = ((x * x).sum(1)[:, None] - 2.0 * (x @ centers.T)
-                + (centers * centers).sum(1)[None, :])
-        lab = dist.argmin(1)
-        moved = 0.0
-        for j in range(k_eff):
-            m = lab == j
-            if m.any():
-                nc = x[m].mean(0)
-                moved = max(moved, float(((nc - centers[j]) ** 2).sum()))
-                centers[j] = nc
+        c32m = centers.astype(np.float32)
+        dist = (xsq[:, None] - 2.0 * (x32 @ c32m.T)
+                + (c32m * c32m).sum(1)[None, :])
+        lab = dist.argmin(1)           # first-min tie, the family rule
+        order = np.argsort(lab, kind="stable")
+        xs = x[order]
+        ls = lab[order]
+        starts = np.searchsorted(ls, np.arange(k_eff))
+        counts = np.diff(np.append(starts, n))
+        # reduceat ONLY over present clusters' starts: clipping absent
+        # trailing starts to n-1 instead would split the last real
+        # segment (reduceat ends each segment at the next offset)
+        present = np.nonzero(counts > 0)[0]
+        sums = np.add.reduceat(xs, starts[present], axis=0)
+        newc = centers.copy()
+        newc[present] = sums / counts[present, None]
+        moved = float(((newc - centers) ** 2).sum(1).max())
+        centers = newc
         if moved <= tol * tol:
             break
     if k_eff < k:
@@ -629,18 +690,18 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
             else:
                 n = df.count()
                 sample_fraction = IVF_TRAIN_TARGET_ROWS / n
-    unit = df.withColumn("__n", norm(F.col(vec_col))).withColumn(
-        "__unit",
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
-    ).drop("__n")
     if fit == "ml":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        unit = df.withColumn("__n", norm(F.col(vec_col))).withColumn(
+            "__unit",
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double") / F.col("__n")),
+        ).drop("__n")
         featurized = unit.withColumn(
             "__features", array_to_vector(F.col("__unit")))
-        train = (featurized.sample(sample_fraction, seed=seed)
-                 if sample_fraction else featurized)
+        train = _hash_sample(featurized, vec_col, sample_fraction, seed)
         model = KMeans(k=nlist, seed=seed, featuresCol="__features",
                        predictionCol="__cell").fit(train)
         assigned = (model.transform(featurized)
@@ -648,9 +709,15 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
         centers = [c.tolist() for c in model.clusterCenters()]
         return assigned, centers
 
-    train = unit.sample(sample_fraction, seed=seed) if sample_fraction else unit
-    x = np.asarray([r[0] for r in train.select("__unit").collect()],
-                   dtype=np.float64)
+    # collect RAW vectors and normalize in numpy: the expression-side
+    # normalization (`norm` + F.transform divide) is an interpreted
+    # higher-order function — materializing it for 100k rows costs ~8 s
+    # where the raw Arrow transfer is ~1 s
+    train = _hash_sample(df, vec_col, sample_fraction, seed)
+    x = _collect_vector_matrix(train.select(vec_col))
+    nn = np.linalg.norm(x, axis=1)
+    nn[nn == 0] = 1.0
+    x = x / nn[:, None]
     centers = [c.tolist() for c in _lloyd_fit(x, nlist, seed)]
     cmat = np.asarray(centers, dtype=np.float64)
     out_schema = StructType(
@@ -1598,19 +1665,16 @@ def _pq_train_matrix(df: DataFrame, vec_col: str, train_rows: int,
     probe to size (no full count), seeded sample only when the corpus
     exceeds the cap (same two-step sizing as `ivf_index`'s auto mode).
     """
-    import numpy as np
-
     probe = df.limit(train_rows + 1).count()
     src = df.select(vec_col)
     if probe > train_rows:
         n = df.count()
-        src = src.sample(min(1.0, 1.2 * train_rows / n), seed=seed) \
-                 .limit(train_rows)
-    # Arrow transfer + per-row numpy views: a pure-Python float() loop
-    # over 100k x 64 cells costs ~1 min; this path is seconds
-    pdf = src.toPandas()
-    return np.asarray([np.asarray(v, dtype=np.float64)
-                       for v in pdf[vec_col]])
+        src = _hash_sample(src, vec_col,
+                           min(1.0, 1.2 * train_rows / n), seed) \
+            .limit(train_rows)
+    # Arrow transfer + flat-buffer reshape: a pure-Python float() loop
+    # over 100k x 64 cells costs ~1 min; this path is ~1 s
+    return _collect_vector_matrix(src)
 
 
 def pq_encode(df: DataFrame, codebook: list, *,

@@ -117,6 +117,19 @@ class TestDriverFit:
                                  index=idx).collect()]
         assert got == exact
 
+    def test_sampled_fit_deterministic(self, spark):
+        # the sampled-fit path must give identical centers across calls:
+        # DataFrame.sample(seed=) is NOT stable across actions on a
+        # multi-split scan (measured at sf1), so the training sample is
+        # a content-keyed xxhash64 filter instead
+        from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
+
+        df, _ = _clustered(spark, n=400, seed=19)
+        df = df.repartition(4)
+        _, c1 = ivf_index(df, nlist=4, seed=13, sample_fraction=0.5)
+        _, c2 = ivf_index(df, nlist=4, seed=13, sample_fraction=0.5)
+        assert c1 == c2
+
     def test_assignment_schema_appends_cell(self, spark):
         from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
 
