@@ -674,11 +674,17 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    lazy_cap = False
     if sample_fraction == "auto":
         from .lazy import lazy_plan_active
 
         if lazy_plan_active():       # plan-only mode runs no sizing count
             sample_fraction = None
+            # …but the driver fit still materializes its training set,
+            # so bound it with a LIMIT instead of the probe the lazy
+            # contract forbids (plan-only callers never read center
+            # coordinates, only the plan shape)
+            lazy_cap = True
         else:
             # cheap sizing probe (ADVICE r7): decide full-vs-sampled with
             # a LIMIT count — corpora at or under the training target
@@ -714,6 +720,8 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
     # higher-order function — materializing it for 100k rows costs ~8 s
     # where the raw Arrow transfer is ~1 s
     train = _hash_sample(df, vec_col, sample_fraction, seed)
+    if lazy_cap:
+        train = train.limit(IVF_TRAIN_TARGET_ROWS)
     x = _collect_vector_matrix(train.select(vec_col))
     nn = np.linalg.norm(x, axis=1)
     nn[nn == 0] = 1.0
