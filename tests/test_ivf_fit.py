@@ -117,6 +117,35 @@ class TestDriverFit:
                                  index=idx).collect()]
         assert got == exact
 
+    def test_lloyd_fit_properties(self):
+        # pure-numpy invariants of the driver fit, across random shapes:
+        # determinism, exactly k centers, every center inside the data's
+        # per-dimension hull (means of subsets can never leave it), and
+        # no NaN/inf under degenerate inputs
+        import numpy as np
+        from hypothesis import given, settings, strategies as st
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            _lloyd_fit)
+
+        @settings(max_examples=25, deadline=None)
+        @given(n=st.integers(1, 300), k=st.integers(1, 12),
+               dim=st.integers(1, 16), seed=st.integers(0, 2**31 - 1),
+               scale=st.sampled_from([0.0, 1e-8, 1.0, 1e6]))
+        def check(n, k, dim, seed, scale):
+            rng = np.random.RandomState(seed % 10_000)
+            x = rng.randn(n, dim) * scale
+            c1 = _lloyd_fit(x, k, seed)
+            c2 = _lloyd_fit(x, k, seed)
+            assert np.array_equal(c1, c2)
+            assert c1.shape == (k, dim)
+            assert np.isfinite(c1).all()
+            lo, hi = x.min(0), x.max(0)
+            eps = 1e-9 + 1e-12 * np.maximum(np.abs(lo), np.abs(hi))
+            assert (c1 >= lo - eps).all() and (c1 <= hi + eps).all()
+
+        check()
+
     def test_sampled_fit_deterministic(self, spark):
         # the sampled-fit path must give identical centers across calls:
         # DataFrame.sample(seed=) is NOT stable across actions on a
