@@ -723,6 +723,10 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
     if lazy_cap:
         train = train.limit(IVF_TRAIN_TARGET_ROWS)
     x = _collect_vector_matrix(train.select(vec_col))
+    if x.size == 0:
+        raise ValueError(
+            f"ivf_index: empty training set — {vec_col!r} has no rows "
+            "(after sampling); an IVF index needs at least one vector")
     nn = np.linalg.norm(x, axis=1)
     nn[nn == 0] = 1.0
     x = x / nn[:, None]

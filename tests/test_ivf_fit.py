@@ -159,6 +159,14 @@ class TestDriverFit:
         _, c2 = ivf_index(df, nlist=4, seed=13, sample_fraction=0.5)
         assert c1 == c2
 
+    def test_empty_corpus_raises_clearly(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
+
+        empty = spark.createDataFrame(
+            [], "vec_id bigint, embedding array<float>")
+        with pytest.raises(ValueError, match="empty training set"):
+            ivf_index(empty, nlist=4)
+
     def test_assignment_schema_appends_cell(self, spark):
         from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
 
