@@ -1656,10 +1656,23 @@ def pq_fit(df: DataFrame, *, m: int = 8, ksub: int = 256,
                     f"pq_fit: ksub={ksub} exceeds the {X.shape[0]}-row "
                     "training set (lower ksub or raise train_rows)")
             C = X[rng.choice(X.shape[0], ksub, replace=False)].copy()
+        # float32 sgemm for the (n, ksub) distance/assignment matrix —
+        # the fit's wall is this matrix's memory traffic (same treatment
+        # as _lloyd_fit); centroid ACCUMULATION stays float64 bincount
+        X32 = np.ascontiguousarray(X, dtype=np.float32)
+        xsq32 = (X32 * X32).sum(1, keepdims=True)
+        a = np.empty(len(X32), dtype=np.int64)
         for _ in range(n_iter):
-            d = ((X * X).sum(1, keepdims=True) + (C * C).sum(1)
-                 - 2.0 * X @ C.T)
-            a = d.argmin(1)
+            C32 = C.astype(np.float32)
+            csq32 = (C32 * C32).sum(1)
+            # chunked assignment keeps the (chunk, ksub) distance block
+            # cache-resident — one full (n, ksub) materialization per
+            # iteration is the fit's memory-traffic wall
+            for lo in range(0, len(X32), 16384):
+                hi = lo + 16384
+                d = (xsq32[lo:hi] + csq32
+                     - 2.0 * (X32[lo:hi] @ C32.T))
+                a[lo:hi] = d.argmin(1)
             counts = np.bincount(a, minlength=ksub).astype(np.float64)
             sums = np.zeros_like(C)
             for j in range(dsub):
