@@ -603,11 +603,18 @@ def _lloyd_fit(x, k: int, seed: int, max_iter: int = 20,
         dc = xsq - 2.0 * (x32 @ c32) + np.float32(c32 @ c32)
         np.maximum(dc, 0.0, out=dc)
         np.minimum(d2, dc, out=d2)
+    lab = np.empty(n, dtype=np.int64)
     for _ in range(max_iter):
         c32m = centers.astype(np.float32)
-        dist = (xsq[:, None] - 2.0 * (x32 @ c32m.T)
-                + (c32m * c32m).sum(1)[None, :])
-        lab = dist.argmin(1)           # first-min tie, the family rule
+        csq = (c32m * c32m).sum(1)
+        # chunked assignment: keeps the (chunk, k) distance block
+        # cache-resident instead of materializing (n, k) per iteration
+        # (the pq_fit treatment; first-min tie, the family rule)
+        for lo in range(0, n, 16384):
+            hi = lo + 16384
+            dist = (xsq[lo:hi, None] - 2.0 * (x32[lo:hi] @ c32m.T)
+                    + csq[None, :])
+            lab[lo:hi] = dist.argmin(1)
         order = np.argsort(lab, kind="stable")
         xs = x[order]
         ls = lab[order]
