@@ -1796,7 +1796,8 @@ _IVF_INDEXES: dict = {}
 
 
 def _q_ann_ivf(spark, sf):
-    # IVF variant (KMeans|| coarse quantizer), run at FULL probe
+    # IVF variant (driver-fit kmeans++/Lloyd coarse quantizer), run at
+    # FULL probe
     # (nprobe=nlist → every cell scanned → provably exact → shares the
     # brute-force oracle); clustered-data recall at partial probe is
     # unit-tested (tests/test_pipeline.py). The index is built ONCE per

@@ -157,7 +157,7 @@ def main() -> None:
 
     # -- IVF: nlist ~ sqrt(n) rounded to a power of two; train on a
     #    sample sized ~100 points/centroid (the deployed-index pattern).
-    #    fit_sec (KMeans|| on the sample — the only superlinear cost) is
+    #    fit_sec (driver kmeans++/Lloyd on the capped sample, round 11) is
     #    reported separately from assign_sec (the O(n) full-corpus cell
     #    assignment + cache) so BASELINE shows what actually dominates.
     if "ivf" in SECTIONS:
