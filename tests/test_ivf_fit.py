@@ -159,6 +159,17 @@ class TestDriverFit:
         _, c2 = ivf_index(df, nlist=4, seed=13, sample_fraction=0.5)
         assert c1 == c2
 
+    def test_pq_sampled_fit_deterministic(self, spark):
+        # the PQ trainer's >cap sampled path shares the xxhash fix:
+        # force it with a small train_rows and pin codebook equality
+        from confluent_ksql_charm_spark.pipeline.similarity import pq_fit
+
+        df, _ = _clustered(spark, n=300, seed=5)
+        df = df.repartition(4)
+        cb1 = pq_fit(df, m=4, ksub=8, n_iter=5, seed=7, train_rows=64)
+        cb2 = pq_fit(df, m=4, ksub=8, n_iter=5, seed=7, train_rows=64)
+        assert cb1 == cb2
+
     def test_empty_corpus_raises_clearly(self, spark):
         from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
 
