@@ -2089,20 +2089,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage unchanged, one slot each.
     return {
         # Rotation policy (the driver samples the FIRST 50 keys each
-        # round): lead with (a) the 5 entries that failed the r10 driver
-        # hash (HUGEINT oracle dtype — fixed this round, must re-confirm),
-        # then (b) every entry whose last driver-green round is <= r8,
-        # oldest wave first (r4 joins, r5 joins, r6 agg/window, r8 text
-        # stats, then 17 of the 23 r7 entries — dialect functions +
-        # text/dedup/quality). 45 of the 50 slots re-prove rows not
-        # sampled since r8. The 6 deferred r7 sampling/packing entries +
-        # the r9 ANN wave + the r10 greens form the tail for r12.
+        # round): r12 leads with the 34-entry r9 ANN/statistics wave —
+        # every code path the round-11 driver-side quantizer-fit rewrite
+        # touched (VERDICT r11 #1; judge pre-verified 16 of them
+        # dtype-exact) — then the 6 r7-stale sampling/packing entries,
+        # then 10 r10-wave rows nearest this round's code churn (the
+        # ADVICE r11 similarity.py fixes, the winnow pack-once work, and
+        # the cluster_outliers drift adjudication). The r11-confirmed
+        # 50 and the remaining r10 wave form the tail for r13.
+        "knn_graph": _q_knn_graph,
+        "pq_topk": _q_pq_topk,
+        "pq_batch_topk": _q_pq_batch_topk,
+        "ivf_sq8_topk": _q_ivf_sq8_topk,
+        "ivf_sq8_rerank": _q_ivf_sq8_rerank,
+        "ivf_sq8_batch_topk": _q_ivf_sq8_batch_topk,
+        "ivf_pq_batch_topk": _q_ivf_pq_batch_topk,
+        "ivf_pq_batch_rerank": _q_ivf_pq_batch_rerank,
+        "ivf_pq_rerank": _q_ivf_pq_rerank,
+        "filtered_ann_topk": _q_filtered_ann_topk,
+        "filtered_ivf_topk": _q_filtered_ivf_topk,
+        "filtered_rerank_topk": _q_filtered_rerank,
+        "sq8_topk": _q_sq8_topk,
+        "sq8_batch_topk": _q_sq8_batch_topk,
+        "cosine_batch_topk": _q_cosine_batch_topk,
+        "embedding_cosine_topk": _q_embedding_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_decontaminate": _q_embedding_decontaminate,
+        "semantic_dedup": _q_semantic_dedup,
+        "hard_negatives": _q_hard_negatives,
+        "mmr_select": _q_mmr_select,
+        "hot_key_join": _q_hot_key_join,
+        "embedding_cluster": _q_embedding_cluster,
+        "embedding_cluster_stats": _q_embedding_cluster_stats,
+        "cluster_balanced_cap": _q_cluster_balanced_cap,
+        "cluster_terms": _q_cluster_terms,
+        "quality_buckets": _q_quality_buckets,
+        "dsir_logratio": _q_dsir_logratio,
+        "dsir_sample": _q_dsir_sample,
+        "unigram_logprob": _q_unigram_logprob,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "corpus_split_sample": _q_corpus_split_sample,
+        "token_stats_by_lang": _q_token_stats,
+        "source_cap": _q_source_cap,
+        # the 6 r7-stale sampling/packing entries
+        "chunk_documents": _q_chunk_documents,
+        "contamination_report": _q_contamination_report,
+        "length_batches": _q_length_batches,
+        "pack_sequences": _q_pack_sequences,
+        "mixture_sample": _q_mixture_sample,
+        "mixture_waterfill": _q_mixture_waterfill,
+        # 10 r10-wave rows nearest the r11/r12 code churn
+        "cluster_outliers": _q_cluster_outliers,
+        "distinct_ngrams": _q_distinct_ngrams,
+        "embedding_covariance": _q_embedding_covariance,
+        "random_projection": _q_random_projection,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_overlap": _q_winnow_overlap,
+        "novelty_report": _q_novelty_report,
+        "dedup_clusters": _q_dedup_clusters,
+        "retention_cohorts": _q_retention_cohorts,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        # ---- end of the 50-slot driver window ----
+        # r11-confirmed wave + r10 remainder (rotate back r13+)
         "user_sessions": _q_user_sessions,
         "user_sessions_bucketed": _q_user_sessions_bucketed,
         "incremental_sessions": _q_incremental_sessions,
         "skew_report": _q_skew_report,
         "token_budget_take": _q_token_budget_take,
-        # last green r4
         "full_outer_join_within": _q_full_outer_join_within,
         "decimal_agg_join": _q_decimal_agg_join,
         "q3_style_chain": _q_q3_style_chain,
@@ -2111,12 +2164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_list_csv": _q_collect_list,
         "partition_by_rekey": _q_partition_by,
         "insert_into_union": _q_insert_into,
-        # last green r5
         "stream_table_join": _q_stream_table_join,
         "table_table_join": _q_table_table_join,
         "stream_stream_join_within": _q_stream_stream_join,
         "left_outer_join_within": _q_left_outer_join_within,
-        # last green r6
         "conditional_agg": _q_conditional_agg,
         "pricing_summary": _q_pricing_summary,
         "skew_salted_agg": _q_salted_agg,
@@ -2129,12 +2180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window": _q_hopping_window,
         "session_window": _q_session_window,
         "latest_per_key": _q_latest_per_key,
-        # last green r8
         "dup_size_histogram": _q_dup_size_histogram,
         "top_repeated_spans": _q_top_repeated_spans,
         "ngram_vocab_growth": _q_ngram_vocab_growth,
         "zipf_fit": _q_zipf_fit,
-        # last green r7 (17 of 23 — dialect functions + text/dedup)
         "project_filter": _q_project_filter,
         "case_when_cast": _q_case_when_cast,
         "string_mask_url_funcs": _q_string_mask_url_funcs,
@@ -2152,50 +2201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "vocab_topk": _q_vocab_topk,
         "corpus_stats": _q_corpus_stats,
-        # ---- end of the 50-slot driver window ----
-        # r7 remainder (deferred to r12)
-        "chunk_documents": _q_chunk_documents,
-        "contamination_report": _q_contamination_report,
-        "length_batches": _q_length_batches,
-        "pack_sequences": _q_pack_sequences,
-        "mixture_sample": _q_mixture_sample,
-        "mixture_waterfill": _q_mixture_waterfill,
-        # r9 ANN/statistics wave
-        "ngram_jaccard": _q_ngram_jaccard,
-        "embedding_cosine_topk": _q_embedding_topk,
-        "sq8_topk": _q_sq8_topk,
-        "ivf_sq8_topk": _q_ivf_sq8_topk,
-        "ivf_sq8_rerank": _q_ivf_sq8_rerank,
-        "filtered_ann_topk": _q_filtered_ann_topk,
-        "filtered_ivf_topk": _q_filtered_ivf_topk,
-        "pq_topk": _q_pq_topk,
-        "pq_batch_topk": _q_pq_batch_topk,
-        "sq8_batch_topk": _q_sq8_batch_topk,
-        "cosine_batch_topk": _q_cosine_batch_topk,
-        "ivf_sq8_batch_topk": _q_ivf_sq8_batch_topk,
-        "ivf_pq_batch_topk": _q_ivf_pq_batch_topk,
-        "ivf_pq_batch_rerank": _q_ivf_pq_batch_rerank,
-        "embedding_decontaminate": _q_embedding_decontaminate,
-        "semantic_dedup": _q_semantic_dedup,
-        "knn_graph": _q_knn_graph,
-        "hard_negatives": _q_hard_negatives,
-        "mmr_select": _q_mmr_select,
-        "hot_key_join": _q_hot_key_join,
-        "ivf_pq_rerank": _q_ivf_pq_rerank,
-        "filtered_rerank_topk": _q_filtered_rerank,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "corpus_split_sample": _q_corpus_split_sample,
-        "token_stats_by_lang": _q_token_stats,
-        "source_cap": _q_source_cap,
-        "unigram_logprob": _q_unigram_logprob,
-        "dsir_logratio": _q_dsir_logratio,
-        "dsir_sample": _q_dsir_sample,
-        "embedding_cluster": _q_embedding_cluster,
-        "embedding_cluster_stats": _q_embedding_cluster_stats,
-        "cluster_balanced_cap": _q_cluster_balanced_cap,
-        "quality_buckets": _q_quality_buckets,
-        "cluster_terms": _q_cluster_terms,
-        # r10 wave (driver-proven in CORRECTNESS_r10)
         "hamming_topk": _q_hamming_topk,
         "length_quantiles": _q_length_quantiles,
         "asof_join": _q_asof_join,
@@ -2204,19 +2209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_stats_bucketed": _q_rolling_user_stats_bucketed,
         "funnel_steps": _q_funnel_steps,
         "funnel_steps_staged": _q_funnel_steps_staged,
-        "retention_cohorts": _q_retention_cohorts,
-        "novelty_report": _q_novelty_report,
         "scd2_join": _q_scd2_join,
         "quality_classifier": _q_quality_classifier,
         "secret_scan": _q_secret_scan,
         "secret_redact": _q_secret_redact,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_overlap": _q_winnow_overlap,
-        "cluster_outliers": _q_cluster_outliers,
-        "distinct_ngrams": _q_distinct_ngrams,
-        "embedding_covariance": _q_embedding_covariance,
-        "random_projection": _q_random_projection,
-        "bpe_pair_counts": _q_bpe_pair_counts,
         "gopher_quality": _q_gopher_quality,
         "gopher_report": _q_gopher_report,
         "corpus_diff": _q_corpus_diff,
@@ -2225,7 +2221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "curriculum_order": _q_curriculum_order,
         "weighted_sample": _q_weighted_sample,
-        "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,

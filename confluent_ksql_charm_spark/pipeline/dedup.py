@@ -876,6 +876,29 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str, *,
     skipped under a persisted `signatures` relation (keyed by original
     ids) and in plan-only mode.
     """
+    comp = _cluster_components(df, id_col, text_col, threshold=threshold,
+                               num_hashes=num_hashes, bands=bands,
+                               shingle_k=shingle_k, signatures=signatures)
+    return (df.select(F.col(id_col))
+            .join(F.broadcast(comp.withColumnRenamed("id", id_col)),
+                  id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("cluster", F.col(id_col)).alias("cluster")))
+
+
+def _cluster_components(df: DataFrame, id_col: str, text_col: str, *,
+                        threshold: float, num_hashes: int, bands: int,
+                        shingle_k: int, signatures: DataFrame | None
+                        ) -> DataFrame:
+    """The shared heavy half of `dedup_clusters`/`dedup_keep_best`:
+    LSH pairs → connected components. Returns the broadcast-sized
+    (id, cluster) relation covering ONLY docs that appear in a near-dup
+    pair — callers left-join it to the corpus and coalesce singletons to
+    their own id, so the corpus never joins another corpus-sized
+    relation (round 12: `dedup_keep_best` previously joined the full
+    corpus to `dedup_clusters`' corpus-sized output — a sort-merge join
+    with two full-width Exchanges that existed only to re-attach a
+    column derivable from this broadcast)."""
     collapse = False
     if signatures is None and not lazy_plan_active():
         stats = df.agg(
@@ -886,12 +909,7 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str, *,
                          num_hashes=num_hashes, bands=bands,
                          shingle_k=shingle_k, signatures=signatures,
                          collapse_exact=collapse, _sparse_exact=collapse)
-    comp = connected_components(prs.select("id_a", "id_b"))
-    return (df.select(F.col(id_col))
-            .join(F.broadcast(comp.withColumnRenamed("id", id_col)),
-                  id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("cluster", F.col(id_col)).alias("cluster")))
+    return connected_components(prs.select("id_a", "id_b"))
 
 
 def dedup_keep_best(df, id_col: str, text_col: str, *,
@@ -908,22 +926,30 @@ def dedup_keep_best(df, id_col: str, text_col: str, *,
     quality is `length(text_col)` (keep the longest). Returns the
     surviving rows of `df` with their `cluster` id attached.
 
-    Scale shape: `dedup_clusters` does the heavy lifting (LSH + CC);
-    the keep-best pass is one window `row_number` over (cluster) —
+    Scale shape: `_cluster_components` does the heavy lifting (LSH +
+    CC); the cluster column is attached by ONE broadcast left join of
+    the corpus to the pair-member component relation (singletons
+    coalesce to their own id — round 12: the previous shape joined the
+    corpus to `dedup_clusters`' corpus-sized output, a sort-merge join
+    with two full-width Exchanges; measured sf0.1 idle: 3.06 s old
+    shape → 2.55 s).
+    The keep-best pass is one window `row_number` over (cluster) —
     lowered to partial WindowGroupLimit below the Exchange, same
-    map-side top-1 bound as `sampling.group_cap` — over the corpus
-    joined to the broadcast-sized component relation.
+    map-side top-1 bound as `sampling.group_cap`.
     """
     from pyspark.sql import Window
 
-    clusters = dedup_clusters(df, id_col, text_col, threshold=threshold,
-                              num_hashes=num_hashes, bands=bands,
-                              shingle_k=shingle_k, signatures=signatures)
+    comp = _cluster_components(df, id_col, text_col, threshold=threshold,
+                               num_hashes=num_hashes, bands=bands,
+                               shingle_k=shingle_k, signatures=signatures)
     quality = (F.col(quality_col) if quality_col
                else F.length(F.col(text_col)))
     w = (Window.partitionBy("cluster")
          .orderBy(quality.desc(), F.col(id_col).asc()))
-    return (df.join(clusters, id_col)
+    return (df.join(F.broadcast(comp.withColumnRenamed("id", id_col)),
+                    id_col, "left")
+            .withColumn("cluster",
+                        F.coalesce("cluster", F.col(id_col)))
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))
 

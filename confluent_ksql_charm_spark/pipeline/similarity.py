@@ -533,9 +533,18 @@ def _hash_sample(df: DataFrame, col: str, fraction, seed: int) -> DataFrame:
     if not fraction or fraction >= 1.0:
         return df
     denom = 1 << 20
+    if fraction * denom < 1.0:
+        # ADVICE r11: fractions below 2^-20 (auto sizing beyond ~1e11
+        # rows — the 100 TB regime) truncated the threshold to 0 and
+        # returned an EMPTY sample, surfacing as the opaque
+        # "empty training set" error. A finer modulus keeps tiny
+        # fractions accurate; fractions >= 2^-20 keep the original
+        # (denom, threshold) pair bit-for-bit so every pinned sampled
+        # fit is unchanged.
+        denom = 1 << 62
     return df.where(
         F.pmod(F.xxhash64(F.col(col), F.lit(int(seed))), F.lit(denom))
-        < int(fraction * denom))
+        < max(1, int(fraction * denom)))
 
 
 def _collect_vector_matrix(df_col: DataFrame):
@@ -549,13 +558,24 @@ def _collect_vector_matrix(df_col: DataFrame):
     col = df_col.toArrow().column(0).combine_chunks()
     try:
         lens = np.diff(np.asarray(col.offsets))
-        if len(lens) and (lens == lens[0]).all() and col.null_count == 0:
+        # value-level nulls (a NULL *element* inside a vector) hide from
+        # the list-level null_count and would silently become NaN in the
+        # flat buffer (ADVICE r11) — route them to the checked fallback
+        if (len(lens) and (lens == lens[0]).all() and col.null_count == 0
+                and col.values.null_count == 0):
             flat = np.asarray(col.values, dtype=np.float64)
             return flat.reshape(len(lens), int(lens[0]))
     except AttributeError:       # not a list column — let the caller fail
         pass
-    return np.asarray([np.asarray(v, dtype=np.float64)
-                       for v in col.to_pylist()])
+    rows = col.to_pylist()
+    for i, v in enumerate(rows):
+        if v is None or any(e is None for e in v):
+            raise ValueError(
+                "vector training input contains a NULL embedding or a "
+                f"NULL element inside one (row {i} of the collected "
+                "sample) — NULLs would poison the quantizer fit as NaN; "
+                "filter or impute them upstream")
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in rows])
 
 
 def _lloyd_fit(x, k: int, seed: int, max_iter: int = 20,
@@ -652,7 +672,11 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
     to `IVF_TRAIN_TARGET_ROWS` rows and on a ~100k-row sample beyond —
     the deployed-index default (VERDICT r6 #1: the per-call full fit was
     the family's only superlinear build cost). ``None`` forces the full
-    training set; an explicit float pins the fraction.
+    training set for `fit="ml"`; under `fit="driver"` it is capped to
+    `IVF_TRAIN_TARGET_ROWS` with a warning (the driver cannot hold an
+    unbounded corpus, and the Lloyd fit subsamples past 256·nlist
+    points regardless — ADVICE r11). An explicit float pins the
+    fraction.
 
     `fit="driver"` (default, round 11): the quantizer is fit ON THE
     DRIVER with kmeans++ + Lloyd over the capped sample, further
@@ -681,7 +705,40 @@ def ivf_index(df: DataFrame, *, nlist: int = 16, vec_col: str = "embedding",
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    if fit not in ("driver", "ml"):
+        raise ValueError(
+            f"ivf_index: fit={fit!r} — expected 'driver' (capped-sample "
+            "kmeans++/Lloyd on the driver) or 'ml' (distributed KMeans||)")
     lazy_cap = False
+    if sample_fraction is None and fit == "driver":
+        # ADVICE r11: an explicit sample_fraction=None under the
+        # fit="driver" default would otherwise collect the ENTIRE corpus
+        # to the driver via toArrow() — the 100k training bound only
+        # gated the "auto" path. "Full training set" is only meaningful
+        # for the distributed fit; the driver Lloyd subsamples to
+        # max_points_per_centroid*nlist regardless, so collecting beyond
+        # the training target is pure waste and an OOM hazard. Reuse the
+        # auto-path LIMIT probe: corpora at or under the target are
+        # untouched (bit-identical to the old behavior); beyond it the
+        # fit trains on the deterministic hash-sampled target and warns.
+        from .lazy import lazy_plan_active
+
+        if lazy_plan_active():
+            lazy_cap = True
+        else:
+            probe = df.limit(IVF_TRAIN_TARGET_ROWS + 1).count()
+            if probe > IVF_TRAIN_TARGET_ROWS:
+                import warnings
+
+                warnings.warn(
+                    "ivf_index: sample_fraction=None with fit='driver' on "
+                    f"a corpus above {IVF_TRAIN_TARGET_ROWS:,} rows — "
+                    "capping the driver-side training collect to the "
+                    "training target (the Lloyd fit subsamples to "
+                    "max_points_per_centroid*nlist anyway); pass "
+                    "fit='ml' for a genuinely full distributed fit.",
+                    stacklevel=2)
+                sample_fraction = IVF_TRAIN_TARGET_ROWS / df.count()
     if sample_fraction == "auto":
         from .lazy import lazy_plan_active
 

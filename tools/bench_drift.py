@@ -12,7 +12,15 @@ row shifted by a similar factor) is box state; an isolated multiple is
 a real regression — this tool exists so the two are distinguishable at
 a glance each round.
 
-Usage: python tools/bench_drift.py BENCH_r11.json [--top 5]
+Round 12 adds two adjudication aids (VERDICT r11 #2/#7):
+`--prev OTHER.json` additionally compares the run against a previous
+round's bench file (common queries only — the manual r10-vs-r11 diff
+the judge did by hand), and the sentinel block (bench.py emits
+`"sentinel_drift"` since r12) is printed when present so an over-gate
+row can be classified box-drift vs regression from the artifacts alone.
+
+Usage: python tools/bench_drift.py BENCH_r12.json [--top 5]
+       [--prev BENCH_r11.json]
 """
 
 from __future__ import annotations
@@ -26,23 +34,27 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
-def load_run(path: str) -> dict[str, float]:
+def load_run_full(path: str) -> dict:
     raw = pathlib.Path(path).read_text()
     try:
         d = json.loads(raw)
     except json.JSONDecodeError:
         d = None
     if isinstance(d, dict) and "queries" in d:
-        return d["queries"]
+        return d
     if isinstance(d, dict) and "tail" in d:  # driver BENCH_r{N} wrapper
         m = re.search(r'\{"metric".*\}', d["tail"])
         if not m:
             raise SystemExit(f"no bench JSON line inside {path}")
-        return json.loads(m.group(0))["queries"]
+        return json.loads(m.group(0))
     m = re.search(r'\{"metric".*\}', raw)
     if not m:
         raise SystemExit(f"unrecognized bench file: {path}")
-    return json.loads(m.group(0))["queries"]
+    return json.loads(m.group(0))
+
+
+def load_run(path: str) -> dict[str, float]:
+    return load_run_full(path)["queries"]
 
 
 def load_binding() -> dict[str, float]:
@@ -55,15 +67,26 @@ def load_binding() -> dict[str, float]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    top = 5
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, top, prev_path = [], 5, None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--top"):
             top = int(a.split("=", 1)[1]) if "=" in a else top
+        elif a == "--prev":
+            i += 1
+            prev_path = argv[i]
+        elif a.startswith("--prev="):
+            prev_path = a.split("=", 1)[1]
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     if not args:
         print(__doc__)
         return 2
-    run = load_run(args[0])
+    full = load_run_full(args[0])
+    run = full["queries"]
     binding = load_binding()
     rows = sorted(
         ((run[q] / binding[q], q, run[q], binding[q])
@@ -84,6 +107,33 @@ def main() -> int:
         print(f"  {r[0]:5.2f}x  {r[1]}  ({r[2]} vs {r[3]})")
     over2 = [r for r in rows if r[0] > 2.0]
     print(f"rows over the 2x gate: {len(over2)}")
+    sent = full.get("sentinel_drift")
+    if sent:
+        ratios = [v["ratio"] for v in sent.values()]
+        verdict = ("UNIFORM end-of-run inflation -> box drift"
+                   if min(ratios) > 1.25 else
+                   "sentinels flat -> over-gate rows are real"
+                   if max(ratios) < 1.25 else "mixed — judge per-row")
+        print("sentinel re-time (end-of-run vs main pass): "
+              + ", ".join(f"{k} {v['first']}->{v['second']} "
+                          f"({v['ratio']}x)" for k, v in sent.items())
+              + f"  [{verdict}]")
+    if prev_path:
+        prev = load_run(prev_path)
+        common = [q for q in run if q in prev and prev[q] > 0]
+        if common:
+            pr = sorted(((run[q] / prev[q], q, run[q], prev[q])
+                         for q in common), reverse=True)
+            pagg = (sum(run[q] for q in common)
+                    / sum(prev[q] for q in common))
+            pmed = statistics.median(r[0] for r in pr)
+            print(f"\nvs --prev {prev_path} ({len(common)} common): "
+                  f"aggregate {pagg:.3f}x  median {pmed:.3f}x")
+            print(f"  most slower: " + ", ".join(
+                f"{q} {r:.2f}x ({a} vs {b})" for r, q, a, b in pr[:top]))
+            print(f"  most faster: " + ", ".join(
+                f"{q} {r:.2f}x ({a} vs {b})"
+                for r, q, a, b in sorted(pr)[:top]))
     w = rows[0]
     print("\nledger row (paste into the BASELINE drift table):")
     print(f"| <run name> | {total:.2f} | {agg:.2f}x | {med:.2f}x | "
