@@ -124,7 +124,25 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
     print(f"eval-integrity: {dirty} benchmark docs >10% leaked "
           "(post-decontamination this should be ~0)")
 
-    # 4b. DSIR selection: score every doc's likeness to a curated seed
+    # 4b. verbatim-reuse audit, pack-once/probe-many (round 12 — the
+    #     winnow_overlap docstring contract, exercised): the winnowing
+    #     fingerprint pass is the expensive half (per-char k-gram
+    #     hashing; 129 s of the sf10 winnow wall) — persist it beside
+    #     the corpus at ingest, then every later reuse report feeds the
+    #     READ relation to winnow_overlap and pays only the capped
+    #     fp equi-join.
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        winnow_fingerprints, winnow_overlap)
+
+    fps_path = os.path.join(out_dir, "winnow_fps.parquet")
+    (winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
+     .write.mode("overwrite").parquet(fps_path))
+    reuse = winnow_overlap(spark.read.parquet(fps_path),
+                           min_shared=2, max_df=1000)
+    print(f"verbatim-reuse audit: {reuse.count()} doc pairs share "
+          ">=2 winnowed fingerprints")
+
+    # 4c. DSIR selection: score every doc's likeness to a curated seed
     #     slice (hashed uni+bigram importance weights, fast-hash
     #     production path), quantile-bucket the scores, drop the bottom
     #     quartile — selection without any driver-side count

@@ -8,6 +8,13 @@ and measures (a) full-graph wall per (nlist, nprobe) and (b) recall@k
 against exact ground truth for a sampled anchor set (computed once with
 cosine_topk_batch — one corpus scan for all anchors, NOT Q rescans).
 
+Round 12 (VERDICT r11 #4): each config row also carries the
+box-independent stage counters (input rows/bytes, shuffle read/write)
+summed over the stages that ran for that graph build, via
+`tools/stage_metrics.py`. The wall on this box swings ~2x with the
+virtualized CPU quota; the counters don't — recall, edge counts, and
+rows/bytes are the checkable half of the n^2*nprobe/nlist work model.
+
 Usage: python tools/bench_knn.py [sf_dir] (default /tmp/sf1)
 Env: KNN_BENCH_ANCHORS (default 64), KNN_BENCH_K (default 10).
 Prints one JSON line. Protocol notes per memory/bench-protocol-pitfalls:
@@ -60,12 +67,17 @@ def main() -> None:
     out = {"sf_dir": SF_DIR, "n_vectors": n, "k": K,
            "anchors": len(anchors), "configs": []}
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from stage_metrics import delta, snapshot
+
     for nlist, nprobe in ((256, 8), (256, 16), (256, 32)):
+        before = snapshot(spark)
         t0 = time.perf_counter()
         g = sim.knn_graph(emb, k=K, nlist=nlist, nprobe=nprobe,
                           round_to=6)
         rows = g.count()
         wall = time.perf_counter() - t0
+        stage_tot = delta(snapshot(spark), before)
         got = (g.where(F.col("query_id") < N_ANCHORS)
                .select("query_id", "vec_id").collect())
         by_q: dict[int, set] = {}
@@ -78,7 +90,8 @@ def main() -> None:
             "nlist": nlist, "nprobe": nprobe,
             "wall_sec": round(wall, 1), "edges": rows,
             "recall_at_k": round(hits / denom, 3) if denom else None,
-            "work_model_pairs": int(n * n * nprobe / nlist)})
+            "work_model_pairs": int(n * n * nprobe / nlist),
+            "stages": stage_tot})
 
     print(json.dumps(out))
 

@@ -1,0 +1,70 @@
+"""Box-independent per-stage counters from the Spark app status store —
+the same numbers the UI's stage table shows (input rows/bytes, shuffle
+read/write bytes/records), readable with the UI disabled.
+
+Why (VERDICT r11 #4): decade-scale WALL numbers on this box vary ~2x
+with the virtualized CPU quota, so a work-model claim like "knn_graph
+does n^2*nprobe/nlist multiply-adds" is not checkable from the clock
+alone. Stage input/shuffle counters are deterministic for a fixed plan
+and data — two runs that read the same rows and shuffle the same bytes
+did the same work regardless of how the box was feeling. Benches snap
+counters before/after a run and report the delta alongside wall.
+
+Usage:
+    from stage_metrics import snapshot, delta
+    before = snapshot(spark)
+    ... run the query ...
+    d = delta(snapshot(spark), before)   # totals over the NEW stages
+"""
+
+from __future__ import annotations
+
+SUM_KEYS = ("input_records", "input_bytes", "shuffle_read_bytes",
+            "shuffle_read_records", "shuffle_write_bytes",
+            "shuffle_write_records", "num_tasks")
+
+
+def snapshot(spark) -> dict[int, dict[str, int]]:
+    """All stages the status store currently knows, keyed by stageId.
+
+    Uses the core `AppStatusStore.stageList` via py4j (the public REST
+    /api/v1/stages payload without needing the UI server). The 5-arg
+    signature is the Spark 4.x one: (statuses, details, withSummaries,
+    quantiles, taskStatus).
+    """
+    sc = spark.sparkContext
+    gw = sc._gateway
+    store = sc._jsc.sc().statusStore()
+    seq = store.stageList(gw.jvm.java.util.ArrayList(), False, False,
+                          gw.new_array(gw.jvm.double, 0),
+                          gw.jvm.java.util.ArrayList())
+    out: dict[int, dict[str, int]] = {}
+    for i in range(seq.size()):
+        sd = seq.apply(i)
+        out[int(sd.stageId())] = {
+            "input_records": int(sd.inputRecords()),
+            "input_bytes": int(sd.inputBytes()),
+            "shuffle_read_bytes": int(sd.shuffleReadBytes()),
+            "shuffle_read_records": int(sd.shuffleReadRecords()),
+            "shuffle_write_bytes": int(sd.shuffleWriteBytes()),
+            "shuffle_write_records": int(sd.shuffleWriteRecords()),
+            "num_tasks": int(sd.numTasks()),
+        }
+    return out
+
+
+def delta(after: dict[int, dict[str, int]],
+          before: dict[int, dict[str, int]]) -> dict[str, int]:
+    """Sum counters over stages that appeared (or re-attempted) since
+    `before`. Retries reuse the stageId, so a stage present in both
+    snapshots contributes the metric growth, not a double count."""
+    tot = {k: 0 for k in SUM_KEYS}
+    tot["n_stages"] = 0
+    for sid, m in after.items():
+        base = before.get(sid)
+        grew = base is None or any(m[k] > base[k] for k in SUM_KEYS)
+        if grew:
+            tot["n_stages"] += 1
+            for k in SUM_KEYS:
+                tot[k] += m[k] - (base[k] if base else 0)
+    return tot
