@@ -369,8 +369,14 @@ def _bloom_bit(gram, j: int, m_bits: int, hash: str, salt: str):
         h = (F.conv(F.substring(
             F.md5(F.concat(gram, F.lit(f":{salt}:{j}"))), 1, 15), 16, 10)
             .cast("bigint"))
-    else:
+    elif hash == "fast":
         h = F.xxhash64(gram, F.lit(f"{salt}:{j}"))
+    else:
+        # same typo-guard as text.hashed_feature / ivf_index(fit=): a
+        # misspelled mode must not silently pick the other hash family
+        # (a filter BUILT with one family never matches probes hashed
+        # with the other — 100% false-negative decontamination)
+        raise ValueError(f"hash must be 'portable' or 'fast', got {hash!r}")
     return F.pmod(h, F.lit(m_bits)).cast("long")
 
 

@@ -747,6 +747,37 @@ class TestSimilarity:
                             index=loaded_i).collect()]
         assert after_i == before_i
 
+    def test_loaded_ivf_probe_prunes_partitions(self, spark, tmp_path):
+        # the SCALE.md posture made checkable: an index persisted with
+        # partition_by="__cell" must let a probe's nprobe cell filter
+        # reach the scan as a PARTITION filter (directories skipped),
+        # not a post-scan predicate — at 100 TB this is the difference
+        # between reading nprobe/nlist of the index and all of it
+        import random
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            ivf_index, ivf_topk, load_ann_index, save_ann_index)
+
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(200)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id bigint, embedding array<float>")
+        ivf = ivf_index(df, nlist=8, seed=13)
+        save_ann_index(ivf, str(tmp_path / "ivfp"), kind="ivf",
+                       params={"nlist": 8, "seed": 13},
+                       partition_by="__cell")
+        loaded, params = load_ann_index(spark, str(tmp_path / "ivfp"))
+        probe = ivf_topk(df, rows[7][1], k=5, nlist=params["nlist"],
+                         nprobe=2, index=loaded)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        import re
+        m = re.search(r"PartitionFilters: \[([^\]]*__cell[^\]]*)\]", plan)
+        assert m, f"no __cell partition filter in scan:\n{plan[:2000]}"
+        # and the probe still answers correctly off the pruned scan
+        got = [r.vec_id for r in probe.collect()]
+        assert len(got) == 5
+
     def test_lsh_plan_scales_buckets_with_corpus(self):
         from confluent_ksql_charm_spark.pipeline.similarity import lsh_plan
 
