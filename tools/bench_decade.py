@@ -9,6 +9,12 @@ Prints one JSON line {"sf_dir": ..., "queries": {name: sec}}.
 Protocol notes (memory: bench-protocol-pitfalls): run on an idle box,
 strictly serially with any other Spark session; sub-second rows live in
 a +-0.1-0.4 s session band — only ratios across decades matter.
+
+Round 12: each query row also carries the box-independent stage
+counters (input rows/bytes, shuffle read/write — `tools/
+stage_metrics.py`) summed over ONE of its timed runs, so decade
+ratios are checkable against data volume, not just the
+virtualization-noisy wall clock.
 """
 
 from __future__ import annotations
@@ -59,19 +65,26 @@ def main() -> None:
     for name in names:                     # untimed global warm-up pass
         _force(qs[name](spark, sf_dir))
     spark.catalog.clearCache()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from stage_metrics import delta, snapshot
+
     timings: dict[str, float] = {}
+    stages: dict[str, dict[str, int]] = {}
     for name in names:
         runs = []
         for i in range(4):                 # 1 warm-up + 3 timed
+            before = snapshot(spark) if i == 1 else None
             t0 = time.time()
             _force(qs[name](spark, sf_dir))
             dt = time.time() - t0
+            if i == 1:                     # counters from ONE timed run
+                stages[name] = delta(snapshot(spark), before)
             if i > 0:
                 runs.append(dt)
         timings[name] = round(statistics.median(runs), 3)
         spark.catalog.clearCache()
     print(json.dumps({"sf_dir": sf_dir, "cpus": int(cpus),
-                      "queries": timings,
+                      "queries": timings, "stages": stages,
                       "total_sec": round(sum(timings.values()), 3)}))
 
 
