@@ -1,0 +1,71 @@
+"""tools/stage_metrics.py — the box-independent counter helper benches
+use for work-model evidence (VERDICT r11 #4). The delta() arithmetic is
+pure python; the snapshot() integration is covered by a live-session
+test that must see a groupBy's shuffle in the counters."""
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from stage_metrics import SUM_KEYS, delta, snapshot  # noqa: E402
+
+
+def _m(**over):
+    m = {k: 0 for k in SUM_KEYS}
+    m.update(over)
+    return m
+
+
+class TestDelta:
+    def test_new_stage_counts_fully(self):
+        after = {1: _m(input_records=10, shuffle_write_bytes=100)}
+        d = delta(after, {})
+        assert d["n_stages"] == 1
+        assert d["input_records"] == 10
+        assert d["shuffle_write_bytes"] == 100
+
+    def test_unchanged_stage_excluded(self):
+        same = {1: _m(input_records=10)}
+        d = delta(same, same)
+        assert d["n_stages"] == 0
+        assert d["input_records"] == 0
+
+    def test_retry_growth_counts_delta_only(self):
+        # a stage retry reuses the stageId; only the growth counts
+        before = {1: _m(input_records=10, input_bytes=50)}
+        after = {1: _m(input_records=25, input_bytes=90)}
+        d = delta(after, before)
+        assert d["n_stages"] == 1
+        assert d["input_records"] == 15
+        assert d["input_bytes"] == 40
+
+    def test_mixed(self):
+        before = {1: _m(input_records=5)}
+        after = {1: _m(input_records=5), 2: _m(shuffle_read_records=7)}
+        d = delta(after, before)
+        assert d == {**{k: 0 for k in SUM_KEYS},
+                     "shuffle_read_records": 7, "n_stages": 1}
+
+
+class TestSnapshotLive:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from pyspark.sql import SparkSession
+        s = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false")
+             .appName("stage-metrics-tests").getOrCreate())
+        yield s
+
+    def test_groupby_shuffle_visible(self, spark):
+        from pyspark.sql import functions as F
+        before = snapshot(spark)
+        (spark.range(0, 100000)
+         .withColumn("k", F.col("id") % 7).groupBy("k").count()
+         .write.format("noop").mode("overwrite").save())
+        d = delta(snapshot(spark), before)
+        assert d["n_stages"] >= 2                 # map + reduce
+        assert d["shuffle_write_records"] > 0
+        assert d["shuffle_read_records"] > 0
