@@ -153,28 +153,11 @@ def main() -> None:
     for name in HEADLINE:  # global warm-up pass (untimed, see docstring)
         _force(qs[name](spark, sf_dir))
     spark.catalog.clearCache()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        runs = []
-        for i in range(4):  # 1 warm-up + 3 timed
-            t0 = time.time()
-            _force(fn(spark, sf_dir))
-            dt = time.time() - t0
-            if i > 0:
-                runs.append(dt)
-        timings[name] = round(statistics.median(runs), 3)
-        # drop caches accumulated by operators (e.g. LSH candidate lists)
-        # so queries are timed against a clean storage layer
-        spark.catalog.clearCache()
 
-    # sentinel re-time (module docstring): same protocol, end-of-run
-    # position — ratio >> 1 across ALL sentinels = box drift during the
-    # run; flat sentinels + one inflated main row = real regression
-    sentinels = ["pricing_summary", "repetition_stats", "dedup_keep_best"]
-    sentinel_drift: dict[str, dict[str, float]] = {}
-    for name in sentinels:
-        fn = qs[name]
+    def _time_query(fn) -> float:
+        """The per-query protocol, shared verbatim by the main pass and
+        the sentinel re-time (the docstring's 'same protocol' promise):
+        1 warm-up + median of 3, clean cache after."""
         runs = []
         for i in range(4):
             t0 = time.time()
@@ -182,12 +165,29 @@ def main() -> None:
             dt = time.time() - t0
             if i > 0:
                 runs.append(dt)
-        second = round(statistics.median(runs), 3)
+        # drop caches accumulated by operators (e.g. LSH candidate lists)
+        # so queries are timed against a clean storage layer
+        spark.catalog.clearCache()
+        return round(statistics.median(runs), 3)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = _time_query(qs[name])
+
+    # sentinel re-time (module docstring): same protocol, end-of-run
+    # position — ratios uniformly >> 1 = drift arrived late in the run;
+    # uniformly << 1 = the MAIN pass was inflated (box recovered);
+    # flat sentinels + one inflated main row = real regression
+    sentinels = ["pricing_summary", "repetition_stats", "dedup_keep_best"]
+    sentinel_drift: dict[str, dict[str, float | None]] = {}
+    for name in sentinels:
+        second = _time_query(qs[name])
         first = timings[name]
+        # null, not a fabricated 1.0, when the main-pass median rounded
+        # to 0 — a made-up "flat" reading could flip the drift verdict
         sentinel_drift[name] = {
             "first": first, "second": second,
-            "ratio": round(second / first, 3) if first else 1.0}
-        spark.catalog.clearCache()
+            "ratio": round(second / first, 3) if first else None}
 
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)

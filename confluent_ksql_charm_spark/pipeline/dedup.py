@@ -876,11 +876,11 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str, *,
     skipped under a persisted `signatures` relation (keyed by original
     ids) and in plan-only mode.
     """
-    comp = _cluster_components(df, id_col, text_col, threshold=threshold,
-                               num_hashes=num_hashes, bands=bands,
-                               shingle_k=shingle_k, signatures=signatures)
+    comp, hint = _cluster_components(
+        df, id_col, text_col, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k, signatures=signatures)
     return (df.select(F.col(id_col))
-            .join(F.broadcast(comp.withColumnRenamed("id", id_col)),
+            .join(hint(comp.withColumnRenamed("id", id_col)),
                   id_col, "left")
             .select(F.col(id_col),
                     F.coalesce("cluster", F.col(id_col)).alias("cluster")))
@@ -888,17 +888,33 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str, *,
 
 def _cluster_components(df: DataFrame, id_col: str, text_col: str, *,
                         threshold: float, num_hashes: int, bands: int,
-                        shingle_k: int, signatures: DataFrame | None
-                        ) -> DataFrame:
+                        shingle_k: int, signatures: DataFrame | None):
     """The shared heavy half of `dedup_clusters`/`dedup_keep_best`:
-    LSH pairs → connected components. Returns the broadcast-sized
+    LSH pairs → connected components. Returns ``(comp, hint)`` — the
     (id, cluster) relation covering ONLY docs that appear in a near-dup
-    pair — callers left-join it to the corpus and coalesce singletons to
-    their own id, so the corpus never joins another corpus-sized
-    relation (round 12: `dedup_keep_best` previously joined the full
-    corpus to `dedup_clusters`' corpus-sized output — a sort-merge join
-    with two full-width Exchanges that existed only to re-attach a
-    column derivable from this broadcast)."""
+    pair, and the join hint to attach it with. Callers left-join it to
+    the corpus and coalesce singletons to their own id, so the corpus
+    never joins another corpus-sized relation (round 12:
+    `dedup_keep_best` previously joined the full corpus to
+    `dedup_clusters`' corpus-sized output — a sort-merge join with two
+    full-width Exchanges that existed only to re-attach a column
+    derivable from this relation).
+
+    The hint is `F.broadcast` only when the dup-ratio probe says the
+    corpus is NEAR-UNIQUE (comp then holds just the near-dup pair
+    members — tiny at any corpus size). On a duplication-heavy corpus
+    (probe ratio > 1.2 — the same signal that turns on exact-collapse)
+    every duplicated doc appears in comp, i.e. comp is a constant
+    fraction of the corpus, and a mandatory broadcast would hit the 8GB
+    broadcast ceiling / driver OOM at scale — those corpora take the
+    plain shuffle join (AQE still free to broadcast if runtime stats
+    allow). Measured sf0.1 near-unique: hinted 2.5 s vs AQE-left-alone
+    3.9 s (AQE keeps SMJ — the checkpointed CC output over-estimates),
+    so the hint is worth carrying where it is safe. Caveat: when the
+    probe is SKIPPED (persisted `signatures` / plan-only mode) the hint
+    defaults to broadcast — a persisted-signature flow over a known
+    dup-heavy corpus should run `exact_dedup` first (the documented
+    tier order), which removes exactly the rows that would bloat comp."""
     collapse = False
     if signatures is None and not lazy_plan_active():
         stats = df.agg(
@@ -909,7 +925,9 @@ def _cluster_components(df: DataFrame, id_col: str, text_col: str, *,
                          num_hashes=num_hashes, bands=bands,
                          shingle_k=shingle_k, signatures=signatures,
                          collapse_exact=collapse, _sparse_exact=collapse)
-    return connected_components(prs.select("id_a", "id_b"))
+    comp = connected_components(prs.select("id_a", "id_b"))
+    hint = (lambda d: d) if collapse else F.broadcast
+    return comp, hint
 
 
 def dedup_keep_best(df, id_col: str, text_col: str, *,
@@ -927,26 +945,28 @@ def dedup_keep_best(df, id_col: str, text_col: str, *,
     surviving rows of `df` with their `cluster` id attached.
 
     Scale shape: `_cluster_components` does the heavy lifting (LSH +
-    CC); the cluster column is attached by ONE broadcast left join of
-    the corpus to the pair-member component relation (singletons
-    coalesce to their own id — round 12: the previous shape joined the
-    corpus to `dedup_clusters`' corpus-sized output, a sort-merge join
-    with two full-width Exchanges; measured sf0.1 idle: 3.06 s old
-    shape → 2.55 s).
-    The keep-best pass is one window `row_number` over (cluster) —
-    lowered to partial WindowGroupLimit below the Exchange, same
-    map-side top-1 bound as `sampling.group_cap`.
+    CC); the cluster column is attached by ONE left join of the corpus
+    to the pair-member component relation — broadcast-hinted when the
+    dup-ratio probe says the corpus is near-unique, a plain shuffle
+    join on dup-heavy corpora where comp is corpus-scale (see
+    `_cluster_components`). Singletons coalesce to their own id —
+    round 12: the previous shape joined the corpus to
+    `dedup_clusters`' corpus-sized output, a sort-merge join with two
+    full-width Exchanges; measured sf0.1 idle: 3.06 s old shape →
+    2.55 s. The keep-best pass is one window `row_number` over
+    (cluster) — lowered to partial WindowGroupLimit below the
+    Exchange, same map-side top-1 bound as `sampling.group_cap`.
     """
     from pyspark.sql import Window
 
-    comp = _cluster_components(df, id_col, text_col, threshold=threshold,
-                               num_hashes=num_hashes, bands=bands,
-                               shingle_k=shingle_k, signatures=signatures)
+    comp, hint = _cluster_components(
+        df, id_col, text_col, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k, signatures=signatures)
     quality = (F.col(quality_col) if quality_col
                else F.length(F.col(text_col)))
     w = (Window.partitionBy("cluster")
          .orderBy(quality.desc(), F.col(id_col).asc()))
-    return (df.join(F.broadcast(comp.withColumnRenamed("id", id_col)),
+    return (df.join(hint(comp.withColumnRenamed("id", id_col)),
                     id_col, "left")
             .withColumn("cluster",
                         F.coalesce("cluster", F.col(id_col)))

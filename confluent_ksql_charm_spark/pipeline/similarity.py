@@ -569,7 +569,11 @@ def _collect_vector_matrix(df_col: DataFrame):
         pass
     rows = col.to_pylist()
     for i, v in enumerate(rows):
-        if v is None or any(e is None for e in v):
+        # non-list rows (a scalar column reached here) fall through to
+        # the asarray below and fail as the wrong-column-type mistake
+        # they are — the NULL guard must not intercept them
+        if v is None or (isinstance(v, (list, tuple))
+                         and any(e is None for e in v)):
             raise ValueError(
                 "vector training input contains a NULL embedding or a "
                 f"NULL element inside one (row {i} of the collected "

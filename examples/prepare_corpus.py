@@ -113,7 +113,12 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
     from confluent_ksql_charm_spark.pipeline.contamination import (
         corpus_gram_rows, novelty_report)
 
-    grams_path = os.path.join(out_dir, "corpus_grams.parquet")
+    # ingest artifacts live BESIDE the export, never inside it: the
+    # final step-8 write is mode("overwrite") on out_dir, which deletes
+    # everything under it — a pack-once relation stored there would be
+    # destroyed by the very run that built it (round-12 review finding)
+    artifacts_dir = out_dir.rstrip("/") + ".artifacts"
+    grams_path = os.path.join(artifacts_dir, "corpus_grams.parquet")
     (corpus_gram_rows(docs, "doc_id", "text", n=8)
      .select("gram").distinct().write.mode("overwrite")
      .parquet(grams_path))
@@ -134,7 +139,7 @@ def prepare(spark: SparkSession, sf_dir: str, out_dir: str, *,
     from confluent_ksql_charm_spark.pipeline.dedup import (
         winnow_fingerprints, winnow_overlap)
 
-    fps_path = os.path.join(out_dir, "winnow_fps.parquet")
+    fps_path = os.path.join(artifacts_dir, "winnow_fps.parquet")
     (winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
      .write.mode("overwrite").parquet(fps_path))
     reuse = winnow_overlap(spark.read.parquet(fps_path),

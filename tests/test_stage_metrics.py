@@ -20,30 +20,41 @@ def _m(**over):
 
 class TestDelta:
     def test_new_stage_counts_fully(self):
-        after = {1: _m(input_records=10, shuffle_write_bytes=100)}
+        after = {(1, 0): _m(input_records=10, shuffle_write_bytes=100)}
         d = delta(after, {})
         assert d["n_stages"] == 1
         assert d["input_records"] == 10
         assert d["shuffle_write_bytes"] == 100
 
     def test_unchanged_stage_excluded(self):
-        same = {1: _m(input_records=10)}
+        same = {(1, 0): _m(input_records=10)}
         d = delta(same, same)
         assert d["n_stages"] == 0
         assert d["input_records"] == 0
 
-    def test_retry_growth_counts_delta_only(self):
-        # a stage retry reuses the stageId; only the growth counts
-        before = {1: _m(input_records=10, input_bytes=50)}
-        after = {1: _m(input_records=25, input_bytes=90)}
+    def test_same_attempt_growth_counts_delta_only(self):
+        # an attempt present in both snapshots contributes its growth
+        before = {(1, 0): _m(input_records=10, input_bytes=50)}
+        after = {(1, 0): _m(input_records=25, input_bytes=90)}
         d = delta(after, before)
         assert d["n_stages"] == 1
         assert d["input_records"] == 15
         assert d["input_bytes"] == 40
 
+    def test_retry_is_a_new_attempt_key(self):
+        # a RESTARTED stage surfaces as (stageId, attempt+1) with
+        # counters reset — it must count fully, not be shadowed by the
+        # original attempt's equal-or-larger counters
+        before = {(1, 0): _m(input_records=10)}
+        after = {(1, 0): _m(input_records=10),
+                 (1, 1): _m(input_records=10)}
+        d = delta(after, before)
+        assert d["n_stages"] == 1
+        assert d["input_records"] == 10
+
     def test_mixed(self):
-        before = {1: _m(input_records=5)}
-        after = {1: _m(input_records=5), 2: _m(shuffle_read_records=7)}
+        before = {(1, 0): _m(input_records=5)}
+        after = {(1, 0): _m(input_records=5), (2, 0): _m(shuffle_read_records=7)}
         d = delta(after, before)
         assert d == {**{k: 0 for k in SUM_KEYS},
                      "shuffle_read_records": 7, "n_stages": 1}

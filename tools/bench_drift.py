@@ -76,6 +76,9 @@ def main() -> int:
             top = int(a.split("=", 1)[1]) if "=" in a else top
         elif a == "--prev":
             i += 1
+            if i >= len(argv):
+                print(__doc__)
+                return 2
             prev_path = argv[i]
         elif a.startswith("--prev="):
             prev_path = a.split("=", 1)[1]
@@ -109,11 +112,23 @@ def main() -> int:
     print(f"rows over the 2x gate: {len(over2)}")
     sent = full.get("sentinel_drift")
     if sent:
-        ratios = [v["ratio"] for v in sent.values()]
-        verdict = ("UNIFORM end-of-run inflation -> box drift"
-                   if min(ratios) > 1.25 else
-                   "sentinels flat -> over-gate rows are real"
-                   if max(ratios) < 1.25 else "mixed — judge per-row")
+        ratios = [v["ratio"] for v in sent.values()
+                  if v.get("ratio") is not None]
+        if not ratios:
+            verdict = "no usable sentinel ratios (sub-ms rows)"
+        elif min(ratios) > 1.25:
+            verdict = ("UNIFORM end-of-run inflation -> drift arrived "
+                       "late; early main-pass rows trustworthy")
+        elif max(ratios) < 0.8:
+            # the symmetric direction: the box was slow DURING the main
+            # pass and recovered by sentinel time — main-pass rows are
+            # inflated (the r11 driver-run shape)
+            verdict = ("UNIFORM end-of-run deflation -> MAIN PASS was "
+                       "inflated; over-gate rows are box drift")
+        elif max(ratios) < 1.25:
+            verdict = "sentinels flat -> over-gate rows are real"
+        else:
+            verdict = "mixed — judge per-row"
         print("sentinel re-time (end-of-run vs main pass): "
               + ", ".join(f"{k} {v['first']}->{v['second']} "
                           f"({v['ratio']}x)" for k, v in sent.items())

@@ -24,8 +24,11 @@ SUM_KEYS = ("input_records", "input_bytes", "shuffle_read_bytes",
             "shuffle_write_records", "num_tasks")
 
 
-def snapshot(spark) -> dict[int, dict[str, int]]:
-    """All stages the status store currently knows, keyed by stageId.
+def snapshot(spark) -> dict[tuple[int, int], dict[str, int]]:
+    """All stage ATTEMPTS the status store currently knows, keyed by
+    (stageId, attemptId) — stageList returns one StageData per attempt,
+    and keying by stageId alone would let a restarted attempt (counters
+    reset to 0) shadow or hide the original's work in delta().
 
     Uses the core `AppStatusStore.stageList` via py4j (the public REST
     /api/v1/stages payload without needing the UI server). The 5-arg
@@ -38,10 +41,10 @@ def snapshot(spark) -> dict[int, dict[str, int]]:
     seq = store.stageList(gw.jvm.java.util.ArrayList(), False, False,
                           gw.new_array(gw.jvm.double, 0),
                           gw.jvm.java.util.ArrayList())
-    out: dict[int, dict[str, int]] = {}
+    out: dict[tuple[int, int], dict[str, int]] = {}
     for i in range(seq.size()):
         sd = seq.apply(i)
-        out[int(sd.stageId())] = {
+        out[(int(sd.stageId()), int(sd.attemptId()))] = {
             "input_records": int(sd.inputRecords()),
             "input_bytes": int(sd.inputBytes()),
             "shuffle_read_bytes": int(sd.shuffleReadBytes()),
@@ -53,15 +56,17 @@ def snapshot(spark) -> dict[int, dict[str, int]]:
     return out
 
 
-def delta(after: dict[int, dict[str, int]],
-          before: dict[int, dict[str, int]]) -> dict[str, int]:
-    """Sum counters over stages that appeared (or re-attempted) since
-    `before`. Retries reuse the stageId, so a stage present in both
-    snapshots contributes the metric growth, not a double count."""
+def delta(after: dict[tuple[int, int], dict[str, int]],
+          before: dict[tuple[int, int], dict[str, int]]) -> dict[str, int]:
+    """Sum counters over stage attempts that appeared (or grew) since
+    `before`. A retried stage surfaces as a NEW (stageId, attemptId)
+    key and counts fully; an attempt present in both snapshots
+    contributes only its growth — never a double count, never a
+    negative (attempt counters are monotone within an attempt)."""
     tot = {k: 0 for k in SUM_KEYS}
     tot["n_stages"] = 0
-    for sid, m in after.items():
-        base = before.get(sid)
+    for key, m in after.items():
+        base = before.get(key)
         grew = base is None or any(m[k] > base[k] for k in SUM_KEYS)
         if grew:
             tot["n_stages"] += 1
