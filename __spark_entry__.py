@@ -1792,6 +1792,28 @@ def _q_ann_lsh(spark, sf):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_ann_multiprobe(spark, sf):
+    # Multi-probe LSH (Lv et al. 2007) at EXHAUSTIVE probe (n_probes =
+    # 2^bits enumerates every perturbation mask -> provably exact,
+    # shares the brute-force oracle); the equal-budget recall win over
+    # the Hamming ring is unit-tested and measured in the docstring
+    # (210k vectors: 0.469 vs 0.367 at 10 buckets). Reuses the cached
+    # lsh8 index relation — same bits/seed, same bucket column.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        lsh_index, lsh_multiprobe_topk)
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df
+    key = ("lsh8", id(spark), sf)
+    if key not in _ANN_INDEXES:
+        _ANN_INDEXES[key] = lsh_index(
+            emb.where(F.col("vec_id") != 0), bits=8).cache()
+    out = lsh_multiprobe_topk(emb.where(F.col("vec_id") != 0),
+                              _query_vec(spark, sf), k=10, bits=8,
+                              n_probes=256,  # = 2^bits: exact; scale knob
+                              index=_ANN_INDEXES[key])
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 _IVF_INDEXES: dict = {}
 
 
@@ -2080,7 +2102,7 @@ def _q_length_quantiles(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 135 entries; the driver's correctness harness samples the FIRST 50
+    # 136 entries; the driver's correctness harness samples the FIRST 50
     # each round, so ordering is the evidence-rotation lever (policy in
     # the dict comment below). Same-row-set entries are consolidated
     # (string+mask+url; datetime+date; json pair; quality block; topk
@@ -2229,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": _q_hybrid_search,
         "shuffle_shard": _q_shuffle_shard,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_multiprobe_topk": _q_ann_multiprobe,
         "ann_ivf_topk": _q_ann_ivf,
         "multimodal_features": _q_multimodal_features,
         "text_signals": _q_text_signals,
@@ -3865,6 +3888,14 @@ def _oracle_sql_base() -> dict[str, str]:
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
             "LIMIT 10"
         ),
+        "ann_multiprobe_topk": (
+            "SELECT vec_id, ROUND(list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine "
+            "FROM embeddings WHERE vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(embedding, "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id "
+            "LIMIT 10"
+        ),
         "ann_ivf_topk": (
             "SELECT vec_id, ROUND(list_cosine_similarity(embedding, "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine "
@@ -4633,6 +4664,7 @@ _ORACLE_DTYPE_PINS: dict[str, dict[str, str]] = {
     # Spark computes the cosine in DOUBLE
     "hamming_topk": {"cosine": "DOUBLE"},
     "ann_lsh_topk": {"cosine": "DOUBLE"},
+    "ann_multiprobe_topk": {"cosine": "DOUBLE"},
     "ann_ivf_topk": {"cosine": "DOUBLE"},
     "cosine_batch_topk": {"cosine": "DOUBLE"},
     "embedding_cosine_topk": {"cosine": "DOUBLE"},

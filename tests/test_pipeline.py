@@ -651,6 +651,69 @@ class TestSimilarity:
                   lsh_bucket_topk(df, q, k=5, bits=8, probe_hamming=8).collect()]
         assert approx == exact            # full probe = brute force
 
+    def test_multiprobe_masks_properties(self):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            _multiprobe_masks)
+
+        margins = [0.9, -0.05, 0.4, -0.01, 0.7]
+        masks = _multiprobe_masks(margins, 8)
+        assert masks[0] == 0                        # own bucket first
+        assert len(masks) == len(set(masks)) == 8   # distinct
+        # single-bit flips arrive in |margin| order: bit 3 (0.01) before
+        # bit 1 (0.05) before bit 2 (0.4)
+        singles = [m for m in masks if bin(m).count("1") == 1]
+        assert singles[0] == 1 << 3 and singles[1] == 1 << 1
+        # total-|margin| non-decreasing across the sequence
+        def cost(m):
+            return sum(abs(margins[j]) for j in range(5) if m >> j & 1)
+        costs = [cost(m) for m in masks]
+        assert costs == sorted(costs)
+        # n_probes >= 2^bits enumerates every mask (the exactness gate)
+        assert sorted(_multiprobe_masks(margins, 1 << 5)) == list(range(32))
+
+    def test_multiprobe_full_probe_matches_exact(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, lsh_multiprobe_topk)
+
+        import random
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(100)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id bigint, embedding array<float>")
+        q = rows[0][1]
+        exact = [r.vec_id for r in cosine_topk(df, q, k=5).collect()]
+        approx = [r.vec_id for r in lsh_multiprobe_topk(
+            df, q, k=5, bits=8, n_probes=256).collect()]
+        assert approx == exact            # all 2^bits probes = brute force
+
+    def test_multiprobe_candidates_monotone_in_budget(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            lsh_index, lsh_multiprobe_topk)
+
+        import random
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(200)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id bigint, embedding array<float>")
+        idx = lsh_index(df, bits=6, seed=42)
+        q = rows[5][1]
+        prev: set = set()
+        for t in (1, 4, 16, 64):
+            got = {r.vec_id for r in lsh_multiprobe_topk(
+                df, q, k=200, bits=6, n_probes=t, index=idx).collect()}
+            assert prev <= got            # probe set only ever grows
+            prev = got
+
+    def test_multiprobe_validates_n_probes(self, spark):
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            lsh_multiprobe_topk)
+        df = spark.createDataFrame([(1, [1.0, 0.0])],
+                                   "vec_id bigint, embedding array<float>")
+        with pytest.raises(ValueError, match="n_probes"):
+            lsh_multiprobe_topk(df, [1.0, 0.0], n_probes=0)
+
     def test_ivf_full_probe_matches_exact(self, spark):
         from confluent_ksql_charm_spark.pipeline.similarity import (
             cosine_topk, ivf_topk)
