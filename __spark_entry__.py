@@ -1772,23 +1772,33 @@ def _q_text_signals(spark, sf):
 _ANN_INDEXES: dict = {}
 
 
+def _lsh8_index(spark, sf):
+    """The shared (corpus, cached bits=8 lsh_index) pair for the LSH
+    oracle entries — ONE definition of the filter/bits/cache key so
+    _q_ann_lsh and _q_ann_multiprobe can never build diverging indexes
+    under the same key."""
+    from confluent_ksql_charm_spark.pipeline.similarity import lsh_index
+
+    emb = _eng(spark, sf).metastore.get("embeddings").df \
+        .where(F.col("vec_id") != 0)
+    key = ("lsh8", id(spark), sf)
+    if key not in _ANN_INDEXES:
+        _ANN_INDEXES[key] = lsh_index(emb, bits=8).cache()
+    return emb, _ANN_INDEXES[key]
+
+
 def _q_ann_lsh(spark, sf):
     # ANN variant of embedding_topk, run at FULL probe (provably exact →
     # shares the brute-force oracle); partial-probe recall is unit-tested.
     # Bucket projection built once per session and cached (index=), so a
     # probe costs bucket-filter + top-k, not a corpus re-projection.
     from confluent_ksql_charm_spark.pipeline.similarity import (
-        lsh_bucket_topk, lsh_index)
+        lsh_bucket_topk)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
-    key = ("lsh8", id(spark), sf)
-    if key not in _ANN_INDEXES:
-        _ANN_INDEXES[key] = lsh_index(
-            emb.where(F.col("vec_id") != 0), bits=8).cache()
-    out = lsh_bucket_topk(emb.where(F.col("vec_id") != 0),
-                          _query_vec(spark, sf), k=10, bits=8,
+    emb, idx = _lsh8_index(spark, sf)
+    out = lsh_bucket_topk(emb, _query_vec(spark, sf), k=10, bits=8,
                           probe_hamming=8,  # full probe = exact; scale knob
-                          index=_ANN_INDEXES[key])
+                          index=idx)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
@@ -1800,17 +1810,12 @@ def _q_ann_multiprobe(spark, sf):
     # (210k vectors: 0.469 vs 0.367 at 10 buckets). Reuses the cached
     # lsh8 index relation — same bits/seed, same bucket column.
     from confluent_ksql_charm_spark.pipeline.similarity import (
-        lsh_index, lsh_multiprobe_topk)
+        lsh_multiprobe_topk)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
-    key = ("lsh8", id(spark), sf)
-    if key not in _ANN_INDEXES:
-        _ANN_INDEXES[key] = lsh_index(
-            emb.where(F.col("vec_id") != 0), bits=8).cache()
-    out = lsh_multiprobe_topk(emb.where(F.col("vec_id") != 0),
-                              _query_vec(spark, sf), k=10, bits=8,
+    emb, idx = _lsh8_index(spark, sf)
+    out = lsh_multiprobe_topk(emb, _query_vec(spark, sf), k=10, bits=8,
                               n_probes=256,  # = 2^bits: exact; scale knob
-                              index=_ANN_INDEXES[key])
+                              index=idx)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 

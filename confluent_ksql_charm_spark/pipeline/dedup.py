@@ -22,6 +22,13 @@ from pyspark.sql import functions as F
 
 from .lazy import lazy_plan_active, maybe_checkpoint
 
+#: Above this many (id, cluster) rows the component relation stops
+#: getting a mandatory broadcast hint (~64 MB serialized at 2 longs/row
+#: — comfortably under Spark's 8GB broadcast ceiling with headroom for
+#: the driver holding build + result): `_cluster_components` LIMIT-probes
+#: the relation and falls back to a plain shuffle join beyond the cap.
+COMPONENT_BROADCAST_MAX_ROWS = 4_000_000
+
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ONLY when the input has fewer partitions than the
@@ -860,9 +867,11 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str, *,
 
     This is the full corpus-dedup primitive: `GROUP BY cluster` +
     `min_by` afterwards keeps one representative per near-dup group. The
-    join back to the corpus is on the id — at 100 TB the component
-    relation is tiny next to the corpus (only docs appearing in a pair),
-    so it broadcasts.
+    join back to the corpus is on the id — broadcast-hinted when the
+    component relation MEASURES small (a LIMIT probe; on near-unique
+    corpora it holds only the near-dup pair members), plain shuffle
+    join when it doesn't (dup-heavy corpora put a constant fraction of
+    the corpus in it — see `_cluster_components`).
 
     Exact-duplicate handling is decided ADAPTIVELY from one cheap probe
     (count vs approx_count_distinct(text), same driver-side AQE-style
@@ -900,23 +909,25 @@ def _cluster_components(df: DataFrame, id_col: str, text_col: str, *,
     full-width Exchanges that existed only to re-attach a column
     derivable from this relation).
 
-    The hint is `F.broadcast` only when the dup-ratio probe says the
-    corpus is NEAR-UNIQUE (comp then holds just the near-dup pair
-    members — tiny at any corpus size). On a duplication-heavy corpus
-    (probe ratio > 1.2 — the same signal that turns on exact-collapse)
-    every duplicated doc appears in comp, i.e. comp is a constant
-    fraction of the corpus, and a mandatory broadcast would hit the 8GB
-    broadcast ceiling / driver OOM at scale — those corpora take the
-    plain shuffle join (AQE still free to broadcast if runtime stats
-    allow). Measured sf0.1 near-unique: hinted 2.5 s vs AQE-left-alone
-    3.9 s (AQE keeps SMJ — the checkpointed CC output over-estimates),
-    so the hint is worth carrying where it is safe. Caveat: when the
-    probe is SKIPPED (persisted `signatures` / plan-only mode) the hint
-    defaults to broadcast — a persisted-signature flow over a known
-    dup-heavy corpus should run `exact_dedup` first (the documented
-    tier order), which removes exactly the rows that would bloat comp."""
+    The hint is `F.broadcast` only when comp ITSELF measures small: a
+    LIMIT probe (`COMPONENT_BROADCAST_MAX_ROWS`, the family's sizing
+    idiom) over the relation decides — cheap, because the CC edges are
+    already localCheckpointed by `connected_components`, so the probe
+    re-runs only the final distinct, never the LSH. Deciding from comp
+    evidence, not a corpus proxy, matters (round-12 review, twice):
+    the exact-dup text ratio misses a corpus of textually-DISTINCT
+    fuzzy near-dups (every doc in a pair, comp corpus-scale, ratio
+    ~1.0), and a persisted-`signatures` flow skips corpus probes
+    entirely. Over the cap the join goes plain shuffle (AQE still free
+    to broadcast if runtime stats allow); a mandatory broadcast there
+    would hit the 8GB ceiling / driver OOM. Measured sf0.1 near-unique:
+    hinted 2.5 s vs AQE-left-alone 3.9 s (AQE keeps SMJ — the
+    checkpointed CC output over-estimates), so the hint is worth
+    carrying where it is provably safe. Plan-only mode runs no probe
+    and keeps the hint (nothing executes there)."""
     collapse = False
-    if signatures is None and not lazy_plan_active():
+    lazy = lazy_plan_active()
+    if signatures is None and not lazy:
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.approx_count_distinct(text_col).alias("d")).first()
@@ -926,7 +937,12 @@ def _cluster_components(df: DataFrame, id_col: str, text_col: str, *,
                          shingle_k=shingle_k, signatures=signatures,
                          collapse_exact=collapse, _sparse_exact=collapse)
     comp = connected_components(prs.select("id_a", "id_b"))
-    hint = (lambda d: d) if collapse else F.broadcast
+    if lazy:
+        hint = F.broadcast
+    else:
+        probe = comp.limit(COMPONENT_BROADCAST_MAX_ROWS + 1).count()
+        hint = (F.broadcast if probe <= COMPONENT_BROADCAST_MAX_ROWS
+                else (lambda d: d))
     return comp, hint
 
 

@@ -207,6 +207,23 @@ def lsh_index(df: DataFrame, *, bits: int = 8, vec_col: str = "embedding",
                                      _hyperplanes(dim, bits, seed)))
 
 
+def _query_margins(query_vec: list[float], bits: int,
+                   seed: int) -> tuple[int, list[float]]:
+    """Driver-side query projection shared by every single-band LSH
+    probe: (bucket id, per-plane signed margins). The sign convention
+    (strictly ``margin > 0`` sets the bit) MUST match
+    `signed_projection_bucket` / `_band_buckets_udf` — one definition
+    here so the probes can never drift from the index."""
+    planes = _hyperplanes(len(query_vec), bits, seed)
+    margins = [sum(p * float(x) for p, x in zip(plane, query_vec))
+               for plane in planes]
+    qbucket = 0
+    for b, m in enumerate(margins):
+        if m > 0:
+            qbucket |= 1 << b
+    return qbucket, margins
+
+
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
                     bits: int = 8, vec_col: str = "embedding",
                     id_col: str = "vec_id", probe_hamming: int = 1,
@@ -232,11 +249,7 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     `sq8_topk_packed` (0.99 recall, no index) when the corpus must stay
     fully scannable.
     """
-    planes = _hyperplanes(len(query_vec), bits, seed)
-    qbucket = 0
-    for b, plane in enumerate(planes):
-        if sum(p * float(x) for p, x in zip(plane, query_vec)) > 0:
-            qbucket |= 1 << b
+    qbucket, _ = _query_margins(query_vec, bits, seed)
     bucketed = index if index is not None else lsh_index(
         df, bits=bits, vec_col=vec_col, seed=seed)
     cand = bucketed.where(
@@ -320,13 +333,7 @@ def lsh_multiprobe_topk(df: DataFrame, query_vec: list[float],
     """
     if n_probes < 1:
         raise ValueError(f"n_probes must be >= 1, got {n_probes}")
-    planes = _hyperplanes(len(query_vec), bits, seed)
-    margins = [sum(p * float(x) for p, x in zip(plane, query_vec))
-               for plane in planes]
-    qbucket = 0
-    for b, m in enumerate(margins):
-        if m > 0:
-            qbucket |= 1 << b
+    qbucket, margins = _query_margins(query_vec, bits, seed)
     buckets = [qbucket ^ mask
                for mask in _multiprobe_masks(margins, n_probes)]
     bucketed = index if index is not None else lsh_index(

@@ -2410,37 +2410,36 @@ class TestKeepBestAndAttribution:
             quality_col="q").collect()}
         assert got == {1}             # quality beats length
 
-    def test_component_hint_adaptive_to_dup_ratio(self, spark):
-        # round-12 review: the component-relation broadcast hint must
-        # switch OFF on dup-heavy corpora — there comp is a constant
-        # fraction of the corpus, and a mandatory broadcast is an
-        # 8GB-ceiling/driver-OOM cliff at scale. Near-unique corpora
-        # keep the measured-faster hint.
+    def test_component_hint_sized_by_comp_probe(self, spark, monkeypatch):
+        # round-12 review (twice): the component-relation broadcast hint
+        # must come from comp's OWN measured size — a corpus proxy (the
+        # exact-dup text ratio) misses textually-distinct fuzzy near-dup
+        # corpora where comp is corpus-scale, and a mandatory broadcast
+        # there is an 8GB-ceiling/driver-OOM cliff. Small comp keeps the
+        # measured-faster hint.
         from pyspark.sql import functions as F
 
-        from confluent_ksql_charm_spark.pipeline.dedup import (
-            _cluster_components)
+        from confluent_ksql_charm_spark.pipeline import dedup as dd
 
         kw = dict(threshold=0.7, num_hashes=16, bands=4, shingle_k=3,
                   signatures=None)
-        unique = spark.createDataFrame(
-            [(i, f"document number {i} with its own distinct words "
-                 f"token{i} filler{i * 7}") for i in range(30)],
-            "doc_id bigint, text string")
-        _, hint_u = _cluster_components(unique, "doc_id", "text", **kw)
-        assert hint_u is F.broadcast
-
-        heavy = spark.createDataFrame(
+        dup_heavy = spark.createDataFrame(
             [(i, "the same exact duplicated payload every time")
              for i in range(20)] + [(100, "one unique document here")],
             "doc_id bigint, text string")
-        _, hint_h = _cluster_components(heavy, "doc_id", "text", **kw)
-        assert hint_h is not F.broadcast
-        # and the plain-join path still produces correct clusters
-        from confluent_ksql_charm_spark.pipeline.dedup import (
-            dedup_keep_best)
-        kept = {r.doc_id for r in dedup_keep_best(
-            heavy, "doc_id", "text", threshold=0.7).collect()}
+        # comp = 20 pair-member rows: under the real cap -> hinted,
+        # even though the corpus itself is duplication-heavy
+        _, hint_small = dd._cluster_components(
+            dup_heavy, "doc_id", "text", **kw)
+        assert hint_small is F.broadcast
+        # shrink the cap so the same 20-row comp measures "too big" ->
+        # plain shuffle join, and the results stay identical
+        monkeypatch.setattr(dd, "COMPONENT_BROADCAST_MAX_ROWS", 5)
+        _, hint_big = dd._cluster_components(
+            dup_heavy, "doc_id", "text", **kw)
+        assert hint_big is not F.broadcast
+        kept = {r.doc_id for r in dd.dedup_keep_best(
+            dup_heavy, "doc_id", "text", threshold=0.7).collect()}
         assert kept == {0, 100}       # one rep per cluster (min-id tie)
 
     def test_attribution_pairs_and_counts(self, spark):

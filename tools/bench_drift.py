@@ -125,13 +125,16 @@ def main() -> int:
             # inflated (the r11 driver-run shape)
             verdict = ("UNIFORM end-of-run deflation -> MAIN PASS was "
                        "inflated; over-gate rows are box drift")
-        elif max(ratios) < 1.25:
+        elif 0.8 <= min(ratios) and max(ratios) < 1.25:
             verdict = "sentinels flat -> over-gate rows are real"
         else:
             verdict = "mixed — judge per-row"
         print("sentinel re-time (end-of-run vs main pass): "
-              + ", ".join(f"{k} {v['first']}->{v['second']} "
-                          f"({v['ratio']}x)" for k, v in sent.items())
+              + ", ".join(
+                  f"{k} {v['first']}->{v['second']} "
+                  + (f"({v['ratio']}x)" if v.get("ratio") is not None
+                     else "(n/a)")
+                  for k, v in sent.items())
               + f"  [{verdict}]")
     if prev_path:
         prev = load_run(prev_path)
