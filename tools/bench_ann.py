@@ -154,6 +154,25 @@ def main() -> None:
                 hits / (K * len(queries)), 3)
         out["ann_lsh_topk"] = lsh
         progress("ann_lsh_topk")
+        # multi-probe at the SAME scanned-bucket budgets as the rings
+        # (bits+1 and 1+bits+C(bits,2)) — recall-per-bucket comparison
+        # (round 12; BASELINE round-12 multiprobe table)
+        mp = {"bits": bits}
+        for label, t in (("h1_budget", 1 + bits),
+                         ("h2_budget", 1 + bits + bits * (bits - 1) // 2)):
+            t_probe, hits = 0.0, 0
+            for qid, qv in queries:
+                rows, dt = timed(lambda qv=qv, t=t: sim.lsh_multiprobe_topk(
+                    emb, qv, K, bits=bits, n_probes=t,
+                    index=idx).collect())
+                t_probe += dt
+                hits += len({r.vec_id for r in rows} & exact_sets[qid])
+            mp[f"probe_sec_{label}"] = round(t_probe / len(queries), 3)
+            mp[f"recall_at_{K}_{label}"] = round(
+                hits / (K * len(queries)), 3)
+            mp[f"n_probes_{label}"] = t
+        out["ann_multiprobe_topk"] = mp
+        progress("ann_multiprobe_topk")
 
     # -- IVF: nlist ~ sqrt(n) rounded to a power of two; train on a
     #    sample sized ~100 points/centroid (the deployed-index pattern).
