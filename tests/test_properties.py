@@ -711,3 +711,35 @@ def test_bucketed_rolling_equals_plain(spark, rows, window_s):
                    df, window_s=window_s,
                    bucket_s=window_s * 2).collect())
     assert a == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    margins=st.lists(st.floats(min_value=-10, max_value=10,
+                               allow_nan=False, width=32),
+                     min_size=1, max_size=10),
+    n_probes=st.integers(min_value=1, max_value=64),
+)
+def test_multiprobe_masks_reference_properties(margins, n_probes):
+    # pure-driver enumeration (no Spark): for ANY margins the probe
+    # sequence starts at the query's own bucket, never repeats a mask,
+    # is non-decreasing in total |margin| cost, stays within range, and
+    # enumerates exhaustively when the budget covers the whole space
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        _multiprobe_masks)
+
+    bits = len(margins)
+    masks = _multiprobe_masks(margins, n_probes)
+    assert masks[0] == 0
+    assert len(masks) == min(n_probes, 1 << bits)
+    assert len(set(masks)) == len(masks)
+    assert all(0 <= m < (1 << bits) for m in masks)
+
+    def cost(m):
+        return sum(abs(margins[j]) for j in range(bits) if m >> j & 1)
+
+    costs = [cost(m) for m in masks]
+    # float-add tolerance: the heap orders by accumulated float sums
+    assert all(b >= a - 1e-9 for a, b in zip(costs, costs[1:]))
+    if n_probes >= (1 << bits):
+        assert sorted(masks) == list(range(1 << bits))
