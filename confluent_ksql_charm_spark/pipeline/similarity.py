@@ -243,8 +243,11 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
 
     Measured scale guidance (BASELINE round-6 ANN decades): recall at a
     fixed probe ring DEGRADES as the corpus/bits grow — 0.69@h=2 at
-    210k vectors (bits=9) fell to 0.51 at 2.1M (bits=13). This is the
-    low-latency/low-recall point of the family; prefer `ivf_topk`
+    210k vectors (bits=9) fell to 0.51 at 2.1M (bits=13).
+    `lsh_multiprobe_topk` recovers a meaningful share of that at the
+    SAME scanned-bucket budget by probing lowest-|margin| flips first
+    (2.1M: 0.667 vs 0.525) — prefer it over raising `probe_hamming`.
+    This is the low-latency/low-recall point of the family; prefer `ivf_topk`
     (recall 1.0 at sf10 on clustered data) when quality matters, or
     `sq8_topk_packed` (0.99 recall, no index) when the corpus must stay
     fully scannable.
@@ -318,10 +321,13 @@ def lsh_multiprobe_topk(df: DataFrame, query_vec: list[float],
     `n_probes` budget scans the MOST PROBABLE buckets. Measured at
     210k vectors (/tmp/sf1, bits=9, 48 anchors, recall@10): equal
     10-bucket budget — multiprobe 0.469 vs ring 0.367; equal 46-bucket
-    budget — 0.783 vs 0.690. The ring is also all-or-nothing between
-    ring sizes (10 → 46 → 130 buckets at bits=9) where `n_probes` is a
-    continuous knob (T=16 lands 0.548 — between the rings at a third
-    of the h=2 cost).
+    budget — 0.783 vs 0.690. At the 2.1M decade (bits=13) the gap
+    WIDENS: 0.667 vs 0.525 at the 92-bucket budget (+27% relative) —
+    larger corpora need more bits, and more bits is exactly where
+    blind rings waste more of their budget. The ring is also
+    all-or-nothing between ring sizes (10 → 46 → 130 buckets at
+    bits=9) where `n_probes` is a continuous knob (T=16 lands 0.548 —
+    between the rings at a third of the h=2 cost).
 
     The probe set is an IN-literal on ``__bucket`` — on an index saved
     with ``partition_by="__bucket"`` (`save_ann_index(kind="lsh")`)
