@@ -706,6 +706,30 @@ class TestSimilarity:
             assert prev <= got            # probe set only ever grows
             prev = got
 
+    def test_multiprobe_filtered_search(self, spark):
+        # where= prunes candidates BEFORE scoring (filter-then-rank),
+        # the family rule; at exhaustive probe the result must equal
+        # brute force over the filtered corpus
+        from pyspark.sql import functions as F
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk, lsh_multiprobe_topk)
+
+        import random
+        rng = random.Random(11)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+                for i in range(120)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int")
+        q = rows[2][1]
+        exact = [r.vec_id for r in cosine_topk(
+            df.where(F.col("label") == 1), q, k=5).collect()]
+        got = [r.vec_id for r in lsh_multiprobe_topk(
+            df, q, k=5, bits=6, n_probes=64,
+            where=F.col("label") == 1).collect()]
+        assert got == exact
+        assert all(v % 3 == 1 for v in got)
+
     def test_multiprobe_validates_n_probes(self, spark):
         from confluent_ksql_charm_spark.pipeline.similarity import (
             lsh_multiprobe_topk)
