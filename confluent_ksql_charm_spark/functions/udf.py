@@ -42,10 +42,35 @@ class UdfRegistry:
 
     def register_grouped_agg(self, name: str, fn: Callable,
                              return_type: str) -> None:
-        """UDAF parity: a pandas grouped-aggregate UDF (series → scalar)."""
-        from pyspark.sql.functions import PandasUDFType, pandas_udf
+        """UDAF parity: a pandas grouped-aggregate UDF (series → scalar).
 
-        udf = pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
+        The grouped-agg eval type is conveyed via the modern type-hint
+        form (SPARK-28264 — `PandasUDFType.GROUPED_AGG` is deprecated):
+        the user fn is wrapped with a fabricated ``Series... -> scalar``
+        signature + annotations so arbitrary un-annotated callables
+        register cleanly (pandas_udf reads BOTH `inspect.signature` and
+        `__annotations__`). The scalar hint only classifies the UDF;
+        the actual return type is `return_type` as before.
+        """
+        import inspect
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        n = len(inspect.signature(fn).parameters)
+
+        def _wrapped(*cols):
+            return fn(*cols)
+
+        params = [inspect.Parameter(f"c{i}",
+                                    inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                                    annotation=pd.Series)
+                  for i in range(n)]
+        _wrapped.__signature__ = inspect.Signature(
+            params, return_annotation=float)
+        _wrapped.__annotations__ = {f"c{i}": pd.Series for i in range(n)}
+        _wrapped.__annotations__["return"] = float
+        udf = pandas_udf(_wrapped, return_type)
         self.spark.udf.register(name.lower(), udf)
         self._udfs[name.lower()] = "pandas_grouped_agg"
 
