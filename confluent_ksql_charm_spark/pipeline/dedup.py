@@ -764,7 +764,8 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, *, max_iter: int = 25,
-                         _rounds_out: list | None = None) -> DataFrame:
+                         _rounds_out: list | None = None,
+                         _edge_count_out: list | None = None) -> DataFrame:
     """Component label (= min node id in the component) for every node of
     an undirected edge list ``(id_a, id_b)``. Output: ``(id, cluster)``.
 
@@ -794,6 +795,12 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
 
     `_rounds_out`: internal/test hook — when a list is passed, the number
     of rounds executed is appended (O(log n) convergence assertion).
+    `_edge_count_out`: when a list is passed, the CONVERGED edge count is
+    appended — it is already on the driver (each round's `observe`
+    signature carries it), so callers sizing the output relation (e.g.
+    `_cluster_components`' broadcast decision: |output| ≤ 2·|edges|,
+    members ∪ roots) get it for ZERO extra Spark jobs. Not populated in
+    plan-only mode (nothing executes there).
     """
     edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
              .where(F.col("a") != F.col("b")).distinct())
@@ -850,6 +857,8 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
         sig = new_sig
     if _rounds_out is not None:
         _rounds_out.append(rounds)
+    if _edge_count_out is not None:
+        _edge_count_out.append(sig[0])
     # Converged edge set is a star forest: (member → component min) for
     # every non-root member. Roots label themselves.
     roots = edges.select(F.col("b").alias("a"), F.col("b")).distinct()
@@ -909,12 +918,19 @@ def _cluster_components(df: DataFrame, id_col: str, text_col: str, *,
     full-width Exchanges that existed only to re-attach a column
     derivable from this relation).
 
-    The hint is `F.broadcast` only when comp ITSELF measures small: a
-    LIMIT probe (`COMPONENT_BROADCAST_MAX_ROWS`, the family's sizing
-    idiom) over the relation decides — cheap, because the CC edges are
-    already localCheckpointed by `connected_components`, so the probe
-    re-runs only the final distinct, never the LSH. Deciding from comp
-    evidence, not a corpus proxy, matters (round-12 review, twice):
+    The hint is `F.broadcast` only when comp ITSELF measures small:
+    comp = (star-forest edges ∪ roots).distinct(), so |comp| ≤ 2·|edges|,
+    and the converged edge count is ALREADY on the driver — every CC
+    round's convergence signature (`observe` metrics riding the
+    checkpoint job) carries it. Round 13: the previous shape ran a
+    fresh `comp.limit(cap+1).count()` action here, which re-executed
+    the CC final distinct per call and cost ~1.3 s on the driver box
+    (BENCH r12 `dedup_clusters` 1.88×, the round's worst ratio); the
+    2·edges bound decides identically everywhere except the narrow
+    band cap/2 < |edges| ≤ |comp| ≤ cap, where it conservatively skips
+    the hint (AQE may still broadcast from runtime stats). Deciding
+    from comp evidence, not a corpus proxy, matters (round-12 review,
+    twice):
     the exact-dup text ratio misses a corpus of textually-DISTINCT
     fuzzy near-dups (every doc in a pair, comp corpus-scale, ratio
     ~1.0), and a persisted-`signatures` flow skips corpus probes
@@ -936,12 +952,16 @@ def _cluster_components(df: DataFrame, id_col: str, text_col: str, *,
                          num_hashes=num_hashes, bands=bands,
                          shingle_k=shingle_k, signatures=signatures,
                          collapse_exact=collapse, _sparse_exact=collapse)
-    comp = connected_components(prs.select("id_a", "id_b"))
+    n_edges: list[int] = []
+    comp = connected_components(prs.select("id_a", "id_b"),
+                                _edge_count_out=n_edges)
     if lazy:
         hint = F.broadcast
     else:
-        probe = comp.limit(COMPONENT_BROADCAST_MAX_ROWS + 1).count()
-        hint = (F.broadcast if probe <= COMPONENT_BROADCAST_MAX_ROWS
+        # zero-job sizing: |comp| ≤ 2·converged-edge-count (members +
+        # roots), and the count rode the last CC checkpoint's observe
+        hint = (F.broadcast
+                if 2 * n_edges[0] <= COMPONENT_BROADCAST_MAX_ROWS
                 else (lambda d: d))
     return comp, hint
 

@@ -199,6 +199,24 @@ class TestConnectedComponents:
         assert (agg["c"], agg["n"], agg["m"]) == (1, 10000, 0)
         assert rounds[0] <= 16, f"O(log n) regression: {rounds[0]} rounds"
 
+    def test_edge_count_out_matches_converged_edges(self, spark):
+        # round-13: the converged edge count rides the last checkpoint's
+        # observe metrics — `_edge_count_out` must report it exactly, so
+        # `_cluster_components` can size the broadcast hint with ZERO
+        # extra Spark jobs (|comp| <= 2*edges). Star forest on a 6-node
+        # path: 5 member->root edges after convergence.
+        from pyspark.sql import functions as F
+
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            connected_components)
+        pairs = (spark.range(5)
+                 .select(F.col("id").alias("id_a"),
+                         (F.col("id") + 1).alias("id_b")))
+        n_edges: list = []
+        out = connected_components(pairs, _edge_count_out=n_edges)
+        assert n_edges == [5]
+        assert out.count() == 6          # comp = members + root <= 2*5
+
     def test_dedup_clusters_singletons_self_label(self, spark):
         from confluent_ksql_charm_spark.pipeline.dedup import dedup_clusters
         rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
