@@ -7,7 +7,14 @@ queries (BASELINE numbers were measured in a long warm session; without
 this the first query absorbs the JVM/codegen JIT of the whole parquet
 read+join path — measured 1.02s vs 0.74s median for q3_style_chain cold-
 vs warm-position in one session), then per query one warm-up run + median
-of 3 timed runs.
+of 3 timed runs. Each query also emits the stage-counter DELTA
+(`"counters"`: input rows/bytes, shuffle read/write, via
+tools/stage_metrics.py) around its last timed run — work evidence that
+is deterministic for a fixed plan+data, so a wall inflation on a noisy
+box is adjudicable from the artifact without a re-run. Any row whose
+main-pass wall exceeds 1.8x its binding BASELINE.md entry is re-timed
+end-of-run and reported under `"offender_retime"` (per-row box-vs-code
+evidence even when the sentinel trio reads mixed).
 
 Sentinel drift (round 12, VERDICT r11 #2): after the main pass the
 harness RE-TIMES a fixed 3-query sentinel set (`pricing_summary`,
@@ -149,45 +156,85 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from stage_metrics import delta as _ctr_delta
+    from stage_metrics import snapshot as _ctr_snap
+
     qs = entrymod.queries()
     for name in HEADLINE:  # global warm-up pass (untimed, see docstring)
         _force(qs[name](spark, sf_dir))
     spark.catalog.clearCache()
 
-    def _time_query(fn) -> float:
+    def _time_query(fn) -> tuple[float, dict[str, int]]:
         """The per-query protocol, shared verbatim by the main pass and
-        the sentinel re-time (the docstring's 'same protocol' promise):
-        1 warm-up + median of 3, clean cache after."""
+        the sentinel/offender re-times (the docstring's 'same protocol'
+        promise): 1 warm-up + median of 3, clean cache after. Also
+        returns the stage-counter DELTA (input rows/bytes, shuffle
+        read/write) around the LAST timed run — box-independent work
+        evidence for the same plan the medians time (round 13,
+        VERDICT r12 #5: a driver-box wall inflation is adjudicable from
+        the artifact alone when the counters are unchanged). Counters
+        degrade to zeros if the status store is unreadable."""
         runs = []
+        ctr_before: dict = {}
         for i in range(4):
+            if i == 3:
+                ctr_before = _ctr_snap(spark)
             t0 = time.time()
             _force(fn(spark, sf_dir))
             dt = time.time() - t0
             if i > 0:
                 runs.append(dt)
+        counters = _ctr_delta(_ctr_snap(spark), ctr_before)
         # drop caches accumulated by operators (e.g. LSH candidate lists)
         # so queries are timed against a clean storage layer
         spark.catalog.clearCache()
-        return round(statistics.median(runs), 3)
+        return round(statistics.median(runs), 3), counters
 
     timings: dict[str, float] = {}
+    counters: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
-        timings[name] = _time_query(qs[name])
+        timings[name], counters[name] = _time_query(qs[name])
 
     # sentinel re-time (module docstring): same protocol, end-of-run
     # position — ratios uniformly >> 1 = drift arrived late in the run;
     # uniformly << 1 = the MAIN pass was inflated (box recovered);
-    # flat sentinels + one inflated main row = real regression
-    sentinels = ["pricing_summary", "repetition_stats", "dedup_keep_best"]
+    # flat sentinels + one inflated main row = real regression.
+    # Membership-guarded (ADVICE r12): a HEADLINE rename must not
+    # KeyError after the whole main pass already ran.
+    sentinels = [n for n in
+                 ("pricing_summary", "repetition_stats", "dedup_keep_best")
+                 if n in timings]
     sentinel_drift: dict[str, dict[str, float | None]] = {}
     for name in sentinels:
-        second = _time_query(qs[name])
+        second, _ = _time_query(qs[name])
         first = timings[name]
         # null, not a fabricated 1.0, when the main-pass median rounded
         # to 0 — a made-up "flat" reading could flip the drift verdict
         sentinel_drift[name] = {
             "first": first, "second": second,
             "ratio": round(second / first, 3) if first else None}
+
+    # per-offender re-time (round 13, VERDICT r12 #4): the sentinel trio
+    # adjudicates only UNIFORM drift; any row whose main-pass ratio vs
+    # the binding BASELINE table exceeds 1.8x gets its own end-of-run
+    # re-time, so an isolated over-gate row carries its own box-vs-code
+    # evidence in the artifact (second << first = the main pass hit a
+    # noisy window; second ~= first = the plan really is slower).
+    offender_retime: dict[str, dict[str, float | None]] = {}
+    try:
+        from bench_drift import load_binding
+        binding = load_binding()
+    except Exception:
+        binding = {}
+    for name, wall in timings.items():
+        base = binding.get(name)
+        if base and wall / base > 1.8:
+            second, _ = _time_query(qs[name])
+            offender_retime[name] = {
+                "first": wall, "second": second, "binding": base,
+                "ratio": round(second / wall, 3) if wall else None}
 
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -196,7 +243,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "counters": counters,
         "sentinel_drift": sentinel_drift,
+        "offender_retime": offender_retime,
         "sf": sf,
     }))
 

@@ -57,7 +57,15 @@ class UdfRegistry:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        n = len(inspect.signature(fn).parameters)
+        try:
+            n = sum(1 for p in inspect.signature(fn).parameters.values()
+                    if p.kind in (p.POSITIONAL_ONLY,
+                                  p.POSITIONAL_OR_KEYWORD))
+        except (TypeError, ValueError):
+            # C/builtin callables without introspectable signatures
+            # (some numpy ufunc-likes) — assume one Series column
+            n = 1
+        n = max(n, 1)
 
         def _wrapped(*cols):
             return fn(*cols)

@@ -28,6 +28,12 @@ the 100 TB plan: swap the paths, raise num_shards, submit to a cluster.
 
 Usage:
     python examples/prepare_corpus.py [sf_dir] [out_dir]
+
+Pack-once ingest artifacts (the corpus gram fingerprint and winnowing
+fingerprints) are written to the SIBLING directory `<out_dir>.artifacts`
+— never inside out_dir, whose final export overwrites it. The sibling
+belongs to the corpus: ship or delete the two together (re-runs with a
+different out_dir create a fresh sibling; stale ones are safe to rm).
     (defaults: /root/testdata/sf0.001  /tmp/prepared_corpus)
 """
 
@@ -224,6 +230,9 @@ def main() -> None:
     export = prepare(spark, sf_dir, out_dir, clean=False)
     n = spark.read.parquet(out_dir).count()
     print(f"wrote {n} chunks to {out_dir}")
+    print(f"pack-once ingest artifacts (gram fingerprint, winnow fps) "
+          f"in {out_dir.rstrip('/')}.artifacts — reused by later "
+          f"decontamination probes; delete alongside the corpus")
 
 
 if __name__ == "__main__":

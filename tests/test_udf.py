@@ -40,6 +40,32 @@ def test_grouped_agg_udaf(spark):
     assert {r.k: r.r for r in rows} == {"a": 2.0, "b": 0.0}
 
 
+def test_grouped_agg_uninspectable_callable(spark):
+    # ADVICE r12: C/builtin callables without introspectable signatures
+    # (numpy ufuncs raise ValueError in inspect.signature) must still
+    # register — the arity probe falls back to one Series column, and
+    # only positional params are counted for normal functions.
+    import numpy as np
+
+    from confluent_ksql_charm_spark import KsqlSparkEngine
+
+    eng = KsqlSparkEngine(spark)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double")
+    eng.register_source("t", df=df)
+    # np.add.reduce over the group's Series == sum; ufunc methods are
+    # uninspectable like the ufunc itself
+    assert isinstance(np.add.reduce, type(np.maximum.reduce))
+    eng.udfs.register_grouped_agg("vsum_c", np.add.reduce, "double")
+    rows = eng.sql("SELECT k, VSUM_C(v) AS s FROM t GROUP BY k").collect()
+    assert {r.k: r.s for r in rows} == {"a": 4.0, "b": 5.0}
+    # keyword-only/var-positional params don't inflate the arity
+    eng.udfs.register_grouped_agg(
+        "vmean_kw", lambda s, *, ddof=0: float(s.mean()), "double")
+    rows = eng.sql("SELECT k, VMEAN_KW(v) AS m FROM t GROUP BY k").collect()
+    assert {r.k: r.m for r in rows} == {"a": 2.0, "b": 5.0}
+
+
 def test_show_functions_includes_udf(spark):
     from confluent_ksql_charm_spark import KsqlSparkEngine
 

@@ -136,6 +136,21 @@ def main() -> int:
                      else "(n/a)")
                   for k, v in sent.items())
               + f"  [{verdict}]")
+    off = full.get("offender_retime")
+    if off:
+        # round 13 (VERDICT r12 #4): rows >1.8x binding re-timed
+        # end-of-run by bench.py itself — per-row box-vs-code verdicts
+        # even when the sentinels read MIXED.
+        for k, v in off.items():
+            r = v.get("ratio")
+            cls = ("n/a" if r is None
+                   else "box drift during main pass (re-time cleared it)"
+                   if v.get("binding") and v["second"] / v["binding"] <= 1.8
+                   else "REAL — re-time still over 1.8x binding")
+            print(f"offender re-time: {k} {v['first']}->{v['second']} "
+                  f"vs binding {v.get('binding')}  [{cls}]")
+    elif "offender_retime" in full:
+        print("offender re-time: none (no row exceeded 1.8x binding)")
     if prev_path:
         prev = load_run(prev_path)
         common = [q for q in run if q in prev and prev[q] > 0]

@@ -33,14 +33,27 @@ def snapshot(spark) -> dict[tuple[int, int], dict[str, int]]:
     Uses the core `AppStatusStore.stageList` via py4j (the public REST
     /api/v1/stages payload without needing the UI server). The 5-arg
     signature is the Spark 4.x one: (statuses, details, withSummaries,
-    quantiles, taskStatus).
+    quantiles, taskStatus) — on a Spark minor with a different
+    signature the py4j call fails and we degrade to an EMPTY snapshot
+    (consumers then report walls only; delta() of two empties is all
+    zeros, never a crash).
+
+    Bound to know: the status store evicts old stages past
+    `spark.ui.retainedStages` (default 1000) — a multi-query run whose
+    stages are evicted BETWEEN snapshots undercounts (the evicted
+    attempt vanishes from `after`, contributing nothing). Benches that
+    snapshot per query are far under the bound; raise retainedStages in
+    the session config if you snapshot around thousands of stages.
     """
     sc = spark.sparkContext
-    gw = sc._gateway
-    store = sc._jsc.sc().statusStore()
-    seq = store.stageList(gw.jvm.java.util.ArrayList(), False, False,
-                          gw.new_array(gw.jvm.double, 0),
-                          gw.jvm.java.util.ArrayList())
+    try:
+        gw = sc._gateway
+        store = sc._jsc.sc().statusStore()
+        seq = store.stageList(gw.jvm.java.util.ArrayList(), False, False,
+                              gw.new_array(gw.jvm.double, 0),
+                              gw.jvm.java.util.ArrayList())
+    except Exception:  # changed py4j signature / internals: walls only
+        return {}
     out: dict[tuple[int, int], dict[str, int]] = {}
     for i in range(seq.size()):
         sd = seq.apply(i)
