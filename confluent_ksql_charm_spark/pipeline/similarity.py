@@ -352,6 +352,114 @@ def lsh_multiprobe_topk(df: DataFrame, query_vec: list[float],
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def lsh_multiprobe_topk_batch(df: DataFrame,
+                              queries: list[tuple[int, list[float]]],
+                              k: int = 10, *, bits: int = 8,
+                              n_probes: int = 8,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id", seed: int = 42,
+                              index: DataFrame | None = None,
+                              round_to: int | None = 4,
+                              where: Column | None = None) -> DataFrame:
+    """MULTI-QUERY multi-probe LSH (Lv et al. 2007): one scan over the
+    UNION of all queries' probe sets, each query scored only against
+    ITS OWN probed buckets — closing the batch-shape contract the rest
+    of the ANN family already keeps (`cosine_topk_batch`,
+    `sq8_topk_packed_batch`, `pq_topk_batch`, `ivf_*_topk_batch`:
+    batch scans amortize Q queries over ONE corpus pass). Q multiprobe
+    queries previously cost Q scans of their probed-bucket unions.
+
+    Per query the result is EXACTLY `lsh_multiprobe_topk` (the probe
+    sequence comes from the same `_query_margins` + `_multiprobe_masks`
+    pair, and the per-query bucket mask is applied inside the Arrow
+    batch, same shape as `ivf_pq_topk_batch`'s cell masks). The
+    union-bucket filter is ONE IN-literal on ``__bucket`` — partition
+    PRUNING on an index saved with ``partition_by="__bucket"``
+    (`save_ann_index(kind="lsh")`), so overlapping query workloads
+    (production queries cluster) re-read shared buckets once, not once
+    per query. ``n_probes >= 2^bits`` probes every bucket for every
+    query = exactly `cosine_topk_batch` (the oracle-gate property).
+
+    Scores are rounded to `round_to` BEFORE the per-batch cut so the
+    ordering domain is engine-portable (the ADVICE-r5 float-tie
+    lesson all batch tiers encode). Returns (query_id, id_col, cosine),
+    k rows per query. Driver work: Q heap enumerations, O(Q · n_probes
+    · bits). `where`: shared predicate pruning candidates inside the
+    probed buckets before scoring (filter-then-rank; widen n_probes by
+    ~1/selectivity, the family rule).
+    """
+    import numpy as np
+
+    if n_probes < 1:
+        raise ValueError(f"n_probes must be >= 1, got {n_probes}")
+    probe_sets = []
+    for _, qv in queries:
+        qbucket, margins = _query_margins(qv, bits, seed)
+        probe_sets.append({qbucket ^ m
+                           for m in _multiprobe_masks(margins, n_probes)})
+    union_buckets = sorted(set().union(*probe_sets)) if probe_sets else []
+    union_arr = np.asarray(union_buckets, dtype=np.int64)
+    allowed = np.zeros((len(queries), len(union_buckets)), dtype=bool)
+    pos = {b: i for i, b in enumerate(union_buckets)}
+    for qi, bs in enumerate(probe_sets):
+        for b in bs:
+            allowed[qi, pos[b]] = True
+
+    qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
+    qmat = np.asarray([[float(x) for x in q[1]] for q in queries])
+    qn = np.sqrt((qmat * qmat).sum(1))
+    qn[qn == 0] = 1.0
+
+    bucketed = index if index is not None else lsh_index(
+        df, bits=bits, vec_col=vec_col, seed=seed)
+    cand = bucketed.where(
+        F.col("__bucket").isin([int(b) for b in union_buckets]))
+    if where is not None:
+        cand = cand.where(where)
+    schema = f"query_id long, {id_col} long, cosine double"
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            nrm = np.sqrt((x * x).sum(1))
+            nrm[nrm == 0] = 1.0
+            cos = (qmat @ x.T) / (nrm[None, :] * qn[:, None])
+            if round_to is not None:
+                cos = np.round(cos, round_to)
+            ids = np.asarray(pdf[id_col].values)
+            # rows reached this scan through the union IN-filter, so
+            # every bucket value is present in union_arr
+            u_idx = np.searchsorted(
+                union_arr, np.asarray(pdf["__bucket"].values,
+                                      dtype=np.int64))
+            ok = allowed[:, u_idx]                     # (Q, batch)
+            sel_q, sel_i, sel_a = [], [], []
+            for qi in range(len(qids)):
+                idx = np.nonzero(ok[qi])[0]
+                if idx.size == 0:
+                    continue
+                a_q, i_q = cos[qi][idx], ids[idx]
+                order = np.lexsort((i_q, -a_q))[:min(k, idx.size)]
+                sel_q.append(np.full(len(order), qids[qi],
+                                     dtype=np.int64))
+                sel_i.append(i_q[order])
+                sel_a.append(a_q[order])
+            if not sel_q:
+                continue
+            yield pd.DataFrame({"query_id": np.concatenate(sel_q),
+                                id_col: np.concatenate(sel_i),
+                                "cosine": np.concatenate(sel_a)})
+
+    scored = (cand.select(id_col, vec_col, "__bucket")
+              .mapInPandas(_scan, schema=schema))
+    return _batch_rank_finish(scored, id_col, k, "cosine")
+
+
 def knn_self_join(df: DataFrame, k: int = 5, *, bits: int = 8,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   seed: int = 42) -> DataFrame:

@@ -173,6 +173,28 @@ def main() -> None:
             mp[f"n_probes_{label}"] = t
         out["ann_multiprobe_topk"] = mp
         progress("ann_multiprobe_topk")
+        # BATCH multiprobe at the same ring-equivalent budgets: all Q
+        # queries in ONE scan of their probed-bucket union (round 13).
+        # Recall must MATCH the per-query loop above (same probe sets —
+        # parity is unit-tested); the batch win is wall: one job and
+        # one pass over shared buckets instead of Q. Reported as
+        # sec/query for direct comparison with probe_sec_* above.
+        mpb = {"bits": bits, "n_queries": len(queries)}
+        for label, t in (("h1_budget", 1 + bits),
+                         ("h2_budget", 1 + bits + bits * (bits - 1) // 2)):
+            rows, dt = timed(lambda t=t: sim.lsh_multiprobe_topk_batch(
+                emb, queries, K, bits=bits, n_probes=t,
+                index=idx).collect())
+            hits = sum(
+                len({r.vec_id for r in rows if r.query_id == qid}
+                    & exact_sets[qid]) for qid, _ in queries)
+            mpb[f"batch_sec_per_query_{label}"] = round(
+                dt / len(queries), 3)
+            mpb[f"recall_at_{K}_{label}"] = round(
+                hits / (K * len(queries)), 3)
+            mpb[f"n_probes_{label}"] = t
+        out["ann_multiprobe_batch_topk"] = mpb
+        progress("ann_multiprobe_batch_topk")
 
     # -- IVF: nlist ~ sqrt(n) rounded to a power of two; train on a
     #    sample sized ~100 points/centroid (the deployed-index pattern).
