@@ -951,6 +951,45 @@ class TestSimilarity:
         got = [r.vec_id for r in probe.collect()]
         assert len(got) == 5
 
+    def test_multiprobe_batch_prunes_saved_index_partitions(
+            self, spark, tmp_path):
+        # round 13: on a save_ann_index(kind="lsh",
+        # partition_by="__bucket") store, the batch scan's union-bucket
+        # IN-literal must reach the scan as a PARTITION filter — Q
+        # overlapping workloads read the probed directories once, not
+        # the whole index — and results must match the in-memory index.
+        import random
+        import re
+
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            load_ann_index, lsh_index, lsh_multiprobe_topk_batch,
+            save_ann_index)
+
+        rng = random.Random(31)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(200)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id bigint, embedding array<float>")
+        idx = lsh_index(df, bits=5, seed=7)
+        queries = [(rows[j][0], rows[j][1]) for j in (0, 11)]
+        before = [(r.query_id, r.vec_id, r.cosine)
+                  for r in lsh_multiprobe_topk_batch(
+                      df, queries, k=5, bits=5, n_probes=4, seed=7,
+                      index=idx).collect()]
+        save_ann_index(idx, str(tmp_path / "lshp"), kind="lsh",
+                       params={"bits": 5, "seed": 7},
+                       partition_by="__bucket")
+        loaded, params = load_ann_index(spark, str(tmp_path / "lshp"))
+        probe = lsh_multiprobe_topk_batch(
+            df, queries, k=5, bits=params["bits"], n_probes=4,
+            seed=params["seed"], index=loaded)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*__bucket[^\]]*)\]",
+                      plan)
+        assert m, f"no __bucket partition filter in scan:\n{plan[:2000]}"
+        after = [(r.query_id, r.vec_id, r.cosine) for r in probe.collect()]
+        assert after == before
+
     def test_lsh_plan_scales_buckets_with_corpus(self):
         from confluent_ksql_charm_spark.pipeline.similarity import lsh_plan
 
