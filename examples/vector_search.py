@@ -111,6 +111,16 @@ def lifecycle(spark, sf_dir: str, idx_dir: str) -> dict:
     print("multi-probe LSH (12 buckets of 256 scanned):")
     mp.show(truncate=False)
 
+    # 6c. and its batch sibling (round 13): Q queries, one scan of the
+    # UNION of their probe sets with per-query bucket masks — recall
+    # identical to the per-query loop (same probe sets), wall amortized
+    # over shared buckets (BASELINE round-13 table: 2-4x per query at
+    # Q=20)
+    mpb = sim.lsh_multiprobe_topk_batch(emb, qset, k=3, bits=8,
+                                        n_probes=12, index=lsh_idx)
+    print("batch multi-probe LSH (3 queries, one union-bucket scan):")
+    mpb.show(truncate=False)
+
     # 7. the semantic curation pair on the same embeddings: SemDeDup
     # cluster dedup (keep one representative per near-identical
     # cluster) and embedding-space benchmark decontamination (reject
@@ -130,7 +140,7 @@ def lifecycle(spark, sf_dir: str, idx_dir: str) -> dict:
 
     return {"n": n, "raw": raw.collect(), "refined": refined.collect(),
             "filtered": filtered.collect(), "err": err.collect(),
-            "batch": batch.collect(),
+            "batch": batch.collect(), "mp_batch": mpb.collect(),
             "n_dedup": n_dedup, "n_decon": n_decon,
             "post_add_rows": reloaded[0].count(), "emb": emb,
             "query": query}

@@ -2791,6 +2791,17 @@ class TestVectorSearchExampleBasics:
         assert len(by_q) == 3
         for qid, rows in by_q.items():
             assert rows[0]["vec_id"] == qid
+        # batch multi-probe LSH (round 13): same 3 corpus-member
+        # queries through the union-bucket scan — each query's own
+        # bucket is always probed (mask 0), so it retrieves itself
+        # first with cosine ~1.0
+        mp_by_q = {}
+        for r in res["mp_batch"]:
+            mp_by_q.setdefault(r["query_id"], []).append(r)
+        assert len(mp_by_q) == 3
+        for qid, rows in mp_by_q.items():
+            assert rows[0]["vec_id"] == qid
+            assert rows[0]["cosine"] > 0.999
         # curation pair: dedup keeps a subset; decontamination returns
         # only non-bench rows
         assert 0 < res["n_dedup"] <= n
