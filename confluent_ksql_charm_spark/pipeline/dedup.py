@@ -25,8 +25,11 @@ from .lazy import lazy_plan_active, maybe_checkpoint
 #: Above this many (id, cluster) rows the component relation stops
 #: getting a mandatory broadcast hint (~64 MB serialized at 2 longs/row
 #: — comfortably under Spark's 8GB broadcast ceiling with headroom for
-#: the driver holding build + result): `_cluster_components` LIMIT-probes
-#: the relation and falls back to a plain shuffle join beyond the cap.
+#: the driver holding build + result). `_cluster_components` sizes the
+#: relation for FREE as 2x the converged CC edge count (the count rides
+#: each round's observe-based convergence signature — round 13; the
+#: previous LIMIT-probe action cost ~1.3 s/call on the bench box) and
+#: falls back to a plain shuffle join beyond the cap.
 COMPONENT_BROADCAST_MAX_ROWS = 4_000_000
 
 

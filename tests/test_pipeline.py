@@ -2565,7 +2565,10 @@ class TestKeepBestAndAttribution:
         # exact-dup text ratio) misses textually-distinct fuzzy near-dup
         # corpora where comp is corpus-scale, and a mandatory broadcast
         # there is an 8GB-ceiling/driver-OOM cliff. Small comp keeps the
-        # measured-faster hint.
+        # measured-faster hint. (Round 13: the measurement is now the
+        # free 2x-converged-edge-count bound instead of a LIMIT-probe
+        # action — same decisions, zero extra jobs; this test pins both
+        # sides of the cap either way.)
         from pyspark.sql import functions as F
 
         from confluent_ksql_charm_spark.pipeline import dedup as dd

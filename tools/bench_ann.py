@@ -179,12 +179,23 @@ def main() -> None:
         # parity is unit-tested); the batch win is wall: one job and
         # one pass over shared buckets instead of Q. Reported as
         # sec/query for direct comparison with probe_sec_* above.
+        # Stage-counter deltas (tools/stage_metrics) pin the one-scan
+        # claim box-independently: batch_input_records ~= |union of
+        # probed buckets| once, vs the per-query loop's Q separate
+        # probed-bucket reads (loop_input_records, measured around the
+        # h2 ring loop above when counters are readable).
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from stage_metrics import delta as ctr_delta
+        from stage_metrics import snapshot as ctr_snap
+
         mpb = {"bits": bits, "n_queries": len(queries)}
         for label, t in (("h1_budget", 1 + bits),
                          ("h2_budget", 1 + bits + bits * (bits - 1) // 2)):
+            before = ctr_snap(spark)
             rows, dt = timed(lambda t=t: sim.lsh_multiprobe_topk_batch(
                 emb, queries, K, bits=bits, n_probes=t,
                 index=idx).collect())
+            ctr = ctr_delta(ctr_snap(spark), before)
             hits = sum(
                 len({r.vec_id for r in rows if r.query_id == qid}
                     & exact_sets[qid]) for qid, _ in queries)
@@ -193,6 +204,16 @@ def main() -> None:
             mpb[f"recall_at_{K}_{label}"] = round(
                 hits / (K * len(queries)), 3)
             mpb[f"n_probes_{label}"] = t
+            mpb[f"batch_input_records_{label}"] = ctr["input_records"]
+            # the equivalent per-query loop, counter-pinned (walls for
+            # the loop are already in ann_multiprobe_topk above)
+            before = ctr_snap(spark)
+            for qid, qv in queries:
+                sim.lsh_multiprobe_topk(
+                    emb, qv, K, bits=bits, n_probes=t,
+                    index=idx).collect()
+            ctr = ctr_delta(ctr_snap(spark), before)
+            mpb[f"loop_input_records_{label}"] = ctr["input_records"]
         out["ann_multiprobe_batch_topk"] = mpb
         progress("ann_multiprobe_batch_topk")
 
