@@ -136,13 +136,66 @@ def redact_pii(df: DataFrame, text_col: str, *,
 
     `luhn_validate`: gate the credit-card kind on the Luhn checksum so
     16-digit non-cards (order ids, tracking numbers) survive — the
-    precision/recall knob every production PII pass carries.
+    precision/recall knob every production PII pass carries. The gated
+    path evaluates the candidate/valid arrays ONCE per row through
+    intermediate columns (round 13): higher-order functions run on the
+    interpreted path with no codegen subexpression elimination, so the
+    previous single-expression form re-ran extract_all + the Luhn fold
+    3-4x per row between the counts, the size guards and the
+    alternation build (measured sf0.1: 3.4 s -> 0.8 s single-task).
+    CollapseProject keeps the staged Projects separate exactly because
+    the aliases are non-cheap and multiply referenced; the temps are
+    dropped before return, so the output schema is unchanged.
     """
     out_col = out_col or text_col
-    proj = df
+    if not luhn_validate:
+        # ungated: every pattern is a static literal regex (compiled
+        # once, cached across rows) — the progressive double evaluation
+        # in the count+replace pair is ~free (measured 0.16 s / 5k docs
+        # for all five kinds); keep the simple expression form
+        proj = df
+        if with_counts:
+            for name, col in pii_count_cols(text_col).items():
+                proj = proj.withColumn(name, col)
+        return proj.withColumn(out_col, redact_col(text_col))
+
+    email_pat, email_tok = PII_PATTERNS[0][1], PII_PATTERNS[0][2]
+    cc_pat, cc_tok = PII_PATTERNS[1][1], PII_PATTERNS[1][2]
+    c = F.col(text_col)
+    stage = (df
+             .withColumn("__t1", F.regexp_replace(c, email_pat, email_tok))
+             .withColumn("__occ", F.regexp_extract_all(
+                 F.col("__t1"), F.lit(cc_pat), 0))
+             .withColumn("__cands", F.array_distinct(F.col("__occ")))
+             .withColumn("__valid", F.filter(F.col("__cands"), luhn_valid)))
+    # same single-pass alternation semantics as _redact_cc_validated
+    # (see its docstring for the \b-boundary / all-valid-fast-path
+    # reasoning), just over materialized arrays
+    alt = F.concat(F.lit(r"\b(?:"), F.array_join(F.col("__valid"), "|"),
+                   F.lit(r")\b"))
+    replaced = (F.when(F.size("__valid") == 0, F.col("__t1"))
+                .when(F.size("__valid") == F.size("__cands"),
+                      F.regexp_replace(F.col("__t1"), cc_pat, cc_tok))
+                .otherwise(F.regexp_replace(F.col("__t1"), alt,
+                                            F.lit(cc_tok))))
     if with_counts:
-        for name, col in pii_count_cols(
-                text_col, luhn_validate=luhn_validate).items():
-            proj = proj.withColumn(name, col)
-    return proj.withColumn(
-        out_col, redact_col(text_col, luhn_validate=luhn_validate))
+        # n_cc counts checksum-valid OCCURRENCES: membership in the
+        # (distinct, validated) array replaces re-running the Luhn fold
+        # per occurrence — identical result, one fold per DISTINCT
+        # candidate
+        stage = (stage
+                 .withColumn("n_email", F.size(F.regexp_extract_all(
+                     c, F.lit(email_pat), 0)))
+                 .withColumn("n_cc", F.size(F.filter(
+                     F.col("__occ"),
+                     lambda x: F.array_contains(F.col("__valid"), x)))))
+    stage = stage.withColumn("__t2", replaced)
+    cur = F.col("__t2")
+    for kind, pat, token in PII_PATTERNS[2:]:
+        if with_counts:
+            stage = stage.withColumn(
+                f"n_{kind}", F.size(F.regexp_extract_all(
+                    cur, F.lit(pat), 0)))
+        cur = F.regexp_replace(cur, pat, token)
+    return (stage.withColumn(out_col, cur)
+            .drop("__t1", "__occ", "__cands", "__valid", "__t2"))
