@@ -240,14 +240,38 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
 
     Ties on the top token break to the lexicographically smallest token
     so output is deterministic and oracle-comparable.
+
+    The ratio block stages the token and n-gram arrays as intermediate
+    columns (round 13): the n-gram builders are higher-order zip_with
+    chains — interpreted, no codegen subexpression elimination — and
+    the single-expression form built each gram array TWICE per row
+    (size + array_distinct) plus the token split once per ratio.
+    CollapseProject keeps the multiply-referenced non-cheap aliases
+    un-inlined, so each array materializes once per row; values are
+    bit-identical (same expressions, shared instead of repeated).
     """
     c = F.col(text_col)
-    expr_part = df.select(
+    staged = df.select(F.col(id_col), tokens_col(c).alias("__toks"))
+    for n in ngram_ns:
+        grams = F.when(
+            F.size("__toks") >= n,
+            sliding_windows_col(F.col("__toks"), n),
+        ).otherwise(F.array(F.concat_ws(" ", F.col("__toks"))))
+        staged = staged.withColumn(f"__g{n}", grams)
+
+    def _dup_ratio(arr: Column) -> Column:
+        cnt = F.size(arr)
+        return F.round(
+            F.when(cnt > 0,
+                   (cnt - F.size(F.array_distinct(arr))) / cnt)
+            .otherwise(F.lit(0.0)), 4)
+
+    expr_part = staged.select(
         F.col(id_col),
-        token_count(c).alias("n_tokens"),
-        F.round(dup_token_ratio(c), 4).alias("dup_token_ratio"),
+        F.size("__toks").alias("n_tokens"),
+        _dup_ratio(F.col("__toks")).alias("dup_token_ratio"),
         *[
-            F.round(dup_ngram_ratio(c, n), 4).alias(f"dup_{n}gram_ratio")
+            _dup_ratio(F.col(f"__g{n}")).alias(f"dup_{n}gram_ratio")
             for n in ngram_ns
         ],
     )
@@ -1238,17 +1262,26 @@ def distinct_ngram_ratios(df: DataFrame, text_col: str = "text", *,
     if lowercase:
         toks = F.transform(toks, F.lower)
     toks = F.filter(toks, lambda t: t != "")
+    # stage the normalized token array ONCE (round 13): the
+    # split+lower+filter chain is interpreted (HOFs, no codegen CSE)
+    # and the window builders below reference the token array once per
+    # shifted slice per n — the single-expression form re-ran the whole
+    # chain for every reference. CollapseProject keeps the
+    # multiply-referenced non-cheap alias un-inlined.
+    keys = ([F.col(by)] if by else [])
+    staged = df.select(*keys, toks.alias("__toks"))
+    toks_a = F.col("__toks")
     levels = []
     for n in range(1, max_n + 1):
-        wins = F.when(F.size(toks) >= n,
-                      sliding_windows_col(toks, n)
+        wins = F.when(F.size(toks_a) >= n,
+                      sliding_windows_col(toks_a, n)
                       ).otherwise(F.array().cast("array<string>"))
         levels.append(F.transform(
             wins, lambda g: F.struct(F.lit(n).alias("n"),
                                      g.alias("gram"))))
     combined = F.concat(*levels) if len(levels) > 1 else levels[0]
     keys = ([F.col(by)] if by else [])
-    rows = df.select(*keys, F.explode(combined).alias("g")).select(
+    rows = staged.select(*keys, F.explode(combined).alias("g")).select(
         *keys, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     gb = ([by] if by else []) + ["n"]
     dcount = (F.approx_count_distinct("gram", rsd) if approx
