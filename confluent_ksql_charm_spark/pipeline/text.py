@@ -357,21 +357,28 @@ def c4_line_clean(df: DataFrame, id_col: str = "doc_id",
     C4 would drop outright (curly braces = code, lorem ipsum).
 
     Entirely expression-only (split / transform / filter / array_join)
-    — one projection over the scan, no shuffle, whole-stage codegen; at
-    100 TB this runs at parquet-scan speed with full column pruning.
+    — one projection pipeline over the scan, no shuffle; at 100 TB this
+    runs at parquet-scan speed with full column pruning. The line and
+    kept-line arrays are staged as intermediate columns (round 13):
+    the transform/filter chains are interpreted HOFs with no codegen
+    subexpression elimination, and the single-expression form re-ran
+    the trim pass 3x and the keep predicate 2x per row.
     Returns (id, n_lines, n_kept, cleaned, keep_doc)."""
     c = F.col(text_col)
     lines = F.transform(F.split(c, "\n"), lambda l: F.trim(l))
-    kept = F.filter(lines, lambda l: c4_line_keep(l, min_words))
     keep_doc = (
         ~c.contains("{") & ~c.contains("}")
         & ~F.lower(c).contains(C4_DOC_PHRASE)
     )
-    return df.select(
+    staged = (df.withColumn("__lines", lines)
+              .withColumn("__kept", F.filter(
+                  F.col("__lines"),
+                  lambda l: c4_line_keep(l, min_words))))
+    return staged.select(
         F.col(id_col),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
-        F.array_join(kept, "\n").alias("cleaned"),
+        F.size("__lines").alias("n_lines"),
+        F.size("__kept").alias("n_kept"),
+        F.array_join(F.col("__kept"), "\n").alias("cleaned"),
         keep_doc.alias("keep_doc"),
     )
 
