@@ -347,17 +347,22 @@ def substring_dedup(df: DataFrame, id_col: str, text_col: str, *,
         raise ValueError(f"min_dup must be >= 2, got {min_dup}")
     from pyspark.sql import Window
 
-    toks = tokens_col(text_col)
-    nt = F.size(toks)
+    # token array staged as a column (round 13): the window chain is
+    # interpreted HOFs (no codegen CSE), and building it straight off
+    # tokens_col re-ran the split once per shifted slice per row;
+    # CollapseProject keeps the multiply-referenced alias un-inlined
+    toks = tokens_col(text_col)     # re-tokenized once in the rebuild
+    toks_a = F.col("__toks")
     win_hashes = F.when(
-        nt >= n,
-        F.transform(sliding_windows_col(toks, n),
+        F.size(toks_a) >= n,
+        F.transform(sliding_windows_col(toks_a, n),
                     lambda w: F.xxhash64(w)),
     ).otherwise(F.array().cast("array<bigint>"))
-    win = ensure_parallelism(df).select(
-        F.col(id_col).alias("__doc"),
-        F.posexplode(win_hashes).alias("__pos", "__h"),
-    )
+    win = (ensure_parallelism(df)
+           .select(F.col(id_col).alias("__doc"),
+                   tokens_col(text_col).alias("__toks"))
+           .select("__doc",
+                   F.posexplode(win_hashes).alias("__pos", "__h")))
     dup = (win.groupBy("__h").agg(F.count("*").alias("__cnt"))
            .where(F.col("__cnt") >= min_dup).select("__h"))
     spans = (win.join(dup, "__h")
@@ -1192,16 +1197,20 @@ def top_repeated_spans(df: DataFrame, id_col: str, text_col: str, *,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     hash_fn = token_hash or F.xxhash64
-    toks = tokens_col(text_col)
-    nt = F.size(toks)
+    toks = tokens_col(text_col)     # re-tokenized once in the rebuild
+    # staged token column, same round-13 reasoning as substring_dedup:
+    # the interpreted window chain must not re-split per slice
+    toks_a = F.col("__toks")
     win_hashes = F.when(
-        nt >= n,
-        F.transform(sliding_windows_col(toks, n),
+        F.size(toks_a) >= n,
+        F.transform(sliding_windows_col(toks_a, n),
                     lambda w: hash_fn(w)),
     ).otherwise(F.array().cast("array<bigint>"))
-    win = ensure_parallelism(df).select(
-        F.col(id_col).alias("__doc"),
-        F.posexplode(win_hashes).alias("__pos", "__h"))
+    win = (ensure_parallelism(df)
+           .select(F.col(id_col).alias("__doc"),
+                   tokens_col(text_col).alias("__toks"))
+           .select("__doc",
+                   F.posexplode(win_hashes).alias("__pos", "__h")))
     top = (win.groupBy("__h")
            .agg(F.count("*").alias("n_occurrences"),
                 F.count_distinct("__doc").alias("n_docs"))
