@@ -1415,21 +1415,29 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         # b sits RIGHT of a in the window; <= keeps the rightmost min
         return F.when(b["fp"] <= a["fp"], b).otherwise(a)
 
-    m = n_grams - F.lit(window - 1)  # number of full windows
-    acc = F.slice(pairs, 1, m)
+    # stage the hashed (pos, fp) array ONCE (round 13): the window fold
+    # below references the array window+2 times (the shifted slices and
+    # both fallback branches), and interpreted HOFs get no codegen CSE
+    # — unstaged, every reference re-ran the O(len) per-char hash
+    # transform, making hashing the dominant per-row cost at
+    # O(len·window) instead of O(len)
+    staged = df.select(F.col(id_col), pairs.alias("__pairs"),
+                       n_grams.alias("__ng"))
+    p, ng = F.col("__pairs"), F.col("__ng")
+    m = ng - F.lit(window - 1)  # number of full windows
+    acc = F.slice(p, 1, m)
     for j in range(1, window):
-        acc = F.zip_with(acc, F.slice(pairs, 1 + j, m), pick)
+        acc = F.zip_with(acc, F.slice(p, 1 + j, m), pick)
     sel = (F.when(m >= 1, acc)
-           .when(n_grams >= 1,
+           .when(ng >= 1,
                  # fewer grams than the window: single global
                  # rightmost-min via the same fold
                  F.array(F.aggregate(
-                     F.slice(pairs, 2, F.greatest(n_grams - 1,
-                                                  F.lit(0))),
-                     F.element_at(pairs, 1), pick)))
+                     F.slice(p, 2, F.greatest(ng - 1, F.lit(0))),
+                     F.element_at(p, 1), pick)))
            .otherwise(empty))
-    return (df.select(F.col(id_col),
-                      F.explode(F.array_distinct(sel)).alias("__s"))
+    return (staged.select(F.col(id_col),
+                          F.explode(F.array_distinct(sel)).alias("__s"))
             .select(id_col, F.col("__s.pos").alias("pos"),
                     F.col("__s.fp").alias("fp")))
 
