@@ -2116,6 +2116,21 @@ def _q_hamming_topk(spark, sf):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_hamming_batch_topk(spark, sf):
+    # Batch sign-bit tier (round 13): Q Hamming shortlists from ONE
+    # 16-byte-per-vector scan (per-query cut inside the Arrow batch),
+    # union-id pruned fetch, per-query exact-cosine rerank — the last
+    # ANN tier to gain its batch sibling. The oracle replays the
+    # identical per-query differing-sign-bit shortlist (PARTITION BY
+    # query) and rounded rerank.
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        hamming_topk_batch)
+
+    emb, queries = _q_batch_queries(spark, sf)
+    return hamming_topk_batch(emb.where(F.col("vec_id") != 0), queries,
+                              k=10, rerank=50)
+
+
 def _q_length_quantiles(spark, sf):
     # per-language exact interpolated quantiles of doc length — the
     # distribution dashboard behind length-cut decisions. percentile()
@@ -2149,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11.
         "ann_multiprobe_topk": _q_ann_multiprobe,
         "ann_multiprobe_batch_topk": _q_ann_multiprobe_batch,
+        "hamming_batch_topk": _q_hamming_batch_topk,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_lsh_topk": _q_ann_lsh,
         "asof_join": _q_asof_join,
@@ -2831,6 +2847,31 @@ def _oracle_sql_base() -> dict[str, str]:
             "FROM embeddings e JOIN short USING (vec_id) "
             "ORDER BY list_cosine_similarity(e.embedding, "
             "(SELECT qe FROM q)) DESC, e.vec_id LIMIT 10"
+        ),
+        "hamming_batch_topk": (
+            # the batch replay: identical per-query sign-bit shortlist
+            # (PARTITION BY query) + rounded-cosine rerank cut — the
+            # Spark side ranks the rerank by the ROUNDED score (the
+            # batch family's engine-portable ordering domain)
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id IN (0, 17, 31)), "
+            "h AS (SELECT q.query_id, e.vec_id, list_sum(list_transform("
+            "generate_series(1, 64), i -> CASE WHEN "
+            "(e.embedding[i] > 0) <> (q.qe[i] > 0) "
+            "THEN 1 ELSE 0 END)) AS hd "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0), "
+            "short AS (SELECT query_id, vec_id FROM ("
+            "SELECT query_id, vec_id, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY hd, vec_id) AS rn FROM h) "
+            "WHERE rn <= 50), "
+            "scored AS (SELECT s.query_id, e.vec_id, "
+            "ROUND(list_cosine_similarity(e.embedding, q.qe), 4) "
+            "AS cosine FROM short s "
+            "JOIN embeddings e USING (vec_id) JOIN q USING (query_id)), "
+            "ranked AS (SELECT query_id, vec_id, cosine, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, vec_id) AS rn FROM scored) "
+            "SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10"
         ),
         "length_quantiles": (
             # quantile_cont == Spark percentile (type-7 interpolation,
@@ -4695,6 +4736,7 @@ _ORACLE_DTYPE_PINS: dict[str, dict[str, str]] = {
     "ann_lsh_topk": {"cosine": "DOUBLE"},
     "ann_multiprobe_topk": {"cosine": "DOUBLE"},
     "ann_multiprobe_batch_topk": {"cosine": "DOUBLE"},
+    "hamming_batch_topk": {"cosine": "DOUBLE"},
     "ann_ivf_topk": {"cosine": "DOUBLE"},
     "cosine_batch_topk": {"cosine": "DOUBLE"},
     "embedding_cosine_topk": {"cosine": "DOUBLE"},

@@ -4095,3 +4095,117 @@ def hamming_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
                  .limit(rerank))
     cand = df.where(F.col(id_col).isin(_shortlist_ids(shortlist, id_col)))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def hamming_topk_batch(df: DataFrame,
+                       queries: list[tuple[int, list[float]]],
+                       k: int = 10, *, rerank: int = 50,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id", word_bits: int = 32,
+                       packed: DataFrame | None = None,
+                       round_to: int | None = 4) -> DataFrame:
+    """MULTI-QUERY sign-bit tier: Q Hamming shortlists from ONE scan of
+    the packed codes, then ONE pruned fetch reranking each query
+    against ITS OWN shortlist — the batch-shape contract the rest of
+    the family keeps (`cosine/sq8/pq/ivf_*/lsh_multiprobe` all have
+    batch siblings; the 1-bit tier was the last without one, round 13).
+
+    Stage 1 scans 16 bytes/vector (the two packed BIGINT words; column
+    pruning drops the floats) and computes a (Q × batch) differing-
+    sign-bit matrix per Arrow batch — one vectorized xor + 16-bit-table
+    popcount per word, k-per-batch cut, window-finish to exactly the
+    single-query shortlist per query (Hamming asc, id asc —
+    deterministic integer ordering, so per-query parity with
+    `hamming_topk`'s shortlist is EXACT). Stage 2 collects the UNION
+    of shortlist ids (bounded driver state: <= Q·rerank rows, the
+    `_shortlist_ids` contract) into one IN-pushdown fetch — shared
+    shortlist members are read once — and reranks by exact cosine over
+    the <= Q·rerank (query, candidate) pairs, rounded to `round_to`
+    BEFORE the cut (the family's engine-portable ordering domain).
+
+    Returns (query_id, id_col, cosine), k rows per query.
+    ``rerank >= |corpus|`` degrades to exact (every vector in every
+    shortlist) = `cosine_topk_batch` — the oracle-gate property.
+    `packed`: a persisted `sign_quantize` output — the deployed
+    pack-once shape (see `hamming_topk`).
+    """
+    import numpy as np
+
+    if rerank < k:
+        raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+    dim = len(queries[0][1]) if queries else 0
+    qw = np.asarray([pack_sign_query(qv, word_bits)
+                     for _, qv in queries], dtype=np.int64)
+    qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
+    packed = packed if packed is not None else sign_quantize(
+        df, dim, vec_col=vec_col, word_bits=word_bits)
+
+    pop = np.array([bin(i).count("1") for i in range(1 << 16)],
+                   dtype=np.int64)
+    nw = qw.shape[1] if len(queries) else 0
+
+    def _pop64(a):
+        # 16-bit-table popcount over int64 words (numpy < 2 has no
+        # bitwise_count); words are < 2^63 so the uint64 view is exact
+        a = a.astype(np.uint64)
+        return (pop[(a & np.uint64(0xFFFF)).astype(np.int64)]
+                + pop[((a >> np.uint64(16))
+                       & np.uint64(0xFFFF)).astype(np.int64)]
+                + pop[((a >> np.uint64(32))
+                       & np.uint64(0xFFFF)).astype(np.int64)]
+                + pop[((a >> np.uint64(48))
+                       & np.uint64(0xFFFF)).astype(np.int64)])
+
+    schema = f"query_id long, {id_col} long, hamming int"
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray([np.asarray(wds, dtype=np.int64)
+                                for wds in pdf["sign_bits"]])
+            ids = np.asarray(pdf[id_col].values)
+            dist = np.zeros((len(qids), len(ids)), dtype=np.int64)
+            for w in range(nw):
+                dist += _pop64(codes[:, w][None, :] ^ qw[:, w][:, None])
+            sel_q, sel_i, sel_d = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, dist[qi]))[:min(rerank,
+                                                         len(ids))]
+                sel_q.append(np.full(len(order), qids[qi],
+                                     dtype=np.int64))
+                sel_i.append(ids[order])
+                sel_d.append(dist[qi][order])
+            yield pd.DataFrame({"query_id": np.concatenate(sel_q),
+                                id_col: np.concatenate(sel_i),
+                                "hamming": np.concatenate(sel_d)
+                                .astype(np.int32)})
+
+    from pyspark.sql import Window
+
+    scored = packed.select(id_col, "sign_bits").mapInPandas(
+        _scan, schema=schema)
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("hamming").asc(), F.col(id_col).asc()))
+    shortlist = (scored.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") <= rerank).drop("__rn"))
+    # bounded driver state: Q x rerank (query, id) pairs
+    pair_rows = shortlist.select("query_id", id_col).collect()
+    union_ids = sorted({int(r[1]) for r in pair_rows})
+    cand = df.where(F.col(id_col).isin(union_ids))
+    spark = df.sparkSession
+    pairs_df = spark.createDataFrame(
+        [(int(r[0]), int(r[1])) for r in pair_rows],
+        f"query_id long, {id_col} long")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "query_id long, __qv array<double>")
+    cos = cosine_batch(F.col(vec_col), F.col("__qv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    out = (cand.join(F.broadcast(pairs_df), id_col)
+           .join(F.broadcast(qdf), "query_id")
+           .select("query_id", F.col(id_col), cos.alias("cosine")))
+    return _batch_rank_finish(out, id_col, k, "cosine")

@@ -951,6 +951,53 @@ class TestSimilarity:
         got = [r.vec_id for r in probe.collect()]
         assert len(got) == 5
 
+    def test_hamming_batch_per_query_parity(self, spark):
+        # round 13: the 1-bit tier's batch sibling — per query the
+        # result must equal single hamming_topk (the shortlist is an
+        # exact integer-ordered match; the rerank shares the rounded
+        # ordering domain)
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            hamming_topk, hamming_topk_batch, sign_quantize)
+
+        import random
+        rng = random.Random(37)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+                for i in range(200)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id bigint, embedding array<float>")
+        packed = sign_quantize(df, 16)
+        queries = [(rows[j][0], rows[j][1]) for j in (0, 5, 99)]
+        batch = hamming_topk_batch(df, queries, k=5, rerank=20,
+                                   packed=packed).collect()
+        for qid, qv in queries:
+            single = [(r.vec_id, r.cosine) for r in hamming_topk(
+                df, qv, k=5, rerank=20, packed=packed)
+                .select("vec_id", F.round("cosine", 4).alias("cosine"))
+                .orderBy(F.desc("cosine"), "vec_id").collect()]
+            got = [(r.vec_id, r.cosine) for r in batch
+                   if r.query_id == qid]
+            assert got == single, f"query {qid} diverged"
+
+    def test_hamming_batch_full_rerank_matches_exact_batch(self, spark):
+        # rerank >= corpus: every vector in every shortlist -> exact
+        # batch cosine (the oracle-gate property)
+        from confluent_ksql_charm_spark.pipeline.similarity import (
+            cosine_topk_batch, hamming_topk_batch)
+
+        import random
+        rng = random.Random(41)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(120)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id bigint, embedding array<float>")
+        queries = [(rows[j][0], rows[j][1]) for j in (2, 7)]
+        exact = [(r.query_id, r.vec_id, r.cosine) for r in
+                 cosine_topk_batch(df, queries, k=5).collect()]
+        got = [(r.query_id, r.vec_id, r.cosine) for r in
+               hamming_topk_batch(df, queries, k=5,
+                                  rerank=200).collect()]
+        assert got == exact
+
     def test_multiprobe_batch_prunes_saved_index_partitions(
             self, spark, tmp_path):
         # round 13: on a save_ann_index(kind="lsh",
