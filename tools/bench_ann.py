@@ -42,7 +42,7 @@ K = 10
 #: comma-list of sections to run (default all):
 #: lsh,ivf,ivfsq8,ivfpq,nd,sq8,semdedup
 SECTIONS = set(filter(None, os.environ.get(
-    "ANN_BENCH_SECTIONS", "lsh,ivf,ivfsq8,ivfpq,nd,sq8,semdedup").split(",")))
+    "ANN_BENCH_SECTIONS", "lsh,ivf,ivfsq8,ivfpq,nd,sq8,hamming,semdedup").split(",")))
 
 
 def main() -> None:
@@ -216,6 +216,35 @@ def main() -> None:
             mpb[f"loop_input_records_{label}"] = ctr["input_records"]
         out["ann_multiprobe_batch_topk"] = mpb
         progress("ann_multiprobe_batch_topk")
+
+    # -- 1-bit sign tier: pack once, per-query loop vs batch (round 13
+    #    BASELINE hamming-batch decade row). Recall MUST match between
+    #    the two (the shortlist parity is exact integer ordering).
+    if "hamming" in SECTIONS:
+        t0 = time.perf_counter()
+        dim = len(emb.first()["embedding"])
+        packed = sim.sign_quantize(emb, dim).select(
+            "vec_id", "sign_bits").cache()
+        packed.count()
+        hb = {"pack_sec": round(time.perf_counter() - t0, 3),
+              "rerank": 10 * K, "n_queries": len(queries)}
+        t_probe, hits = 0.0, 0
+        for qid, qv in queries:
+            rows, dt = timed(lambda qv=qv: sim.hamming_topk(
+                emb, qv, K, rerank=10 * K, packed=packed).collect())
+            t_probe += dt
+            hits += len({r.vec_id for r in rows} & exact_sets[qid])
+        hb["probe_sec"] = round(t_probe / len(queries), 3)
+        hb[f"recall_at_{K}"] = round(hits / (K * len(queries)), 3)
+        rows, dt = timed(lambda: sim.hamming_topk_batch(
+            emb, queries, K, rerank=10 * K, packed=packed).collect())
+        hits = sum(len({r.vec_id for r in rows if r.query_id == qid}
+                       & exact_sets[qid]) for qid, _ in queries)
+        hb["batch_sec_per_query"] = round(dt / len(queries), 3)
+        hb[f"batch_recall_at_{K}"] = round(hits / (K * len(queries)), 3)
+        out["hamming_topk"] = hb
+        progress("hamming_topk")
+        packed.unpersist()
 
     # -- IVF: nlist ~ sqrt(n) rounded to a power of two; train on a
     #    sample sized ~100 points/centroid (the deployed-index pattern).
