@@ -4097,6 +4097,33 @@ def hamming_topk(df: DataFrame, query_vec: list[float], k: int = 10, *,
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+_POP16 = None
+
+
+def _popcount64(a):
+    """Vectorized popcount over a nonnegative int64 ndarray via a
+    16-bit lookup table (numpy < 2 has no ``bitwise_count``); packed
+    sign words are < 2^63 so the uint64 view is exact. Table built
+    lazily once per process (64 K int64 entries), shipped to executors
+    in the mapInPandas closure like the PQ LUTs. Property-tested
+    against Python's ``int.bit_count`` (tests/test_properties.py)."""
+    import numpy as np
+
+    global _POP16
+    if _POP16 is None:
+        _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                          dtype=np.int64)
+    pop = _POP16
+    a = a.astype(np.uint64)
+    return (pop[(a & np.uint64(0xFFFF)).astype(np.int64)]
+            + pop[((a >> np.uint64(16))
+                   & np.uint64(0xFFFF)).astype(np.int64)]
+            + pop[((a >> np.uint64(32))
+                   & np.uint64(0xFFFF)).astype(np.int64)]
+            + pop[((a >> np.uint64(48))
+                   & np.uint64(0xFFFF)).astype(np.int64)])
+
+
 def hamming_topk_batch(df: DataFrame,
                        queries: list[tuple[int, list[float]]],
                        k: int = 10, *, rerank: int = 50,
@@ -4140,21 +4167,8 @@ def hamming_topk_batch(df: DataFrame,
     packed = packed if packed is not None else sign_quantize(
         df, dim, vec_col=vec_col, word_bits=word_bits)
 
-    pop = np.array([bin(i).count("1") for i in range(1 << 16)],
-                   dtype=np.int64)
     nw = qw.shape[1] if len(queries) else 0
-
-    def _pop64(a):
-        # 16-bit-table popcount over int64 words (numpy < 2 has no
-        # bitwise_count); words are < 2^63 so the uint64 view is exact
-        a = a.astype(np.uint64)
-        return (pop[(a & np.uint64(0xFFFF)).astype(np.int64)]
-                + pop[((a >> np.uint64(16))
-                       & np.uint64(0xFFFF)).astype(np.int64)]
-                + pop[((a >> np.uint64(32))
-                       & np.uint64(0xFFFF)).astype(np.int64)]
-                + pop[((a >> np.uint64(48))
-                       & np.uint64(0xFFFF)).astype(np.int64)])
+    _pop64 = _popcount64
 
     schema = f"query_id long, {id_col} long, hamming int"
 

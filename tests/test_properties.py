@@ -743,3 +743,20 @@ def test_multiprobe_masks_reference_properties(margins, n_probes):
     assert all(b >= a - 1e-9 for a, b in zip(costs, costs[1:]))
     if n_probes >= (1 << bits):
         assert sorted(masks) == list(range(1 << bits))
+
+
+@settings(max_examples=300, deadline=None)
+@given(words=st.lists(st.integers(min_value=0, max_value=(1 << 63) - 1),
+                      min_size=1, max_size=50))
+def test_popcount64_matches_bit_count(words):
+    # the hand-rolled 16-bit-table popcount behind hamming_topk_batch
+    # must agree with Python's exact int.bit_count over the full
+    # nonnegative int64 word range (packed sign words are < 2^63)
+    import numpy as np
+
+    from confluent_ksql_charm_spark.pipeline.similarity import (
+        _popcount64)
+
+    arr = np.asarray(words, dtype=np.int64)
+    got = _popcount64(arr)
+    assert got.tolist() == [w.bit_count() for w in words]
