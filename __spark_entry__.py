@@ -65,8 +65,37 @@ def _eng(spark: SparkSession, sf_dir: str):
     return eng
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a pathologically under-partitioned
+    scan (round 13, guide §2.5 "one huge unsplittable file ...
+    repartition immediately after the read"): the driver fixtures are
+    SINGLE-ROW-GROUP parquet files, which no maxPartitionBytes /
+    minPartitionNum setting can split — so every expression-heavy
+    corpus pass (tokenize / shingle / hash / redact) was executing in
+    ONE task regardless of core count (measured: pii_redact_luhn
+    2.18 s -> 0.29 s at sf0.1 x 32 cores once spread). Scale-adaptive
+    by construction, not a local[32] constant: the guard is "scan
+    partitions < session defaultParallelism", so any production-shaped
+    input (row groups >= cores — at 100 TB, thousands of files) is
+    returned UNCHANGED and pays nothing; the spread shuffle moves only
+    the under-partitioned input's bytes, once, before the per-row work
+    it unlocks. Deterministic: round-robin repartition sorts its input
+    within each task first (SPARK-23207, on by default), and every
+    downstream operator is hash/key-driven, so results are
+    partitioning-independent (the full oracle sweep re-ran green on
+    top of this change). Delegates to `dedup.ensure_parallelism` — the
+    library already applied this guard inside the dedup/contamination
+    band builders, but the base relations handed to every OTHER
+    operator family (text, sampling, similarity, timeseries) arrived
+    unspread."""
+    from confluent_ksql_charm_spark.pipeline.dedup import (
+        ensure_parallelism)
+
+    return ensure_parallelism(df)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _eng(spark, sf_dir).metastore.get("documents").df
+    return _spread(_eng(spark, sf_dir).metastore.get("documents").df)
 
 
 # --------------------------------------------------------------------------
@@ -537,7 +566,7 @@ def _query_vec(spark, sf):
     """Query-vector parameter lookup (vec_id=0), cached per session+dir."""
     key = (id(spark), sf)
     if key not in _QVECS:
-        emb = _eng(spark, sf).metastore.get("embeddings").df
+        emb = _embs(spark, sf)
         _QVECS[key] = [float(x) for x in
                        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     return _QVECS[key]
@@ -546,7 +575,7 @@ def _query_vec(spark, sf):
 def _q_embedding_topk(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import cosine_topk
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     out = cosine_topk(emb.where(F.col("vec_id") != 0), _query_vec(spark, sf), k=10)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
@@ -560,7 +589,7 @@ def _q_sq8_topk(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         sq8_encode, sq8_stats, sq8_topk)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     stats = sq8_stats(emb)
     codes = sq8_encode(emb.where(F.col("vec_id") != 0), stats)
     return sq8_topk(codes, _query_vec(spark, sf), stats, k=10)
@@ -580,7 +609,7 @@ def _q_ivf_sq8_topk(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         ivf_sq8_index, ivf_sq8_topk)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     key = (id(spark), sf)
     if key not in _IVF_SQ8_INDEXES:
         # codebook + quantizer fit on the FULL table (query row
@@ -600,7 +629,7 @@ def _q_ivf_sq8_rerank(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         ivf_sq8_rerank_topk)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     key = (id(spark), sf)
     if key not in _IVF_SQ8_INDEXES:
         _q_ivf_sq8_topk(spark, sf)          # builds + caches the index
@@ -619,7 +648,7 @@ def _q_filtered_ann_topk(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         ivf_sq8_index, ivf_sq8_topk)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     key = ("filtered", id(spark), sf)
     if key not in _IVF_SQ8_INDEXES:
         codes, centers, stats = ivf_sq8_index(emb, nlist=8,
@@ -637,7 +666,7 @@ def _q_filtered_ivf_topk(spark, sf):
     # top-k over the label-filtered corpus (the where= gate)
     from confluent_ksql_charm_spark.pipeline.similarity import ivf_topk
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     out = ivf_topk(emb.where(F.col("vec_id") != 0),
                    _query_vec(spark, sf), k=10, nlist=8, nprobe=8,
                    where=F.col("label") == 3)
@@ -657,7 +686,7 @@ def _q_pq_topk(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         pq_encode, pq_fit, pq_topk)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     corpus = emb.where(F.col("vec_id") != 0)
     key = (id(spark), sf)
     if key not in _PQ_STATE:
@@ -676,7 +705,7 @@ def _q_ivf_pq_rerank(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         ivf_pq_index, ivf_pq_rerank_topk)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     corpus = emb.where(F.col("vec_id") != 0)
     key = ("ivf", id(spark), sf)
     if key not in _PQ_STATE:
@@ -697,7 +726,7 @@ def _q_filtered_rerank(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         ivf_sq8_index, ivf_sq8_rerank_topk)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     key = ("filtered", id(spark), sf)
     if key not in _IVF_SQ8_INDEXES:
         codes, centers, stats = ivf_sq8_index(emb, nlist=8,
@@ -721,7 +750,7 @@ def _q_pq_batch_topk(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         pq_topk_batch)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     key = (id(spark), sf)
     if key not in _PQ_STATE:
         _q_pq_topk(spark, sf)               # builds + caches codes/cb
@@ -734,7 +763,7 @@ def _q_pq_batch_topk(spark, sf):
 
 
 def _q_batch_queries(spark, sf):
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     qrows = (emb.where(F.col("vec_id").isin([0, 17, 31]))
              .select("vec_id", "embedding").collect())
     return emb, [(r.vec_id, [float(x) for x in r.embedding])
@@ -825,7 +854,7 @@ def _q_embedding_decontaminate(spark, sf):
     from confluent_ksql_charm_spark.pipeline.contamination import (
         embedding_flag_contaminated)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     return embedding_flag_contaminated(
         emb.where(F.col("vec_id") % 97 != 0),
         emb.where(F.col("vec_id") % 97 == 0), threshold=0.3)
@@ -839,7 +868,7 @@ def _q_knn_graph(spark, sf):
     # QUALIFY rank.
     from confluent_ksql_charm_spark.pipeline.similarity import knn_graph
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     return knn_graph(emb, k=5, nlist=8, nprobe=8, round_to=4)
 
 
@@ -850,7 +879,7 @@ def _q_hard_negatives(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         hard_negatives)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     return hard_negatives(emb, k=5, exclude_above=0.5, nlist=8,
                           nprobe=8, round_to=4)
 
@@ -862,7 +891,7 @@ def _q_mmr_select(spark, sf):
     # selection with a recursive CTE carrying the chosen-id list.
     from confluent_ksql_charm_spark.pipeline.similarity import mmr_select
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     return mmr_select(emb.where(F.col("vec_id") != 0),
                       _query_vec(spark, sf), k=10, lambda_=0.7,
                       shortlist=40)
@@ -877,7 +906,7 @@ def _q_semantic_dedup(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         semantic_dedup)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     out = semantic_dedup(emb, threshold=0.42, exact=True)
     return out.select("vec_id", "label")
 
@@ -1147,7 +1176,7 @@ def _q_cluster_outliers(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         cluster_outlier_filter, embedding_cluster)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     assigned, _ = embedding_cluster(emb, 8, init="first")
     return cluster_outlier_filter(assigned, 0.1)
 
@@ -1167,7 +1196,7 @@ def _q_random_projection(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         random_projection)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     rp = random_projection(emb, 8, portable=True, round_to=6)
     return rp.select(
         "vec_id", F.posexplode("rp").alias("j", "val")
@@ -1180,7 +1209,7 @@ def _q_embedding_covariance(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         embedding_covariance)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     return embedding_covariance(emb)
 
 
@@ -1259,7 +1288,7 @@ def _q_embedding_cluster(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         embedding_cluster)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     assigned, _ = embedding_cluster(emb, 8, init="first")
     return assigned
 
@@ -1269,7 +1298,7 @@ def _q_embedding_cluster_stats(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         cluster_stats, embedding_cluster)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     assigned, _ = embedding_cluster(emb, 8, init="first")
     return cluster_stats(assigned)
 
@@ -1366,7 +1395,7 @@ def _q_cluster_terms(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         cluster_terms, embedding_cluster)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     assigned, _ = embedding_cluster(emb, 8, init="first")
     joined = _docs(spark, sf).join(
         assigned.select(F.col("vec_id").alias("doc_id"), "cluster"),
@@ -1393,7 +1422,7 @@ def _q_cluster_balanced_cap(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         embedding_cluster)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     assigned, _ = embedding_cluster(emb, 8, init="first")
     return group_cap(assigned.select("vec_id", "cluster"),
                      "cluster", 30, id_col="vec_id")
@@ -1542,7 +1571,7 @@ def _q_embedding_near_dup(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         banded_lsh_index, embedding_near_dup_pairs, lsh_plan)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     key = ("neardup_lsh", id(spark), sf)
     if key not in _ANN_INDEXES:
         bands, bits = lsh_plan(emb.count(), 0.45)
@@ -1704,7 +1733,7 @@ def _q_hybrid_search(spark, sf):
     from confluent_ksql_charm_spark.pipeline.search import hybrid_topk
 
     docs = _docs(spark, sf)
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     qvec = [float(x) for x in
             emb.where("vec_id = 0").select("embedding").first()[0]]
     return hybrid_topk(docs, emb.where("vec_id <> 0"),
@@ -1779,7 +1808,7 @@ def _lsh8_index(spark, sf):
     under the same key."""
     from confluent_ksql_charm_spark.pipeline.similarity import lsh_index
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df \
+    emb = _embs(spark, sf) \
         .where(F.col("vec_id") != 0)
     key = ("lsh8", id(spark), sf)
     if key not in _ANN_INDEXES:
@@ -1853,7 +1882,7 @@ def _q_ann_ivf(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         ivf_index, ivf_topk)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     base = emb.where(F.col("vec_id") != 0)
     key = (id(spark), sf)
     if key not in _IVF_INDEXES:
@@ -1880,7 +1909,11 @@ def _q_multimodal_features(spark, sf):
 
 
 def _events(spark, sf):
-    return _eng(spark, sf).metastore.get("events").df
+    return _spread(_eng(spark, sf).metastore.get("events").df)
+
+
+def _embs(spark, sf):
+    return _spread(_eng(spark, sf).metastore.get("embeddings").df)
 
 
 def _q_asof_join(spark, sf):
@@ -2110,7 +2143,7 @@ def _q_hamming_topk(spark, sf):
     from confluent_ksql_charm_spark.pipeline.similarity import (
         hamming_topk)
 
-    emb = _eng(spark, sf).metastore.get("embeddings").df
+    emb = _embs(spark, sf)
     out = hamming_topk(emb.where(F.col("vec_id") != 0),
                        _query_vec(spark, sf), k=10, rerank=50)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))

@@ -759,6 +759,36 @@ def dsir_features_col(text: str | Column, *, bigrams: bool = True,
     return F.concat(toks, bi)
 
 
+def dsir_features_staged(frame: DataFrame, keep: list[str],
+                         text_col: str | Column, *, bigrams: bool = True,
+                         lowercase: bool = True,
+                         out_col: str = "__feats") -> DataFrame:
+    """`dsir_features_col` as a staged projection pipeline: returns
+    `frame` projected to ``keep + [out_col]`` with the token array
+    computed ONCE through an intermediate column. The single-Column
+    form references the tokenize+lower transform 6x inside the bigram
+    zip (slice x2, size x2, concat, the transform itself) and
+    interpreted HOFs get no codegen subexpression elimination, so
+    every reference re-tokenizes the document (measured ~2x on the
+    feature pass at sf0.1 — the same multiply-referenced-HOF-array
+    staging as `c4_line_clean`, round 13). Value-identical to
+    exploding `dsir_features_col`."""
+    toks = tokens_col(text_col)
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    if not bigrams:
+        return frame.select(*keep, toks.alias(out_col))
+    staged = frame.select(*keep, toks.alias("__t"))
+    n = F.size(F.col("__t"))
+    bi = F.when(
+        n >= 2,
+        F.zip_with(F.slice(F.col("__t"), 1, n - 1),
+                   F.slice(F.col("__t"), 2, n - 1),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(*keep, F.concat(F.col("__t"), bi).alias(out_col))
+
+
 def dsir_bucket(feat: Column, buckets: int, salt: str = "dsir",
                 hash: str = "portable") -> Column:
     """Feature-hash bucket in [0, buckets).
@@ -806,13 +836,27 @@ def dsir_logratio(df: DataFrame, target: DataFrame,
 
     Scale shape: the model relation is bounded at `buckets` rows NO
     MATTER the corpus size — the feature hash is the cap — so the
-    scoring join is always a broadcast; the corpus pays one
-    explode+hash-agg (map-side combined, one shuffle on the bucket id)
-    for the raw model and one broadcast-join + per-doc agg for scoring.
-    The target side is re-read per model build; at 100 TB the target is
-    the small curated corpus (GBs), so its pass is noise. Raw bucket
-    counts are checkpointed — the totals and the model join read one
-    materialization, not three recomputes.
+    scoring join is always a broadcast, and the corpus is scanned
+    (tokenize + feature-hash, the DSIR hot loop) exactly ONCE: each
+    doc's bucket multiset is collapsed to (bucket, count) runs inside
+    the scan stage (sort + run-length over the doc's bucket array —
+    native array expressions, NO Exchange; bounded at
+    min(doc features, `buckets`) rows per doc, so ≤ `buckets`·n_docs
+    however large the documents) and checkpointed, then BOTH the raw
+    model (a tiny aggregate of that relation) and the scoring join
+    read the materialization.
+    Until round 13 the raw model and the scoring pass each re-ran the
+    full explode+hash over the text (two corpus scans per call —
+    measured 1.9x slower at sf0.1, and at 100 TB the second scan
+    re-reads the whole corpus instead of a ≤16-byte-per-bucket proxy
+    relation; guide §2.3 "shuffle keys and metadata instead of
+    payloads" / §2.4 "remove shuffles outright"). Scoring weights each
+    bucket's log-ratio by the stored count — the same per-occurrence
+    sum re-associated per bucket; the ROUND(·, 6) contract absorbs the
+    re-association exactly as it already absorbs Spark's own
+    partition-order-dependent float summation. The target side is
+    re-read per model build; at 100 TB the target is the small curated
+    corpus (GBs), so its pass is noise.
 
     `hash`: ``"portable"`` (md5, engine-replayable — the oracle
     contract) or ``"fast"`` (xxhash64, ~2x faster end-to-end; hashing
@@ -824,17 +868,63 @@ def dsir_logratio(df: DataFrame, target: DataFrame,
         raise ValueError(f"alpha must be > 0, got {alpha}")
     from .lazy import maybe_checkpoint
 
-    feats = dsir_features_col(text_col, bigrams=bigrams, lowercase=lowercase)
-    bucket = lambda frame, keep_id: frame.select(  # noqa: E731
-        *([id_col] if keep_id else []),
-        F.explode(feats).alias("__f")).select(
-        *([id_col] if keep_id else []),
-        dsir_bucket(F.col("__f"), buckets, salt, hash).alias("__b"))
-    corpus_b = bucket(df, True)
-    raw = maybe_checkpoint(
-        corpus_b.groupBy("__b").agg(F.count("*").alias("__cr")))
-    tgt = bucket(target, False).groupBy("__b").agg(
-        F.count("*").alias("__ct"))
+    # ONE corpus pass: per-(doc, bucket) occurrence counts, computed
+    # INSIDE the scan stage (sorted-runs histogram over the doc's
+    # bucket array — native array ops, no Exchange) and materialized.
+    # Everything downstream (raw model, totals, scoring) reads this
+    # bounded relation (≤ min(features, `buckets`) rows per doc)
+    # instead of re-hashing the text; nothing corpus-scale crosses the
+    # network at any point.
+    bs = F.array_sort(F.transform(F.col("__feats"), lambda f: dsir_bucket(
+        f, buckets, salt, hash)))
+    with_bs = (dsir_features_staged(df, [id_col], text_col,
+                                    bigrams=bigrams, lowercase=lowercase)
+               .select(F.col(id_col), bs.alias("__bs"))
+               .select(id_col, "__bs", F.size("__bs").alias("__n")))
+    # run starts in the sorted bucket array (1-based), then
+    # (bucket, run length) structs via the shifted-starts zip. Empty
+    # and NULL docs are guarded INSIDE the expression (empty run
+    # array -> explode yields nothing), NOT with a .where(): a filter
+    # on a computed column is pushed below the projection with the
+    # alias substituted, re-evaluating the whole tokenize+hash+sort
+    # chain a second time per row (the guide §4.4 duplication, in
+    # expression form — measured 1.8x slower end-to-end).
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("__n")),
+        lambda i: (i == 1) | (F.element_at("__bs", i)
+                              != F.element_at("__bs", i - 1)))
+    with_starts = with_bs.select(
+        id_col, "__bs", "__n",
+        F.when(F.col("__n") > 0, starts)
+        .otherwise(F.array().cast("array<int>")).alias("__s"))
+    runs = F.zip_with(
+        F.col("__s"),
+        F.concat(F.slice(F.col("__s"), 2,
+                         F.greatest(F.size("__s") - 1, F.lit(0))),
+                 F.array(F.col("__n") + 1)),
+        lambda s, e: F.struct(
+            F.element_at("__bs", s).alias("__b"),
+            (e - s).cast("bigint").alias("__cb")))
+    doc_b = maybe_checkpoint(
+        with_starts.select(
+            F.col(id_col),
+            F.explode(F.when(F.col("__n") > 0, runs)
+                      .otherwise(F.array().cast(
+                          "array<struct<__b:bigint,__cb:bigint>>")))
+            .alias("__r"))
+        .select(id_col, F.col("__r.__b").alias("__b"),
+                F.col("__r.__cb").alias("__cb")))
+    raw = doc_b.groupBy("__b").agg(F.sum("__cb").alias("__cr"))
+    # tgt is consumed twice (model left join + tot_t); checkpointing
+    # the <= `buckets`-row count relation keeps the target text to ONE
+    # scan instead of two statically-duplicated subtrees
+    tgt = maybe_checkpoint(
+        dsir_features_staged(target, [], text_col,
+                             bigrams=bigrams, lowercase=lowercase)
+        .select(F.explode("__feats").alias("__f"))
+        .select(dsir_bucket(F.col("__f"), buckets, salt, hash)
+                .alias("__b"))
+        .groupBy("__b").agg(F.count("*").alias("__ct")))
     tot_r = raw.agg(F.sum("__cr").alias("__tr"))
     tot_t = tgt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
     a = float(alpha)
@@ -851,10 +941,11 @@ def dsir_logratio(df: DataFrame, target: DataFrame,
                    / (F.col("__tt") + F.lit(ab)))
              - F.log((F.col("__cr") + F.lit(a))
                      / (F.col("__tr") + F.lit(ab)))).alias("__lr")))
-    return (corpus_b.join(F.broadcast(model), "__b")
+    return (doc_b.join(F.broadcast(model), "__b")
             .groupBy(id_col)
-            .agg(F.count("*").alias("n_feats"),
-                 F.round(F.sum("__lr"), 6).alias("log_ratio")))
+            .agg(F.sum("__cb").alias("n_feats"),
+                 F.round(F.sum(F.col("__cb") * F.col("__lr")), 6)
+                 .alias("log_ratio")))
 
 
 def dsir_fit(raw: DataFrame, target: DataFrame, *,

@@ -4458,6 +4458,48 @@ class TestDSIR:
         with pytest.raises(ValueError, match="k"):
             dsir_sample(df, target, 0)
 
+    def test_histogram_path_equals_per_occurrence_reference(self, spark):
+        """Round-13 single-scan restructure: the per-doc (bucket, count)
+        sorted-runs histogram must equal the per-occurrence
+        explode+groupBy form EXACTLY, including the degenerate docs the
+        run-length expression must guard (NULL text -> absent; empty /
+        whitespace text -> Spark's split yields [''] = one feature;
+        one token -> no bigrams; heavy repetition -> multi-run counts)."""
+        from confluent_ksql_charm_spark.pipeline.text import (
+            dsir_bucket, dsir_features_col, dsir_logratio)
+
+        docs = [(1, "alpha beta alpha beta alpha"), (2, ""),
+                (3, "   "), (4, "solo"), (5, None),
+                (6, "x " * 200 + "y"), (7, "alpha beta gamma delta")]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        target = df.where("doc_id in (1, 7)")
+        got = {r.doc_id: (r.n_feats, r.log_ratio)
+               for r in dsir_logratio(df, target,
+                                      buckets=8, alpha=0.5).collect()}
+        # per-occurrence reference: the pre-round-13 plan shape
+        feats = dsir_features_col("text")
+        occ = df.select("doc_id", F.explode(feats).alias("f")).select(
+            "doc_id", dsir_bucket(F.col("f"), 8).alias("b"))
+        tgt_occ = occ.join(target.select("doc_id"), "doc_id")
+        raw_c = {r.b: r.cnt for r in
+                 occ.groupBy("b").agg(F.count("*").alias("cnt")).collect()}
+        tgt_c = {r.b: r.cnt for r in
+                 tgt_occ.groupBy("b").agg(F.count("*").alias("cnt")).collect()}
+        import math
+        tr, tt, ab = sum(raw_c.values()), sum(tgt_c.values()), 0.5 * 8
+        want = {}
+        for r in occ.collect():
+            lr = (math.log((tgt_c.get(r.b, 0) + 0.5) / (tt + ab))
+                  - math.log((raw_c[r.b] + 0.5) / (tr + ab)))
+            n, s = want.get(r.doc_id, (0, 0.0))
+            want[r.doc_id] = (n + 1, s + lr)
+        assert set(got) == set(want)          # doc 5 (NULL) absent; 2/3 present
+        assert 5 not in got and 2 in got and 3 in got
+        for i in got:
+            assert got[i][0] == want[i][0]
+            assert got[i][1] == pytest.approx(round(want[i][1], 6),
+                                              abs=2e-6)
+
     def test_sample_is_gumbel_topk_of_scores(self, spark):
         import hashlib
         import math

@@ -1,0 +1,62 @@
+"""Isolated per-query timing with the bench.py protocol (guide §1.4):
+same session config as bench.py, noop-sink force, 1 warm-up + median
+of 3, cache cleared between queries. For optimization iteration only —
+the round artifact is still the full bench.py run.
+
+Usage: python tools/bench_one.py <query> [query ...] [--sf=/root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                   if a.startswith("--sf=")), "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench-one")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(int(cpus) * 8))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in names:
+        fn = qs[name]
+        spark.sparkContext.setJobDescription(f"bench_one: {name}")
+        runs = []
+        for i in range(4):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            if i > 0:
+                runs.append(dt)
+        spark.catalog.clearCache()
+        print(f"{name}: median {statistics.median(runs):.3f}s "
+              f"runs {[round(r, 3) for r in runs]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
