@@ -94,8 +94,20 @@ def _spread(df: DataFrame) -> DataFrame:
     return ensure_parallelism(df)
 
 
+_SPREAD_DOCS: dict = {}
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(_eng(spark, sf_dir).metastore.get("documents").df)
+    # the spread relation is cached per (session, dir): the partition
+    # probe inside ensure_parallelism converts the plan to an RDD,
+    # which costs a visible fraction of the sub-second queries when
+    # re-run on every call (same memoization pattern as _ENGINES —
+    # this caches a PLAN, not data)
+    key = (id(spark), sf_dir)
+    if key not in _SPREAD_DOCS:
+        _SPREAD_DOCS[key] = _spread(
+            _eng(spark, sf_dir).metastore.get("documents").df)
+    return _SPREAD_DOCS[key]
 
 
 # --------------------------------------------------------------------------
@@ -1909,11 +1921,20 @@ def _q_multimodal_features(spark, sf):
 
 
 def _events(spark, sf):
-    return _spread(_eng(spark, sf).metastore.get("events").df)
+    # NOT spread: the event-time family shuffles by key immediately, so
+    # its map stages are light projections — spreading measured as a
+    # small net loss (asof/scd2/skew_report +0.1-0.3 s, no wins).
+    return _eng(spark, sf).metastore.get("events").df
 
 
 def _embs(spark, sf):
-    return _spread(_eng(spark, sf).metastore.get("embeddings").df)
+    # NOT spread: the ANN tiers either collect driver-side fit samples
+    # (a 32-tiny-partition collect is slower than one task at fixture
+    # scale) or batch rows through numpy/Arrow with their own cell
+    # partitioning — spreading measured pq_topk 3.2x / filtered_rerank
+    # 4x SLOWER. The embeddings table's per-row expression work is not
+    # the bottleneck anywhere in the family.
+    return _eng(spark, sf).metastore.get("embeddings").df
 
 
 def _q_asof_join(spark, sf):
