@@ -87,7 +87,19 @@ def _spread(df: DataFrame) -> DataFrame:
     library already applied this guard inside the dedup/contamination
     band builders, but the base relations handed to every OTHER
     operator family (text, sampling, similarity, timeseries) arrived
-    unspread."""
+    unspread.
+
+    Applied PER QUERY SHAPE, not blanket (interleaved same-session
+    A/B at sf0.1 x 32): the spread shuffle costs a fixed ~0.1-0.15 s
+    stage, which the heavy per-row passes repay 2-10x over, while
+    cheap single-agg / hash-filter queries (dedup_exact,
+    mixture_sample, source_cap, token_stats, chunk_documents ...)
+    only pay it (+0.10 to +0.48 s, several pushed near their 2x bench
+    gate) — so `_docs` stays plain and the expression-heavy builders
+    opt in via `_docs_spread`. unigram_logprob measured WORSE spread
+    (+1.4 s: its model/scoring branches statically duplicate the
+    repartition exchange), so it stays plain despite being
+    text-heavy."""
     from confluent_ksql_charm_spark.pipeline.dedup import (
         ensure_parallelism)
 
@@ -98,15 +110,18 @@ _SPREAD_DOCS: dict = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the spread relation is cached per (session, dir): the partition
-    # probe inside ensure_parallelism converts the plan to an RDD,
-    # which costs a visible fraction of the sub-second queries when
-    # re-run on every call (same memoization pattern as _ENGINES —
-    # this caches a PLAN, not data)
+    return _eng(spark, sf_dir).metastore.get("documents").df
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # memoized per (session, dir): the partition probe inside
+    # ensure_parallelism converts the plan to an RDD, which costs a
+    # visible fraction of sub-second queries when re-run per call
+    # (same memoization pattern as _ENGINES — this caches a PLAN, not
+    # data)
     key = (id(spark), sf_dir)
     if key not in _SPREAD_DOCS:
-        _SPREAD_DOCS[key] = _spread(
-            _eng(spark, sf_dir).metastore.get("documents").df)
+        _SPREAD_DOCS[key] = _spread(_docs(spark, sf_dir))
     return _SPREAD_DOCS[key]
 
 
@@ -989,7 +1004,7 @@ def _q_doc_quality(spark, sf):
         alpha_ratio, bpe_ish_token_count, mean_word_length, punct_ratio,
         quality_score, stopword_ratio)
 
-    docs = _docs(spark, sf)
+    docs = _docs_spread(spark, sf)
     # quality uses portable floor-based rounding: the composite (…)/3 can
     # land within one double ulp of a .00005 boundary, where Spark's
     # HALF_UP-on-string-render and DuckDB's arithmetic round diverge;
@@ -1014,7 +1029,7 @@ def _q_repetition_stats(spark, sf):
     # break, so DuckDB reproduces it row-for-row.
     from confluent_ksql_charm_spark.pipeline.text import repetition_stats
 
-    return repetition_stats(_docs(spark, sf), "doc_id", "text")
+    return repetition_stats(_docs_spread(spark, sf), "doc_id", "text")
 
 
 def _q_c4_line_clean(spark, sf):
@@ -1026,7 +1041,7 @@ def _q_c4_line_clean(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import (
         C4_FIXTURE, c4_line_clean)
 
-    docs = _docs(spark, sf).select("doc_id", "text")
+    docs = _docs_spread(spark, sf).select("doc_id", "text")
     fx = spark.createDataFrame(
         [(2_000_000 + i, t) for i, t in C4_FIXTURE],
         "doc_id bigint, text string")
@@ -1038,7 +1053,7 @@ def _q_vocab_topk(spark, sf):
     # agg), TakeOrderedAndProject top-k, exact-BIGINT cumulative coverage.
     from confluent_ksql_charm_spark.pipeline.text import vocab_topk
 
-    return vocab_topk(_docs(spark, sf), "text", k=40)
+    return vocab_topk(_docs_spread(spark, sf), "text", k=40)
 
 
 def _q_contained_docs(spark, sf):
@@ -1063,7 +1078,7 @@ def _q_normalize_text(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import (
         NORMALIZE_FIXTURE, normalize_text)
 
-    docs = _docs(spark, sf).select("doc_id", "text")
+    docs = _docs_spread(spark, sf).select("doc_id", "text")
     fx = spark.createDataFrame(
         [(4_000_000 + i, t) for i, t in NORMALIZE_FIXTURE],
         "doc_id bigint, text string")
@@ -1078,7 +1093,7 @@ def _q_quality_classifier(spark, sf):
     from confluent_ksql_charm_spark.pipeline.quality import (
         quality_fit, quality_score)
 
-    docs = _docs(spark, sf)
+    docs = _docs_spread(spark, sf)
     pos = docs.where(F.col("lang") == "en")
     neg = docs.where(F.col("lang") != "en")
     m = quality_fit(pos, neg, buckets=1024, alpha=1.0, hash="portable",
@@ -1096,7 +1111,7 @@ def _q_secret_scan(spark, sf):
     from confluent_ksql_charm_spark.pipeline.secrets import (
         SECRET_FIXTURE, scan_secrets)
 
-    docs = _docs(spark, sf).select("doc_id", "text")
+    docs = _docs_spread(spark, sf).select("doc_id", "text")
     fx = spark.createDataFrame(
         [(5_000_000 + i, t) for i, t in SECRET_FIXTURE],
         "doc_id bigint, text string")
@@ -1110,7 +1125,7 @@ def _q_secret_redact(spark, sf):
     from confluent_ksql_charm_spark.pipeline.secrets import (
         SECRET_FIXTURE, redact_secrets)
 
-    docs = _docs(spark, sf).select("doc_id", "text")
+    docs = _docs_spread(spark, sf).select("doc_id", "text")
     fx = spark.createDataFrame(
         [(5_000_000 + i, t) for i, t in SECRET_FIXTURE],
         "doc_id bigint, text string")
@@ -1126,7 +1141,7 @@ def _q_corpus_diff(spark, sf):
     from confluent_ksql_charm_spark.pipeline.maintenance import (
         corpus_diff)
 
-    docs = _docs(spark, sf).select("doc_id", "text")
+    docs = _docs_spread(spark, sf).select("doc_id", "text")
     old = docs.where(F.col("doc_id") % 7 != 0)
     new = (docs.where(F.col("doc_id") % 11 != 0)
            .withColumn("text", F.when(
@@ -1144,7 +1159,7 @@ def _q_gopher_quality(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import (
         gopher_quality_flags)
 
-    return gopher_quality_flags(_docs(spark, sf), min_words=40,
+    return gopher_quality_flags(_docs_spread(spark, sf), min_words=40,
                                 min_stopwords=1)
 
 
@@ -1153,7 +1168,7 @@ def _q_gopher_report(spark, sf):
     # rates + keep rate, same relaxed thresholds as gopher_quality
     from confluent_ksql_charm_spark.pipeline.text import gopher_report
 
-    return gopher_report(_docs(spark, sf), "lang", min_words=40,
+    return gopher_report(_docs_spread(spark, sf), "lang", min_words=40,
                          min_stopwords=1)
 
 
@@ -1199,7 +1214,7 @@ def _q_distinct_ngrams(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import (
         distinct_ngram_ratios)
 
-    return distinct_ngram_ratios(_docs(spark, sf), max_n=3, by="lang")
+    return distinct_ngram_ratios(_docs_spread(spark, sf), max_n=3, by="lang")
 
 
 def _q_random_projection(spark, sf):
@@ -1234,7 +1249,7 @@ def _q_bpe_pair_counts(spark, sf):
     from confluent_ksql_charm_spark.pipeline.tokenizer import (
         bpe_pair_counts)
 
-    return bpe_pair_counts(_docs(spark, sf), "text", k=50)
+    return bpe_pair_counts(_docs_spread(spark, sf), "text", k=50)
 
 
 def _q_paragraph_dedup(spark, sf):
@@ -1375,7 +1390,7 @@ def _q_zipf_fit(spark, sf):
     # OLS of ln(count) on ln(rank) over the top-100 vocabulary head.
     from confluent_ksql_charm_spark.pipeline.text import zipf_fit
 
-    return zipf_fit(_docs(spark, sf), k=100)
+    return zipf_fit(_docs_spread(spark, sf), k=100)
 
 
 def _q_top_repeated_spans(spark, sf):
@@ -1421,7 +1436,7 @@ def _q_quality_buckets(spark, sf):
     from confluent_ksql_charm_spark.pipeline.sampling import score_buckets
     from confluent_ksql_charm_spark.pipeline.text import unigram_logprob
 
-    scores = unigram_logprob(_docs(spark, sf), vocab_size=100)
+    scores = unigram_logprob(_docs_spread(spark, sf), vocab_size=100)
     return (score_buckets(scores, "avg_logprob", n_buckets=4)
             .select("doc_id", "avg_logprob", "bucket"))
 
@@ -1445,7 +1460,7 @@ def _q_dsir_logratio(spark, sf):
     # bucket models, target = every 5th doc, raw = the full corpus.
     from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
 
-    docs = _docs(spark, sf)
+    docs = _docs_spread(spark, sf)
     target = docs.where(F.col("doc_id") % 5 == 0)
     return dsir_logratio(docs, target, buckets=1024, alpha=1.0)
 
@@ -1455,7 +1470,7 @@ def _q_dsir_sample(spark, sf):
     # top-50 by (log_ratio + g), rounded id-tiebroken cut.
     from confluent_ksql_charm_spark.pipeline.sampling import dsir_sample
 
-    docs = _docs(spark, sf)
+    docs = _docs_spread(spark, sf)
     target = docs.where(F.col("doc_id") % 5 == 0)
     return dsir_sample(docs, target, 50, buckets=1024, alpha=1.0)
 
@@ -1466,7 +1481,7 @@ def _q_contamination_report(spark, sf):
     from confluent_ksql_charm_spark.pipeline.contamination import (
         contamination_report)
 
-    docs = _docs(spark, sf)
+    docs = _docs_spread(spark, sf)
     bench = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     return contamination_report(corpus, bench, "doc_id", "text",
@@ -1479,7 +1494,7 @@ def _q_dedup_keep_best(spark, sf):
     from confluent_ksql_charm_spark.pipeline.dedup import dedup_keep_best
 
     return dedup_keep_best(
-        _docs(spark, sf), "doc_id", "text", threshold=0.5,
+        _docs_spread(spark, sf), "doc_id", "text", threshold=0.5,
         signatures=_doc_signatures(spark, sf)
     ).select("doc_id", F.col("cluster").alias("cluster_id"))
 
@@ -1504,7 +1519,7 @@ def _q_pii_redact_luhn(spark, sf):
     # fold per candidate, so the gate is verified doing real work.
     from confluent_ksql_charm_spark.pipeline.pii import redact_pii
 
-    d = _docs(spark, sf).select(
+    d = _docs_spread(spark, sf).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1520,7 +1535,7 @@ def _q_bigram_logprob(spark, sf):
     # back-off), mean ln p per doc over adjacent-pair events
     from confluent_ksql_charm_spark.pipeline.text import bigram_logprob
 
-    return bigram_logprob(_docs(spark, sf), lambda_interp=0.7)
+    return bigram_logprob(_docs_spread(spark, sf), lambda_interp=0.7)
 
 
 def _q_chunk_documents(spark, sf):
@@ -1617,7 +1632,7 @@ def _doc_signatures(spark, sf):
     key = (id(spark), sf)
     if key not in _SIG_CACHE:
         _SIG_CACHE[key] = minhash_signatures(
-            _docs(spark, sf), "doc_id", "text").localCheckpoint()
+            _docs_spread(spark, sf), "doc_id", "text").localCheckpoint()
     return _SIG_CACHE[key]
 
 
@@ -1629,7 +1644,7 @@ def _q_minhash_near_dup(spark, sf):
     # has p ≈ 4e-8. The DuckDB oracle is brute-force n-gram Jaccard.
     from confluent_ksql_charm_spark.pipeline.dedup import near_dup_pairs
 
-    out = near_dup_pairs(_docs(spark, sf), "doc_id", "text", threshold=0.5,
+    out = near_dup_pairs(_docs_spread(spark, sf), "doc_id", "text", threshold=0.5,
                          signatures=_doc_signatures(spark, sf))
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -1642,7 +1657,7 @@ def _q_dedup_clusters(spark, sf):
     # brute-force Jaccard pair set.
     from confluent_ksql_charm_spark.pipeline.dedup import dedup_clusters
 
-    return dedup_clusters(_docs(spark, sf), "doc_id", "text", threshold=0.5,
+    return dedup_clusters(_docs_spread(spark, sf), "doc_id", "text", threshold=0.5,
                           signatures=_doc_signatures(spark, sf)
                           ).withColumnRenamed("cluster", "cluster_id")
 
@@ -1655,7 +1670,7 @@ def _q_decontaminate(spark, sf):
     from confluent_ksql_charm_spark.pipeline.contamination import (
         flag_contaminated)
 
-    docs = _docs(spark, sf)
+    docs = _docs_spread(spark, sf)
     bench = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     return flag_contaminated(corpus, bench, "doc_id", "text",
@@ -1673,7 +1688,7 @@ def _q_bloom_decontaminate(spark, sf):
     from confluent_ksql_charm_spark.pipeline.contamination import (
         bloom_benchmark_filter, bloom_flag_contaminated)
 
-    docs = _docs(spark, sf)
+    docs = _docs_spread(spark, sf)
     bench = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     bl = bloom_benchmark_filter(bench, "text", n=5, m_bits=1 << 18,
@@ -1693,7 +1708,7 @@ def _q_fuzzy_decontaminate(spark, sf):
         FUZZY_CONTAM_FIXTURE_BENCH, FUZZY_CONTAM_FIXTURE_CORPUS,
         fuzzy_flag_contaminated)
 
-    docs = _docs(spark, sf).select("doc_id", "text")
+    docs = _docs_spread(spark, sf).select("doc_id", "text")
     fxc = spark.createDataFrame(
         [(4_000_000 + i, t) for i, t in FUZZY_CONTAM_FIXTURE_CORPUS],
         "doc_id bigint, text string")
@@ -1712,7 +1727,7 @@ def _q_pii_redact(spark, sf):
     # patterns; counts are per kind on progressively redacted text.
     from confluent_ksql_charm_spark.pipeline.pii import redact_pii
 
-    d = _docs(spark, sf).select(
+    d = _docs_spread(spark, sf).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1791,7 +1806,7 @@ def _q_text_signals(spark, sf):
     from confluent_ksql_charm_spark.pipeline.text import (
         LANG_FIXTURE, fingerprint64, guess_language)
 
-    docs = _docs(spark, sf).select(
+    docs = _docs_spread(spark, sf).select(
         F.lit("doc").alias("src"),
         F.col("doc_id").cast("bigint").alias("id"),
         F.col("lang"),
@@ -2084,7 +2099,7 @@ def _q_novelty_report(spark, sf):
     from confluent_ksql_charm_spark.pipeline.contamination import (
         novelty_report)
 
-    docs = _docs(spark, sf).select("doc_id", "text")
+    docs = _docs_spread(spark, sf).select("doc_id", "text")
     bench = docs.where(F.col("doc_id") % 5 == 0)
     corp = docs.where(F.col("doc_id") % 5 != 0)
     return novelty_report(bench, corp, n=5, keyed="text")
