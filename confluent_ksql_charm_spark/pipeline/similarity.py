@@ -3484,17 +3484,26 @@ def embedding_cluster(df: DataFrame, k: int = 8, *,
     # mode (Spark 4 default) an unguarded divide aborts the whole job.
     vn_raw = norm(v)
     vn = F.when(vn_raw == F.lit(0.0), F.lit(1.0)).otherwise(vn_raw)
+    # the row norm is STAGED as a column (round 13): dot/norm are
+    # interpreted higher-order folds with no codegen CSE, and the k
+    # per-center entries each referenced `vn` — so dot(v, v) ran k
+    # extra times per row (measured ~2x on the whole assignment at
+    # k=8, dim=64). Staging computes it once; every cosine is still
+    # the identical dot(v, c)/(vn*cn) association, so rounded values
+    # are unchanged.
+    staged = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                       v.alias("__v"), vn.alias("__vn"))
     entries = []
     for j, c in enumerate(centers):
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
-        cos = dot(v, _vec_lit(c)) / (vn * F.lit(cn))
+        cos = dot(F.col("__v"), _vec_lit(c)) / (F.col("__vn") * F.lit(cn))
         # struct max is lexicographic: cosine first, then -index so cos
         # ties resolve to the LOWEST center index
         entries.append(F.struct(F.round(cos, round_to).alias("c"),
                                 F.lit(-j).alias("nj")))
     best = F.array_max(F.array(*entries))
-    return (df.select(F.col(id_col), *[F.col(c) for c in keep],
-                      best.alias("__b"))
+    return (staged.select(F.col(id_col), *[F.col(c) for c in keep],
+                          best.alias("__b"))
             .select(id_col, *keep,
                     (-F.col("__b.nj")).cast("int").alias("cluster"),
                     F.col("__b.c").alias("cos")), centers)
