@@ -830,11 +830,22 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
     # round (AQE cannot coalesce across the boundary) — bound it to the
     # session's shuffle width or a wide initialPartitionNum multiplies
     # per-round task overhead (measured: dedup_clusters 149 s → 208 s
-    # at sf10 under initialPartitionNum=256 without this)
+    # at sf10 under initialPartitionNum=256 without this). Round 13:
+    # the bound is additionally SIZED from the previous round's edge
+    # count, which is already on the driver (it rides the observe
+    # signature) — a near-dup edge set is usually a tiny fraction of
+    # the corpus, and a 2 000-edge round spread over 32 checkpoint
+    # partitions makes every subsequent round launch 32 mostly-empty
+    # map tasks per stage (scheduling, not work). ~50k edges per
+    # partition keeps small rounds single-task while any decade-scale
+    # edge set still gets the full session width — derived from
+    # measured size, not a local constant (guide §2.2).
     n_parts = int(pairs.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
+    _EDGES_PER_PART = 50_000
 
-    def checkpoint_with_signature(e: DataFrame) -> tuple[DataFrame, tuple]:
+    def checkpoint_with_signature(e: DataFrame, width: int
+                                  ) -> tuple[DataFrame, tuple]:
         obs = Observation()
         observed = e.observe(
             obs,
@@ -846,7 +857,7 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
         # (deserialized unroll of a large edge relation)
         from pyspark.storagelevel import StorageLevel
 
-        bounded = observed.coalesce(n_parts)
+        bounded = observed.coalesce(width)
         try:
             out = bounded.localCheckpoint(
                 storageLevel=StorageLevel.MEMORY_AND_DISK)  # one action
@@ -855,10 +866,16 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
         row = obs.get
         return out, (row["n"], row["h"])
 
-    edges, sig = checkpoint_with_signature(edges)
+    def _width(n_edges: int) -> int:
+        return max(1, min(n_parts,
+                          (n_edges + _EDGES_PER_PART - 1)
+                          // _EDGES_PER_PART))
+
+    edges, sig = checkpoint_with_signature(edges, n_parts)
     rounds = 0
     for _ in range(max_iter):
-        edges, new_sig = checkpoint_with_signature(_small_star(_large_star(edges)))
+        edges, new_sig = checkpoint_with_signature(
+            _small_star(_large_star(edges)), _width(sig[0]))
         rounds += 1
         if new_sig == sig:
             break
