@@ -73,7 +73,7 @@ def _spread(df: DataFrame) -> DataFrame:
     minPartitionNum setting can split — so every expression-heavy
     corpus pass (tokenize / shingle / hash / redact) was executing in
     ONE task regardless of core count (measured: pii_redact_luhn
-    2.18 s -> 0.29 s at sf0.1 x 32 cores once spread). Scale-adaptive
+    2.18 s -> 0.93 s at sf0.1 x 32 cores once spread). Scale-adaptive
     by construction, not a local[32] constant: the guard is "scan
     partitions < session defaultParallelism", so any production-shaped
     input (row groups >= cores — at 100 TB, thousands of files) is
