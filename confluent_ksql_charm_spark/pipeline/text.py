@@ -677,15 +677,23 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     Returns (id, n_bigrams, avg_logprob) — avg rounded to 6 (oracle
     contract).
 
-    Scale shape: one tokenize rides the scan into TWO model aggregates
-    (bigram counts keyed on the pair, unigram counts keyed on the
-    token — each map-side combined, one shuffle apiece), both
-    checkpointed; scoring re-explodes the corpus to (doc, w1, w2) rows
-    and joins both models. The bigram model relation is
-    vocabulary²-bounded, so the joins stay shuffled (never broadcast) —
-    unlike `unigram_logprob` there is no defensible top-V cap for
-    pairs, and the join keys are the grams themselves, which AQE can
-    plan as broadcast only when the corpus is genuinely small.
+    Scale shape (round 14 — one model pass, one corpus-stream join):
+    BOTH models come from a single tokenize+explode pass. Each token
+    occurrence is emitted exactly once as ``(w1, w2)`` with ``w2`` the
+    following token or NULL at the doc boundary, so ONE hash-aggregate
+    on the pair (map-side combined, one shuffle) yields the adjacency
+    counts; the unigram model is its ``GROUP BY w1`` marginal and the
+    bigram model its ``w2 IS NOT NULL`` slice — no second corpus
+    tokenize for the unigram counts, no separate unigram shuffle. The
+    per-DISTINCT-bigram score table (w1, w2, ln p) is then assembled
+    from those model-sized relations, and the scoring pass re-explodes
+    the corpus ONCE and joins that single table on the pair key —
+    previously the corpus-scale pair stream was shuffled three times
+    (bigram join, then w1, then w2); now it crosses the network once.
+    The score table is vocabulary²-bounded, so the join stays shuffled
+    (never statically broadcast) — there is no defensible top-V cap
+    for pairs, and AQE upgrades it to broadcast only when the model
+    measures genuinely small.
     """
     if not 0.0 <= lambda_interp <= 1.0:
         raise ValueError(
@@ -696,34 +704,47 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     toks = df.select(
         F.col(id_col),
         F.transform(tokens_col(text_col), norm).alias("__t"))
-    pairs = toks.select(
-        id_col,
-        F.posexplode(F.when(F.size("__t") >= 2, F.slice(
-            F.col("__t"), 1, F.size("__t") - 1))
-            .otherwise(F.array())).alias("__i", "w1"),
-        F.col("__t"))
-    pairs = pairs.select(
-        id_col, "w1",
-        F.element_at("__t", F.col("__i") + 2).alias("w2"))
-    uni = maybe_checkpoint(
-        toks.select(F.explode("__t").alias("w"))
-        .groupBy("w").agg(F.count("*").alias("cnt")))
-    bi = maybe_checkpoint(
-        pairs.groupBy("w1", "w2").agg(F.count("*").alias("bcnt")))
-    total = uni.agg(F.sum("cnt").alias("__total"))
+
+    # (w1, w2) per token occurrence: w2 = next token, NULL at the doc's
+    # last token — so every occurrence appears exactly once as w1 and
+    # SUM over w2 of the pair counts IS the unigram count (the
+    # single-pass-model property above). The pair array is built INSIDE
+    # the array domain (zip_with pads the shifted slice with NULL), so
+    # the explode emits one 2-string struct per row — the previous
+    # posexplode + element_at form carried the WHOLE token array
+    # through the Generate to fetch one element, an O(len²)-bytes row
+    # materialization per doc (interleaved A/B at sf0.1: 1.62 → 1.38 s).
+    pair_arr = F.zip_with(
+        F.col("__t"),
+        F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+
+    def _adjacent(rel, with_id=False):
+        ids = [id_col] if with_id else []
+        return (rel.select(*ids, F.explode(pair_arr).alias("__p"))
+                .select(*ids, "__p.w1", "__p.w2"))
+
+    pcn = maybe_checkpoint(
+        _adjacent(toks).groupBy("w1", "w2")
+        .agg(F.count("*").alias("bcnt")))
+    uni = pcn.groupBy("w1").agg(F.sum("bcnt").alias("cnt"))
+    total = pcn.agg(F.sum("bcnt").alias("__total"))
     lam = float(lambda_interp)
-    scored = (
-        pairs
-        .join(bi, ["w1", "w2"])                     # every pair exists
-        .join(uni.select(F.col("w").alias("w1"),
-                         F.col("cnt").alias("c1")), "w1")
-        .join(uni.select(F.col("w").alias("w2"),
+    # per-distinct-bigram ln p — model-sized work off the checkpoint
+    lp_tab = (
+        pcn.where(F.col("w2").isNotNull())
+        .join(uni.select(F.col("w1"), F.col("cnt").alias("c1")), "w1")
+        .join(uni.select(F.col("w1").alias("w2"),
                          F.col("cnt").alias("c2")), "w2")
         .crossJoin(F.broadcast(total))
-        .select(id_col, F.log(
+        .select("w1", "w2", F.log(
             F.lit(lam) * F.col("bcnt") / F.col("c1")
             + F.lit(1.0 - lam) * F.col("c2") / F.col("__total"))
             .alias("__lp")))
+    # scoring: the ONLY other corpus pass — (doc, w1, w2) events join
+    # the score table on the pair key; every event exists in the model
+    pairs = _adjacent(toks, with_id=True).where(F.col("w2").isNotNull())
+    scored = pairs.join(lp_tab, ["w1", "w2"]).select(id_col, "__lp")
     out = (scored.groupBy(id_col)
            .agg(F.count("*").alias("n_bigrams"),
                 F.round(F.avg("__lp"), 6).alias("avg_logprob")))
