@@ -1657,6 +1657,47 @@ class TestText:
         with pytest.raises(ValueError, match="min_dup"):
             substring_dedup(df, "doc_id", "text", min_dup=1)
 
+    def test_window_hash_tree_matches_string_window_classes(self, spark):
+        # round-14 internals change: the doubling-tree window hash must
+        # induce the SAME equality classes as hashing the window STRING
+        # (equal token windows -> equal hash; distinct windows ->
+        # distinct hashes on this corpus), for power-of-2 and
+        # decomposed n alike — otherwise substring_dedup's duplicate
+        # detection silently diverges from the oracle's string replay.
+        import random
+
+        from pyspark.sql import functions as F
+
+        from confluent_ksql_charm_spark.pipeline.dedup import (
+            _window_hash_levels, sliding_windows_col)
+
+        rng = random.Random(7)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(0, 40))))
+                for i in range(40)]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        for n in (2, 8, 10, 13):
+            base = df.select(
+                F.col("doc_id"),
+                F.split(F.trim("text"), r"\s+").alias("__toks"))
+            lvl, tree = _window_hash_levels(base, n)
+            strs = F.when(
+                F.size("__toks") >= n,
+                sliding_windows_col(F.col("__toks"), n),
+            ).otherwise(F.array().cast("array<string>"))
+            rows = (lvl.select(F.posexplode(
+                F.arrays_zip(tree.alias("h"), strs.alias("s")))
+                .alias("i", "z")).select("z.h", "z.s").collect())
+            by_str: dict = {}
+            for r in rows:
+                by_str.setdefault(r.s, set()).add(r.h)
+            # one hash per distinct window string
+            assert all(len(v) == 1 for v in by_str.values()), n
+            # and no two distinct strings share a hash
+            hashes = [next(iter(v)) for v in by_str.values()]
+            assert len(set(hashes)) == len(hashes), n
+
     def test_vocab_topk_counts_and_coverage(self, spark):
         from confluent_ksql_charm_spark.pipeline.text import vocab_topk
 
