@@ -1748,7 +1748,9 @@ def _q_bm25_topk(spark, sf):
     # and tie-broken by doc_id so the result SET is engine-independent.
     from confluent_ksql_charm_spark.pipeline.search import bm25_topk
 
-    return bm25_topk(_docs(spark, sf), ["vector", "hash", "merge"],
+    # corpus tokenize pass is expression-heavy -> spread the
+    # under-partitioned fixture scan (round-13 pattern, applied r14)
+    return bm25_topk(_docs_spread(spark, sf), ["vector", "hash", "merge"],
                      "doc_id", "text", k=10)
 
 
@@ -1759,7 +1761,10 @@ def _q_hybrid_search(spark, sf):
     # so the fusion is engine-reproducible.
     from confluent_ksql_charm_spark.pipeline.search import hybrid_topk
 
-    docs = _docs(spark, sf)
+    # the BM25 leg's single-tokenize base pass is expression-heavy:
+    # spreading the under-partitioned fixture scan (round-13 pattern,
+    # applied r14) measured 1.46 -> 0.82 s interleaved at sf0.1
+    docs = _docs_spread(spark, sf)
     emb = _embs(spark, sf)
     qvec = [float(x) for x in
             emb.where("vec_id = 0").select("embedding").first()[0]]
