@@ -1462,7 +1462,10 @@ def _q_dsir_logratio(spark, sf):
 
     docs = _docs_spread(spark, sf)
     target = docs.where(F.col("doc_id") % 5 == 0)
-    return dsir_logratio(docs, target, buckets=1024, alpha=1.0)
+    # target is a filtered subset of docs -> derive its bucket counts
+    # from the materialized per-doc histogram (no second feature pass)
+    return dsir_logratio(docs, target, buckets=1024, alpha=1.0,
+                         target_subset_of_df=True)
 
 
 def _q_dsir_sample(spark, sf):
@@ -1472,7 +1475,10 @@ def _q_dsir_sample(spark, sf):
 
     docs = _docs_spread(spark, sf)
     target = docs.where(F.col("doc_id") % 5 == 0)
-    return dsir_sample(docs, target, 50, buckets=1024, alpha=1.0)
+    # target is a filtered subset of docs -> derive its bucket counts
+    # from the materialized per-doc histogram (no second feature pass)
+    return dsir_sample(docs, target, 50, buckets=1024, alpha=1.0,
+                       target_subset_of_df=True)
 
 
 def _q_contamination_report(spark, sf):

@@ -474,7 +474,8 @@ def dsir_sample(df: DataFrame, target: DataFrame, k: int, *,
                 buckets: int = 10_000, alpha: float = 1.0,
                 bigrams: bool = True, lowercase: bool = True,
                 salt: str = "dsir", hash: str = "portable",
-                gumbel_salt: str = "dsir-gumbel") -> DataFrame:
+                gumbel_salt: str = "dsir-gumbel",
+                target_subset_of_df: bool = False) -> DataFrame:
     """DSIR importance RESAMPLING (Xie et al. 2023 §2.3): draw the k
     documents with the largest ``log_ratio + Gumbel`` keys — the
     Gumbel-top-k trick makes the selection a single distributed top-k
@@ -504,7 +505,8 @@ def dsir_sample(df: DataFrame, target: DataFrame, k: int, *,
 
     scores = dsir_logratio(df, target, id_col, text_col,
                            buckets=buckets, alpha=alpha, bigrams=bigrams,
-                           lowercase=lowercase, salt=salt, hash=hash)
+                           lowercase=lowercase, salt=salt, hash=hash,
+                           target_subset_of_df=target_subset_of_df)
     h = (F.conv(F.substring(F.md5(F.concat(
         F.col(id_col).cast("string"), F.lit(":" + gumbel_salt))),
         1, 13), 16, 10).cast("bigint"))

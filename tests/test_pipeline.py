@@ -4541,6 +4541,33 @@ class TestDSIR:
             assert got[i][1] == pytest.approx(round(want[i][1], 6),
                                               abs=2e-6)
 
+    def test_target_subset_path_equals_classic(self, spark):
+        """Round-14: `target_subset_of_df=True` derives the target
+        bucket counts from the materialized per-doc histogram (id
+        semi-join + re-aggregate) instead of a second feature pass —
+        the scores must be EXACTLY the classic path's, including
+        degenerate docs inside the target (empty/whitespace text)."""
+        from confluent_ksql_charm_spark.pipeline.sampling import dsir_sample
+        from confluent_ksql_charm_spark.pipeline.text import dsir_logratio
+
+        docs = [(1, "alpha beta alpha beta alpha"), (2, ""),
+                (3, "   "), (4, "solo"), (5, None),
+                (6, "x " * 50 + "y"), (7, "alpha beta gamma delta")]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        target = df.where("doc_id in (1, 2, 7)")
+        classic = sorted(map(tuple, dsir_logratio(
+            df, target, buckets=8, alpha=0.5).collect()))
+        subset = sorted(map(tuple, dsir_logratio(
+            df, target, buckets=8, alpha=0.5,
+            target_subset_of_df=True).collect()))
+        assert classic == subset
+        cs = sorted(map(tuple, dsir_sample(
+            df, target, 3, buckets=8, alpha=0.5).collect()))
+        ss = sorted(map(tuple, dsir_sample(
+            df, target, 3, buckets=8, alpha=0.5,
+            target_subset_of_df=True).collect()))
+        assert cs == ss
+
     def test_sample_is_gumbel_topk_of_scores(self, spark):
         import hashlib
         import math
