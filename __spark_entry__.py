@@ -118,8 +118,10 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ensure_parallelism converts the plan to an RDD, which costs a
     # visible fraction of sub-second queries when re-run per call
     # (same memoization pattern as _ENGINES — this caches a PLAN, not
-    # data)
-    key = (id(spark), sf_dir)
+    # data). Keyed on applicationId, not id(spark): CPython can reuse
+    # a stopped session's id and hand a later session a DataFrame
+    # bound to the dead one (round-13 review).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SPREAD_DOCS:
         _SPREAD_DOCS[key] = _spread(_docs(spark, sf_dir))
     return _SPREAD_DOCS[key]

@@ -947,6 +947,11 @@ def dsir_logratio(df: DataFrame, target: DataFrame,
             .alias("__r"))
         .select(id_col, F.col("__r.__b").alias("__b"),
                 F.col("__r.__cb").alias("__cb")))
+    # raw has two consumers (model join + tot_r) and is therefore
+    # statically duplicated in the plan — cheap ONLY because doc_b is
+    # materialized above (each copy re-aggregates a checkpoint scan,
+    # never the corpus). If doc_b's maybe_checkpoint were ever made
+    # inactive here, wrap raw in maybe_checkpoint too (round-13 review).
     raw = doc_b.groupBy("__b").agg(F.sum("__cb").alias("__cr"))
     # tgt is consumed twice (model left join + tot_t); checkpointing
     # the <= `buckets`-row count relation keeps the target text to ONE

@@ -1,7 +1,12 @@
 """Isolated per-query timing with the bench.py protocol (guide §1.4):
 same session config as bench.py, noop-sink force, 1 warm-up + median
-of 3, cache cleared between queries. For optimization iteration only —
-the round artifact is still the full bench.py run.
+of 3, catalog cache cleared between queries. NOTE: module-level memo
+caches in __spark_entry__ (_SIG_CACHE localCheckpoints, _SPREAD_DOCS,
+ANN/PQ index state) persist across queries WITHIN one invocation, so
+later queries in a multi-query run time against warm shared state —
+exactly like bench.py's post-warm-up main pass, but unlike a fresh
+single-query invocation (round-13 review). For optimization iteration
+only — the round artifact is still the full bench.py run.
 
 Usage: python tools/bench_one.py <query> [query ...] [--sf=/root/testdata/sf0.1]
 """

@@ -26,6 +26,11 @@ def main() -> None:
     suffix = next((a.split("=", 1)[1] for a in sys.argv[1:]
                    if a.startswith("--suffix=")), "")
     out_dir = args[0]
+    if len(args) > 1 and "/" in args[1] and not os.path.isdir(args[1]):
+        # a path-looking second arg that is NOT a directory is a typo,
+        # not a query name — falling through would silently capture
+        # plans at the default SF (round-13 review)
+        raise SystemExit(f"SF_DIR does not exist: {args[1]}")
     sf_dir = args[1] if len(args) > 1 and os.path.isdir(args[1]) \
         else "/root/testdata/sf0.01"
     names = args[2:] if len(args) > 1 and os.path.isdir(args[1]) else args[1:]
