@@ -2233,18 +2233,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # coverage unchanged, one slot each.
     return {
         # Rotation policy (the driver samples the FIRST 50 keys each
-        # round): r13 leads with the three entries that have NO driver
-        # row yet — ann_multiprobe_topk (added after the r12 window
-        # froze; judge-verified pass), ann_multiprobe_batch_topk and
-        # hamming_batch_topk (new this round) — then the 35 rows last
-        # checked in r10
-        # (VERDICT r12 #1's list), then 13 r11 rows chosen nearest the
-        # recent code churn (dedup_keep_best's attach path changed in
-        # r12; the bench sentinels; the window family with the r12
-        # streaming-parity work). Tail = the remaining 37 r11 rows
-        # (rotate into r14) followed by the 50 r12-fresh rows. After
-        # the r13 driver run, no entry's latest check is older than
-        # r11.
+        # round): r14 leads with (a) the 12 entries VERDICT r13 #2
+        # names — structurally rewritten in round 13 (DSIR restructure,
+        # HOF staging, staged cluster norm) with no driver oracle row
+        # newer than r12 — then (b) every entry whose plan round 14
+        # touched (bigram single-model-pass, tree-hash substring
+        # windows, window-form CC stars + the CC consumers, the spread
+        # BM25 leg, the DSIR subset-target derivation, the engine scan
+        # spread behind q3_style_chain), then (c) the r11 wave that has
+        # been waiting since round 11. Tail = the leftover r11 rows
+        # (rotate into r15) followed by the r12/r13-fresh rows.
+        "dsir_sample": _q_dsir_sample,
+        "dsir_logratio": _q_dsir_logratio,
+        "distinct_ngrams": _q_distinct_ngrams,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_overlap": _q_winnow_overlap,
+        "cluster_outliers": _q_cluster_outliers,
+        "embedding_cluster": _q_embedding_cluster,
+        "embedding_cluster_stats": _q_embedding_cluster_stats,
+        "quality_buckets": _q_quality_buckets,
+        "contamination_report": _q_contamination_report,
+        "novelty_report": _q_novelty_report,
+        "top_repeated_spans": _q_top_repeated_spans,
+        "bigram_logprob": _q_bigram_logprob,
+        "substring_dedup": _q_substring_dedup,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "incremental_dedup": _q_incremental_dedup,
+        "minhash_near_dup": _q_minhash_near_dup,
+        "dup_size_histogram": _q_dup_size_histogram,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
+        "hybrid_search_rrf": _q_hybrid_search,
+        "bm25_topk": _q_bm25_topk,
+        "c4_line_clean": _q_c4_line_clean,
+        "q3_style_chain": _q_q3_style_chain,
+        "array_funcs": _q_array_funcs,
+        "case_when_cast": _q_case_when_cast,
+        "collect_list_csv": _q_collect_list,
+        "collect_set_csv": _q_collect_set_csv,
+        "conditional_agg": _q_conditional_agg,
+        "corpus_stats": _q_corpus_stats,
+        "datetime_funcs": _q_datetime_funcs,
+        "decimal_agg_join": _q_decimal_agg_join,
+        "dim_chain": _q_dim_chain,
+        "doc_quality": _q_doc_quality,
+        "full_outer_join": _q_full_outer_join,
+        "full_outer_join_within": _q_full_outer_join_within,
+        "groupby_expr": _q_groupby_expr,
+        "histogram": _q_histogram,
+        "incremental_sessions": _q_incremental_sessions,
+        "insert_into_union": _q_insert_into,
+        "json_funcs": _q_json_funcs,
+        "left_outer_join_within": _q_left_outer_join_within,
+        "math_funcs": _q_math_funcs,
+        "ngram_vocab_growth": _q_ngram_vocab_growth,
+        "partition_by_rekey": _q_partition_by,
+        "project_filter": _q_project_filter,
+        "skew_report": _q_skew_report,
+        "stream_stream_join_within": _q_stream_stream_join,
+        "string_mask_url_funcs": _q_string_mask_url_funcs,
+        # ---- end of the 50-slot driver window ----
+        # leftover r11 wave (rotate into r15), then r12/r13-fresh rows
         "ann_multiprobe_topk": _q_ann_multiprobe,
         "ann_multiprobe_batch_topk": _q_ann_multiprobe_batch,
         "hamming_batch_topk": _q_hamming_batch_topk,
@@ -2253,7 +2303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "asof_join_bucketed": _q_asof_join_bucketed,
         "bloom_decontaminate": _q_bloom_decontaminate,
-        "bm25_topk": _q_bm25_topk,
         "contained_docs": _q_contained_docs,
         "corpus_diff": _q_corpus_diff,
         "curriculum_order": _q_curriculum_order,
@@ -2265,11 +2314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "gopher_report": _q_gopher_report,
         "hamming_topk": _q_hamming_topk,
-        "hybrid_search_rrf": _q_hybrid_search,
-        "incremental_dedup": _q_incremental_dedup,
         "leakage_safe_split": _q_leakage_safe_split,
         "length_quantiles": _q_length_quantiles,
-        "minhash_near_dup": _q_minhash_near_dup,
         "multimodal_features": _q_multimodal_features,
         "normalize_text": _q_normalize_text,
         "pii_redact": _q_pii_redact,
@@ -2283,53 +2329,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": _q_simhash_near_dup,
         "text_signals": _q_text_signals,
         "weighted_sample": _q_weighted_sample,
-        "dedup_keep_best": _q_dedup_keep_best,
         "pricing_summary": _q_pricing_summary,
         "repetition_stats": _q_repetition_stats,
         "tumbling_window": _q_tumbling_window,
         "hopping_window": _q_hopping_window,
         "session_window": _q_session_window,
         "latest_per_key": _q_latest_per_key,
-        "substring_dedup": _q_substring_dedup,
         "paragraph_dedup": _q_paragraph_dedup,
         "stream_table_join": _q_stream_table_join,
         "skew_salted_agg": _q_salted_agg,
         "pii_redact_luhn": _q_pii_redact_luhn,
         "user_sessions": _q_user_sessions,
-        # ---- end of the 50-slot driver window ----
-        # remaining r11 wave (rotate into r14), then the r12-fresh 50
-        "array_funcs": _q_array_funcs,
-        "bigram_logprob": _q_bigram_logprob,
-        "c4_line_clean": _q_c4_line_clean,
-        "case_when_cast": _q_case_when_cast,
-        "collect_list_csv": _q_collect_list,
-        "collect_set_csv": _q_collect_set_csv,
-        "conditional_agg": _q_conditional_agg,
-        "corpus_stats": _q_corpus_stats,
-        "datetime_funcs": _q_datetime_funcs,
-        "decimal_agg_join": _q_decimal_agg_join,
-        "dim_chain": _q_dim_chain,
-        "doc_quality": _q_doc_quality,
-        "dup_size_histogram": _q_dup_size_histogram,
-        "full_outer_join": _q_full_outer_join,
-        "full_outer_join_within": _q_full_outer_join_within,
-        "groupby_expr": _q_groupby_expr,
-        "histogram": _q_histogram,
-        "incremental_sessions": _q_incremental_sessions,
-        "insert_into_union": _q_insert_into,
-        "json_funcs": _q_json_funcs,
-        "left_outer_join_within": _q_left_outer_join_within,
-        "math_funcs": _q_math_funcs,
-        "ngram_vocab_growth": _q_ngram_vocab_growth,
-        "partition_by_rekey": _q_partition_by,
-        "project_filter": _q_project_filter,
-        "q3_style_chain": _q_q3_style_chain,
-        "skew_report": _q_skew_report,
-        "stream_stream_join_within": _q_stream_stream_join,
-        "string_mask_url_funcs": _q_string_mask_url_funcs,
         "table_table_join": _q_table_table_join,
         "token_budget_take": _q_token_budget_take,
-        "top_repeated_spans": _q_top_repeated_spans,
         "topk_per_group": _q_topk,
         "topkdistinct_per_group": _q_topkdistinct,
         "user_sessions_bucketed": _q_user_sessions_bucketed,
@@ -2338,21 +2350,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "chunk_documents": _q_chunk_documents,
         "cluster_balanced_cap": _q_cluster_balanced_cap,
-        "cluster_outliers": _q_cluster_outliers,
         "cluster_terms": _q_cluster_terms,
-        "contamination_report": _q_contamination_report,
         "corpus_split_sample": _q_corpus_split_sample,
         "cosine_batch_topk": _q_cosine_batch_topk,
-        "dedup_clusters": _q_dedup_clusters,
-        "distinct_ngrams": _q_distinct_ngrams,
-        "dsir_logratio": _q_dsir_logratio,
-        "dsir_sample": _q_dsir_sample,
-        "embedding_cluster": _q_embedding_cluster,
-        "embedding_cluster_stats": _q_embedding_cluster_stats,
         "embedding_cosine_topk": _q_embedding_topk,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_decontaminate": _q_embedding_decontaminate,
-        "embedding_near_dup": _q_embedding_near_dup,
         "filtered_ann_topk": _q_filtered_ann_topk,
         "filtered_ivf_topk": _q_filtered_ivf_topk,
         "filtered_rerank_topk": _q_filtered_rerank,
@@ -2370,21 +2373,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_waterfill": _q_mixture_waterfill,
         "mmr_select": _q_mmr_select,
         "ngram_jaccard": _q_ngram_jaccard,
-        "novelty_report": _q_novelty_report,
         "pack_sequences": _q_pack_sequences,
         "pq_batch_topk": _q_pq_batch_topk,
         "pq_topk": _q_pq_topk,
-        "quality_buckets": _q_quality_buckets,
         "random_projection": _q_random_projection,
         "retention_cohorts": _q_retention_cohorts,
-        "semantic_dedup": _q_semantic_dedup,
         "source_cap": _q_source_cap,
         "sq8_batch_topk": _q_sq8_batch_topk,
         "sq8_topk": _q_sq8_topk,
         "token_stats_by_lang": _q_token_stats,
         "unigram_logprob": _q_unigram_logprob,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_overlap": _q_winnow_overlap,
     }
 
 
