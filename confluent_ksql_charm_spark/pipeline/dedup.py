@@ -903,7 +903,7 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
         # executing any round.
         one = _small_star(_large_star(edges))
         roots = one.select(F.col("b").alias("a"), F.col("b")).distinct()
-        return (one.unionByName(roots).distinct()
+        return (one.unionByName(roots)   # disjoint union — see below
                 .select(F.col("a").alias("id"), F.col("b").alias("cluster")))
 
     from pyspark.sql import Observation
@@ -967,9 +967,16 @@ def connected_components(pairs: DataFrame, *, max_iter: int = 25,
     if _edge_count_out is not None:
         _edge_count_out.append(sig[0])
     # Converged edge set is a star forest: (member → component min) for
-    # every non-root member. Roots label themselves.
+    # every non-root member. Roots label themselves. No distinct on the
+    # union (round 14): `edges` is already distinct (every loop exit
+    # path ends in small_star's terminal distinct, and the 0-round path
+    # in the initial .distinct()) with a ≠ b on every row, while the
+    # roots relation holds only a == b rows — the two sides are
+    # internally distinct AND mutually disjoint, so the previous
+    # terminal .distinct() was a redundant full shuffle of the output
+    # paid by every CC consumer.
     roots = edges.select(F.col("b").alias("a"), F.col("b")).distinct()
-    return (edges.unionByName(roots).distinct()
+    return (edges.unionByName(roots)
             .select(F.col("a").alias("id"), F.col("b").alias("cluster")))
 
 
